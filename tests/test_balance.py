@@ -1,0 +1,66 @@
+"""Balance history / current balance analytics tests.
+
+Mirrors the reference's build_analytics semantics
+(reference src/thrive_cash_processing_dag.py:426): cumulative abs
+amounts per type and running balance per customer.
+"""
+
+from datetime import datetime
+
+from pyspark.sql import Row
+
+from thrivefinancedatapipeline_spark.operators.balance import (
+    balance_asof,
+    balance_history,
+    current_balances,
+)
+
+SCHEMA = "trans_id string, tctype string, createdat timestamp, customerid string, amount double"
+
+
+def txn(tid, tctype, ts, cust, amount):
+    return Row(trans_id=tid, tctype=tctype,
+               createdat=datetime.fromisoformat(ts),
+               customerid=cust, amount=float(amount))
+
+
+ROWS = [
+    txn("E1", "earned", "2024-01-01", "C1", 100.0),
+    txn("E2", "earned", "2024-01-03", "C1", 50.0),
+    txn("S1", "spent", "2024-01-05", "C1", -60.0),
+    txn("X1", "expired", "2024-01-07", "C1", -20.0),
+    txn("E3", "earned", "2024-01-02", "C2", 10.0),
+]
+
+
+def test_balance_history_cumulative(spark):
+    df = spark.createDataFrame(ROWS, schema=SCHEMA)
+    hist = {
+        (r.customer_id, r.transaction_id): r
+        for r in balance_history(df).collect()
+    }
+    assert hist[("C1", "E1")].current_balance == 100.0
+    assert hist[("C1", "E2")].current_balance == 150.0
+    assert hist[("C1", "S1")].current_balance == 90.0
+    assert hist[("C1", "S1")].cumulative_spent == 60.0
+    assert hist[("C1", "X1")].current_balance == 70.0
+    assert hist[("C1", "X1")].cumulative_expired == 20.0
+    assert hist[("C2", "E3")].current_balance == 10.0
+
+
+def test_current_balances_picks_last(spark):
+    df = spark.createDataFrame(ROWS, schema=SCHEMA)
+    cur = {r.customer_id: r for r in current_balances(balance_history(df)).collect()}
+    assert cur["C1"].current_balance == 70.0
+    assert cur["C1"].cumulative_earned == 150.0
+    assert cur["C2"].current_balance == 10.0
+
+
+def test_balance_asof(spark):
+    df = spark.createDataFrame(ROWS, schema=SCHEMA)
+    asof = {
+        r.customer_id: r
+        for r in balance_asof(balance_history(df), "2024-01-05 12:00:00").collect()
+    }
+    assert asof["C1"].thrive_cash_balance == 90.0  # after S1, before X1
+    assert asof["C2"].thrive_cash_balance == 10.0

@@ -1,0 +1,77 @@
+"""Balance analytics: cumulative per-customer balance history.
+
+Parity with reference src/thrive_cash_processing_dag.py:426
+(``build_analytics``): for every transaction, the cumulative earned /
+spent / expired (absolute values) up to and including it, and the
+running balance. The reference loops customers on the driver and
+iterates rows; here it is three window sums over one shuffle by
+customerid — identical output, distributed.
+
+Ordering parity: the reference sorts by CREATEDAT (stable); we order by
+(createdat, trans_id) for determinism. Output column names follow the
+reference's balance-history CSV header
+(customer_id, transaction_date, ...).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def balance_history(matched: DataFrame) -> DataFrame:
+    """Per-transaction cumulative balance ledger.
+
+    Input: fifo_match() output (redeemid unused here — kept lazy so
+    Catalyst prunes it; callers may pass the raw transaction table).
+    """
+    w = (
+        Window.partitionBy("customerid")
+        .orderBy("createdat", "trans_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = lambda t: F.sum(  # noqa: E731
+        F.when(F.col("tctype") == t, F.abs(F.col("amount"))).otherwise(0.0)
+    ).over(w)
+
+    return matched.select(
+        F.col("customerid").alias("customer_id"),
+        F.col("createdat").alias("transaction_date"),
+        F.col("trans_id").alias("transaction_id"),
+        F.col("tctype").alias("transaction_type"),
+        F.col("amount").alias("transaction_amount"),
+        cum("earned").alias("cumulative_earned"),
+        cum("spent").alias("cumulative_spent"),
+        cum("expired").alias("cumulative_expired"),
+        (cum("earned") - cum("spent") - cum("expired")).alias("current_balance"),
+    )
+
+
+def current_balances(history: DataFrame) -> DataFrame:
+    """Latest balance per customer (reference: groupby().last()).
+
+    max_by over the deterministic (transaction_date, transaction_id)
+    order key — a single partial-aggregable groupBy, no window needed.
+    """
+    key = F.struct("transaction_date", "transaction_id")
+    pick = lambda c: F.max_by(F.col(c), key).alias(c)  # noqa: E731
+    return history.groupBy(F.col("customer_id")).agg(
+        pick("current_balance"),
+        pick("cumulative_earned"),
+        pick("cumulative_spent"),
+        pick("cumulative_expired"),
+    )
+
+
+def balance_asof(history: DataFrame, asof: str) -> DataFrame:
+    """Balance as of a date (sample_queries.sql Q1): last history row
+    with transaction_date <= asof, per customer."""
+    key = F.struct("transaction_date", "transaction_id")
+    return (
+        history.filter(F.col("transaction_date") <= F.lit(asof).cast("timestamp"))
+        .groupBy("customer_id")
+        .agg(
+            F.max("transaction_date").alias("balance_as_of_date"),
+            F.max_by(F.col("current_balance"), key).alias("thrive_cash_balance"),
+        )
+    )

@@ -1,0 +1,174 @@
+"""FIFO matching: distributed REDEEMID assignment.
+
+Semantics parity with reference src/fifo_matching.py:23
+(``perform_fifo_matching_logic``):
+
+- Matching is independent per customer.
+- Spent/expired transactions are processed in CREATEDAT order; each one
+  consumes the OLDEST still-available earned transaction (1:1, no
+  splitting). Availability is NOT time-gated: the reference pops from
+  the full per-customer earned list, so an earned row dated after the
+  redeemer can be consumed (its validate_results step only warns).
+- REDEEMID is populated ONLY on earned rows and points at the
+  spent/expired TRANS_ID that consumed them; spent/expired rows always
+  carry NULL REDEEMID.
+
+Distributed formulation
+-----------------------
+Because earned rows are consumed strictly in per-customer CREATEDAT
+order and redeemers fire strictly in per-customer CREATEDAT order, the
+sequential loop is exactly the rank-equality join::
+
+    earned   rank r  (row_number over customer ORDER BY createdat)
+    redeemer rank r  (row_number over customer ORDER BY createdat)
+    earned.redeemid = redeemer.trans_id  where ranks are equal
+
+Tie-break: the reference relies on pandas' stable sort (input order) for
+equal timestamps; we order by (createdat, trans_id) to make the result
+deterministic under any partitioning. Both windows shuffle once by
+CUSTOMERID; the join keys are (customerid, rn). At 100 TB this is two
+hash shuffles on uniform keys — no driver-side loop, no skew hot-spot
+beyond what AQE skew-join splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+REDEEMER_TYPES = ("spent", "expired")
+
+
+def fifo_match(transactions: DataFrame) -> DataFrame:
+    """Assign REDEEMID to earned transactions (reference parity).
+
+    Input columns: trans_id, tctype, createdat, customerid, amount.
+    Output: same + redeemid (NULL for spent/expired and for unmatched
+    earned).
+    """
+    w = Window.partitionBy("customerid").orderBy("createdat", "trans_id")
+
+    earned = (
+        transactions.filter(F.col("tctype") == "earned")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    redeemers = (
+        transactions.filter(F.col("tctype").isin(*REDEEMER_TYPES))
+        .withColumn("rn", F.row_number().over(w))
+    )
+
+    matched_earned = earned.join(
+        redeemers.select(
+            "customerid", "rn", F.col("trans_id").alias("redeemid")
+        ),
+        on=["customerid", "rn"],
+        how="left",
+    ).select(
+        "trans_id", "tctype", "createdat", "customerid", "amount", "redeemid"
+    )
+
+    redeemer_rows = redeemers.select(
+        "trans_id",
+        "tctype",
+        "createdat",
+        "customerid",
+        "amount",
+        F.lit(None).cast(transactions.schema["trans_id"].dataType).alias("redeemid"),
+    )
+
+    return matched_earned.unionByName(redeemer_rows)
+
+
+def validate_results(matched: DataFrame) -> DataFrame:
+    """Distributed re-expression of reference
+    src/thrive_cash_processing_dag.py:289 (``validate_results``).
+
+    Returns a violations table (check STRING, customerid BIGINT,
+    detail STRING) — empty when the output is consistent. Each check is
+    a declarative aggregate/join; none iterate on the driver.
+
+    Checks (reference parity):
+      1. redeemid values must reference earned TRANS_IDs (ref: 325).
+      2. a redeemer TRANS_ID may be used at most once (1:1 matching).
+      3. per-customer balance equation: earned == spent + expired +
+         unmatched-earned, in absolute value (ref: 335).
+      4. redeemid must never be populated on spent/expired rows.
+    """
+    earned_ids = matched.filter(F.col("tctype") == "earned").select(
+        F.col("trans_id").alias("earned_tid")
+    )
+    redeems = matched.filter(F.col("redeemid").isNotNull())
+
+    bad_rows = (
+        redeems.join(
+            matched.filter(F.col("tctype").isin(*REDEEMER_TYPES))
+            .select(F.col("trans_id").alias("rid")),
+            redeems["redeemid"] == F.col("rid"),
+            "left_anti",
+        )
+        .select(
+            F.lit("redeemid_not_a_redeemer").alias("check"),
+            F.col("customerid"),
+            F.col("redeemid").cast("string").alias("detail"),
+        )
+    )
+
+    dup_use = (
+        redeems.groupBy("redeemid")
+        .agg(F.count("*").alias("uses"), F.first("customerid").alias("customerid"))
+        .filter(F.col("uses") > 1)
+        .select(
+            F.lit("redeemer_used_more_than_once").alias("check"),
+            F.col("customerid"),
+            F.col("redeemid").cast("string").alias("detail"),
+        )
+    )
+
+    misplaced = (
+        matched.filter(
+            F.col("tctype").isin(*REDEEMER_TYPES)
+            & F.col("redeemid").isNotNull()
+        )
+        .select(
+            F.lit("redeemid_on_redeemer_row").alias("check"),
+            F.col("customerid"),
+            F.col("trans_id").cast("string").alias("detail"),
+        )
+    )
+
+    balance = (
+        matched.groupBy("customerid")
+        .agg(
+            F.sum(F.when(F.col("tctype") == "earned", F.col("amount")).otherwise(0.0)).alias("earned"),
+            F.sum(F.when(F.col("tctype") == "spent", F.abs(F.col("amount"))).otherwise(0.0)).alias("spent"),
+            F.sum(F.when(F.col("tctype") == "expired", F.abs(F.col("amount"))).otherwise(0.0)).alias("expired"),
+            F.sum(
+                F.when(
+                    (F.col("tctype") == "earned") & F.col("redeemid").isNull(),
+                    F.col("amount"),
+                ).otherwise(0.0)
+            ).alias("remaining"),
+        )
+        .filter(
+            F.abs(F.col("earned") - (F.col("spent") + F.col("expired") + F.col("remaining")))
+            > 0.01
+        )
+        .select(
+            F.lit("balance_mismatch").alias("check"),
+            F.col("customerid"),
+            F.concat_ws(
+                "/",
+                F.round("earned", 2).cast("string"),
+                F.round("spent", 2).cast("string"),
+                F.round("expired", 2).cast("string"),
+                F.round("remaining", 2).cast("string"),
+            ).alias("detail"),
+        )
+    )
+
+    # NOTE: the reference's balance equation only holds when every
+    # redeemer found an earned match (its test data guarantees a
+    # surplus of earned). With 1:1 value-ignoring matching, unmatched
+    # REDEEMERS leave the equation short — mirror the reference by
+    # flagging, not failing, via the violations table.
+    return bad_rows.unionByName(dup_use).unionByName(misplaced).unionByName(balance)

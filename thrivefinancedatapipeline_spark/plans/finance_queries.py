@@ -1,0 +1,405 @@
+"""Finance query catalog — Spark plans + DuckDB oracle SQL.
+
+Parity surface: reference src/sample_queries.sql (12 queries over the
+balance-history output) plus the pipeline stages themselves
+(fifo_matching, balance_history, current_balances, analytics summary).
+
+Every public ``q_*`` function takes (spark, sf_dir) and returns a
+DataFrame; ``ORACLES`` maps the same keys to equivalent ANSI SQL that
+DuckDB runs over the raw parquet views. Monetary outputs are rounded to
+2 decimals on BOTH sides: window/aggregate summation order differs
+between engines (Spark streams the frame, DuckDB uses segment trees),
+so raw doubles can differ in the low bits while being the same money.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..datamodel import load_table
+from ..operators.balance import balance_history, current_balances
+from ..operators.fifo import fifo_match
+from ..sources.ingest import TRANSACTIONS_SQL, transactions_from_events
+
+ASOF = "2024-01-20 00:00:00"  # fixed as-of date for Q1/Q5/Q7/Q8/Q9-style queries
+START = "2024-01-10 00:00:00"  # fixed start date for Q6
+
+# ---------------------------------------------------------------------------
+# Shared oracle CTEs (DuckDB). `txns` mirrors sources/ingest.py, `matched`
+# mirrors operators/fifo.py, `history` mirrors operators/balance.py.
+# ---------------------------------------------------------------------------
+
+TXNS_CTE = f"txns AS ({TRANSACTIONS_SQL.strip()})"
+
+MATCHED_CTE = """
+earned AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY customerid
+                               ORDER BY createdat, trans_id) AS rn
+  FROM txns WHERE tctype = 'earned'
+),
+redeemers AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY customerid
+                               ORDER BY createdat, trans_id) AS rn
+  FROM txns WHERE tctype IN ('spent', 'expired')
+),
+matched AS (
+  SELECT e.trans_id, e.tctype, e.createdat, e.customerid, e.amount,
+         r.trans_id AS redeemid
+  FROM earned e
+  LEFT JOIN redeemers r ON e.customerid = r.customerid AND e.rn = r.rn
+  UNION ALL
+  SELECT trans_id, tctype, createdat, customerid, amount,
+         CAST(NULL AS BIGINT) AS redeemid
+  FROM redeemers
+)
+""".strip()
+
+HISTORY_CTE = """
+history AS (
+  SELECT customerid AS customer_id,
+         createdat AS transaction_date,
+         trans_id AS transaction_id,
+         tctype AS transaction_type,
+         amount AS transaction_amount,
+         SUM(CASE WHEN tctype = 'earned' THEN ABS(amount) ELSE 0 END) OVER w
+           AS cumulative_earned,
+         SUM(CASE WHEN tctype = 'spent' THEN ABS(amount) ELSE 0 END) OVER w
+           AS cumulative_spent,
+         SUM(CASE WHEN tctype = 'expired' THEN ABS(amount) ELSE 0 END) OVER w
+           AS cumulative_expired,
+         SUM(CASE WHEN tctype = 'earned' THEN ABS(amount) ELSE 0 END) OVER w
+         - SUM(CASE WHEN tctype = 'spent' THEN ABS(amount) ELSE 0 END) OVER w
+         - SUM(CASE WHEN tctype = 'expired' THEN ABS(amount) ELSE 0 END) OVER w
+           AS current_balance
+  FROM txns
+  WINDOW w AS (PARTITION BY customerid ORDER BY createdat, trans_id
+               ROWS UNBOUNDED PRECEDING)
+)
+""".strip()
+
+CURRENT_CTE = """
+current_balances AS (
+  SELECT customer_id,
+         ROUND(current_balance, 2) AS current_balance,
+         ROUND(cumulative_earned, 2) AS cumulative_earned,
+         ROUND(cumulative_spent, 2) AS cumulative_spent,
+         ROUND(cumulative_expired, 2) AS cumulative_expired
+  FROM history
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY customer_id
+    ORDER BY transaction_date DESC, transaction_id DESC) = 1
+)
+""".strip()
+
+PRELUDE = f"WITH {TXNS_CTE},\n{MATCHED_CTE},\n{HISTORY_CTE},\n{CURRENT_CTE}"
+
+
+def _txns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transactions_from_events(load_table(spark, sf_dir, "events"))
+
+
+def _history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return balance_history(_txns(spark, sf_dir))
+
+
+def _round_money(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.round(F.col(c), 2))
+    return out
+
+
+MONEY = ("current_balance", "cumulative_earned", "cumulative_spent",
+         "cumulative_expired")
+
+
+def _current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _round_money(current_balances(_history(spark, sf_dir)), MONEY)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline-stage queries
+# ---------------------------------------------------------------------------
+
+def q_ingest_transactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _txns(spark, sf_dir)
+
+
+def q_fifo_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fifo_match(_txns(spark, sf_dir))
+
+
+def q_balance_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _history(spark, sf_dir)
+    return _round_money(h, MONEY)
+
+
+def q_current_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _current(spark, sf_dir)
+
+
+def q_analytics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global summary metrics (reference build_analytics report)."""
+    t = _txns(spark, sf_dir)
+    cur = _current(spark, sf_dir)
+    totals = t.agg(
+        F.round(F.sum(F.when(F.col("tctype") == "earned", F.col("amount")).otherwise(0.0)), 2).alias("total_earned"),
+        F.round(F.sum(F.when(F.col("tctype") == "spent", F.abs("amount")).otherwise(0.0)), 2).alias("total_spent"),
+        F.round(F.sum(F.when(F.col("tctype") == "expired", F.abs("amount")).otherwise(0.0)), 2).alias("total_expired"),
+        F.count(F.when(F.col("tctype") == "earned", 1)).alias("earned_transaction_count"),
+        F.count(F.when(F.col("tctype") == "spent", 1)).alias("spent_transaction_count"),
+        F.count(F.when(F.col("tctype") == "expired", 1)).alias("expired_transaction_count"),
+    )
+    balances = cur.agg(
+        F.round(F.sum("current_balance"), 2).alias("total_current_balance"),
+        F.count("*").alias("total_customers"),
+        F.count(F.when(F.col("current_balance") > 0, 1)).alias("customers_with_positive_balance"),
+    )
+    return totals.crossJoin(balances)
+
+
+# ---------------------------------------------------------------------------
+# sample_queries.sql parity (Q1..Q12)
+# ---------------------------------------------------------------------------
+
+def q_balance_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1: last balance on or before ASOF, per customer."""
+    h = _history(spark, sf_dir)
+    key = F.struct("transaction_date", "transaction_id")
+    return (
+        h.filter(F.col("transaction_date") <= F.lit(ASOF).cast("timestamp"))
+        .groupBy("customer_id")
+        .agg(
+            F.max("transaction_date").alias("balance_as_of_date"),
+            F.round(F.max_by(F.col("current_balance"), key), 2).alias("thrive_cash_balance"),
+        )
+    )
+
+
+def q_month_end_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4: balance at end of each month, per customer."""
+    h = _history(spark, sf_dir)
+    key = F.struct("transaction_date", "transaction_id")
+    return (
+        h.groupBy(
+            "customer_id",
+            F.date_trunc("month", F.col("transaction_date")).alias("month"),
+        )
+        .agg(
+            F.max("transaction_date").alias("last_transaction_date"),
+            F.round(F.max_by(F.col("current_balance"), key), 2).alias("month_end_balance"),
+        )
+    )
+
+
+def q_customers_above_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5: customers with balance > 100 as of ASOF."""
+    return q_balance_asof(spark, sf_dir).filter(F.col("thrive_cash_balance") > 100)
+
+
+def q_balance_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6: balance change between START and ASOF per customer
+    (generalized from the reference's single-customer form)."""
+    h = _history(spark, sf_dir)
+    key = F.struct("transaction_date", "transaction_id")
+    start = (
+        h.filter(F.col("transaction_date") <= F.lit(START).cast("timestamp"))
+        .groupBy("customer_id")
+        .agg(F.round(F.max_by(F.col("current_balance"), key), 2).alias("start_balance"))
+    )
+    end = (
+        h.filter(F.col("transaction_date") <= F.lit(ASOF).cast("timestamp"))
+        .groupBy("customer_id")
+        .agg(F.round(F.max_by(F.col("current_balance"), key), 2).alias("end_balance"))
+    )
+    return start.join(end, "customer_id").select(
+        "customer_id",
+        "start_balance",
+        "end_balance",
+        F.round(F.col("end_balance") - F.col("start_balance"), 2).alias("balance_change"),
+    )
+
+
+def q_top_customers_by_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7: top 10 customers by current balance (deterministic
+    tie-break on customer_id)."""
+    cur = _current(spark, sf_dir)
+    return cur.orderBy(F.col("current_balance").desc(), F.col("customer_id")).limit(10)
+
+
+def q_zero_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8: customers whose as-of balance is (approximately) zero."""
+    return q_balance_asof(spark, sf_dir).filter(F.col("thrive_cash_balance") == 0)
+
+
+def q_balance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9: distribution of as-of balances."""
+    asof = q_balance_asof(spark, sf_dir)
+    return asof.agg(
+        F.count_distinct("customer_id").alias("total_customers"),
+        F.round(F.avg("thrive_cash_balance"), 2).alias("avg_balance"),
+        F.round(F.min("thrive_cash_balance"), 2).alias("min_balance"),
+        F.round(F.max("thrive_cash_balance"), 2).alias("max_balance"),
+        F.round(F.sum("thrive_cash_balance"), 2).alias("total_balance"),
+    )
+
+
+def q_transactions_on_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10: all transactions on a given calendar date."""
+    h = _history(spark, sf_dir)
+    return h.filter(
+        F.to_date("transaction_date") == F.lit("2024-01-15").cast("date")
+    ).select(
+        "customer_id",
+        "transaction_date",
+        "transaction_id",
+        "transaction_type",
+        "transaction_amount",
+        F.round("current_balance", 2).alias("balance_after_transaction"),
+    )
+
+
+def q_daily_balance_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11: end-of-day balance snapshots per customer/day."""
+    h = _history(spark, sf_dir)
+    key = F.struct("transaction_date", "transaction_id")
+    return (
+        h.groupBy("customer_id", F.date_format("transaction_date", "yyyy-MM-dd").alias("date"))
+        .agg(
+            F.max("transaction_date").alias("last_transaction_time"),
+            F.round(F.max_by(F.col("current_balance"), key), 2).alias("current_balance"),
+        )
+    )
+
+
+def q_never_spent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12: earned but never spent/expired."""
+    cur = _current(spark, sf_dir)
+    return cur.filter(
+        (F.col("cumulative_spent") == 0)
+        & (F.col("cumulative_expired") == 0)
+        & (F.col("cumulative_earned") > 0)
+    )
+
+
+QUERIES = {
+    "ingest_transactions": q_ingest_transactions,
+    "fifo_matching": q_fifo_matching,
+    "balance_history": q_balance_history,
+    "current_balances": q_current_balances,
+    "analytics_summary": q_analytics_summary,
+    "balance_asof": q_balance_asof,
+    "month_end_balance": q_month_end_balance,
+    "customers_above_threshold": q_customers_above_threshold,
+    "balance_change": q_balance_change,
+    "top_customers_by_balance": q_top_customers_by_balance,
+    "zero_balance_customers": q_zero_balance_customers,
+    "balance_stats": q_balance_stats,
+    "transactions_on_date": q_transactions_on_date,
+    "daily_balance_snapshots": q_daily_balance_snapshots,
+    "never_spent_customers": q_never_spent_customers,
+}
+
+_ASOF_SQL = f"""
+asof_bal AS (
+  SELECT customer_id,
+         transaction_date AS balance_as_of_date,
+         ROUND(current_balance, 2) AS thrive_cash_balance
+  FROM history
+  WHERE transaction_date <= TIMESTAMP '{ASOF}'
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY customer_id
+    ORDER BY transaction_date DESC, transaction_id DESC) = 1
+)
+""".strip()
+
+ORACLES = {
+    "ingest_transactions": f"WITH {TXNS_CTE} SELECT * FROM txns",
+    "fifo_matching": f"{PRELUDE} SELECT * FROM matched",
+    "balance_history": f"""{PRELUDE}
+SELECT customer_id, transaction_date, transaction_id, transaction_type,
+       transaction_amount,
+       ROUND(cumulative_earned, 2) AS cumulative_earned,
+       ROUND(cumulative_spent, 2) AS cumulative_spent,
+       ROUND(cumulative_expired, 2) AS cumulative_expired,
+       ROUND(current_balance, 2) AS current_balance
+FROM history""",
+    "current_balances": f"{PRELUDE} SELECT * FROM current_balances",
+    "analytics_summary": f"""{PRELUDE}
+SELECT * FROM (
+  SELECT ROUND(SUM(CASE WHEN tctype='earned' THEN amount ELSE 0 END), 2) AS total_earned,
+         ROUND(SUM(CASE WHEN tctype='spent' THEN ABS(amount) ELSE 0 END), 2) AS total_spent,
+         ROUND(SUM(CASE WHEN tctype='expired' THEN ABS(amount) ELSE 0 END), 2) AS total_expired,
+         COUNT(CASE WHEN tctype='earned' THEN 1 END) AS earned_transaction_count,
+         COUNT(CASE WHEN tctype='spent' THEN 1 END) AS spent_transaction_count,
+         COUNT(CASE WHEN tctype='expired' THEN 1 END) AS expired_transaction_count
+  FROM txns
+), (
+  SELECT ROUND(SUM(current_balance), 2) AS total_current_balance,
+         COUNT(*) AS total_customers,
+         COUNT(CASE WHEN current_balance > 0 THEN 1 END) AS customers_with_positive_balance
+  FROM current_balances
+)""",
+    "balance_asof": f"{PRELUDE},\n{_ASOF_SQL} SELECT * FROM asof_bal",
+    "month_end_balance": f"""{PRELUDE}
+SELECT customer_id,
+       DATE_TRUNC('month', transaction_date) AS month,
+       transaction_date AS last_transaction_date,
+       ROUND(current_balance, 2) AS month_end_balance
+FROM history
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY customer_id, DATE_TRUNC('month', transaction_date)
+  ORDER BY transaction_date DESC, transaction_id DESC) = 1""",
+    "customers_above_threshold": f"""{PRELUDE},
+{_ASOF_SQL}
+SELECT * FROM asof_bal WHERE thrive_cash_balance > 100""",
+    "balance_change": f"""{PRELUDE},
+s AS (
+  SELECT customer_id, ROUND(current_balance, 2) AS start_balance
+  FROM history WHERE transaction_date <= TIMESTAMP '{START}'
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY customer_id
+    ORDER BY transaction_date DESC, transaction_id DESC) = 1
+),
+e AS (
+  SELECT customer_id, ROUND(current_balance, 2) AS end_balance
+  FROM history WHERE transaction_date <= TIMESTAMP '{ASOF}'
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY customer_id
+    ORDER BY transaction_date DESC, transaction_id DESC) = 1
+)
+SELECT s.customer_id, s.start_balance, e.end_balance,
+       ROUND(e.end_balance - s.start_balance, 2) AS balance_change
+FROM s JOIN e ON s.customer_id = e.customer_id""",
+    "top_customers_by_balance": f"""{PRELUDE}
+SELECT * FROM current_balances
+ORDER BY current_balance DESC, customer_id
+LIMIT 10""",
+    "zero_balance_customers": f"""{PRELUDE},
+{_ASOF_SQL}
+SELECT * FROM asof_bal WHERE thrive_cash_balance = 0""",
+    "balance_stats": f"""{PRELUDE},
+{_ASOF_SQL}
+SELECT COUNT(DISTINCT customer_id) AS total_customers,
+       ROUND(AVG(thrive_cash_balance), 2) AS avg_balance,
+       ROUND(MIN(thrive_cash_balance), 2) AS min_balance,
+       ROUND(MAX(thrive_cash_balance), 2) AS max_balance,
+       ROUND(SUM(thrive_cash_balance), 2) AS total_balance
+FROM asof_bal""",
+    "transactions_on_date": f"""{PRELUDE}
+SELECT customer_id, transaction_date, transaction_id, transaction_type,
+       transaction_amount,
+       ROUND(current_balance, 2) AS balance_after_transaction
+FROM history
+WHERE CAST(transaction_date AS DATE) = DATE '2024-01-15'""",
+    "daily_balance_snapshots": f"""{PRELUDE}
+SELECT customer_id,
+       strftime(transaction_date, '%Y-%m-%d') AS date,
+       transaction_date AS last_transaction_time,
+       ROUND(current_balance, 2) AS current_balance
+FROM history
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY customer_id, CAST(transaction_date AS DATE)
+  ORDER BY transaction_date DESC, transaction_id DESC) = 1""",
+    "never_spent_customers": f"""{PRELUDE}
+SELECT * FROM current_balances
+WHERE cumulative_spent = 0 AND cumulative_expired = 0
+  AND cumulative_earned > 0""",
+}

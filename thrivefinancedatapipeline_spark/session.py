@@ -1,0 +1,40 @@
+"""SparkSession factory tuned for the engine's workload.
+
+Local testing runs on ``local[N]``; the same conf block is what we'd
+ship to a 1000-executor cluster (AQE, skew-join handling, Arrow for the
+few Pandas-UDF paths). Nothing here is testdata-specific.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "thrivefinance-spark",
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-appropriate defaults.
+
+    - AQE on: runtime coalescing of shuffle partitions, skew-join
+      splitting — the 100 TB safety net for skewed CUSTOMERID keys.
+    - Arrow on: multimodal/decode paths use Pandas UDFs.
+    - shuffle partitions default to local core count for tests; on a
+      real cluster this is overridden to ~2-3x total cores.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

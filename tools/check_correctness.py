@@ -1,0 +1,101 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every __spark_entry__.queries() entry at sf0.01 and compares
+row-count, column set, and an order-insensitive value hash against the
+DuckDB oracle. Usage:  python tools/check_correctness.py [name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        return f"{v:.6g}"
+    if pd.isna(v) if not isinstance(v, (list, tuple, dict)) else False:
+        return "<NULL>"
+    return str(v)
+
+
+def frame_hash(df: pd.DataFrame) -> str:
+    df = df.reindex(sorted(df.columns), axis=1)
+    rows = sorted(
+        "|".join(norm_cell(v) for v in row) for row in df.itertuples(index=False)
+    )
+    return hashlib.md5("\n".join(rows).encode()).hexdigest()
+
+
+def main() -> int:
+    import __spark_entry__ as e
+    from thrivefinancedatapipeline_spark.session import get_spark
+
+    spark = get_spark("correctness-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    only = set(sys.argv[1:])
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {exc}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"rows-only {name}: rows={len(sdf)}")
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: oracle error: {exc}")
+            failures += 1
+            continue
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rows {len(sdf)} vs {len(odf)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            problems.append(f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+        elif frame_hash(sdf) != frame_hash(odf):
+            problems.append("value-hash mismatch")
+        if problems:
+            failures += 1
+            print(f"FAIL {name}: {'; '.join(problems)}")
+            if "value-hash mismatch" in problems and len(sdf) == len(odf):
+                cols = sorted(sdf.columns)
+                a = sdf[cols].copy()
+                b = odf[cols].copy()
+                a["__h"] = ["|".join(norm_cell(v) for v in r) for r in a.itertuples(index=False)]
+                b["__h"] = ["|".join(norm_cell(v) for v in r) for r in b.itertuples(index=False)]
+                only_a = set(a["__h"]) - set(b["__h"])
+                only_b = set(b["__h"]) - set(a["__h"])
+                for s in list(only_a)[:3]:
+                    print(f"    spark-only: {s}")
+                for s in list(only_b)[:3]:
+                    print(f"    oracle-only: {s}")
+        else:
+            print(f"ok   {name}: rows={len(sdf)}")
+    print(f"\n{failures} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
