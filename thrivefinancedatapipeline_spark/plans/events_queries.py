@@ -1,0 +1,137 @@
+"""Event-stream analytics (batch form).
+
+The streaming twins live in ``streaming/``; these batch plans define
+the exact semantics (and the DuckDB oracles) the streaming versions
+must converge to — the standard lambda-parity check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..datamodel import load_table
+
+SESSION_GAP_MIN = 30
+
+
+def q_events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type: counts, sums, uniques."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100, 2).alias("total_value"),
+            F.count_distinct("user_id").alias("unique_users"),
+        )
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity closes a session).
+
+    Classic two-window formulation: flag session starts via lag(ts),
+    then running-sum the flags to get a per-user session index. One
+    shuffle by user_id; both windows share the partitioning.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond precision (timestamp→long cast would truncate to
+    # whole seconds and split sessions differently than the oracle)
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > SESSION_GAP_MIN * 60 * 1_000_000), 1
+    ).otherwise(0)
+    sessions = ev.withColumn("session_idx", F.sum(new_session).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ))
+    return (
+        sessions.groupBy("user_id", "session_idx")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100, 2).alias("total_value"),
+        )
+    )
+
+
+def q_event_type_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-type event stats with exact fixed-point value sums."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100, 2).alias("total_value"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+    )
+
+
+QUERIES = {
+    "events_windowed_agg": q_events_windowed_agg,
+    "events_sessionize": q_events_sessionize,
+    "event_type_daily_stats": q_event_type_daily_stats,
+}
+
+#: events.ts is TIMESTAMP(NANOS) in parquet — normalize to micros
+#: exactly like datamodel.load_table before any windowing.
+_EV = ("ev AS (SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, "
+       "user_id, event_type, value, props FROM events)")
+
+_VAL_SUM = ("ROUND(CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE)"
+            " / 100, 2)")
+
+ORACLES = {
+    "events_windowed_agg": f"""
+WITH {_EV}
+SELECT DATE_TRUNC('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {_VAL_SUM} AS total_value,
+       COUNT(DISTINCT user_id) AS unique_users
+FROM ev
+GROUP BY DATE_TRUNC('hour', ts), event_type""",
+    "events_sessionize": f"""
+WITH {_EV},
+flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_MIN * 60} * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       {_VAL_SUM} AS total_value
+FROM sessions
+GROUP BY user_id, session_idx""",
+    "event_type_daily_stats": f"""
+WITH {_EV}
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       event_type,
+       COUNT(*) AS n_events,
+       {_VAL_SUM} AS total_value,
+       ROUND(MIN(value), 2) AS min_value,
+       ROUND(MAX(value), 2) AS max_value
+FROM ev
+GROUP BY strftime(ts, '%Y-%m-%d'), event_type""",
+}

@@ -1,0 +1,285 @@
+"""General analytics plans (TPC-H-style) — the batch-ETL workload class
+the reference's finance pipeline represents, re-expressed over the
+engine's star schema.
+
+Scale notes (100 TB posture):
+- region/nation/supplier/part are dimension tables → broadcast joins
+  (explicit F.broadcast so the plan survives stats drift).
+- Aggregations are partial-aggregable (map-side combine for free).
+- Date filters sit directly on the parquet scan (pushed filters).
+- Money math is FIXED-POINT: 2-decimal inputs are scaled to integer
+  cents before multiplying/summing, accumulated in decimal(38,0)
+  (exact, overflow-safe at 100 TB row counts), and only divided back
+  to dollars at the very end. This makes results bit-identical across
+  engines and partitionings — float summation order can otherwise flip
+  a ROUND(x, 2) at a .xx50 boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..datamodel import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+def _cents(col: str) -> Column:
+    """2-decimal double → exact integer hundredths."""
+    return F.round(F.col(col) * 100, 0).cast("long")
+
+
+def _exact_sum(c: Column) -> Column:
+    """Overflow-safe exact integer sum (decimal 38,0 accumulator)."""
+    return F.sum(c.cast("decimal(38,0)")).cast("double")
+
+
+def _money(scaled_sum: Column, scale: int) -> Column:
+    """Scaled integer sum → rounded dollars."""
+    return F.round(scaled_sum / F.lit(float(scale)), 2)
+
+
+#: SQL twins of the helpers above (DuckDB sums integers as HUGEINT —
+#: exact — then we cast to double and descale, same as Spark).
+def _sql_cents(col: str) -> str:
+    return f"CAST(ROUND({col} * 100, 0) AS BIGINT)"
+
+
+def q_tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: pricing summary report over lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty_c = _cents("l_quantity")
+    price_c = _cents("l_extendedprice")
+    disc_pct = _cents("l_discount")  # 0.05 → 5
+    tax_pct = _cents("l_tax")
+    disc_price_s = price_c * (100 - disc_pct)          # scale 1e4
+    charge_s = disc_price_s * (100 + tax_pct)          # scale 1e6
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _money(_exact_sum(qty_c), 100).alias("sum_qty"),
+            _money(_exact_sum(price_c), 100).alias("sum_base_price"),
+            _money(_exact_sum(disc_price_s), 10000).alias("sum_disc_price"),
+            _money(_exact_sum(charge_s), 1000000).alias("sum_charge"),
+            F.round(_exact_sum(qty_c) / 100.0 / F.count("*"), 2).alias("avg_qty"),
+            F.round(_exact_sum(price_c) / 100.0 / F.count("*"), 2).alias("avg_price"),
+            F.round(_exact_sum(disc_pct) / 100.0 / F.count("*"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _revenue_s() -> Column:
+    """Scaled revenue term: extendedprice * (1 - discount), scale 1e4."""
+    return _cents("l_extendedprice") * (100 - _cents("l_discount"))
+
+
+REVENUE_S_SQL = (f"{_sql_cents('l_extendedprice')} * "
+                 f"(100 - {_sql_cents('l_discount')})")
+
+
+def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 variant (schema lacks o_shippriority → o_orderpriority):
+    top-10 unshipped orders by revenue for one market segment."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_money(_exact_sum(_revenue_s()), 10000).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: revenue by nation where customer and supplier share the
+    nation, one region, one year. Dims broadcast; fact-fact join on keys."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(supp),
+            (li["l_suppkey"] == supp["s_suppkey"])
+            & (cust["c_nationkey"] == supp["s_nationkey"]),
+        )
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("n_name")
+        .agg(_money(_exact_sum(_revenue_s()), 10000).alias("revenue"))
+    )
+
+
+def q_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: selective scan-aggregate; filters push to parquet."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev_s = _cents("l_extendedprice") * _cents("l_discount")  # scale 1e4
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _money(_exact_sum(rev_s), 10000).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-flavored: order counts per priority in a quarter."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count"),
+        _money(_exact_sum(_cents("o_totalprice")), 100).alias("total_price"),
+    )
+
+
+def q_part_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-dimension rollup: revenue and volume per brand (broadcast
+    the part dim into the lineitem fact)."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            _money(_exact_sum(_revenue_s()), 10000).alias("revenue"),
+            _money(_exact_sum(_cents("l_quantity")), 100).alias("sum_qty"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order rollup joined back to customer attributes —
+    the reference's 'Sales x Customers' join re-expressed."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("order_count"),
+        _money(_exact_sum(_cents("o_totalprice")), 100).alias("total_spent"),
+        F.max("o_orderdate").alias("last_order_date"),
+    )
+    return (
+        cust.join(per_cust, cust["c_custkey"] == per_cust["o_custkey"])
+        .select(
+            "c_custkey", "c_name", "c_mktsegment", "order_count",
+            "total_spent", "last_order_date",
+        )
+    )
+
+
+QUERIES = {
+    "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
+    "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
+    "tpch_q5_local_supplier_volume": q_tpch_q5_local_supplier_volume,
+    "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
+    "order_priority_counts": q_order_priority_counts,
+    "part_brand_revenue": q_part_brand_revenue,
+    "customer_order_stats": q_customer_order_stats,
+}
+
+_Q = _sql_cents("l_quantity")
+_P = _sql_cents("l_extendedprice")
+_D = _sql_cents("l_discount")
+_T = _sql_cents("l_tax")
+_OP = _sql_cents("o_totalprice")
+
+ORACLES = {
+    "tpch_q1_pricing_summary": f"""
+SELECT l_returnflag, l_linestatus,
+       ROUND(CAST(SUM({_Q}) AS DOUBLE) / 100, 2) AS sum_qty,
+       ROUND(CAST(SUM({_P}) AS DOUBLE) / 100, 2) AS sum_base_price,
+       ROUND(CAST(SUM({_P} * (100 - {_D})) AS DOUBLE) / 10000, 2) AS sum_disc_price,
+       ROUND(CAST(SUM({_P} * (100 - {_D}) * (100 + {_T})) AS DOUBLE) / 1000000, 2) AS sum_charge,
+       ROUND(CAST(SUM({_Q}) AS DOUBLE) / 100 / COUNT(*), 2) AS avg_qty,
+       ROUND(CAST(SUM({_P}) AS DOUBLE) / 100 / COUNT(*), 2) AS avg_price,
+       ROUND(CAST(SUM({_D}) AS DOUBLE) / 100 / COUNT(*), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus""",
+    "tpch_q3_shipping_priority": f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       ROUND(CAST(SUM({REVENUE_S_SQL}) AS DOUBLE) / 10000, 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10""",
+    "tpch_q5_local_supplier_volume": f"""
+SELECT n_name,
+       ROUND(CAST(SUM({REVENUE_S_SQL}) AS DOUBLE) / 10000, 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name""",
+    "tpch_q6_forecast_revenue": f"""
+SELECT ROUND(CAST(SUM({_P} * {_D}) AS DOUBLE) / 10000, 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24""",
+    "order_priority_counts": f"""
+SELECT o_orderpriority,
+       COUNT(*) AS order_count,
+       ROUND(CAST(SUM({_OP}) AS DOUBLE) / 100, 2) AS total_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+GROUP BY o_orderpriority""",
+    "part_brand_revenue": f"""
+SELECT p_brand,
+       ROUND(CAST(SUM({REVENUE_S_SQL}) AS DOUBLE) / 10000, 2) AS revenue,
+       ROUND(CAST(SUM({_Q}) AS DOUBLE) / 100, 2) AS sum_qty,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand""",
+    "customer_order_stats": f"""
+SELECT c_custkey, c_name, c_mktsegment,
+       COUNT(*) AS order_count,
+       ROUND(CAST(SUM({_OP}) AS DOUBLE) / 100, 2) AS total_spent,
+       MAX(o_orderdate) AS last_order_date
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name, c_mktsegment""",
+}
