@@ -1,0 +1,79 @@
+"""Dedup operator unit tests on literal documents."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from thrivefinancedatapipeline_spark.functions.text import normalize, shingles
+from thrivefinancedatapipeline_spark.operators import dedup
+
+
+def docs_df(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        schema="doc_id long, text string",
+    )
+
+
+def test_shingles_basic(spark):
+    df = spark.range(1).select(F.lit("a b c d").alias("text"))
+    out = df.select(shingles(F.col("text")).alias("s")).collect()[0].s
+    assert out == ["a b c", "b c d"]
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.range(1).select(F.lit("a b").alias("text"))
+    out = df.select(shingles(F.col("text")).alias("s")).collect()[0].s
+    assert out == []
+
+
+def test_normalization_collapses_case_and_space(spark):
+    df = docs_df(spark, ["Hello  World", "hello world", "different doc"])
+    hashed = df.select(F.md5(normalize(F.col("text"))).alias("h")).collect()
+    assert hashed[0].h == hashed[1].h
+    assert hashed[0].h != hashed[2].h
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog near the barn today",
+        "the quick brown fox jumps over the lazy dog near the barn tonight",
+        "completely different words in this sentence here and now friends",
+    ]  # 12 tokens, one differing → J = 9/11 ≈ 0.82 ≥ 0.8
+    sh = dedup._shingle_rows(docs_df(spark, texts))
+    s1 = sh.select(F.col("doc_id").alias("doc_id_1"), "sh")
+    s2 = sh.select(F.col("doc_id").alias("doc_id_2"), "sh")
+    pairs = (
+        s1.join(s2, "sh")
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .select("doc_id_1", "doc_id_2")
+        .distinct()
+    )
+    out = dedup._verified_pairs(pairs, sh).collect()
+    assert [(r.doc_id_1, r.doc_id_2) for r in out] == [(0, 1)]
+
+
+def test_minhash_matches_exact_jaccard(spark, sf_dir):
+    """LSH must find every pair the exact operator finds at this SF
+    (high-similarity pairs collide in >=1 band with these params)."""
+    exact = {
+        (r.doc_id_1, r.doc_id_2)
+        for r in dedup.q_dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.doc_id_1, r.doc_id_2)
+        for r in dedup.q_dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    assert lsh == exact
+
+
+def test_simhash_near_dup_small_hamming(spark):
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+    ]
+    sims = {
+        r.doc_id: r.simhash
+        for r in dedup._simhash_df(docs_df(spark, texts)).collect()
+    }
+    ham = bin(sims[0] ^ sims[1]).count("1")
+    assert 0 < ham <= 20  # one-token change moves few of 60 bits

@@ -1,0 +1,383 @@
+"""Deduplication operators over the `documents` table.
+
+LLM-training-data dedup family, Spark-first:
+
+- exact:        md5(normalized text) hash-groupBy. One shuffle on a
+                uniform 128-bit key — no hot spots at 100 TB.
+- ngram Jaccard: word-3-gram shingle inverted index self-join. The
+                all-pairs form is quadratic in colliding docs; the
+                LSH form below is the scale path.
+- MinHash LSH:  k=16 permutations over 60-bit md5 shingle hashes,
+                4 bands x 4 rows; band-bucket join yields candidates,
+                exact Jaccard verifies. Shuffle keys are (band, sig)
+                — uniform by construction.
+- SimHash:      60-bit sign-aggregated token hashes; 4x15-bit bands
+                give COMPLETE recall for hamming <= 3 (pigeonhole),
+                so the banded pair query is exact, not approximate.
+
+Thresholds are integer cross-multiplications (5*common >= 4*union for
+tau = 0.8): no float compare can drift between engines.
+
+All hashes derive from md5 (the one hash primitive Spark and DuckDB
+share), so every operator here has a bit-exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..datamodel import load_table
+from ..functions.text import md5_long, normalize, shingles, tokens
+
+# MinHash parameters (shared with the SQL oracle below).
+P = 2_147_483_647  # Mersenne prime 2^31-1: products stay inside int64
+K = 16             # permutations
+R = 4              # rows per band
+NB = K // R        # bands
+A = [(37 * (j + 1) ** 2 + 101 * (j + 1) + 7) % P for j in range(K)]
+B = [(91 * (j + 1) ** 3 + 53) % P for j in range(K)]
+
+SIMHASH_BITS = 60
+SIM_BANDS = 4
+SIM_BAND_BITS = SIMHASH_BITS // SIM_BANDS  # 15
+SIM_HAM_MAX = SIM_BANDS - 1  # banding guarantees recall for <= 3
+
+JACCARD_NUM, JACCARD_DEN = 4, 5  # tau = 0.8
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _shingle_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh): distinct word-3-gram shingles per document."""
+    return docs.select(
+        "doc_id", F.explode(shingles(F.col("text"))).alias("sh")
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: canonical (min) doc_id per normalized-text hash."""
+    docs = _docs(spark, sf_dir)
+    hashed = docs.select(
+        "doc_id", F.md5(normalize(F.col("text"))).alias("content_hash")
+    )
+    groups = hashed.groupBy("content_hash").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count("*").alias("group_size"),
+    )
+    return hashed.join(groups, "content_hash").select(
+        "doc_id", "canonical_id", "group_size"
+    )
+
+
+def _verified_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Attach exact shingle-overlap counts to candidate id pairs and
+    keep those meeting the integer Jaccard threshold."""
+    s1 = sh.select(F.col("doc_id").alias("doc_id_1"), "sh")
+    s2 = sh.select(F.col("doc_id").alias("doc_id_2"), "sh")
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("c"))
+    common = (
+        pairs.join(s1, "doc_id_1")
+        .join(s2, ["doc_id_2", "sh"])
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(F.count("*").alias("common_shingles"))
+    )
+    return (
+        common.join(
+            counts.select(F.col("doc_id").alias("doc_id_1"), F.col("c").alias("shingles_1")),
+            "doc_id_1",
+        )
+        .join(
+            counts.select(F.col("doc_id").alias("doc_id_2"), F.col("c").alias("shingles_2")),
+            "doc_id_2",
+        )
+        .filter(
+            JACCARD_DEN * F.col("common_shingles")
+            >= JACCARD_NUM
+            * (F.col("shingles_1") + F.col("shingles_2") - F.col("common_shingles"))
+        )
+        .select("doc_id_1", "doc_id_2", "common_shingles", "shingles_1", "shingles_2")
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs n-gram Jaccard >= 0.8 via shingle inverted index."""
+    sh = _shingle_rows(_docs(spark, sf_dir))
+    s1 = sh.select(F.col("doc_id").alias("doc_id_1"), "sh")
+    s2 = sh.select(F.col("doc_id").alias("doc_id_2"), "sh")
+    pairs = (
+        s1.join(s2, "sh")
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .select("doc_id_1", "doc_id_2")
+        .distinct()
+    )
+    return _verified_pairs(pairs, sh)
+
+
+def _minhash_signatures(sh: DataFrame) -> DataFrame:
+    h32 = (md5_long(F.col("sh")) % P).alias("h")
+    hs = sh.select("doc_id", h32)
+    aggs = [
+        F.min((F.lit(A[j]) * F.col("h") + F.lit(B[j])) % P).alias(f"m{j}")
+        for j in range(K)
+    ]
+    return hs.groupBy("doc_id").agg(*aggs)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates (4 bands x 4 rows), exact-verified."""
+    sh = _shingle_rows(_docs(spark, sf_dir))
+    sig = _minhash_signatures(sh)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "_", *[F.col(f"m{b * R + r}").cast("string") for r in range(R)]
+            ).alias("key"),
+        )
+        for b in range(NB)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    b1 = bands.select(F.col("doc_id").alias("doc_id_1"), "band", "key")
+    b2 = bands.select(F.col("doc_id").alias("doc_id_2"), "band", "key")
+    cand = (
+        b1.join(b2, ["band", "key"])
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .select("doc_id_1", "doc_id_2")
+        .distinct()
+    )
+    return _verified_pairs(cand, sh)
+
+
+def _simhash_df(docs: DataFrame) -> DataFrame:
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("t"),
+    )
+    hashed = tok.select("doc_id", md5_long(F.col("t")).alias("h"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.expr(f"(h >> {i}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    sums = hashed.groupBy("doc_id").agg(*bit_aggs)
+    simhash = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return sums.select("doc_id", simhash.cast("long").alias("simhash"))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document."""
+    return _simhash_df(_docs(spark, sf_dir))
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs with simhash hamming distance <= 3. 4x15-bit banding makes
+    this exact (any pair within hamming 3 shares >= 1 intact band)."""
+    sim = _simhash_df(_docs(spark, sf_dir))
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"(simhash >> {b * SIM_BAND_BITS}) & {(1 << SIM_BAND_BITS) - 1}"
+                        ).alias("key"),
+                    )
+                    for b in range(SIM_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    b1 = bands.select(
+        F.col("doc_id").alias("doc_id_1"), F.col("simhash").alias("sim1"), "band", "key"
+    )
+    b2 = bands.select(
+        F.col("doc_id").alias("doc_id_2"), F.col("simhash").alias("sim2"), "band", "key"
+    )
+    return (
+        b1.join(b2, ["band", "key"])
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .select("doc_id_1", "doc_id_2", "sim1", "sim2")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sim1").bitwiseXOR(F.col("sim2"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= SIM_HAM_MAX)
+        .select("doc_id_1", "doc_id_2", "hamming")
+    )
+
+
+COSINE_TAU = 0.45  # synthetic embeddings top out near 0.5
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate id pairs by embedding cosine >= tau (exact
+    all-pairs at test SF; the LSH path for scale is knn_lsh)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot_self = F.aggregate(
+        F.zip_with(v, v, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    e = emb.select(
+        "vec_id", v.alias("v"), F.sqrt(dot_self).alias("nrm")
+    )
+    e1 = e.select(
+        F.col("vec_id").alias("vec_id_1"), F.col("v").alias("v1"), F.col("nrm").alias("n1")
+    )
+    e2 = e.select(
+        F.col("vec_id").alias("vec_id_2"), F.col("v").alias("v2"), F.col("nrm").alias("n2")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v1"), F.col("v2"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        e1.crossJoin(e2)
+        .filter(F.col("vec_id_1") < F.col("vec_id_2"))
+        .withColumn("cos", dot / (F.col("n1") * F.col("n2")))
+        .filter(F.col("cos") >= COSINE_TAU)
+        .select("vec_id_1", "vec_id_2")
+    )
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (generated from the same constants)
+# ---------------------------------------------------------------------------
+
+_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_SHINGLE_CTES = f"""
+docs AS (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents),
+shl AS (SELECT doc_id,
+               list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                              for i in range(1, len(toks) - 1)]) AS shs
+        FROM docs WHERE len(toks) >= 3),
+sh AS (SELECT doc_id, unnest(shs) AS sh FROM shl)
+""".strip()
+
+_VERIFY_SQL = f"""
+cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+common AS (
+  SELECT p.doc_id_1, p.doc_id_2, count(*) AS common_shingles
+  FROM cand p
+  JOIN sh s1 ON s1.doc_id = p.doc_id_1
+  JOIN sh s2 ON s2.doc_id = p.doc_id_2 AND s2.sh = s1.sh
+  GROUP BY p.doc_id_1, p.doc_id_2
+)
+SELECT doc_id_1, doc_id_2, common_shingles,
+       c1.c AS shingles_1, c2.c AS shingles_2
+FROM common
+JOIN cnt c1 ON doc_id_1 = c1.doc_id
+JOIN cnt c2 ON doc_id_2 = c2.doc_id
+WHERE {JACCARD_DEN} * common_shingles
+      >= {JACCARD_NUM} * (c1.c + c2.c - common_shingles)
+""".strip()
+
+_MIN_AGGS = ",\n       ".join(
+    f"MIN(({A[j]} * h + {B[j]}) % {P}) AS m{j}" for j in range(K)
+)
+_BAND_SELECTS = "\nUNION ALL\n".join(
+    "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
+        b=b,
+        key=" || '_' || ".join(f"m{b * R + r}::VARCHAR" for r in range(R)),
+    )
+    for b in range(NB)
+)
+
+_SIM_BIT_AGGS = ",\n       ".join(
+    f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+    for i in range(SIMHASH_BITS)
+)
+_SIM_COMPOSE = " + ".join(
+    f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS)
+)
+_SIMHASH_CTES = f"""
+docs AS (SELECT doc_id, string_split({_NORM}, ' ') AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS t FROM docs),
+hs AS (SELECT doc_id, ('0x' || substring(md5(t), 1, 15))::BIGINT AS h FROM tok),
+sums AS (SELECT doc_id, {_SIM_BIT_AGGS} FROM hs GROUP BY doc_id),
+sim AS (SELECT doc_id, CAST({_SIM_COMPOSE} AS BIGINT) AS simhash FROM sums)
+""".strip()
+
+_SIM_BAND_SELECTS = "\nUNION ALL\n".join(
+    f"SELECT doc_id, simhash, {b} AS band, "
+    f"(simhash >> {b * SIM_BAND_BITS}) & {(1 << SIM_BAND_BITS) - 1} AS key FROM sim"
+    for b in range(SIM_BANDS)
+)
+
+ORACLES = {
+    "dedup_exact": f"""
+WITH hashed AS (SELECT doc_id, md5({_NORM}) AS content_hash FROM documents),
+groups AS (SELECT content_hash, MIN(doc_id) AS canonical_id,
+                  COUNT(*) AS group_size
+           FROM hashed GROUP BY content_hash)
+SELECT h.doc_id, g.canonical_id, g.group_size
+FROM hashed h JOIN groups g USING (content_hash)""",
+    "dedup_ngram_jaccard": f"""
+WITH {_SHINGLE_CTES},
+cand AS (
+  SELECT DISTINCT s1.doc_id AS doc_id_1, s2.doc_id AS doc_id_2
+  FROM sh s1 JOIN sh s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+),
+{_VERIFY_SQL}""",
+    "dedup_minhash_lsh": f"""
+WITH {_SHINGLE_CTES},
+hs AS (SELECT doc_id,
+              (('0x' || substring(md5(sh), 1, 15))::BIGINT % {P}) AS h
+       FROM sh),
+sig AS (SELECT doc_id, {_MIN_AGGS} FROM hs GROUP BY doc_id),
+bands AS ({_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT b1.doc_id AS doc_id_1, b2.doc_id AS doc_id_2
+  FROM bands b1 JOIN bands b2
+    ON b1.band = b2.band AND b1.key = b2.key AND b1.doc_id < b2.doc_id
+),
+{_VERIFY_SQL}""",
+    "dedup_simhash": f"""
+WITH {_SIMHASH_CTES}
+SELECT doc_id, simhash FROM sim""",
+    "dedup_simhash_pairs": f"""
+WITH {_SIMHASH_CTES},
+bands AS ({_SIM_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT b1.doc_id AS doc_id_1, b2.doc_id AS doc_id_2,
+         b1.simhash AS sim1, b2.simhash AS sim2
+  FROM bands b1 JOIN bands b2
+    ON b1.band = b2.band AND b1.key = b2.key AND b1.doc_id < b2.doc_id
+)
+SELECT doc_id_1, doc_id_2,
+       CAST(bit_count(xor(sim1, sim2)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(sim1, sim2)) <= {SIM_HAM_MAX}""",
+    "dedup_embedding_cosine": f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {COSINE_TAU}""",
+}

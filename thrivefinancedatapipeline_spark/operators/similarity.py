@@ -1,0 +1,162 @@
+"""Similarity search over the `embeddings` table.
+
+- knn_bruteforce_cosine: exact top-k per query vector. The query set is
+  tiny and broadcast; the candidate side streams — at 100 TB this is
+  one pass over the corpus with a per-partition top-k (Spark's window
+  rank pushes a partial TopK under AQE).
+- knn_lsh: random-hyperplane LSH. Hyperplane sign matrices are
+  deterministic module-level literals (md5-seeded), embedded in BOTH
+  the Spark plan and the DuckDB oracle, so even the approximate path
+  is bit-exactly checkable. Bucket join keys are (bucket,) — 2^NPLANES
+  buckets, uniform for random-ish vectors.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..datamodel import load_table
+
+N_QUERIES = 10   # query set: vec_id < 10
+TOP_K = 10
+DIM = 64
+N_PLANES = 8
+
+
+def _plane_sign(j: int, i: int) -> float:
+    """Deterministic ±1.0 from md5 — public construction, same value
+    embedded in the SQL oracle."""
+    h = hashlib.md5(f"plane{j}dim{i}".encode()).digest()[0]
+    return 1.0 if h & 1 else -1.0
+
+
+PLANES = [[_plane_sign(j, i) for i in range(DIM)] for j in range(N_PLANES)]
+
+
+def _vectors(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot_self = F.aggregate(
+        F.zip_with(v, v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    return emb.select("vec_id", v.alias("v"), F.sqrt(dot_self).alias("nrm"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def q_knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: rank for each query vector (vec_id < N)."""
+    e = _vectors(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _bucket_expr():
+    """LSH bucket: sign-bit signature against the fixed hyperplanes."""
+    bucket = None
+    for j, plane in enumerate(PLANES):
+        lit_plane = F.array(*[F.lit(s) for s in plane])
+        proj = _dot(F.col("v"), lit_plane)
+        bit = F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("int")
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: candidates limited to the query's LSH bucket,
+    re-ranked by exact cosine inside the bucket."""
+    e = _vectors(spark, sf_dir).withColumn("bucket", _bucket_expr())
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"), "bucket",
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"), "bucket",
+    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+QUERIES = {
+    "knn_bruteforce_cosine": q_knn_bruteforce_cosine,
+    "knn_lsh": q_knn_lsh,
+}
+
+
+def _plane_sql(j: int) -> str:
+    vals = ", ".join(str(s) for s in PLANES[j])
+    return f"list_dot_product(v, [{vals}])"
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN {_plane_sql(j)} > 0 THEN {1 << j} ELSE 0 END)"
+    for j in range(N_PLANES)
+)
+
+_VEC_CTE = """
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings)
+""".strip()
+
+ORACLES = {
+    "knn_bruteforce_cosine": f"""
+WITH {_VEC_CTE}
+SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY q.vec_id
+         ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC,
+                  c.vec_id) AS INT) AS rank
+FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+QUALIFY rank <= {TOP_K}""",
+    "knn_lsh": f"""
+WITH {_VEC_CTE},
+b AS (SELECT vec_id, v, nrm, CAST({_BUCKET_SQL} AS INT) AS bucket FROM e)
+SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY q.vec_id
+         ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC,
+                  c.vec_id) AS INT) AS rank
+FROM b q JOIN b c ON q.bucket = c.bucket
+WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+QUALIFY rank <= {TOP_K}""",
+}
