@@ -39,9 +39,15 @@ def md5_long_sql(c: str) -> str:
     return f"('0x' || substring(md5({c}), 1, 15))::BIGINT"
 
 
-def shingles(c: Column, n: int = 3) -> Column:
-    """Array of distinct word n-gram shingles (empty if < n tokens)."""
-    t = tokens(c)
+def shingles_from_tokens(t: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a MATERIALIZED token-array
+    column (empty if < n tokens).
+
+    IMPORTANT: `t` must be a bound column reference, not a computed
+    expression — expressions referenced inside the transform() lambda
+    are inlined per element access, which turns shingling quadratic in
+    document length (observed 10x slowdown).
+    """
     arr = F.when(
         F.size(t) >= n,
         F.transform(
@@ -52,6 +58,13 @@ def shingles(c: Column, n: int = 3) -> Column:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(arr)
+
+
+def shingles(c: Column, n: int = 3) -> Column:
+    """Array of distinct word n-gram shingles of a raw text column.
+    Prefer staging tokens into a column + shingles_from_tokens() in
+    hot paths (see that function's note)."""
+    return shingles_from_tokens(tokens(c), n)
 
 
 def shingles_sql(c: str, n: int = 3) -> str:

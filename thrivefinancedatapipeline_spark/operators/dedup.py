@@ -28,7 +28,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..datamodel import load_table
-from ..functions.text import md5_long, normalize, shingles, tokens
+from ..functions.text import (
+    md5_long,
+    normalize,
+    shingles_from_tokens,
+    tokens,
+)
 
 # MinHash parameters (shared with the SQL oracle below).
 P = 2_147_483_647  # Mersenne prime 2^31-1: products stay inside int64
@@ -51,9 +56,15 @@ def _docs(spark, sf_dir):
 
 
 def _shingle_rows(docs: DataFrame) -> DataFrame:
-    """(doc_id, sh): distinct word-3-gram shingles per document."""
-    return docs.select(
-        "doc_id", F.explode(shingles(F.col("text"))).alias("sh")
+    """(doc_id, sh): distinct word-3-gram shingles per document.
+
+    Two-stage projection: tokens land in a column first so the shingle
+    lambda indexes a bound array instead of re-splitting the text per
+    element (see shingles_from_tokens)."""
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    return toks.select(
+        "doc_id",
+        F.explode(shingles_from_tokens(F.col("toks"))).alias("sh"),
     )
 
 
@@ -103,8 +114,12 @@ def _verified_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs n-gram Jaccard >= 0.8 via shingle inverted index."""
-    sh = _shingle_rows(_docs(spark, sf_dir))
+    """All-pairs n-gram Jaccard >= 0.8 via shingle inverted index.
+
+    The shingle relation feeds the index join AND the verify join —
+    persist it so normalization+md5 run once (at cluster scale this is
+    a materialized intermediate table, the standard pattern)."""
+    sh = _shingle_rows(_docs(spark, sf_dir)).persist()
     s1 = sh.select(F.col("doc_id").alias("doc_id_1"), "sh")
     s2 = sh.select(F.col("doc_id").alias("doc_id_2"), "sh")
     pairs = (
@@ -128,7 +143,7 @@ def _minhash_signatures(sh: DataFrame) -> DataFrame:
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates (4 bands x 4 rows), exact-verified."""
-    sh = _shingle_rows(_docs(spark, sf_dir))
+    sh = _shingle_rows(_docs(spark, sf_dir)).persist()
     sig = _minhash_signatures(sh)
     band_structs = [
         F.struct(
