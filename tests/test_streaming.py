@@ -1,0 +1,97 @@
+"""Structured Streaming twins: lambda-parity with the batch operators.
+
+Micro-batches are written as separate parquet files into a temp dir;
+availableNow drains them; results must equal the batch computation on
+the union of all batches.
+"""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from thrivefinancedatapipeline_spark.datamodel import load_table
+from thrivefinancedatapipeline_spark.operators.balance import (
+    balance_history,
+    current_balances,
+)
+from thrivefinancedatapipeline_spark.sources.ingest import (
+    transactions_from_events,
+)
+from thrivefinancedatapipeline_spark.streaming import balance_stream
+
+
+@pytest.fixture(scope="module")
+def staged_events(spark, sf_dir):
+    """Split sf0.001 events into 3 parquet files (micro-batches)."""
+    tmp = tempfile.mkdtemp(prefix="stream_src_")
+    ev = load_table(spark, sf_dir, "events")
+    # 3 slices by event_id → 3 files appearing as a file stream
+    for i in range(3):
+        (
+            ev.filter(F.col("event_id") % 3 == i)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(tmp)
+        )
+    yield tmp
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_current_balances_matches_batch(spark, staged_events):
+    chk = tempfile.mkdtemp(prefix="chk_")
+    try:
+        got = balance_stream.run_to_completion(
+            balance_stream.stream_current_balances(spark, staged_events),
+            chk,
+            "stream_balances",
+        )
+        stream_rows = {
+            r.customerid: round(r.current_balance, 2) for r in got.collect()
+        }
+        ev = spark.read.parquet(staged_events)
+        batch = current_balances(
+            balance_history(transactions_from_events(ev))
+        )
+        batch_rows = {
+            r.customer_id: round(r.current_balance, 2) for r in batch.collect()
+        }
+        assert stream_rows == batch_rows
+    finally:
+        shutil.rmtree(chk, ignore_errors=True)
+
+
+def test_stream_windowed_agg_matches_batch(spark, staged_events):
+    chk = tempfile.mkdtemp(prefix="chk_")
+    try:
+        got = balance_stream.run_to_completion(
+            balance_stream.stream_windowed_event_agg(spark, staged_events),
+            chk,
+            "stream_windows",
+        )
+        stream_rows = {
+            (r.window_start, r.event_type): (r.n_events, r.total_value)
+            for r in got.collect()
+        }
+        ev = spark.read.parquet(staged_events)
+        batch = (
+            ev.groupBy(
+                F.date_trunc("hour", F.col("ts")).alias("window_start"),
+                "event_type",
+            )
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(
+                    F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100,
+                    2,
+                ).alias("total_value"),
+            )
+        )
+        batch_rows = {
+            (r.window_start, r.event_type): (r.n_events, r.total_value)
+            for r in batch.collect()
+        }
+        assert stream_rows == batch_rows
+    finally:
+        shutil.rmtree(chk, ignore_errors=True)

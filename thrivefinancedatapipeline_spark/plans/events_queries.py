@@ -77,10 +77,29 @@ def q_event_type_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull the JSON `props.k` field and
+    aggregate — the JSON-column source-format path (JVM-side
+    get_json_object, no Python)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+        )
+    )
+
+
 QUERIES = {
     "events_windowed_agg": q_events_windowed_agg,
     "events_sessionize": q_events_sessionize,
     "event_type_daily_stats": q_event_type_daily_stats,
+    "events_json_props": q_events_json_props,
 }
 
 #: events.ts is TIMESTAMP(NANOS) in parquet — normalize to micros
@@ -134,4 +153,15 @@ SELECT strftime(ts, '%Y-%m-%d') AS day,
        ROUND(MAX(value), 2) AS max_value
 FROM ev
 GROUP BY strftime(ts, '%Y-%m-%d'), event_type""",
+    "events_json_props": """
+WITH k AS (
+  SELECT event_type, CAST(props->>'$.k' AS INT) AS k FROM events
+)
+SELECT event_type,
+       COUNT(k) AS n_with_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k
+FROM k
+GROUP BY event_type""",
 }

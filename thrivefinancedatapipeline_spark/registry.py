@@ -18,11 +18,17 @@ def _modules():
             mods.append(__import__(f"{__package__}.plans.{name}", fromlist=[name]))
         except ImportError:
             pass
-    for name in ("dedup", "similarity", "textops", "multimodal_queries"):
+    for name in ("dedup", "similarity", "textops", "quality"):
         try:
             mods.append(__import__(f"{__package__}.operators.{name}", fromlist=[name]))
         except ImportError:
             pass
+    try:
+        from .multimodal import binary_ops
+
+        mods.append(binary_ops)
+    except ImportError:
+        pass
     return mods
 
 

@@ -1,0 +1,118 @@
+"""Structured Streaming twins of the batch finance/event operators.
+
+The reference runs a monthly Airflow batch
+(reference src/thrive_cash_processing_dag.py:50 schedule_interval);
+the Spark-native upgrade is continuous processing of the same
+semantics. Each streaming operator here has a batch twin whose output
+it must converge to (tests assert that lambda-parity).
+
+- stream_transactions: readStream + the SAME projection as
+  sources/ingest.transactions_from_events (one code path for both).
+- stream_current_balances: per-customer running totals — streaming
+  aggregation in update mode, the twin of balance.current_balances.
+- stream_windowed_event_agg: watermarked tumbling windows, twin of
+  events_queries.q_events_windowed_agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..sources.ingest import transactions_from_events
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source event stream (new parquet files appear in
+    source_dir). Schema is pinned — streaming reads can't infer."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(source_dir)
+    )
+
+
+def stream_transactions(spark: SparkSession, source_dir: str) -> DataFrame:
+    """Streaming twin of ingest: same projection, streaming source."""
+    return transactions_from_events(stream_events(spark, source_dir))
+
+
+def stream_current_balances(spark: SparkSession, source_dir: str) -> DataFrame:
+    """Running earned/spent/expired totals + balance per customer.
+
+    Streaming aggregation keyed by customerid (state store holds one
+    row per customer — bounded by customer cardinality, the same
+    shuffle key as the batch twin)."""
+    txns = stream_transactions(spark, source_dir)
+    cum = lambda t: F.sum(  # noqa: E731
+        F.when(F.col("tctype") == t, F.abs(F.col("amount"))).otherwise(0.0)
+    )
+    return txns.groupBy("customerid").agg(
+        cum("earned").alias("cumulative_earned"),
+        cum("spent").alias("cumulative_spent"),
+        cum("expired").alias("cumulative_expired"),
+        (cum("earned") - cum("spent") - cum("expired")).alias("current_balance"),
+    )
+
+
+def stream_windowed_event_agg(
+    spark: SparkSession, source_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling 1-hour windows per event_type: the
+    streaming twin of q_events_windowed_agg. Late data beyond the
+    watermark is dropped; in append mode windows finalize once the
+    watermark passes."""
+    ev = stream_events(spark, source_dir)
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100, 2
+            ).alias("total_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "approx_users",
+        )
+    )
+
+
+def run_to_completion(stream_df: DataFrame, checkpoint: str, name: str) -> DataFrame:
+    """Drain all available input (availableNow) into a memory sink and
+    return the result table. Test/dev helper — production would
+    writeStream to a real sink with the same trigger."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
