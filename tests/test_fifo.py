@@ -162,3 +162,19 @@ def test_match_counts(spark, n_earned, n_redeem):
     matched = [r for r in out if r.redeemid is not None]
     assert len(matched) == min(n_earned, n_redeem)
     assert len(out) == n_earned + n_redeem
+
+
+def test_formulations_agree(spark, sf_dir):
+    """Array formulation and rank-join formulation must be identical."""
+    from thrivefinancedatapipeline_spark.datamodel import load_table
+    from thrivefinancedatapipeline_spark.operators.fifo import (
+        fifo_match_rank_join,
+    )
+    from thrivefinancedatapipeline_spark.sources.ingest import (
+        transactions_from_events,
+    )
+
+    txns = transactions_from_events(load_table(spark, sf_dir, "events"))
+    a = set(map(tuple, fifo_match(txns).collect()))
+    b = set(map(tuple, fifo_match_rank_join(txns).collect()))
+    assert a == b
