@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..datamodel import load_table
 from ..operators.balance import balance_history, current_balances
-from ..operators.fifo import fifo_match
+from ..operators.fifo import fifo_match, validate_results
 from ..sources.ingest import TRANSACTIONS_SQL, transactions_from_events
 
 ASOF = "2024-01-20 00:00:00"  # fixed as-of date for Q1/Q5/Q7/Q8/Q9-style queries
@@ -282,9 +282,33 @@ def q_never_spent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESULT_CHECKS = (
+    "redeemid_not_a_redeemer",
+    "redeemer_used_more_than_once",
+    "redeemid_on_redeemer_row",
+    "balance_mismatch",
+)
+
+
+def q_validate_results_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Violation counts per result-validation rule (reference
+    validate_results re-expressed; zero rows are reported explicitly
+    so the output certifies which checks ran)."""
+    matched = fifo_match(_txns(spark, sf_dir))
+    counts = validate_results(matched).groupBy("check").agg(
+        F.count("*").alias("violations")
+    )
+    names = spark.createDataFrame([(c,) for c in RESULT_CHECKS], "check string")
+    return names.join(counts, "check", "left").select(
+        "check",
+        F.coalesce(F.col("violations"), F.lit(0)).cast("long").alias("violations"),
+    )
+
+
 QUERIES = {
     "ingest_transactions": q_ingest_transactions,
     "fifo_matching": q_fifo_matching,
+    "validate_results_summary": q_validate_results_summary,
     "balance_history": q_balance_history,
     "current_balances": q_current_balances,
     "analytics_summary": q_analytics_summary,
@@ -339,6 +363,31 @@ SELECT * FROM (
          COUNT(CASE WHEN current_balance > 0 THEN 1 END) AS customers_with_positive_balance
   FROM current_balances
 )""",
+    "validate_results_summary": f"""{PRELUDE}
+SELECT 'redeemid_not_a_redeemer' AS check,
+       (SELECT COUNT(*) FROM matched m
+        WHERE m.redeemid IS NOT NULL
+          AND m.redeemid NOT IN (SELECT trans_id FROM redeemers)) AS violations
+UNION ALL
+SELECT 'redeemer_used_more_than_once',
+       (SELECT COUNT(*) FROM (
+          SELECT redeemid FROM matched WHERE redeemid IS NOT NULL
+          GROUP BY redeemid HAVING COUNT(*) > 1))
+UNION ALL
+SELECT 'redeemid_on_redeemer_row',
+       (SELECT COUNT(*) FROM matched
+        WHERE tctype IN ('spent','expired') AND redeemid IS NOT NULL)
+UNION ALL
+SELECT 'balance_mismatch',
+       (SELECT COUNT(*) FROM (
+          SELECT customerid,
+                 SUM(CASE WHEN tctype='earned' THEN amount ELSE 0 END) AS earned,
+                 SUM(CASE WHEN tctype='spent' THEN ABS(amount) ELSE 0 END) AS spent,
+                 SUM(CASE WHEN tctype='expired' THEN ABS(amount) ELSE 0 END) AS expired,
+                 SUM(CASE WHEN tctype='earned' AND redeemid IS NULL
+                          THEN amount ELSE 0 END) AS remaining
+          FROM matched GROUP BY customerid
+          HAVING ABS(earned - (spent + expired + remaining)) > 0.01))""",
     "balance_asof": f"{PRELUDE},\n{_ASOF_SQL} SELECT * FROM asof_bal",
     "month_end_balance": f"""{PRELUDE}
 SELECT customer_id,

@@ -1,0 +1,83 @@
+"""Source/sink surface (reference I/O parity, Spark-native).
+
+Reference I/O (src/thrive_cash_processing_dag.py:60 download_data /
+:252 outputs): Excel workbook in (TC_Data / Sales / Customers sheets),
+parquet staging, CSV deliverable, JSON report.
+
+Spark-native mapping:
+- parquet: primary format (columnar scan, predicate pushdown).
+- csv / json: read + write with explicit schema (never infer on a
+  100 TB path — schema inference is a full extra pass).
+- excel: driver-side pandas read (gated import; an .xlsx is by nature
+  a single small file — it is the *entry* of the pipeline, never a
+  distributed dataset) then parallelized to a DataFrame.
+- partitioned parquet sink: writer-side repartition control so file
+  counts track data volume, not shuffle-partition config.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: StructType | str, header: bool = True
+) -> DataFrame:
+    return spark.read.schema(schema).option("header", header).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
+    return spark.read.schema(schema).json(path)
+
+
+def read_excel_sheet(
+    spark: SparkSession, path: str, sheet_name: str
+) -> DataFrame:
+    """Excel ingestion (the reference's tc_raw_data.xlsx entry point).
+
+    Reads on the driver with pandas (xlsx is a small single file by
+    construction) and parallelizes. Raises a clear error when no
+    excel engine is installed in the environment.
+    """
+    try:
+        import pandas as pd
+
+        pdf = pd.read_excel(path, sheet_name=sheet_name)
+    except ImportError as exc:  # pragma: no cover - env without pandas/openpyxl
+        raise NotImplementedError(
+            "excel support requires pandas + an excel engine (openpyxl)"
+        ) from exc
+    return spark.createDataFrame(pdf)
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """CSV deliverable (reference tc_data_with_redemptions.csv).
+    single_file coalesces to one part — only for report-sized output."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").json(path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    target_partitions: int | None = None,
+) -> None:
+    """Parquet sink with explicit output-file control.
+
+    target_partitions sizes output files to data volume (e.g.
+    rows/`maxRecordsPerFile`) instead of inheriting
+    spark.sql.shuffle.partitions — the classic small-files fix.
+    """
+    out = df.repartition(target_partitions, *partition_by) if (
+        target_partitions and partition_by
+    ) else (df.repartition(target_partitions) if target_partitions else df)
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
