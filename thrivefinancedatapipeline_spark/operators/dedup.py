@@ -69,17 +69,22 @@ def _shingle_rows(docs: DataFrame) -> DataFrame:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: canonical (min) doc_id per normalized-text hash."""
+    """Exact dedup: canonical (min) doc_id per normalized-text hash.
+
+    Window over the hash instead of groupBy+self-join: one shuffle on a
+    uniform 128-bit key and md5 is computed once per row (the join form
+    shuffles the hashed relation twice and re-evaluates the hash)."""
+    from pyspark.sql import Window
+
     docs = _docs(spark, sf_dir)
     hashed = docs.select(
         "doc_id", F.md5(normalize(F.col("text"))).alias("content_hash")
     )
-    groups = hashed.groupBy("content_hash").agg(
-        F.min("doc_id").alias("canonical_id"),
-        F.count("*").alias("group_size"),
-    )
-    return hashed.join(groups, "content_hash").select(
-        "doc_id", "canonical_id", "group_size"
+    w = Window.partitionBy("content_hash")
+    return hashed.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        F.count("*").over(w).alias("group_size"),
     )
 
 
