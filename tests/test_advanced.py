@@ -1,0 +1,115 @@
+"""Scenario tests for as-of join, range join, connected components,
+and the advanced analytics plans — literal DataFrames, hand-computed
+oracles (SURVEY §5 style)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from thrivefinancedatapipeline_spark.operators.asof import asof_join
+from thrivefinancedatapipeline_spark.operators.dedup import connected_components
+from thrivefinancedatapipeline_spark.plans import advanced
+
+
+def ts(s):
+    return f"2024-01-01 {s}"
+
+
+def test_asof_picks_latest_at_or_before(spark):
+    trades = spark.createDataFrame(
+        [(1, "k", ts("10:00:00")), (2, "k", ts("10:05:00"))],
+        "trade_id long, sym string, trade_ts string",
+    ).withColumn("trade_ts", F.col("trade_ts").cast("timestamp"))
+    quotes = spark.createDataFrame(
+        [("k", ts("09:59:00"), 1.0), ("k", ts("10:00:00"), 2.0),
+         ("k", ts("10:04:00"), 3.0), ("k", ts("10:06:00"), 4.0)],
+        "sym string, quote_ts string, px double",
+    ).withColumn("quote_ts", F.col("quote_ts").cast("timestamp"))
+    out = {
+        r.trade_id: r.px
+        for r in asof_join(
+            trades, quotes, on=["sym"], left_ts="trade_ts", right_ts="quote_ts"
+        ).collect()
+    }
+    # equal timestamp matches (ASOF <=); later quotes never leak back
+    assert out == {1: 2.0, 2: 3.0}
+
+
+def test_asof_no_prior_row_is_null(spark):
+    trades = spark.createDataFrame(
+        [(1, "k", ts("08:00:00"))], "trade_id long, sym string, trade_ts string"
+    ).withColumn("trade_ts", F.col("trade_ts").cast("timestamp"))
+    quotes = spark.createDataFrame(
+        [("k", ts("09:00:00"), 1.0)], "sym string, quote_ts string, px double"
+    ).withColumn("quote_ts", F.col("quote_ts").cast("timestamp"))
+    row = asof_join(
+        trades, quotes, on=["sym"], left_ts="trade_ts", right_ts="quote_ts"
+    ).collect()[0]
+    assert row.px is None and row.quote_ts is None
+
+
+def test_asof_keys_are_independent(spark):
+    trades = spark.createDataFrame(
+        [(1, "a", ts("10:00:00")), (2, "b", ts("10:00:00"))],
+        "trade_id long, sym string, trade_ts string",
+    ).withColumn("trade_ts", F.col("trade_ts").cast("timestamp"))
+    quotes = spark.createDataFrame(
+        [("a", ts("09:00:00"), 1.0), ("b", ts("09:30:00"), 9.0)],
+        "sym string, quote_ts string, px double",
+    ).withColumn("quote_ts", F.col("quote_ts").cast("timestamp"))
+    out = {
+        r.trade_id: r.px
+        for r in asof_join(
+            trades, quotes, on=["sym"], left_ts="trade_ts", right_ts="quote_ts"
+        ).collect()
+    }
+    assert out == {1: 1.0, 2: 9.0}
+
+
+def test_asof_rejects_column_collision(spark):
+    df = spark.createDataFrame([(1, "k")], "x long, sym string")
+    with pytest.raises(ValueError, match="collision"):
+        asof_join(df, df, on=["sym"], left_ts="x", right_ts="x")
+
+
+def test_connected_components_chain_and_isolate(spark):
+    nodes = spark.createDataFrame([Row(doc_id=i) for i in range(6)])
+    # chain 0-1-2-3, pair 4-5 ... but written so min propagates multi-hop
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (0, 1), (4, 5)], "doc_id_1 long, doc_id_2 long"
+    )
+    out = {r.doc_id: r.cluster_id for r in connected_components(nodes, pairs).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4}
+
+
+def test_connected_components_no_edges(spark):
+    nodes = spark.createDataFrame([Row(doc_id=i) for i in range(3)])
+    pairs = spark.createDataFrame([], "doc_id_1 long, doc_id_2 long")
+    out = {r.doc_id: r.cluster_id for r in connected_components(nodes, pairs).collect()}
+    assert out == {0: 0, 1: 1, 2: 2}
+
+
+def test_range_join_counts_touches_in_window(spark, sf_dir):
+    out = advanced.q_range_join_touch_counts(spark, sf_dir)
+    rows = out.collect()
+    # one row per purchase, never negative
+    assert len(rows) == len({r.purchase_id for r in rows})
+    assert all(r.touches_1h >= 0 for r in rows)
+
+
+def test_rollup_grand_total_consistent(spark, sf_dir):
+    rows = advanced.q_revenue_rollup(spark, sf_dir).collect()
+    total = [r for r in rows if r.grp == 3]
+    leaves = [r for r in rows if r.grp == 0]
+    assert len(total) == 1
+    assert total[0].order_count == sum(r.order_count for r in leaves)
+
+
+def test_pivot_row_sums_match_event_count(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.datamodel import load_table
+
+    piv = advanced.q_daily_event_pivot(spark, sf_dir).collect()
+    n = sum(
+        r.n_click + r.n_error + r.n_purchase + r.n_signup + r.n_view for r in piv
+    )
+    assert n == load_table(spark, sf_dir, "events").count()

@@ -239,6 +239,81 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAX_CC_ITERS = 30
+
+
+def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Label every node with the min node id reachable through pairs.
+
+    Pregel-style min-label propagation: each iteration is one
+    distributed join+groupBy (no driver-side graph), iterating to a
+    fixpoint. Near-dup clusters have tiny diameters, so this converges
+    in a handful of rounds; for adversarial graphs swap in the
+    large-star/small-star algorithm (O(log n) rounds, same join shape).
+
+    nodes: (doc_id); pairs: (doc_id_1, doc_id_2) undirected.
+    Returns (doc_id, cluster_id).
+    """
+    edges = (
+        pairs.select(F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst"))
+        .union(
+            pairs.select(
+                F.col("doc_id_2").alias("src"), F.col("doc_id_1").alias("dst")
+            )
+        )
+        .persist()
+    )
+    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
+    labels.count()  # materialize before the loop
+    for _ in range(MAX_CC_ITERS):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("src"), F.col("cluster_id").alias("lbl")
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.min("lbl").alias("nbr_min"))
+            .select(F.col("dst").alias("doc_id"), "nbr_min")
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the simhash near-dup graph: every doc
+    labeled with the min doc_id reachable through hamming<=3 pairs —
+    the canonicalization step a dedup pipeline runs after pair finding.
+    Oracle: DuckDB recursive CTE enumerating reachability."""
+    return connected_components(
+        _docs(spark, sf_dir).select("doc_id"),
+        q_dedup_simhash_pairs(spark, sf_dir),
+    )
+
+
 COSINE_TAU = 0.45  # synthetic embeddings top out near 0.5
 
 
@@ -281,6 +356,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
 }
 
@@ -392,6 +468,26 @@ SELECT doc_id_1, doc_id_2,
        CAST(bit_count(xor(sim1, sim2)) AS INT) AS hamming
 FROM cand
 WHERE bit_count(xor(sim1, sim2)) <= {SIM_HAM_MAX}""",
+    "dedup_clusters": f"""
+WITH RECURSIVE {_SIMHASH_CTES},
+bands AS ({_SIM_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT b1.doc_id AS doc_id_1, b2.doc_id AS doc_id_2
+  FROM bands b1 JOIN bands b2
+    ON b1.band = b2.band AND b1.key = b2.key AND b1.doc_id < b2.doc_id
+   AND bit_count(xor(b1.simhash, b2.simhash)) <= {SIM_HAM_MAX}
+),
+edges AS (
+  SELECT doc_id_1 AS a, doc_id_2 AS b FROM cand
+  UNION ALL
+  SELECT doc_id_2, doc_id_1 FROM cand
+),
+reach(n, m) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+)
+SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n""",
     "dedup_embedding_cosine": f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -115,9 +115,105 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _centroid_cols():
+    """Element-wise mean of the embedding per group WITHOUT exploding:
+    64 partial-aggregable avg expressions — the shuffle carries one
+    64-double agg state per (group, partition), not dim× row blowup.
+    Rounded to 6 decimals so downstream assignment is bit-identical
+    across engines."""
+    return [
+        F.round(F.avg(F.element_at(F.col("embedding"), i + 1).cast("double")), 6)
+        for i in range(DIM)
+    ]
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, flat (label, dim, centroid, n)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    agg = emb.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.array(*_centroid_cols()).alias("cv"),
+    )
+    return agg.select(
+        "label", "n_vectors", F.posexplode("cv").alias("dim", "centroid")
+    ).select("label", F.col("dim").cast("int").alias("dim"), "centroid", "n_vectors")
+
+
+N_PROBE = 2
+
+
+def _cells(spark, sf_dir):
+    """(vectors, centroids): centroids per label are the deterministic
+    stand-in for a k-means coarse quantizer (at scale: k-means||, same
+    downstream plan). Assignment and probing both rank cells by cosine
+    against these rounded centroids."""
+    e = _vectors(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.groupBy("label").agg(F.array(*_centroid_cols()).alias("cv"))
+    cent = cent.select(
+        F.col("label").alias("cell"), "cv",
+        F.sqrt(_dot(F.col("cv"), F.col("cv"))).alias("cnrm"),
+    )
+    ranked = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "ccos", _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("ccos").desc(), F.col("cell")
+                )
+            ),
+        )
+    )
+    return e, ranked
+
+
+def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: vectors assigned to their nearest centroid cell;
+    each query probes its N_PROBE nearest cells and exact-ranks only
+    those candidates. One broadcast of the (tiny) centroid set, one
+    shuffle on cell — the 100 TB shape for billion-vector search."""
+    e, ranked = _cells(spark, sf_dir)
+    asg = ranked.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("cell")
+    )
+    probe = ranked.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_PROBE)
+    ).select(F.col("vec_id").alias("query_id"), "cell")
+    qv = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cv = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        F.broadcast(probe)
+        .join(asg, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 QUERIES = {
     "knn_bruteforce_cosine": q_knn_bruteforce_cosine,
     "knn_lsh": q_knn_lsh,
+    "embedding_centroids": q_embedding_centroids,
+    "ivf_knn": q_ivf_knn,
 }
 
 
@@ -138,7 +234,48 @@ e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
       FROM embeddings)
 """.strip()
 
+_CENT_CTES = """
+cexp AS (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS el,
+                generate_subscripts(embedding, 1) AS pos
+         FROM embeddings),
+cagg AS (SELECT label, pos, ROUND(AVG(el), 6) AS c
+         FROM cexp GROUP BY label, pos)
+""".strip()
+
 ORACLES = {
+    "embedding_centroids": f"""
+WITH {_CENT_CTES},
+n AS (SELECT label, COUNT(*) AS n_vectors FROM embeddings GROUP BY label)
+SELECT cagg.label, CAST(pos - 1 AS INT) AS dim, c AS centroid, n.n_vectors
+FROM cagg JOIN n ON cagg.label = n.label""",
+    "ivf_knn": f"""
+WITH {_VEC_CTE},
+{_CENT_CTES},
+cent AS (SELECT label AS cell, list(c ORDER BY pos) AS cv
+         FROM cagg GROUP BY label),
+cent2 AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM cent),
+ranked AS (
+  SELECT e.vec_id, c.cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) DESC,
+                    c.cell) AS rn
+  FROM e CROSS JOIN cent2 c),
+asg AS (SELECT vec_id AS neighbor_id, cell FROM ranked WHERE rn = 1),
+probe AS (SELECT vec_id AS query_id, cell FROM ranked
+          WHERE vec_id < {N_QUERIES} AND rn <= {N_PROBE}),
+cand AS (SELECT p.query_id, a.neighbor_id
+         FROM probe p JOIN asg a USING (cell)
+         WHERE p.query_id <> a.neighbor_id)
+SELECT cand.query_id, cand.neighbor_id,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY cand.query_id
+         ORDER BY list_dot_product(q.v, nb.v) / (q.nrm * nb.nrm) DESC,
+                  cand.neighbor_id) AS INT) AS rank
+FROM cand
+JOIN e q ON q.vec_id = cand.query_id
+JOIN e nb ON nb.vec_id = cand.neighbor_id
+QUALIFY rank <= {TOP_K}""",
     "knn_bruteforce_cosine": f"""
 WITH {_VEC_CTE}
 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

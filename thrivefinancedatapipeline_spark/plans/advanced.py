@@ -1,0 +1,411 @@
+"""Advanced analytics operators: as-of join, range join, rollup,
+pivot, top-N per group, exact percentiles, and three more TPC-H-style
+queries.
+
+Scale notes (100 TB posture):
+
+- **As-of join** (`asof_last_touch`): the classic finance/attribution
+  operator Spark lacks natively. Implemented as the *union-and-window*
+  plan: tag both sides, union, one window over (key, time) carrying the
+  last right-side row forward via `last(..., ignorenulls=True)`. Cost
+  is ONE shuffle on the join key — no range explosion, no per-key
+  driver loop, skew behaves like any window. This is the standard
+  distributed as-of strategy (the same shape Flink/kdb+ use).
+- **Range join** (`range_join_touch_counts`): naive time-interval
+  joins explode; the scalable form buckets time to the window width
+  and joins on (key, bucket) with the right side exploded to the
+  buckets it can serve (here: its own hour and the next). Shuffle keys
+  stay uniform; the residual interval filter is cheap post-join.
+- **Rollup/pivot**: `F.rollup` + `grouping_id` and a fixed-value-list
+  `pivot` keep everything in one partial-aggregable hash aggregate.
+- **Percentiles**: `percentile(...)` here is the exact (sort-based)
+  form so the DuckDB oracle matches bit-for-bit; at 100 TB swap in
+  `approx_percentile` (t-digest, mergeable, one pass) — same plan
+  shape, documented tolerance.
+
+Money math uses the fixed-point cents trick from `plans.tpch` so sums
+are bit-identical across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..datamodel import load_table
+from .tpch import REVENUE_S_SQL, _cents, _exact_sum, _money, _revenue_s, _sql_cents
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+TOUCH_TYPES = ("click", "view")
+
+
+def _touches(events: DataFrame) -> DataFrame:
+    """One touch row per (user, ts): ties collapse to max event_id so
+    the as-of pick is deterministic in both engines."""
+    return (
+        events.filter(F.col("event_type").isin(*TOUCH_TYPES))
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("touch_id"))
+    )
+
+
+def q_asof_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase matched to the user's most
+    recent click/view at-or-before it (ASOF semantics, `<=`).
+
+    Union-and-window implementation — one shuffle on user_id; the
+    window carries the latest touch forward into every purchase row.
+    Oracle: DuckDB's native ASOF LEFT JOIN.
+    """
+    from ..operators.asof import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    touches = _touches(events).select(
+        "user_id", F.col("ts").alias("touch_ts"), "touch_id"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    return asof_join(
+        purchases, touches, on=["user_id"],
+        left_ts="purchase_ts", right_ts="touch_ts",
+    ).select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        "touch_id",
+        "touch_ts",
+        (F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("touch_ts")))
+        .alias("micros_since_touch"),
+    )
+
+
+def q_range_join_touch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Touches in the hour before each purchase (interval join).
+
+    Bucketed implementation: both sides keyed by (user_id, epoch-hour);
+    each touch is exploded to the two hour-buckets whose purchases it
+    can precede. Equi-join + residual filter — no range explosion.
+    """
+    events = _t(spark, sf_dir, "events")
+    hour = lambda c: (F.unix_micros(c) / F.lit(3_600_000_000)).cast("long")  # noqa: E731
+    touches = (
+        events.filter(F.col("event_type").isin(*TOUCH_TYPES))
+        .select(
+            "user_id",
+            F.col("ts").alias("touch_ts"),
+            F.explode(F.array(hour(F.col("ts")), hour(F.col("ts")) + 1)).alias(
+                "bucket"
+            ),
+        )
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        hour(F.col("ts")).alias("bucket"),
+    )
+    matched = (
+        purchases.join(touches, ["user_id", "bucket"])
+        .filter(
+            (F.col("touch_ts") < F.col("purchase_ts"))
+            & (
+                F.col("touch_ts")
+                >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")
+            )
+        )
+        .groupBy("purchase_id")
+        .agg(F.count("*").alias("touches_1h"))
+    )
+    return (
+        purchases.select("purchase_id")
+        .join(matched, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            F.coalesce(F.col("touches_1h"), F.lit(0)).alias("touches_1h"),
+        )
+    )
+
+
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order revenue ROLLUP over (region, nation) with grouping_id —
+    region subtotals and a grand total in one hash aggregate."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.grouping_id().cast("int").alias("grp"),
+        F.count("*").alias("order_count"),
+        _money(_exact_sum(_cents("o_totalprice")), 100).alias("revenue"),
+    )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_daily_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events per day pivoted to one column per type. The value list is
+    fixed so the schema is static (no extra distinct-scan job)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("event_date"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .select(
+            "event_date",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES],
+        )
+    )
+
+
+TOP_PARTS_N = 3
+
+
+def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts by revenue within each brand: broadcast dim join,
+    one agg, one window rank. Revenue is exact cents so the ranking is
+    deterministic across engines."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_partkey", "p_name")
+        .agg(_money(_exact_sum(_revenue_s()), 10000).alias("revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("revenue").desc(), F.col("p_partkey")
+    )
+    return (
+        per_part.withColumn("brand_rank", F.row_number().over(w))
+        .filter(F.col("brand_rank") <= TOP_PARTS_N)
+        .select("p_brand", "brand_rank", "p_partkey", "p_name", "revenue")
+    )
+
+
+PCTS = (0.25, 0.5, 0.75, 0.9)
+
+
+def q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantiles of event value per type (linear interpolation —
+    identical to DuckDB quantile_cont). 100 TB path: approx_percentile
+    (mergeable t-digest sketch), same plan shape."""
+    events = _t(spark, sf_dir, "events")
+    pct_arr = ", ".join(f"{p}D" for p in PCTS)
+    agg = events.groupBy("event_type").agg(
+        F.expr(f"percentile(value, array({pct_arr}))").alias("qs")
+    )
+    return agg.select(
+        "event_type", F.posexplode("qs").alias("pos", "q")
+    ).select(
+        "event_type",
+        F.element_at(
+            F.array(*[F.lit(int(p * 100)) for p in PCTS]), F.col("pos") + 1
+        ).alias("pct"),
+        F.round("q", 6).alias("value"),
+    )
+
+
+def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by revenue lost to returned items in
+    one quarter."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_money(_exact_sum(_revenue_s()), 10000).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share for one month (conditional agg
+    over a broadcast dim join; one pass)."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = _revenue_s()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            _exact_sum(promo).alias("promo_s"),
+            _exact_sum(rev).alias("total_s"),
+        )
+        .select(
+            F.round(F.lit(100.0) * F.col("promo_s") / F.col("total_s"), 4)
+            .alias("promo_revenue_pct"),
+            _money(F.col("promo_s"), 10000).alias("promo_revenue"),
+            _money(F.col("total_s"), 10000).alias("total_revenue"),
+        )
+    )
+
+
+Q18_QTY = 300
+
+
+def q_tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: customers whose single order exceeds the quantity
+    threshold (agg → having → join back; the having filter runs before
+    the join so only qualifying orders shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_money(_exact_sum(_cents("l_quantity")), 100).alias("sum_qty"))
+        .filter(F.col("sum_qty") > Q18_QTY)
+    )
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            _money(_cents("o_totalprice"), 100).alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+QUERIES = {
+    "asof_last_touch": q_asof_last_touch,
+    "range_join_touch_counts": q_range_join_touch_counts,
+    "revenue_rollup": q_revenue_rollup,
+    "daily_event_pivot": q_daily_event_pivot,
+    "top_parts_per_brand": q_top_parts_per_brand,
+    "event_value_percentiles": q_event_value_percentiles,
+    "tpch_q10_returned_items": q_tpch_q10_returned_items,
+    "tpch_q14_promo_effect": q_tpch_q14_promo_effect,
+    "tpch_q18_large_volume": q_tpch_q18_large_volume,
+}
+
+_OP = _sql_cents("o_totalprice")
+_Q = _sql_cents("l_quantity")
+
+_TOUCH_SQL = ", ".join(f"'{t}'" for t in TOUCH_TYPES)
+
+_TOUCH_CTE = f"""
+touches AS (SELECT user_id, ts, MAX(event_id) AS touch_id
+            FROM events WHERE event_type IN ({_TOUCH_SQL})
+            GROUP BY user_id, ts),
+purchases AS (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase')
+""".strip()
+
+_PIVOT_COLS = ",\n       ".join(
+    f"COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS n_{t}"
+    for t in EVENT_TYPES
+)
+
+_PCT_LIST = ", ".join(str(p) for p in PCTS)
+_PCT_LABELS = ", ".join(str(int(p * 100)) for p in PCTS)
+
+ORACLES = {
+    "asof_last_touch": f"""
+WITH {_TOUCH_CTE}
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+       t.touch_id, t.ts AS touch_ts,
+       epoch_us(p.ts) - epoch_us(t.ts) AS micros_since_touch
+FROM purchases p ASOF LEFT JOIN touches t
+  ON p.user_id = t.user_id AND t.ts <= p.ts""",
+    "range_join_touch_counts": """
+WITH t AS (SELECT user_id, ts FROM events
+           WHERE event_type IN ('click','view')),
+p AS (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase')
+SELECT p.event_id AS purchase_id, COUNT(t.ts) AS touches_1h
+FROM p LEFT JOIN t
+  ON t.user_id = p.user_id
+ AND t.ts < p.ts AND t.ts >= p.ts - INTERVAL 1 HOUR
+GROUP BY p.event_id""",
+    "revenue_rollup": f"""
+SELECT r_name, n_name, CAST(GROUPING(r_name, n_name) AS INT) AS grp,
+       COUNT(*) AS order_count,
+       ROUND(CAST(SUM({_OP}) AS DOUBLE) / 100, 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)""",
+    "daily_event_pivot": f"""
+SELECT strftime(ts, '%Y-%m-%d') AS event_date,
+       {_PIVOT_COLS}
+FROM events GROUP BY event_date""",
+    "top_parts_per_brand": f"""
+SELECT p_brand, brand_rank, p_partkey, p_name, revenue FROM (
+  SELECT p_brand, p_partkey, p_name,
+         ROUND(CAST(SUM({REVENUE_S_SQL}) AS DOUBLE) / 10000, 2) AS revenue,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY p_brand
+           ORDER BY ROUND(CAST(SUM({REVENUE_S_SQL}) AS DOUBLE) / 10000, 2) DESC,
+                    p_partkey) AS INT) AS brand_rank
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, p_partkey, p_name)
+WHERE brand_rank <= {TOP_PARTS_N}""",
+    "event_value_percentiles": f"""
+WITH q AS (SELECT event_type,
+                  quantile_cont(value, [{_PCT_LIST}]) AS qs
+           FROM events GROUP BY event_type)
+SELECT event_type,
+       unnest([{_PCT_LABELS}]) AS pct,
+       ROUND(unnest(qs), 6) AS value
+FROM q""",
+    "tpch_q10_returned_items": f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       ROUND(CAST(SUM({REVENUE_S_SQL}) AS DOUBLE) / 10000, 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20""",
+    "tpch_q14_promo_effect": f"""
+SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                   THEN {REVENUE_S_SQL} ELSE 0 END) AS DOUBLE)
+             / CAST(SUM({REVENUE_S_SQL}) AS DOUBLE), 4) AS promo_revenue_pct,
+       ROUND(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                           THEN {REVENUE_S_SQL} ELSE 0 END) AS DOUBLE)
+             / 10000, 2) AS promo_revenue,
+       ROUND(CAST(SUM({REVENUE_S_SQL}) AS DOUBLE) / 10000, 2) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""",
+    "tpch_q18_large_volume": f"""
+WITH big AS (
+  SELECT l_orderkey,
+         ROUND(CAST(SUM({_Q}) AS DOUBLE) / 100, 2) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING ROUND(CAST(SUM({_Q}) AS DOUBLE) / 100, 2) > {Q18_QTY}
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       ROUND(CAST({_OP} AS DOUBLE) / 100, 2) AS o_totalprice, sum_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey""",
+}

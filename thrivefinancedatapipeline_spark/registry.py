@@ -13,7 +13,7 @@ def _modules():
     from .plans import finance_queries
 
     mods = [finance_queries]
-    for name in ("tpch", "events_queries"):
+    for name in ("tpch", "events_queries", "advanced"):
         try:
             mods.append(__import__(f"{__package__}.plans.{name}", fromlist=[name]))
         except ImportError:
