@@ -1,0 +1,69 @@
+"""Physical-plan audits: the scale properties SURVEY §6 claims must be
+visible in `explain` output — pushed filters, pruned scans, broadcast
+joins, bounded shuffle counts. These guard against plan regressions
+that correctness tests can't see."""
+
+import contextlib
+import io
+
+from thrivefinancedatapipeline_spark.plans import advanced, finance_queries, tpch
+
+
+def explain(df, mode="formatted"):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def exchanges(df):
+    """Count shuffle nodes. Simple mode lists each node once (formatted
+    mode repeats node names in the detail section)."""
+    return explain(df, mode="simple").count("Exchange")
+
+
+def test_q6_filters_reach_the_scan(spark, sf_dir):
+    plan = explain(tpch.q_tpch_q6_forecast_revenue(spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed
+
+
+def test_q1_scan_prunes_unused_columns(spark, sf_dir):
+    plan = explain(tpch.q_tpch_q1_pricing_summary(spark, sf_dir))
+    schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "l_returnflag" in schema and "l_quantity" in schema
+    # q1 never touches the join keys — they must not be read
+    assert "l_orderkey" not in schema and "l_partkey" not in schema
+
+
+def test_q5_broadcasts_every_dimension(spark, sf_dir):
+    plan = explain(tpch.q_tpch_q5_local_supplier_volume(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    # only the lineitem-orders fact-fact join may shuffle
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_fifo_is_single_shuffle(spark, sf_dir):
+    # one Exchange for the per-customer repartition; no join exchanges
+    assert exchanges(finance_queries.q_fifo_matching(spark, sf_dir)) == 1
+
+
+def test_dedup_exact_is_single_shuffle(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.operators import dedup
+
+    assert exchanges(dedup.q_dedup_exact(spark, sf_dir)) == 1
+
+
+def test_asof_is_single_shuffle(spark, sf_dir):
+    df = advanced.q_asof_last_touch(spark, sf_dir)
+    # both sides union shuffle-free into ONE window exchange on user_id
+    assert "Join" not in explain(df, mode="simple")
+    assert exchanges(df) == 1
+
+
+def test_sample_filter_is_scan_level(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.operators import sampling
+
+    plan = explain(sampling.q_sample_documents_hash(spark, sf_dir))
+    assert "Exchange" not in plan  # pure filter+project: no shuffle at all

@@ -16,8 +16,10 @@ time pair first.
 
 Semantics: for each left row, the right row with the greatest
 ``right_ts <= left_ts`` for the same key (ASOF ``<=``; a same-instant
-right row matches). Right rows must be unique per (key, time) —
-pre-aggregate ties (e.g. keep max id) or the pick is nondeterministic.
+right row matches). Right rows must be unique per (key, time): either
+pre-aggregate ties, or pass ``right_tiebreak`` (keep the max of that
+column) — the tiebreak rides the same window sort, so it costs no
+extra shuffle where a pre-aggregation would.
 """
 
 from __future__ import annotations
@@ -34,12 +36,14 @@ def asof_join(
     on: Sequence[str],
     left_ts: str,
     right_ts: str,
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """As-of join `left` to the latest `right` row at-or-before it.
 
     Returns all left columns plus every non-key right column (null
     when no right row precedes the left row). Non-key column names
-    must not collide between the two inputs.
+    must not collide between the two inputs. With `right_tiebreak`,
+    equal-time right rows resolve to the max of that column.
     """
     on = list(on)
     lpay = [c for c in left.columns if c not in on]
@@ -68,9 +72,13 @@ def asof_join(
         r_struct.alias("__r"),
     )
     # side=0 sorts before side=1 at equal __t → ASOF `<=`, not `<`.
+    order = [F.col("__t"), F.col("__side")]
+    if right_tiebreak is not None:
+        # ascending → the max-tiebreak right row sorts last and wins
+        order.append(F.col("__r")[right_tiebreak])
     w = (
         Window.partitionBy(*on)
-        .orderBy("__t", "__side")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (

@@ -1,0 +1,131 @@
+"""Deterministic sampling and dataset-split operators over `documents`.
+
+Training-data pipelines need REPRODUCIBLE sampling: `df.sample()` is
+seed-and-partitioning dependent, so reruns (or the same run on a
+different cluster layout) pick different rows. Hashing a stable key
+instead makes every decision a pure function of the row:
+
+- membership is stable across reruns, partitionings, and engines,
+- sampling composes with incremental ingestion (new rows don't
+  reshuffle old assignments) — the property that matters when a 100 TB
+  corpus grows daily and the train/val/test split must not leak,
+- the filter is a plain expression → pushed into the scan, no shuffle
+  at all for `sample_by_hash`.
+
+All hashes are md5-prefix integers (`functions.text.md5_long`) so the
+DuckDB oracles are bit-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..datamodel import load_table
+from ..functions.text import md5_long, md5_long_sql
+
+SAMPLE_PCT = 10          # sample_by_hash keeps bucket < 10 of 100
+SPLIT_TRAIN, SPLIT_VAL = 80, 90   # [0,80) train, [80,90) val, rest test
+STRATUM_N = 20           # stratified: first N per language
+
+
+def hash_bucket(key: Column, buckets: int = 100, ns: str = "") -> Column:
+    """Deterministic bucket in [0, buckets) from a stable key. `ns`
+    namespaces independent decisions (sampling vs splitting) so they
+    are uncorrelated."""
+    return md5_long(F.concat(F.lit(ns), key.cast("string"))) % buckets
+
+
+def hash_bucket_sql(key: str, buckets: int = 100, ns: str = "") -> str:
+    keyed = f"'{ns}' || CAST({key} AS VARCHAR)"
+    return f"{md5_long_sql(keyed)} % {buckets}"
+
+
+def sample_by_hash(df: DataFrame, key: str, pct: int, ns: str = "s") -> DataFrame:
+    """Keep ~pct% of rows, deterministically by key hash."""
+    return df.filter(hash_bucket(F.col(key), 100, ns) < pct)
+
+
+def split_column(key: Column, ns: str = "split") -> Column:
+    """'train' / 'val' / 'test' assignment, stable per key."""
+    b = hash_bucket(key, 100, ns)
+    return (
+        F.when(b < SPLIT_TRAIN, "train")
+        .when(b < SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+
+
+def stratified_take(df: DataFrame, stratum: str, key: str, n: int) -> DataFrame:
+    """First n rows per stratum in deterministic hash order — an equal
+    per-class sample whose membership survives reruns. One shuffle on
+    the stratum; AQE's partial TopK caps the sort."""
+    w = Window.partitionBy(stratum).orderBy(
+        md5_long(F.col(key).cast("string")), F.col(key)
+    )
+    return df.withColumn("sample_rank", F.row_number().over(w)).filter(
+        F.col("sample_rank") <= n
+    )
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def q_sample_documents_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic sample of documents (scan-level filter)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    return sample_by_hash(docs, "doc_id", SAMPLE_PCT).select(
+        "doc_id", "lang", "source",
+        hash_bucket(F.col("doc_id"), 100, "s").cast("int").alias("bucket"),
+    )
+
+
+def q_dataset_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test sizes per language — the split-audit query every
+    training pipeline runs before a job."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select("lang", split_column(F.col("doc_id")).alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-size per-language sample (first STRATUM_N by hash)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return stratified_take(docs, "lang", "doc_id", STRATUM_N).select(
+        "lang", F.col("sample_rank").cast("int").alias("sample_rank"), "doc_id"
+    )
+
+
+QUERIES = {
+    "sample_documents_hash": q_sample_documents_hash,
+    "dataset_split_counts": q_dataset_split_counts,
+    "stratified_sample": q_stratified_sample,
+}
+
+_B_S = hash_bucket_sql("doc_id", 100, "s")
+_B_SPLIT = hash_bucket_sql("doc_id", 100, "split")
+_H = md5_long_sql("CAST(doc_id AS VARCHAR)")
+
+ORACLES = {
+    "sample_documents_hash": f"""
+SELECT doc_id, lang, source, CAST({_B_S} AS INT) AS bucket
+FROM documents WHERE {_B_S} < {SAMPLE_PCT}""",
+    "dataset_split_counts": f"""
+SELECT lang,
+       CASE WHEN {_B_SPLIT} < {SPLIT_TRAIN} THEN 'train'
+            WHEN {_B_SPLIT} < {SPLIT_VAL} THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY lang, split""",
+    "stratified_sample": f"""
+SELECT lang, sample_rank, doc_id FROM (
+  SELECT lang, doc_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY lang ORDER BY {_H}, doc_id) AS INT) AS sample_rank
+  FROM documents)
+WHERE sample_rank <= {STRATUM_N}""",
+}

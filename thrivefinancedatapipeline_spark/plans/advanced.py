@@ -43,16 +43,6 @@ def _t(spark, sf_dir, name):
 TOUCH_TYPES = ("click", "view")
 
 
-def _touches(events: DataFrame) -> DataFrame:
-    """One touch row per (user, ts): ties collapse to max event_id so
-    the as-of pick is deterministic in both engines."""
-    return (
-        events.filter(F.col("event_type").isin(*TOUCH_TYPES))
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("touch_id"))
-    )
-
-
 def q_asof_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch attribution: each purchase matched to the user's most
     recent click/view at-or-before it (ASOF semantics, `<=`).
@@ -64,8 +54,9 @@ def q_asof_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.asof import asof_join
 
     events = _t(spark, sf_dir, "events")
-    touches = _touches(events).select(
-        "user_id", F.col("ts").alias("touch_ts"), "touch_id"
+    touches = events.filter(F.col("event_type").isin(*TOUCH_TYPES)).select(
+        "user_id", F.col("ts").alias("touch_ts"),
+        F.col("event_id").alias("touch_id"),
     )
     purchases = events.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
@@ -75,6 +66,7 @@ def q_asof_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         purchases, touches, on=["user_id"],
         left_ts="purchase_ts", right_ts="touch_ts",
+        right_tiebreak="touch_id",
     ).select(
         "purchase_id",
         "user_id",

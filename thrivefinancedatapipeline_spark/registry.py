@@ -18,7 +18,7 @@ def _modules():
             mods.append(__import__(f"{__package__}.plans.{name}", fromlist=[name]))
         except ImportError:
             pass
-    for name in ("dedup", "similarity", "textops", "quality"):
+    for name in ("dedup", "similarity", "textops", "quality", "sampling"):
         try:
             mods.append(__import__(f"{__package__}.operators.{name}", fromlist=[name]))
         except ImportError:
