@@ -30,10 +30,14 @@ HEADLINE = [
     "tpch_q6_forecast_revenue",
     "events_windowed_agg",
     "events_sessionize",
+    "asof_last_touch",
+    "range_join_touch_counts",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "knn_bruteforce_cosine",
+    "ivf_knn",
+    "sample_documents_hash",
     "text_quality_score",
     "text_lang_id",
 ]
@@ -65,6 +69,9 @@ def main() -> None:
         t0 = time.perf_counter()
         force(qs[name](spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
+        # queries persist() intermediates internally; drop them so
+        # cache never accumulates across the run (driver heap safety)
+        spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

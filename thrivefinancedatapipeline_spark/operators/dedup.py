@@ -263,8 +263,12 @@ def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
         )
         .persist()
     )
-    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
-    labels.count()  # materialize before the loop
+    # localCheckpoint (not persist): each iteration must TRUNCATE the
+    # logical plan, or lineage depth grows linearly and plan
+    # processing blows the JVM stack long before data size matters.
+    labels = nodes.select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    ).localCheckpoint(eager=True)
     for _ in range(MAX_CC_ITERS):
         nbr_min = (
             edges.join(
@@ -286,7 +290,7 @@ def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
                     F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -295,7 +299,6 @@ def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

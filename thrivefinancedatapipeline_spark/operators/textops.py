@@ -31,14 +31,25 @@ def _docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents")
 
 
+#: BPE-ish pre-tokenizer over normalized text: letter runs, digit
+#: runs, and single non-alphanumeric marks — the GPT-2-style split
+#: that approximates subword-tokenizer input counts. Plain character
+#: classes only, so Java regex (Spark) and RE2 (DuckDB) agree.
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
 def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     t = tokens(F.col("text"))
+    norm = normalize(F.col("text"))
     return docs.select(
         "doc_id",
         F.size(t).alias("n_tokens"),
         F.size(F.array_distinct(t)).alias("n_distinct_tokens"),
-        F.length(normalize(F.col("text"))).alias("n_chars_norm"),
+        F.size(F.regexp_extract_all(norm, F.lit(BPE_PATTERN), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.length(norm).alias("n_chars_norm"),
     )
 
 
@@ -142,6 +153,8 @@ WITH d AS (SELECT doc_id, {_TOKS} AS toks, {_NORM} AS norm FROM documents)
 SELECT doc_id,
        CAST(len(toks) AS INT) AS n_tokens,
        CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+       CAST(len(regexp_extract_all(norm, '{BPE_PATTERN}')) AS INT)
+         AS n_bpe_tokens,
        CAST(length(norm) AS INT) AS n_chars_norm
 FROM d""",
     "text_quality_score": f"""
