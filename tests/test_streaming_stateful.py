@@ -1,0 +1,133 @@
+"""Lambda-parity for the custom stateful streaming operators: the
+streaming result over time-ordered micro-batches must equal the batch
+computation on the union of all batches."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from thrivefinancedatapipeline_spark.datamodel import load_table
+from thrivefinancedatapipeline_spark.operators.fifo import fifo_match
+from thrivefinancedatapipeline_spark.sources.ingest import transactions_from_events
+from thrivefinancedatapipeline_spark.streaming import stateful
+
+
+@pytest.fixture(scope="module")
+def timed_events(spark, sf_dir):
+    """sf0.001 events split into 6 time-ordered parquet files — the
+    monthly-export arrival pattern the reference assumes."""
+    tmp = tempfile.mkdtemp(prefix="stream_timed_")
+    ev = load_table(spark, sf_dir, "events")
+    bounds = [1, 6, 11, 16, 21, 26, 32]
+    for i in range(6):
+        (
+            ev.filter(
+                (F.dayofmonth("ts") >= bounds[i])
+                & (F.dayofmonth("ts") < bounds[i + 1])
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(tmp)
+        )
+    yield tmp
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def drain(stream_df, name, mode):
+    chk = tempfile.mkdtemp(prefix="chk_")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = stream_df.sparkSession.table(name).collect()
+    shutil.rmtree(chk, ignore_errors=True)
+    return out
+
+
+def test_stream_fifo_matches_batch(spark, timed_events):
+    got = drain(
+        stateful.stream_fifo_match(spark, timed_events, max_files_per_trigger=1),
+        "stream_fifo",
+        "append",
+    )
+    stream_pairs = {(r.customerid, r.trans_id, r.redeemid) for r in got}
+    batch = fifo_match(
+        transactions_from_events(spark.read.parquet(timed_events))
+    ).filter(F.col("redeemid").isNotNull())
+    batch_pairs = {
+        (r.customerid, r.trans_id, r.redeemid) for r in batch.collect()
+    }
+    assert stream_pairs == batch_pairs
+    assert len(stream_pairs) > 0
+
+
+def test_stream_fifo_emits_each_match_once(spark, timed_events):
+    got = drain(
+        stateful.stream_fifo_match(spark, timed_events, max_files_per_trigger=1),
+        "stream_fifo_once",
+        "append",
+    )
+    earned_ids = [r.trans_id for r in got]
+    redeem_ids = [r.redeemid for r in got]
+    assert len(earned_ids) == len(set(earned_ids))
+    assert len(redeem_ids) == len(set(redeem_ids))
+
+
+def test_stream_dedup_drops_replayed_batch(spark, timed_events):
+    # replay one batch file into a copy of the source (at-least-once)
+    tmp = tempfile.mkdtemp(prefix="stream_dup_")
+    try:
+        ev = spark.read.parquet(timed_events)
+        ev.coalesce(2).write.mode("append").parquet(tmp)
+        ev.filter(F.dayofmonth("ts") < 6).coalesce(1).write.mode("append").parquet(tmp)
+        got = drain(stateful.stream_dedup(spark, tmp), "stream_dedup", "append")
+        assert len(got) == ev.count()
+        ids = [r.event_id for r in got]
+        assert len(ids) == len(set(ids))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_sessionize_matches_batch_session_window(spark, timed_events):
+    got = drain(
+        stateful.stream_sessionize(spark, timed_events), "stream_sess", "append"
+    )
+    stream_rows = {
+        (r.user_id, r.session_start, r.session_end, r.n_events) for r in got
+    }
+    ev = spark.read.parquet(timed_events)
+    batch = (
+        ev.groupBy(
+            F.session_window(
+                "ts", f"{stateful.SESSION_GAP_MIN} minutes"
+            ).alias("w"),
+            "user_id",
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    # append mode only finalizes sessions the watermark has passed;
+    # sessions inside the final 2h horizon stay in state forever in an
+    # availableNow drain — exclude them from the batch expectation
+    wm = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 2 HOURS")).alias("wm")
+    ).collect()[0].wm
+    batch_rows = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in batch.collect()
+        if r.session_end < wm
+    }
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0

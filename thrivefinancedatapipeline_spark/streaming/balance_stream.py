@@ -41,19 +41,25 @@ EVENT_SCHEMA = StructType(
 )
 
 
-def stream_events(spark: SparkSession, source_dir: str) -> DataFrame:
+def stream_events(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
     """File-source event stream (new parquet files appear in
     source_dir). Schema is pinned — streaming reads can't infer."""
     return (
         spark.readStream.schema(EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", 4)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
 
 
-def stream_transactions(spark: SparkSession, source_dir: str) -> DataFrame:
+def stream_transactions(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
     """Streaming twin of ingest: same projection, streaming source."""
-    return transactions_from_events(stream_events(spark, source_dir))
+    return transactions_from_events(
+        stream_events(spark, source_dir, max_files_per_trigger)
+    )
 
 
 def stream_current_balances(spark: SparkSession, source_dir: str) -> DataFrame:

@@ -1,0 +1,116 @@
+"""Custom stateful streaming operators.
+
+The flagship is `stream_fifo_match`: the reference's core FIFO
+algorithm (reference src/fifo_matching.py:23) as a CONTINUOUS process
+instead of a monthly batch. Spark has no built-in operator for
+"pair the nth A with the nth B per key across time", so this is the
+`applyInPandasWithState` case: per-customer state is the pair of
+unmatched-so-far queues, and each micro-batch emits exactly the
+matches that became determined.
+
+Why queues converge to the batch rank-equality join: batch FIFO is
+"nth redeemer consumes nth earned" per customer (operators/fifo.py).
+Holding the unmatched suffix of each side in state and zipping
+head-to-head as rows arrive produces pair (i, i) exactly once, when
+the later of the two sides arrives — the same pairs, incrementally.
+
+Ordering: rows are sorted within each micro-batch; cross-batch order
+is arrival order. A production deployment fronts this with a
+watermark-delayed sort (emit only below the watermark) to tolerate
+out-of-order sources; the lambda-parity tests feed time-ordered files,
+matching the reference's monthly-export reality.
+
+State size: O(unmatched backlog) per customer — bounded by the same
+earned-surplus the reference's data model guarantees; a runaway key
+is visible as state-store growth, the streaming analogue of the skew
+checks in `operators/skew.py`.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..plans.events_queries import SESSION_GAP_MIN
+from .balance_stream import stream_events, stream_transactions
+
+MATCH_SCHEMA = "customerid long, trans_id long, redeemid long"
+STATE_SCHEMA = "earned array<long>, redeem array<long>"
+
+
+def _fifo_state_fn(key, pdf_iter, state: GroupState):
+    """Per-customer matcher: append sorted arrivals to the unmatched
+    queues, emit zipped pairs, keep the unmatched suffix as state."""
+    if state.exists:
+        earned_q, redeem_q = state.get
+        earned_q, redeem_q = list(earned_q), list(redeem_q)
+    else:
+        earned_q, redeem_q = [], []
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["createdat", "trans_id"])
+        for tid, ttype in zip(pdf["trans_id"], pdf["tctype"]):
+            (earned_q if ttype == "earned" else redeem_q).append(int(tid))
+    n = min(len(earned_q), len(redeem_q))
+    state.update((earned_q[n:], redeem_q[n:]))
+    yield pd.DataFrame(
+        {
+            "customerid": [int(key[0])] * n,
+            "trans_id": earned_q[:n],
+            "redeemid": redeem_q[:n],
+        }
+    )
+
+
+def stream_fifo_match(
+    spark, source_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """Continuous FIFO matching over the event stream. Emits one row
+    per determined match: (customerid, trans_id of the earned row,
+    redeemid of the consuming spent/expired row). Append mode — each
+    match is final the moment it is emitted."""
+    txns = stream_transactions(spark, source_dir, max_files_per_trigger)
+    return txns.groupBy("customerid").applyInPandasWithState(
+        _fifo_state_fn,
+        outputStructType=MATCH_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_dedup(spark, source_dir: str, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once projection of an at-least-once source: drop
+    duplicate event_ids within the watermark horizon. State holds one
+    entry per id inside the horizon and is purged as the watermark
+    advances — bounded, unlike an unwatermarked distinct."""
+    ev = stream_events(spark, source_dir)
+    return ev.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def stream_sessionize(
+    spark, source_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming sessionization: native session_window with the same
+    30-min gap as the batch operator (plans/events_queries). Sessions
+    finalize (append) once the watermark passes their close."""
+    ev = stream_events(spark, source_dir)
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("first_event_id"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "first_event_id",
+        )
+    )
