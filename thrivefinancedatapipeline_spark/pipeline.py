@@ -41,13 +41,32 @@ def run_pipeline(
     sf_dir: str,
     output_dir: str | None = None,
     fail_on_result_violations: bool = False,
+    correlation_id: str | None = None,
+    notify=None,
 ) -> PipelineResult:
-    """Ingest → validate → match → validate → analytics (→ sinks).
+    """Ingest → validate → match → validate → analytics (→ sinks)
+    (→ alerts when `notify` is given, reference send_*_alert parity).
 
     fail_on_result_violations mirrors the reference's hard gate; it
     defaults off because value-unbalanced books are expected on
     arbitrary event data (the reference's own data was balanced).
     """
+    if notify is not None:
+        from . import alerts
+
+        cid = correlation_id or "manual-run"
+        try:
+            result = run_pipeline(
+                spark, sf_dir, output_dir, fail_on_result_violations
+            )
+        except Exception as exc:
+            alerts.send_failure_alert("pipeline", exc, cid, notify)
+            raise
+        alerts.send_success_alert(
+            {"summary_metrics": result.report}, cid, notify
+        )
+        return result
+
     txns = transactions_from_events(load_table(spark, sf_dir, "events"))
 
     source_checks = validate_source(txns).collect()
@@ -70,17 +89,12 @@ def run_pipeline(
     history = balance_history(matched)
     balances = current_balances(history)
 
-    summary_row = balances.agg(
-        F.round(F.sum("current_balance"), 2).alias("total_current_balance"),
-        F.count("*").alias("total_customers"),
-        F.count(F.when(F.col("current_balance") > 0, 1)).alias(
-            "customers_with_positive_balance"
-        ),
-    ).collect()[0]
+    from .analytics import build_report
+
+    full = build_report(txns, balances)
     report = {
-        "total_current_balance": summary_row.total_current_balance,
-        "total_customers": summary_row.total_customers,
-        "customers_with_positive_balance": summary_row.customers_with_positive_balance,
+        **full["summary_metrics"],
+        "top_customers_by_balance": full["top_customers_by_balance"],
         "source_checks_passed": len(source_checks),
     }
 
