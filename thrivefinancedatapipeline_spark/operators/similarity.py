@@ -142,11 +142,10 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_PROBE = 2
 
 
-def _cells(spark, sf_dir):
-    """(vectors, centroids): centroids per label are the deterministic
-    stand-in for a k-means coarse quantizer (at scale: k-means||, same
-    downstream plan). Assignment and probing both rank cells by cosine
-    against these rounded centroids."""
+def _scored_cells(spark, sf_dir):
+    """(vectors, vector×centroid scores): centroids per label are the
+    deterministic stand-in for a k-means coarse quantizer (at scale:
+    k-means||, same downstream plan)."""
     e = _vectors(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     cent = emb.groupBy("label").agg(F.array(*_centroid_cols()).alias("cv"))
@@ -154,11 +153,32 @@ def _cells(spark, sf_dir):
         F.col("label").alias("cell"), "cv",
         F.sqrt(_dot(F.col("cv"), F.col("cv"))).alias("cnrm"),
     )
-    ranked = (
-        e.crossJoin(F.broadcast(cent))
-        .withColumn(
-            "ccos", _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
-        )
+    scored = e.crossJoin(F.broadcast(cent)).withColumn(
+        "ccos", _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
+    )
+    return e, scored
+
+
+def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: vectors assigned to their nearest centroid cell;
+    each query probes its N_PROBE nearest cells and exact-ranks only
+    those candidates. One broadcast of the (tiny) centroid set, one
+    shuffle on cell — the 100 TB shape for billion-vector search.
+
+    Cell assignment is a `max_by` aggregation (partial-aggregable, no
+    per-vector sort); only the tiny query set pays a ranking window
+    for its N_PROBE cells."""
+    e, scored = _scored_cells(spark, sf_dir)
+    # argmax by (ccos, then lowest cell) — struct comparison is
+    # lexicographic, so max(struct(ccos, -cell)) == the window's
+    # (ccos DESC, cell ASC) first row
+    asg = scored.groupBy("vec_id").agg(
+        F.max_by(
+            "cell", F.struct(F.col("ccos"), (-F.col("cell")).alias("negc"))
+        ).alias("cell")
+    ).select(F.col("vec_id").alias("neighbor_id"), "cell")
+    probe = (
+        scored.filter(F.col("vec_id") < N_QUERIES)
         .withColumn(
             "rn",
             F.row_number().over(
@@ -167,22 +187,9 @@ def _cells(spark, sf_dir):
                 )
             ),
         )
+        .filter(F.col("rn") <= N_PROBE)
+        .select(F.col("vec_id").alias("query_id"), "cell")
     )
-    return e, ranked
-
-
-def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: vectors assigned to their nearest centroid cell;
-    each query probes its N_PROBE nearest cells and exact-ranks only
-    those candidates. One broadcast of the (tiny) centroid set, one
-    shuffle on cell — the 100 TB shape for billion-vector search."""
-    e, ranked = _cells(spark, sf_dir)
-    asg = ranked.filter(F.col("rn") == 1).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("cell")
-    )
-    probe = ranked.filter(
-        (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_PROBE)
-    ).select(F.col("vec_id").alias("query_id"), "cell")
     qv = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
