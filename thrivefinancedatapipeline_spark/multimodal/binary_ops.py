@@ -81,6 +81,76 @@ def decode_stub(docs_with_payload: DataFrame, fake: bool = True) -> DataFrame:
     return docs_with_payload.mapInPandas(run, schema=DECODED_SCHEMA)
 
 
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes int, frame_checksum long"
+FRAME_SIZE = 64          # bytes per fake "frame"
+AUDIO_WINDOW = 32        # bytes per fake "audio window"
+
+
+def frame_sample(
+    docs_with_payload: DataFrame, every_n: int = 4
+) -> DataFrame:
+    """Video-style frame sampling: one input payload fans out to one
+    row per kept frame (1→N inside the Pandas batch — the shape real
+    frame extraction has). Frames are fixed-size byte slices; a real
+    deployment swaps the slicer for an ffmpeg keyframe reader with the
+    SAME signature and schema.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_checksum": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = max(1, len(payload) // FRAME_SIZE)
+                for idx in range(0, n_frames, every_n):
+                    chunk = payload[idx * FRAME_SIZE : (idx + 1) * FRAME_SIZE]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_bytes"].append(len(chunk))
+                    out["frame_checksum"].append(sum(chunk) % 1_000_003)
+            yield pd.DataFrame(out)
+
+    return docs_with_payload.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def resize_stub(decoded: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """'Resize' pass over decoded image rows — pure column math on the
+    fake dimensions (a real resize is another mapInPandas kernel; the
+    pipeline position and schema contract are what this pins down)."""
+    return decoded.select(
+        "doc_id",
+        F.lit(target_w).alias("width"),
+        F.lit(target_h).alias("height"),
+        (F.col("checksum") * target_w * target_h % 1_000_003).alias("checksum"),
+    )
+
+
+def audio_energy(docs_with_payload: DataFrame) -> DataFrame:
+    """Audio-style feature extraction: windowed byte-sum 'energy'
+    profile as an array<double> column per payload — the vector-per-
+    asset output shape an embedding/feature extractor produces."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            energies = [
+                [
+                    float(sum(p[i : i + AUDIO_WINDOW]))
+                    for i in range(0, max(len(p), 1), AUDIO_WINDOW)
+                ]
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_windows": [len(e) for e in energies],
+                    "energy": energies,
+                }
+            )
+
+    return docs_with_payload.mapInPandas(
+        run, schema="doc_id long, n_windows int, energy array<double>"
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure-JVM metadata extraction over the binary payload column
     (no Python worker): byte length + md5 prefix as a checksum id."""
@@ -101,9 +171,16 @@ def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_stub(with_binary_payload(docs), fake=True)
 
 
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling path (rows-only: Pandas kernel, no SQL twin)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample(with_binary_payload(docs))
+
+
 QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode_stub": q_multimodal_decode_stub,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
 }
 
 ORACLES = {
