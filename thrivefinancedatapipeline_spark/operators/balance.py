@@ -63,6 +63,51 @@ def current_balances(history: DataFrame) -> DataFrame:
     )
 
 
+def incremental_balance_update(
+    prev_balances: DataFrame, new_txns: DataFrame
+) -> DataFrame:
+    """Fold a new batch of transactions into a prior balance snapshot
+    WITHOUT touching history — the monthly-run pattern at 100 TB: the
+    snapshot is orders of magnitude smaller than the ledger, and the
+    new month is the only data read. One aggregation over the new
+    batch + one key join (broadcast-able when the delta's customer set
+    is small); output schema == current_balances, and equals a full
+    recompute over (old ∪ new) — proven in tests/test_incremental.py.
+    """
+    delta_sum = lambda t: F.sum(  # noqa: E731
+        F.when(F.col("tctype") == t, F.abs(F.col("amount"))).otherwise(0.0)
+    )
+    deltas = new_txns.groupBy(
+        F.col("customerid").alias("customer_id")
+    ).agg(
+        delta_sum("earned").alias("d_earned"),
+        delta_sum("spent").alias("d_spent"),
+        delta_sum("expired").alias("d_expired"),
+    )
+    z = F.lit(0.0)
+    merged = prev_balances.join(deltas, "customer_id", "full_outer")
+    add = lambda cum, d: (  # noqa: E731
+        F.coalesce(F.col(cum), z) + F.coalesce(F.col(d), z)
+    ).alias(cum)
+    e = add("cumulative_earned", "d_earned")
+    s = add("cumulative_spent", "d_spent")
+    x = add("cumulative_expired", "d_expired")
+    return merged.select(
+        "customer_id",
+        (
+            F.coalesce(F.col("cumulative_earned"), z)
+            + F.coalesce(F.col("d_earned"), z)
+            - F.coalesce(F.col("cumulative_spent"), z)
+            - F.coalesce(F.col("d_spent"), z)
+            - F.coalesce(F.col("cumulative_expired"), z)
+            - F.coalesce(F.col("d_expired"), z)
+        ).alias("current_balance"),
+        e,
+        s,
+        x,
+    )
+
+
 def balance_asof(history: DataFrame, asof: str) -> DataFrame:
     """Balance as of a date (sample_queries.sql Q1): last history row
     with transaction_date <= asof, per customer."""

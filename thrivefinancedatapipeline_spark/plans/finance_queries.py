@@ -305,9 +305,28 @@ def q_validate_results_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_balance_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly-fold pattern: balances = snapshot(before ASOF) ⊕ deltas
+    (after ASOF), via operators.balance.incremental_balance_update.
+    The oracle is the FULL recompute over all transactions — a
+    cross-formulation equivalence check, not a restatement."""
+    from ..operators.balance import incremental_balance_update
+
+    txns = _txns(spark, sf_dir)
+    cutoff = F.lit(ASOF).cast("timestamp")
+    snapshot = current_balances(
+        balance_history(txns.filter(F.col("createdat") < cutoff))
+    )
+    updated = incremental_balance_update(
+        snapshot, txns.filter(F.col("createdat") >= cutoff)
+    )
+    return _round_money(updated, MONEY)
+
+
 QUERIES = {
     "ingest_transactions": q_ingest_transactions,
     "fifo_matching": q_fifo_matching,
+    "incremental_balance_update": q_incremental_balance_update,
     "validate_results_summary": q_validate_results_summary,
     "balance_history": q_balance_history,
     "current_balances": q_current_balances,
@@ -348,6 +367,9 @@ SELECT customer_id, transaction_date, transaction_id, transaction_type,
        ROUND(current_balance, 2) AS current_balance
 FROM history""",
     "current_balances": f"{PRELUDE} SELECT * FROM current_balances",
+    "incremental_balance_update": (
+        f"{PRELUDE} SELECT * FROM current_balances"
+    ),
     "analytics_summary": f"""{PRELUDE}
 SELECT * FROM (
   SELECT ROUND(SUM(CASE WHEN tctype='earned' THEN amount ELSE 0 END), 2) AS total_earned,
