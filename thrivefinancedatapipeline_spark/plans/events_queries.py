@@ -60,6 +60,40 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MOVING_DAYS = 7
+
+
+def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average of daily value per event_type — the
+    trend-smoothing window every ops dashboard runs. Two-level plan:
+    daily exact-cents aggregate first (shrinks the window input by
+    ~1000×), then a rangeBetween frame over day numbers so gaps in the
+    calendar don't silently widen the frame. The moving sum stays in
+    integer cents — bit-identical across engines and partitionings."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("d"), "event_type"
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        F.count("*").alias("n_events"),
+    )
+    dnum = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(dnum)
+        .rangeBetween(-(MOVING_DAYS - 1), 0)
+    )
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.round(F.col("cents").cast("double") / 100, 2).alias("day_value"),
+        F.round(
+            F.sum("cents").over(w).cast("double") / 100 / F.count("*").over(w), 4
+        ).alias("moving_avg_value"),
+        F.sum("n_events").over(w).alias("moving_events"),
+    )
+
+
 def q_event_type_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily per-type event stats with exact fixed-point value sums."""
     ev = load_table(spark, sf_dir, "events")
@@ -98,6 +132,7 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "events_windowed_agg": q_events_windowed_agg,
     "events_sessionize": q_events_sessionize,
+    "events_moving_avg": q_events_moving_avg,
     "event_type_daily_stats": q_event_type_daily_stats,
     "events_json_props": q_events_json_props,
 }
@@ -111,6 +146,21 @@ _VAL_SUM = ("ROUND(CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE)"
             " / 100, 2)")
 
 ORACLES = {
+    "events_moving_avg": f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, event_type,
+         SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS cents,
+         COUNT(*) AS n_events
+  FROM events GROUP BY d, event_type)
+SELECT strftime(d, '%Y-%m-%d') AS day, event_type,
+       ROUND(CAST(cents AS DOUBLE) / 100, 2) AS day_value,
+       ROUND(CAST(SUM(cents) OVER w AS DOUBLE) / 100
+             / COUNT(*) OVER w, 4) AS moving_avg_value,
+       SUM(n_events) OVER w AS moving_events
+FROM daily
+WINDOW w AS (PARTITION BY event_type
+             ORDER BY datediff('day', DATE '1970-01-01', d)
+             RANGE BETWEEN {MOVING_DAYS - 1} PRECEDING AND CURRENT ROW)""",
     "events_windowed_agg": f"""
 WITH {_EV}
 SELECT DATE_TRUNC('hour', ts) AS window_start,

@@ -197,11 +197,178 @@ def q_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NATION_A, NATION_B = "NATION_3", "NATION_7"
+
+
+def q_tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: shipping volume between two nations by year (supplier
+    nation × customer nation, both directions). Both nation joins are
+    broadcasts; the only shuffles are lineitem⋈orders and the agg."""
+    nation = _t(spark, sf_dir, "nation")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(n1), supp["s_nationkey"] == F.col("s_nkey"))
+        .join(F.broadcast(n2), cust["c_nationkey"] == F.col("c_nkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == NATION_A)
+                & (F.col("cust_nation") == NATION_B)
+            )
+            | (
+                (F.col("supp_nation") == NATION_B)
+                & (F.col("cust_nation") == NATION_A)
+            )
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(_money(_exact_sum(_revenue_s()), 10000).alias("revenue"))
+
+
+def q_tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: histogram of customers by order count (left join so
+    zero-order customers land in the c_count=0 bucket)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").alias("custdist")
+    )
+
+
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with max revenue in a quarter. The max
+    is a global window over the already-aggregated (tiny) relation —
+    ties kept, as in the spec."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        _money(_exact_sum(_revenue_s()), 10000).alias("total_revenue")
+    )
+    top = rev.withColumn(
+        "max_rev", F.max("total_revenue").over(Window.partitionBy())
+    ).filter(F.col("total_revenue") == F.col("max_rev"))
+    return top.join(F.broadcast(supp), top["l_suppkey"] == supp["s_suppkey"]).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
+Q17_BRAND = "Brand#1"
+
+
+def q_tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: yearly revenue lost to small orders — lineitems of a
+    brand below 20% of the part's average quantity. The per-part avg
+    is a broadcast-joined aggregate, not a correlated subquery."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == Q17_BRAND)
+    li = _t(spark, sf_dir, "lineitem")
+    li_brand = li.join(
+        F.broadcast(part.select("p_partkey")),
+        li["l_partkey"] == F.col("p_partkey"),
+    )
+    avg_qty = li_brand.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cut")
+    )
+    return (
+        li_brand.join(F.broadcast(avg_qty), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            F.round(_exact_sum(_cents("l_extendedprice")) / 100.0 / 7.0, 2)
+            .alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: disjunctive brand/size/quantity predicates — the
+    OR-of-ANDs shape that exercises filter pushdown through a join."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 10))
+            & (F.col("l_quantity").between(1, 15))
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(1, 20))
+            & (F.col("l_quantity").between(10, 25))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(1, 30))
+            & (F.col("l_quantity").between(20, 35))
+        )
+    )
+    return j.filter(cond).agg(
+        _money(_exact_sum(_revenue_s()), 10000).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+Q22_SINCE = "1999-01-01"
+
+
+def q_tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 analog: per market segment, customers with
+    above-average positive balance and no RECENT orders (anti-join
+    against the filtered fact — the filter pushes below the join)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(Q22_SINCE).cast("timestamp")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    no_orders = rich.join(
+        orders, rich["c_custkey"] == orders["o_custkey"], "left_anti"
+    )
+    return no_orders.groupBy("c_mktsegment").agg(
+        F.count("*").alias("numcust"),
+        _money(_exact_sum(_cents("c_acctbal")), 100).alias("totacctbal"),
+    )
+
+
 QUERIES = {
     "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
     "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
     "tpch_q5_local_supplier_volume": q_tpch_q5_local_supplier_volume,
     "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
+    "tpch_q7_nation_volume": q_tpch_q7_nation_volume,
+    "tpch_q13_customer_distribution": q_tpch_q13_customer_distribution,
+    "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+    "tpch_q17_small_quantity_revenue": q_tpch_q17_small_quantity_revenue,
+    "tpch_q19_discounted_revenue": q_tpch_q19_discounted_revenue,
+    "tpch_q22_global_sales_opportunity": q_tpch_q22_global_sales_opportunity,
     "order_priority_counts": q_order_priority_counts,
     "part_brand_revenue": q_part_brand_revenue,
     "customer_order_stats": q_customer_order_stats,
@@ -282,4 +449,72 @@ SELECT c_custkey, c_name, c_mktsegment,
        MAX(o_orderdate) AS last_order_date
 FROM customer JOIN orders ON c_custkey = o_custkey
 GROUP BY c_custkey, c_name, c_mktsegment""",
+    "tpch_q7_nation_volume": f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       ROUND(CAST(SUM({REVENUE_S_SQL}) AS DOUBLE) / 10000, 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = '{NATION_A}' AND n2.n_name = '{NATION_B}')
+   OR (n1.n_name = '{NATION_B}' AND n2.n_name = '{NATION_A}')
+GROUP BY supp_nation, cust_nation, l_year""",
+    "tpch_q13_customer_distribution": """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                   AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust GROUP BY c_count""",
+    "tpch_q15_top_supplier": f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         ROUND(CAST(SUM({REVENUE_S_SQL}) AS DOUBLE) / 10000, 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)""",
+    "tpch_q17_small_quantity_revenue": f"""
+WITH li_brand AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = '{Q17_BRAND}'),
+cut AS (SELECT l_partkey, AVG(l_quantity) * 0.2 AS qty_cut
+        FROM li_brand GROUP BY l_partkey)
+SELECT ROUND(CAST(SUM({_P}) AS DOUBLE) / 100 / 7.0, 2) AS avg_yearly,
+       COUNT(*) AS n_items
+FROM li_brand JOIN cut USING (l_partkey)
+WHERE l_quantity < qty_cut""",
+    "tpch_q19_discounted_revenue": f"""
+SELECT ROUND(CAST(SUM({REVENUE_S_SQL}) AS DOUBLE) / 10000, 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+       AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+       AND l_quantity BETWEEN 20 AND 35)""",
+    "tpch_q22_global_sales_opportunity": f"""
+WITH rich AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal
+  FROM customer
+  WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)),
+no_orders AS (
+  SELECT * FROM rich
+  WHERE c_custkey NOT IN (
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{Q22_SINCE} 00:00:00'))
+SELECT c_mktsegment, COUNT(*) AS numcust,
+       ROUND(CAST(SUM({_sql_cents('c_acctbal')}) AS DOUBLE) / 100, 2)
+         AS totacctbal
+FROM no_orders GROUP BY c_mktsegment""",
 }
