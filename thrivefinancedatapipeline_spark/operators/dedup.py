@@ -328,31 +328,24 @@ COSINE_TAU = 0.45  # synthetic embeddings top out near 0.5
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate id pairs by embedding cosine >= tau (exact
     all-pairs at test SF; the LSH path for scale is knn_lsh)."""
+    from ..functions.vector import as_double_vec, cosine, norm
+
     emb = load_table(spark, sf_dir, "embeddings")
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    dot_self = F.aggregate(
-        F.zip_with(v, v, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    e = emb.select(
-        "vec_id", v.alias("v"), F.sqrt(dot_self).alias("nrm")
-    )
+    v = as_double_vec(F.col("embedding"))
+    e = emb.select("vec_id", v.alias("v"), norm(v).alias("nrm"))
     e1 = e.select(
         F.col("vec_id").alias("vec_id_1"), F.col("v").alias("v1"), F.col("nrm").alias("n1")
     )
     e2 = e.select(
         F.col("vec_id").alias("vec_id_2"), F.col("v").alias("v2"), F.col("nrm").alias("n2")
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("v1"), F.col("v2"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     return (
         e1.crossJoin(e2)
         .filter(F.col("vec_id_1") < F.col("vec_id_2"))
-        .withColumn("cos", dot / (F.col("n1") * F.col("n2")))
+        .withColumn(
+            "cos",
+            cosine(F.col("v1"), F.col("v2"), F.col("n1"), F.col("n2")),
+        )
         .filter(F.col("cos") >= COSINE_TAU)
         .select("vec_id_1", "vec_id_2")
     )

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..datamodel import load_table
+from ..functions.vector import as_double_vec, dot as _dot_v, norm as _norm_v
 
 N_QUERIES = 10   # query set: vec_id < 10
 TOP_K = 10
@@ -38,17 +39,12 @@ PLANES = [[_plane_sign(j, i) for i in range(DIM)] for j in range(N_PLANES)]
 
 def _vectors(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    dot_self = F.aggregate(
-        F.zip_with(v, v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-    )
-    return emb.select("vec_id", v.alias("v"), F.sqrt(dot_self).alias("nrm"))
+    v = as_double_vec(F.col("embedding"))
+    return emb.select("vec_id", v.alias("v"), _norm_v(v).alias("nrm"))
 
 
 def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
+    return _dot_v(a, b)
 
 
 def q_knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
