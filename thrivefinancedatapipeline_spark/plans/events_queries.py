@@ -94,6 +94,64 @@ def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: signup → first click after signup → first
+    purchase after that click, per user; output is the stage-reach
+    table every growth dashboard needs. One aggregation per user
+    (conditional min-timestamps — no self-joins), then a count rollup.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("t_click")
+    )
+    first_click = (
+        clicks.join(per_user, "user_id")
+        .filter(F.col("t_click") >= F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("t_click").alias("t_first_click"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("t_buy")
+    )
+    first_buy = (
+        purchases.join(first_click, "user_id")
+        .filter(F.col("t_buy") >= F.col("t_first_click"))
+        .groupBy("user_id")
+        .agg(F.min("t_buy").alias("t_first_buy"))
+    )
+    stages = (
+        per_user.join(first_click, "user_id", "left")
+        .join(first_buy, "user_id", "left")
+    )
+    return stages.agg(
+        F.count(F.col("t_signup")).alias("n_signup"),
+        F.count(F.col("t_first_click")).alias("n_click_after_signup"),
+        F.count(F.col("t_first_buy")).alias("n_purchase_after_click"),
+    )
+
+
+def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted per
+    active-day offset — the (cohort × day) retention triangle. Two
+    aggregations; the cohort map rides a broadcast join."""
+    ev = load_table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    active = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    return (
+        active.join(F.broadcast(first_day), "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_active_users"))
+    )
+
+
 def q_event_type_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily per-type event stats with exact fixed-point value sums."""
     ev = load_table(spark, sf_dir, "events")
@@ -133,6 +191,8 @@ QUERIES = {
     "events_windowed_agg": q_events_windowed_agg,
     "events_sessionize": q_events_sessionize,
     "events_moving_avg": q_events_moving_avg,
+    "events_funnel": q_events_funnel,
+    "events_cohort_retention": q_events_cohort_retention,
     "event_type_daily_stats": q_event_type_daily_stats,
     "events_json_props": q_events_json_props,
 }
@@ -146,6 +206,36 @@ _VAL_SUM = ("ROUND(CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE)"
             " / 100, 2)")
 
 ORACLES = {
+    "events_funnel": """
+WITH su AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
+  FROM events GROUP BY user_id),
+fc AS (
+  SELECT e.user_id, MIN(e.ts) AS t_first_click
+  FROM events e JOIN su ON e.user_id = su.user_id
+  WHERE e.event_type = 'click' AND e.ts >= su.t_signup
+  GROUP BY e.user_id),
+fb AS (
+  SELECT e.user_id, MIN(e.ts) AS t_first_buy
+  FROM events e JOIN fc ON e.user_id = fc.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= fc.t_first_click
+  GROUP BY e.user_id)
+SELECT COUNT(su.t_signup) AS n_signup,
+       COUNT(fc.t_first_click) AS n_click_after_signup,
+       COUNT(fb.t_first_buy) AS n_purchase_after_click
+FROM su
+LEFT JOIN fc ON su.user_id = fc.user_id
+LEFT JOIN fb ON su.user_id = fb.user_id""",
+    "events_cohort_retention": """
+WITH first_day AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+  FROM events GROUP BY user_id),
+active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+       CAST(datediff('day', cohort_day, day) AS INT) AS day_offset,
+       COUNT(*) AS n_active_users
+FROM active JOIN first_day USING (user_id)
+GROUP BY cohort, day_offset""",
     "events_moving_avg": f"""
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS d, event_type,
