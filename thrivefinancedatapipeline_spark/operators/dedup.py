@@ -178,24 +178,24 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _verified_pairs(cand, sh)
 
 
+#: one CASE term per bit: the ±1 sum is a higher-order aggregate over
+#: the per-doc token-hash ARRAY — no explode, no shuffle; simhash is a
+#: pure projection over the scan (the groupBy formulation shuffles
+#: |tokens| rows to recombine what was already row-local).
+_SIM_BIT_TERMS = " + ".join(
+    f"(CASE WHEN aggregate(hs, 0, (acc, h) -> acc + "
+    f"(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+    f"THEN {1 << i} ELSE 0 END)"
+    for i in range(SIMHASH_BITS)
+)
+
+
 def _simhash_df(docs: DataFrame) -> DataFrame:
-    tok = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(tokens(F.col("text")))).alias("t"),
+    toks = F.array_distinct(tokens(F.col("text")))
+    hs = F.transform(toks, md5_long)
+    return docs.select("doc_id", hs.alias("hs")).select(
+        "doc_id", F.expr(f"CAST({_SIM_BIT_TERMS} AS BIGINT)").alias("simhash")
     )
-    hashed = tok.select("doc_id", md5_long(F.col("t")).alias("h"))
-    bit_aggs = [
-        F.sum(
-            F.when(F.expr(f"(h >> {i}) & 1") == 1, 1).otherwise(-1)
-        ).alias(f"s{i}")
-        for i in range(SIMHASH_BITS)
-    ]
-    sums = hashed.groupBy("doc_id").agg(*bit_aggs)
-    simhash = None
-    for i in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        simhash = term if simhash is None else simhash + term
-    return sums.select("doc_id", simhash.cast("long").alias("simhash"))
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
