@@ -66,6 +66,34 @@ def test_asof_keys_are_independent(spark):
     assert out == {1: 1.0, 2: 9.0}
 
 
+def test_asof_forward_picks_earliest_at_or_after(spark):
+    trades = spark.createDataFrame(
+        [(1, "k", ts("10:00:00")), (2, "k", ts("10:07:00"))],
+        "trade_id long, sym string, trade_ts string",
+    ).withColumn("trade_ts", F.col("trade_ts").cast("timestamp"))
+    quotes = spark.createDataFrame(
+        [("k", ts("09:59:00"), 1.0), ("k", ts("10:00:00"), 2.0),
+         ("k", ts("10:05:00"), 3.0)],
+        "sym string, quote_ts string, px double",
+    ).withColumn("quote_ts", F.col("quote_ts").cast("timestamp"))
+    out = {
+        r.trade_id: r.px
+        for r in asof_join(
+            trades, quotes, on=["sym"], left_ts="trade_ts",
+            right_ts="quote_ts", direction="forward",
+        ).collect()
+    }
+    # equal timestamp matches (>=); trade 2 has nothing after → null
+    assert out == {1: 2.0, 2: None}
+
+
+def test_asof_rejects_bad_direction(spark):
+    df = spark.createDataFrame([(1, "k")], "x long, sym string")
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(df, df, on=["sym"], left_ts="x", right_ts="x",
+                  direction="sideways")
+
+
 def test_asof_rejects_column_collision(spark):
     df = spark.createDataFrame([(1, "k")], "x long, sym string")
     with pytest.raises(ValueError, match="collision"):

@@ -37,14 +37,20 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """As-of join `left` to the latest `right` row at-or-before it.
+    """As-of join `left` to the latest `right` row at-or-before it
+    (direction='backward', the default) or the earliest at-or-after
+    (direction='forward' — e.g. time-to-next-event analyses).
 
     Returns all left columns plus every non-key right column (null
-    when no right row precedes the left row). Non-key column names
-    must not collide between the two inputs. With `right_tiebreak`,
-    equal-time right rows resolve to the max of that column.
+    when no right row precedes/follows the left row). Non-key column
+    names must not collide between the two inputs. With
+    `right_tiebreak`, equal-time right rows resolve to the max
+    (backward) / min (forward) of that column.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
     on = list(on)
     lpay = [c for c in left.columns if c not in on]
     rpay = [c for c in right.columns if c not in on]
@@ -57,34 +63,41 @@ def asof_join(
     r_type = right.select(r_struct.alias("s")).schema["s"].dataType
     l_type = left.select(l_struct.alias("s")).schema["s"].dataType
 
+    backward = direction == "backward"
+    # backward: right sorts BEFORE left at equal __t (ASOF `<=`) and
+    # the window looks back; forward: right sorts AFTER left (`>=`)
+    # and the window looks ahead.
+    left_side, right_side = (1, 0) if backward else (0, 1)
     tagged_left = left.select(
         *on,
         F.col(left_ts).alias("__t"),
-        F.lit(1).alias("__side"),
+        F.lit(left_side).alias("__side"),
         l_struct.alias("__l"),
         F.lit(None).cast(r_type).alias("__r"),
     )
     tagged_right = right.select(
         *on,
         F.col(right_ts).alias("__t"),
-        F.lit(0).alias("__side"),
+        F.lit(right_side).alias("__side"),
         F.lit(None).cast(l_type).alias("__l"),
         r_struct.alias("__r"),
     )
-    # side=0 sorts before side=1 at equal __t → ASOF `<=`, not `<`.
     order = [F.col("__t"), F.col("__side")]
     if right_tiebreak is not None:
-        # ascending → the max-tiebreak right row sorts last and wins
+        # backward: ascending → max-tiebreak row sorts last and wins
+        # (last());  forward: ascending → min-tiebreak wins (first())
         order.append(F.col("__r")[right_tiebreak])
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    w = Window.partitionBy(*on).orderBy(*order)
+    if backward:
+        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pick = F.last("__r", ignorenulls=True)
+    else:
+        w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        pick = F.first("__r", ignorenulls=True)
     return (
         tagged_left.unionByName(tagged_right)
-        .withColumn("__rm", F.last("__r", ignorenulls=True).over(w))
-        .filter(F.col("__side") == 1)
+        .withColumn("__rm", pick.over(w))
+        .filter(F.col("__side") == left_side)
         .select(
             *on,
             *[F.col("__l")[c].alias(c) for c in lpay],

@@ -322,6 +322,26 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filtered corpus itself: only the canonical (min-id) survivor
+    of each exact-duplicate group — what a training pipeline actually
+    feeds downstream. Pure window + filter: the dedup decision never
+    leaves the executor that computed it."""
+    docs = _docs(spark, sf_dir)
+    hashed = docs.select(
+        "doc_id", "lang", "source",
+        F.md5(normalize(F.col("text"))).alias("content_hash"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("content_hash")
+    return (
+        hashed.withColumn("canonical_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("canonical_id"))
+        .select("doc_id", "lang", "source")
+    )
+
+
 COSINE_TAU = 0.45  # synthetic embeddings top out near 0.5
 
 
@@ -358,6 +378,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_keep_canonical": q_dedup_keep_canonical,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
 }
 
@@ -469,6 +490,14 @@ SELECT doc_id_1, doc_id_2,
        CAST(bit_count(xor(sim1, sim2)) AS INT) AS hamming
 FROM cand
 WHERE bit_count(xor(sim1, sim2)) <= {SIM_HAM_MAX}""",
+    "dedup_keep_canonical": f"""
+WITH hashed AS (SELECT doc_id, lang, source, md5({_NORM}) AS content_hash
+                FROM documents)
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         MIN(doc_id) OVER (PARTITION BY content_hash) AS canonical_id
+  FROM hashed)
+WHERE doc_id = canonical_id""",
     "dedup_clusters": f"""
 WITH RECURSIVE {_SIMHASH_CTES},
 bands AS ({_SIM_BAND_SELECTS}),

@@ -78,6 +78,37 @@ def q_asof_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each purchase matched to the user's NEXT error
+    event at-or-after it (time-to-failure analysis). Same single
+    window shuffle as the backward form, frame reversed."""
+    from ..operators.asof import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("error_ts"),
+        F.col("event_id").alias("error_id"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    return asof_join(
+        purchases, errors, on=["user_id"],
+        left_ts="purchase_ts", right_ts="error_ts",
+        right_tiebreak="error_id", direction="forward",
+    ).select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        "error_id",
+        "error_ts",
+        (F.unix_micros(F.col("error_ts")) - F.unix_micros(F.col("purchase_ts")))
+        .alias("micros_to_error"),
+    )
+
+
 def q_range_join_touch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Touches in the hour before each purchase (interval join).
 
@@ -283,6 +314,7 @@ def q_tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "asof_last_touch": q_asof_last_touch,
+    "asof_next_error": q_asof_next_error,
     "range_join_touch_counts": q_range_join_touch_counts,
     "revenue_rollup": q_revenue_rollup,
     "daily_event_pivot": q_daily_event_pivot,
@@ -322,6 +354,17 @@ SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
        epoch_us(p.ts) - epoch_us(t.ts) AS micros_since_touch
 FROM purchases p ASOF LEFT JOIN touches t
   ON p.user_id = t.user_id AND t.ts <= p.ts""",
+    "asof_next_error": """
+WITH errs AS (SELECT user_id, ts, MIN(event_id) AS error_id
+              FROM events WHERE event_type = 'error'
+              GROUP BY user_id, ts),
+p AS (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase')
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+       e.error_id, e.ts AS error_ts,
+       epoch_us(e.ts) - epoch_us(p.ts) AS micros_to_error
+FROM p ASOF LEFT JOIN errs e
+  ON p.user_id = e.user_id AND e.ts >= p.ts""",
     "range_join_touch_counts": """
 WITH t AS (SELECT user_id, ts FROM events
            WHERE event_type IN ('click','view')),
