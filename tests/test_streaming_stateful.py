@@ -95,6 +95,59 @@ def test_stream_dedup_drops_replayed_batch(spark, timed_events):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_stream_static_enrichment_matches_batch_join(spark, sf_dir, timed_events):
+    from thrivefinancedatapipeline_spark.datamodel import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    got = drain(
+        stateful.stream_enriched_events(spark, timed_events, cust),
+        "stream_enrich",
+        "append",
+    )
+    ev = spark.read.parquet(timed_events)
+    batch = ev.join(
+        cust.select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        ),
+        "user_id",
+        "left",
+    )
+    assert len(got) == batch.count()
+    got_seg = {(r.event_id, r.segment) for r in got}
+    want_seg = {(r.event_id, r.segment) for r in batch.collect()}
+    assert got_seg == want_seg
+
+
+def test_stream_stream_interval_join_matches_batch(spark, timed_events):
+    got = drain(
+        stateful.stream_purchase_attribution(spark, timed_events),
+        "stream_attr",
+        "append",
+    )
+    stream_pairs = {(r.purchase_id, r.touch_id) for r in got}
+    ev = spark.read.parquet(timed_events)
+    t = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"), F.col("ts").alias("touch_ts"),
+        F.col("event_id").alias("touch_id"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    batch = p.join(
+        t,
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("touch_ts") < F.col("purchase_ts"))
+        & (F.col("touch_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    batch_pairs = {(r.purchase_id, r.touch_id) for r in batch.collect()}
+    # inner interval join emits matches as both sides arrive; with
+    # time-ordered input every batch match is eventually emitted
+    assert stream_pairs == batch_pairs
+    assert len(stream_pairs) > 0
+
+
 def test_stream_sessionize_matches_batch_session_window(spark, timed_events):
     got = drain(
         stateful.stream_sessionize(spark, timed_events), "stream_sess", "append"

@@ -1,0 +1,69 @@
+"""CLI: run any registered query or the full pipeline from a shell.
+
+    python -m thrivefinancedatapipeline_spark list
+    python -m thrivefinancedatapipeline_spark run balance_asof \
+        --sf-dir /root/testdata/sf0.01 --limit 20
+    python -m thrivefinancedatapipeline_spark pipeline --output /tmp/out
+
+The operational surface the reference exposes through Airflow task
+runs, re-expressed as a plain entry point.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.01"
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="thrivefinancedatapipeline_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="list registered queries")
+
+    runp = sub.add_parser("run", help="run one query and print rows")
+    runp.add_argument("query")
+    runp.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    runp.add_argument("--limit", type=int, default=20)
+
+    pipep = sub.add_parser("pipeline", help="run the end-to-end pipeline")
+    pipep.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    pipep.add_argument("--output", default=None)
+
+    args = p.parse_args(argv)
+
+    from .registry import all_queries
+
+    queries = all_queries()
+    if args.cmd == "list":
+        for name in sorted(queries):
+            print(name)
+        return 0
+
+    from .session import get_spark
+
+    spark = get_spark("cli")
+    if args.cmd == "run":
+        if args.query not in queries:
+            print(f"unknown query {args.query!r}; try `list`", file=sys.stderr)
+            return 2
+        df = queries[args.query](spark, args.sf_dir)
+        df.show(args.limit, truncate=False)
+        return 0
+
+    from .pipeline import run_pipeline
+
+    result = run_pipeline(spark, args.sf_dir, output_dir=args.output)
+    report = {
+        k: v for k, v in result.report.items()
+        if k != "top_customers_by_balance"
+    }
+    print(json.dumps(report, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -80,6 +80,59 @@ def stream_fifo_match(
     )
 
 
+def stream_enriched_events(
+    spark, source_dir: str, customer_dim: DataFrame
+) -> DataFrame:
+    """Stream-static join: enrich the event stream with a dimension
+    table. The static side broadcasts per micro-batch — no state, no
+    watermark needed; the standard pattern for attaching slowly-
+    changing reference data to a 100 TB/day stream."""
+    ev = stream_events(spark, source_dir)
+    dim = customer_dim.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    return ev.join(F.broadcast(dim), "user_id", "left")
+
+
+def stream_purchase_attribution(
+    spark, source_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: purchases matched to same-user
+    touches (click/view) in the preceding hour. Both sides are
+    watermarked so the join state is bounded: a touch can be dropped
+    once the watermark passes its ts + 1h. The streaming twin of
+    `plans/advanced.q_range_join_touch_counts`'s match step."""
+    ev = stream_events(spark, source_dir)
+    touches = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .select(
+            F.col("user_id").alias("t_user"),
+            F.col("ts").alias("touch_ts"),
+            F.col("event_id").alias("touch_id"),
+        )
+        .withWatermark("touch_ts", watermark)
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        touches,
+        F.expr(
+            "p_user = t_user AND "
+            "touch_ts < purchase_ts AND "
+            "touch_ts >= purchase_ts - INTERVAL 1 HOUR"
+        ),
+    ).select("purchase_id", "touch_id", "purchase_ts", "touch_ts")
+
+
 def stream_dedup(spark, source_dir: str, watermark: str = "1 hour") -> DataFrame:
     """Exactly-once projection of an at-least-once source: drop
     duplicate event_ids within the watermark horizon. State holds one
