@@ -67,3 +67,25 @@ def test_sample_filter_is_scan_level(spark, sf_dir):
 
     plan = explain(sampling.q_sample_documents_hash(spark, sf_dir))
     assert "Exchange" not in plan  # pure filter+project: no shuffle at all
+
+
+def test_range_join_is_not_cartesian(spark, sf_dir):
+    plan = explain(advanced.q_range_join_touch_counts(spark, sf_dir), "simple")
+    # the hour-bucket trick must produce equi-joins, never a
+    # nested-loop/cartesian expansion
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_is_shuffle_free(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.operators import dedup
+
+    assert exchanges(dedup.q_dedup_simhash(spark, sf_dir)) == 0
+
+
+def test_event_filters_push_to_scan(spark, sf_dir):
+    plan = explain(advanced.q_asof_last_touch(spark, sf_dir))
+    # event_type predicates must reach the parquet scan on both sides
+    assert plan.count("PushedFilters: [") >= 1
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "event_type" in pushed

@@ -114,6 +114,19 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of predicted vs labeled language — the
+    eval-harness query that quantifies the heuristic's accuracy on a
+    labeled corpus (one extra groupBy over lang_id's output)."""
+    pred = q_text_lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return (
+        docs.join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit content fingerprint of the normalized text."""
     docs = _docs(spark, sf_dir)
@@ -127,6 +140,7 @@ QUERIES = {
     "text_token_count": q_text_token_count,
     "text_quality_score": q_text_quality_score,
     "text_lang_id": q_text_lang_id,
+    "text_lang_confusion": q_text_lang_confusion,
     "text_fingerprint": q_text_fingerprint,
 }
 
@@ -183,4 +197,12 @@ SELECT doc_id, {", ".join(f"hits_{lang}" for lang in LANG_ORDER)},
 FROM h""",
     "text_fingerprint": f"""
 SELECT doc_id, {md5_long_sql(_NORM)} AS fingerprint FROM documents""",
+    "text_lang_confusion": f"""
+WITH d AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+h AS (SELECT doc_id, lang,
+             {", ".join(f"CAST({_stop_sql(lang)} AS INT) AS hits_{lang}" for lang in LANG_ORDER)}
+      FROM d),
+p AS (SELECT doc_id, lang, {_LANG_CASE} AS pred_lang FROM h)
+SELECT lang, pred_lang, COUNT(*) AS n_docs
+FROM p GROUP BY lang, pred_lang""",
 }
