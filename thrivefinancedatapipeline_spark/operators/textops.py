@@ -9,7 +9,7 @@ the DuckDB oracles are bit-exact.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..datamodel import load_table
@@ -136,7 +136,46 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_TOP_N = 100
+HIST_BUCKET = 200  # chars per length bucket
+
+
+def q_corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N corpus vocabulary with document frequencies — the first
+    pass of BPE/tokenizer training. The canonical map-reduce: explode
+    is map-local, both counts partial-aggregate before the one shuffle
+    on the (uniform) token key; top-N is a tiny ranked tail."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    counts = tok.groupBy("token").agg(
+        F.count("*").alias("term_freq"),
+        F.count_distinct("doc_id").alias("doc_freq"),
+    )
+    w = Window.orderBy(F.col("term_freq").desc(), F.col("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= VOCAB_TOP_N)
+        .select("rank", "token", "term_freq", "doc_freq")
+    )
+
+
+def q_corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution in fixed-width buckets — the
+    one-scan shape check run before filtering thresholds are chosen."""
+    docs = _docs(spark, sf_dir)
+    bucket = (F.length("text") / HIST_BUCKET).cast("long") * HIST_BUCKET
+    return docs.groupBy(bucket.alias("len_bucket")).agg(
+        F.count("*").alias("n_docs"),
+        F.min(F.length("text")).cast("long").alias("min_len"),
+        F.max(F.length("text")).cast("long").alias("max_len"),
+    )
+
+
 QUERIES = {
+    "corpus_vocabulary": q_corpus_vocabulary,
+    "corpus_length_histogram": q_corpus_length_histogram,
     "text_token_count": q_text_token_count,
     "text_quality_score": q_text_quality_score,
     "text_lang_id": q_text_lang_id,
@@ -162,6 +201,24 @@ for _lang in LANG_ORDER:
 _LANG_CASE += "ELSE 'und' END"
 
 ORACLES = {
+    "corpus_vocabulary": f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+counts AS (
+  SELECT token, COUNT(*) AS term_freq,
+         COUNT(DISTINCT doc_id) AS doc_freq
+  FROM tok GROUP BY token)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY term_freq DESC, token) AS INT) AS rank,
+       token, term_freq, doc_freq
+FROM counts
+QUALIFY rank <= {VOCAB_TOP_N}""",
+    "corpus_length_histogram": f"""
+SELECT CAST(length(text) // {HIST_BUCKET} AS BIGINT) * {HIST_BUCKET}
+         AS len_bucket,
+       COUNT(*) AS n_docs,
+       CAST(MIN(length(text)) AS BIGINT) AS min_len,
+       CAST(MAX(length(text)) AS BIGINT) AS max_len
+FROM documents GROUP BY len_bucket""",
     "text_token_count": f"""
 WITH d AS (SELECT doc_id, {_TOKS} AS toks, {_NORM} AS norm FROM documents)
 SELECT doc_id,
