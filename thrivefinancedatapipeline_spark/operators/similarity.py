@@ -163,7 +163,11 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cell assignment is a `max_by` aggregation (partial-aggregable, no
     per-vector sort); only the tiny query set pays a ranking window
-    for its N_PROBE cells."""
+    for its N_PROBE cells. The scored relation feeds both the
+    assignment and the probe; recomputing it beats caching — the
+    relation is dominated by 64-double array columns, and columnar
+    cache materialization of wide arrays costs more than the
+    (pipelined, pruned) recompute. Measured, not assumed."""
     e, scored = _scored_cells(spark, sf_dir)
     # argmax by (ccos, then lowest cell) — struct comparison is
     # lexicographic, so max(struct(ccos, -cell)) == the window's
