@@ -173,8 +173,42 @@ def q_corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOP_N = 5
+
+
+def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document — the classic relevance
+    weighting (and keyword-extraction pass) over the corpus. One
+    shuffle for per-(doc, token) counts; document frequencies ride a
+    broadcast; rounding happens BEFORE the rank so tie order is
+    deterministic across engines."""
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()  # corpus size: one tiny job, reused as a literal
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("token").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    tfidf = F.round(
+        F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token")
+    )
+    return (
+        tf.join(F.broadcast(df_), "token")
+        .withColumn("tfidf", tfidf)
+        .withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= TFIDF_TOP_N)
+        .select("doc_id", "term_rank", "token", "tf", "df", "tfidf")
+    )
+
+
 QUERIES = {
     "corpus_vocabulary": q_corpus_vocabulary,
+    "text_tfidf_top_terms": q_text_tfidf_top_terms,
     "corpus_length_histogram": q_corpus_length_histogram,
     "text_token_count": q_text_token_count,
     "text_quality_score": q_text_quality_score,
@@ -212,6 +246,21 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY term_freq DESC, token) AS INT) AS rank,
        token, term_freq, doc_freq
 FROM counts
 QUALIFY rank <= {VOCAB_TOP_N}""",
+    "text_tfidf_top_terms": f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, token, tf, df,
+         ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+  FROM tf JOIN df USING (token) CROSS JOIN n)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY doc_id ORDER BY tfidf DESC, token) AS INT) AS term_rank,
+       token, tf, df, tfidf
+FROM scored
+QUALIFY term_rank <= {TFIDF_TOP_N}""",
     "corpus_length_histogram": f"""
 SELECT CAST(length(text) // {HIST_BUCKET} AS BIGINT) * {HIST_BUCKET}
          AS len_bucket,

@@ -152,6 +152,51 @@ def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANOMALY_SIGMAS = 2.0
+TRAIL_DAYS = 7
+
+
+def q_events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose value deviates 2σ from the trailing-week baseline,
+    per event type. All window inputs are EXACT integer cents (sums
+    and sums-of-squares), so mean/σ/z derive from identical integers
+    in both engines — float drift can't flip the anomaly flag."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d"), "event_type").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("c")
+    )
+    dnum = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(dnum)
+        .rangeBetween(-TRAIL_DAYS, -1)  # strictly prior days
+    )
+    # attach ALL window columns before any filter — a later filter
+    # would silently re-scope the window to the surviving rows
+    win = daily.select(
+        "d",
+        "event_type",
+        "c",
+        F.count("c").over(w).alias("n_prior"),
+        F.sum("c").over(w).alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("ss"),
+    ).filter(F.col("n_prior") >= 3)  # need a baseline
+    mean = F.col("s").cast("double") / F.col("n_prior")
+    var = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n_prior")
+    ) / (F.col("n_prior") - 1)
+    z = F.round((F.col("c").cast("double") - mean) / F.sqrt(var), 4)
+    return win.withColumn("z", z).select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        F.round(F.col("c").cast("double") / 100, 2).alias("day_value"),
+        F.round(mean / 100, 4).alias("trailing_mean"),
+        "z",
+        (F.abs(F.col("z")) > ANOMALY_SIGMAS).cast("int").alias("is_anomaly"),
+    )
+
+
 def q_event_type_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily per-type event stats with exact fixed-point value sums."""
     ev = load_table(spark, sf_dir, "events")
@@ -191,6 +236,7 @@ QUERIES = {
     "events_windowed_agg": q_events_windowed_agg,
     "events_sessionize": q_events_sessionize,
     "events_moving_avg": q_events_moving_avg,
+    "events_daily_anomalies": q_events_daily_anomalies,
     "events_funnel": q_events_funnel,
     "events_cohort_retention": q_events_cohort_retention,
     "event_type_daily_stats": q_event_type_daily_stats,
@@ -206,6 +252,34 @@ _VAL_SUM = ("ROUND(CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE)"
             " / 100, 2)")
 
 ORACLES = {
+    "events_daily_anomalies": f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, event_type,
+         SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS c
+  FROM events GROUP BY d, event_type),
+win AS (
+  SELECT d, event_type, c,
+         COUNT(c) OVER w AS n_prior,
+         SUM(c) OVER w AS s,
+         SUM(c * c) OVER w AS ss
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type
+               ORDER BY datediff('day', DATE '1970-01-01', d)
+               RANGE BETWEEN {TRAIL_DAYS} PRECEDING AND 1 PRECEDING)),
+scored AS (
+  SELECT d, event_type, c, n_prior, s,
+         ROUND((CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / n_prior)
+               / sqrt((CAST(ss AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_prior)
+                      / (n_prior - 1)), 4) AS z
+  FROM win WHERE n_prior >= 3)
+SELECT strftime(d, '%Y-%m-%d') AS day, event_type,
+       ROUND(CAST(c AS DOUBLE) / 100, 2) AS day_value,
+       ROUND(CAST(s AS DOUBLE) / n_prior / 100, 4) AS trailing_mean,
+       z,
+       CAST(CASE WHEN abs(z) > {ANOMALY_SIGMAS} THEN 1 ELSE 0 END AS INT)
+         AS is_anomaly
+FROM scored""",
     "events_funnel": """
 WITH su AS (
   SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup

@@ -323,10 +323,32 @@ def q_incremental_balance_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_money(updated, MONEY)
 
 
+def q_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers bucketed into balance quartiles (ntile over the
+    deterministic (balance, customer) order) with per-quartile stats —
+    the segmentation step finance reporting layers on Q7/Q9."""
+    from pyspark.sql import Window
+
+    cur = _current(spark, sf_dir)
+    w = Window.orderBy(F.col("current_balance").desc(), F.col("customer_id"))
+    tiled = cur.select(
+        "customer_id",
+        "current_balance",
+        F.ntile(4).over(w).alias("quartile"),
+    )
+    return tiled.groupBy("quartile").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.min("current_balance"), 2).alias("min_balance"),
+        F.round(F.max("current_balance"), 2).alias("max_balance"),
+        F.round(F.sum("current_balance"), 2).alias("total_balance"),
+    )
+
+
 QUERIES = {
     "ingest_transactions": q_ingest_transactions,
     "fifo_matching": q_fifo_matching,
     "incremental_balance_update": q_incremental_balance_update,
+    "balance_quartiles": q_balance_quartiles,
     "validate_results_summary": q_validate_results_summary,
     "balance_history": q_balance_history,
     "current_balances": q_current_balances,
@@ -370,6 +392,17 @@ FROM history""",
     "incremental_balance_update": (
         f"{PRELUDE} SELECT * FROM current_balances"
     ),
+    "balance_quartiles": f"""{PRELUDE},
+tiled AS (
+  SELECT customer_id, current_balance,
+         CAST(ntile(4) OVER (ORDER BY current_balance DESC, customer_id)
+              AS INT) AS quartile
+  FROM current_balances)
+SELECT quartile, COUNT(*) AS n_customers,
+       ROUND(MIN(current_balance), 2) AS min_balance,
+       ROUND(MAX(current_balance), 2) AS max_balance,
+       ROUND(SUM(current_balance), 2) AS total_balance
+FROM tiled GROUP BY quartile""",
     "analytics_summary": f"""{PRELUDE}
 SELECT * FROM (
   SELECT ROUND(SUM(CASE WHEN tctype='earned' THEN amount ELSE 0 END), 2) AS total_earned,

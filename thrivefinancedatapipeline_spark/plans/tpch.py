@@ -197,6 +197,27 @@ def q_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q4_late_ship_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 proper: per-priority count of orders in a quarter with
+    at least one lineitem shipped 60+ days after the order date — the
+    EXISTS shape planned as a LEFT SEMI join (no fan-out, the probe
+    stops at first match)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
 NATION_A, NATION_B = "NATION_3", "NATION_7"
 
 
@@ -363,6 +384,7 @@ QUERIES = {
     "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
     "tpch_q5_local_supplier_volume": q_tpch_q5_local_supplier_volume,
     "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
+    "tpch_q4_late_ship_exists": q_tpch_q4_late_ship_exists,
     "tpch_q7_nation_volume": q_tpch_q7_nation_volume,
     "tpch_q13_customer_distribution": q_tpch_q13_customer_distribution,
     "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
@@ -449,6 +471,15 @@ SELECT c_custkey, c_name, c_mktsegment,
        MAX(o_orderdate) AS last_order_date
 FROM customer JOIN orders ON c_custkey = o_custkey
 GROUP BY c_custkey, c_name, c_mktsegment""",
+    "tpch_q4_late_ship_exists": """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority""",
     "tpch_q7_nation_volume": f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(year(l_shipdate) AS INT) AS l_year,
