@@ -1,0 +1,53 @@
+"""Sink helpers: streaming parquet sink drains exactly-once; the
+compactor consolidates small files without changing the data."""
+
+import glob
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from thrivefinancedatapipeline_spark.datamodel import load_table
+from thrivefinancedatapipeline_spark.sources.io import compact_parquet
+from thrivefinancedatapipeline_spark.streaming.balance_stream import (
+    run_to_parquet,
+    stream_transactions,
+)
+
+
+def test_stream_to_parquet_sink_is_exactly_once(spark, sf_dir):
+    src = tempfile.mkdtemp(prefix="sink_src_")
+    out = tempfile.mkdtemp(prefix="sink_out_")
+    chk = tempfile.mkdtemp(prefix="sink_chk_")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        for i in range(3):
+            ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        run_to_parquet(stream_transactions(spark, src), out, chk)
+        written = spark.read.parquet(out)
+        assert written.count() == ev.count()
+        # a second drain with the same checkpoint writes nothing new
+        run_to_parquet(stream_transactions(spark, src), out, chk)
+        assert spark.read.parquet(out).count() == ev.count()
+    finally:
+        for d in (src, out, chk):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, sf_dir):
+    src = tempfile.mkdtemp(prefix="cmp_src_")
+    out = tempfile.mkdtemp(prefix="cmp_out_")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        # simulate small-file accretion: 24 tiny files
+        ev.repartition(24).write.mode("overwrite").parquet(src)
+        assert len(glob.glob(f"{src}/*.parquet")) >= 24
+        compact_parquet(spark, src, out, target_file_mb=64)
+        out_files = glob.glob(f"{out}/*.parquet")
+        assert 1 <= len(out_files) < 24
+        assert spark.read.parquet(out).count() == ev.count()
+    finally:
+        for d in (src, out):
+            shutil.rmtree(d, ignore_errors=True)

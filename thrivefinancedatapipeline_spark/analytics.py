@@ -8,7 +8,7 @@ driver-side data are the report scalars and the 10 top rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 

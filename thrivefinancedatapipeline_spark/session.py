@@ -32,6 +32,11 @@ def get_spark(app_name: str = "thrivefinance-spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # scan-split sizing: 128 MiB input splits keep a 100 TB scan at
+        # ~800k tasks and each task's columnar batch in executor memory
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # bridge mismatched bucket counts (multiples) without a shuffle
+        .config("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

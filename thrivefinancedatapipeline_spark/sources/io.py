@@ -62,6 +62,31 @@ def write_json(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_mb: int = 128,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into files
+    sized for scan efficiency. Streaming sinks and incremental loads
+    accrete tiny files; at 100 TB that means millions of scan tasks
+    and footer reads. Sizing from the actual input bytes (not row
+    counts) keeps output files near the scan split size. Returns the
+    output file count."""
+    import glob
+    import os
+
+    df = spark.read.parquet(path)
+    total_bytes = sum(
+        os.path.getsize(p)
+        for p in glob.glob(f"{path}/**/*.parquet", recursive=True)
+    )
+    n_files = max(1, total_bytes // (target_file_mb * 1024 * 1024))
+    df.repartition(int(n_files)).write.mode("overwrite").parquet(out_path)
+    return int(n_files)
+
+
 def write_partitioned_parquet(
     df: DataFrame,
     path: str,

@@ -108,6 +108,29 @@ def stream_windowed_event_agg(
     )
 
 
+def run_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Drain all available input into a (optionally partitioned)
+    parquet sink with exactly-once file commit via the checkpoint —
+    the production sink shape; availableNow makes it batch-invocable
+    (the reference's monthly cron becomes `trigger(availableNow)` on
+    a schedule, no always-on cluster)."""
+    writer = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.start().awaitTermination()
+
+
 def run_to_completion(stream_df: DataFrame, checkpoint: str, name: str) -> DataFrame:
     """Drain all available input (availableNow) into a memory sink and
     return the result table. Test/dev helper — production would
