@@ -175,6 +175,41 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — (segment, priority), (segment), (priority), ():
+    four report grains in ONE hash aggregate instead of four scans."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    )
+    joined.createOrReplaceTempView("ord_cust_gs")
+    return spark.sql(
+        f"""
+        SELECT c_mktsegment, o_orderpriority,
+               CAST(GROUPING_ID() AS INT) AS grp,
+               COUNT(*) AS order_count,
+               ROUND(CAST(SUM({_sql_cents('o_totalprice')}) AS DOUBLE) / 100, 2)
+                 AS revenue
+        FROM ord_cust_gs
+        GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority),
+                                (c_mktsegment), (o_orderpriority), ())
+        """
+    )
+
+
+def q_events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap: events per (day-of-week, hour-of-day) — the
+    seasonality fingerprint; one partial-aggregable groupBy."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hour")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("unique_users"),
+    )
+
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -317,6 +352,8 @@ QUERIES = {
     "asof_next_error": q_asof_next_error,
     "range_join_touch_counts": q_range_join_touch_counts,
     "revenue_rollup": q_revenue_rollup,
+    "revenue_grouping_sets": q_revenue_grouping_sets,
+    "events_hourly_heatmap": q_events_hourly_heatmap,
     "daily_event_pivot": q_daily_event_pivot,
     "top_parts_per_brand": q_top_parts_per_brand,
     "event_value_percentiles": q_event_value_percentiles,
@@ -384,6 +421,20 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP(r_name, n_name)""",
+    "revenue_grouping_sets": f"""
+SELECT c_mktsegment, o_orderpriority,
+       CAST(GROUPING(c_mktsegment, o_orderpriority) AS INT) AS grp,
+       COUNT(*) AS order_count,
+       ROUND(CAST(SUM({_sql_cents('o_totalprice')}) AS DOUBLE) / 100, 2)
+         AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority),
+                        (c_mktsegment), (o_orderpriority), ())""",
+    "events_hourly_heatmap": """
+SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow, CAST(hour(ts) AS INT) AS hour,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS unique_users
+FROM events GROUP BY dow, hour""",
     "daily_event_pivot": f"""
 SELECT strftime(ts, '%Y-%m-%d') AS event_date,
        {_PIVOT_COLS}
