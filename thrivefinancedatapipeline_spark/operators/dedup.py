@@ -371,8 +371,49 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH scale path for embedding near-dup: candidate pairs
+    collide in >=1 of the L hyperplane hash tables (similarity.PLANES
+    — same deterministic construction), then exact cosine >= tau
+    verifies. At 100 TB the (table, bucket) join replaces the
+    quadratic crossJoin; recall rises with L."""
+    from ..functions.vector import as_double_vec, cosine, norm
+    from .similarity import _bucketed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = as_double_vec(F.col("embedding"))
+    e = emb.select("vec_id", v.alias("v"), norm(v).alias("nrm"))
+    b = _bucketed(e)
+    b1 = b.select(F.col("vec_id").alias("vec_id_1"), "table", "bucket")
+    b2 = b.select(F.col("vec_id").alias("vec_id_2"), "table", "bucket")
+    cand = (
+        b1.join(b2, ["table", "bucket"])
+        .filter(F.col("vec_id_1") < F.col("vec_id_2"))
+        .select("vec_id_1", "vec_id_2")
+        .distinct()
+    )
+    a1 = e.select(
+        F.col("vec_id").alias("vec_id_1"), F.col("v").alias("v1"),
+        F.col("nrm").alias("n1"),
+    )
+    a2 = e.select(
+        F.col("vec_id").alias("vec_id_2"), F.col("v").alias("v2"),
+        F.col("nrm").alias("n2"),
+    )
+    return (
+        cand.join(a1, "vec_id_1")
+        .join(a2, "vec_id_2")
+        .withColumn(
+            "cos", cosine(F.col("v1"), F.col("v2"), F.col("n1"), F.col("n2"))
+        )
+        .filter(F.col("cos") >= COSINE_TAU)
+        .select("vec_id_1", "vec_id_2")
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -518,6 +559,7 @@ reach(n, m) AS (
   SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
 )
 SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n""",
+    "dedup_embedding_lsh": None,  # filled below (needs similarity's bucket SQL)
     "dedup_embedding_cosine": f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -527,3 +569,27 @@ SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2
 FROM n a JOIN n b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {COSINE_TAU}""",
 }
+
+
+def _embedding_lsh_oracle() -> str:
+    # the banded bucket SQL is owned by similarity (same PLANES on
+    # both engines); build this oracle from it so the two stay in sync
+    from .similarity import BANDS_SQL
+
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+bands AS ({BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT b1.vec_id AS vec_id_1, b2.vec_id AS vec_id_2
+  FROM bands b1 JOIN bands b2
+    ON b1.table_id = b2.table_id AND b1.bucket = b2.bucket
+   AND b1.vec_id < b2.vec_id)
+SELECT vec_id_1, vec_id_2
+FROM cand
+JOIN n a ON a.vec_id = vec_id_1
+JOIN n b ON b.vec_id = vec_id_2
+WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {COSINE_TAU}"""
+
+
+ORACLES["dedup_embedding_lsh"] = _embedding_lsh_oracle()

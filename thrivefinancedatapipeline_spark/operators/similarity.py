@@ -4,11 +4,15 @@
   tiny and broadcast; the candidate side streams — at 100 TB this is
   one pass over the corpus with a per-partition top-k (Spark's window
   rank pushes a partial TopK under AQE).
-- knn_lsh: random-hyperplane LSH. Hyperplane sign matrices are
-  deterministic module-level literals (md5-seeded), embedded in BOTH
-  the Spark plan and the DuckDB oracle, so even the approximate path
-  is bit-exactly checkable. Bucket join keys are (bucket,) — 2^NPLANES
-  buckets, uniform for random-ish vectors.
+- knn_lsh: random-hyperplane LSH, MULTI-TABLE form: L independent
+  hash tables of k planes each. Single-table sign-LSH has recall
+  p^k per neighbor (p = 1 - θ/π); with L tables it is 1-(1-p^k)^L —
+  the standard recall lever (k controls precision/bucket size, L
+  controls recall). Hyperplane sign matrices are deterministic
+  module-level literals (md5-seeded), embedded in BOTH the Spark
+  plan and the DuckDB oracle, so even the approximate path is
+  bit-exactly checkable. Bucket join keys are (table, signature) —
+  L * 2^k buckets, uniform for random-ish vectors.
 """
 
 from __future__ import annotations
@@ -24,7 +28,8 @@ from ..functions.vector import as_double_vec, dot as _dot_v, norm as _norm_v
 N_QUERIES = 10   # query set: vec_id < 10
 TOP_K = 10
 DIM = 64
-N_PLANES = 8
+K_PLANES = 4     # planes per hash table (bucket selectivity)
+L_TABLES = 4     # independent tables (recall amplification)
 
 
 def _plane_sign(j: int, i: int) -> float:
@@ -34,7 +39,11 @@ def _plane_sign(j: int, i: int) -> float:
     return 1.0 if h & 1 else -1.0
 
 
-PLANES = [[_plane_sign(j, i) for i in range(DIM)] for j in range(N_PLANES)]
+#: PLANES[t][j] = plane j of table t
+PLANES = [
+    [[_plane_sign(t * K_PLANES + j, i) for i in range(DIM)] for j in range(K_PLANES)]
+    for t in range(L_TABLES)
+]
 
 
 def _vectors(spark, sf_dir):
@@ -73,10 +82,10 @@ def q_knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bucket_expr():
-    """LSH bucket: sign-bit signature against the fixed hyperplanes."""
+def _table_bucket_expr(t: int):
+    """Sign-bit signature of hash table t against its k planes."""
     bucket = None
-    for j, plane in enumerate(PLANES):
+    for j, plane in enumerate(PLANES[t]):
         lit_plane = F.array(*[F.lit(s) for s in plane])
         proj = _dot(F.col("v"), lit_plane)
         bit = F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
@@ -84,26 +93,60 @@ def _bucket_expr():
     return bucket.cast("int")
 
 
-def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k: candidates limited to the query's LSH bucket,
-    re-ranked by exact cosine inside the bucket."""
-    e = _vectors(spark, sf_dir).withColumn("bucket", _bucket_expr())
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"), "bucket",
+def _bucketed(e: DataFrame) -> DataFrame:
+    """(vec_id, v, nrm) -> one row per hash table: (..., table, bucket)."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"), _table_bucket_expr(t).alias("bucket")
+            )
+            for t in range(L_TABLES)
+        ]
     )
-    c = e.select(
+    return e.select(
+        "vec_id", "v", "nrm", F.explode(entries).alias("tb")
+    ).select(
+        "vec_id", "v", "nrm",
+        F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"),
+    )
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: candidates are the union of the query's
+    bucket across the L hash tables, deduped, re-ranked by exact
+    cosine. Multi-table is the recall lever single-bucket LSH lacks:
+    1-(1-p^k)^L vs p^k per true neighbor."""
+    b = _bucketed(_vectors(spark, sf_dir))
+    q = b.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"), "table", "bucket",
+    )
+    c = b.select(
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"),
-        F.col("nrm").alias("cn"), "bucket",
+        F.col("nrm").alias("cn"), "table", "bucket",
     )
     cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )
+    e = _vectors(spark, sf_dir)
+    qv = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cv = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
     return (
-        F.broadcast(q)
-        .join(c, "bucket")
+        F.broadcast(q.select("query_id", "table", "bucket"))
+        .join(c.select("neighbor_id", "table", "bucket"), ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        # a pair can collide in several tables - count it once
+        .select("query_id", "neighbor_id")
+        .distinct()
+        .join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
         .withColumn("cos", cos)
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
@@ -224,14 +267,24 @@ QUERIES = {
 }
 
 
-def _plane_sql(j: int) -> str:
-    vals = ", ".join(str(s) for s in PLANES[j])
+def _plane_sql(t: int, j: int) -> str:
+    vals = ", ".join(str(s) for s in PLANES[t][j])
     return f"list_dot_product(v, [{vals}])"
 
 
-_BUCKET_SQL = " + ".join(
-    f"(CASE WHEN {_plane_sql(j)} > 0 THEN {1 << j} ELSE 0 END)"
-    for j in range(N_PLANES)
+def table_bucket_sql(t: int) -> str:
+    """DuckDB twin of _table_bucket_expr(t) (shared with dedup)."""
+    return " + ".join(
+        f"(CASE WHEN {_plane_sql(t, j)} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(K_PLANES)
+    )
+
+
+#: (vec_id, table, bucket) across all L tables, given a CTE exposing v
+BANDS_SQL = "\nUNION ALL\n".join(
+    f"SELECT vec_id, {t} AS table_id, CAST({table_bucket_sql(t)} AS INT)"
+    f" AS bucket FROM e"
+    for t in range(L_TABLES)
 )
 
 _VEC_CTE = """
@@ -294,13 +347,19 @@ FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
 QUALIFY rank <= {TOP_K}""",
     "knn_lsh": f"""
 WITH {_VEC_CTE},
-b AS (SELECT vec_id, v, nrm, CAST({_BUCKET_SQL} AS INT) AS bucket FROM e)
-SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+bands AS ({BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT bq.vec_id AS query_id, bc.vec_id AS neighbor_id
+  FROM bands bq JOIN bands bc
+    ON bq.table_id = bc.table_id AND bq.bucket = bc.bucket
+  WHERE bq.vec_id < {N_QUERIES} AND bq.vec_id <> bc.vec_id)
+SELECT cand.query_id, cand.neighbor_id,
        CAST(ROW_NUMBER() OVER (
-         PARTITION BY q.vec_id
-         ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm) DESC,
-                  c.vec_id) AS INT) AS rank
-FROM b q JOIN b c ON q.bucket = c.bucket
-WHERE q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+         PARTITION BY cand.query_id
+         ORDER BY list_dot_product(q.v, nb.v) / (q.nrm * nb.nrm) DESC,
+                  cand.neighbor_id) AS INT) AS rank
+FROM cand
+JOIN e q ON q.vec_id = cand.query_id
+JOIN e nb ON nb.vec_id = cand.neighbor_id
 QUALIFY rank <= {TOP_K}""",
 }
