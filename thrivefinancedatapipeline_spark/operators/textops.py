@@ -136,6 +136,27 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROLL_B = 1_000_003          # polynomial base
+ROLL_P = 2_147_483_647      # modulus (2^31-1): acc*B + h stays in int64
+
+
+def q_text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-SENSITIVE polynomial rolling fingerprint over the token
+    stream: fold acc = (acc*B + h(tok)) mod P. Unlike the set-style
+    md5 fingerprint, token reordering changes this hash — the property
+    chunk-level shingling/dedup pipelines rely on. Zero shuffle: one
+    transform + one sequential array fold per row."""
+    docs = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    hs = F.transform(toks, lambda t: md5_long(t) % ROLL_P)
+    rolled = F.aggregate(
+        hs,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * ROLL_B + h) % ROLL_P,
+    )
+    return docs.select("doc_id", rolled.alias("rolling_fingerprint"))
+
+
 VOCAB_TOP_N = 100
 HIST_BUCKET = 200  # chars per length bucket
 
@@ -215,6 +236,7 @@ QUERIES = {
     "text_lang_id": q_text_lang_id,
     "text_lang_confusion": q_text_lang_confusion,
     "text_fingerprint": q_text_fingerprint,
+    "text_rolling_fingerprint": q_text_rolling_fingerprint,
 }
 
 _NORM = norm_sql("text")
@@ -303,6 +325,15 @@ SELECT doc_id, {", ".join(f"hits_{lang}" for lang in LANG_ORDER)},
 FROM h""",
     "text_fingerprint": f"""
 SELECT doc_id, {md5_long_sql(_NORM)} AS fingerprint FROM documents""",
+    "text_rolling_fingerprint": f"""
+WITH d AS (SELECT doc_id,
+                  list_transform({_TOKS},
+                                 t -> {md5_long_sql('t')} % {ROLL_P}) AS hs
+           FROM documents)
+SELECT doc_id,
+       list_reduce(hs, (a, b) -> (a * {ROLL_B} + b) % {ROLL_P})
+         AS rolling_fingerprint
+FROM d""",
     "text_lang_confusion": f"""
 WITH d AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
 h AS (SELECT doc_id, lang,
