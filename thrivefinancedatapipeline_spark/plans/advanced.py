@@ -175,6 +175,50 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per nation with percent-of-total — the share-of-whole
+    window (sum over an empty partition) computed on the tiny
+    POST-aggregate relation, never on the fact table."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    per_nation = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(_exact_sum(_cents("o_totalprice")).alias("cents"))
+    )
+    total = F.sum("cents").over(Window.partitionBy())
+    return per_nation.select(
+        "n_name",
+        F.round(F.col("cents") / 100, 2).alias("revenue"),
+        F.round(F.lit(100.0) * F.col("cents") / total, 4).alias("revenue_pct"),
+    )
+
+
+def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days between consecutive orders per customer (lag window) and
+    the per-customer cadence summary — the repeat-behavior metric."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff(
+            "o_orderdate", F.lag("o_orderdate").over(w)
+        ).alias("gap_days"),
+    )
+    return (
+        gaps.filter(F.col("gap_days").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.min("gap_days").alias("min_gap_days"),
+            F.max("gap_days").alias("max_gap_days"),
+            F.round(F.avg("gap_days"), 4).alias("avg_gap_days"),
+        )
+    )
+
+
 def q_revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS — (segment, priority), (segment), (priority), ():
     four report grains in ONE hash aggregate instead of four scans."""
@@ -354,6 +398,8 @@ QUERIES = {
     "revenue_rollup": q_revenue_rollup,
     "revenue_grouping_sets": q_revenue_grouping_sets,
     "events_hourly_heatmap": q_events_hourly_heatmap,
+    "nation_revenue_share": q_nation_revenue_share,
+    "customer_order_gaps": q_customer_order_gaps,
     "daily_event_pivot": q_daily_event_pivot,
     "top_parts_per_brand": q_top_parts_per_brand,
     "event_value_percentiles": q_event_value_percentiles,
@@ -421,6 +467,33 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP(r_name, n_name)""",
+    "nation_revenue_share": f"""
+WITH per_nation AS (
+  SELECT n_name, SUM({_sql_cents('o_totalprice')}) AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name)
+SELECT n_name,
+       ROUND(CAST(cents AS DOUBLE) / 100, 2) AS revenue,
+       ROUND(100.0 * CAST(cents AS DOUBLE)
+             / CAST(SUM(cents) OVER () AS DOUBLE), 4) AS revenue_pct
+FROM per_nation""",
+    "customer_order_gaps": """
+WITH gaps AS (
+  SELECT o_custkey,
+         datediff('day',
+                  lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey),
+                  o_orderdate) AS gap_days
+  FROM orders)
+SELECT o_custkey,
+       COUNT(*) AS n_gaps,
+       CAST(MIN(gap_days) AS INT) AS min_gap_days,
+       CAST(MAX(gap_days) AS INT) AS max_gap_days,
+       ROUND(AVG(gap_days), 4) AS avg_gap_days
+FROM gaps WHERE gap_days IS NOT NULL
+GROUP BY o_custkey""",
     "revenue_grouping_sets": f"""
 SELECT c_mktsegment, o_orderpriority,
        CAST(GROUPING(c_mktsegment, o_orderpriority) AS INT) AS grp,
