@@ -31,20 +31,18 @@ def q_events_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (30-min inactivity closes a session).
-
-    Classic two-window formulation: flag session starts via lag(ts),
-    then running-sum the flags to get a per-user session index. One
-    shuffle by user_id; both windows share the partitioning.
-    """
-    ev = load_table(spark, sf_dir, "events")
+def sessionize(ev: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
+    """Gap-based sessionization (gap_min of inactivity closes a
+    session). Classic two-window formulation: flag session starts via
+    lag(ts), then running-sum the flags to get a per-user session
+    index. One shuffle by user_id; both windows share the
+    partitioning. Input: (user_id, event_id, ts, value)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # microsecond precision (timestamp→long cast would truncate to
     # whole seconds and split sessions differently than the oracle)
     gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
     new_session = F.when(
-        gap.isNull() | (gap > SESSION_GAP_MIN * 60 * 1_000_000), 1
+        gap.isNull() | (gap > gap_min * 60 * 1_000_000), 1
     ).otherwise(0)
     sessions = ev.withColumn("session_idx", F.sum(new_session).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -58,6 +56,10 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100, 2).alias("total_value"),
         )
     )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(load_table(spark, sf_dir, "events"))
 
 
 MOVING_DAYS = 7
