@@ -131,6 +131,45 @@ def test_incremental_fold_equals_recompute(spark, scn, cutoff_hour):
     assert got == want
 
 
+edge = st.tuples(st.integers(0, 9), st.integers(0, 9))
+
+
+@settings(
+    max_examples=15, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(st.lists(edge, min_size=0, max_size=14))
+def test_connected_components_match_union_find(spark, edges):
+    from thrivefinancedatapipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    nodes = list(range(10))
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: min(m for m in nodes if find(m) == find(n)) for n in nodes}
+
+    ndf = spark.createDataFrame([(n,) for n in nodes], "doc_id long")
+    edf = spark.createDataFrame(
+        edges or [], "doc_id_1 long, doc_id_2 long"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(ndf, edf).collect()
+    }
+    assert got == want
+
+
 def test_cli_list_contains_all_queries(capsys):
     from thrivefinancedatapipeline_spark.__main__ import main
 
