@@ -66,12 +66,18 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        force(qs[name](spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # queries persist() intermediates internally; drop them so
-        # cache never accumulates across the run (driver heap safety)
-        spark.catalog.clearCache()
+        # best-of-2: one run is hostage to GC pauses / machine load;
+        # the min of two is the standard steady-state estimate
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            force(qs[name](spark, SF_DIR))
+            best = min(best, time.perf_counter() - t0)
+            # queries persist() intermediates internally; drop them so
+            # cache never accumulates across the run (driver heap
+            # safety) and the second run re-measures the full query
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
