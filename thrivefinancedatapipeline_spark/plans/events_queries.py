@@ -199,6 +199,28 @@ def q_events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup (hypertable-style continuous
+    aggregate): day → month → grand total grains from ONE hash
+    aggregate via ROLLUP, exact integer cents throughout. At 100 TB
+    the day grain is what a materialized rollup table stores; coarser
+    grains are re-aggregations of it — same shape as here."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.date_format("ts", "yyyy-MM").alias("month"),
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .rollup("month", "day")
+        .agg(
+            F.grouping_id().cast("int").alias("grp"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("cents").cast("double") / 100, 2).alias("total_value"),
+        )
+    )
+
+
 def q_event_type_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily per-type event stats with exact fixed-point value sums."""
     ev = load_table(spark, sf_dir, "events")
@@ -239,6 +261,7 @@ QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_moving_avg": q_events_moving_avg,
     "events_daily_anomalies": q_events_daily_anomalies,
+    "events_time_rollup": q_events_time_rollup,
     "events_funnel": q_events_funnel,
     "events_cohort_retention": q_events_cohort_retention,
     "event_type_daily_stats": q_event_type_daily_stats,
@@ -254,6 +277,14 @@ _VAL_SUM = ("ROUND(CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE)"
             " / 100, 2)")
 
 ORACLES = {
+    "events_time_rollup": """
+SELECT strftime(ts, '%Y-%m') AS month,
+       strftime(ts, '%Y-%m-%d') AS day,
+       CAST(GROUPING(month, day) AS INT) AS grp,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE)
+             / 100, 2) AS total_value
+FROM events GROUP BY ROLLUP (month, day)""",
     "events_daily_anomalies": f"""
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS d, event_type,
