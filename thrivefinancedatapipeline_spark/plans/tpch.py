@@ -150,6 +150,49 @@ def q_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q8_NATION, Q8_REGION = "NATION_5", "ASIA"
+
+
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one supplier-nation's share of revenue delivered to a
+    region's customers, per year — conditional aggregation over the
+    joined fact, share as an exact-cents ratio."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == Q8_REGION)
+    n_cust = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(n_cust), cust["c_nationkey"] == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cr_key") == region["r_regionkey"])
+        .join(F.broadcast(n_supp), supp["s_nationkey"] == F.col("sn_key"))
+    )
+    rev = _revenue_s()
+    target = F.when(F.col("supp_nation") == Q8_NATION, rev).otherwise(F.lit(0))
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            _exact_sum(target).alias("nation_s"),
+            _exact_sum(rev).alias("total_s"),
+        )
+        .select(
+            "o_year",
+            F.round(F.col("nation_s") / F.col("total_s"), 6).alias("mkt_share"),
+            _money(F.col("total_s"), 10000).alias("total_revenue"),
+        )
+    )
+
+
 def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4-flavored: order counts per priority in a quarter."""
     orders = _t(spark, sf_dir, "orders").filter(
@@ -386,6 +429,7 @@ QUERIES = {
     "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
     "tpch_q4_late_ship_exists": q_tpch_q4_late_ship_exists,
     "tpch_q7_nation_volume": q_tpch_q7_nation_volume,
+    "tpch_q8_market_share": q_tpch_q8_market_share,
     "tpch_q13_customer_distribution": q_tpch_q13_customer_distribution,
     "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
     "tpch_q17_small_quantity_revenue": q_tpch_q17_small_quantity_revenue,
@@ -493,6 +537,22 @@ JOIN nation n2 ON c_nationkey = n2.n_nationkey
 WHERE (n1.n_name = '{NATION_A}' AND n2.n_name = '{NATION_B}')
    OR (n1.n_name = '{NATION_B}' AND n2.n_name = '{NATION_A}')
 GROUP BY supp_nation, cust_nation, l_year""",
+    "tpch_q8_market_share": f"""
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       ROUND(CAST(SUM(CASE WHEN n2.n_name = '{Q8_NATION}'
+                           THEN {REVENUE_S_SQL} ELSE 0 END) AS DOUBLE)
+             / CAST(SUM({REVENUE_S_SQL}) AS DOUBLE), 6) AS mkt_share,
+       ROUND(CAST(SUM({REVENUE_S_SQL}) AS DOUBLE) / 10000, 2)
+         AS total_revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = '{Q8_REGION}'
+GROUP BY o_year""",
     "tpch_q13_customer_distribution": """
 WITH per_cust AS (
   SELECT c_custkey, COUNT(o_orderkey) AS c_count
