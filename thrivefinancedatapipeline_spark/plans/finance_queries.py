@@ -344,11 +344,46 @@ def q_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AGING_BUCKETS_SQL = (
+    "CASE WHEN age_days < 7 THEN '0-6d' WHEN age_days < 14 THEN '7-13d' "
+    "WHEN age_days < 21 THEN '14-20d' ELSE '21d+' END"
+)
+
+
+def q_balance_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aging report: unredeemed earned value bucketed by age as of the
+    catalog ASOF date — the expiry-risk view a rewards program's
+    finance team watches. One pass over the matched table; the
+    unmatched-earned filter prunes before the aggregate."""
+    matched = fifo_match(_txns(spark, sf_dir))
+    aged = (
+        matched.filter(
+            (F.col("tctype") == "earned")
+            & F.col("redeemid").isNull()
+            & (F.col("createdat") <= F.lit(ASOF).cast("timestamp"))
+        )
+        .withColumn(
+            "age_days",
+            F.datediff(F.lit(ASOF).cast("timestamp"), F.col("createdat")),
+        )
+        .withColumn("age_bucket", F.expr(AGING_BUCKETS_SQL))
+    )
+    return aged.groupBy("age_bucket").agg(
+        F.count("*").alias("n_unredeemed"),
+        F.round(
+            F.sum(F.round(F.col("amount") * 100).cast("long")).cast("double")
+            / 100,
+            2,
+        ).alias("value_at_risk"),
+    )
+
+
 QUERIES = {
     "ingest_transactions": q_ingest_transactions,
     "fifo_matching": q_fifo_matching,
     "incremental_balance_update": q_incremental_balance_update,
     "balance_quartiles": q_balance_quartiles,
+    "balance_aging": q_balance_aging,
     "validate_results_summary": q_validate_results_summary,
     "balance_history": q_balance_history,
     "current_balances": q_current_balances,
@@ -392,6 +427,18 @@ FROM history""",
     "incremental_balance_update": (
         f"{PRELUDE} SELECT * FROM current_balances"
     ),
+    "balance_aging": f"""{PRELUDE},
+aged AS (
+  SELECT datediff('day', createdat, TIMESTAMP '{ASOF}') AS age_days,
+         amount
+  FROM matched
+  WHERE tctype = 'earned' AND redeemid IS NULL
+    AND createdat <= TIMESTAMP '{ASOF}')
+SELECT {AGING_BUCKETS_SQL} AS age_bucket,
+       COUNT(*) AS n_unredeemed,
+       ROUND(CAST(SUM(CAST(ROUND(amount * 100, 0) AS BIGINT)) AS DOUBLE)
+             / 100, 2) AS value_at_risk
+FROM aged GROUP BY age_bucket""",
     "balance_quartiles": f"""{PRELUDE},
 tiled AS (
   SELECT customer_id, current_balance,
