@@ -37,6 +37,9 @@ def get_spark(app_name: str = "thrivefinance-spark",
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # bridge mismatched bucket counts (multiples) without a shuffle
         .config("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")
+        # answer bare MIN/MAX/COUNT from parquet footers (off by
+        # default): a full-table COUNT at 100 TB becomes a metadata read
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
