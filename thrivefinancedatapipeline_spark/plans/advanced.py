@@ -219,6 +219,41 @@ def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_segments_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra over user cohorts: purchasers INTERSECT error-free
+    users, and purchasers EXCEPT clickers — planned as left-semi /
+    left-anti joins (no materialized id lists). One row per segment."""
+    ev = _t(spark, sf_dir, "events")
+
+    def users_of(t):
+        return ev.filter(F.col("event_type") == t).select("user_id").distinct()
+
+    purchasers = users_of("purchase")
+    clickers = users_of("click")
+    erroring = users_of("error")
+    loyal = purchasers.intersect(ev.select("user_id").distinct().exceptAll(erroring))
+    silent_buyers = purchasers.exceptAll(clickers)
+    return spark.createDataFrame(
+        [("purchasers",), ("error_free_purchasers",), ("non_clicking_purchasers",)],
+        "segment string",
+    ).join(
+        purchasers.agg(F.count("*").alias("n")).select(
+            F.lit("purchasers").alias("segment"), "n"
+        )
+        .unionByName(
+            loyal.agg(F.count("*").alias("n")).select(
+                F.lit("error_free_purchasers").alias("segment"), "n"
+            )
+        )
+        .unionByName(
+            silent_buyers.agg(F.count("*").alias("n")).select(
+                F.lit("non_clicking_purchasers").alias("segment"), "n"
+            )
+        ),
+        "segment",
+    ).select("segment", F.col("n").cast("long").alias("n_users"))
+
+
 def q_revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS — (segment, priority), (segment), (priority), ():
     four report grains in ONE hash aggregate instead of four scans."""
@@ -400,6 +435,7 @@ QUERIES = {
     "events_hourly_heatmap": q_events_hourly_heatmap,
     "nation_revenue_share": q_nation_revenue_share,
     "customer_order_gaps": q_customer_order_gaps,
+    "user_segments_setops": q_user_segments_setops,
     "daily_event_pivot": q_daily_event_pivot,
     "top_parts_per_brand": q_top_parts_per_brand,
     "event_value_percentiles": q_event_value_percentiles,
@@ -467,6 +503,23 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP(r_name, n_name)""",
+    "user_segments_setops": """
+WITH purchasers AS (SELECT DISTINCT user_id FROM events
+                    WHERE event_type = 'purchase'),
+clickers AS (SELECT DISTINCT user_id FROM events
+             WHERE event_type = 'click'),
+erroring AS (SELECT DISTINCT user_id FROM events
+             WHERE event_type = 'error'),
+all_users AS (SELECT DISTINCT user_id FROM events)
+SELECT 'purchasers' AS segment, COUNT(*) AS n_users FROM purchasers
+UNION ALL
+SELECT 'error_free_purchasers', COUNT(*) FROM (
+  SELECT user_id FROM purchasers
+  INTERSECT
+  (SELECT user_id FROM all_users EXCEPT SELECT user_id FROM erroring))
+UNION ALL
+SELECT 'non_clicking_purchasers', COUNT(*) FROM (
+  SELECT user_id FROM purchasers EXCEPT SELECT user_id FROM clickers)""",
     "nation_revenue_share": f"""
 WITH per_nation AS (
   SELECT n_name, SUM({_sql_cents('o_totalprice')}) AS cents
