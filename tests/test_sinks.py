@@ -36,6 +36,27 @@ def test_stream_to_parquet_sink_is_exactly_once(spark, sf_dir):
             shutil.rmtree(d, ignore_errors=True)
 
 
+def test_merge_schema_reads_evolved_dataset(spark, sf_dir):
+    import tempfile as tf
+
+    from thrivefinancedatapipeline_spark.sources.io import read_parquet_merged
+
+    d = tf.mkdtemp(prefix="evolve_")
+    try:
+        ev = load_table(spark, sf_dir, "events").limit(100)
+        ev.select("event_id", "user_id").write.mode("append").parquet(d)
+        ev.select(
+            "event_id", "user_id", F.lit("v2").alias("schema_version")
+        ).write.mode("append").parquet(d)
+        merged = read_parquet_merged(spark, d)
+        assert set(merged.columns) == {"event_id", "user_id", "schema_version"}
+        assert merged.count() == 200
+        # old files surface the new column as null
+        assert merged.filter(F.col("schema_version").isNull()).count() == 100
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_compact_parquet_reduces_files_preserves_rows(spark, sf_dir):
     src = tempfile.mkdtemp(prefix="cmp_src_")
     out = tempfile.mkdtemp(prefix="cmp_out_")

@@ -378,12 +378,29 @@ def q_balance_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_balance_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each customer's standing in the balance distribution:
+    percent_rank and cumulative distribution over the (tiny) balances
+    relation — deterministic via the (balance, customer_id) order."""
+    from pyspark.sql import Window
+
+    cur = _current(spark, sf_dir)
+    w = Window.orderBy(F.col("current_balance"), F.col("customer_id"))
+    return cur.select(
+        "customer_id",
+        "current_balance",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+    )
+
+
 QUERIES = {
     "ingest_transactions": q_ingest_transactions,
     "fifo_matching": q_fifo_matching,
     "incremental_balance_update": q_incremental_balance_update,
     "balance_quartiles": q_balance_quartiles,
     "balance_aging": q_balance_aging,
+    "balance_percentiles": q_balance_percentiles,
     "validate_results_summary": q_validate_results_summary,
     "balance_history": q_balance_history,
     "current_balances": q_current_balances,
@@ -427,6 +444,12 @@ FROM history""",
     "incremental_balance_update": (
         f"{PRELUDE} SELECT * FROM current_balances"
     ),
+    "balance_percentiles": f"""{PRELUDE}
+SELECT customer_id, current_balance,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cume_dist
+FROM current_balances
+WINDOW w AS (ORDER BY current_balance, customer_id)""",
     "balance_aging": f"""{PRELUDE},
 aged AS (
   SELECT datediff('day', createdat, TIMESTAMP '{ASOF}') AS age_days,

@@ -62,6 +62,15 @@ def write_json(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
 
 
+def read_parquet_merged(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet dataset whose files have EVOLVED schemas
+    (columns added over time): mergeSchema unions the footers; older
+    files surface the new columns as nulls. Off by default because the
+    footer merge is an extra pass — turn it on only at known evolution
+    boundaries, then rewrite (compact_parquet) to a single schema."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
