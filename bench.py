@@ -30,8 +30,11 @@ HEADLINE = [
     "tpch_q6_forecast_revenue",
     "events_windowed_agg",
     "events_sessionize",
+    "tpch_q13_customer_distribution",
     "asof_last_touch",
     "range_join_touch_counts",
+    "events_funnel",
+    "events_moving_avg",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -40,6 +43,7 @@ HEADLINE = [
     "sample_documents_hash",
     "text_quality_score",
     "text_lang_id",
+    "text_tfidf_top_terms",
 ]
 
 
