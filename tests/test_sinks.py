@@ -57,6 +57,40 @@ def test_merge_schema_reads_evolved_dataset(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_range_sorted_write_has_disjoint_file_ranges(spark, sf_dir):
+    import tempfile as tf
+
+    import pyarrow.parquet as pq
+
+    from thrivefinancedatapipeline_spark.sources.io import (
+        write_range_sorted_parquet,
+    )
+
+    d = tf.mkdtemp(prefix="rangesort_")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        write_range_sorted_parquet(ev, d, ["event_id"], n_files=4)
+        back = spark.read.parquet(d)
+        assert back.count() == ev.count()
+        # per-file key ranges must be disjoint → row-group min/max
+        # stats are tight and a range predicate skips whole files
+        ranges = []
+        for p in sorted(glob.glob(f"{d}/*.parquet")):
+            md = pq.ParquetFile(p).metadata
+            idx = next(
+                i for i in range(md.num_columns)
+                if md.schema.column(i).name == "event_id"
+            )
+            mins = [md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups)]
+            maxs = [md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups)]
+            ranges.append((min(mins), max(maxs)))
+        ranges.sort()
+        for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+            assert hi <= lo
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_compact_parquet_reduces_files_preserves_rows(spark, sf_dir):
     src = tempfile.mkdtemp(prefix="cmp_src_")
     out = tempfile.mkdtemp(prefix="cmp_out_")

@@ -62,6 +62,27 @@ def write_json(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
 
 
+def write_range_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_by: list[str],
+    n_files: int | None = None,
+) -> None:
+    """Range-partition + sort-within-files on `sort_by` before
+    writing. Parquet stores per-row-group min/max for every column;
+    sorted files make those stats TIGHT, so later range predicates on
+    the sort key skip whole row groups without any index structure —
+    the cheap version of Z-ordering for single-key access patterns
+    (time-series scans on ts, key lookups on id)."""
+    cols = [df[c] for c in sort_by]
+    out = (
+        df.repartitionByRange(n_files, *cols)
+        if n_files
+        else df.repartitionByRange(*cols)
+    )
+    out.sortWithinPartitions(*sort_by).write.mode("overwrite").parquet(path)
+
+
 def read_parquet_merged(spark: SparkSession, path: str) -> DataFrame:
     """Read a parquet dataset whose files have EVOLVED schemas
     (columns added over time): mergeSchema unions the footers; older
