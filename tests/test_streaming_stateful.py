@@ -148,6 +148,37 @@ def test_stream_stream_interval_join_matches_batch(spark, timed_events):
     assert len(stream_pairs) > 0
 
 
+def test_stream_sliding_windows_match_batch(spark, timed_events):
+    got = drain(
+        stateful.stream_sliding_counts(spark, timed_events),
+        "stream_sliding",
+        "append",
+    )
+    stream_rows = {
+        (r.window_start, r.event_type): r.n_events for r in got
+    }
+    ev = spark.read.parquet(timed_events)
+    batch = (
+        ev.groupBy(F.window("ts", "4 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    wm = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 4 HOURS")).alias("wm")
+    ).collect()[0].wm
+    batch_rows = {
+        (r.window_start, r.event_type): r.n_events
+        for r in batch.collect()
+        # append mode only emits windows fully below the final watermark
+        if r.window_start + __import__("datetime").timedelta(hours=4) <= wm
+    }
+    missing = set(batch_rows) - set(stream_rows)
+    assert not missing
+    for k in batch_rows:
+        assert stream_rows[k] == batch_rows[k]
+    assert len(batch_rows) > 0
+
+
 def test_stream_sessionize_matches_batch_session_window(spark, timed_events):
     got = drain(
         stateful.stream_sessionize(spark, timed_events), "stream_sess", "append"

@@ -133,6 +133,28 @@ def stream_purchase_attribution(
     ).select("purchase_id", "touch_id", "purchase_ts", "touch_ts")
 
 
+def stream_sliding_counts(
+    spark, source_dir: str, watermark: str = "4 hours"
+) -> DataFrame:
+    """Sliding windows (4h length, 1h slide) per event type — each
+    event lands in 4 overlapping windows; watermark finalizes a
+    window once no earlier data can arrive. The streaming form of a
+    moving aggregate (batch twin: groupBy(F.window(..., slide)))."""
+    ev = stream_events(spark, source_dir)
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "4 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 def stream_dedup(spark, source_dir: str, watermark: str = "1 hour") -> DataFrame:
     """Exactly-once projection of an at-least-once source: drop
     duplicate event_ids within the watermark horizon. State holds one
