@@ -77,3 +77,36 @@ def test_simhash_near_dup_small_hamming(spark):
     }
     ham = bin(sims[0] ^ sims[1]).count("1")
     assert 0 < ham <= 20  # one-token change moves few of 60 bits
+
+
+def test_hot_shingle_df_cap_bounds_candidates(spark, monkeypatch):
+    """A boilerplate shingle shared by every doc must NOT generate the
+    quadratic all-pairs candidate set; docs that only share capped
+    (hot) shingles produce no pairs, while genuinely near-dup docs
+    still match through their rare shingles."""
+    monkeypatch.setattr(dedup, "MAX_SHINGLE_DF", 3)
+    boiler = "terms of service apply to this content"
+    texts = [f"{boiler} unique{i} filler{i} main{i} body{i} words{i}" for i in range(8)]
+    # two near-dups sharing rare shingles (one trailing token differs)
+    texts += [
+        "the quick brown fox jumps over the lazy dog near the barn today",
+        "the quick brown fox jumps over the lazy dog near the barn tonight",
+    ]
+    docs = docs_df(spark, texts)
+    monkeypatch.setattr(dedup, "_docs", lambda spark, sf_dir: docs)
+    out = dedup.q_dedup_ngram_jaccard(spark, "ignored").collect()
+    pairs = {(r.doc_id_1, r.doc_id_2) for r in out}
+    # boilerplate-only docs (jaccard < 0.8 anyway) contribute nothing;
+    # crucially the candidate join never saw the 8*7/2 hot-shingle pairs
+    assert pairs == {(8, 9)}
+
+
+def test_embedding_cosine_guard_trips(spark, monkeypatch, sf_dir):
+    """The exact O(n^2) path must refuse large corpora unless forced."""
+    import pytest
+
+    monkeypatch.setattr(dedup, "EXACT_COSINE_MAX_ROWS", 10)
+    with pytest.raises(ValueError, match="O\\(n\\^2\\)"):
+        dedup.q_dedup_embedding_cosine(spark, sf_dir)
+    # explicit opt-in still works
+    assert dedup.q_dedup_embedding_cosine(spark, sf_dir, exact=True).count() >= 0

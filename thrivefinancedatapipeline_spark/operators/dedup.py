@@ -50,6 +50,17 @@ SIM_HAM_MAX = SIM_BANDS - 1  # banding guarantees recall for <= 3
 
 JACCARD_NUM, JACCARD_DEN = 4, 5  # tau = 0.8
 
+#: Document-frequency cap on inverted-index shingles. A shingle shared
+#: by d documents contributes O(d^2) candidate pairs, so one hot
+#: boilerplate shingle shared by 10^6 docs is a 10^12-pair join — the
+#: difference between finishing and not at 100 TB. Shingles with
+#: DF > cap are dropped from CANDIDATE GENERATION only (near-dup pairs
+#: still collide on their rare shingles); the verify step always uses
+#: the full uncapped shingle sets, so surviving pairs carry exact
+#: Jaccard counts. Standard stop-shingle guard (cf. stop-words in
+#: inverted indexes).
+MAX_SHINGLE_DF = 64
+
 
 def _docs(spark, sf_dir):
     return load_table(spark, sf_dir, "documents")
@@ -127,11 +138,22 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs n-gram Jaccard >= 0.8 via shingle inverted index.
 
     The shingle relation feeds the index join AND the verify join —
-    persist it so normalization+md5 run once (at cluster scale this is
-    a materialized intermediate table, the standard pattern)."""
-    sh = _shingle_rows(_docs(spark, sf_dir)).persist()
-    s1 = sh.select(F.col("doc_id").alias("doc_id_1"), "sh")
-    s2 = sh.select(F.col("doc_id").alias("doc_id_2"), "sh")
+    localCheckpoint materializes it once (shingling+md5 run a single
+    time) and, unlike persist(), the blocks are released when the
+    returned DataFrame is garbage-collected instead of staying pinned
+    in the CacheManager until an explicit unpersist. The inverted
+    index is DF-capped (MAX_SHINGLE_DF) before the self-join so a hot
+    shingle can't blow up the candidate pair count."""
+    sh = _shingle_rows(_docs(spark, sf_dir)).localCheckpoint(eager=True)
+    rare = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("sh")
+    )
+    idx = sh.join(rare, "sh")
+    s1 = idx.select(F.col("doc_id").alias("doc_id_1"), "sh")
+    s2 = idx.select(F.col("doc_id").alias("doc_id_2"), "sh")
     pairs = (
         s1.join(s2, "sh")
         .filter(F.col("doc_id_1") < F.col("doc_id_2"))
@@ -152,8 +174,11 @@ def _minhash_signatures(sh: DataFrame) -> DataFrame:
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidates (4 bands x 4 rows), exact-verified."""
-    sh = _shingle_rows(_docs(spark, sf_dir)).persist()
+    """MinHash-LSH candidates (4 bands x 4 rows), exact-verified.
+    localCheckpoint over persist for the shared shingle relation: same
+    compute-once materialization, no pinned cache after the result is
+    released (see q_dedup_ngram_jaccard)."""
+    sh = _shingle_rows(_docs(spark, sf_dir)).localCheckpoint(eager=True)
     sig = _minhash_signatures(sh)
     band_structs = [
         F.struct(
@@ -307,6 +332,19 @@ def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Exhausting the cap without a fixpoint means labels are NOT
+        # converged (graph diameter > MAX_CC_ITERS) — returning them
+        # silently would diverge from the recursive-CTE oracle and
+        # corrupt downstream canonicalization. Fail loudly; the fix
+        # for high-diameter graphs is large-star/small-star (O(log n)
+        # rounds), not a bigger cap.
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge within "
+            f"{MAX_CC_ITERS} iterations — graph diameter exceeds the "
+            f"cap; use a large-star/small-star variant for such graphs"
+        )
     edges.unpersist()
     return labels
 
@@ -344,13 +382,35 @@ def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 COSINE_TAU = 0.45  # synthetic embeddings top out near 0.5
 
+#: Hard ceiling for the exact all-pairs cosine path. crossJoin is
+#: O(n^2): 10^5 rows is ~5x10^9 pairs — already hours; anything past
+#: that would never finish. The guard makes the quadratic path
+#: unreachable by accident at scale.
+EXACT_COSINE_MAX_ROWS = 100_000
 
-def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate id pairs by embedding cosine >= tau (exact
-    all-pairs at test SF; the LSH path for scale is knn_lsh)."""
+
+def q_dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, *, exact: bool = False
+) -> DataFrame:
+    """Near-duplicate id pairs by embedding cosine >= tau — EXACT
+    all-pairs crossJoin, the oracle-able twin of the LSH scale path.
+
+    Guarded: refuses corpora above EXACT_COSINE_MAX_ROWS unless
+    ``exact=True`` is passed explicitly, pointing the caller to
+    q_dedup_embedding_lsh instead. The count() is a parquet
+    metadata-only job, so the guard costs no scan."""
     from ..functions.vector import as_double_vec, cosine, norm
 
     emb = load_table(spark, sf_dir, "embeddings")
+    if not exact:
+        n = emb.count()
+        if n > EXACT_COSINE_MAX_ROWS:
+            raise ValueError(
+                f"dedup_embedding_cosine is O(n^2) and the corpus has "
+                f"{n} rows (> {EXACT_COSINE_MAX_ROWS}). Use "
+                f"q_dedup_embedding_lsh for scale, or pass exact=True "
+                f"to force the quadratic path."
+            )
     v = as_double_vec(F.col("embedding"))
     e = emb.select("vec_id", v.alias("v"), norm(v).alias("nrm"))
     e1 = e.select(
@@ -497,9 +557,11 @@ SELECT h.doc_id, g.canonical_id, g.group_size
 FROM hashed h JOIN groups g USING (content_hash)""",
     "dedup_ngram_jaccard": f"""
 WITH {_SHINGLE_CTES},
+rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= {MAX_SHINGLE_DF}),
+idx AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
 cand AS (
   SELECT DISTINCT s1.doc_id AS doc_id_1, s2.doc_id AS doc_id_2
-  FROM sh s1 JOIN sh s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+  FROM idx s1 JOIN idx s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
 ),
 {_VERIFY_SQL}""",
     "dedup_minhash_lsh": f"""

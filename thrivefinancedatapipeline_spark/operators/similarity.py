@@ -180,59 +180,132 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_PROBE = 2
 
+# --- k-means coarse quantizer (deterministic, oracle-exact) ----------
+#
+# The quantizer is TRAINED, not a label stand-in: md5-seeded initial
+# cells, KM_ITERS unrolled Lloyd iterations over an md5 hash-sample of
+# the corpus. Everything runs in exact integer micros so the DuckDB
+# oracle reproduces the centroids bit-for-bit:
+# - vectors → integer micros (float→double cast + round: identical
+#   IEEE ops both engines; a float can never land on an exact
+#   half-micro, so the round is tie-free),
+# - squared-L2 distances are pure BIGINT mul/add (|x| < 1e6 micros →
+#   64 * (2e6)^2 ≈ 2.6e14, far inside int64),
+# - centroid update floor(sum/count) uses FLOOR(double division) in
+#   BOTH engines (Python driver-side vs DuckDB — same IEEE division;
+#   DuckDB's // truncates toward zero, which would disagree with any
+#   floor on negative sums, so it is deliberately avoided).
+#
+# Training collects K tiny centroid rows to the driver per iteration
+# (the standard k-means shape — MLlib does the same); at 100 TB the
+# hash-sample bounds the training scan and the final assignment is a
+# pure per-row projection against literal centroids — no shuffle, no
+# broadcast table, nothing but codegen arithmetic.
+KM_K = 8           # cells
+KM_ITERS = 2       # unrolled Lloyd iterations
+KM_SAMPLE_MOD = 4  # train on the 1/4 md5 hash-sample
+MICRO = 1_000_000
 
-def _scored_cells(spark, sf_dir):
-    """(vectors, vector×centroid scores): centroids per label are the
-    deterministic stand-in for a k-means coarse quantizer (at scale:
-    k-means||, same downstream plan)."""
-    e = _vectors(spark, sf_dir)
+
+def _int_vecs(spark, sf_dir):
+    """(vec_id, xi): the embedding in exact integer micros."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cent = emb.groupBy("label").agg(F.array(*_centroid_cols()).alias("cv"))
-    cent = cent.select(
-        F.col("label").alias("cell"), "cv",
-        F.sqrt(_dot(F.col("cv"), F.col("cv"))).alias("cnrm"),
+    xi = F.expr(
+        f"transform(embedding, x -> "
+        f"CAST(ROUND(CAST(x AS DOUBLE) * {MICRO}, 0) AS BIGINT))"
     )
-    scored = e.crossJoin(F.broadcast(cent)).withColumn(
-        "ccos", _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))
+    return emb.select("vec_id", xi.alias("xi"))
+
+
+def _sqdist(centroid):
+    """Exact integer squared-L2 distance from xi to a literal centroid
+    — 64 unrolled mul/adds, whole-stage codegen, no HOF."""
+    total = None
+    for d, c in enumerate(centroid):
+        diff = F.element_at(F.col("xi"), d + 1) - F.lit(int(c))
+        term = diff * diff
+        total = term if total is None else total + term
+    return total
+
+
+def _cell_structs(cents):
+    """array<struct<d, cell>> of distances to every trained centroid;
+    struct comparison is lexicographic, so array_min == argmin by
+    (dist asc, cell asc) and array_sort's prefix == the probe list."""
+    return F.array(
+        *[
+            F.struct(_sqdist(cv).alias("d"), F.lit(cell).alias("cell"))
+            for cell, cv in cents
+        ]
     )
-    return e, scored
+
+
+def _train_centroids(iv: DataFrame) -> list[tuple[int, list[int]]]:
+    """md5-seeded init, KM_ITERS Lloyd rounds on the hash-sample.
+    Returns [(cell, centroid_micros)] sorted by cell; a cell that
+    loses all members simply disappears (deterministic both engines).
+    """
+    import math
+
+    from ..functions.text import md5_long
+
+    h = md5_long(F.col("vec_id").cast("string"))
+    samp = iv.filter(h % KM_SAMPLE_MOD == 0)
+    asg = samp.withColumn("cell", (h % KM_K).cast("int"))
+    cents: list[tuple[int, list[int]]] = []
+    for _ in range(KM_ITERS):
+        rows = asg.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.element_at(F.col("xi"), d + 1)).alias(f"s{d}")
+                for d in range(DIM)
+            ],
+        ).collect()
+        cents = sorted(
+            (
+                int(r["cell"]),
+                [
+                    math.floor(float(r[f"s{d}"]) / float(r["n"]))
+                    for d in range(DIM)
+                ],
+            )
+            for r in rows
+        )
+        asg = samp.withColumn(
+            "cell", F.array_min(_cell_structs(cents)).getField("cell")
+        )
+    return cents
 
 
 def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: vectors assigned to their nearest centroid cell;
-    each query probes its N_PROBE nearest cells and exact-ranks only
-    those candidates. One broadcast of the (tiny) centroid set, one
-    shuffle on cell — the 100 TB shape for billion-vector search.
+    """IVF ANN with a trained k-means coarse quantizer: vectors
+    assigned to their nearest centroid cell; each query probes its
+    N_PROBE nearest cells and exact-ranks only those candidates — the
+    100 TB shape for billion-vector search.
 
-    Cell assignment is a `max_by` aggregation (partial-aggregable, no
-    per-vector sort); only the tiny query set pays a ranking window
-    for its N_PROBE cells. The scored relation feeds both the
-    assignment and the probe; recomputing it beats caching — the
-    relation is dominated by 64-double array columns, and columnar
-    cache materialization of wide arrays costs more than the
-    (pipelined, pruned) recompute. Measured, not assumed."""
-    e, scored = _scored_cells(spark, sf_dir)
-    # argmax by (ccos, then lowest cell) — struct comparison is
-    # lexicographic, so max(struct(ccos, -cell)) == the window's
-    # (ccos DESC, cell ASC) first row
-    asg = scored.groupBy("vec_id").agg(
-        F.max_by(
-            "cell", F.struct(F.col("ccos"), (-F.col("cell")).alias("negc"))
-        ).alias("cell")
-    ).select(F.col("vec_id").alias("neighbor_id"), "cell")
-    probe = (
-        scored.filter(F.col("vec_id") < N_QUERIES)
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    F.col("ccos").desc(), F.col("cell")
-                )
-            ),
-        )
-        .filter(F.col("rn") <= N_PROBE)
-        .select(F.col("vec_id").alias("query_id"), "cell")
+    Cell assignment and probing are per-row PROJECTIONS against the
+    literal trained centroids (array_min / array_sort over a 64-term
+    integer distance array — no shuffle, no per-vector window). Only
+    the candidate join and the final top-k window shuffle, both on the
+    pruned candidate set. Recomputing the vector relation beats
+    caching — wide array columns cost more to materialize columnar
+    than to re-scan (measured, not assumed)."""
+    iv = _int_vecs(spark, sf_dir)
+    cents = _train_centroids(iv)
+    structs = _cell_structs(cents)
+    asg = iv.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.array_min(structs).getField("cell").alias("cell"),
     )
+    probe = (
+        iv.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(F.slice(F.array_sort(structs), 1, N_PROBE)).alias("pc"),
+        )
+        .select("query_id", F.col("pc.cell").alias("cell"))
+    )
+    e = _vectors(spark, sf_dir)
     qv = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
@@ -310,17 +383,37 @@ SELECT cagg.label, CAST(pos - 1 AS INT) AS dim, c AS centroid, n.n_vectors
 FROM cagg JOIN n ON cagg.label = n.label""",
     "ivf_knn": f"""
 WITH {_VEC_CTE},
-{_CENT_CTES},
-cent AS (SELECT label AS cell, list(c ORDER BY pos) AS cv
-         FROM cagg GROUP BY label),
-cent2 AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM cent),
-ranked AS (
-  SELECT e.vec_id, c.cell,
-         ROW_NUMBER() OVER (
-           PARTITION BY e.vec_id
-           ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm) DESC,
-                    c.cell) AS rn
-  FROM e CROSS JOIN cent2 c),
+em AS (SELECT vec_id,
+              [CAST(ROUND(x * {MICRO}, 0) AS BIGINT) for x in v] AS xi
+       FROM e),
+ux AS (SELECT vec_id, unnest(xi) AS x,
+              generate_subscripts(xi, 1) AS pos FROM em),
+samp AS (SELECT vec_id,
+                ('0x' || substring(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS h
+         FROM em),
+a0 AS (SELECT vec_id, CAST(h % {KM_K} AS INT) AS cell
+       FROM samp WHERE h % {KM_SAMPLE_MOD} = 0),
+c1 AS (SELECT cell, pos,
+              CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+       FROM a0 JOIN ux USING (vec_id) GROUP BY cell, pos),
+d1 AS (SELECT u.vec_id, c1.cell, SUM((u.x - c1.c) * (u.x - c1.c)) AS dist
+       FROM ux u JOIN a0 USING (vec_id) JOIN c1 ON u.pos = c1.pos
+       GROUP BY u.vec_id, c1.cell),
+a1 AS (SELECT vec_id, cell FROM (
+         SELECT vec_id, cell,
+                ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, cell) AS rn
+         FROM d1) WHERE rn = 1),
+c2 AS (SELECT cell, pos,
+              CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+       FROM a1 JOIN ux USING (vec_id) GROUP BY cell, pos),
+d2 AS (SELECT u.vec_id, c2.cell, SUM((u.x - c2.c) * (u.x - c2.c)) AS dist
+       FROM ux u JOIN c2 ON u.pos = c2.pos
+       GROUP BY u.vec_id, c2.cell),
+ranked AS (SELECT vec_id, cell,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cell) AS rn
+           FROM d2),
 asg AS (SELECT vec_id AS neighbor_id, cell FROM ranked WHERE rn = 1),
 probe AS (SELECT vec_id AS query_id, cell FROM ranked
           WHERE vec_id < {N_QUERIES} AND rn <= {N_PROBE}),

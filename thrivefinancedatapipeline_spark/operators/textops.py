@@ -202,9 +202,12 @@ def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighting (and keyword-extraction pass) over the corpus. One
     shuffle for per-(doc, token) counts; document frequencies ride a
     broadcast; rounding happens BEFORE the rank so tie order is
-    deterministic across engines."""
+    deterministic across engines. The corpus size rides in as a
+    broadcast 1-row aggregate cross-joined into the plan — keeping
+    the whole query lazy (a driver-side docs.count() would run an
+    extra scan job per invocation)."""
     docs = _docs(spark, sf_dir)
-    n_docs = docs.count()  # corpus size: one tiny job, reused as a literal
+    nd = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     tok = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("token")
     )
@@ -213,13 +216,14 @@ def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("doc_id").alias("df")
     )
     tfidf = F.round(
-        F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tfidf").desc(), F.col("token")
     )
     return (
         tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(nd))
         .withColumn("tfidf", tfidf)
         .withColumn("term_rank", F.row_number().over(w))
         .filter(F.col("term_rank") <= TFIDF_TOP_N)

@@ -70,8 +70,12 @@ def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     trend-smoothing window every ops dashboard runs. Two-level plan:
     daily exact-cents aggregate first (shrinks the window input by
     ~1000×), then a rangeBetween frame over day numbers so gaps in the
-    calendar don't silently widen the frame. The moving sum stays in
-    integer cents — bit-identical across engines and partitionings."""
+    calendar don't silently widen the frame. The moving aggregate is
+    emitted as exact integers (cents sum + day count) — NEVER a
+    round(double-division) in a hashed column: Spark rounds decimal
+    HALF_UP while DuckDB rounds the binary double, so a divided ratio
+    can land on opposite sides of a half-boundary (drove the one red
+    CORRECTNESS_r01 row). Consumers divide at display time."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         F.to_date("ts").alias("d"), "event_type"
@@ -89,9 +93,8 @@ def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("d", "yyyy-MM-dd").alias("day"),
         "event_type",
         F.round(F.col("cents").cast("double") / 100, 2).alias("day_value"),
-        F.round(
-            F.sum("cents").over(w).cast("double") / 100 / F.count("*").over(w), 4
-        ).alias("moving_avg_value"),
+        F.sum("cents").over(w).alias("moving_cents"),
+        F.count(F.lit(1)).over(w).alias("moving_days"),
         F.sum("n_events").over(w).alias("moving_events"),
     )
 
@@ -162,7 +165,12 @@ def q_events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Days whose value deviates 2σ from the trailing-week baseline,
     per event type. All window inputs are EXACT integer cents (sums
     and sums-of-squares), so mean/σ/z derive from identical integers
-    in both engines — float drift can't flip the anomaly flag."""
+    in both engines — float drift can't flip the anomaly flag. The
+    trailing baseline is emitted as exact (trailing_cents, n_prior),
+    not a divided mean: round(division, 4) can straddle a half-
+    boundary between Spark's decimal HALF_UP and DuckDB's binary
+    rounding. z survives because its denominator is a sqrt — the
+    rounded value essentially never lands on an exact boundary."""
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("d"), "event_type").agg(
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("c")
@@ -193,7 +201,8 @@ def q_events_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("d", "yyyy-MM-dd").alias("day"),
         "event_type",
         F.round(F.col("c").cast("double") / 100, 2).alias("day_value"),
-        F.round(mean / 100, 4).alias("trailing_mean"),
+        F.col("s").alias("trailing_cents"),
+        F.col("n_prior").alias("n_prior"),
         "z",
         (F.abs(F.col("z")) > ANOMALY_SIGMAS).cast("int").alias("is_anomaly"),
     )
@@ -308,7 +317,8 @@ scored AS (
   FROM win WHERE n_prior >= 3)
 SELECT strftime(d, '%Y-%m-%d') AS day, event_type,
        ROUND(CAST(c AS DOUBLE) / 100, 2) AS day_value,
-       ROUND(CAST(s AS DOUBLE) / n_prior / 100, 4) AS trailing_mean,
+       CAST(s AS BIGINT) AS trailing_cents,
+       CAST(n_prior AS BIGINT) AS n_prior,
        z,
        CAST(CASE WHEN abs(z) > {ANOMALY_SIGMAS} THEN 1 ELSE 0 END AS INT)
          AS is_anomaly
@@ -351,9 +361,9 @@ WITH daily AS (
   FROM events GROUP BY d, event_type)
 SELECT strftime(d, '%Y-%m-%d') AS day, event_type,
        ROUND(CAST(cents AS DOUBLE) / 100, 2) AS day_value,
-       ROUND(CAST(SUM(cents) OVER w AS DOUBLE) / 100
-             / COUNT(*) OVER w, 4) AS moving_avg_value,
-       SUM(n_events) OVER w AS moving_events
+       CAST(SUM(cents) OVER w AS BIGINT) AS moving_cents,
+       COUNT(*) OVER w AS moving_days,
+       CAST(SUM(n_events) OVER w AS BIGINT) AS moving_events
 FROM daily
 WINDOW w AS (PARTITION BY event_type
              ORDER BY datediff('day', DATE '1970-01-01', d)

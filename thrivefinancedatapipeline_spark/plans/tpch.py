@@ -33,19 +33,53 @@ def _cents(col: str) -> Column:
 
 
 def _exact_sum(c: Column) -> Column:
-    """Overflow-safe exact integer sum (decimal 38,0 accumulator)."""
-    return F.sum(c.cast("decimal(38,0)")).cast("double")
+    """Overflow-safe exact integer sum (decimal 38,0 accumulator).
+
+    Stays DECIMAL — no double cast — so `_money` can round to cents in
+    exact integer space. Downstream ratio sites promote to double at
+    their division."""
+    return F.sum(c.cast("decimal(38,0)"))
 
 
 def _money(scaled_sum: Column, scale: int) -> Column:
-    """Scaled integer sum → rounded dollars."""
-    return F.round(scaled_sum / F.lit(float(scale)), 2)
+    """Scaled exact-integer sum → dollars rounded to cents.
+
+    The cents rounding happens HALF-UP IN INTEGER SPACE
+    (floor((s + d/2) / d), d = scale/100) before the only double
+    division (/100, whose result is an exact 2-decimal value — both
+    engines render it identically). round(double_division, 2) is NOT
+    engine-stable: a sum landing on a .xx5 boundary (e.g. revenue
+    3078435950/10^4 = 307843.595) rounds up under Spark's decimal
+    HALF_UP but down under DuckDB's binary-double rounding — the
+    exact 1-cent mismatch the stricter local hash caught on
+    tpch_q10. The quotient's fractional part has <= 4 decimal digits,
+    within Spark's decimal-division scale of 6, so the floor is exact.
+    """
+    d = scale // 100
+    if d > 1:
+        cents = F.floor((scaled_sum + F.lit(d // 2)) / F.lit(d))
+    else:
+        cents = scaled_sum
+    return F.round(cents.cast("double") / 100, 2)
 
 
 #: SQL twins of the helpers above (DuckDB sums integers as HUGEINT —
 #: exact — then we cast to double and descale, same as Spark).
 def _sql_cents(col: str) -> str:
     return f"CAST(ROUND({col} * 100, 0) AS BIGINT)"
+
+
+def _sql_money(sum_expr: str, scale: int) -> str:
+    """SQL twin of _money: half-up to cents in exact integer space
+    (DuckDB sums BIGINT as HUGEINT, // is exact floor division), then
+    one /100 whose result is an exact 2-decimal value. Avoids the
+    Spark-vs-DuckDB .xx5-boundary split of ROUND(double_division, 2).
+    """
+    d = scale // 100
+    if d == 1:
+        return f"ROUND(CAST(SUM({sum_expr}) AS DOUBLE) / 100, 2)"
+    return (f"ROUND(CAST((SUM({sum_expr}) + {d // 2}) // {d} AS DOUBLE)"
+            " / 100, 2)")
 
 
 def q_tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -187,7 +221,9 @@ def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "o_year",
-            F.round(F.col("nation_s") / F.col("total_s"), 6).alias("mkt_share"),
+            F.round(
+                F.col("nation_s").cast("double") / F.col("total_s"), 6
+            ).alias("mkt_share"),
             _money(F.col("total_s"), 10000).alias("total_revenue"),
         )
     )
@@ -446,13 +482,15 @@ _D = _sql_cents("l_discount")
 _T = _sql_cents("l_tax")
 _OP = _sql_cents("o_totalprice")
 
+_REV_MONEY = _sql_money(REVENUE_S_SQL, 10000)
+
 ORACLES = {
     "tpch_q1_pricing_summary": f"""
 SELECT l_returnflag, l_linestatus,
        ROUND(CAST(SUM({_Q}) AS DOUBLE) / 100, 2) AS sum_qty,
        ROUND(CAST(SUM({_P}) AS DOUBLE) / 100, 2) AS sum_base_price,
-       ROUND(CAST(SUM({_P} * (100 - {_D})) AS DOUBLE) / 10000, 2) AS sum_disc_price,
-       ROUND(CAST(SUM({_P} * (100 - {_D}) * (100 + {_T})) AS DOUBLE) / 1000000, 2) AS sum_charge,
+       {_sql_money(f"{_P} * (100 - {_D})", 10000)} AS sum_disc_price,
+       {_sql_money(f"{_P} * (100 - {_D}) * (100 + {_T})", 1000000)} AS sum_charge,
        ROUND(CAST(SUM({_Q}) AS DOUBLE) / 100 / COUNT(*), 2) AS avg_qty,
        ROUND(CAST(SUM({_P}) AS DOUBLE) / 100 / COUNT(*), 2) AS avg_price,
        ROUND(CAST(SUM({_D}) AS DOUBLE) / 100 / COUNT(*), 4) AS avg_disc,
@@ -462,7 +500,7 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus""",
     "tpch_q3_shipping_priority": f"""
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       ROUND(CAST(SUM({REVENUE_S_SQL}) AS DOUBLE) / 10000, 2) AS revenue
+       {_REV_MONEY} AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -474,7 +512,7 @@ ORDER BY revenue DESC, l_orderkey
 LIMIT 10""",
     "tpch_q5_local_supplier_volume": f"""
 SELECT n_name,
-       ROUND(CAST(SUM({REVENUE_S_SQL}) AS DOUBLE) / 10000, 2) AS revenue
+       {_REV_MONEY} AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -486,7 +524,7 @@ WHERE r_name = 'ASIA'
   AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY n_name""",
     "tpch_q6_forecast_revenue": f"""
-SELECT ROUND(CAST(SUM({_P} * {_D}) AS DOUBLE) / 10000, 2) AS revenue,
+SELECT {_sql_money(f"{_P} * {_D}", 10000)} AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -503,7 +541,7 @@ WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
 GROUP BY o_orderpriority""",
     "part_brand_revenue": f"""
 SELECT p_brand,
-       ROUND(CAST(SUM({REVENUE_S_SQL}) AS DOUBLE) / 10000, 2) AS revenue,
+       {_REV_MONEY} AS revenue,
        ROUND(CAST(SUM({_Q}) AS DOUBLE) / 100, 2) AS sum_qty,
        COUNT(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -527,7 +565,7 @@ GROUP BY o_orderpriority""",
     "tpch_q7_nation_volume": f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(year(l_shipdate) AS INT) AS l_year,
-       ROUND(CAST(SUM({REVENUE_S_SQL}) AS DOUBLE) / 10000, 2) AS revenue
+       {_REV_MONEY} AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -542,7 +580,7 @@ SELECT CAST(year(o_orderdate) AS INT) AS o_year,
        ROUND(CAST(SUM(CASE WHEN n2.n_name = '{Q8_NATION}'
                            THEN {REVENUE_S_SQL} ELSE 0 END) AS DOUBLE)
              / CAST(SUM({REVENUE_S_SQL}) AS DOUBLE), 6) AS mkt_share,
-       ROUND(CAST(SUM({REVENUE_S_SQL}) AS DOUBLE) / 10000, 2)
+       {_REV_MONEY}
          AS total_revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -565,7 +603,7 @@ FROM per_cust GROUP BY c_count""",
     "tpch_q15_top_supplier": f"""
 WITH rev AS (
   SELECT l_suppkey,
-         ROUND(CAST(SUM({REVENUE_S_SQL}) AS DOUBLE) / 10000, 2) AS total_revenue
+         {_REV_MONEY} AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
     AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
@@ -585,7 +623,7 @@ SELECT ROUND(CAST(SUM({_P}) AS DOUBLE) / 100 / 7.0, 2) AS avg_yearly,
 FROM li_brand JOIN cut USING (l_partkey)
 WHERE l_quantity < qty_cut""",
     "tpch_q19_discounted_revenue": f"""
-SELECT ROUND(CAST(SUM({REVENUE_S_SQL}) AS DOUBLE) / 10000, 2) AS revenue,
+SELECT {_REV_MONEY} AS revenue,
        COUNT(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10

@@ -1,4 +1,19 @@
-"""Aggregate the per-module query/oracle catalogs for the driver."""
+"""Aggregate the per-module query/oracle catalogs for the driver.
+
+Module order is deliberate and load-bearing: the correctness driver
+checks `queries()` entries in iteration order under a bounded budget
+(round 1 stopped after 50), so the families that have never received a
+driver correctness row — dedup / similarity / text / quality /
+sampling / multimodal — come FIRST, followed by the queries whose
+output schema changed this round (events) and advanced's previously
+unchecked tail. The finance/TPC-H families, all driver-proven in
+CORRECTNESS_r01.json, come last.
+
+Imports are unconditional: every module exists in-repo, and a blanket
+``except ImportError`` would silently drop a whole query family from
+the correctness gate if one of them ever failed to import (e.g. a
+SyntaxError chained through an ImportError in a transitive import).
+"""
 
 from __future__ import annotations
 
@@ -10,26 +25,26 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def _modules():
-    from .plans import finance_queries
+    from .multimodal import binary_ops
+    from .operators import dedup, quality, sampling, similarity, textops
+    from .plans import advanced, events_queries, finance_queries, tpch
 
-    mods = [finance_queries]
-    for name in ("tpch", "events_queries", "advanced"):
-        try:
-            mods.append(__import__(f"{__package__}.plans.{name}", fromlist=[name]))
-        except ImportError:
-            pass
-    for name in ("dedup", "similarity", "textops", "quality", "sampling"):
-        try:
-            mods.append(__import__(f"{__package__}.operators.{name}", fromlist=[name]))
-        except ImportError:
-            pass
-    try:
-        from .multimodal import binary_ops
-
-        mods.append(binary_ops)
-    except ImportError:
-        pass
-    return mods
+    return [
+        # never driver-checked in round 1 — first in line
+        dedup,
+        similarity,
+        textops,
+        quality,
+        sampling,
+        binary_ops,
+        # schema changed this round (moving_avg/anomalies) — recheck
+        events_queries,
+        # untested tail ordered first inside the module's QUERIES dict
+        advanced,
+        # fully driver-proven in CORRECTNESS_r01.json
+        finance_queries,
+        tpch,
+    ]
 
 
 def all_queries() -> dict[str, QueryFn]:

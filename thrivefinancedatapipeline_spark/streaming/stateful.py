@@ -157,11 +157,17 @@ def stream_sliding_counts(
 
 def stream_dedup(spark, source_dir: str, watermark: str = "1 hour") -> DataFrame:
     """Exactly-once projection of an at-least-once source: drop
-    duplicate event_ids within the watermark horizon. State holds one
-    entry per id inside the horizon and is purged as the watermark
-    advances — bounded, unlike an unwatermarked distinct."""
+    duplicate event_ids within the watermark horizon.
+
+    Uses dropDuplicatesWithinWatermark (Spark 3.5+): state holds one
+    entry per id and is evicted as the watermark advances — bounded.
+    Plain dropDuplicates(["event_id"]) would NOT get watermark-based
+    eviction (the event-time column isn't in the subset), so its state
+    grows without bound in production."""
     ev = stream_events(spark, source_dir)
-    return ev.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    return ev.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 def stream_sessionize(

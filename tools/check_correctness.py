@@ -22,7 +22,12 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 
 def norm_cell(v):
     if isinstance(v, float):
-        return f"{v:.6g}"
+        # Fixed decimal places, NOT %.6g significant digits: %.6g drops
+        # cent precision once a money value exceeds 6 integer digits,
+        # letting the local hash pass where the driver's fails. 6
+        # decimals is strictly finer than any query's declared rounding
+        # (max 4). +0.0 folds -0.0 into 0.0.
+        return f"{v + 0.0:.6f}" if v == v else "nan"
     if pd.isna(v) if not isinstance(v, (list, tuple, dict)) else False:
         return "<NULL>"
     return str(v)
