@@ -196,11 +196,11 @@ N_PROBE = 2
 #   DuckDB's // truncates toward zero, which would disagree with any
 #   floor on negative sums, so it is deliberately avoided).
 #
-# Training collects K tiny centroid rows to the driver per iteration
-# (the standard k-means shape — MLlib does the same); at 100 TB the
-# hash-sample bounds the training scan and the final assignment is a
-# pure per-row projection against literal centroids — no shuffle, no
-# broadcast table, nothing but codegen arithmetic.
+# Training collects the bounded hash-sample once and runs Lloyd
+# driver-side (the FAISS/MLlib shape — quantizers train on a small
+# sample, never the corpus); the final assignment is a pure per-row
+# projection against literal centroids — no shuffle, no broadcast
+# table, nothing but codegen arithmetic.
 KM_K = 8           # cells
 KM_ITERS = 2       # unrolled Lloyd iterations
 KM_SAMPLE_MOD = 4  # train on the 1/4 md5 hash-sample
@@ -241,39 +241,69 @@ def _cell_structs(cents):
 
 
 def _train_centroids(iv: DataFrame) -> list[tuple[int, list[int]]]:
-    """md5-seeded init, KM_ITERS Lloyd rounds on the hash-sample.
-    Returns [(cell, centroid_micros)] sorted by cell; a cell that
-    loses all members simply disappears (deterministic both engines).
+    """md5-seeded init, KM_ITERS Lloyd rounds on the md5 hash-sample.
+
+    The sample is collected ONCE and the Lloyd rounds run driver-side
+    in exact integer numpy — the FAISS/MLlib shape: the coarse
+    quantizer trains on a small bounded sample (KM_SAMPLE_MOD is the
+    knob; size it so the sample stays ~1e5 rows at any corpus scale)
+    while the full corpus only ever sees the final literal-centroid
+    projection. Per-iteration Spark jobs (scan + 65-agg collect +
+    512-term reassignment projection, twice) cost ~9 s of pure
+    codegen/scheduling overhead at sf0.1 for 500 sample rows —
+    driver-side training is <0.1 s and at scale the collect is
+    O(sample), not O(corpus).
+
+    Determinism / oracle parity (bit-for-bit vs the DuckDB SQL twin):
+    init cell = 60-bit md5-prefix(vec_id) % K — the same
+    hash in Python's hashlib, Spark's md5/conv and DuckDB's md5;
+    centroid update floor(float(exact int sum) / n) is one IEEE double
+    division in every engine (int sums < 1e11 are exact in float64);
+    distances/reassignment are pure int64 arithmetic with (dist, cell)
+    tie-break. A cell that loses all members simply disappears.
+    Returns [(cell, centroid_micros)] sorted by cell.
     """
-    import math
+    import hashlib
+
+    import numpy as np
 
     from ..functions.text import md5_long
 
     h = md5_long(F.col("vec_id").cast("string"))
-    samp = iv.filter(h % KM_SAMPLE_MOD == 0)
-    asg = samp.withColumn("cell", (h % KM_K).cast("int"))
-    cents: list[tuple[int, list[int]]] = []
-    for _ in range(KM_ITERS):
-        rows = asg.groupBy("cell").agg(
-            F.count(F.lit(1)).alias("n"),
-            *[
-                F.sum(F.element_at(F.col("xi"), d + 1)).alias(f"s{d}")
-                for d in range(DIM)
-            ],
-        ).collect()
-        cents = sorted(
-            (
-                int(r["cell"]),
-                [
-                    math.floor(float(r[f"s{d}"]) / float(r["n"]))
-                    for d in range(DIM)
-                ],
-            )
+    rows = iv.filter(h % KM_SAMPLE_MOD == 0).collect()
+    X = np.array([r["xi"] for r in rows], dtype=np.int64)
+    hs = np.array(
+        [
+            int(hashlib.md5(str(r["vec_id"]).encode()).hexdigest()[:15], 16)
             for r in rows
+        ],
+        dtype=np.int64,
+    )
+    assign = hs % KM_K
+    cents: list[tuple[int, list[int]]] = []
+    for it in range(KM_ITERS):
+        cents = []
+        for cell in np.unique(assign):
+            member = X[assign == cell]
+            cv = np.floor(
+                member.sum(axis=0, dtype=np.int64) / float(len(member))
+            )
+            cents.append((int(cell), [int(c) for c in cv]))
+        if it == KM_ITERS - 1:
+            break  # final reassignment happens in the Spark plan
+        C = np.array([cv for _, cv in cents], dtype=np.int64)
+        # ||x-c||^2 = ||x||^2 - 2x.c + ||c||^2, all exact int64
+        # (O(n*k) memory, no n*k*dim broadcast temp)
+        d2 = (
+            (X * X).sum(axis=1, dtype=np.int64)[:, None]
+            - 2 * (X @ C.T)
+            + (C * C).sum(axis=1, dtype=np.int64)[None, :]
         )
-        asg = samp.withColumn(
-            "cell", F.array_min(_cell_structs(cents)).getField("cell")
-        )
+        # argmin returns the FIRST min index; cents is sorted by cell,
+        # so ties break toward the lowest cell — same as (d, cell)
+        # struct-min in Spark and ORDER BY dist, cell in DuckDB
+        cell_ids = np.array([c for c, _ in cents], dtype=np.int64)
+        assign = cell_ids[np.argmin(d2, axis=1)]
     return cents
 
 
