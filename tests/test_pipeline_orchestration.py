@@ -1,0 +1,133 @@
+"""Orchestration parity with the reference DAG: materialized staging
+(download_data writes earned/spent/expired + Sales + Customers),
+per-stage retry with exponential backoff, and failure alerts that name
+the failed stage (TriggerRule.ONE_FAILED + failed_task.task_id)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from thrivefinancedatapipeline_spark.datamodel import load_table
+from thrivefinancedatapipeline_spark.pipeline import (
+    ValidationError,
+    run_pipeline,
+)
+from thrivefinancedatapipeline_spark.sources.ingest import (
+    load_staged_transactions,
+    stage_inputs,
+    transactions_from_events,
+)
+
+
+def test_stage_inputs_writes_all_five_datasets(spark, sf_dir, tmp_path):
+    staging = str(tmp_path / "staging")
+    out = stage_inputs(spark, sf_dir, staging, correlation_id="t-1")
+    assert out["status"] == "success"
+    assert out["staging_path"] == staging
+    counts = out["counts"]
+    assert set(counts) == {"earned", "spent", "expired", "sales", "customers"}
+
+    txns = transactions_from_events(load_table(spark, sf_dir, "events"))
+    by_type = {
+        r["tctype"]: r["n"]
+        for r in txns.groupBy("tctype").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts["earned"] == by_type.get("earned", 0)
+    assert counts["spent"] == by_type.get("spent", 0)
+    assert counts["expired"] == by_type.get("expired", 0)
+    # Sales / Customers sheet analogues: staged verbatim, like the
+    # reference's sales.parquet / customers.parquet
+    assert counts["sales"] == load_table(spark, sf_dir, "orders").count()
+    assert counts["customers"] == load_table(spark, sf_dir, "customer").count()
+
+    # the staged split reassembles into the full transactions relation
+    staged = load_staged_transactions(spark, staging)
+    assert staged.count() == txns.count()
+    assert staged.columns == txns.columns
+
+
+def test_pipeline_with_staging_matches_lazy_path(spark, sf_dir, tmp_path):
+    direct = run_pipeline(spark, sf_dir)
+    staged = run_pipeline(
+        spark, sf_dir, staging_dir=str(tmp_path / "staging"),
+        correlation_id="t-2",
+    )
+    for k in (
+        "total_earned", "total_spent", "total_expired",
+        "total_current_balance", "total_customers",
+    ):
+        assert staged.report[k] == direct.report[k], k
+    c = staged.report["staged_counts"]
+    assert (
+        c["earned"] + c["spent"] + c["expired"]
+        == direct.report["earned_transaction_count"]
+        + direct.report["spent_transaction_count"]
+        + direct.report["expired_transaction_count"]
+    )
+    assert "staged_counts" not in direct.report
+
+
+def test_stage_retry_exponential_backoff(spark, sf_dir, monkeypatch):
+    """A stage that fails twice then succeeds: delays follow
+    retry_delay * backoff^n and the run still succeeds."""
+    from thrivefinancedatapipeline_spark import pipeline as pl
+
+    real_validate = pl.validate_source
+    failures = {"left": 2}
+
+    def flaky_validate(txns):
+        if failures["left"] > 0:
+            failures["left"] -= 1
+            raise RuntimeError("transient source hiccup")
+        return real_validate(txns)
+
+    monkeypatch.setattr(pl, "validate_source", flaky_validate)
+    sleeps: list[float] = []
+    sent = []
+    result = run_pipeline(
+        spark, sf_dir, correlation_id="t-3",
+        notify=lambda s, m: sent.append((s, m)),
+        retries=3, retry_delay=5.0, _sleep=sleeps.append,
+    )
+    assert sleeps == [5.0, 10.0]
+    assert result.report["total_customers"] > 0
+    assert len(sent) == 1 and "success" in sent[0][0]
+
+
+def test_failure_alert_names_failed_stage(spark, sf_dir, monkeypatch):
+    from thrivefinancedatapipeline_spark import pipeline as pl
+
+    def bad_fifo(txns):
+        raise ValidationError("forced fifo failure")
+
+    monkeypatch.setattr(pl, "fifo_match", bad_fifo)
+    sent = []
+    with pytest.raises(ValidationError):
+        run_pipeline(
+            spark, sf_dir, correlation_id="t-4",
+            notify=lambda s, m: sent.append((s, m)),
+        )
+    assert len(sent) == 1
+    subj, msg = sent[0]
+    assert "FAILURE" in subj
+    assert "perform_fifo_matching" in msg  # reference failed_task.task_id
+    assert "t-4" in msg
+
+
+def test_retries_exhausted_reraises_and_alerts(spark, sf_dir, monkeypatch):
+    from thrivefinancedatapipeline_spark import pipeline as pl
+
+    def always_bad(txns):
+        raise RuntimeError("permanent failure")
+
+    monkeypatch.setattr(pl, "validate_source", always_bad)
+    sleeps: list[float] = []
+    sent = []
+    with pytest.raises(RuntimeError, match="permanent failure"):
+        run_pipeline(
+            spark, sf_dir, correlation_id="t-5",
+            notify=lambda s, m: sent.append((s, m)),
+            retries=2, retry_delay=1.0, _sleep=sleeps.append,
+        )
+    assert sleeps == [1.0, 2.0]
+    assert len(sent) == 1
+    assert "validate_source" in sent[0][1]

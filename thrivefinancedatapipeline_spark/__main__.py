@@ -32,6 +32,13 @@ def main(argv: list[str] | None = None) -> int:
     pipep = sub.add_parser("pipeline", help="run the end-to-end pipeline")
     pipep.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     pipep.add_argument("--output", default=None)
+    pipep.add_argument(
+        "--staging-dir", default=None,
+        help="materialize the download_data staging area (earned/spent/"
+        "expired + sales + customers parquet) and read transactions "
+        "back from it, like the reference DAG",
+    )
+    pipep.add_argument("--retries", type=int, default=0)
 
     args = p.parse_args(argv)
 
@@ -56,7 +63,10 @@ def main(argv: list[str] | None = None) -> int:
 
     from .pipeline import run_pipeline
 
-    result = run_pipeline(spark, args.sf_dir, output_dir=args.output)
+    result = run_pipeline(
+        spark, args.sf_dir, output_dir=args.output,
+        staging_dir=args.staging_dir, retries=args.retries,
+    )
     report = {
         k: v for k, v in result.report.items()
         if k != "top_customers_by_balance"

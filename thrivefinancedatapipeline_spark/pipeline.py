@@ -8,20 +8,43 @@ Spark-native shape: each stage is a DataFrame transformation; the only
 actions are the validation gates (tiny aggregate collects) and the
 final sinks. Lineage replaces XCom; a failed gate raises before any
 output is written — same fail-fast contract as the Airflow DAG.
+
+Orchestration semantics carried over from the reference DAG, not just
+its data flow:
+- per-stage boundaries with the reference task names, each logged with
+  the correlation id (thrive_cash_processing_dag.py:71-78 logs every
+  task as ``[correlation_id] ...``);
+- retry with exponential backoff per stage (default_args at :35:
+  retries=3, retry_delay=5 min, retry_exponential_backoff with a
+  30 min cap) — off by default here because a deterministic validation
+  failure doesn't heal on retry, but available for flaky sources;
+- the failure alert names the FAILED STAGE (send_failure_alert at
+  :602 reports ``failed_task.task_id``; trigger rule ONE_FAILED at
+  :730 means any stage's failure routes to the alert).
 """
 
 from __future__ import annotations
 
+import logging
+import time
 from dataclasses import dataclass, field
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import alerts
 from .datamodel import load_table
 from .operators.balance import balance_history, current_balances
 from .operators.fifo import fifo_match, validate_results
 from .operators.quality import validate_source
-from .sources.ingest import transactions_from_events
+from .sources.ingest import (
+    load_staged_transactions,
+    stage_inputs,
+    transactions_from_events,
+)
+
+logger = logging.getLogger(__name__)
 
 
 class ValidationError(RuntimeError):
@@ -36,6 +59,44 @@ class PipelineResult:
     report: dict = field(default_factory=dict)
 
 
+def _run_stage(
+    name: str,
+    fn: Callable,
+    correlation_id: str,
+    retries: int = 0,
+    retry_delay: float = 0.0,
+    backoff: float = 2.0,
+    max_delay: float = 1800.0,
+    sleep: Callable[[float], None] = time.sleep,
+):
+    """One reference-task boundary: log start/finish under the
+    correlation id, retry with exponential backoff on failure
+    (reference default_args: retry_delay doubling up to max_delay),
+    re-raise the final error untouched so the caller's failure alert
+    (and the test suite) sees the original exception type."""
+    delay = retry_delay
+    for attempt in range(retries + 1):
+        try:
+            logger.info(
+                "[%s] stage %s: starting (attempt %d/%d)",
+                correlation_id, name, attempt + 1, retries + 1,
+            )
+            out = fn()
+            logger.info("[%s] stage %s: done", correlation_id, name)
+            return out
+        except Exception as exc:
+            if attempt >= retries:
+                raise
+            logger.warning(
+                "[%s] stage %s failed (%s: %s); retry %d/%d in %.0fs",
+                correlation_id, name, type(exc).__name__, exc,
+                attempt + 1, retries, delay,
+            )
+            if delay > 0:
+                sleep(delay)
+            delay = min(delay * backoff, max_delay)
+
+
 def run_pipeline(
     spark: SparkSession,
     sf_dir: str,
@@ -43,64 +104,112 @@ def run_pipeline(
     fail_on_result_violations: bool = False,
     correlation_id: str | None = None,
     notify=None,
+    staging_dir: str | None = None,
+    retries: int = 0,
+    retry_delay: float = 0.0,
+    _sleep: Callable[[float], None] = time.sleep,
 ) -> PipelineResult:
     """Ingest → validate → match → validate → analytics (→ sinks)
     (→ alerts when `notify` is given, reference send_*_alert parity).
+
+    `staging_dir` enables the reference's materialized download_data
+    stage: the transaction split plus the Sales/Customers sheets land
+    as parquet there and the pipeline reads the transactions BACK from
+    staging (fifo_matching.load_from_staging parity); without it, the
+    projection stays lazy end-to-end — same results, one less write.
 
     fail_on_result_violations mirrors the reference's hard gate; it
     defaults off because value-unbalanced books are expected on
     arbitrary event data (the reference's own data was balanced).
     """
-    if notify is not None:
-        from . import alerts
+    cid = correlation_id or "manual-run"
+    current_stage = "setup"
 
-        cid = correlation_id or "manual-run"
-        try:
-            result = run_pipeline(
-                spark, sf_dir, output_dir, fail_on_result_violations
+    def stage(name: str, fn: Callable):
+        nonlocal current_stage
+        current_stage = name
+        return _run_stage(name, fn, cid, retries, retry_delay, sleep=_sleep)
+
+    try:
+        staged_counts = None
+        if staging_dir is not None:
+            staged = stage(
+                "download_data",
+                lambda: stage_inputs(spark, sf_dir, staging_dir, cid),
             )
-        except Exception as exc:
-            alerts.send_failure_alert("pipeline", exc, cid, notify)
-            raise
-        alerts.send_success_alert(
-            {"summary_metrics": result.report}, cid, notify
-        )
-        return result
+            staged_counts = staged["counts"]
+            txns = load_staged_transactions(spark, staging_dir)
+        else:
+            txns = stage(
+                "download_data",
+                lambda: transactions_from_events(
+                    load_table(spark, sf_dir, "events")
+                ),
+            )
 
-    txns = transactions_from_events(load_table(spark, sf_dir, "events"))
+        def _validate_source():
+            checks = validate_source(txns).collect()
+            bad = {r.check: r.violations for r in checks if r.violations > 0}
+            if bad:
+                raise ValidationError(f"source validation failed: {bad}")
+            return checks
 
-    source_checks = validate_source(txns).collect()
-    bad = {r.check: r.violations for r in source_checks if r.violations > 0}
-    if bad:
-        raise ValidationError(f"source validation failed: {bad}")
+        source_checks = stage("validate_source", _validate_source)
 
-    matched = fifo_match(txns)
+        matched = stage("perform_fifo_matching", lambda: fifo_match(txns))
 
-    violations = validate_results(matched)
-    structural = violations.filter(F.col("check") != "balance_mismatch")
-    sample = structural.limit(10).collect()
-    if sample:
-        raise ValidationError(f"result validation failed: {sample}")
-    if fail_on_result_violations:
-        sample = violations.limit(10).collect()
-        if sample:
-            raise ValidationError(f"balance validation failed: {sample}")
+        def _validate_results():
+            violations = validate_results(matched)
+            structural = violations.filter(F.col("check") != "balance_mismatch")
+            sample = structural.limit(10).collect()
+            if sample:
+                raise ValidationError(f"result validation failed: {sample}")
+            if fail_on_result_violations:
+                sample = violations.limit(10).collect()
+                if sample:
+                    raise ValidationError(f"balance validation failed: {sample}")
 
-    history = balance_history(matched)
-    balances = current_balances(history)
+        stage("validate_results", _validate_results)
 
-    from .analytics import build_report
+        history = balance_history(matched)
+        balances = current_balances(history)
 
-    full = build_report(txns, balances)
-    report = {
-        **full["summary_metrics"],
-        "top_customers_by_balance": full["top_customers_by_balance"],
-        "source_checks_passed": len(source_checks),
-    }
+        def _build_analytics():
+            from .analytics import build_report
 
-    if output_dir:
-        matched.write.mode("overwrite").parquet(f"{output_dir}/tc_data_with_redemptions")
-        history.write.mode("overwrite").parquet(f"{output_dir}/customer_balance_history")
-        balances.write.mode("overwrite").parquet(f"{output_dir}/customer_current_balances")
+            full = build_report(txns, balances)
+            report = {
+                **full["summary_metrics"],
+                "top_customers_by_balance": full["top_customers_by_balance"],
+                "source_checks_passed": len(source_checks),
+            }
+            if staged_counts is not None:
+                report["staged_counts"] = staged_counts
+            return report
 
-    return PipelineResult(matched=matched, history=history, balances=balances, report=report)
+        report = stage("build_analytics", _build_analytics)
+
+        if output_dir:
+
+            def _write_outputs():
+                matched.write.mode("overwrite").parquet(
+                    f"{output_dir}/tc_data_with_redemptions"
+                )
+                history.write.mode("overwrite").parquet(
+                    f"{output_dir}/customer_balance_history"
+                )
+                balances.write.mode("overwrite").parquet(
+                    f"{output_dir}/customer_current_balances"
+                )
+
+            stage("write_outputs", _write_outputs)
+    except Exception as exc:
+        if notify is not None:
+            alerts.send_failure_alert(current_stage, exc, cid, notify)
+        raise
+
+    if notify is not None:
+        alerts.send_success_alert({"summary_metrics": report}, cid, notify)
+    return PipelineResult(
+        matched=matched, history=history, balances=balances, report=report
+    )
