@@ -117,6 +117,64 @@ def test_connected_components_no_edges(spark):
     assert out == {0: 0, 1: 1, 2: 2}
 
 
+def test_star_cc_chain_isolate_and_empty(spark):
+    from thrivefinancedatapipeline_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    nodes = spark.createDataFrame([Row(doc_id=i) for i in range(6)])
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (0, 1), (4, 5)], "doc_id_1 long, doc_id_2 long"
+    )
+    out = {
+        r.doc_id: r.cluster_id
+        for r in connected_components_star(nodes, pairs).collect()
+    }
+    assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4}
+
+    empty = spark.createDataFrame([], "doc_id_1 long, doc_id_2 long")
+    out = {
+        r.doc_id: r.cluster_id
+        for r in connected_components_star(nodes, empty).collect()
+    }
+    assert out == {i: i for i in range(6)}
+
+
+def test_star_cc_long_chain_beyond_minlabel_cap(spark):
+    """An 80-node chain (diameter 79 > MAX_CC_ITERS=30) — min-label
+    alone would need 79 rounds; the star algorithm needs O(log n)."""
+    from thrivefinancedatapipeline_spark.operators import dedup
+
+    n = 80
+    nodes = spark.createDataFrame([Row(doc_id=i) for i in range(n)])
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_id_1 long, doc_id_2 long"
+    )
+    out = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components_star(nodes, pairs).collect()
+    }
+    assert out == {i: 0 for i in range(n)}
+
+
+def test_minlabel_cc_falls_back_to_star_on_deep_graph(spark, monkeypatch):
+    """When min-label hits its iteration cap, the contracted graph is
+    finished by the star algorithm — full convergence, no error."""
+    from thrivefinancedatapipeline_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "MAX_CC_ITERS", 3)
+    n = 30  # diameter 29 >> 3
+    nodes = spark.createDataFrame([Row(doc_id=i) for i in range(n)])
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_id_1 long, doc_id_2 long"
+    )
+    out = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components(nodes, pairs).collect()
+    }
+    assert out == {i: 0 for i in range(n)}
+
+
 def test_range_join_counts_touches_in_window(spark, sf_dir):
     out = advanced.q_range_join_touch_counts(spark, sf_dir)
     rows = out.collect()

@@ -3,6 +3,8 @@ balance fold vs full recompute, on arbitrary generated scenarios."""
 
 import datetime
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -134,15 +136,23 @@ def test_incremental_fold_equals_recompute(spark, scn, cutoff_hour):
 edge = st.tuples(st.integers(0, 9), st.integers(0, 9))
 
 
+def _cc_engine(name):
+    from thrivefinancedatapipeline_spark.operators import dedup
+
+    return {
+        "minlabel": dedup.connected_components,
+        "star": dedup.connected_components_star,
+    }[name]
+
+
 @settings(
-    max_examples=15, deadline=None,
+    max_examples=10, deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
 @given(st.lists(edge, min_size=0, max_size=14))
-def test_connected_components_match_union_find(spark, edges):
-    from thrivefinancedatapipeline_spark.operators.dedup import (
-        connected_components,
-    )
+@pytest.mark.parametrize("engine", ["minlabel", "star"])
+def test_connected_components_match_union_find(spark, engine, edges):
+    connected_components = _cc_engine(engine)
 
     nodes = list(range(10))
     parent = {n: n for n in nodes}

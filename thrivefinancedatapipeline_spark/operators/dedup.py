@@ -270,6 +270,101 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MAX_CC_ITERS = 30
+MAX_STAR_ROUNDS = 64  # star-CC is O(log n) rounds: 64 covers any n
+
+
+def _sym_edges(pairs: DataFrame) -> DataFrame:
+    """Both directions of an undirected pair list."""
+    return pairs.select(
+        F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst")
+    ).union(
+        pairs.select(
+            F.col("doc_id_2").alias("src"), F.col("doc_id_1").alias("dst")
+        )
+    )
+
+
+def connected_components_star(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    O(log n) rounds regardless of graph DIAMETER, unlike min-label
+    propagation whose round count IS the diameter. Two shuffles per
+    round (one groupBy per star op); at 100 TB this is the difference
+    between ~30 rounds on a pathological chain graph and ~6.
+
+    large-star: every node's strictly-larger neighbors are rewired to
+    its smallest neighbor-or-self. small-star: every node's
+    smaller-or-equal neighbors (and itself) are rewired to its
+    smallest neighbor. At fixpoint the edge set is one star per
+    component rooted at the component minimum.
+
+    nodes: (doc_id); pairs: (doc_id_1, doc_id_2) undirected.
+    Returns (doc_id, cluster_id)."""
+    edges = (
+        pairs.select(
+            F.greatest("doc_id_1", "doc_id_2").alias("a"),
+            F.least("doc_id_1", "doc_id_2").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _checksum(e: DataFrame):
+        # set-identity of the (distinct) edge set: count + XOR of row
+        # hashes — order-independent and overflow-free under ANSI mode
+        return e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(a, b))"), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+
+    prev = _checksum(edges)
+    for _ in range(MAX_STAR_ROUNDS):
+        # large-star over the symmetric view: for node u with
+        # m = min(N(u) ∪ {u}), every neighbor v > u re-attaches to m.
+        # Each undirected edge {a,b} (a>b) is emitted exactly once,
+        # from the perspective of its smaller endpoint.
+        sym = _sym_edges(
+            edges.select(
+                F.col("a").alias("doc_id_1"), F.col("b").alias("doc_id_2")
+            )
+        )
+        m_of = sym.groupBy("src").agg(F.min("dst").alias("mn")).select(
+            "src", F.least(F.col("mn"), F.col("src")).alias("m")
+        )
+        edges = (
+            sym.filter(F.col("dst") > F.col("src"))
+            .join(m_of, "src")
+            .select(F.col("dst").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # small-star over the min-directed view: node u's smaller
+        # neighbors (and u itself) all re-attach to min(N_small(u)).
+        m_small = edges.groupBy("a").agg(F.min("b").alias("m"))
+        edges = (
+            edges.join(m_small, "a")
+            .filter(F.col("b") != F.col("m"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(m_small.select(F.col("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cur = _checksum(edges)
+        if (cur["n"], cur["h"]) == (prev["n"], prev["h"]):
+            break
+        prev = cur
+    star = edges.select(
+        F.col("a").alias("doc_id"), F.col("b").alias("root")
+    )
+    return nodes.join(star, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("root"), F.col("doc_id")).alias("cluster_id"),
+    )
 
 
 def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
@@ -278,8 +373,11 @@ def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
     Pregel-style min-label propagation: each iteration is one
     distributed join+groupBy (no driver-side graph), iterating to a
     fixpoint. Near-dup clusters have tiny diameters, so this converges
-    in a handful of rounds; for adversarial graphs swap in the
-    large-star/small-star algorithm (O(log n) rounds, same join shape).
+    in a handful of rounds at one shuffle each; if the diameter
+    exceeds MAX_CC_ITERS (adversarial chain-shaped graphs), the
+    partially-propagated labels CONTRACT the graph and the
+    O(log n)-round star algorithm finishes it — never a silent
+    unconverged result, never a failure.
 
     nodes: (doc_id); pairs: (doc_id_1, doc_id_2) undirected.
     Returns (doc_id, cluster_id).
@@ -333,17 +431,42 @@ def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
         if changed == 0:
             break
     else:
-        # Exhausting the cap without a fixpoint means labels are NOT
-        # converged (graph diameter > MAX_CC_ITERS) — returning them
-        # silently would diverge from the recursive-CTE oracle and
-        # corrupt downstream canonicalization. Fail loudly; the fix
-        # for high-diameter graphs is large-star/small-star (O(log n)
-        # rounds), not a bigger cap.
-        edges.unpersist()
-        raise RuntimeError(
-            f"connected_components did not converge within "
-            f"{MAX_CC_ITERS} iterations — graph diameter exceeds the "
-            f"cap; use a large-star/small-star variant for such graphs"
+        # Cap exhausted without a fixpoint: graph diameter exceeds
+        # MAX_CC_ITERS. The labels so far are still a valid PARTIAL
+        # contraction (every node's label is reachable from it), so
+        # contract the graph by them and let the O(log n)-round star
+        # algorithm finish — no silent unconverged result, no failure.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "min-label CC hit the %d-iteration cap; finishing with "
+            "large-star/small-star on the contracted graph",
+            MAX_CC_ITERS,
+        )
+        lbl_src = labels.select(
+            F.col("doc_id").alias("src"), F.col("cluster_id").alias("l1")
+        )
+        lbl_dst = labels.select(
+            F.col("doc_id").alias("dst"), F.col("cluster_id").alias("l2")
+        )
+        contracted = (
+            edges.join(lbl_src, "src")
+            .join(lbl_dst, "dst")
+            .filter(F.col("l1") != F.col("l2"))
+            .select(
+                F.col("l1").alias("doc_id_1"), F.col("l2").alias("doc_id_2")
+            )
+            .distinct()
+        )
+        meta = connected_components_star(
+            labels.select(F.col("cluster_id").alias("doc_id")).distinct(),
+            contracted,
+        ).select(
+            F.col("doc_id").alias("cluster_id"),
+            F.col("cluster_id").alias("final_id"),
+        )
+        labels = labels.join(meta, "cluster_id").select(
+            "doc_id", F.col("final_id").alias("cluster_id")
         )
     edges.unpersist()
     return labels
@@ -355,6 +478,18 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the canonicalization step a dedup pipeline runs after pair finding.
     Oracle: DuckDB recursive CTE enumerating reachability."""
     return connected_components(
+        _docs(spark, sf_dir).select("doc_id"),
+        q_dedup_simhash_pairs(spark, sf_dir),
+    )
+
+
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering as dedup_clusters, computed by the alternating
+    large-star/small-star algorithm instead of min-label propagation —
+    the O(log n)-round engine for diameter-unbounded graphs, kept
+    under the identical reachability oracle so both CC engines are
+    driver-verified."""
+    return connected_components_star(
         _docs(spark, sf_dir).select("doc_id"),
         q_dedup_simhash_pairs(spark, sf_dir),
     )
@@ -479,6 +614,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_clusters_star": q_dedup_clusters_star,
     "dedup_keep_canonical": q_dedup_keep_canonical,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
 }
@@ -621,6 +757,7 @@ reach(n, m) AS (
   SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
 )
 SELECT n AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY n""",
+    "dedup_clusters_star": None,  # same reachability oracle, filled below
     "dedup_embedding_lsh": None,  # filled below (needs similarity's bucket SQL)
     "dedup_embedding_cosine": f"""
 WITH e AS (
@@ -655,3 +792,5 @@ WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {COSINE_TAU}"""
 
 
 ORACLES["dedup_embedding_lsh"] = _embedding_lsh_oracle()
+# both CC engines answer to the same reachability oracle
+ORACLES["dedup_clusters_star"] = ORACLES["dedup_clusters"]
