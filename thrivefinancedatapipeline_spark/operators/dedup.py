@@ -334,13 +334,15 @@ def connected_components_star(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
         m_of = sym.groupBy("src").agg(F.min("dst").alias("mn")).select(
             "src", F.least(F.col("mn"), F.col("src")).alias("m")
         )
+        # no checkpoint between the stars: the round's lineage is
+        # truncated once after small-star; within-round duplicate
+        # subplans collapse via ReusedExchange
         edges = (
             sym.filter(F.col("dst") > F.col("src"))
             .join(m_of, "src")
             .select(F.col("dst").alias("a"), F.col("m").alias("b"))
             .filter(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint(eager=True)
         )
         # small-star over the min-directed view: node u's smaller
         # neighbors (and u itself) all re-attach to min(N_small(u)).
@@ -397,6 +399,7 @@ def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
     labels = nodes.select(
         "doc_id", F.col("doc_id").alias("cluster_id")
     ).localCheckpoint(eager=True)
+    prev_sum = None
     for _ in range(MAX_CC_ITERS):
         nbr_min = (
             edges.join(
@@ -420,16 +423,18 @@ def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
+        # convergence test: the label set is unchanged iff its set
+        # checksum is — one cheap aggregate instead of the old-vs-new
+        # shuffle join + count this used to pay every round
+        new_sum = new_labels.agg(
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(doc_id, cluster_id))"), F.lit(0)
+            ).alias("h")
+        ).collect()[0]["h"]
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     else:
         # Cap exhausted without a fixpoint: graph diameter exceeds
         # MAX_CC_ITERS. The labels so far are still a valid PARTIAL
