@@ -69,3 +69,37 @@ def test_token_count_matches_python(spark):
     ).collect()[0]
     assert out.n == 3
     assert out.c == len("foo bar baz")
+
+
+def test_decontaminate_flags_only_nonbench_overlaps(spark, monkeypatch):
+    """Docs sharing a 3-gram with a benchmark doc are flagged with the
+    right overlap count; benchmark docs themselves and non-overlapping
+    docs never appear."""
+    monkeypatch.setattr(textops, "BENCH_DOC_MOD", 5)
+    rows = [
+        Row(doc_id=0, text="alpha beta gamma delta", lang="en",
+            source="s", n_chars=1),          # benchmark (0 % 5 == 0)
+        Row(doc_id=1, text="alpha beta gamma epsilon", lang="en",
+            source="s", n_chars=1),          # shares 'alpha beta gamma'
+        Row(doc_id=2, text="zeta eta theta iota", lang="en",
+            source="s", n_chars=1),          # clean
+        Row(doc_id=3, text="beta gamma delta kappa", lang="en",
+            source="s", n_chars=1),          # shares 'beta gamma delta'
+    ]
+    docs = spark.createDataFrame(rows)
+    monkeypatch.setattr(textops, "_docs", lambda spark, sf_dir: docs)
+    out = {
+        r.doc_id: r.n_contaminated_shingles
+        for r in textops.q_corpus_decontaminate(spark, "ignored").collect()
+    }
+    assert out == {1: 1, 3: 1}
+
+
+def test_mixture_weights_shares_sum_to_ppm(spark, sf_dir):
+    rows = textops.q_corpus_mixture_weights(spark, sf_dir).collect()
+    total_tokens = sum(r.n_tokens for r in rows)
+    share_sum = sum(r.share_ppm for r in rows)
+    # floor division: sum of shares within |cells| ppm of 1e6
+    assert 1_000_000 - len(rows) <= share_sum <= 1_000_000
+    for r in rows:
+        assert r.share_ppm == r.n_tokens * 1_000_000 // total_tokens

@@ -13,7 +13,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..datamodel import load_table
-from ..functions.text import md5_long, md5_long_sql, norm_sql, normalize, tokens
+from ..functions.text import (
+    md5_long,
+    md5_long_sql,
+    norm_sql,
+    normalize,
+    shingles_from_tokens,
+    tokens,
+)
 
 STOPLISTS = {
     "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
@@ -231,7 +238,70 @@ def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BENCH_DOC_MOD = 97  # doc_id % MOD == 0 docs form the stand-in benchmark set
+PPM = 1_000_000
+
+
+def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every training document that
+    shares a word-3-gram shingle with the held-out 'benchmark' subset
+    (doc_id % BENCH_DOC_MOD == 0 — a deterministic stand-in for an
+    eval-set blocklist), with the overlapping-shingle count. The
+    published training-corpus hygiene step (GPT-3/Llama reports use
+    8-13-gram overlap; 3-grams here so the synthetic corpus collides).
+
+    Scale shape: the blocklist is benchmark-sized — tiny next to a
+    100 TB corpus — so it BROADCASTS; the corpus side is probed
+    per-partition without a shuffle, and the only exchange is the
+    final per-doc count."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    sh = toks.select(
+        "doc_id", F.explode(shingles_from_tokens(F.col("toks"))).alias("sh")
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % BENCH_DOC_MOD == 0).select("sh").distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % BENCH_DOC_MOD != 0)
+        .join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        # shingles are distinct per doc by construction, so a plain
+        # (map-side-combinable) count is the overlap cardinality
+        .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
+    )
+
+
+def q_corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture table: documents and whitespace-token counts
+    per (lang, source) plus each cell's parts-per-million share of
+    corpus tokens — the weight vector a mixture sampler consumes.
+
+    One partial-aggregable pass over the corpus; the share is exact
+    integer `div` (never round(double) in a hashed column — and the
+    multiplicand is widened to decimal so token counts past 9.2e12
+    can't overflow int64 at real corpus scale). The total rides a
+    window over the ~|langs|x|sources|-row aggregate, not the data."""
+    docs = _docs(spark, sf_dir)
+    agg = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text"))).cast("long")).alias("n_tokens"),
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return agg.withColumn("total_tokens", total).select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr(
+            f"CAST(n_tokens AS DECIMAL(38,0)) * {PPM} div total_tokens"
+        ).alias("share_ppm"),
+    )
+
+
 QUERIES = {
+    "corpus_decontaminate": q_corpus_decontaminate,
+    "corpus_mixture_weights": q_corpus_mixture_weights,
     "corpus_vocabulary": q_corpus_vocabulary,
     "text_tfidf_top_terms": q_text_tfidf_top_terms,
     "corpus_length_histogram": q_corpus_length_histogram,
@@ -261,6 +331,17 @@ for _lang in LANG_ORDER:
 _LANG_CASE += "ELSE 'und' END"
 
 ORACLES = {
+    "corpus_decontaminate": None,  # filled below (reuses dedup's shingle CTEs)
+    "corpus_mixture_weights": f"""
+WITH agg AS (
+  SELECT lang, source, COUNT(*) AS n_docs,
+         CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang, source),
+t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM agg)
+SELECT lang, source, n_docs, n_tokens,
+       CAST((CAST(n_tokens AS HUGEINT) * {PPM}) // total_tokens AS BIGINT)
+         AS share_ppm
+FROM agg CROSS JOIN t""",
     "corpus_vocabulary": f"""
 WITH tok AS (
   SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
@@ -347,3 +428,21 @@ p AS (SELECT doc_id, lang, {_LANG_CASE} AS pred_lang FROM h)
 SELECT lang, pred_lang, COUNT(*) AS n_docs
 FROM p GROUP BY lang, pred_lang""",
 }
+
+
+def _decontaminate_oracle() -> str:
+    # the shingle CTEs are owned by dedup (same normalization + 3-gram
+    # construction on both engines); build from them so the two stay
+    # in sync
+    from .dedup import _SHINGLE_CTES
+
+    return f"""
+WITH {_SHINGLE_CTES},
+bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % {BENCH_DOC_MOD} = 0)
+SELECT s.doc_id, COUNT(*) AS n_contaminated_shingles
+FROM sh s JOIN bench USING (sh)
+WHERE s.doc_id % {BENCH_DOC_MOD} <> 0
+GROUP BY s.doc_id"""
+
+
+ORACLES["corpus_decontaminate"] = _decontaminate_oracle()
