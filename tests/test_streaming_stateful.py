@@ -215,3 +215,41 @@ def test_stream_sessionize_matches_batch_session_window(spark, timed_events):
     }
     assert stream_rows == batch_rows
     assert len(stream_rows) > 0
+
+
+def test_stream_fifo_v2_transformwithstate_matches_batch(spark, timed_events):
+    """The state-v2 (transformWithState) FIFO matcher produces the
+    identical match set; runs on the RocksDB state-store provider."""
+    if not stateful.HAS_TWS:
+        pytest.skip("transformWithState needs Spark 4+ and google.protobuf")
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        got = drain(
+            stateful.stream_fifo_match_v2(
+                spark, timed_events, max_files_per_trigger=1
+            ),
+            "stream_fifo_v2",
+            "append",
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    stream_pairs = {(r.customerid, r.trans_id, r.redeemid) for r in got}
+    batch = fifo_match(
+        transactions_from_events(
+            spark.read.parquet(timed_events)
+        )
+    )
+    batch_pairs = {
+        (r.customerid, r.trans_id, r.redeemid)
+        for r in batch.filter(F.col("redeemid").isNotNull()).collect()
+    }
+    assert stream_pairs == batch_pairs

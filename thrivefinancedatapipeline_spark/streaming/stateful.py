@@ -80,6 +80,87 @@ def stream_fifo_match(
     )
 
 
+try:  # Spark 4+: the state-v2 API (transformWithState). Its Python
+    # driver worker speaks protobuf to the JVM, so the API is only
+    # usable when google.protobuf is importable — gate on both.
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    HAS_TWS = True
+except ImportError:  # pragma: no cover - Spark 3.x or no protobuf
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    StatefulProcessorHandle = None  # type: ignore[assignment]
+    HAS_TWS = False
+
+
+class _FifoProcessor(StatefulProcessor):
+    """State-v2 twin of `_fifo_state_fn`: the unmatched queues live in
+    typed ValueState variables instead of one opaque state tuple.
+
+    What the migration buys at scale: transformWithState runs on the
+    RocksDB state-store provider with changelog checkpointing (state
+    deltas, not full snapshots, per micro-batch), supports per-state
+    TTL and timers, and allows schema evolution per state variable —
+    the operational features the v1 applyInPandasWithState API lacks.
+    Same matching semantics, verified by the same batch-parity test.
+    """
+
+    def init(self, handle) -> None:
+        self._earned = handle.getValueState("earned", "q array<long>")
+        self._redeem = handle.getValueState("redeem", "q array<long>")
+
+    def handleInputRows(self, key, rows, timer_values):
+        got = self._earned.get()
+        earned_q = list(got[0]) if got is not None else []
+        got = self._redeem.get()
+        redeem_q = list(got[0]) if got is not None else []
+        for pdf in rows:
+            pdf = pdf.sort_values(["createdat", "trans_id"])
+            for tid, ttype in zip(pdf["trans_id"], pdf["tctype"]):
+                (earned_q if ttype == "earned" else redeem_q).append(int(tid))
+        n = min(len(earned_q), len(redeem_q))
+        self._earned.update((earned_q[n:],))
+        self._redeem.update((redeem_q[n:],))
+        yield pd.DataFrame(
+            {
+                "customerid": [int(key[0])] * n,
+                "trans_id": earned_q[:n],
+                "redeemid": redeem_q[:n],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def stream_fifo_match_v2(
+    spark, source_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """Continuous FIFO matching on the Spark-4 transformWithState API.
+
+    Requires the RocksDB state-store provider
+    (spark.sql.streaming.stateStore.providerClass =
+    ...state.RocksDBStateStoreProvider) — the same provider a
+    production deployment wants anyway for changelog checkpointing and
+    state larger than executor heap."""
+    if not HAS_TWS:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires Spark 4+ and the "
+            "google.protobuf package (its Python runner speaks "
+            "protobuf to the JVM)"
+        )
+    txns = stream_transactions(spark, source_dir, max_files_per_trigger)
+    return txns.groupBy("customerid").transformWithStateInPandas(
+        statefulProcessor=_FifoProcessor(),
+        outputStructType=MATCH_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
 def stream_enriched_events(
     spark, source_dir: str, customer_dim: DataFrame
 ) -> DataFrame:
