@@ -44,6 +44,8 @@ HEADLINE = [
     "text_quality_score",
     "text_lang_id",
     "text_tfidf_top_terms",
+    "corpus_decontaminate",
+    "dedup_clusters_star",
 ]
 
 

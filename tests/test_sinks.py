@@ -106,3 +106,74 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, sf_dir):
     finally:
         for d in (src, out):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_zorder_write_tightens_stats_on_both_keys(spark, sf_dir):
+    """Z-ordered files each cover a small bounding box: the average
+    per-file span fraction on EVERY clustered column is well below 1
+    (an unsorted write gives ~1.0 per file on both)."""
+    import tempfile as tf
+
+    import pyarrow.parquet as pq
+
+    from thrivefinancedatapipeline_spark.sources.io import (
+        write_zordered_parquet,
+    )
+
+    d = tf.mkdtemp(prefix="zorder_")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        write_zordered_parquet(ev, d, ["user_id", "event_id"], n_files=16)
+        back = spark.read.parquet(d)
+        assert back.count() == ev.count()
+        assert "__z" not in back.columns
+        glb = ev.agg(
+            F.min("user_id"), F.max("user_id"),
+            F.min("event_id"), F.max("event_id"),
+        ).collect()[0]
+        spans = {"user_id": [], "event_id": []}
+        for p in sorted(glob.glob(f"{d}/*.parquet")):
+            md = pq.ParquetFile(p).metadata
+            for col in spans:
+                idx = next(
+                    i for i in range(md.num_columns)
+                    if md.schema.column(i).name == col
+                )
+                mins = [
+                    md.row_group(g).column(idx).statistics.min
+                    for g in range(md.num_row_groups)
+                ]
+                maxs = [
+                    md.row_group(g).column(idx).statistics.max
+                    for g in range(md.num_row_groups)
+                ]
+                spans[col].append((min(mins), max(maxs)))
+        for col, (glo, ghi) in (
+            ("user_id", (glb[0], glb[1])),
+            ("event_id", (glb[2], glb[3])),
+        ):
+            gspan = ghi - glo or 1
+            fracs = [(hi - lo) / gspan for lo, hi in spans[col]]
+            avg = sum(fracs) / len(fracs)
+            assert avg < 0.6, f"{col}: avg file span fraction {avg:.2f}"
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bucket_and_partition_planning():
+    from thrivefinancedatapipeline_spark.sources.bucketing import (
+        plan_bucket_count,
+        plan_shuffle_partitions,
+    )
+
+    mb = 1024 * 1024
+    # power-of-2 growth: 1 TB at 256 MB target → 4096 buckets
+    assert plan_bucket_count(1024 * 1024 * mb, 256) == 4096
+    assert plan_bucket_count(0) == 1
+    assert plan_bucket_count(300 * mb, 256) == 2
+    # any two planned counts divide one another (coalesceBucketsInJoin)
+    a, b = plan_bucket_count(10**13), plan_bucket_count(10**10)
+    assert max(a, b) % min(a, b) == 0
+    # shuffle partitions: byte-sized, floored at core count
+    assert plan_shuffle_partitions(10 * mb, 128, cpus=32) == 32
+    assert plan_shuffle_partitions(100 * 1024 * mb, 128, cpus=32) == 800

@@ -59,3 +59,33 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def plan_bucket_count(
+    table_bytes: int, target_bucket_mb: int = 256
+) -> int:
+    """Bucket-count planning: the POWER OF TWO whose bucket size lands
+    nearest the target. Power-of-2 counts are the interoperability
+    contract — `spark.sql.bucketing.coalesceBucketsInJoin` can bridge
+    two bucketed tables only when one count divides the other, and
+    sticking to powers of two makes every pair of tables bridgeable.
+    Sizing by bytes (not rows) keeps each bucket near the scan split
+    size so a bucket is one well-sized task."""
+    target = max(1, target_bucket_mb) * 1024 * 1024
+    n = 1
+    while n * target < table_bytes and n < (1 << 20):
+        n <<= 1
+    return n
+
+
+def plan_shuffle_partitions(
+    input_bytes: int, target_partition_mb: int = 128, cpus: int = 32
+) -> int:
+    """spark.sql.shuffle.partitions sizing from actual input volume:
+    enough partitions that each holds ~target MB (fits executor
+    memory, spills never), floored at the core count so the cluster
+    is never under-parallelized on small inputs. The static-conf
+    companion to AQE's runtime coalescing — set the ceiling here, let
+    AQE shrink per-stage."""
+    target = max(1, target_partition_mb) * 1024 * 1024
+    return max(cpus, -(-input_bytes // target))

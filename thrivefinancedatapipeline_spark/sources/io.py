@@ -136,3 +136,66 @@ def write_partitioned_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_zordered_parquet(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    n_files: int | None = None,
+) -> None:
+    """Z-order (Morton) clustering: sort files by the bit-interleaved
+    key of SEVERAL columns so parquet row-group min/max stats stay
+    tight on EVERY clustered column at once — the multi-key upgrade of
+    `write_range_sorted_parquet` (which optimizes exactly one key).
+    Each output file then covers a small bounding box in the key
+    space, so predicates on ANY clustered column skip most files via
+    footer stats alone — no index structure, no table format.
+
+    Columns are min-max scaled into `bits`-bit integers with one tiny
+    bounds aggregate (driver literals — clustering quality only, never
+    semantics), then interleaved with pure shift/or expressions
+    (whole-stage codegen; bits * n_cols terms)."""
+    from pyspark.sql import functions as F
+
+    bounds = df.agg(
+        *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+    top = (1 << bits) - 1
+    scaled = []
+    for c in cols:
+        mn, mx = bounds[f"mn_{c}"], bounds[f"mx_{c}"]
+        span = (mx - mn) or 1.0
+        scaled.append(
+            F.least(
+                F.lit(top).cast("long"),
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(mn))
+                    * F.lit(float(top))
+                    / F.lit(span)
+                ).cast("long"),
+            )
+        )
+    k = len(cols)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, s in enumerate(scaled):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(s, b).bitwiseAND(F.lit(1)), b * k + i
+                ).cast("long")
+            )
+    zdf = df.withColumn("__z", z)
+    out = (
+        zdf.repartitionByRange(n_files, "__z")
+        if n_files
+        else zdf.repartitionByRange("__z")
+    )
+    (
+        out.sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
