@@ -334,15 +334,16 @@ def connected_components_star(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
         m_of = sym.groupBy("src").agg(F.min("dst").alias("mn")).select(
             "src", F.least(F.col("mn"), F.col("src")).alias("m")
         )
-        # no checkpoint between the stars: the round's lineage is
-        # truncated once after small-star; within-round duplicate
-        # subplans collapse via ReusedExchange
+        # no checkpoint and no dedup between the stars: the round's
+        # lineage is truncated once after small-star, whose final
+        # distinct canonicalizes the set anyway (duplicate pairs don't
+        # change star semantics); within-round duplicate subplans
+        # collapse via ReusedExchange
         edges = (
             sym.filter(F.col("dst") > F.col("src"))
             .join(m_of, "src")
             .select(F.col("dst").alias("a"), F.col("m").alias("b"))
             .filter(F.col("a") != F.col("b"))
-            .distinct()
         )
         # small-star over the min-directed view: node u's smaller
         # neighbors (and u itself) all re-attach to min(N_small(u)).
