@@ -89,3 +89,33 @@ def test_event_filters_push_to_scan(spark, sf_dir):
     assert plan.count("PushedFilters: [") >= 1
     pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
     assert "event_type" in pushed
+
+
+def test_decontaminate_blocklist_broadcasts(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.operators import textops
+
+    plan = explain(textops.q_corpus_decontaminate(spark, sf_dir))
+    # the benchmark blocklist must ride a broadcast — the corpus-side
+    # probe is shuffle-free; only the per-doc count aggregates
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_mixture_weights_single_data_shuffle(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.operators import textops
+
+    df = textops.q_corpus_mixture_weights(spark, sf_dir)
+    # one Exchange aggregates the corpus; the ppm window runs on the
+    # tiny (lang, source) aggregate — at most one single-partition
+    # exchange on top, never a second pass over the data
+    assert exchanges(df) <= 2
+
+
+def test_ivf_assignment_is_projection_no_crossjoin(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.operators import similarity
+
+    plan = explain(similarity.q_ivf_knn(spark, sf_dir), mode="simple")
+    # trained literal centroids: cell assignment/probing are pure
+    # projections — the plan must not contain a centroid cross join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
