@@ -297,6 +297,72 @@ def q_tpch_q4_late_ship_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adapted to the synthetic schema (no l_shipmode /
+    l_commitdate / l_receiptdate): l_returnflag stands in for the
+    shipmode dimension and 'late delivery' is shipping 60+ days after
+    the order date — the same lateness predicate Q4 uses here. Per
+    flag: late lines on critical-priority orders vs the rest — Q12's
+    fact-fact join + conditional-aggregation shape, one shuffle."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return j.groupBy("l_returnflag").agg(
+        F.sum(high).alias("high_line_count"),
+        F.sum(F.lit(1) - high).alias("low_line_count"),
+    )
+
+
+def q_tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adapted (lateness = shipped 60+ days after order
+    date, as in Q4/Q12): per supplier, count late lineitems on
+    completed ('F') multi-supplier orders where NO other supplier was
+    late — the marquee EXISTS / NOT EXISTS pair, planned as a LEFT
+    SEMI + LEFT ANTI self-join of the fact. Both probes stop at the
+    first match (no fan-out); top-20 by wait count."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    l1 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = l1.select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    sem = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("o2"))
+        & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == F.col("o3"))
+        & (F.col("l_suppkey") != F.col("s3")),
+        "left_anti",
+    )
+    return (
+        sem.join(F.broadcast(sup), sem["l_suppkey"] == sup["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
 NATION_A, NATION_B = "NATION_3", "NATION_7"
 
 
@@ -471,6 +537,8 @@ QUERIES = {
     "tpch_q17_small_quantity_revenue": q_tpch_q17_small_quantity_revenue,
     "tpch_q19_discounted_revenue": q_tpch_q19_discounted_revenue,
     "tpch_q22_global_sales_opportunity": q_tpch_q22_global_sales_opportunity,
+    "tpch_q12_shipmode_priority": q_tpch_q12_shipmode_priority,
+    "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
     "order_priority_counts": q_order_priority_counts,
     "part_brand_revenue": q_part_brand_revenue,
     "customer_order_stats": q_customer_order_stats,
@@ -646,4 +714,34 @@ SELECT c_mktsegment, COUNT(*) AS numcust,
        ROUND(CAST(SUM({_sql_cents('c_acctbal')}) AS DOUBLE) / 100, 2)
          AS totacctbal
 FROM no_orders GROUP BY c_mktsegment""",
+    "tpch_q12_shipmode_priority": """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag""",
+    "tpch_q21_waiting_suppliers": """
+WITH l1 AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY),
+sem AS (
+  SELECT * FROM l1
+  WHERE EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM l1 l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey))
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM sem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20""",
 }
