@@ -99,6 +99,42 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: doc_id % MOD == NEW_REM marks the 'newly ingested batch' — the
+#: deterministic stand-in for a daily delivery in dedup_incremental.
+INCR_MOD, INCR_NEW_REM = 10, 9
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: which documents of the NEW batch are
+    content-novel vs the existing corpus, and which are replays. The
+    daily-delivery shape: at 100 TB you never re-cluster the corpus —
+    you hash the (small) new batch and probe the corpus hash index.
+
+    One LEFT SEMI-style aggregation: corpus hashes are distinct-
+    reduced before the join (map-side combine shrinks them to unique
+    hashes), the new batch joins left to mark replays. Output: one row
+    per new-batch doc with is_novel + the matched corpus doc count."""
+    docs = _docs(spark, sf_dir)
+    hashed = docs.select(
+        "doc_id", F.md5(normalize(F.col("text"))).alias("content_hash")
+    )
+    is_new = (F.col("doc_id") % INCR_MOD) == INCR_NEW_REM
+    corpus = (
+        hashed.filter(~is_new)
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_corpus_docs"))
+    )
+    return (
+        hashed.filter(is_new)
+        .join(corpus, "content_hash", "left")
+        .select(
+            "doc_id",
+            F.col("n_corpus_docs").isNull().cast("int").alias("is_novel"),
+            F.coalesce("n_corpus_docs", F.lit(0)).alias("n_corpus_docs"),
+        )
+    )
+
+
 def _verified_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     """Attach exact shingle-overlap counts to candidate id pairs and
     keep those meeting the integer Jaccard threshold.
@@ -614,6 +650,7 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -697,6 +734,17 @@ groups AS (SELECT content_hash, MIN(doc_id) AS canonical_id,
            FROM hashed GROUP BY content_hash)
 SELECT h.doc_id, g.canonical_id, g.group_size
 FROM hashed h JOIN groups g USING (content_hash)""",
+    "dedup_incremental": f"""
+WITH hashed AS (SELECT doc_id, md5({_NORM}) AS content_hash FROM documents),
+corpus AS (SELECT content_hash, CAST(COUNT(*) AS BIGINT) AS n_corpus_docs
+           FROM hashed WHERE doc_id % {INCR_MOD} <> {INCR_NEW_REM}
+           GROUP BY content_hash)
+SELECT h.doc_id,
+       CAST(CASE WHEN c.content_hash IS NULL THEN 1 ELSE 0 END AS INT)
+         AS is_novel,
+       COALESCE(c.n_corpus_docs, 0) AS n_corpus_docs
+FROM hashed h LEFT JOIN corpus c USING (content_hash)
+WHERE h.doc_id % {INCR_MOD} = {INCR_NEW_REM}""",
     "dedup_ngram_jaccard": f"""
 WITH {_SHINGLE_CTES},
 rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= {MAX_SHINGLE_DF}),
