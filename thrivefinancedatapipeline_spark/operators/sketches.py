@@ -1,0 +1,84 @@
+"""Deterministic distributed sketches.
+
+Spark's built-in sketches (approx_count_distinct's HLL++,
+approx_percentile's KLL) are approximate AND implementation-specific —
+no other engine reproduces their exact outputs, so they can't sit
+under a value-hash correctness oracle. The sketches here are chosen to
+be BOTH distributed-friendly and bit-reproducible: every hash is an
+md5 prefix (the repo's determinism rule) and every estimator is exact
+integer arithmetic, so DuckDB derives the identical sketch from the
+same rows.
+
+KMV (k-minimum-values): keep the k smallest 60-bit hashes of the
+distinct keys; the k-th smallest h_k estimates the distinct count as
+(k-1) * 2^60 / h_k (uniform order statistics). Mergeable: union two
+sketches' hash sets and re-take the k smallest — the shape that
+distributes (partial per partition/day, merge in the combiner).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..datamodel import load_table
+from ..functions.text import md5_long, md5_long_sql
+
+KMV_K = 16
+HASH_SPACE = 1 << 60  # md5_long is a 60-bit hash
+
+
+def q_sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-user estimate per event_type, next to the exact
+    count so the sketch error is visible in the result itself.
+
+    Plan shape at 100 TB: one distinct-reduce on (type, hash) — the
+    heavy phase, map-side combinable — then the k-smallest rank runs
+    per type. The estimator floor((k-1) * 2^60 / h_k) is exact integer
+    division (decimal-widened: (k-1) << 60 overflows int64), so both
+    engines compute the identical estimate from the identical hash."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type", md5_long(F.col("user_id").cast("string")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    kth = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == KMV_K)
+        .select("event_type", F.col("h").alias("kth_min_hash"))
+    )
+    exact = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_distinct")
+    )
+    est = F.expr(
+        f"CAST({KMV_K - 1} AS DECIMAL(38,0)) * {HASH_SPACE} div kth_min_hash"
+    )
+    return kth.join(exact, "event_type").select(
+        "event_type",
+        "kth_min_hash",
+        est.alias("est_distinct"),
+        "exact_distinct",
+    )
+
+
+QUERIES = {
+    "sketch_distinct_users": q_sketch_distinct_users,
+}
+
+_H = md5_long_sql("CAST(user_id AS VARCHAR)")
+
+ORACLES = {
+    "sketch_distinct_users": f"""
+WITH d AS (SELECT DISTINCT event_type, {_H} AS h FROM events),
+r AS (SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM d),
+kth AS (SELECT event_type, h AS kth_min_hash FROM r WHERE rn = {KMV_K}),
+exact AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+          FROM d GROUP BY event_type)
+SELECT event_type, kth_min_hash,
+       CAST((CAST({KMV_K - 1} AS HUGEINT) * {HASH_SPACE}) // kth_min_hash
+            AS BIGINT) AS est_distinct,
+       exact_distinct
+FROM kth JOIN exact USING (event_type)""",
+}

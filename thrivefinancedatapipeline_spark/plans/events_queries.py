@@ -230,6 +230,48 @@ def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill + forward-fill: one row per (event_type, day)
+    over each type's observed [first, last] day span, zero on silent
+    days, with the last observed daily total carried forward — the
+    resample/backfill primitive every time-series consumer needs over
+    sparse event data (TimescaleDB's time_bucket_gapfill + locf).
+
+    Scale shape: the dense calendar is generated per type from a
+    ~|types|-row span aggregate via sequence+explode (never a cross
+    join against a calendar table), then ONE left join back to the
+    daily aggregate and a forward-fill window per type. All values
+    exact integer cents."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("d"), "event_type"
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    spans = daily.groupBy("event_type").agg(
+        F.min("d").alias("mn"), F.max("d").alias("mx")
+    )
+    cal = spans.select(
+        "event_type",
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))
+        ).alias("d"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cal.join(daily, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.coalesce("cents", F.lit(0)).alias("day_cents"),
+            (F.col("cents").isNull().cast("int")).alias("is_gap"),
+            F.last("cents", ignorenulls=True).over(w).alias("locf_cents"),
+        )
+    )
+
+
 def q_event_type_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily per-type event stats with exact fixed-point value sums."""
     ev = load_table(spark, sf_dir, "events")
@@ -270,6 +312,7 @@ QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_moving_avg": q_events_moving_avg,
     "events_daily_anomalies": q_events_daily_anomalies,
+    "events_gap_fill": q_events_gap_fill,
     "events_time_rollup": q_events_time_rollup,
     "events_funnel": q_events_funnel,
     "events_cohort_retention": q_events_cohort_retention,
@@ -353,6 +396,24 @@ SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
        COUNT(*) AS n_active_users
 FROM active JOIN first_day USING (user_id)
 GROUP BY cohort, day_offset""",
+    "events_gap_fill": """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, event_type,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY d, event_type),
+spans AS (SELECT event_type, MIN(d) AS mn, MAX(d) AS mx
+          FROM daily GROUP BY event_type),
+cal AS (SELECT event_type,
+               CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE)
+                 AS d
+        FROM spans)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+       COALESCE(cents, 0) AS day_cents,
+       CAST(CASE WHEN cents IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap,
+       last_value(cents IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_cents
+FROM cal LEFT JOIN daily USING (event_type, d)""",
     "events_moving_avg": f"""
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS d, event_type,

@@ -26,7 +26,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 def _modules():
     from .multimodal import binary_ops
-    from .operators import dedup, quality, sampling, similarity, textops
+    from .operators import (
+        dedup,
+        quality,
+        sampling,
+        similarity,
+        sketches,
+        textops,
+    )
     from .plans import advanced, events_queries, finance_queries, tpch
 
     return [
@@ -36,6 +43,7 @@ def _modules():
         textops,
         quality,
         sampling,
+        sketches,
         binary_ops,
         # schema changed this round (moving_avg/anomalies) — recheck
         events_queries,
