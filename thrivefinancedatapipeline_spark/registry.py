@@ -1,13 +1,21 @@
 """Aggregate the per-module query/oracle catalogs for the driver.
 
-Module order is deliberate and load-bearing: the correctness driver
+Iteration order is deliberate and load-bearing: the correctness driver
 checks `queries()` entries in iteration order under a bounded budget
-(round 1 stopped after 50), so the families that have never received a
-driver correctness row — dedup / similarity / text / quality /
-sampling / multimodal — come FIRST, followed by the queries whose
-output schema changed this round (events) and advanced's previously
-unchecked tail. The finance/TPC-H families, all driver-proven in
-CORRECTNESS_r01.json, come last.
+(round 1 stopped after 50 of 89), so with ~97 registered queries no
+single round can prove everything. The order is therefore computed so
+the bounded window always lands on the least-proven queries:
+
+1. queries with no passing row in any committed ``CORRECTNESS_r*.json``
+   (never driver-proven), in family order;
+2. queries proven in some round but whose output semantics changed in a
+   later commit (``_FORCE_RECHECK_SINCE``), oldest proof first;
+3. everything else, oldest proof first — so long-standing proofs are
+   re-validated before recent ones when budget allows.
+
+Because each round's CORRECTNESS file is committed, this rotates
+coverage automatically: whatever the driver proves this round sorts to
+the back next round, and the window slides over the remainder.
 
 Imports are unconditional: every module exists in-repo, and a blanket
 ``except ImportError`` would silently drop a whole query family from
@@ -17,11 +25,39 @@ SyntaxError chained through an ImportError in a transitive import).
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+
+#: Queries whose OUTPUT changed in the given round (value: the first
+#: round whose code produces the new output), making older driver
+#: proofs stale. A proof only counts if its round >= this value.
+#: Round 2 rewrote money rounding to half-up-in-integer-space
+#: (plans/tpch.py _money/_sql_money) and made the events anomaly /
+#: moving-average columns integer-exact.
+_FORCE_RECHECK_SINCE: dict[str, int] = {
+    "events_daily_anomalies": 2,
+    "events_moving_avg": 2,
+    "revenue_rollup": 2,
+    "top_parts_per_brand": 2,
+    "tpch_q1_pricing_summary": 2,
+    "tpch_q3_shipping_priority": 2,
+    "tpch_q5_local_supplier_volume": 2,
+    "tpch_q6_forecast_revenue": 2,
+    "tpch_q7_nation_volume": 2,
+    "tpch_q8_market_share": 2,
+    "tpch_q15_top_supplier": 2,
+    "tpch_q19_discounted_revenue": 2,
+    "tpch_q22_global_sales_opportunity": 2,
+    "part_brand_revenue": 2,
+    "customer_order_stats": 2,
+}
 
 
 def _modules():
@@ -37,7 +73,6 @@ def _modules():
     from .plans import advanced, events_queries, finance_queries, tpch
 
     return [
-        # never driver-checked in round 1 — first in line
         dedup,
         similarity,
         textops,
@@ -45,25 +80,79 @@ def _modules():
         sampling,
         sketches,
         binary_ops,
-        # schema changed this round (moving_avg/anomalies) — recheck
         events_queries,
-        # untested tail ordered first inside the module's QUERIES dict
         advanced,
-        # fully driver-proven in CORRECTNESS_r01.json
         finance_queries,
         tpch,
     ]
 
 
-def all_queries() -> dict[str, QueryFn]:
-    out: dict[str, QueryFn] = {}
-    for mod in _modules():
-        out.update(getattr(mod, "QUERIES", {}))
+def _proven_rounds() -> dict[str, tuple[int, bool]]:
+    """name -> (earliest passing round, proof_still_valid).
+
+    ``proof_still_valid`` is False when every passing row predates the
+    query's ``_FORCE_RECHECK_SINCE`` output change (stale proof)."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out: dict[str, tuple[int, bool]] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            if not (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                continue
+            valid = rnd >= _FORCE_RECHECK_SINCE.get(name, 0)
+            prev = out.get(name)
+            if prev is None or (valid and not prev[1]):
+                out[name] = (rnd, valid)
     return out
+
+
+def _query_order() -> list[str]:
+    merged: list[str] = []
+    for mod in _modules():
+        for name in getattr(mod, "QUERIES", {}):
+            if name not in merged:
+                merged.append(name)
+    proven = _proven_rounds()
+    insertion = {name: i for i, name in enumerate(merged)}
+
+    def key(name: str):
+        hit = proven.get(name)
+        if hit is None:
+            return (0, 0, insertion[name])  # never driver-proven
+        rnd, valid = hit
+        if not valid:
+            return (1, rnd, insertion[name])  # proof stale — recheck
+        return (2, rnd, insertion[name])  # proven, oldest first
+
+    return sorted(merged, key=key)
+
+
+def all_queries() -> dict[str, QueryFn]:
+    merged: dict[str, QueryFn] = {}
+    for mod in _modules():
+        merged.update(getattr(mod, "QUERIES", {}))
+    return {name: merged[name] for name in _query_order()}
 
 
 def all_oracles() -> dict[str, str]:
-    out: dict[str, str] = {}
+    merged: dict[str, str] = {}
     for mod in _modules():
-        out.update(getattr(mod, "ORACLES", {}))
-    return out
+        merged.update(getattr(mod, "ORACLES", {}))
+    # identical iteration order to all_queries() for the shared names
+    return {n: merged[n] for n in _query_order() if n in merged}
