@@ -142,6 +142,10 @@ def _cc_engine(name):
     return {
         "minlabel": dedup.connected_components,
         "star": dedup.connected_components_star,
+        # force the pure-distributed star fixpoint (no union-find tail)
+        "star_distributed": lambda n, p: dedup.connected_components_star(
+            n, p, driver_finish_max_edges=0
+        ),
     }[name]
 
 
@@ -150,7 +154,7 @@ def _cc_engine(name):
     suppress_health_check=[HealthCheck.too_slow],
 )
 @given(st.lists(edge, min_size=0, max_size=14))
-@pytest.mark.parametrize("engine", ["minlabel", "star"])
+@pytest.mark.parametrize("engine", ["minlabel", "star", "star_distributed"])
 def test_connected_components_match_union_find(spark, engine, edges):
     connected_components = _cc_engine(engine)
 

@@ -291,11 +291,21 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     b2 = bands.select(
         F.col("doc_id").alias("doc_id_2"), F.col("simhash").alias("sim2"), "band", "key"
     )
+    # each qualifying pair is emitted by its FIRST matching band only:
+    # a pair that also collides in an earlier band is dropped here, so
+    # the global pair set is exact without any distinct() shuffle
+    mask = (1 << SIM_BAND_BITS) - 1
+    earlier_band_match = F.expr(
+        " OR ".join(
+            f"(band > {j} AND ((sim1 >> {j * SIM_BAND_BITS}) & {mask}) = "
+            f"((sim2 >> {j * SIM_BAND_BITS}) & {mask}))"
+            for j in range(SIM_BANDS - 1)
+        )
+    )
     return (
         b1.join(b2, ["band", "key"])
         .filter(F.col("doc_id_1") < F.col("doc_id_2"))
-        .select("doc_id_1", "doc_id_2", "sim1", "sim2")
-        .distinct()
+        .filter(~earlier_band_match)
         .withColumn(
             "hamming",
             F.bit_count(F.col("sim1").bitwiseXOR(F.col("sim2"))).cast("int"),
@@ -307,6 +317,44 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MAX_CC_ITERS = 30
 MAX_STAR_ROUNDS = 64  # star-CC is O(log n) rounds: 64 covers any n
+
+#: Edge-count budget under which the star loop finishes on the driver
+#: with exact union-find instead of spending ~4 more fixed-overhead
+#: shuffle rounds confirming convergence. Two BIGINTs per edge ->
+#: ~16 MB at the cap — the same order as a broadcast-join threshold,
+#: and bounded the same way: the decision uses the EXACT edge count
+#: the loop's convergence checksum already computes each round, so a
+#: graph that never contracts below the cap keeps running distributed
+#: rounds (never an unbounded collect). On dense near-dup graphs one
+#: large-star/small-star round contracts edges by ~100x, so at any
+#: corpus size the tail of the computation fits long before the
+#: O(log n) round bound is reached.
+DRIVER_CC_MAX_EDGES = 1_000_000
+
+
+def _union_find_labels(edge_rows) -> dict:
+    """Exact min-label union-find over collected (a, b) edges — the
+    driver-side finisher for star CC tails. Returns {node: min id
+    reachable}; identical by construction to the distributed fixpoint
+    (both compute min over the connectivity relation)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id keeps the root the component minimum
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return {x: find(x) for x in parent}
 
 
 def _sym_edges(pairs: DataFrame) -> DataFrame:
@@ -320,7 +368,12 @@ def _sym_edges(pairs: DataFrame) -> DataFrame:
     )
 
 
-def connected_components_star(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
+def connected_components_star(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    driver_finish_max_edges: int = DRIVER_CC_MAX_EDGES,
+    pairs_canonical: bool = False,
+) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond") —
     O(log n) rounds regardless of graph DIAMETER, unlike min-label
@@ -334,17 +387,59 @@ def connected_components_star(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
     smallest neighbor. At fixpoint the edge set is one star per
     component rooted at the component minimum.
 
+    Hybrid tail: star rounds contract the edge set geometrically, and
+    once its EXACT count (already computed each round by the
+    convergence checksum) fits ``driver_finish_max_edges``, the
+    remaining ~4 fixed-overhead rounds are replaced by one collect +
+    exact min-label union-find. Both star ops preserve (a) the
+    connectivity relation and (b) every non-isolated node's presence
+    in the edge set, so union-find on ANY intermediate edge set yields
+    the original component minima. The budget is a hard bound like a
+    broadcast-join threshold — a graph that never contracts under it
+    just keeps running distributed rounds; pass 0 to force the pure
+    distributed fixpoint.
+
     nodes: (doc_id); pairs: (doc_id_1, doc_id_2) undirected.
+    ``pairs_canonical=True`` asserts the input is already distinct with
+    doc_id_1 < doc_id_2 (true for every pair finder in this module) and
+    skips one full-edge-set canonicalization shuffle.
     Returns (doc_id, cluster_id)."""
-    edges = (
-        pairs.select(
-            F.greatest("doc_id_1", "doc_id_2").alias("a"),
-            F.least("doc_id_1", "doc_id_2").alias("b"),
+
+    def _driver_finish(e: DataFrame) -> DataFrame:
+        from pyspark.sql.types import StructField, StructType
+
+        pdf = e.toPandas()  # Arrow batch transfer, not row collect
+        labels = _union_find_labels(
+            zip(pdf["a"].tolist(), pdf["b"].tolist())
         )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+        id_type = nodes.schema["doc_id"].dataType
+        lbl = nodes.sparkSession.createDataFrame(
+            list(labels.items()),
+            StructType(
+                [
+                    StructField("doc_id", id_type),
+                    StructField("root", id_type),
+                ]
+            ),
+        )
+        return nodes.join(F.broadcast(lbl), "doc_id", "left").select(
+            "doc_id",
+            F.coalesce(F.col("root"), F.col("doc_id")).alias("cluster_id"),
+        )
+    if pairs_canonical:
+        edges = pairs.select(
+            F.col("doc_id_2").alias("a"), F.col("doc_id_1").alias("b")
+        ).localCheckpoint(eager=True)
+    else:
+        edges = (
+            pairs.select(
+                F.greatest("doc_id_1", "doc_id_2").alias("a"),
+                F.least("doc_id_1", "doc_id_2").alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
 
     def _checksum(e: DataFrame):
         # set-identity of the (distinct) edge set: count + XOR of row
@@ -357,6 +452,8 @@ def connected_components_star(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
         ).collect()[0]
 
     prev = _checksum(edges)
+    if 0 < driver_finish_max_edges and prev["n"] <= driver_finish_max_edges:
+        return _driver_finish(edges)
     for _ in range(MAX_STAR_ROUNDS):
         # large-star over the symmetric view: for node u with
         # m = min(N(u) ∪ {u}), every neighbor v > u re-attaches to m.
@@ -397,6 +494,8 @@ def connected_components_star(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
         if (cur["n"], cur["h"]) == (prev["n"], prev["h"]):
             break
         prev = cur
+        if 0 < driver_finish_max_edges and cur["n"] <= driver_finish_max_edges:
+            return _driver_finish(edges)
     star = edges.select(
         F.col("a").alias("doc_id"), F.col("b").alias("root")
     )
@@ -534,6 +633,7 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_star(
         _docs(spark, sf_dir).select("doc_id"),
         q_dedup_simhash_pairs(spark, sf_dir),
+        pairs_canonical=True,
     )
 
 
