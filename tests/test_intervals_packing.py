@@ -1,0 +1,113 @@
+"""Unit tests for the interval-overlap join, the ranged prefix sum /
+sequence packing, and weighted sampling."""
+
+import datetime
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from thrivefinancedatapipeline_spark.operators.intervals import (
+    interval_overlap_join,
+)
+from thrivefinancedatapipeline_spark.operators.packing import (
+    pack_assignments,
+    ranged_prefix_sum,
+)
+from thrivefinancedatapipeline_spark.operators.sampling import (
+    PPM,
+    hash_bucket,
+    q_weighted_sample,
+)
+
+T0 = datetime.datetime(2024, 1, 1)
+
+
+def _iv(spark, rows):
+    return spark.createDataFrame(
+        [
+            (k, T0 + datetime.timedelta(minutes=s), T0 + datetime.timedelta(minutes=e))
+            for k, s, e in rows
+        ],
+        "user_id long, start timestamp, end timestamp",
+    )
+
+
+def test_overlap_join_basic(spark):
+    left = _iv(spark, [(1, 0, 60), (1, 120, 180), (2, 0, 30)])
+    right = _iv(spark, [(1, 50, 70), (1, 61, 100), (2, 31, 40)])
+    got = {
+        (r["user_id"], r["l_start"].minute, r["r_start"].minute, r["overlap_us"])
+        for r in interval_overlap_join(left, right, "user_id").collect()
+    }
+    # (1, 0-60) x (50-70) overlap 10 min; (1, 0-60) x (61-100) disjoint
+    # (gap 1 min); key 2 disjoint (touching would need equal endpoints)
+    assert got == {(1, 0, 50, 10 * 60 * 1_000_000)}
+
+
+def test_overlap_join_touching_endpoints_count(spark):
+    left = _iv(spark, [(1, 0, 60)])
+    right = _iv(spark, [(1, 60, 90)])
+    out = interval_overlap_join(left, right, "user_id").collect()
+    assert len(out) == 1 and out[0]["overlap_us"] == 0
+
+
+def test_overlap_join_long_interval_emitted_once(spark):
+    # left spans ~3 days (73 hourly buckets); right sits in the middle
+    left = _iv(spark, [(1, 0, 60 * 24 * 3)])
+    right = _iv(spark, [(1, 60 * 30, 60 * 31)])
+    out = interval_overlap_join(left, right, "user_id").collect()
+    assert len(out) == 1  # first-shared-bucket rule: exactly one row
+
+
+def test_ranged_prefix_sum_matches_single_window(spark):
+    rows = [
+        (lang, i, (i * 37 + lang * 11) % 100)
+        for lang in range(3)
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "lang int, doc_id int, v int")
+    got = {
+        (r["lang"], r["doc_id"]): r["running_total"]
+        for r in ranged_prefix_sum(df, ["lang"], ["doc_id"], "v").collect()
+    }
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r["lang"], r["doc_id"]): r["cum"]
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_pack_assignments_math(spark):
+    df = spark.createDataFrame(
+        [("en", 1, 1000), ("en", 2, 1500), ("en", 3, 100), ("de", 1, 5000)],
+        "lang string, doc_id int, n_tokens long",
+    )
+    got = {
+        (r["lang"], r["doc_id"]): (r["pack_id"], r["pack_offset"])
+        for r in pack_assignments(
+            df, ["lang"], ["doc_id"], "n_tokens", budget=2048
+        ).collect()
+    }
+    assert got == {
+        ("en", 1): (0, 0),        # starts at token 0
+        ("en", 2): (0, 1000),     # starts mid-pack 0, straddles into 1
+        ("en", 3): (1, 2500 - 2048),
+        ("de", 1): (0, 0),        # independent stream
+    }
+
+
+def test_weighted_sample_membership_is_the_hash_rule(spark):
+    out = q_weighted_sample(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert rows, "sf0.001 weighted sample should not be empty"
+    # every kept row satisfies the documented rule, recomputed here
+    chk = out.withColumn(
+        "ok", hash_bucket(F.col("doc_id"), PPM, "w") < F.col("weight_ppm")
+    )
+    assert chk.filter(~F.col("ok")).count() == 0
+    assert all(r["weight_ppm"] <= PPM for r in rows)

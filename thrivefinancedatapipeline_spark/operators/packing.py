@@ -1,0 +1,144 @@
+"""Sequence packing: assign documents to fixed token-budget packs.
+
+Pretraining pipelines concatenate documents per stream (language,
+source, ...) into fixed-length context windows; the assignment each
+doc needs is WHERE ITS FIRST TOKEN LANDS in the stream's running token
+count — a per-stream prefix sum. The naive Spark form is a window
+``SUM() OVER (PARTITION BY stream ORDER BY doc_id)``, which funnels an
+entire stream through ONE task: a 40-TB English stream in a 100-TB
+corpus is a single-reducer hotspot, the classic window-skew failure.
+
+``ranged_prefix_sum`` is the scalable re-expression — the textbook
+two-phase distributed scan:
+
+1. range-repartition by (stream, order) and pin the layout with one
+   localCheckpoint (partition ids must be STABLE between the two
+   passes — range boundaries come from sampling, so computing the
+   relation twice could disagree),
+2. per-partition totals per stream — a tiny aggregate (#partitions x
+   #streams rows) joined back broadcast as each partition's offset,
+3. a window partitioned by (stream, partition-id): hundreds of
+   bounded-size tasks instead of one per stream.
+
+The OUTPUT equals the single-window form row-for-row (offsets
+reconstruct the global scan regardless of where the range boundaries
+fell), so the DuckDB oracle stays the plain window SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..datamodel import load_table
+from ..functions.text import tokens, norm_sql
+
+#: tokens per pack (a context-window's worth)
+PACK_BUDGET = 2_048
+
+
+def ranged_prefix_sum(
+    df: DataFrame,
+    stream_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running_total",
+) -> DataFrame:
+    """Inclusive running sum of `value_col` per stream in (stream,
+    order) order, without a per-stream single-reducer window. Ordering
+    must be a total order within each stream (include a unique
+    tiebreak column)."""
+    keys = [*stream_cols, *order_cols]
+    d = (
+        df.repartitionByRange(*keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # pin sampled range boundaries
+    )
+    totals = (
+        d.groupBy(*stream_cols, "_pid")
+        .agg(F.sum(value_col).alias("_part_total"))
+    )
+    # each partition's offset = sum of earlier partitions' totals for
+    # the same stream — a window over the TINY totals relation
+    w_off = (
+        Window.partitionBy(*stream_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        *stream_cols,
+        "_pid",
+        F.coalesce(F.sum("_part_total").over(w_off), F.lit(0)).alias("_offset"),
+    )
+    w_local = (
+        Window.partitionBy(*stream_cols, "_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.join(F.broadcast(offsets), [*stream_cols, "_pid"])
+        .withColumn(out_col, F.sum(value_col).over(w_local) + F.col("_offset"))
+        .drop("_pid", "_offset")
+    )
+
+
+def pack_assignments(
+    docs: DataFrame,
+    stream_cols: list[str],
+    order_cols: list[str],
+    n_tokens_col: str,
+    budget: int = PACK_BUDGET,
+) -> DataFrame:
+    """pack_id / pack_offset per document: the pack where the doc's
+    first token lands when the stream is concatenated in order and
+    chunked every `budget` tokens (documents may straddle packs — the
+    standard pretraining packing, not bin-packing)."""
+    cum = ranged_prefix_sum(
+        docs, stream_cols, order_cols, n_tokens_col, "_cum"
+    )
+    before = F.col("_cum") - F.col(n_tokens_col)
+    return cum.select(
+        *stream_cols,
+        *order_cols,
+        n_tokens_col,
+        F.floor(before / budget).alias("pack_id"),
+        (before % budget).alias("pack_offset"),
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sequence packing of the documents corpus into
+    2048-token packs, ordered by doc_id within each language."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return pack_assignments(docs, ["lang"], ["doc_id"], "n_tokens")
+
+
+QUERIES = {
+    "pack_sequences": q_pack_sequences,
+}
+
+ORACLES = {
+    # the oracle IS the single-window form the distributed scan equals
+    "pack_sequences": f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         len(string_split({norm_sql("text")}, ' ')) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens
+           AS before
+  FROM toks
+)
+SELECT lang, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(FLOOR(CAST(before AS DOUBLE) / {PACK_BUDGET}) AS BIGINT) AS pack_id,
+       CAST(before % {PACK_BUDGET} AS BIGINT) AS pack_offset
+FROM cum""",
+}

@@ -100,10 +100,37 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: weighted sampling: keep probability ~ n_chars / WEIGHT_DENOM chars,
+#: capped at 1. Integer ppm arithmetic end-to-end.
+WEIGHT_DENOM_CHARS = 2_000
+PPM = 1_000_000
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted deterministic sampling: each document's keep
+    probability is proportional to its length (the quality/length
+    up-weighting move mixture samplers make), decided by comparing a
+    stable 1e6-bucket hash against the document's integer ppm weight.
+    Same guarantees as sample_by_hash — rerun/engine/growth stable,
+    pure scan-level filter, zero shuffle — because the weight is a
+    function of the row, not of the corpus."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    weight_ppm = F.least(
+        F.lit(PPM), F.col("n_chars") * (PPM // WEIGHT_DENOM_CHARS)
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        weight_ppm.alias("weight_ppm"),
+    ).filter(hash_bucket(F.col("doc_id"), PPM, "w") < F.col("weight_ppm"))
+
+
 QUERIES = {
     "sample_documents_hash": q_sample_documents_hash,
     "dataset_split_counts": q_dataset_split_counts,
     "stratified_sample": q_stratified_sample,
+    "weighted_sample": q_weighted_sample,
 }
 
 _B_S = hash_bucket_sql("doc_id", 100, "s")
@@ -128,4 +155,10 @@ SELECT lang, sample_rank, doc_id FROM (
            PARTITION BY lang ORDER BY {_H}, doc_id) AS INT) AS sample_rank
   FROM documents)
 WHERE sample_rank <= {STRATUM_N}""",
+    "weighted_sample": f"""
+SELECT doc_id, lang, n_chars,
+       LEAST({PPM}, n_chars * {PPM // WEIGHT_DENOM_CHARS}) AS weight_ppm
+FROM documents
+WHERE {hash_bucket_sql("doc_id", PPM, "w")}
+      < LEAST({PPM}, n_chars * {PPM // WEIGHT_DENOM_CHARS})""",
 }

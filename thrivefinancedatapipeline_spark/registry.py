@@ -64,6 +64,8 @@ def _modules():
     from .multimodal import binary_ops
     from .operators import (
         dedup,
+        intervals,
+        packing,
         quality,
         sampling,
         similarity,
@@ -78,6 +80,8 @@ def _modules():
         textops,
         quality,
         sampling,
+        packing,
+        intervals,
         sketches,
         binary_ops,
         events_queries,
