@@ -103,3 +103,36 @@ def test_mixture_weights_shares_sum_to_ppm(spark, sf_dir):
     assert 1_000_000 - len(rows) <= share_sum <= 1_000_000
     for r in rows:
         assert r.share_ppm == r.n_tokens * 1_000_000 // total_tokens
+
+
+def test_repeat_factors_cap_and_equalization(spark, sf_dir):
+    rows = textops.q_corpus_repeat_factors(spark, sf_dir).collect()
+    total = sum(r.n_tokens for r in rows)
+    for r in rows:
+        want = min(4_000_000, total * 1_000_000 // (len(rows) * r.n_tokens))
+        assert r.repeat_ppm == want
+    # repeating each lang by its factor moves shares toward uniform:
+    # every capped-below lang ends within one epoch of the target
+    for r in rows:
+        if r.repeat_ppm < 4_000_000:
+            eff = r.n_tokens * r.repeat_ppm / 1_000_000
+            assert abs(eff - total / len(rows)) <= r.n_tokens
+
+
+def test_quality_gate_keeps_top_half_per_lang(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.datamodel import load_table
+    from thrivefinancedatapipeline_spark.operators.quality import (
+        q_quality_gate_by_lang,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_per_lang = {
+        r.lang: r.n for r in docs.groupBy("lang").agg(
+            F.count("*").alias("n")).collect()
+    }
+    kept = q_quality_gate_by_lang(spark, sf_dir).collect()
+    kept_per_lang = {}
+    for r in kept:
+        kept_per_lang[r.lang] = kept_per_lang.get(r.lang, 0) + 1
+    for lang, n in n_per_lang.items():
+        assert kept_per_lang.get(lang, 0) == n // 2

@@ -92,9 +92,44 @@ def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_gate(
+    docs: DataFrame, stratum: str, score, tiebreak: str
+) -> DataFrame:
+    """Keep each stratum's top half by `score` (a Column) — the
+    percentile quality gate training pipelines run per language so a
+    low-resource language isn't wiped out by a global threshold.
+
+    Integer-rank formulation: keep iff 2 * rank <= stratum size — no
+    percent_rank() double ever enters the decision (a float percentile
+    compare can flip across engines on exact-half boundaries). One
+    shuffle on the stratum; both windows share it."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum).orderBy(
+        score.desc(), F.col(tiebreak)
+    )
+    wn = Window.partitionBy(stratum)
+    return (
+        docs.withColumn("__r", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+        .filter(2 * F.col("__r") <= F.col("__n"))
+        .drop("__r", "__n")
+    )
+
+
+def q_quality_gate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents surviving the per-language median length gate
+    (score = n_chars, doc_id tiebreak)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return quality_gate(docs, "lang", F.col("n_chars"), "doc_id")
+
+
 QUERIES = {
     "validate_source_summary": q_validate_source_summary,
     "profile_documents": q_profile_documents,
+    "quality_gate_by_lang": q_quality_gate_by_lang,
 }
 
 _PROFILE_SQL = "\nUNION ALL\n".join(
@@ -118,4 +153,12 @@ SELECT 'invalid_tctype', COUNT(CASE WHEN tctype NOT IN ('earned','spent','expire
 UNION ALL
 SELECT 'nan_amount', COUNT(CASE WHEN isnan(amount) THEN 1 END), COUNT(*) FROM txns""",
     "profile_documents": _PROFILE_SQL,
+    "quality_gate_by_lang": """
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS r,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents)
+WHERE 2 * r <= n""",
 }

@@ -299,9 +299,47 @@ def q_corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: repeat-factor cap: no language is upsampled past 4 epochs.
+REPEAT_CAP_PPM = 4_000_000
+
+
+def q_corpus_repeat_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language repetition factors for mixture balancing: how many
+    times (in ppm — 1e6 = one epoch) each language's documents should
+    repeat so every language contributes an equal token share, capped
+    at REPEAT_CAP_PPM (the 'don't repeat small data forever' rule from
+    mixture-training practice). Exact integer arithmetic throughout:
+    repeat_ppm = min(cap, total_tokens * 1e6 div (n_langs *
+    lang_tokens)). One corpus pass + window totals over the tiny
+    per-lang aggregate."""
+    docs = _docs(spark, sf_dir)
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text"))).cast("long")).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    return (
+        agg.withColumn("total_tokens", F.sum("n_tokens").over(w))
+        .withColumn("n_langs", F.count(F.lit(1)).over(w))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.least(
+                F.lit(REPEAT_CAP_PPM).cast("decimal(38,0)"),
+                F.expr(
+                    f"CAST(total_tokens AS DECIMAL(38,0)) * {PPM} "
+                    f"div (n_langs * n_tokens)"
+                ),
+            ).cast("long").alias("repeat_ppm"),
+        )
+    )
+
+
 QUERIES = {
     "corpus_decontaminate": q_corpus_decontaminate,
     "corpus_mixture_weights": q_corpus_mixture_weights,
+    "corpus_repeat_factors": q_corpus_repeat_factors,
     "corpus_vocabulary": q_corpus_vocabulary,
     "text_tfidf_top_terms": q_text_tfidf_top_terms,
     "corpus_length_histogram": q_corpus_length_histogram,
@@ -341,6 +379,18 @@ t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM agg)
 SELECT lang, source, n_docs, n_tokens,
        CAST((CAST(n_tokens AS HUGEINT) * {PPM}) // total_tokens AS BIGINT)
          AS share_ppm
+FROM agg CROSS JOIN t""",
+    "corpus_repeat_factors": f"""
+WITH agg AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang),
+t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             COUNT(*) AS n_langs FROM agg)
+SELECT lang, n_docs, n_tokens,
+       CAST(LEAST({REPEAT_CAP_PPM},
+                  (CAST(total_tokens AS HUGEINT) * {PPM})
+                    // (n_langs * n_tokens)) AS BIGINT) AS repeat_ppm
 FROM agg CROSS JOIN t""",
     "corpus_vocabulary": f"""
 WITH tok AS (
