@@ -119,3 +119,39 @@ def test_ivf_assignment_is_projection_no_crossjoin(spark, sf_dir):
     # projections — the plan must not contain a centroid cross join
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_weighted_sample_is_scan_level_no_shuffle(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.operators import sampling
+
+    df = sampling.q_weighted_sample(spark, sf_dir)
+    assert exchanges(df) == 0
+    schema = explain(df).split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "text" not in schema  # weight uses n_chars, never the body
+
+
+def test_interval_overlap_is_not_cartesian(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.operators import intervals
+
+    plan = explain(intervals.q_session_error_overlap(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the bucket join is a real equi-join on (user_id, bucket)
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
+
+
+def test_pack_sequences_offsets_broadcast(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.operators import packing
+
+    plan = explain(packing.q_pack_sequences(spark, sf_dir))
+    # per-partition offsets join back broadcast, never a shuffle join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_quality_gate_single_shuffle(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.operators import quality
+
+    # both windows (rank + count) share the one lang exchange
+    assert exchanges(quality.q_quality_gate_by_lang(spark, sf_dir)) == 1
