@@ -46,6 +46,10 @@ HEADLINE = [
     "text_tfidf_top_terms",
     "corpus_decontaminate",
     "dedup_clusters_star",
+    "weighted_sample",
+    "pack_sequences",
+    "session_error_overlap",
+    "quality_gate_by_lang",
 ]
 
 

@@ -239,15 +239,24 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _verified_pairs(cand, sh)
 
 
-#: one CASE term per bit: the ±1 sum is a higher-order aggregate over
-#: the per-doc token-hash ARRAY — no explode, no shuffle; simhash is a
-#: pure projection over the scan (the groupBy formulation shuffles
-#: |tokens| rows to recombine what was already row-local).
-_SIM_BIT_TERMS = " + ".join(
-    f"(CASE WHEN aggregate(hs, 0, (acc, h) -> acc + "
-    f"(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
-    f"THEN {1 << i} ELSE 0 END)"
-    for i in range(SIMHASH_BITS)
+#: SINGLE-pass simhash: one aggregate over the token-hash array with a
+#: 60-element bit-count accumulator, then one fold packing majority
+#: bits into the hash. Still no explode / no shuffle (the groupBy
+#: formulation shuffles |tokens| rows to recombine what was already
+#: row-local) — but, critically, ONE traversal: the previous form
+#: spelled each bit as its own `aggregate(hs, ...)`, i.e. 60 separate
+#: interpreted folds over the same array per row — measured 3.9 s vs
+#: 1.5 s at sf0.1 for identical output. Majority test `2*count >
+#: n_tokens` ≡ the ±1-sum-positive rule.
+_SIM_COUNTS = (
+    f"aggregate(hs, array_repeat(0, {SIMHASH_BITS}), (acc, h) -> "
+    f"zip_with(acc, transform(sequence(0, {SIMHASH_BITS - 1}), "
+    f"i -> CAST((h >> i) & 1 AS INT)), (a, b) -> a + b))"
+)
+_SIM_PACK = (
+    f"aggregate(zip_with({_SIM_COUNTS}, sequence(0, {SIMHASH_BITS - 1}), "
+    f"(c, i) -> IF(2 * c > size(hs), CAST(1 AS BIGINT) << i, "
+    f"CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, b) -> a | b)"
 )
 
 
@@ -255,7 +264,7 @@ def _simhash_df(docs: DataFrame) -> DataFrame:
     toks = F.array_distinct(tokens(F.col("text")))
     hs = F.transform(toks, md5_long)
     return docs.select("doc_id", hs.alias("hs")).select(
-        "doc_id", F.expr(f"CAST({_SIM_BIT_TERMS} AS BIGINT)").alias("simhash")
+        "doc_id", F.expr(f"CAST({_SIM_PACK} AS BIGINT)").alias("simhash")
     )
 
 
@@ -266,8 +275,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs with simhash hamming distance <= 3. 4x15-bit banding makes
-    this exact (any pair within hamming 3 shares >= 1 intact band)."""
-    sim = _simhash_df(_docs(spark, sf_dir))
+    this exact (any pair within hamming 3 shares >= 1 intact band).
+
+    The simhash relation is materialized (localCheckpoint) BEFORE the
+    band explode: Catalyst collapses projections through Generate, so
+    a lazy simhash column is re-evaluated once per band row per join
+    side — 8 evaluations of a fold that is ~40% of the whole query's
+    work (measured 25 s vs 5 s at sf0.1)."""
+    sim = _simhash_df(_docs(spark, sf_dir)).localCheckpoint(eager=True)
     bands = sim.select(
         "doc_id",
         "simhash",
