@@ -307,7 +307,31 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_dedup_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming watermarked dedup: collapse
+    at-least-once-delivery duplicates — same (user_id, event_type,
+    value-cents) inside the same 1-hour tumbling window — keeping the
+    smallest event_id. One shuffle on the dedup key (window start
+    rides the key, so state never outlives its hour — the exact
+    batch analogue of watermark-bounded streaming state). Returns the
+    per-window survivor count and duplicate count."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    hour = F.date_trunc("hour", F.col("ts"))
+    w = Window.partitionBy(hour, "user_id", "event_type", cents).orderBy(
+        "event_id"
+    )
+    kept = ev.withColumn("__r", F.row_number().over(w))
+    return kept.groupBy(
+        F.date_format(hour, "yyyy-MM-dd HH:00").alias("window_start")
+    ).agg(
+        F.count(F.when(F.col("__r") == 1, 1)).alias("n_unique"),
+        F.count(F.when(F.col("__r") > 1, 1)).alias("n_duplicates"),
+    )
+
+
 QUERIES = {
+    "events_dedup_windowed": q_events_dedup_windowed,
     "events_windowed_agg": q_events_windowed_agg,
     "events_sessionize": q_events_sessionize,
     "events_moving_avg": q_events_moving_avg,
@@ -329,6 +353,18 @@ _VAL_SUM = ("ROUND(CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE)"
             " / 100, 2)")
 
 ORACLES = {
+    "events_dedup_windowed": """
+WITH ranked AS (
+  SELECT DATE_TRUNC('hour', ts) AS h,
+         ROW_NUMBER() OVER (
+           PARTITION BY DATE_TRUNC('hour', ts), user_id, event_type,
+                        CAST(ROUND(value * 100, 0) AS BIGINT)
+           ORDER BY event_id) AS r
+  FROM events)
+SELECT strftime(h, '%Y-%m-%d %H:00') AS window_start,
+       COUNT(CASE WHEN r = 1 THEN 1 END) AS n_unique,
+       COUNT(CASE WHEN r > 1 THEN 1 END) AS n_duplicates
+FROM ranked GROUP BY h""",
     "events_time_rollup": """
 SELECT strftime(ts, '%Y-%m') AS month,
        strftime(ts, '%Y-%m-%d') AS day,
