@@ -199,3 +199,23 @@ def test_pivot_row_sums_match_event_count(spark, sf_dir):
         r.n_click + r.n_error + r.n_purchase + r.n_signup + r.n_view for r in piv
     )
     assert n == load_table(spark, sf_dir, "events").count()
+
+
+def test_star_cc_midloop_driver_finish(spark):
+    # chain 0-1-2-...-9: 9 initial edges exceed a threshold of 5, so
+    # the loop runs distributed rounds until the contracted edge set
+    # fits, then the union-find tail finishes — exercising the
+    # mid-loop driver-finish branch specifically
+    from thrivefinancedatapipeline_spark.operators import dedup
+
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "doc_id_1 long, doc_id_2 long"
+    )
+    out = {
+        r.doc_id: r.cluster_id
+        for r in dedup.connected_components_star(
+            nodes, pairs, driver_finish_max_edges=5
+        ).collect()
+    }
+    assert out == {i: 0 for i in range(10)}
