@@ -110,3 +110,17 @@ def test_embedding_cosine_guard_trips(spark, monkeypatch, sf_dir):
         dedup.q_dedup_embedding_cosine(spark, sf_dir)
     # explicit opt-in still works
     assert dedup.q_dedup_embedding_cosine(spark, sf_dir, exact=True).count() >= 0
+
+
+def test_graph_stats_triangle_plus_pendant(spark, monkeypatch):
+    from thrivefinancedatapipeline_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0), (2, 3, 0), (1, 3, 0), (3, 4, 0)],
+        "doc_id_1 long, doc_id_2 long, hamming int",
+    )
+    monkeypatch.setattr(
+        dedup, "q_dedup_simhash_pairs", lambda spark, sf_dir: pairs
+    )
+    row = dedup.q_dedup_graph_stats(spark, "ignored").collect()[0]
+    assert (row.n_edges, row.n_wedges, row.n_triangles) == (4, 1, 1)

@@ -94,3 +94,27 @@ def test_build_report_shape(spark, sf_dir):
     )
     tops = [r["current_balance"] for r in report["top_customers_by_balance"]]
     assert tops == sorted(tops, reverse=True)
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir):
+    tmp = tempfile.mkdtemp(prefix="io_orc_")
+    try:
+        cust = load_table(spark, sf_dir, "customer")
+        io.write_orc(cust, f"{tmp}/customer")
+        back = io.read_orc(spark, f"{tmp}/customer")
+        assert sorted(map(tuple, back.collect())) == sorted(
+            map(tuple, cust.collect())
+        )
+        # ORC scans take predicate pushdown like parquet
+        import contextlib
+        import io as _io
+
+        buf = _io.StringIO()
+        flt = back.filter(back.c_custkey < 10).select("c_custkey")
+        with contextlib.redirect_stdout(buf):
+            flt.explain(mode="formatted")
+        plan = buf.getvalue()
+        pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+        assert "LessThan(c_custkey" in pushed
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -763,8 +763,59 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structure metrics of the simhash near-dup graph — edges,
+    wedges, triangles — the density diagnostics that tell a dedup
+    pipeline whether its clusters are tight cliques (true duplicates)
+    or sprawling chains (threshold too loose).
+
+    Degree-ordered node-iterator triangle counting (the MapReduce
+    classic): orient every edge toward its higher-(degree, id)
+    endpoint, enumerate wedges at each node's out-neighbors, close
+    them against the directed edge set. Orientation bounds every
+    node's out-degree by O(sqrt(|E|)), so the wedge join cannot blow
+    up on a hub the way naive a<b orientation does — the property
+    that matters when one boilerplate doc has 10^6 near-dups."""
+    pairs = (
+        q_dedup_simhash_pairs(spark, sf_dir)
+        .select("doc_id_1", "doc_id_2")
+        .localCheckpoint(eager=True)
+    )
+    sym = _sym_edges(pairs)
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e = pairs.join(
+        deg.select(F.col("src").alias("doc_id_1"), F.col("deg").alias("d1")),
+        "doc_id_1",
+    ).join(
+        deg.select(F.col("src").alias("doc_id_2"), F.col("deg").alias("d2")),
+        "doc_id_2",
+    )
+    fwd = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("doc_id_1") < F.col("doc_id_2"))
+    )
+    d = e.select(
+        F.when(fwd, F.col("doc_id_1")).otherwise(F.col("doc_id_2")).alias("u"),
+        F.when(fwd, F.col("doc_id_2")).otherwise(F.col("doc_id_1")).alias("v"),
+        F.when(fwd, F.col("d2")).otherwise(F.col("d1")).alias("dv"),
+    ).localCheckpoint(eager=True)
+    w1 = d.select("u", F.col("v").alias("a"), F.col("dv").alias("da"))
+    w2 = d.select("u", F.col("v").alias("b"), F.col("dv").alias("db"))
+    ordered = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    wedges = w1.join(w2, "u").filter(ordered)
+    closing = d.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    tri = wedges.join(closing, ["a", "b"])
+    return (
+        pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(wedges.agg(F.count(F.lit(1)).alias("n_wedges")))
+        .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_graph_stats": q_dedup_graph_stats,
     "dedup_incremental": q_dedup_incremental,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -898,6 +949,35 @@ SELECT doc_id_1, doc_id_2,
        CAST(bit_count(xor(sim1, sim2)) AS INT) AS hamming
 FROM cand
 WHERE bit_count(xor(sim1, sim2)) <= {SIM_HAM_MAX}""",
+    "dedup_graph_stats": f"""
+WITH {_SIMHASH_CTES},
+bands AS ({_SIM_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT b1.doc_id AS doc_id_1, b2.doc_id AS doc_id_2,
+         b1.simhash AS sim1, b2.simhash AS sim2
+  FROM bands b1 JOIN bands b2
+    ON b1.band = b2.band AND b1.key = b2.key AND b1.doc_id < b2.doc_id
+),
+prs AS (SELECT doc_id_1, doc_id_2 FROM cand
+        WHERE bit_count(xor(sim1, sim2)) <= {SIM_HAM_MAX}),
+sym AS (SELECT doc_id_1 AS s FROM prs UNION ALL SELECT doc_id_2 FROM prs),
+deg AS (SELECT s AS n, COUNT(*) AS deg FROM sym GROUP BY s),
+d AS (
+  SELECT CASE WHEN (g1.deg, prs.doc_id_1) < (g2.deg, prs.doc_id_2)
+              THEN prs.doc_id_1 ELSE prs.doc_id_2 END AS u,
+         CASE WHEN (g1.deg, prs.doc_id_1) < (g2.deg, prs.doc_id_2)
+              THEN prs.doc_id_2 ELSE prs.doc_id_1 END AS v,
+         CASE WHEN (g1.deg, prs.doc_id_1) < (g2.deg, prs.doc_id_2)
+              THEN g2.deg ELSE g1.deg END AS dv
+  FROM prs JOIN deg g1 ON g1.n = prs.doc_id_1
+           JOIN deg g2 ON g2.n = prs.doc_id_2),
+w AS (SELECT w1.u, w1.v AS a, w2.v AS b
+      FROM d w1 JOIN d w2 ON w1.u = w2.u
+      WHERE (w1.dv, w1.v) < (w2.dv, w2.v))
+SELECT (SELECT COUNT(*) FROM prs) AS n_edges,
+       (SELECT COUNT(*) FROM w) AS n_wedges,
+       (SELECT COUNT(*) FROM w JOIN d ON d.u = w.a AND d.v = w.b)
+         AS n_triangles""",
     "dedup_keep_canonical": f"""
 WITH hashed AS (SELECT doc_id, lang, source, md5({_NORM}) AS content_hash
                 FROM documents)

@@ -62,6 +62,16 @@ def write_json(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
 
 
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink (Hive-ecosystem interchange). Spark's native ORC writer
+    keeps columnar stats for predicate pushdown like parquet."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
 def write_range_sorted_parquet(
     df: DataFrame,
     path: str,
