@@ -61,8 +61,42 @@ def q_sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOP_KEYS = 10
+PPM = 1_000_000
+
+
+def q_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew pre-flight: the top heavy keys of events.user_id
+    with each key's integer-ppm share of all rows — the audit run
+    BEFORE shuffling 100 TB on a key, deciding between a plain shuffle
+    join, AQE skew splitting, or an explicit salt (operators/skew.py).
+
+    One map-side-combinable count per key, then a global top-N (AQE
+    partial TopK under the window). share_ppm is exact integer div —
+    the skew verdict must not depend on float rendering."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    w = Window.partitionBy().orderBy(
+        F.col("n_rows").desc(), F.col("user_id")
+    )
+    total = F.sum("n_rows").over(Window.partitionBy())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .withColumn("total", total)
+        .filter(F.col("rank") <= TOP_KEYS)
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            "user_id",
+            "n_rows",
+            F.expr(f"CAST(n_rows AS DECIMAL(38,0)) * {PPM} div total")
+            .cast("long").alias("share_ppm"),
+        )
+    )
+
+
 QUERIES = {
     "sketch_distinct_users": q_sketch_distinct_users,
+    "join_key_skew": q_join_key_skew,
 }
 
 _H = md5_long_sql("CAST(user_id AS VARCHAR)")
@@ -81,4 +115,16 @@ SELECT event_type, kth_min_hash,
             AS BIGINT) AS est_distinct,
        exact_distinct
 FROM kth JOIN exact USING (event_type)""",
+    "join_key_skew": f"""
+WITH counts AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+                FROM events GROUP BY user_id),
+t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM counts),
+r AS (SELECT user_id, n_rows,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, user_id)
+                  AS INT) AS rank
+      FROM counts)
+SELECT rank, user_id, n_rows,
+       CAST((CAST(n_rows AS HUGEINT) * {PPM}) // total AS BIGINT)
+         AS share_ppm
+FROM r CROSS JOIN t WHERE rank <= {TOP_KEYS}""",
 }
