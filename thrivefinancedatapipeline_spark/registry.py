@@ -128,17 +128,22 @@ def _proven_rounds() -> dict[str, tuple[int, bool]]:
 
 def _query_order() -> list[str]:
     merged: list[str] = []
+    oracled: set[str] = set()
     for mod in _modules():
         for name in getattr(mod, "QUERIES", {}):
             if name not in merged:
                 merged.append(name)
+        oracled.update(getattr(mod, "ORACLES", {}))
     proven = _proven_rounds()
     insertion = {name: i for i, name in enumerate(merged)}
 
     def key(name: str):
         hit = proven.get(name)
         if hit is None:
-            return (0, 0, insertion[name])  # never driver-proven
+            # rows-only queries (no oracle) can never be hash-proven:
+            # park them at the tail of the never-proven tier so they
+            # don't pin front-window slots round after round
+            return (0, 1 if name not in oracled else 0, insertion[name])
         rnd, valid = hit
         if not valid:
             return (1, rnd, insertion[name])  # proof stale — recheck
