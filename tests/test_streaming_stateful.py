@@ -253,3 +253,26 @@ def test_stream_fifo_v2_transformwithstate_matches_batch(spark, timed_events):
         for r in batch.filter(F.col("redeemid").isNotNull()).collect()
     }
     assert stream_pairs == batch_pairs
+
+
+def test_stream_content_dedup_matches_batch_key_set(spark, timed_events):
+    got = drain(
+        stateful.stream_dedup_content(spark, timed_events),
+        "stream_content_dedup",
+        "append",
+    )
+    stream_keys = {
+        (r.hour, r.user_id, r.event_type, r.cents) for r in got
+    }
+    assert len(got) == len(stream_keys), "stream emitted a duplicate key"
+    ev = spark.read.parquet(timed_events)
+    batch_keys = {
+        (r.hour, r.user_id, r.event_type, r.cents)
+        for r in ev.select(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        ).distinct().collect()
+    }
+    assert stream_keys == batch_keys

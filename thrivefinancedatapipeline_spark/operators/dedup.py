@@ -1043,3 +1043,36 @@ WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {COSINE_TAU}"""
 ORACLES["dedup_embedding_lsh"] = _embedding_lsh_oracle()
 # both CC engines answer to the same reachability oracle
 ORACLES["dedup_clusters_star"] = ORACLES["dedup_clusters"]
+
+
+def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup clusters: the star-CC engine over the banded
+    embedding-LSH pair graph — the second pair source proving the CC
+    engine composes (simhash pairs being the first). Returns
+    (vec_id, cluster_id) for every embedding row."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    pairs = q_dedup_embedding_lsh(spark, sf_dir).select(
+        F.col("vec_id_1").alias("doc_id_1"),
+        F.col("vec_id_2").alias("doc_id_2"),
+    )
+    return connected_components_star(
+        emb.select(F.col("vec_id").alias("doc_id")),
+        pairs,
+        pairs_canonical=True,
+    ).select(F.col("doc_id").alias("vec_id"), "cluster_id")
+
+
+QUERIES["dedup_embedding_clusters"] = q_dedup_embedding_clusters
+ORACLES["dedup_embedding_clusters"] = f"""
+WITH RECURSIVE prs AS ({_embedding_lsh_oracle()}),
+edges AS (
+  SELECT vec_id_1 AS a, vec_id_2 AS b FROM prs
+  UNION ALL
+  SELECT vec_id_2, vec_id_1 FROM prs
+),
+reach(n, m) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+)
+SELECT n AS vec_id, MIN(m) AS cluster_id FROM reach GROUP BY n"""

@@ -251,6 +251,29 @@ def stream_dedup(spark, source_dir: str, watermark: str = "1 hour") -> DataFrame
     )
 
 
+def stream_dedup_content(
+    spark, source_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of the batch windowed content dedup
+    (plans/events_queries.q_events_dedup_windowed): first event per
+    (hour, user, type, value-cents) survives; duplicates inside the
+    watermark horizon are dropped with bounded state. The hour-trunc
+    column rides the dedup subset, so a key's state is only needed
+    until the watermark passes its hour — the same window-bounded
+    state the batch query expresses with its groupBy. (Batch keeps the
+    smallest event_id; the stream keeps the first arrival — identical
+    KEY sets, which is what the parity test pins.)"""
+    ev = stream_events(spark, source_dir)
+    return (
+        ev.withColumn("hour", F.date_trunc("hour", "ts"))
+        .withColumn("cents", F.round(F.col("value") * 100).cast("long"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(
+            ["hour", "user_id", "event_type", "cents"]
+        )
+    )
+
+
 def stream_sessionize(
     spark, source_dir: str, watermark: str = "2 hours"
 ) -> DataFrame:
