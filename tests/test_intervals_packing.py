@@ -111,3 +111,46 @@ def test_weighted_sample_membership_is_the_hash_rule(spark):
     )
     assert chk.filter(~F.col("ok")).count() == 0
     assert all(r["weight_ppm"] <= PPM for r in rows)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+iv_strat = st.lists(
+    st.tuples(
+        st.integers(0, 2),        # key
+        st.integers(0, 5000),     # start minute
+        st.integers(0, 300),      # duration minutes
+    ),
+    min_size=0,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(iv_strat, iv_strat)
+def test_overlap_join_matches_bruteforce(spark, left_rows, right_rows):
+    lf = [(k, s, s + d) for k, s, d in left_rows]
+    rt = [(k, s, s + d) for k, s, d in right_rows]
+    want = set()
+    for k1, s1, e1 in lf:
+        for k2, s2, e2 in rt:
+            if k1 == k2 and s1 <= e2 and s2 <= e1:
+                want.add((k1, s1, e1, s2, e2, (min(e1, e2) - max(s1, s2)) * 60 * 1_000_000))
+    got = {
+        (
+            r["user_id"],
+            int((r["l_start"] - T0).total_seconds() // 60),
+            int((r["l_end"] - T0).total_seconds() // 60),
+            int((r["r_start"] - T0).total_seconds() // 60),
+            int((r["r_end"] - T0).total_seconds() // 60),
+            r["overlap_us"],
+        )
+        for r in interval_overlap_join(
+            _iv(spark, lf), _iv(spark, rt), "user_id"
+        ).collect()
+    }
+    assert got == want
