@@ -38,3 +38,16 @@ def test_force_recheck_names_exist():
     names = set(registry.all_queries())
     missing = set(registry._FORCE_RECHECK_SINCE) - names
     assert not missing, f"unknown names in _FORCE_RECHECK_SINCE: {missing}"
+
+
+def test_bench_and_probe_names_resolve():
+    import re
+    import pathlib
+
+    names = set(registry.all_queries())
+    bench = pathlib.Path(__file__).parent.parent / "bench.py"
+    head = re.findall(r'"([a-z0-9_]+)",', bench.read_text().split("HEADLINE")[1].split("]")[0])
+    assert head and not set(head) - names
+    probe = pathlib.Path(__file__).parent.parent / "tools" / "scale_probe.py"
+    dflt = re.findall(r'"([a-z0-9_]+)",', probe.read_text().split("DEFAULT")[1].split("]")[0])
+    assert dflt and not set(dflt) - names
