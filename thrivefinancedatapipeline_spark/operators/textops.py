@@ -496,3 +496,77 @@ GROUP BY s.doc_id"""
 
 
 ORACLES["corpus_decontaminate"] = _decontaminate_oracle()
+
+
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontaminated training corpus itself: non-benchmark
+    documents with NO shingle overlap against the benchmark blocklist
+    — corpus_decontaminate's report turned into the anti-join
+    deliverable a release pipeline actually ships. Same broadcast
+    blocklist probe; the anti-join is the only added operator."""
+    docs = _docs(spark, sf_dir)
+    contaminated = q_corpus_decontaminate(spark, sf_dir).select("doc_id")
+    return (
+        docs.filter(F.col("doc_id") % BENCH_DOC_MOD != 0)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+QUERIES["corpus_clean"] = q_corpus_clean
+ORACLES["corpus_clean"] = f"""
+WITH contaminated AS ({_decontaminate_oracle()})
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE doc_id % {BENCH_DOC_MOD} <> 0
+  AND doc_id NOT IN (SELECT doc_id FROM contaminated)"""
+
+
+def q_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release manifest: per (split, lang) document/token counts plus
+    an order-independent content checksum (bit_xor of per-doc md5
+    content hashes — md5 is the one hash both engines share; xxhash64
+    would be Spark-only) — the reproducibility record shipped with a
+    dataset so a consumer can verify they materialized the identical
+    split. One corpus pass, map-side combinable; bit_xor not SUM
+    (ANSI overflow, CLAUDE.md rule)."""
+    from .sampling import split_column
+
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            split_column(F.col("doc_id")).alias("split"),
+            "lang",
+            F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+            md5_long(normalize(F.col("text"))).alias("h"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.expr("bit_xor(h)").alias("content_checksum"),
+        )
+    )
+
+
+def _manifest_oracle() -> str:
+    from .sampling import SPLIT_TRAIN, SPLIT_VAL, hash_bucket_sql
+
+    b = hash_bucket_sql("doc_id", 100, "split")
+    return f"""
+WITH d AS (
+  SELECT CASE WHEN {b} < {SPLIT_TRAIN} THEN 'train'
+              WHEN {b} < {SPLIT_VAL} THEN 'val'
+              ELSE 'test' END AS split,
+         lang,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         {md5_long_sql(_NORM)} AS h
+  FROM documents)
+SELECT split, lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       bit_xor(h) AS content_checksum
+FROM d GROUP BY split, lang"""
+
+
+QUERIES["dataset_manifest"] = q_dataset_manifest
+ORACLES["dataset_manifest"] = _manifest_oracle()
