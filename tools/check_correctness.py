@@ -52,13 +52,17 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
         )
 
+    import time
+
     qs = e.queries()
     oracles = e.oracle_sql()
     only = set(sys.argv[1:])
     failures = 0
+    t_start = time.perf_counter()
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t_q = time.perf_counter()
         try:
             sdf = fn(spark, SF_DIR).toPandas()
         except Exception as exc:  # noqa: BLE001
@@ -66,7 +70,8 @@ def main() -> int:
             failures += 1
             continue
         if name not in oracles:
-            print(f"rows-only {name}: rows={len(sdf)}")
+            print(f"rows-only {name}: rows={len(sdf)} "
+                  f"({time.perf_counter() - t_q:.1f}s)")
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
@@ -97,8 +102,10 @@ def main() -> int:
                 for s in list(only_b)[:3]:
                     print(f"    oracle-only: {s}")
         else:
-            print(f"ok   {name}: rows={len(sdf)}")
-    print(f"\n{failures} failures")
+            print(f"ok   {name}: rows={len(sdf)} "
+                  f"({time.perf_counter() - t_q:.1f}s)")
+    print(f"\n{failures} failures "
+          f"(total {time.perf_counter() - t_start:.0f}s)")
     return 1 if failures else 0
 
 
