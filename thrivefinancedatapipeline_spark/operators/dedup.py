@@ -804,13 +804,17 @@ def q_dedup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
     wedges = w1.join(w2, "u").filter(ordered)
-    closing = d.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    tri = wedges.join(closing, ["a", "b"])
-    return (
-        pairs.agg(F.count(F.lit(1)).alias("n_edges"))
-        .crossJoin(wedges.agg(F.count(F.lit(1)).alias("n_wedges")))
-        .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+    closing = d.select(
+        F.col("u").alias("a"), F.col("v").alias("b"), F.lit(1).alias("m")
     )
+    # one pass over the wedge join: count every wedge, and count the
+    # closed ones via the left-join match flag — not two separate
+    # aggregations that each re-run the join
+    counted = wedges.join(closing, ["a", "b"], "left").agg(
+        F.count(F.lit(1)).alias("n_wedges"),
+        F.count("m").alias("n_triangles"),
+    )
+    return pairs.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(counted)
 
 
 QUERIES = {
@@ -973,11 +977,13 @@ d AS (
            JOIN deg g2 ON g2.n = prs.doc_id_2),
 w AS (SELECT w1.u, w1.v AS a, w2.v AS b
       FROM d w1 JOIN d w2 ON w1.u = w2.u
-      WHERE (w1.dv, w1.v) < (w2.dv, w2.v))
+      WHERE (w1.dv, w1.v) < (w2.dv, w2.v)),
+wl AS (SELECT w.a, c.u AS m
+       FROM w LEFT JOIN d c ON c.u = w.a AND c.v = w.b)
 SELECT (SELECT COUNT(*) FROM prs) AS n_edges,
-       (SELECT COUNT(*) FROM w) AS n_wedges,
-       (SELECT COUNT(*) FROM w JOIN d ON d.u = w.a AND d.v = w.b)
-         AS n_triangles""",
+       COUNT(*) AS n_wedges,
+       COUNT(m) AS n_triangles
+FROM wl""",
     "dedup_keep_canonical": f"""
 WITH hashed AS (SELECT doc_id, lang, source, md5({_NORM}) AS content_hash
                 FROM documents)
