@@ -101,6 +101,37 @@ def test_hot_shingle_df_cap_bounds_candidates(spark, monkeypatch):
     assert pairs == {(8, 9)}
 
 
+def test_all_hot_shingles_recall_escape_hatch(spark, monkeypatch):
+    """A mass-replicated doc whose EVERY shingle is above the DF cap
+    must still pair with its replicas: each doc keeps its
+    RARE_KEEP_PER_DOC lowest-DF shingles in the index regardless of
+    the cap, so the cluster collides on those instead of vanishing."""
+    monkeypatch.setattr(dedup, "MAX_SHINGLE_DF", 3)
+    texts = ["the quick brown fox jumps over the lazy dog today"] * 8
+    docs = docs_df(spark, texts)
+    monkeypatch.setattr(dedup, "_docs", lambda spark, sf_dir: docs)
+    out = dedup.q_dedup_ngram_jaccard(spark, "ignored").collect()
+    pairs = {(r.doc_id_1, r.doc_id_2) for r in out}
+    assert pairs == {(i, j) for i in range(8) for j in range(i + 1, 8)}
+
+
+def test_graph_stats_wedge_budget_guard(spark, monkeypatch):
+    """Past the wedge budget the join must not launch: fail fast with
+    the exact pre-computed wedge count."""
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0), (2, 3, 0), (1, 3, 0), (3, 4, 0)],
+        "doc_id_1 long, doc_id_2 long, hamming int",
+    )
+    monkeypatch.setattr(
+        dedup, "q_dedup_simhash_pairs", lambda spark, sf_dir: pairs
+    )
+    monkeypatch.setattr(dedup, "WEDGE_BUDGET", 0)
+    with pytest.raises(RuntimeError, match="1 wedges"):
+        dedup.q_dedup_graph_stats(spark, "ignored")
+
+
 def test_embedding_cosine_guard_trips(spark, monkeypatch, sf_dir):
     """The exact O(n^2) path must refuse large corpora unless forced."""
     import pytest

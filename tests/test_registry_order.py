@@ -9,12 +9,15 @@ from thrivefinancedatapipeline_spark import registry
 def test_never_proven_precede_proven():
     qs = list(registry.all_queries())
     proven = registry._proven_rounds()
+    oracled = set(registry.all_oracles())
 
     def tier(name):
         hit = proven.get(name)
         if hit is None:
-            return 0
-        return 1 if not hit[1] else 2
+            # hash-provable never-proven first; permanently
+            # unprovable (rows-only) park AFTER stale rechecks
+            return 0 if name in oracled else 2
+        return 1 if not hit[1] else 3
 
     tiers = [tier(n) for n in qs]
     assert tiers == sorted(tiers), "queries() not ordered by proof tier"

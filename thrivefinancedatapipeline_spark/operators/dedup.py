@@ -54,12 +54,31 @@ JACCARD_NUM, JACCARD_DEN = 4, 5  # tau = 0.8
 #: by d documents contributes O(d^2) candidate pairs, so one hot
 #: boilerplate shingle shared by 10^6 docs is a 10^12-pair join — the
 #: difference between finishing and not at 100 TB. Shingles with
-#: DF > cap are dropped from CANDIDATE GENERATION only (near-dup pairs
-#: still collide on their rare shingles); the verify step always uses
-#: the full uncapped shingle sets, so surviving pairs carry exact
-#: Jaccard counts. Standard stop-shingle guard (cf. stop-words in
-#: inverted indexes).
+#: DF > cap are dropped from CANDIDATE GENERATION only; the verify
+#: step always uses the full uncapped shingle sets, so surviving
+#: pairs carry exact Jaccard counts. Standard stop-shingle guard
+#: (cf. stop-words in inverted indexes).
+#:
+#: Recall bound + escape hatch: the cap alone would emit NO pair
+#: between two docs whose shared shingles are ALL above the cap — the
+#: boilerplate-heavy regime where every shingle of a mass-replicated
+#: doc is hot. Each doc therefore also keeps its RARE_KEEP_PER_DOC
+#: lowest-DF shingles in the index regardless of the cap
+#: (deterministic (df, sh) order), so such clusters still collide on
+#: their least-common shingles. Pair blowup stays bounded by the TRUE
+#: answer: an escape shingle kept by d docs means those d docs are
+#: mutually near-identical (it is each one's rarest shingle), and any
+#: all-PAIRS query over a d-doc near-dup cluster inherently emits
+#: O(d^2) rows — dedup_clusters / dedup_keep_canonical are the
+#: cluster-shaped (linear-output) form for that regime at 100 TB.
 MAX_SHINGLE_DF = 64
+RARE_KEEP_PER_DOC = 3
+
+#: Hard ceiling on the wedge-join row count in dedup_graph_stats.
+#: 10^10 wedge rows is ~minutes of join work on a 1000-executor
+#: cluster — a sane cap for a diagnostic query; past it the guard
+#: fails fast with the exact count instead of launching the join.
+WEDGE_BUDGET = 10_000_000_000
 
 
 def _docs(spark, sf_dir):
@@ -179,15 +198,24 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     returned DataFrame is garbage-collected instead of staying pinned
     in the CacheManager until an explicit unpersist. The inverted
     index is DF-capped (MAX_SHINGLE_DF) before the self-join so a hot
-    shingle can't blow up the candidate pair count."""
+    shingle can't blow up the candidate pair count, with each doc's
+    RARE_KEEP_PER_DOC lowest-DF shingles kept unconditionally as the
+    recall escape hatch for all-shingles-hot boilerplate clusters
+    (see the constant's docstring for the bound)."""
+    from pyspark.sql import Window
+
     sh = _shingle_rows(_docs(spark, sf_dir)).localCheckpoint(eager=True)
-    rare = (
-        sh.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= MAX_SHINGLE_DF)
-        .select("sh")
+    dfs = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "sh")
+    idx = (
+        sh.join(dfs, "sh")
+        .withColumn("rk", F.row_number().over(wdoc))
+        .filter(
+            (F.col("df") <= MAX_SHINGLE_DF)
+            | (F.col("rk") <= RARE_KEEP_PER_DOC)
+        )
+        .select("doc_id", "sh")
     )
-    idx = sh.join(rare, "sh")
     s1 = idx.select(F.col("doc_id").alias("doc_id_1"), "sh")
     s2 = idx.select(F.col("doc_id").alias("doc_id_2"), "sh")
     pairs = (
@@ -798,6 +826,32 @@ def q_dedup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fwd, F.col("doc_id_2")).otherwise(F.col("doc_id_1")).alias("v"),
         F.when(fwd, F.col("d2")).otherwise(F.col("d1")).alias("dv"),
     ).localCheckpoint(eager=True)
+    # Wedge-budget guard: the wedge join emits EXACTLY
+    # sum_u C(outdeg(u), 2) rows, computable as a scalar aggregate
+    # over the (already materialized) oriented edges before paying for
+    # the join. Degree ordering bounds each out-degree by O(sqrt(E)),
+    # but a dense boilerplate-heavy corpus can still push the total
+    # past what a cluster should spend on a diagnostic — fail fast
+    # with the exact number instead of launching an over-budget join.
+    n_wedges_exact = (
+        d.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("od"))
+        .agg(
+            F.sum(
+                F.col("od").cast("decimal(38,0)") * (F.col("od") - 1)
+            ).alias("tw")
+        )
+        .collect()[0][0]
+    )
+    n_wedges_exact = int(n_wedges_exact or 0) // 2
+    if n_wedges_exact > WEDGE_BUDGET:
+        raise RuntimeError(
+            f"dedup_graph_stats: oriented near-dup graph has "
+            f"{n_wedges_exact} wedges (> budget {WEDGE_BUDGET}). The "
+            "wedge join would emit that many rows. Tighten the simhash "
+            "threshold (SIM_HAM_MAX), run on an edge sample, or raise "
+            "WEDGE_BUDGET deliberately."
+        )
     w1 = d.select("u", F.col("v").alias("a"), F.col("dv").alias("da"))
     w2 = d.select("u", F.col("v").alias("b"), F.col("dv").alias("db"))
     ordered = (F.col("da") < F.col("db")) | (
@@ -917,8 +971,14 @@ FROM hashed h LEFT JOIN corpus c USING (content_hash)
 WHERE h.doc_id % {INCR_MOD} = {INCR_NEW_REM}""",
     "dedup_ngram_jaccard": f"""
 WITH {_SHINGLE_CTES},
-rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= {MAX_SHINGLE_DF}),
-idx AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
+dfs AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+ranked AS (
+  SELECT s.doc_id, s.sh, d.df,
+         ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.sh)
+           AS rk
+  FROM sh s JOIN dfs d USING (sh)),
+idx AS (SELECT doc_id, sh FROM ranked
+        WHERE df <= {MAX_SHINGLE_DF} OR rk <= {RARE_KEEP_PER_DOC}),
 cand AS (
   SELECT DISTINCT s1.doc_id AS doc_id_1, s2.doc_id AS doc_id_2
   FROM idx s1 JOIN idx s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id

@@ -72,18 +72,24 @@ def q_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, AQE skew splitting, or an explicit salt (operators/skew.py).
 
     One map-side-combinable count per key, then a global top-N (AQE
-    partial TopK under the window). share_ppm is exact integer div —
-    the skew verdict must not depend on float rendering."""
+    partial TopK under the window). The grand total is a 1-row scalar
+    aggregate broadcast-cross-joined into the top-k result — an
+    all-rows SUM window over the unpartitioned counts relation would
+    stream every distinct key through a single task (no WindowGroupLimit
+    pushdown for it, unlike the rank<=N filter), making the skew audit
+    itself a single-reducer pass at the scale it guards. share_ppm is
+    exact integer div — the skew verdict must not depend on float
+    rendering."""
     ev = load_table(spark, sf_dir, "events")
     counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
     w = Window.partitionBy().orderBy(
         F.col("n_rows").desc(), F.col("user_id")
     )
-    total = F.sum("n_rows").over(Window.partitionBy())
+    total = counts.agg(F.sum("n_rows").alias("total"))
     return (
         counts.withColumn("rank", F.row_number().over(w))
-        .withColumn("total", total)
         .filter(F.col("rank") <= TOP_KEYS)
+        .crossJoin(F.broadcast(total))
         .select(
             F.col("rank").cast("int").alias("rank"),
             "user_id",

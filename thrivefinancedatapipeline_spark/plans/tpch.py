@@ -71,15 +71,23 @@ def _sql_cents(col: str) -> str:
 
 def _sql_money(sum_expr: str, scale: int) -> str:
     """SQL twin of _money: half-up to cents in exact integer space
-    (DuckDB sums BIGINT as HUGEINT, // is exact floor division), then
-    one /100 whose result is an exact 2-decimal value. Avoids the
-    Spark-vs-DuckDB .xx5-boundary split of ROUND(double_division, 2).
+    (DuckDB sums BIGINT as HUGEINT-exact), then one /100 whose result
+    is an exact 2-decimal value. Avoids the Spark-vs-DuckDB
+    .xx5-boundary split of ROUND(double_division, 2).
+
+    DuckDB ``//`` truncates toward zero while the Spark twin's F.floor
+    rounds toward -inf, so a bare ``x // d`` diverges by one cent on
+    negative sums. The numerator is therefore snapped down to an exact
+    multiple of d first (``x - ((x % d) + d) % d`` is the floor-mod
+    remainder for either sign convention), after which ``//`` is exact
+    floor division for any sign.
     """
     d = scale // 100
     if d == 1:
         return f"ROUND(CAST(SUM({sum_expr}) AS DOUBLE) / 100, 2)"
-    return (f"ROUND(CAST((SUM({sum_expr}) + {d // 2}) // {d} AS DOUBLE)"
-            " / 100, 2)")
+    x = f"(SUM({sum_expr}) + {d // 2})"
+    return (f"ROUND(CAST(({x} - (({x} % {d}) + {d}) % {d}) // {d} "
+            "AS DOUBLE) / 100, 2)")
 
 
 def q_tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

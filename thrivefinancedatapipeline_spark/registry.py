@@ -57,6 +57,9 @@ _FORCE_RECHECK_SINCE: dict[str, int] = {
     "tpch_q22_global_sales_opportunity": 2,
     "part_brand_revenue": 2,
     "customer_order_stats": 2,
+    # Round 3 added the RARE_KEEP_PER_DOC recall escape hatch to the
+    # jaccard inverted index (pairs can appear that the DF cap dropped).
+    "dedup_ngram_jaccard": 3,
 }
 
 
@@ -139,15 +142,18 @@ def _query_order() -> list[str]:
 
     def key(name: str):
         hit = proven.get(name)
-        if hit is None:
+        if hit is None and name not in oracled:
             # rows-only queries (no oracle) can never be hash-proven:
-            # park them at the tail of the never-proven tier so they
-            # don't pin front-window slots round after round
-            return (0, 1 if name not in oracled else 0, insertion[name])
+            # a dedicated tier AFTER the stale-proof rechecks, so the
+            # permanently-unprovable queries never pin front-window
+            # slots ahead of queries that still need (re)attestation
+            return (2, 0, insertion[name])
+        if hit is None:
+            return (0, 0, insertion[name])  # never driver-proven
         rnd, valid = hit
         if not valid:
             return (1, rnd, insertion[name])  # proof stale — recheck
-        return (2, rnd, insertion[name])  # proven, oldest first
+        return (3, rnd, insertion[name])  # proven, oldest first
 
     return sorted(merged, key=key)
 
