@@ -43,9 +43,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from whatever plan consumes them — do not cache here."""
     _ensure_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanos → micros, floor division (matches oracle epoch_ns//1000)
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
+            # TIMESTAMP(NANOS) read raw: nanos → micros, floor division
+            # (matches oracle epoch_ns(ts)//1000)
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif dt == "timestamp_ntz":
+            # parquet timestamp[us] isAdjustedToUTC=false loads as NTZ;
+            # with the UTC session tz this cast keeps the wall clock —
+            # identical micros to the DuckDB oracle's naive timestamps
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
