@@ -81,3 +81,25 @@ def test_approx_percentile_within_tolerance(spark, sf_dir):
         F.percentile_approx("value", 0.5, 1000).alias("m")
     ).collect()[0].m
     assert abs(approx - exact) <= 0.05 * abs(exact) + 0.5
+
+
+def test_approx_distinct_attest_in_band(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.operators.sketches import (
+        q_approx_distinct_attest,
+    )
+
+    rows = q_approx_distinct_attest(spark, sf_dir).collect()
+    assert rows and all(r.in_band == 1 for r in rows)
+    assert all(r.exact_distinct > 0 for r in rows)
+
+
+def test_approx_percentile_attest_in_band(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.plans.advanced import (
+        PCTS,
+        q_approx_percentile_attest,
+    )
+
+    rows = q_approx_percentile_attest(spark, sf_dir).collect()
+    # one row per (event_type, percentile), every one inside the band
+    assert len(rows) % len(PCTS) == 0 and rows
+    assert all(r.in_band == 1 for r in rows)

@@ -61,6 +61,48 @@ def q_sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HLL_RSD = 0.02
+HLL_BAND_PCT = 10  # ±10% = 5 standard errors at rsd=0.02
+
+
+def q_approx_distinct_attest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-attested 100 TB distinct-count path: Spark's built-in
+    ``approx_count_distinct`` (HyperLogLog++, mergeable, one pass, no
+    shuffle of raw keys) checked against the exact count IN THE QUERY.
+
+    HLL++ output is implementation-specific, so the sketch value itself
+    can't sit under a cross-engine value hash. Instead the hashed
+    columns are the group key, the exact count, and an integer
+    ``in_band`` verdict computed in exact integer space:
+    ``|approx - exact| * 100 <= exact * HLL_BAND_PCT``. The DuckDB
+    oracle emits ``in_band = 1`` unconditionally — if Spark's sketch
+    ever drifts past the band the hash mismatches and the driver turns
+    the row red. HLL++ is hash-based and deterministic, so the verdict
+    is stable run-over-run on the same input.
+
+    At 100 TB this is the production plan for distinct users (the
+    exact groupBy-distinct twin `sketch_distinct_users` is the
+    oracle-able KMV variant): partial HLL buffers merge in the
+    combiner, no (type, user) distinct-reduce shuffle at all."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct"),
+        F.expr(f"approx_count_distinct(user_id, {HLL_RSD}D)").alias(
+            "approx"
+        ),
+    )
+    return per.select(
+        "event_type",
+        "exact_distinct",
+        (
+            F.abs(F.col("approx") - F.col("exact_distinct")) * 100
+            <= F.col("exact_distinct") * HLL_BAND_PCT
+        )
+        .cast("long")
+        .alias("in_band"),
+    )
+
+
 TOP_KEYS = 10
 PPM = 1_000_000
 
@@ -102,6 +144,7 @@ def q_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "sketch_distinct_users": q_sketch_distinct_users,
+    "approx_distinct_attest": q_approx_distinct_attest,
     "join_key_skew": q_join_key_skew,
 }
 
@@ -121,6 +164,11 @@ SELECT event_type, kth_min_hash,
             AS BIGINT) AS est_distinct,
        exact_distinct
 FROM kth JOIN exact USING (event_type)""",
+    "approx_distinct_attest": """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+       CAST(1 AS BIGINT) AS in_band
+FROM events GROUP BY event_type""",
     "join_key_skew": f"""
 WITH counts AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
                 FROM events GROUP BY user_id),

