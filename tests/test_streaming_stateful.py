@@ -276,3 +276,30 @@ def test_stream_content_dedup_matches_batch_key_set(spark, timed_events):
         ).distinct().collect()
     }
     assert stream_keys == batch_keys
+
+
+def test_stream_ewma_matches_batch(spark, timed_events):
+    """Lambda parity: the stateful streaming EWMA over time-ordered
+    micro-batches equals the batch window fold, row for row (exact
+    integer numerator/denominator — no float tolerance needed)."""
+    from thrivefinancedatapipeline_spark.plans.events_queries import ewma_smooth
+
+    got = drain(
+        stateful.stream_ewma(spark, timed_events, max_files_per_trigger=1),
+        "stream_ewma",
+        "append",
+    )
+    stream_rows = {
+        (r.event_id, r.event_type, r.micros, r.ewma_num, r.ewma_den)
+        for r in got
+    }
+    batch = ewma_smooth(spark.read.parquet(timed_events))
+    batch_rows = {
+        (r.event_id, r.event_type, r.micros, r.ewma_num, r.ewma_den)
+        for r in batch.collect()
+    }
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0
+    # every row past warm-up carries the full weight mass 2^K - 1
+    full = [r for r in got if r.ewma_den == 255]
+    assert len(full) > len(got) // 2

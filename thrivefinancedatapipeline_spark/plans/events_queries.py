@@ -99,6 +99,61 @@ def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EWMA_K = 8  # truncation depth: dropped tail weight <= 2^-8 of total
+#: weight for lag j (j=0 is the current row): 2^(K-1-j) — the alpha=1/2
+#: exponential-smoothing weights scaled by 2^K so everything is exact
+#: integer arithmetic (no float state, no division in a hashed column).
+EWMA_WEIGHTS = tuple(1 << (EWMA_K - 1 - j) for j in range(EWMA_K))
+
+
+def ewma_smooth(ev: DataFrame) -> DataFrame:
+    """Truncated exponential moving average of event value per
+    event_type, time-ordered — the trend-smoothing report (reference
+    sample_queries.sql:275 is the unsmoothed daily-trend hook).
+
+    s_n = alpha*x_n + (1-alpha)*s_{n-1} with alpha=1/2 expands to
+    weights (1/2)^(j+1) on lag j; truncating at K=8 lags and scaling
+    by 2^K makes every weight a power-of-two INTEGER, so the smoothed
+    value is an exact integer pair (ewma_num, ewma_den): numerator =
+    sum of weighted micro-value lags, denominator = sum of the weights
+    actually present (warm-up rows have fewer lags). Consumers divide
+    at display time; the hashed output never contains a float fold.
+    Truncation drops <0.4% of the weight mass.
+
+    Plan: ONE window (shuffle by event_type, sort by ts) carrying all
+    K lag expressions — partial nothing, no self-join, codegen keeps
+    the K-term dot product in one stage. The streaming twin
+    (streaming/stateful.py stream_ewma) holds the last K-1 values per
+    key as state and must produce identical rows (lambda parity)."""
+    x = ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("micros"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lags = [F.lag("micros", j).over(w) for j in range(EWMA_K)]
+    num = sum(
+        (F.coalesce(lag, F.lit(0)) * wgt for lag, wgt in zip(lags, EWMA_WEIGHTS)),
+        start=F.lit(0),
+    )
+    den = sum(
+        (F.when(lag.isNotNull(), wgt).otherwise(0) for lag, wgt in zip(lags, EWMA_WEIGHTS)),
+        start=F.lit(0),
+    )
+    return x.select(
+        "event_id",
+        "event_type",
+        "micros",
+        num.cast("long").alias("ewma_num"),
+        den.cast("int").alias("ewma_den"),
+    )
+
+
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ewma_smooth(load_table(spark, sf_dir, "events"))
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel: signup → first click after signup → first
     purchase after that click, per user; output is the stage-reach
@@ -335,6 +390,7 @@ QUERIES = {
     "events_windowed_agg": q_events_windowed_agg,
     "events_sessionize": q_events_sessionize,
     "events_moving_avg": q_events_moving_avg,
+    "events_ewma": q_events_ewma,
     "events_daily_anomalies": q_events_daily_anomalies,
     "events_gap_fill": q_events_gap_fill,
     "events_time_rollup": q_events_time_rollup,
@@ -465,6 +521,21 @@ FROM daily
 WINDOW w AS (PARTITION BY event_type
              ORDER BY datediff('day', DATE '1970-01-01', d)
              RANGE BETWEEN {MOVING_DAYS - 1} PRECEDING AND CURRENT ROW)""",
+    "events_ewma": f"""
+WITH {_EV},
+x AS (SELECT event_id, event_type, ts,
+             CAST(ROUND(value * 1000000, 0) AS BIGINT) AS micros FROM ev)
+SELECT event_id, event_type, micros,
+       CAST({" + ".join(f"COALESCE(LAG(micros, {j}) OVER w, 0) * {wgt}"
+                        for j, wgt in enumerate(EWMA_WEIGHTS))}
+            AS BIGINT) AS ewma_num,
+       CAST({" + ".join(
+           f"CASE WHEN LAG(micros, {j}) OVER w IS NOT NULL"
+           f" THEN {wgt} ELSE 0 END"
+           for j, wgt in enumerate(EWMA_WEIGHTS))}
+            AS INT) AS ewma_den
+FROM x
+WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)""",
     "events_windowed_agg": f"""
 WITH {_EV}
 SELECT DATE_TRUNC('hour', ts) AS window_start,

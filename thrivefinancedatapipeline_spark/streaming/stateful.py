@@ -236,6 +236,73 @@ def stream_sliding_counts(
     )
 
 
+EWMA_OUT_SCHEMA = (
+    "event_id long, event_type string, micros long, "
+    "ewma_num long, ewma_den int"
+)
+EWMA_STATE_SCHEMA = "recent array<long>"
+
+
+def _ewma_state_fn(key, pdf_iter, state: GroupState):
+    """Per-type exponential smoother: state is the last K-1 micro
+    values (newest first); each arriving row emits its exact integer
+    (ewma_num, ewma_den) pair and shifts into the window."""
+    from ..plans.events_queries import EWMA_K, EWMA_WEIGHTS
+
+    recent = list(state.get[0]) if state.exists else []
+    frames = list(pdf_iter)
+    pdf = (pd.concat(frames) if len(frames) > 1 else frames[0]).sort_values(
+        ["ts", "event_id"]
+    )
+    out_id, out_micros, out_num, out_den = [], [], [], []
+    for eid, x in zip(pdf["event_id"], pdf["micros"]):
+        window = [int(x)] + recent[: EWMA_K - 1]
+        out_id.append(int(eid))
+        out_micros.append(int(x))
+        out_num.append(sum(w * v for w, v in zip(EWMA_WEIGHTS, window)))
+        out_den.append(sum(EWMA_WEIGHTS[: len(window)]))
+        recent = window[: EWMA_K - 1]
+    state.update((recent,))
+    yield pd.DataFrame(
+        {
+            "event_id": out_id,
+            "event_type": [key[0]] * len(out_id),
+            "micros": out_micros,
+            "ewma_num": out_num,
+            "ewma_den": out_den,
+        }
+    )
+
+
+def stream_ewma(
+    spark, source_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """Continuous per-type EWMA — the streaming twin of
+    `plans/events_queries.ewma_smooth` (lambda parity: identical rows
+    over time-ordered input; pinned by test_streaming_stateful).
+
+    The micros conversion runs in Spark expressions BEFORE the
+    stateful op so batch and stream round value->int identically.
+    State per key is a fixed K-1 longs — O(#event_types) total, the
+    smallest possible stateful footprint; at 100 TB/day the state
+    store holds kilobytes while the heavy lifting (projection,
+    conversion) stays in codegen."""
+    ev = stream_events(spark, source_dir, max_files_per_trigger)
+    x = ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("micros"),
+    )
+    return x.groupBy("event_type").applyInPandasWithState(
+        _ewma_state_fn,
+        outputStructType=EWMA_OUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_dedup(spark, source_dir: str, watermark: str = "1 hour") -> DataFrame:
     """Exactly-once projection of an at-least-once source: drop
     duplicate event_ids within the watermark horizon.
