@@ -155,3 +155,32 @@ def test_quality_gate_single_shuffle(spark, sf_dir):
 
     # both windows (rank + count) share the one lang exchange
     assert exchanges(quality.q_quality_gate_by_lang(spark, sf_dir)) == 1
+
+
+def test_bloom_runtime_filter_lands_in_fact_scan(spark, sf_dir):
+    """Under the bloom confs, the optimizer must inject a
+    might_contain(bloom_filter_agg(o_orderkey)) predicate into the
+    lineitem side of the fact-fact join; with default confs it must
+    not (broadcast handles the local scale)."""
+    with tpch.bloom_runtime_confs(spark):
+        opt = (
+            tpch.bloom_join_frame(spark, sf_dir)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+    assert "might_contain" in opt
+    assert "bloom_filter_agg" in opt
+    plain = (
+        tpch.bloom_join_frame(spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "might_contain" not in plain
+
+
+def test_bloom_confs_restore_after_query(spark, sf_dir):
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    tpch.q_bloom_pruned_revenue(spark, sf_dir).collect()
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before

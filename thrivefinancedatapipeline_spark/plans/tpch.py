@@ -17,6 +17,8 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -371,6 +373,71 @@ def q_tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Runtime bloom-filter pruning demo (fact-fact join). At 100 TB these
+#: are cluster confs: Spark injects a bloom filter built from the
+#: selective (filtered) side's join keys into the big side's SCAN, so
+#: rows that can't join are dropped before the shuffle — the runtime
+#: analogue of static partition pruning, and the difference between
+#: shuffling 100 TB and shuffling the ~4% that survives. Locally the
+#: injection thresholds (creation side < 10 MB is fine, but the
+#: application side must scan > 10 GB by default) never fire at sf0.1,
+#: so the demo lowers them; broadcast is disabled because a broadcast
+#: join needs no runtime filter (at 100 TB orders doesn't broadcast).
+_BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    "spark.sql.optimizer.runtime.bloomFilter."
+    "applicationSideScanSizeThreshold": "0",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@contextmanager
+def bloom_runtime_confs(spark):
+    """Scope the bloom-injection confs: set, yield, restore — keeps the
+    shared driver session clean for every other query."""
+    prev = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def bloom_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact-fact shape the bloom filter prunes: full lineitem
+    joined to the ~1-in-5 selective slice of orders."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _money(_exact_sum(_revenue_s()), 10000).alias("revenue"),
+        )
+    )
+
+
+def q_bloom_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by return flag over urgent orders, executed WITH runtime
+    bloom-filter join pruning (plan audit: tests/test_plans.py asserts
+    `might_contain` lands in the lineitem scan filter). The result is
+    computed eagerly inside the conf scope (localCheckpoint) so the
+    confs never leak into the driver's other queries; the DuckDB oracle
+    is the plain unpruned join — bloom pruning must be invisible in the
+    values."""
+    with bloom_runtime_confs(spark):
+        return bloom_join_frame(spark, sf_dir).localCheckpoint(eager=True)
+
+
 NATION_A, NATION_B = "NATION_3", "NATION_7"
 
 
@@ -547,6 +614,7 @@ QUERIES = {
     "tpch_q22_global_sales_opportunity": q_tpch_q22_global_sales_opportunity,
     "tpch_q12_shipmode_priority": q_tpch_q12_shipmode_priority,
     "tpch_q21_waiting_suppliers": q_tpch_q21_waiting_suppliers,
+    "bloom_pruned_revenue": q_bloom_pruned_revenue,
     "order_priority_counts": q_order_priority_counts,
     "part_brand_revenue": q_part_brand_revenue,
     "customer_order_stats": q_customer_order_stats,
@@ -732,6 +800,11 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
   AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag""",
+    "bloom_pruned_revenue": f"""
+SELECT l_returnflag, COUNT(*) AS n_items, {_REV_MONEY} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
 GROUP BY l_returnflag""",
     "tpch_q21_waiting_suppliers": """
 WITH l1 AS (
