@@ -2,7 +2,8 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+   "queries": {name: median_sec, ...}, "spread": {name: max_minus_min},
+   "runs_per_query": 3, "aggregation": "median", "sf": <sf>}
 
 Each query is forced end-to-end with the `noop` sink (full computation,
 no driver-side collect bottleneck). local[$SPARK_GRAFT_CPUS].
@@ -50,6 +51,7 @@ HEADLINE = [
     "pack_sequences",
     "session_error_overlap",
     "quality_gate_by_lang",
+    "shuffle_plan_events",
 ]
 
 
@@ -75,19 +77,25 @@ def main() -> None:
     force(qs["knn_bruteforce_cosine"](spark, SF_DIR))
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in HEADLINE:
-        # best-of-2: one run is hostage to GC pauses / machine load;
-        # the min of two is the standard steady-state estimate
-        best = float("inf")
-        for _ in range(2):
+        # median-of-3: sub-second queries jitter +/-40% run-to-run on a
+        # 32-thread local JVM (GC pauses, codegen), which made single
+        # runs unattributable round-over-round. The median is robust to
+        # one outlier either way; the spread (max-min) is reported so a
+        # regression can be told apart from noise.
+        runs = []
+        for _ in range(3):
             t0 = time.perf_counter()
             force(qs[name](spark, SF_DIR))
-            best = min(best, time.perf_counter() - t0)
+            runs.append(time.perf_counter() - t0)
             # queries persist() intermediates internally; drop them so
             # cache never accumulates across the run (driver heap
-            # safety) and the second run re-measures the full query
+            # safety) and every run re-measures the full query
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+        runs.sort()
+        timings[name] = round(runs[1], 3)
+        spreads[name] = round(runs[-1] - runs[0], 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -99,6 +107,9 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "spread": spreads,
+        "runs_per_query": 3,
+        "aggregation": "median",
         "sf": sf_val,
     }
     print(json.dumps(out))

@@ -72,3 +72,78 @@ def test_salted_join_rejects_outer(spark):
     left, right = _skewed_frames(spark)
     with pytest.raises(ValueError):
         salted_join(left, right, ["k"], "full")
+
+
+def test_plan_skewed_shuffle_uniform_needs_no_salt():
+    from thrivefinancedatapipeline_spark.sources.bucketing import (
+        plan_skewed_shuffle,
+    )
+
+    # 1000 uniform keys x 1 MB against a 128 MB target
+    plan = plan_skewed_shuffle(
+        1000 * 2**20, {k: 2**20 for k in range(1000)}, 128 * 2**20, cpus=32
+    )
+    assert not plan.needs_salting
+    assert plan.n_partitions == 32  # floor wins: 1000 MB / 128 MB < 32
+
+
+def test_plan_skewed_shuffle_hot_key_changes_the_plan():
+    from thrivefinancedatapipeline_spark.sources.bucketing import (
+        plan_skewed_shuffle,
+    )
+
+    target = 128 * 2**20
+    uniform = {k: 2**20 for k in range(1000)}
+    skewed = dict(uniform, hot=30 * 2**30)  # one 30 GB key
+    plan = plan_skewed_shuffle(
+        sum(skewed.values()), skewed, target, cpus=32
+    )
+    # the hot key gets spread over ceil(30 GB / 128 MB) = 240 partitions
+    assert plan.salt_factors == {"hot": 240}
+    # the remainder is planned WITHOUT the hot key's bytes
+    assert plan.n_partitions == 32
+    base = plan_skewed_shuffle(sum(uniform.values()), uniform, target, 32)
+    assert base.salt_factors == {}
+
+
+def test_plan_from_skew_audit_ppm_table():
+    from thrivefinancedatapipeline_spark.sources.bucketing import (
+        plan_shuffle_partitions_from_skew,
+    )
+
+    # skew audit says one key owns 30% of a 100 GB input
+    plan = plan_shuffle_partitions_from_skew(
+        100 * 2**30, {"hot": 300_000, "ok": 1_000}, 128, cpus=32
+    )
+    assert plan.salt_factors == {"hot": 240}  # ceil(30 GB / 128 MB)
+    assert plan.n_partitions == 560  # ceil(70 GB / 128 MB)
+
+
+def test_shuffle_plan_query_matches_planner(spark, sf_dir):
+    """The engine query and the Python planner must derive the same
+    plan from the same counts (row units, same target)."""
+    from thrivefinancedatapipeline_spark.datamodel import load_table
+    from thrivefinancedatapipeline_spark.operators.sketches import (
+        PLAN_CPUS,
+        PLAN_TARGET_ROWS,
+        q_shuffle_plan_events,
+    )
+    from thrivefinancedatapipeline_spark.sources.bucketing import (
+        plan_skewed_shuffle,
+    )
+
+    got = q_shuffle_plan_events(spark, sf_dir).collect()
+    assert got
+    counts = {
+        r.user_id: r.n_rows
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .collect()
+    }
+    plan = plan_skewed_shuffle(
+        sum(counts.values()), counts, PLAN_TARGET_ROWS, cpus=PLAN_CPUS
+    )
+    for r in got:
+        assert r.salt_factor == plan.salt_factors.get(r.user_id, 1)
+        assert r.n_partitions == plan.n_partitions

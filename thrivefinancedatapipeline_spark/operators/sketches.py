@@ -142,10 +142,66 @@ def q_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PLAN_TARGET_ROWS = 1 << 16
+PLAN_CPUS = 32
+
+
+def q_shuffle_plan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew audit taken to its conclusion: emit the SHUFFLE PLAN
+    for joining on events.user_id — per top key the salt factor
+    (ceil(rows / target), 1 = no salting needed) and the partition
+    count sized for the non-hot remainder. Mirrors
+    `sources.bucketing.plan_skewed_shuffle` in row units, all integer
+    arithmetic, so the DuckDB oracle derives the identical plan
+    (tests/test_sampling_skew.py additionally pins query == planner).
+
+    On this corpus every key is uniform, so the plan honestly says
+    "salt_factor 1 everywhere, floor partitions" — the audit verdict
+    that lets 100 TB skip salting. The hot-key branch is exercised by
+    the planner unit tests with synthetic skew. Production confs plan
+    in BYTES via `plan_shuffle_partitions_from_skew` fed by
+    `q_join_key_skew`'s ppm table."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    w = Window.partitionBy().orderBy(
+        F.col("n_rows").desc(), F.col("user_id")
+    )
+    totals = counts.agg(
+        F.sum("n_rows").alias("total"),
+        F.sum(
+            F.when(
+                F.col("n_rows") > PLAN_TARGET_ROWS, F.col("n_rows")
+            ).otherwise(0)
+        ).alias("hot_rows"),
+    )
+    t, c = PLAN_TARGET_ROWS, PLAN_CPUS
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_KEYS)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            "user_id",
+            "n_rows",
+            F.expr(
+                f"CAST(CASE WHEN n_rows > {t}"
+                f" THEN (n_rows + {t - 1}) div {t}"
+                f" ELSE 1 END AS INT)"
+            ).alias("salt_factor"),
+            F.expr(
+                f"CAST(greatest({c}, CASE WHEN total > hot_rows"
+                f" THEN (total - hot_rows + {t - 1}) div {t}"
+                f" ELSE {c} END) AS INT)"
+            ).alias("n_partitions"),
+        )
+    )
+
+
 QUERIES = {
     "sketch_distinct_users": q_sketch_distinct_users,
     "approx_distinct_attest": q_approx_distinct_attest,
     "join_key_skew": q_join_key_skew,
+    "shuffle_plan_events": q_shuffle_plan_events,
 }
 
 _H = md5_long_sql("CAST(user_id AS VARCHAR)")
@@ -180,5 +236,28 @@ r AS (SELECT user_id, n_rows,
 SELECT rank, user_id, n_rows,
        CAST((CAST(n_rows AS HUGEINT) * {PPM}) // total AS BIGINT)
          AS share_ppm
+FROM r CROSS JOIN t WHERE rank <= {TOP_KEYS}""",
+    "shuffle_plan_events": f"""
+WITH counts AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+                FROM events GROUP BY user_id),
+t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total,
+             CAST(COALESCE(SUM(CASE WHEN n_rows > {PLAN_TARGET_ROWS}
+                                    THEN n_rows END), 0) AS BIGINT)
+               AS hot_rows
+      FROM counts),
+r AS (SELECT user_id, n_rows,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, user_id)
+                  AS INT) AS rank
+      FROM counts)
+SELECT rank, user_id, n_rows,
+       CAST(CASE WHEN n_rows > {PLAN_TARGET_ROWS}
+                 THEN (n_rows + {PLAN_TARGET_ROWS - 1})
+                      // {PLAN_TARGET_ROWS}
+                 ELSE 1 END AS INT) AS salt_factor,
+       CAST(GREATEST({PLAN_CPUS},
+                     CASE WHEN total > hot_rows
+                          THEN (total - hot_rows + {PLAN_TARGET_ROWS - 1})
+                               // {PLAN_TARGET_ROWS}
+                          ELSE {PLAN_CPUS} END) AS INT) AS n_partitions
 FROM r CROSS JOIN t WHERE rank <= {TOP_KEYS}""",
 }

@@ -21,7 +21,8 @@ metadata lives in the metastore, not the parquet footers.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Mapping, Sequence
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -89,3 +90,67 @@ def plan_shuffle_partitions(
     AQE shrink per-stage."""
     target = max(1, target_partition_mb) * 1024 * 1024
     return max(cpus, -(-input_bytes // target))
+
+
+@dataclass(frozen=True)
+class SkewPlan:
+    """What to do before shuffling a skewed key: the partition count
+    sized for the NON-hot remainder, plus a salt factor per hot key
+    (how many partitions that one key's rows must be spread over —
+    feed it to `operators.skew.salted_join`'s salt_buckets)."""
+
+    n_partitions: int
+    salt_factors: dict = field(default_factory=dict)
+
+    @property
+    def needs_salting(self) -> bool:
+        return bool(self.salt_factors)
+
+
+def plan_skewed_shuffle(
+    total_units: int,
+    key_units: Mapping,
+    target_units: int,
+    cpus: int = 32,
+) -> SkewPlan:
+    """Partition planning that a partition COUNT alone cannot express:
+    a key holding `u` units hashes into ONE partition no matter how
+    many partitions exist, so raising `spark.sql.shuffle.partitions`
+    never fixes a hot key. The plan therefore splits into (a) hot keys
+    — any key whose units exceed one target partition — each assigned
+    the salt factor ceil(u / target) that spreads it back to
+    target-sized tasks, and (b) the remainder, sized by the plain
+    bytes-per-partition rule. Pure integer arithmetic so the companion
+    engine query (`operators.sketches.q_shuffle_plan_events`) computes
+    the identical plan under the correctness oracle.
+
+    `units` are deliberately abstract: feed bytes when planning confs
+    (`plan_shuffle_partitions_from_skew`), rows when deriving the plan
+    inside an engine query where only counts are observable."""
+    hot: dict = {}
+    hot_total = 0
+    for k, u in key_units.items():
+        if u > target_units:
+            hot[k] = -(-u // target_units)
+            hot_total += u
+    rest = total_units - hot_total
+    n = max(cpus, -(-rest // target_units)) if rest > 0 else cpus
+    return SkewPlan(n_partitions=n, salt_factors=hot)
+
+
+def plan_shuffle_partitions_from_skew(
+    input_bytes: int,
+    share_ppm: Mapping,
+    target_partition_mb: int = 128,
+    cpus: int = 32,
+) -> SkewPlan:
+    """Conf-level autotuning from the skew audit's output: take
+    `q_join_key_skew`'s (key -> integer ppm share) table, convert each
+    share to bytes, and emit the SkewPlan — n_partitions to set, and
+    the keys a plain shuffle join cannot survive (route those through
+    AQE skew splitting or `salted_join`)."""
+    target = max(1, target_partition_mb) * 1024 * 1024
+    key_bytes = {
+        k: (input_bytes * ppm) // 1_000_000 for k, ppm in share_ppm.items()
+    }
+    return plan_skewed_shuffle(input_bytes, key_bytes, target, cpus)
