@@ -49,3 +49,57 @@ def test_audio_energy_windows_cover_payload(spark, sf_dir):
         assert r.n_windows == expected
         assert len(r.energy) == r.n_windows
         assert all(e >= 0.0 for e in r.energy)
+
+
+def test_png_codec_roundtrips_every_filter_and_color_type():
+    from thrivefinancedatapipeline_spark.multimodal import png
+
+    w, h = 13, 9
+    for ct, ch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        pix = bytes(
+            (x * 5 + y * 17 + c * 29) & 0xFF
+            for y in range(h)
+            for x in range(w)
+            for c in range(ch)
+        )
+        decoded = []
+        for ft in range(5):
+            enc = png.encode_png(pix, w, h, color_type=ct, filter_type=ft)
+            img = png.decode_png(enc)
+            assert (img["width"], img["height"], img["channels"]) == (w, h, ch)
+            decoded.append(img["pixels"])
+        # filters 1-4 must reconstruct the same pixels as the trivially
+        # correct filter-0 path — the branches cross-validate
+        assert all(p == pix for p in decoded)
+
+
+def test_decode_kernel_runs_real_png_bytes(spark, sf_dir):
+    import zlib
+
+    from thrivefinancedatapipeline_spark.datamodel import load_table
+    from thrivefinancedatapipeline_spark.multimodal import png
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    out = mm.decode_stub(mm.png_payloads(docs), fake=False).collect()
+    assert len(out) == docs.count()
+    # verify one row end-to-end against a driver-side decode
+    row = min(out, key=lambda r: r.doc_id)
+    d = docs.filter(F.col("doc_id") == row.doc_id).collect()[0]
+    stride = mm.PNG_WIDTH * 3
+    raw = d.text.encode("utf-8")
+    height = max(1, min(64, -(-len(raw) // stride)))
+    buf = (raw + b"\x00" * (stride * height))[: stride * height]
+    assert (row.width, row.height) == (mm.PNG_WIDTH, height)
+    assert row.checksum == zlib.crc32(buf)
+
+
+def test_decode_gate_still_armed_for_non_png(spark, sf_dir):
+    import pandas as pd
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        mm.decode_image_batch(pd.Series([b"\xff\xd8\xff jpeg-ish"]))
+    # and through the Spark kernel too
+    p = _payloads(spark, sf_dir)  # utf-8 text bytes, not PNG
+    with pytest.raises(Exception, match="NotImplementedError|PNG"):
+        mm.decode_stub(p, fake=False).collect()

@@ -45,7 +45,7 @@ def test_decode_stub_distributed(spark, sf_dir):
     out = decode_stub(with_binary_payload(docs), fake=True)
     rows = out.collect()
     assert len(rows) == docs.count()
-    assert all(r.fake_width >= 1 and r.fake_height >= 1 for r in rows)
+    assert all(r.width >= 1 and r.height >= 1 for r in rows)
     # checksum must match a driver-side recompute for a sample doc
     sample = docs.limit(1).collect()[0]
     got = [r for r in rows if r.doc_id == sample.doc_id][0]

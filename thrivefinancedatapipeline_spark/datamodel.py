@@ -28,9 +28,12 @@ def _ensure_confs(spark: SparkSession) -> None:
     """Session confs the engine depends on, set defensively at runtime
     because the driver owns the SparkSession in verify runs.
 
-    - nanosAsLong: events.ts is parquet TIMESTAMP(NANOS); Spark's max
-      precision is micros, so read the raw int64 and truncate ourselves
-      (identically to the DuckDB oracle's epoch_ns(ts)//1000).
+    - nanosAsLong: events.ts may be parquet TIMESTAMP(NANOS) — Spark's
+      max precision is micros, so read the raw int64 and truncate
+      ourselves (identically to the DuckDB oracle's epoch_ns(ts)//1000)
+      — or timestamp[us] with isAdjustedToUTC=false, which loads as
+      TIMESTAMP_NTZ; `load_table` normalizes BOTH variants to UTC
+      micros (see its per-dtype branches).
     - UTC session tz: keeps timestamp wall-clock identical between
       Spark (tz-aware micros) and DuckDB (naive) outputs.
     """
