@@ -64,3 +64,37 @@ def test_balance_asof(spark):
     }
     assert asof["C1"].thrive_cash_balance == 90.0  # after S1, before X1
     assert asof["C2"].thrive_cash_balance == 10.0
+
+
+def test_scd2_intervals_tile_each_customer(spark, sf_dir):
+    """Validity intervals must chain: sorted per customer, each row's
+    effective_to equals the next row's effective_from, exactly one
+    is_current row per customer, and the current balance equals
+    current_balances."""
+    from thrivefinancedatapipeline_spark.datamodel import load_table
+    from thrivefinancedatapipeline_spark.operators.balance import (
+        balance_history,
+        balance_scd2,
+        current_balances,
+    )
+    from thrivefinancedatapipeline_spark.sources.ingest import (
+        transactions_from_events,
+    )
+
+    txns = transactions_from_events(load_table(spark, sf_dir, "events"))
+    rows = balance_scd2(txns).collect()
+    by_cust = {}
+    for r in rows:
+        by_cust.setdefault(r.customer_id, []).append(r)
+    cur = {
+        r.customer_id: round(r.current_balance, 2)
+        for r in current_balances(balance_history(txns)).collect()
+    }
+    assert set(by_cust) == set(cur)
+    for cust, rs in by_cust.items():
+        rs.sort(key=lambda r: (r.effective_from, r.transaction_id))
+        assert sum(r.is_current for r in rs) == 1
+        assert rs[-1].is_current == 1 and rs[-1].effective_to is None
+        for a, b in zip(rs, rs[1:]):
+            assert a.effective_to == b.effective_from
+        assert round(rs[-1].balance, 2) == cur[cust]

@@ -184,3 +184,24 @@ def test_bloom_confs_restore_after_query(spark, sf_dir):
     before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     tpch.q_bloom_pruned_revenue(spark, sf_dir).collect()
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+
+
+def test_scd2_is_single_shuffle(spark, sf_dir):
+    """The SCD2 dimension build must share one exchange+sort between
+    the cumulative sums and the lead() — not re-shuffle the renamed
+    history frame."""
+    assert exchanges(finance_queries.q_balance_scd2(spark, sf_dir)) == 1
+
+
+def test_rolling_distinct_fanout_is_bounded(spark, sf_dir):
+    """The 7-day rolling distinct must be the bounded-explode plan
+    (sequence + explode), never a range self-join of raw events."""
+    from thrivefinancedatapipeline_spark.plans import events_queries
+
+    plan = explain(
+        events_queries.q_events_rolling_distinct_users(spark, sf_dir),
+        mode="simple",
+    )
+    assert "Generate explode" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

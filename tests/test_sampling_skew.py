@@ -147,3 +147,16 @@ def test_shuffle_plan_query_matches_planner(spark, sf_dir):
     for r in got:
         assert r.salt_factor == plan.salt_factors.get(r.user_id, 1)
         assert r.n_partitions == plan.n_partitions
+
+
+def test_cms_estimate_dominates_exact_count(spark, sf_dir):
+    """CMS can only over-count: est >= exact for every reported key,
+    and the sketch is deterministic run-over-run."""
+    from thrivefinancedatapipeline_spark.operators.sketches import (
+        q_heavy_hitters_cms,
+    )
+
+    a = q_heavy_hitters_cms(spark, sf_dir).collect()
+    b = q_heavy_hitters_cms(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert a and all(r.cms_est >= r.n_rows for r in a)

@@ -47,6 +47,37 @@ def balance_history(matched: DataFrame) -> DataFrame:
     )
 
 
+def balance_scd2(matched: DataFrame) -> DataFrame:
+    """Type-2 slowly-changing dimension from the transaction stream:
+    each balance state becomes a validity row [effective_from,
+    effective_to) with an is_current flag — queryable as-of any time.
+
+    Computed in ONE pass over the original columns (not on top of
+    `balance_history`'s aliased output): the cumulative sums and the
+    lead() share the same (customerid, createdat, trans_id) window
+    spec, so the whole dimension build is one exchange + one sort
+    (asserted in tests/test_plans.py). Stacking a lead() window on the
+    renamed history frame instead costs a second full shuffle — alias
+    projection loses partitioning provenance once the original
+    attribute leaves the plan."""
+    w = Window.partitionBy("customerid").orderBy("createdat", "trans_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = lambda t: F.sum(  # noqa: E731
+        F.when(F.col("tctype") == t, F.abs(F.col("amount"))).otherwise(0.0)
+    ).over(wc)
+    nxt = F.lead("createdat").over(w)
+    return matched.select(
+        F.col("customerid").alias("customer_id"),
+        F.round(cum("earned") - cum("spent") - cum("expired"), 2).alias(
+            "balance"
+        ),
+        F.col("createdat").alias("effective_from"),
+        F.col("trans_id").alias("transaction_id"),
+        nxt.alias("effective_to"),
+        nxt.isNull().cast("int").alias("is_current"),
+    )
+
+
 def current_balances(history: DataFrame) -> DataFrame:
     """Latest balance per customer (reference: groupby().last()).
 

@@ -142,6 +142,69 @@ def q_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters: the top keys' exact counts next
+    to their CMS estimates, both engines deriving the IDENTICAL sketch
+    (namespaced md5 row hashes, exact integer counters) so the
+    approximate structure itself sits under the value-hash oracle.
+
+    Why CMS at 100 TB: the counter table is a fixed depth x width
+    integer grid — mergeable by cell-wise addition across partitions,
+    days, or clusters, so "top keys over any ad-hoc union of slices"
+    never re-reads the raw data. The estimate only over-counts
+    (cms_est >= n_rows, by construction), bounded by sum/width per row.
+
+    Plan: distinct-reduce to per-key counts first (the only big
+    shuffle), fan each key out DEPTH ways (bounded explode), build the
+    1024-cell grid with a map-side-combinable sum, then estimate just
+    the top keys against the broadcast grid. Hash rows are namespaced
+    ('cms<i>:') — never reusing one digest for two decisions."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    hashed = counts.select(
+        "user_id",
+        "n_rows",
+        F.explode(F.expr(f"sequence(0, {CMS_DEPTH - 1})")).alias("i"),
+    ).withColumn(
+        "bucket",
+        F.pmod(
+            md5_long(
+                F.concat(
+                    F.lit("cms"),
+                    F.col("i").cast("string"),
+                    F.lit(":"),
+                    F.col("user_id").cast("string"),
+                )
+            ),
+            F.lit(CMS_WIDTH),
+        ),
+    )
+    counters = hashed.groupBy("i", "bucket").agg(
+        F.sum("n_rows").alias("c")
+    )
+    w = Window.partitionBy().orderBy(
+        F.col("n_rows").desc(), F.col("user_id")
+    )
+    top = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_KEYS)
+        .select(F.col("rank").cast("int").alias("rank"), "user_id", "n_rows")
+    )
+    est = (
+        hashed.join(top.select("user_id"), "user_id", "left_semi")
+        .join(F.broadcast(counters), ["i", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return top.join(est, "user_id").select(
+        "rank", "user_id", "n_rows", "cms_est"
+    )
+
+
 PLAN_TARGET_ROWS = 1 << 16
 PLAN_CPUS = 32
 
@@ -201,6 +264,7 @@ QUERIES = {
     "sketch_distinct_users": q_sketch_distinct_users,
     "approx_distinct_attest": q_approx_distinct_attest,
     "join_key_skew": q_join_key_skew,
+    "heavy_hitters_cms": q_heavy_hitters_cms,
     "shuffle_plan_events": q_shuffle_plan_events,
 }
 
@@ -237,6 +301,26 @@ SELECT rank, user_id, n_rows,
        CAST((CAST(n_rows AS HUGEINT) * {PPM}) // total AS BIGINT)
          AS share_ppm
 FROM r CROSS JOIN t WHERE rank <= {TOP_KEYS}""",
+    "heavy_hitters_cms": f"""
+WITH counts AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+                FROM events GROUP BY user_id),
+hashes AS (
+  SELECT user_id, n_rows, i,
+         {md5_long_sql("'cms' || i || ':' || CAST(user_id AS VARCHAR)")}
+           % {CMS_WIDTH} AS bucket
+  FROM counts
+  CROSS JOIN (SELECT unnest(range({CMS_DEPTH})) AS i)),
+counters AS (SELECT i, bucket, CAST(SUM(n_rows) AS BIGINT) AS c
+             FROM hashes GROUP BY i, bucket),
+r AS (SELECT user_id, n_rows,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, user_id)
+                  AS INT) AS rank
+      FROM counts),
+est AS (SELECT h.user_id, CAST(MIN(c.c) AS BIGINT) AS cms_est
+        FROM hashes h JOIN counters c USING (i, bucket)
+        GROUP BY h.user_id)
+SELECT rank, user_id, n_rows, cms_est
+FROM r JOIN est USING (user_id) WHERE rank <= {TOP_KEYS}""",
     "shuffle_plan_events": f"""
 WITH counts AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
                 FROM events GROUP BY user_id),

@@ -99,6 +99,45 @@ def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROLLING_DAYS = 7
+
+
+def q_events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct active users per observed day — the DAU/
+    WAU family's hard member, because COUNT(DISTINCT) doesn't compose
+    across a sliding frame (a rangeBetween window can't merge sets).
+
+    Scalable exact plan: (1) distinct-reduce to (day, user) pairs
+    first — map-side combinable, shrinks events by the per-day repeat
+    factor; (2) each pair fans out to the <=7 window-END days it
+    contributes to (bounded explode — never a range self-join);
+    (3) count-distinct per end day, keeping only days that exist in
+    the data. Shuffle keys are calendar days — uniform by construction.
+    At 100 TB the same shape runs with KMV/HLL partials instead of
+    step 3's exact distinct (`sketch_distinct_users` is the mergeable
+    building block); this query is the exact oracle-able twin."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = daily.select("d").distinct()
+    cover = daily.select(
+        F.explode(
+            F.expr(f"sequence(0, {ROLLING_DAYS - 1})")
+        ).alias("off"),
+        "d",
+        "user_id",
+    ).select(F.date_add("d", F.col("off")).alias("day"), "user_id")
+    return (
+        cover.join(
+            F.broadcast(days), cover["day"] == days["d"], "left_semi"
+        )
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("users_7d"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"), "users_7d"
+        )
+    )
+
+
 EWMA_K = 8  # truncation depth: dropped tail weight <= 2^-8 of total
 #: weight for lag j (j=0 is the current row): 2^(K-1-j) — the alpha=1/2
 #: exponential-smoothing weights scaled by 2^K so everything is exact
@@ -391,6 +430,7 @@ QUERIES = {
     "events_sessionize": q_events_sessionize,
     "events_moving_avg": q_events_moving_avg,
     "events_ewma": q_events_ewma,
+    "events_rolling_distinct_users": q_events_rolling_distinct_users,
     "events_daily_anomalies": q_events_daily_anomalies,
     "events_gap_fill": q_events_gap_fill,
     "events_time_rollup": q_events_time_rollup,
@@ -536,6 +576,14 @@ SELECT event_id, event_type, micros,
             AS INT) AS ewma_den
 FROM x
 WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)""",
+    "events_rolling_distinct_users": f"""
+WITH dd AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+days AS (SELECT DISTINCT d FROM dd)
+SELECT strftime(days.d, '%Y-%m-%d') AS day,
+       COUNT(DISTINCT dd.user_id) AS users_7d
+FROM days JOIN dd
+  ON dd.d BETWEEN days.d - {ROLLING_DAYS - 1} AND days.d
+GROUP BY days.d""",
     "events_windowed_agg": f"""
 WITH {_EV}
 SELECT DATE_TRUNC('hour', ts) AS window_start,

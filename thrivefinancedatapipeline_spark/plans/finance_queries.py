@@ -323,6 +323,21 @@ def q_incremental_balance_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_money(updated, MONEY)
 
 
+def q_balance_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from the transaction
+    stream: each per-customer balance state becomes a validity row
+    [effective_from, effective_to) with an is_current flag — the
+    standard warehouse dimension the reference's balance-history
+    change ledger feeds (reference src/thrive_cash_processing_dag.py
+    build_analytics keeps only the latest state; SCD2 keeps them all,
+    queryable as-of any time). One exchange + one sort total — see
+    operators.balance.balance_scd2 for why it is built in one pass
+    instead of layered on the aliased history frame."""
+    from ..operators.balance import balance_scd2
+
+    return balance_scd2(_txns(spark, sf_dir))
+
+
 def q_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers bucketed into balance quartiles (ntile over the
     deterministic (balance, customer) order) with per-quartile stats —
@@ -401,6 +416,7 @@ QUERIES = {
     "balance_quartiles": q_balance_quartiles,
     "balance_aging": q_balance_aging,
     "balance_percentiles": q_balance_percentiles,
+    "balance_scd2": q_balance_scd2,
     "validate_results_summary": q_validate_results_summary,
     "balance_history": q_balance_history,
     "current_balances": q_current_balances,
@@ -444,6 +460,17 @@ FROM history""",
     "incremental_balance_update": (
         f"{PRELUDE} SELECT * FROM current_balances"
     ),
+    "balance_scd2": f"""{PRELUDE}
+SELECT customer_id,
+       ROUND(current_balance, 2) AS balance,
+       transaction_date AS effective_from,
+       transaction_id,
+       LEAD(transaction_date) OVER w AS effective_to,
+       CAST(CASE WHEN LEAD(transaction_date) OVER w IS NULL
+                 THEN 1 ELSE 0 END AS INT) AS is_current
+FROM history
+WINDOW w AS (PARTITION BY customer_id
+             ORDER BY transaction_date, transaction_id)""",
     "balance_percentiles": f"""{PRELUDE}
 SELECT customer_id, current_balance,
        ROUND(percent_rank() OVER w, 6) AS pct_rank,
