@@ -103,3 +103,57 @@ def test_approx_percentile_attest_in_band(spark, sf_dir):
     # one row per (event_type, percentile), every one inside the band
     assert len(rows) % len(PCTS) == 0 and rows
     assert all(r.in_band == 1 for r in rows)
+
+
+def test_scd2_increment_equals_full_rebuild(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.operators.balance import (
+        balance_scd2,
+        scd2_apply_increment,
+    )
+
+    txns = transactions_from_events(load_table(spark, sf_dir, "events"))
+    cutoff = F.lit(CUTOFF).cast("timestamp")
+    prev = balance_scd2(txns.filter(F.col("createdat") < cutoff))
+    merged = scd2_apply_increment(
+        prev, txns.filter(F.col("createdat") >= cutoff)
+    )
+    key = lambda r: (r.customer_id, r.transaction_id)  # noqa: E731
+    got = {
+        key(r): (round(r.balance, 2), r.effective_from, r.effective_to,
+                 r.is_current)
+        for r in merged.collect()
+    }
+    want = {
+        key(r): (round(r.balance, 2), r.effective_from, r.effective_to,
+                 r.is_current)
+        for r in balance_scd2(txns).collect()
+    }
+    assert got == want
+
+
+def test_scd2_increment_handles_brand_new_customer(spark):
+    from thrivefinancedatapipeline_spark.operators.balance import (
+        scd2_apply_increment,
+    )
+
+    prev = spark.createDataFrame(
+        [(1, 10.0, "2024-01-01", 100, None, 1)],
+        "customer_id long, balance double, effective_from string, "
+        "transaction_id long, effective_to string, is_current int",
+    ).withColumn(
+        "effective_from", F.col("effective_from").cast("timestamp")
+    ).withColumn("effective_to", F.col("effective_to").cast("timestamp"))
+    new = spark.createDataFrame(
+        [(200, "earned", "2024-02-01", 2, 5.0),
+         (201, "spent", "2024-02-02", 2, -3.0)],
+        "trans_id long, tctype string, createdat string, "
+        "customerid long, amount double",
+    ).withColumn("createdat", F.col("createdat").cast("timestamp"))
+    rows = {
+        (r.customer_id, r.transaction_id): (r.balance, r.is_current)
+        for r in scd2_apply_increment(prev, new).collect()
+    }
+    # untouched customer keeps its open row; new customer chains 5 -> 2
+    assert rows[(1, 100)] == (10.0, 1)
+    assert rows[(2, 200)] == (5.0, 0)
+    assert rows[(2, 201)] == (2.0, 1)

@@ -94,6 +94,71 @@ def current_balances(history: DataFrame) -> DataFrame:
     )
 
 
+def scd2_apply_increment(
+    prev_dim: DataFrame, new_txns: DataFrame
+) -> DataFrame:
+    """MERGE-INTO upsert for the SCD2 dimension: close each affected
+    customer's current row at the first new transaction and append the
+    new validity rows, balances continuing from the closed row.
+
+    The monthly-run pattern at 100 TB: the dimension is touched only
+    where deltas exist — prior history is never re-read or re-sorted;
+    the only window runs over the (small) new batch. Contract: every
+    row of `new_txns` is at-or-after every transaction already in
+    `prev_dim` (the reference's monthly-export reality — the same
+    split `incremental_balance_update` assumes). Output equals a full
+    `balance_scd2` recompute over (old ∪ new), proven by the
+    cross-formulation oracle of `balance_scd2_incremental` and
+    tests/test_incremental.py."""
+    w = Window.partitionBy("customerid").orderBy("createdat", "trans_id")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    signed = F.when(
+        F.col("tctype") == "earned", F.abs(F.col("amount"))
+    ).otherwise(-F.abs(F.col("amount")))
+    nxt = F.lead("createdat").over(w)
+    incr = new_txns.select(
+        F.col("customerid").alias("customer_id"),
+        F.sum(signed).over(wc).alias("cum_delta"),
+        F.col("createdat").alias("effective_from"),
+        F.col("trans_id").alias("transaction_id"),
+        nxt.alias("effective_to"),
+        nxt.isNull().cast("int").alias("is_current"),
+    )
+    base = prev_dim.filter(F.col("is_current") == 1).select(
+        "customer_id", F.col("balance").alias("prev_balance")
+    )
+    firsts = incr.groupBy("customer_id").agg(
+        F.min("effective_from").alias("first_new")
+    )
+    new_rows = incr.join(base, "customer_id", "left").select(
+        "customer_id",
+        F.round(
+            F.coalesce(F.col("prev_balance"), F.lit(0.0))
+            + F.col("cum_delta"),
+            2,
+        ).alias("balance"),
+        "effective_from",
+        "transaction_id",
+        "effective_to",
+        "is_current",
+    )
+    closing = F.col("is_current") == 1
+    closed = prev_dim.join(firsts, "customer_id", "left").select(
+        "customer_id",
+        "balance",
+        "effective_from",
+        "transaction_id",
+        F.when(closing, F.coalesce(F.col("first_new"), F.col("effective_to")))
+        .otherwise(F.col("effective_to"))
+        .alias("effective_to"),
+        F.when(closing & F.col("first_new").isNotNull(), F.lit(0))
+        .otherwise(F.col("is_current"))
+        .cast("int")
+        .alias("is_current"),
+    )
+    return closed.unionByName(new_rows)
+
+
 def incremental_balance_update(
     prev_balances: DataFrame, new_txns: DataFrame
 ) -> DataFrame:

@@ -338,6 +338,23 @@ def q_balance_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return balance_scd2(_txns(spark, sf_dir))
 
 
+def q_balance_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 merge-into upsert: the dimension as of ASOF folded forward
+    with the post-ASOF transaction batch
+    (operators.balance.scd2_apply_increment). The oracle is the FULL
+    SCD2 recompute over all transactions — a cross-formulation
+    equivalence check (same pattern as incremental_balance_update),
+    proving close-and-append equals rebuild."""
+    from ..operators.balance import balance_scd2, scd2_apply_increment
+
+    txns = _txns(spark, sf_dir)
+    cutoff = F.lit(ASOF).cast("timestamp")
+    prev = balance_scd2(txns.filter(F.col("createdat") < cutoff))
+    return scd2_apply_increment(
+        prev, txns.filter(F.col("createdat") >= cutoff)
+    )
+
+
 def q_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers bucketed into balance quartiles (ntile over the
     deterministic (balance, customer) order) with per-quartile stats —
@@ -417,6 +434,7 @@ QUERIES = {
     "balance_aging": q_balance_aging,
     "balance_percentiles": q_balance_percentiles,
     "balance_scd2": q_balance_scd2,
+    "balance_scd2_incremental": q_balance_scd2_incremental,
     "validate_results_summary": q_validate_results_summary,
     "balance_history": q_balance_history,
     "current_balances": q_current_balances,
@@ -461,6 +479,17 @@ FROM history""",
         f"{PRELUDE} SELECT * FROM current_balances"
     ),
     "balance_scd2": f"""{PRELUDE}
+SELECT customer_id,
+       ROUND(current_balance, 2) AS balance,
+       transaction_date AS effective_from,
+       transaction_id,
+       LEAD(transaction_date) OVER w AS effective_to,
+       CAST(CASE WHEN LEAD(transaction_date) OVER w IS NULL
+                 THEN 1 ELSE 0 END AS INT) AS is_current
+FROM history
+WINDOW w AS (PARTITION BY customer_id
+             ORDER BY transaction_date, transaction_id)""",
+    "balance_scd2_incremental": f"""{PRELUDE}
 SELECT customer_id,
        ROUND(current_balance, 2) AS balance,
        transaction_date AS effective_from,
