@@ -205,3 +205,64 @@ def test_rolling_distinct_fanout_is_bounded(spark, sf_dir):
     assert "Generate explode" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def shuffles(df):
+    """Count data-movement exchanges only (broadcast exchanges are
+    cheap-by-design and counted separately)."""
+    p = explain(df, mode="simple")
+    return p.count("Exchange hashpartitioning") + p.count(
+        "Exchange SinglePartition"
+    ) + p.count("Exchange rangepartitioning")
+
+
+def test_q2_broadcasts_dims_single_window_shuffle(spark, sf_dir):
+    """Q2's group-wise min: every dim join is a broadcast; the only
+    data movement is the window's part-key shuffle."""
+    df = tpch.q_tpch_q2_min_cost_supplier(spark, sf_dir)
+    plan = explain(df, mode="simple")
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan
+    assert shuffles(df) == 1
+
+
+def test_q9_single_fact_fact_shuffle(spark, sf_dir):
+    """Q9: part/supplier/nation broadcast; at most the lineitem⋈orders
+    join and the final agg move data."""
+    df = tpch.q_tpch_q9_product_type_profit(spark, sf_dir)
+    plan = explain(df, mode="simple")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert shuffles(df) <= 3
+
+
+def test_q11_total_reuses_per_part_exchange(spark, sf_dir):
+    """The grand-total scalar must not rescan lineitem at runtime:
+    AQE's ReuseExchange dedupes the two canonically-identical per-part
+    aggregate exchanges. Asserted on the FINAL adaptive plan (the
+    static plan legitimately prints the subtree twice)."""
+    df = tpch.q_tpch_q11_important_stock(spark, sf_dir)
+    df.collect()
+    plan = explain(df, mode="simple")
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan
+
+
+def test_q16_part_dim_broadcasts(spark, sf_dir):
+    df = tpch.q_tpch_q16_supplier_part_counts(spark, sf_dir)
+    plan = explain(df, mode="simple")
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    # exact countDistinct: group-key exchange + distinct expand, no more
+    assert shuffles(df) <= 2
+
+
+def test_q20_window_runs_on_reduced_pairs(spark, sf_dir):
+    """Q20's per-part total must be computed over the (part,supplier)
+    aggregate, never a window over raw lineitem: the pair groupBy
+    exchange sits below the window exchange."""
+    df = tpch.q_tpch_q20_dominant_suppliers(spark, sf_dir)
+    plan = explain(df, mode="simple")
+    assert "SortMergeJoin" not in plan
+    w = plan.index("Window")
+    agg = plan.index("Exchange hashpartitioning(l_partkey")
+    assert agg > w  # printed tree: the groupBy exchange is BELOW the window

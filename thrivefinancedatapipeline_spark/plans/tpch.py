@@ -599,8 +599,205 @@ def q_tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> Dat
     )
 
 
+Q2_TYPE, Q2_SIZE_LO, Q2_SIZE_HI, Q2_REGION = "LARGE", 10, 20, "EUROPE"
+
+
+def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 analog (schema has no partsupp → lineitem is the
+    part↔supplier supply relation; unit cost = extendedprice/quantity).
+    For each part of one type/size band, the cheapest EUROPE supplier.
+
+    The group-wise min is a row_number window partitioned by p_partkey
+    (ties broken by s_suppkey for determinism), not a correlated
+    subquery — one shuffle on the part key. Unit cost is computed as
+    exact integer milli-dollars via `div` (both engines floor positive
+    integer division identically); no double rounding anywhere.
+    Reference parity: the Q2 "min supply cost in region" shape from
+    TPC-H; cost source adapted to this star schema."""
+    from pyspark.sql import Window
+
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == Q2_TYPE)
+        & (F.col("p_size").between(Q2_SIZE_LO, Q2_SIZE_HI))
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == Q2_REGION)
+    nation = _t(spark, sf_dir, "nation")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    offers = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == F.col("s_suppkey"))
+        .withColumn("price_c", _cents("l_extendedprice"))
+        .withColumn("qty_c", _cents("l_quantity"))
+        .withColumn("unit_cost_mil", F.expr("(price_c * 1000) div qty_c"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy("unit_cost_mil", "s_suppkey")
+    return (
+        offers.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_partkey", "p_name", "s_suppkey", "s_name", "n_name",
+            "s_acctbal", "unit_cost_mil",
+        )
+    )
+
+
+Q9_NAME_PREFIX = "red"
+
+
+def q_tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 analog (no partsupp.ps_supplycost → p_retailprice is the
+    per-unit cost): profit by supplier nation and order year over parts
+    matching a name prefix. profit = extprice*(1-disc) - retail*qty,
+    both terms at exact integer scale 1e4, decimal(38,0) accumulated —
+    sums can be negative; _money/_sql_money floor identically for
+    either sign. Dims broadcast; lineitem⋈orders is the one fact-fact
+    shuffle."""
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith(Q9_NAME_PREFIX)
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    profit_s = _revenue_s() - _cents("p_retailprice") * _cents("l_quantity")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(_money(_exact_sum(profit_s), 10000).alias("sum_profit"))
+    )
+
+
+Q11_NATION = "NATION_3"
+Q11_FRACTION_PPM = 1000  # part is "important" above 0.1% of total value
+
+
+def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analog (no partsupp.ps_availqty → shipped extendedprice
+    of one nation's suppliers is the per-part inventory value): parts
+    whose value exceeds a fixed fraction of the grand total.
+
+    The threshold compare stays in exact integer space
+    (value_c * 1e6 > total_c * PPM — decimal(38,0) both sides, no
+    float fraction). The grand total re-aggregates the per-part
+    relation and broadcasts as a 1-row crossJoin — the scalar-subquery
+    shape. The static plan prints lineitem twice, but both references
+    share one canonicalized per-part exchange, so AQE's ReuseExchange
+    makes the runtime plan scan lineitem ONCE (asserted on the final
+    adaptive plan in tests/test_plans.py)."""
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == Q11_NATION)
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(_exact_sum(_cents("l_extendedprice")).alias("value_c"))
+    )
+    total = per_part.agg(F.sum("value_c").alias("total_c"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_c") * F.lit(1000000)
+            > F.col("total_c") * F.lit(Q11_FRACTION_PPM)
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            _money(F.col("value_c"), 100).alias("part_value"),
+        )
+    )
+
+
+Q16_BRAND_NOT, Q16_TYPE_NOT = "Brand#5", "PROMO"
+Q16_SIZES = (1, 5, 10, 15, 20, 25, 30, 35)
+
+
+def q_tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 analog (lineitem supplies the part↔supplier pairs):
+    distinct-supplier count per (brand, type, size) excluding one brand
+    and one type. countDistinct is exact — Spark plans it as a two-phase
+    expand+agg, partial-aggregable; the part dim broadcasts."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != Q16_BRAND_NOT)
+        & (F.col("p_type") != Q16_TYPE_NOT)
+        & (F.col("p_size").isin(*Q16_SIZES))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q20_NAME_PREFIX, Q20_YEAR, Q20_REGION = "red", 1997, "EUROPE"
+Q20_SHARE_PCT = 30  # supplier "dominates" a part above this share
+
+
+def q_tpch_q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analog (no partsupp.ps_availqty → a supplier qualifies
+    by shipping > 30% of a part's total year volume instead of holding
+    > 50% excess stock): EUROPE suppliers that dominate supply of any
+    name-prefixed part in one year.
+
+    Shape parity with Q20's nested semi-joins: per-(part,supplier)
+    volume, per-part total via a window over the already-reduced pair
+    relation (tiny vs lineitem), dominance filter in exact integer
+    space, then a semi-ish distinct over qualifying suppliers."""
+    from pyspark.sql import Window
+
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith(Q20_NAME_PREFIX)
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate") == Q20_YEAR
+    )
+    pair = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(_exact_sum(_cents("l_quantity")).alias("pair_qty_c"))
+    )
+    tot = Window.partitionBy("l_partkey")
+    dominant = (
+        pair.withColumn("part_qty_c", F.sum("pair_qty_c").over(tot))
+        .filter(
+            F.col("pair_qty_c") * F.lit(100)
+            > F.col("part_qty_c") * F.lit(Q20_SHARE_PCT)
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == Q20_REGION)
+    nation = _t(spark, sf_dir, "nation")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return dominant.join(
+        F.broadcast(supp), dominant["l_suppkey"] == F.col("s_suppkey")
+    ).select("s_suppkey", "s_name", "n_name")
+
+
 QUERIES = {
     "tpch_q1_pricing_summary": q_tpch_q1_pricing_summary,
+    "tpch_q2_min_cost_supplier": q_tpch_q2_min_cost_supplier,
+    "tpch_q9_product_type_profit": q_tpch_q9_product_type_profit,
+    "tpch_q11_important_stock": q_tpch_q11_important_stock,
+    "tpch_q16_supplier_part_counts": q_tpch_q16_supplier_part_counts,
+    "tpch_q20_dominant_suppliers": q_tpch_q20_dominant_suppliers,
     "tpch_q3_shipping_priority": q_tpch_q3_shipping_priority,
     "tpch_q5_local_supplier_volume": q_tpch_q5_local_supplier_volume,
     "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
@@ -629,6 +826,85 @@ _OP = _sql_cents("o_totalprice")
 _REV_MONEY = _sql_money(REVENUE_S_SQL, 10000)
 
 ORACLES = {
+    "tpch_q2_min_cost_supplier": f"""
+WITH euro_supp AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{Q2_REGION}'
+), offers AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name, n_name, s_acctbal,
+         ({_P} * 1000) // {_Q} AS unit_cost_mil
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN euro_supp ON l_suppkey = s_suppkey
+  WHERE p_type = '{Q2_TYPE}'
+    AND p_size BETWEEN {Q2_SIZE_LO} AND {Q2_SIZE_HI}
+)
+SELECT p_partkey, p_name, s_suppkey, s_name, n_name, s_acctbal,
+       unit_cost_mil
+FROM offers
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY p_partkey ORDER BY unit_cost_mil, s_suppkey) = 1""",
+    "tpch_q9_product_type_profit": f"""
+SELECT n_name AS nation,
+       EXTRACT(YEAR FROM o_orderdate) AS o_year,
+       {_sql_money(f"{REVENUE_S_SQL} - {_sql_cents('p_retailprice')} * {_Q}",
+                   10000)} AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '{Q9_NAME_PREFIX}%'
+GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate)""",
+    "tpch_q11_important_stock": f"""
+WITH per_part AS (
+  SELECT l_partkey, SUM({_P}) AS value_c
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = '{Q11_NATION}'
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey,
+       ROUND(CAST(value_c AS DOUBLE) / 100, 2) AS part_value
+FROM per_part
+WHERE value_c * 1000000 >
+      (SELECT SUM(value_c) FROM per_part) * {Q11_FRACTION_PPM}""",
+    "tpch_q16_supplier_part_counts": f"""
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{Q16_BRAND_NOT}'
+  AND p_type <> '{Q16_TYPE_NOT}'
+  AND p_size IN {Q16_SIZES}
+GROUP BY p_brand, p_type, p_size""",
+    "tpch_q20_dominant_suppliers": f"""
+WITH pair AS (
+  SELECT l_partkey, l_suppkey, SUM({_Q}) AS pair_qty_c
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '{Q20_NAME_PREFIX}%'
+    AND EXTRACT(YEAR FROM l_shipdate) = {Q20_YEAR}
+  GROUP BY l_partkey, l_suppkey
+), dominant AS (
+  SELECT DISTINCT l_suppkey
+  FROM (
+    SELECT l_suppkey, pair_qty_c,
+           SUM(pair_qty_c) OVER (PARTITION BY l_partkey) AS part_qty_c
+    FROM pair
+  )
+  WHERE pair_qty_c * 100 > part_qty_c * {Q20_SHARE_PCT}
+)
+SELECT s_suppkey, s_name, n_name
+FROM dominant
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = '{Q20_REGION}'""",
     "tpch_q1_pricing_summary": f"""
 SELECT l_returnflag, l_linestatus,
        ROUND(CAST(SUM({_Q}) AS DOUBLE) / 100, 2) AS sum_qty,
