@@ -95,3 +95,29 @@ def test_stream_windowed_agg_matches_batch(spark, staged_events):
         assert stream_rows == batch_rows
     finally:
         shutil.rmtree(chk, ignore_errors=True)
+
+
+def test_stream_cms_grid_matches_batch(spark, staged_events):
+    """The drained streaming CMS equals the batch grid cell-for-cell:
+    streaming aggregation state is literally the mergeable sketch."""
+    from thrivefinancedatapipeline_spark.operators.sketches import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_grid,
+    )
+    from thrivefinancedatapipeline_spark.streaming import stateful
+
+    chk = tempfile.mkdtemp(prefix="chk_cms_")
+    try:
+        got = balance_stream.run_to_completion(
+            stateful.stream_cms_counters(spark, staged_events),
+            chk,
+            "stream_cms",
+        )
+        stream_cells = {(r.i, r.bucket): r.c for r in got.collect()}
+        batch = cms_grid(spark.read.parquet(staged_events))
+        batch_cells = {(r.i, r.bucket): r.c for r in batch.collect()}
+        assert stream_cells == batch_cells
+        assert len(batch_cells) <= CMS_DEPTH * CMS_WIDTH
+    finally:
+        shutil.rmtree(chk, ignore_errors=True)

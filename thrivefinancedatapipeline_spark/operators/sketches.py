@@ -18,7 +18,7 @@ distributes (partial per partition/day, merge in the combiner).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..datamodel import load_table
@@ -146,6 +146,37 @@ CMS_DEPTH = 4
 CMS_WIDTH = 256
 
 
+def cms_bucket(i: Column, key: Column) -> Column:
+    """Row i's CMS bucket for a key — namespaced md5 ('cms<i>:<key>'),
+    never reusing one digest for two decisions."""
+    return F.pmod(
+        md5_long(
+            F.concat(F.lit("cms"), i.cast("string"), F.lit(":"),
+                     key.cast("string"))
+        ),
+        F.lit(CMS_WIDTH),
+    )
+
+
+def cms_grid(ev: DataFrame) -> DataFrame:
+    """events → the depth×width CMS counter grid (i, bucket, c) of
+    user_id frequencies. Pure declarative transformation, so the SAME
+    code runs batch or streaming: on a batch frame it plans a map-side
+    combinable sum; on a streaming frame Spark maintains the cells as
+    MERGEABLE STATE (cell-wise addition — exactly the CMS merge
+    operation) and `streaming.stateful.stream_cms_counters` drains it
+    incrementally. Lambda parity is pinned by tests/test_streaming.py:
+    the drained streaming grid equals this grid over the unioned
+    batches, cell for cell."""
+    hashed = ev.select(
+        "user_id",
+        F.explode(F.expr(f"sequence(0, {CMS_DEPTH - 1})")).alias("i"),
+    ).withColumn("bucket", cms_bucket(F.col("i"), F.col("user_id")))
+    return hashed.groupBy("i", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+
 def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch heavy hitters: the top keys' exact counts next
     to their CMS estimates, both engines deriving the IDENTICAL sketch
@@ -169,20 +200,7 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "n_rows",
         F.explode(F.expr(f"sequence(0, {CMS_DEPTH - 1})")).alias("i"),
-    ).withColumn(
-        "bucket",
-        F.pmod(
-            md5_long(
-                F.concat(
-                    F.lit("cms"),
-                    F.col("i").cast("string"),
-                    F.lit(":"),
-                    F.col("user_id").cast("string"),
-                )
-            ),
-            F.lit(CMS_WIDTH),
-        ),
-    )
+    ).withColumn("bucket", cms_bucket(F.col("i"), F.col("user_id")))
     counters = hashed.groupBy("i", "bucket").agg(
         F.sum("n_rows").alias("c")
     )
@@ -260,7 +278,76 @@ def q_shuffle_plan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct users per day via KMV SKETCH MERGE — the
+    approximate scale twin of `events_rolling_distinct_users` (which
+    re-counts every (day,user) pair per window end).
+
+    This is the shape that wins at 100 TB: (1) reduce each day to its
+    k-minimum-values sketch ONCE (k smallest 60-bit user hashes — the
+    only pass over the raw pairs); (2) fan the <=k hashes per day out
+    to the <=7 window ends (bounded explode over the TINY sketch
+    relation, <= 7k rows per day, not over events); (3) per window end,
+    merge = union the candidate hashes, dedupe, re-take the k smallest.
+    The KMV merge property makes step 3 exact w.r.t. the union sketch:
+    any hash among the union's k smallest is necessarily among its own
+    day's k smallest. Windows covering fewer than k distinct users
+    degrade to the EXACT count (n_sketch < k ⇒ every hash is present).
+    All-deterministic (md5 hash space, integer floor-div estimator), so
+    DuckDB derives the identical sketch — the approximate structure
+    itself sits under the value-hash oracle."""
+    from ..plans.events_queries import ROLLING_DAYS
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        F.to_date("ts").alias("d"),
+        md5_long(F.col("user_id").cast("string")).alias("h"),
+    ).distinct()
+    wd = Window.partitionBy("d").orderBy("h")
+    sketch = (
+        daily.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") <= KMV_K)
+        .select("d", "h")
+    )
+    days = daily.select("d").distinct()
+    cover = sketch.select(
+        F.explode(F.expr(f"sequence(0, {ROLLING_DAYS - 1})")).alias("off"),
+        "d",
+        "h",
+    ).select(F.date_add("d", F.col("off")).alias("day"), "h")
+    cand = (
+        cover.join(F.broadcast(days), cover["day"] == days["d"], "left_semi")
+        .select("day", "h")
+        .distinct()
+    )
+    we = Window.partitionBy("day").orderBy("h")
+    merged = (
+        cand.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_sketch"),
+            F.max("h").alias("kth_min_hash"),
+        )
+    )
+    est = F.when(
+        F.col("n_sketch") < KMV_K, F.col("n_sketch").cast("long")
+    ).otherwise(
+        F.expr(
+            f"CAST({KMV_K - 1} AS DECIMAL(38,0)) * {HASH_SPACE}"
+            " div kth_min_hash"
+        )
+    )
+    return merged.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_sketch",
+        "kth_min_hash",
+        est.alias("est_users_7d"),
+    )
+
+
 QUERIES = {
+    "rolling_distinct_kmv": q_rolling_distinct_kmv,
     "sketch_distinct_users": q_sketch_distinct_users,
     "approx_distinct_attest": q_approx_distinct_attest,
     "join_key_skew": q_join_key_skew,
@@ -270,7 +357,41 @@ QUERIES = {
 
 _H = md5_long_sql("CAST(user_id AS VARCHAR)")
 
+from ..plans.events_queries import ROLLING_DAYS as _RD
+
 ORACLES = {
+    "rolling_distinct_kmv": f"""
+WITH daily AS (SELECT DISTINCT CAST(ts AS DATE) AS d, {_H} AS h
+               FROM events),
+sketch AS (
+  SELECT d, h FROM (
+    SELECT d, h, ROW_NUMBER() OVER (PARTITION BY d ORDER BY h) AS rn
+    FROM daily)
+  WHERE rn <= {KMV_K}
+),
+days AS (SELECT DISTINCT d FROM daily),
+cand AS (
+  SELECT DISTINCT days.d AS day, sketch.h
+  FROM days JOIN sketch
+    ON sketch.d BETWEEN days.d - {_RD - 1} AND days.d
+),
+merged AS (
+  SELECT day,
+         CAST(COUNT(*) AS BIGINT) AS n_sketch,
+         MAX(h) AS kth_min_hash
+  FROM (
+    SELECT day, h,
+           ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rn
+    FROM cand)
+  WHERE rn <= {KMV_K}
+  GROUP BY day
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, n_sketch, kth_min_hash,
+       CASE WHEN n_sketch < {KMV_K} THEN n_sketch
+            ELSE CAST((CAST({KMV_K - 1} AS HUGEINT) * {HASH_SPACE})
+                      // kth_min_hash AS BIGINT)
+       END AS est_users_7d
+FROM merged""",
     "sketch_distinct_users": f"""
 WITH d AS (SELECT DISTINCT event_type, {_H} AS h FROM events),
 r AS (SELECT event_type, h,

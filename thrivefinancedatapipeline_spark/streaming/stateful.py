@@ -366,3 +366,23 @@ def stream_sessionize(
             "first_event_id",
         )
     )
+
+
+def stream_cms_counters(
+    spark, source_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """Continuous count-min sketch of user_id frequencies — the
+    streaming twin of the grid under `operators/sketches.
+    q_heavy_hitters_cms`, reusing the identical `cms_grid`
+    transformation (one code path, batch or stream).
+
+    The CMS is the textbook mergeable-state structure: each micro-batch
+    adds into the fixed depth×width cell counters, which is exactly the
+    sketch's merge operation, so Spark's streaming aggregation state IS
+    the sketch — bounded at depth×width cells regardless of input
+    volume or cardinality, and any point-in-time drain answers
+    frequency queries without re-reading history. Complete output mode
+    (the grid is tiny); no watermark needed because cells only grow."""
+    from ..operators.sketches import cms_grid
+
+    return cms_grid(stream_events(spark, source_dir, max_files_per_trigger))
