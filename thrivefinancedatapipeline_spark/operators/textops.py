@@ -336,7 +336,59 @@ def q_corpus_repeat_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _grams(t, n: int):
+    """Non-distinct word n-grams of a BOUND token-array column (see
+    shingles_from_tokens on why `t` must not be a computed expr)."""
+    if n == 1:
+        return t
+    return F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + k + 1) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition — the Gopher/RefinedWeb quality rule
+    family: fraction of duplicated word n-grams (n=1,2,3) per document,
+    in exact integer ppm (occurrences beyond each gram's first, over
+    all gram occurrences). High duplicated-gram mass marks boilerplate
+    and degenerate/looping text for downstream filtering.
+
+    Pure per-row projection over the token array — zero shuffle, scales
+    embarrassingly; the n-gram arrays are built once per row from a
+    materialized token column (computed-expression lambdas would make
+    this quadratic, see shingles_from_tokens)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    out = docs
+    for n, name in ((1, "dup_token_ppm"), (2, "dup_bigram_ppm"),
+                    (3, "dup_trigram_ppm")):
+        out = out.withColumn(f"_g{n}", _grams(F.col("toks"), n)).withColumn(
+            name,
+            F.when(F.size(f"_g{n}") == 0, F.lit(0).cast("long")).otherwise(
+                F.expr(
+                    f"CAST((size(_g{n}) - size(array_distinct(_g{n})))"
+                    f" AS DECIMAL(38,0)) * {PPM} div size(_g{n})"
+                )
+            ),
+        )
+    return out.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        "dup_token_ppm",
+        "dup_bigram_ppm",
+        "dup_trigram_ppm",
+    )
+
+
 QUERIES = {
+    "text_repetition": q_text_repetition,
     "corpus_decontaminate": q_corpus_decontaminate,
     "corpus_mixture_weights": q_corpus_mixture_weights,
     "corpus_repeat_factors": q_corpus_repeat_factors,
@@ -368,7 +420,33 @@ for _lang in LANG_ORDER:
     _LANG_CASE += f"WHEN {' AND '.join(_conds)} THEN '{_lang}' "
 _LANG_CASE += "ELSE 'und' END"
 
+def _dup_ppm_sql(g: str) -> str:
+    return (f"CASE WHEN len({g}) = 0 THEN 0 ELSE "
+            f"CAST(CAST(len({g}) - len(list_distinct({g})) AS HUGEINT)"
+            f" * {PPM} // len({g}) AS BIGINT) END")
+
+
+def _grams_sql(n: int) -> str:
+    joined = " || ' ' || ".join(f"toks[i+{k}]" for k in range(n))
+    return (f"CASE WHEN len(toks) >= {n} THEN "
+            f"list_transform(generate_series(1, len(toks) - {n - 1}),"
+            f" i -> {joined}) "
+            f"ELSE CAST([] AS VARCHAR[]) END")
+
+
 ORACLES = {
+    "text_repetition": f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, toks,
+             {_grams_sql(2)} AS g2,
+             {_grams_sql(3)} AS g3
+      FROM d)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       {_dup_ppm_sql('toks')} AS dup_token_ppm,
+       {_dup_ppm_sql('g2')} AS dup_bigram_ppm,
+       {_dup_ppm_sql('g3')} AS dup_trigram_ppm
+FROM g""",
     "corpus_decontaminate": None,  # filled below (reuses dedup's shingle CTEs)
     "corpus_mixture_weights": f"""
 WITH agg AS (
