@@ -871,7 +871,81 @@ def q_dedup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(counted)
 
 
+PR_TOTAL = 10**12      # total initial mass, integer "mass units"
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
+PR_ITERS = 3
+
+
+def q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank-style centrality over the simhash near-dup
+    graph — the graph-analytics companion to the CC queries: which
+    documents sit at the center of boilerplate clusters (a centrality-
+    based canonical-keep policy, vs dedup_keep_canonical's min-id).
+
+    EXACT INTEGER formulation so the approximate-structure-free oracle
+    holds bit-for-bit: initial mass = TOTAL div n (per doc), each of
+    the fixed {PR_ITERS} rounds computes
+    mass'(v) = base + (85 * sum_in(mass(u) div deg(u))) div 100 with
+    base = (15 * (TOTAL div n)) div 100. All divisions are positive
+    integer floors — both engines agree; floor remainders and dangling
+    mass simply leak (this is a centrality ORDERING, not a stochastic
+    distribution; determinism is the requirement).
+
+    Scale shape: symmetric edge list + degrees checkpointed ONCE
+    (lineage truncation per the iterative-loop rule); each round is
+    the classic two-shuffle join-aggregate (edges⋈mass on u, groupBy
+    v) over a mass table of one row per doc. Rounds are FIXED (K=3),
+    not run to convergence — the unrolled DuckDB oracle mirrors the
+    exact same K."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    pairs = q_dedup_simhash_pairs(spark, sf_dir)
+    sym = pairs.select(
+        F.col("doc_id_1").alias("u"), F.col("doc_id_2").alias("v")
+    ).unionAll(
+        pairs.select(F.col("doc_id_2").alias("u"), F.col("doc_id_1").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    edges = sym.join(deg, "u").localCheckpoint(eager=True)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    mass = docs.crossJoin(F.broadcast(n_docs)).select(
+        "doc_id",
+        F.expr(f"CAST({PR_TOTAL} AS BIGINT) div n_docs").alias("mass"),
+        F.expr(
+            f"(CAST({PR_DAMP_DEN - PR_DAMP_NUM} AS BIGINT)"
+            f" * ({PR_TOTAL} div n_docs)) div {PR_DAMP_DEN}"
+        ).alias("base"),
+    ).localCheckpoint(eager=True)
+    for _ in range(PR_ITERS):
+        contrib = edges.join(
+            mass.select(F.col("doc_id").alias("u"), "mass"), "u"
+        ).select(F.col("v").alias("doc_id"), F.expr("mass div deg").alias("c"))
+        insum = contrib.groupBy("doc_id").agg(F.sum("c").alias("insum"))
+        mass = (
+            mass.select("doc_id", "base")
+            .join(insum, "doc_id", "left")
+            .select(
+                "doc_id",
+                "base",
+                F.expr(
+                    f"base + ({PR_DAMP_NUM} *"
+                    f" COALESCE(insum, CAST(0 AS BIGINT)))"
+                    f" div {PR_DAMP_DEN}"
+                ).alias("mass"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        mass.join(deg.select(F.col("u").alias("doc_id"), "deg"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("deg"), F.lit(0)).cast("long").alias("degree"),
+            F.col("mass").cast("long").alias("mass_scaled"),
+        )
+    )
+
+
 QUERIES = {
+    "dedup_pagerank": q_dedup_pagerank,
     "dedup_exact": q_dedup_exact,
     "dedup_graph_stats": q_dedup_graph_stats,
     "dedup_incremental": q_dedup_incremental,
@@ -950,7 +1024,48 @@ _SIM_BAND_SELECTS = "\nUNION ALL\n".join(
     for b in range(SIM_BANDS)
 )
 
+def _pr_iter_sql(k: int) -> str:
+    return f"""
+it{k} AS (
+  SELECT d.doc_id,
+         (SELECT base FROM b)
+           + ({PR_DAMP_NUM} * COALESCE(s.insum, 0)) // {PR_DAMP_DEN} AS mass
+  FROM documents d
+  LEFT JOIN (SELECT e.v AS doc_id, SUM(m.mass // e.deg) AS insum
+             FROM e JOIN it{k - 1} m ON m.doc_id = e.u
+             GROUP BY e.v) s ON s.doc_id = d.doc_id)""".strip()
+
+
+_PR_ITER_CTES = ",\n".join(_pr_iter_sql(k) for k in range(1, PR_ITERS + 1))
+
 ORACLES = {
+    "dedup_pagerank": f"""
+WITH {_SIMHASH_CTES},
+bands AS ({_SIM_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT b1.doc_id AS doc_id_1, b2.doc_id AS doc_id_2,
+         b1.simhash AS sim1, b2.simhash AS sim2
+  FROM bands b1 JOIN bands b2
+    ON b1.band = b2.band AND b1.key = b2.key AND b1.doc_id < b2.doc_id
+),
+prs AS (SELECT doc_id_1, doc_id_2 FROM cand
+        WHERE bit_count(xor(sim1, sim2)) <= {SIM_HAM_MAX}),
+sym AS (SELECT doc_id_1 AS u, doc_id_2 AS v FROM prs
+        UNION ALL SELECT doc_id_2, doc_id_1 FROM prs),
+deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u),
+e AS (SELECT sym.u, sym.v, deg.deg FROM sym JOIN deg USING (u)),
+n AS (SELECT COUNT(*) AS n FROM documents),
+b AS (SELECT ({PR_DAMP_DEN - PR_DAMP_NUM} * ({PR_TOTAL} // n)) // {PR_DAMP_DEN}
+        AS base,
+             {PR_TOTAL} // n AS m0 FROM n),
+it0 AS (SELECT doc_id, (SELECT m0 FROM b) AS mass FROM documents),
+{_PR_ITER_CTES}
+SELECT d.doc_id,
+       CAST(COALESCE(deg.deg, 0) AS BIGINT) AS degree,
+       CAST(m.mass AS BIGINT) AS mass_scaled
+FROM documents d
+JOIN it{PR_ITERS} m ON m.doc_id = d.doc_id
+LEFT JOIN deg ON deg.u = d.doc_id""",
     "dedup_exact": f"""
 WITH hashed AS (SELECT doc_id, md5({_NORM}) AS content_hash FROM documents),
 groups AS (SELECT content_hash, MIN(doc_id) AS canonical_id,
