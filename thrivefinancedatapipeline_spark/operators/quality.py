@@ -126,7 +126,55 @@ def q_quality_gate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_gate(docs, "lang", F.col("n_chars"), "doc_id")
 
 
+#: (child table, fk column, parent table, pk column, parent is a dim
+#: small enough to broadcast at any scale)
+FK_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey", False),
+    ("lineitem", "l_partkey", "part", "p_partkey", True),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey", True),
+    ("orders", "o_custkey", "customer", "c_custkey", False),
+    ("customer", "c_nationkey", "nation", "n_nationkey", True),
+    ("supplier", "s_nationkey", "nation", "n_nationkey", True),
+)
+
+
+def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table FK audit over the whole star schema: per declared
+    relationship, total child rows and orphan rows (fk value absent
+    from the parent) — the load-time contract check a warehouse runs
+    before publishing a snapshot (the reference validates single-table
+    row quality at src/thrive_cash_processing_dag.py:639; this is the
+    multi-table completion of that posture).
+
+    Scale shape: each edge is ONE left-anti count. Dimension parents
+    broadcast explicitly; fact-fact edges (lineitem→orders,
+    orders→customer) shuffle on the key — the same partitioning any
+    downstream join on that key reuses. The parent side is reduced to
+    its distinct key column before the join, so the anti-join build
+    side is minimal."""
+    out = None
+    for child, fk, parent, pk, is_dim in FK_EDGES:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(pk).distinct()
+        if is_dim:
+            p = F.broadcast(p)
+        orphans = c.join(p, c[fk] == F.col(pk), "left_anti")
+        row = (
+            c.agg(F.count(F.lit(1)).alias("n_rows"))
+            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+            .select(
+                F.lit(f"{child}.{fk}").alias("relationship"),
+                F.lit(f"{parent}.{pk}").alias("references"),
+                "n_rows",
+                "n_orphans",
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
 QUERIES = {
+    "referential_integrity": q_referential_integrity,
     "validate_source_summary": q_validate_source_summary,
     "profile_documents": q_profile_documents,
     "quality_gate_by_lang": q_quality_gate_by_lang,
@@ -144,7 +192,20 @@ _NULL_SQL = "\nUNION ALL\n".join(
     for c in REQUIRED
 )
 
+_RI_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{child}.{fk}' AS relationship, "
+    f"'{parent}.{pk}' AS \"references\", "
+    f"CAST(COUNT(*) AS BIGINT) AS n_rows, "
+    f"CAST(COUNT(CASE WHEN {pk2} IS NULL THEN 1 END) AS BIGINT)"
+    f" AS n_orphans "
+    f"FROM {child} LEFT JOIN (SELECT DISTINCT {pk} AS {pk2} FROM {parent})"
+    f" ON {fk} = {pk2}"
+    for child, fk, parent, pk, _ in FK_EDGES
+    for pk2 in (f"_{pk}",)
+)
+
 ORACLES = {
+    "referential_integrity": _RI_SQL,
     "validate_source_summary": f"""
 WITH txns AS ({TRANSACTIONS_SQL.strip()})
 {_NULL_SQL}

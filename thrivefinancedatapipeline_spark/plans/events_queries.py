@@ -424,7 +424,70 @@ def q_events_dedup_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill with LINEAR interpolation — the sibling of
+    `events_gap_fill`'s carry-forward: silent days get the straight
+    line between the surrounding observed daily totals, in exact
+    integer cents (interp = prev + (next-prev) * pos div len; `div`
+    and DuckDB `//` both truncate toward zero, so either sign of the
+    slope is engine-identical — no float lerp in a hashed column).
+
+    Same scale shape as gap_fill: dense calendar from the per-type
+    span aggregate (sequence+explode, no calendar cross join), one
+    left join, then two one-pass windows (last-non-null backward,
+    first-non-null forward) over the ORIGINAL frame — deriving both
+    bounds in one projection avoids the aliased-frame re-shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("d"), "event_type"
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    spans = daily.groupBy("event_type").agg(
+        F.min("d").alias("mn"), F.max("d").alias("mx")
+    )
+    cal = spans.select(
+        "event_type",
+        F.explode(
+            F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))
+        ).alias("d"),
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_d = F.when(F.col("cents").isNotNull(), F.col("d"))
+    j = (
+        cal.join(daily, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            "d",
+            "cents",
+            F.last("cents", ignorenulls=True).over(wb).alias("pc"),
+            F.last(obs_d, ignorenulls=True).over(wb).alias("pd"),
+            F.first("cents", ignorenulls=True).over(wf).alias("nc"),
+            F.first(obs_d, ignorenulls=True).over(wf).alias("nd"),
+        )
+    )
+    interp = F.when(F.col("cents").isNotNull(), F.col("cents")).otherwise(
+        F.col("pc")
+        + F.expr("((nc - pc) * datediff(d, pd)) div datediff(nd, pd)")
+    )
+    return j.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.coalesce("cents", F.lit(0)).alias("day_cents"),
+        (F.col("cents").isNull().cast("int")).alias("is_gap"),
+        interp.cast("long").alias("interp_cents"),
+    )
+
+
 QUERIES = {
+    "events_interpolate_linear": q_events_interpolate_linear,
     "events_dedup_windowed": q_events_dedup_windowed,
     "events_windowed_agg": q_events_windowed_agg,
     "events_sessionize": q_events_sessionize,
@@ -528,6 +591,37 @@ SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
        COUNT(*) AS n_active_users
 FROM active JOIN first_day USING (user_id)
 GROUP BY cohort, day_offset""",
+    "events_interpolate_linear": """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, event_type,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY d, event_type),
+spans AS (SELECT event_type, MIN(d) AS mn, MAX(d) AS mx
+          FROM daily GROUP BY event_type),
+cal AS (SELECT event_type,
+               CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE)
+                 AS d
+        FROM spans),
+j AS (
+  SELECT event_type, d, cents,
+         last_value(cents IGNORE NULLS) OVER wb AS pc,
+         last_value(CASE WHEN cents IS NOT NULL THEN d END IGNORE NULLS)
+           OVER wb AS pd,
+         first_value(cents IGNORE NULLS) OVER wf AS nc,
+         first_value(CASE WHEN cents IS NOT NULL THEN d END IGNORE NULLS)
+           OVER wf AS nd
+  FROM cal LEFT JOIN daily USING (event_type, d)
+  WINDOW wb AS (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+       COALESCE(cents, 0) AS day_cents,
+       CAST(CASE WHEN cents IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap,
+       CAST(CASE WHEN cents IS NOT NULL THEN cents
+                 ELSE pc + ((nc - pc) * (d - pd)) // (nd - pd)
+            END AS BIGINT) AS interp_cents
+FROM j""",
     "events_gap_fill": """
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS d, event_type,
