@@ -944,7 +944,105 @@ def q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the integer-ppm fraction of a document's
+    distinct 3-gram shingles that occur in NO other document — the
+    inverse of the boilerplate signal (`text_repetition` measures
+    repetition WITHIN a doc; this measures uniqueness ACROSS the
+    corpus; low novelty + high DF marks template text, high novelty
+    marks memorization-risk one-off content).
+
+    Shape: one shingle pass (shared relation checkpointed), DF counts
+    (map-side combinable groupBy on the shingle — the same heavy
+    reduce the jaccard index pays), join back, per-doc aggregate.
+    Documents too short to shingle surface with n_shingles=0 and are
+    vacuously novel (ppm=1e6) — the convention both engines encode."""
+    docs = _docs(spark, sf_dir)
+    sh = _shingle_rows(docs).localCheckpoint(eager=True)
+    dfs = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        sh.join(dfs, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_unique"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_unique", F.lit(0)).cast("long").alias("n_unique"),
+            F.when(
+                F.coalesce("n_shingles", F.lit(0)) == 0, F.lit(1_000_000)
+            )
+            .otherwise(
+                F.expr(
+                    "CAST(n_unique AS DECIMAL(38,0)) * 1000000"
+                    " div n_shingles"
+                )
+            )
+            .cast("long")
+            .alias("novelty_ppm"),
+        )
+    )
+
+
+LEV_MAX = 4  # edit-distance threshold for a fuzzy name match
+
+
+def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching by edit distance — the non-hashable dedup
+    family member (typos/reformulations that shingle and simhash both
+    miss): part-name pairs within levenshtein <= LEV_MAX.
+
+    Scale posture: NEVER lev() on raw rows. (1) distinct-reduce to the
+    name dictionary with occurrence counts (the only big shuffle —
+    dictionary cardinality, not row count); (2) blocked self-join —
+    same last token AND length within LEV_MAX (an edit can change
+    length by at most 1, so the band is lossless given the block
+    token); (3) levenshtein only on surviving candidates. The O(n²)
+    DP-per-pair cost is confined to in-block pairs; the block key is
+    the knob when a corpus makes one block hot."""
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy(F.col("p_name").alias("name")).agg(
+        F.count(F.lit(1)).alias("n_parts")
+    )
+    dict_ = names.select(
+        "name",
+        "n_parts",
+        F.element_at(F.split(F.col("name"), " "), -1).alias("blk"),
+        F.length("name").alias("ln"),
+    )
+    a = dict_.select(
+        F.col("name").alias("name_1"),
+        F.col("n_parts").alias("n_parts_1"),
+        F.col("blk"),
+        F.col("ln").alias("ln1"),
+    )
+    b = dict_.select(
+        F.col("name").alias("name_2"),
+        F.col("n_parts").alias("n_parts_2"),
+        F.col("blk"),
+        F.col("ln").alias("ln2"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(
+            (F.col("name_1") < F.col("name_2"))
+            & (F.abs(F.col("ln1") - F.col("ln2")) <= LEV_MAX)
+        )
+        .withColumn("dist", F.levenshtein("name_1", "name_2"))
+        .filter(F.col("dist") <= LEV_MAX)
+        .select("name_1", "name_2", "dist", "n_parts_1", "n_parts_2")
+    )
+
+
 QUERIES = {
+    "corpus_novelty": q_corpus_novelty,
+    "fuzzy_name_match": q_fuzzy_name_match,
     "dedup_pagerank": q_dedup_pagerank,
     "dedup_exact": q_dedup_exact,
     "dedup_graph_stats": q_dedup_graph_stats,
@@ -1039,6 +1137,37 @@ it{k} AS (
 _PR_ITER_CTES = ",\n".join(_pr_iter_sql(k) for k in range(1, PR_ITERS + 1))
 
 ORACLES = {
+    "fuzzy_name_match": f"""
+WITH names AS (
+  SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n_parts
+  FROM part GROUP BY p_name),
+d AS (SELECT name, n_parts,
+             string_split(name, ' ')[-1] AS blk,
+             length(name) AS ln
+      FROM names)
+SELECT a.name AS name_1, b.name AS name_2,
+       CAST(levenshtein(a.name, b.name) AS INT) AS dist,
+       a.n_parts AS n_parts_1, b.n_parts AS n_parts_2
+FROM d a JOIN d b
+  ON a.blk = b.blk AND a.name < b.name
+WHERE abs(a.ln - b.ln) <= {LEV_MAX}
+  AND levenshtein(a.name, b.name) <= {LEV_MAX}""",
+    "corpus_novelty": f"""
+WITH {_SHINGLE_CTES},
+dfs AS (SELECT sh.sh, COUNT(*) AS df FROM sh GROUP BY sh.sh),
+per_doc AS (
+  SELECT sh.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(COUNT(CASE WHEN dfs.df = 1 THEN 1 END) AS BIGINT) AS n_unique
+  FROM sh JOIN dfs ON dfs.sh = sh.sh
+  GROUP BY sh.doc_id)
+SELECT d.doc_id,
+       COALESCE(p.n_shingles, 0) AS n_shingles,
+       COALESCE(p.n_unique, 0) AS n_unique,
+       CAST(CASE WHEN COALESCE(p.n_shingles, 0) = 0 THEN 1000000
+                 ELSE CAST(p.n_unique AS HUGEINT) * 1000000 // p.n_shingles
+            END AS BIGINT) AS novelty_ppm
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id""",
     "dedup_pagerank": f"""
 WITH {_SIMHASH_CTES},
 bands AS ({_SIM_BAND_SELECTS}),
