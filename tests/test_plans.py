@@ -266,3 +266,33 @@ def test_q20_window_runs_on_reduced_pairs(spark, sf_dir):
     w = plan.index("Window")
     agg = plan.index("Exchange hashpartitioning(l_partkey")
     assert agg > w  # printed tree: the groupBy exchange is BELOW the window
+
+
+def test_fuzzy_match_has_no_cartesian(spark, sf_dir):
+    """The lev join must be a blocked equi-join over the distinct name
+    dictionary — never a cross product of parts."""
+    from thrivefinancedatapipeline_spark.operators import dedup
+
+    plan = explain(dedup.q_fuzzy_name_match(spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_referential_integrity_broadcasts_dims(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.operators import quality
+
+    plan = explain(quality.q_referential_integrity(spark, sf_dir),
+                   mode="simple")
+    # 4 declared dim edges → at least 4 broadcast anti-join builds
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_interpolate_windows_share_one_exchange(spark, sf_dir):
+    """Both interpolation bounds (backward + forward windows) must be
+    derived in one pass over the original frame: exactly one exchange
+    on event_type above the daily aggregate, not one per window."""
+    from thrivefinancedatapipeline_spark.plans import events_queries
+
+    df = events_queries.q_events_interpolate_linear(spark, sf_dir)
+    plan = explain(df, mode="simple")
+    assert plan.count("Exchange hashpartitioning(event_type#") <= 2

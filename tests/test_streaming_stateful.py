@@ -303,3 +303,43 @@ def test_stream_ewma_matches_batch(spark, timed_events):
     # every row past warm-up carries the full weight mass 2^K - 1
     full = [r for r in got if r.ewma_den == 255]
     assert len(full) > len(got) // 2
+
+
+def test_stream_kmv_matches_batch_sketch(spark, timed_events):
+    """Drain parity for the custom mergeable state: the final streamed
+    KMV per event type equals the batch sketch over the unioned
+    batches (k smallest distinct user hashes → same k-th min)."""
+    from pyspark.sql import Window
+
+    from thrivefinancedatapipeline_spark.functions.text import md5_long
+    from thrivefinancedatapipeline_spark.operators.sketches import KMV_K
+
+    got = drain(
+        stateful.stream_kmv_distinct(
+            spark, timed_events, max_files_per_trigger=1
+        ),
+        "stream_kmv",
+        "append",
+    )
+    # the sketch is monotone (n only grows, k-th min only shrinks), so
+    # the final snapshot per key is (max n, min kth) — no reliance on
+    # memory-sink row order across micro-batches
+    final = {}
+    for r in got:
+        n, k = final.get(r.event_type, (0, 1 << 62))
+        final[r.event_type] = (max(n, r.n_sketch), min(k, r.kth_min_hash))
+
+    ev = spark.read.parquet(timed_events)
+    d = ev.select(
+        "event_type", md5_long(F.col("user_id").cast("string")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    batch = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("kth"))
+    )
+    expect = {r.event_type: (r.n, r.kth) for r in batch.collect()}
+    assert final == expect
+    assert len(final) > 0

@@ -386,3 +386,58 @@ def stream_cms_counters(
     from ..operators.sketches import cms_grid
 
     return cms_grid(stream_events(spark, source_dir, max_files_per_trigger))
+
+
+KMV_OUT_SCHEMA = "event_type string, n_sketch int, kth_min_hash long"
+KMV_STATE_SCHEMA = "mins array<long>"
+
+
+def _kmv_state_fn(key, pdf_iter, state: GroupState):
+    """Per-type KMV state: the k smallest distinct 60-bit user hashes
+    seen so far. Each micro-batch unions its hashes in and re-takes
+    the k smallest — the KMV MERGE operation, so state stays <= k
+    longs per key no matter the stream volume. Emits the post-batch
+    sketch snapshot (the last emitted row per key is the final
+    sketch)."""
+    from ..operators.sketches import KMV_K
+
+    mins = set(state.get[0]) if state.exists else set()
+    for pdf in pdf_iter:
+        mins.update(int(h) for h in pdf["h"])
+    mins = sorted(mins)[:KMV_K]
+    state.update((mins,))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_sketch": [len(mins)],
+            "kth_min_hash": [mins[-1] if mins else 0],
+        }
+    )
+
+
+def stream_kmv_distinct(
+    spark, source_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """Continuous KMV distinct-count sketch per event type — the
+    streaming twin of `operators/sketches.q_sketch_distinct_users`'s
+    sketch phase, and the custom-MERGEABLE-state companion to
+    `stream_cms_counters` (whose cells a built-in streaming sum
+    maintains; a k-minimum set needs applyInPandasWithState).
+
+    The md5 hashing runs in Spark expressions BEFORE the stateful op
+    (codegen, and bit-identical to the batch query); Python only
+    merges <= k longs per key per batch. Drain parity with the batch
+    sketch is pinned by test."""
+    from ..functions.text import md5_long
+
+    ev = stream_events(spark, source_dir, max_files_per_trigger)
+    hashed = ev.select(
+        "event_type", md5_long(F.col("user_id").cast("string")).alias("h")
+    )
+    return hashed.groupBy("event_type").applyInPandasWithState(
+        _kmv_state_fn,
+        outputStructType=KMV_OUT_SCHEMA,
+        stateStructType=KMV_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
