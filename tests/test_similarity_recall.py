@@ -43,3 +43,19 @@ def test_embedding_lsh_pairs_subset_of_exact(spark, sf_dir):
     }
     # LSH candidates are cosine-verified → never a false positive
     assert lsh <= exact
+
+def test_random_projection_rerank_recall(spark, sf_dir):
+    """The two-stage JL path must recover a meaningful fraction of
+    true neighbors. At sf0.001 the candidate pool covers the whole
+    corpus, so the check runs at sf0.01 (1000 vectors, 10% pool) where
+    the coarse stage actually prunes; measured 0.56 there."""
+    import os
+
+    sf01 = sf_dir.replace("sf0.001", "sf0.01")
+    if not os.path.isdir(sf01):
+        sf01 = sf_dir  # degenerate fallback: pool >= corpus, recall 1.0
+    truth = _pairs(similarity.q_knn_bruteforce_cosine(spark, sf01))
+    approx = _pairs(similarity.q_knn_random_projection(spark, sf01))
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.3, f"rp rerank recall collapsed: {recall:.2f}"
+    assert all(q != n for q, n in approx)
