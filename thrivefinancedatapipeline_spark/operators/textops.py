@@ -387,7 +387,53 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 64   # tokens per training chunk
+CHUNK_STRIDE = 56   # starts every 56 tokens → 8-token overlap
+
+
+def q_corpus_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bounded document chunking with overlap — the
+    context-window splitter a training pipeline runs before packing:
+    each document yields ceil(max(n-overlap,1)/stride) chunks of up to
+    CHUNK_TOKENS tokens starting every CHUNK_STRIDE (so consecutive
+    chunks share CHUNK_TOKENS-CHUNK_STRIDE tokens of context), the
+    final partial chunk kept.
+
+    Pure per-row fan-out: starts = sequence(0, n-1, stride) filtered
+    to those covering new tokens, chunk = slice of the MATERIALIZED
+    token array (bound column — computed-expr lambdas go quadratic),
+    emitted with its md5 content hash for downstream exact-dedup of
+    chunks. Zero shuffle; the explode multiplies rows by ~n/stride,
+    the same fan-out the training set itself has."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    n = F.size("toks")
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(CHUNK_STRIDE)),
+        lambda s: (s == 0) | (s + F.lit(CHUNK_TOKENS - CHUNK_STRIDE) < n),
+    )
+    chunked = docs.select(
+        "doc_id",
+        "toks",
+        F.posexplode(starts).alias("chunk_idx", "start"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.slice(
+            F.col("toks"), F.col("start") + 1, F.lit(CHUNK_TOKENS)
+        ).alias("chunk"),
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("chunk").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", "chunk")).alias("chunk_hash"),
+    )
+
+
 QUERIES = {
+    "corpus_chunk": q_corpus_chunk,
     "text_repetition": q_text_repetition,
     "corpus_decontaminate": q_corpus_decontaminate,
     "corpus_mixture_weights": q_corpus_mixture_weights,
@@ -435,6 +481,28 @@ def _grams_sql(n: int) -> str:
 
 
 ORACLES = {
+    # kept starts are a PREFIX of the stride sequence (the keep
+    # predicate is monotone in s), so chunk_idx == start // stride —
+    # no WITH ORDINALITY needed.
+    "corpus_chunk": f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+st AS (
+  SELECT doc_id, toks,
+         unnest(list_filter(range(0, greatest(len(toks), 1),
+                                  {CHUNK_STRIDE}),
+                s -> s = 0 OR
+                     s + {CHUNK_TOKENS - CHUNK_STRIDE} < len(toks)))
+           AS start
+  FROM d),
+chunks AS (
+  SELECT doc_id,
+         CAST(start // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+         toks[start + 1 : start + {CHUNK_TOKENS}] AS chunk
+  FROM st)
+SELECT doc_id, chunk_idx,
+       CAST(len(chunk) AS INT) AS n_tokens,
+       md5(array_to_string(chunk, ' ')) AS chunk_hash
+FROM chunks""",
     "text_repetition": f"""
 WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 g AS (SELECT doc_id, toks,
