@@ -2,6 +2,7 @@
 streaming result over time-ordered micro-batches must equal the batch
 computation on the union of all batches."""
 
+import os
 import shutil
 import tempfile
 
@@ -343,3 +344,46 @@ def test_stream_kmv_matches_batch_sketch(spark, timed_events):
     expect = {r.event_type: (r.n, r.kth) for r in batch.collect()}
     assert final == expect
     assert len(final) > 0
+
+
+def test_stream_scd2_upsert_equals_full_rebuild(spark, timed_events):
+    """The foreachBatch CDC sink applied batch-by-batch must land on
+    the same dimension as one full SCD2 build over all the data."""
+    from thrivefinancedatapipeline_spark.operators.balance import (
+        balance_scd2,
+    )
+
+    dim = tempfile.mkdtemp(prefix="scd2_dim_") + "/dim"
+    chk = tempfile.mkdtemp(prefix="chk_scd2_")
+    try:
+        got = stateful.run_scd2_upsert(spark, timed_events, dim, chk)
+        stream_rows = {
+            (
+                r.customer_id,
+                round(r.balance, 2),
+                r.effective_from,
+                r.transaction_id,
+                r.effective_to,
+                r.is_current,
+            )
+            for r in got.collect()
+        }
+        full = balance_scd2(
+            transactions_from_events(spark.read.parquet(timed_events))
+        )
+        full_rows = {
+            (
+                r.customer_id,
+                round(r.balance, 2),
+                r.effective_from,
+                r.transaction_id,
+                r.effective_to,
+                r.is_current,
+            )
+            for r in full.collect()
+        }
+        assert stream_rows == full_rows
+        assert len(stream_rows) > 0
+    finally:
+        shutil.rmtree(os.path.dirname(dim), ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)
