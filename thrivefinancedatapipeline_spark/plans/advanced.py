@@ -315,6 +315,24 @@ def q_daily_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_daily_event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MELT — the inverse reshaping of `daily_event_pivot`: the wide
+    per-day matrix back to long (event_date, event_type, n_events)
+    rows via `unpivot` (Spark plans it as an Expand — one pass, no
+    join, no shuffle beyond the pivot's own aggregate). Round-trip
+    sanity: unpivot(pivot(x)) == the plain groupBy — which is exactly
+    the DuckDB oracle, so the driver hash proves the round trip."""
+    wide = q_daily_event_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ["event_date"],
+        [f"n_{t}" for t in EVENT_TYPES],
+        "event_type",
+        "n_events",
+    ).withColumn(
+        "event_type", F.expr("substring(event_type, 3)")
+    )
+
+
 TOP_PARTS_N = 3
 
 
@@ -512,6 +530,7 @@ QUERIES = {
     "customer_order_gaps": q_customer_order_gaps,
     "user_segments_setops": q_user_segments_setops,
     "daily_event_pivot": q_daily_event_pivot,
+    "daily_event_unpivot": q_daily_event_unpivot,
     "top_parts_per_brand": q_top_parts_per_brand,
     "event_value_percentiles": q_event_value_percentiles,
     "approx_percentile_attest": q_approx_percentile_attest,
@@ -644,6 +663,18 @@ SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow, CAST(hour(ts) AS INT) AS hour,
        COUNT(*) AS n_events,
        COUNT(DISTINCT user_id) AS unique_users
 FROM events GROUP BY dow, hour""",
+    "daily_event_unpivot": f"""
+WITH days AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS event_date
+              FROM events),
+t(event_type) AS (VALUES {", ".join(f"('{t}')" for t in EVENT_TYPES)}),
+cnt AS (SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,
+               COUNT(*) AS c
+        FROM events GROUP BY 1, 2)
+SELECT days.event_date, t.event_type,
+       CAST(COALESCE(cnt.c, 0) AS BIGINT) AS n_events
+FROM days CROSS JOIN t
+LEFT JOIN cnt ON cnt.event_date = days.event_date
+             AND cnt.event_type = t.event_type""",
     "daily_event_pivot": f"""
 SELECT strftime(ts, '%Y-%m-%d') AS event_date,
        {_PIVOT_COLS}
