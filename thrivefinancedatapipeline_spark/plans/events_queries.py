@@ -486,7 +486,44 @@ def q_events_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period reporting: weekly totals per event type with
+    the week-over-week delta and integer-ppm relative change (lag()
+    over the ALREADY-AGGREGATED weekly frame — the window moves
+    |weeks|×|types| rows, never raw events; delta arithmetic is exact
+    integer cents, relative change is `div` over |prev| so truncation
+    direction matches DuckDB `//` for either sign; first week emits
+    NULLs identically in both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        F.date_format(F.date_trunc("WEEK", F.col("ts")), "yyyy-MM-dd")
+        .alias("week"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    return (
+        weekly.withColumn("prev", F.lag("cents").over(w))
+        .select(
+            "week",
+            "event_type",
+            "n_events",
+            "cents",
+            (F.col("cents") - F.col("prev")).alias("delta_cents"),
+            F.when(
+                F.col("prev").isNull() | (F.col("prev") == 0),
+                F.lit(None).cast("long"),
+            )
+            .otherwise(F.expr("(cents - prev) * 1000000 div abs(prev)"))
+            .alias("change_ppm"),
+        )
+    )
+
+
 QUERIES = {
+    "events_wow_change": q_events_wow_change,
     "events_interpolate_linear": q_events_interpolate_linear,
     "events_dedup_windowed": q_events_dedup_windowed,
     "events_windowed_agg": q_events_windowed_agg,
@@ -591,6 +628,24 @@ SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
        COUNT(*) AS n_active_users
 FROM active JOIN first_day USING (user_id)
 GROUP BY cohort, day_offset""",
+    "events_wow_change": """
+WITH weekly AS (
+  SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+         event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events GROUP BY 1, 2),
+lagged AS (
+  SELECT *, LAG(cents) OVER (PARTITION BY event_type ORDER BY week)
+              AS prev
+  FROM weekly)
+SELECT week, event_type, n_events, cents,
+       cents - prev AS delta_cents,
+       CASE WHEN prev IS NULL OR prev = 0 THEN NULL
+            ELSE CAST((cents - prev) * 1000000 // abs(prev) AS BIGINT)
+       END AS change_ppm
+FROM lagged""",
     "events_interpolate_linear": """
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS d, event_type,
