@@ -432,8 +432,34 @@ def q_corpus_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup — the composition a training pipeline
+    runs between chunking and packing: identical token windows
+    (same md5 content hash) collapse to one canonical survivor
+    (min (doc_id, chunk_idx)), so boilerplate repeated ACROSS
+    documents is paid for once in the training mix. Emits the
+    surviving chunks with their duplicate multiplicity; downstream
+    `pack_sequences` consumes survivors weighted by n_copies.
+
+    Shape: one groupBy on the 128-bit content hash (uniform keys, no
+    hot spots) over the chunker's zero-shuffle fan-out."""
+    chunks = q_corpus_chunk(spark, sf_dir)
+    return chunks.groupBy("chunk_hash").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("keep"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.max("n_tokens").alias("n_tokens"),
+    ).select(
+        F.col("keep.doc_id").alias("doc_id"),
+        F.col("keep.chunk_idx").alias("chunk_idx"),
+        "chunk_hash",
+        "n_tokens",
+        "n_copies",
+    )
+
+
 QUERIES = {
     "corpus_chunk": q_corpus_chunk,
+    "chunk_dedup": q_chunk_dedup,
     "text_repetition": q_text_repetition,
     "corpus_decontaminate": q_corpus_decontaminate,
     "corpus_mixture_weights": q_corpus_mixture_weights,
@@ -503,6 +529,32 @@ SELECT doc_id, chunk_idx,
        CAST(len(chunk) AS INT) AS n_tokens,
        md5(array_to_string(chunk, ' ')) AS chunk_hash
 FROM chunks""",
+    "chunk_dedup": f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+st AS (
+  SELECT doc_id, toks,
+         unnest(list_filter(range(0, greatest(len(toks), 1),
+                                  {CHUNK_STRIDE}),
+                s -> s = 0 OR
+                     s + {CHUNK_TOKENS - CHUNK_STRIDE} < len(toks)))
+           AS start
+  FROM d),
+h AS (
+  SELECT doc_id,
+         CAST(start // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+         md5(array_to_string(toks[start + 1 : start + {CHUNK_TOKENS}], ' '))
+           AS chunk_hash,
+         CAST(len(toks[start + 1 : start + {CHUNK_TOKENS}]) AS INT)
+           AS n_tokens
+  FROM st)
+SELECT doc_id, chunk_idx, chunk_hash, n_tokens, n_copies
+FROM (SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY chunk_hash
+                                ORDER BY doc_id, chunk_idx) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY chunk_hash) AS BIGINT)
+               AS n_copies
+      FROM h)
+WHERE rn = 1""",
     "text_repetition": f"""
 WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 g AS (SELECT doc_id, toks,
