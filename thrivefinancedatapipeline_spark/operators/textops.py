@@ -768,3 +768,54 @@ FROM d GROUP BY split, lang"""
 
 QUERIES["dataset_manifest"] = q_dataset_manifest
 ORACLES["dataset_manifest"] = _manifest_oracle()
+
+
+def q_decontamination_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE contamination report — the rollup a data-sourcing
+    team reads: for each source, training docs checked, docs sharing
+    any benchmark shingle, and the integer-ppm contamination rate.
+    Ranks which upstream feeds leak eval data; the doc-level report
+    (`corpus_decontaminate`) stays the per-document evidence.
+
+    Same broadcast-blocklist probe as the doc-level query; the rollup
+    adds one tiny groupBy on source over the per-doc flags."""
+    docs = _docs(spark, sf_dir)
+    contaminated = q_corpus_decontaminate(spark, sf_dir).select("doc_id")
+    train = docs.filter(F.col("doc_id") % BENCH_DOC_MOD != 0)
+    flagged = train.join(
+        contaminated.withColumn("hit", F.lit(1)), "doc_id", "left"
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_contaminated"),
+        F.expr(
+            "CAST(SUM(COALESCE(hit, 0)) AS DECIMAL(38,0)) * 1000000"
+            " div COUNT(*)"
+        ).cast("long").alias("contamination_ppm"),
+    )
+
+
+QUERIES["decontamination_by_source"] = q_decontamination_by_source
+
+def _decontamination_by_source_oracle() -> str:
+    # same shingle CTEs as the doc-level oracle (owned by dedup so the
+    # normalization stays in sync across engines)
+    from .dedup import _SHINGLE_CTES
+
+    return f"""
+WITH {_SHINGLE_CTES},
+bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % {BENCH_DOC_MOD} = 0),
+cont AS (SELECT DISTINCT s.doc_id
+         FROM sh s JOIN bench USING (sh)
+         WHERE s.doc_id % {BENCH_DOC_MOD} <> 0)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(cont.doc_id) AS BIGINT) AS n_contaminated,
+       CAST(CAST(COUNT(cont.doc_id) AS HUGEINT) * 1000000 // COUNT(*)
+            AS BIGINT) AS contamination_ppm
+FROM documents d LEFT JOIN cont ON cont.doc_id = d.doc_id
+WHERE d.doc_id % {BENCH_DOC_MOD} <> 0
+GROUP BY d.source"""
+
+
+ORACLES["decontamination_by_source"] = _decontamination_by_source_oracle()
