@@ -387,3 +387,62 @@ def test_stream_scd2_upsert_equals_full_rebuild(spark, timed_events):
     finally:
         shutil.rmtree(os.path.dirname(dim), ignore_errors=True)
         shutil.rmtree(chk, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def shuffled_events(spark, sf_dir):
+    """sf0.001 events split into 6 rank-balanced batches with each row
+    possibly deferred ONE batch (md5 jitter) — bounded cross-batch
+    disorder, the at-least-once/out-of-order arrival pattern."""
+    import hashlib
+
+    tmp = tempfile.mkdtemp(prefix="stream_shuffled_")
+    ev = load_table(spark, sf_dir, "events")
+    rows = sorted(ev.collect(), key=lambda r: (r.ts, r.event_id))
+    n_batches = 6
+    chunk = (len(rows) + n_batches - 1) // n_batches
+    batches = [[] for _ in range(n_batches)]
+    for rank, r in enumerate(rows):
+        b = rank // chunk
+        jitter = hashlib.md5(str(r.event_id).encode()).digest()[0] & 1
+        batches[min(b + jitter, n_batches - 1)].append(r)
+    for batch in batches:
+        spark.createDataFrame(batch, ev.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(tmp)
+    yield tmp
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_reorder_releases_in_order(spark, shuffled_events):
+    """On input with bounded cross-batch disorder, the reorder buffer
+    must emit every row below each key's final watermark, in exact
+    (ts, event_id) order (checked via the emission seq)."""
+    delay_us = 6 * 24 * 3_600_000_000  # > one batch span of disorder
+    got = drain(
+        stateful.stream_reorder(spark, shuffled_events, delay_us=delay_us),
+        "stream_reorder",
+        "append",
+    )
+    by_user = {}
+    for r in got:
+        by_user.setdefault(r.user_id, []).append((r.seq, r.micros, r.event_id))
+
+    ev = spark.read.parquet(shuffled_events)
+    want = {}
+    for r in ev.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("micros")
+    ).collect():
+        want.setdefault(r.user_id, []).append((r.micros, r.event_id))
+
+    assert len(by_user) > 0
+    emitted_total = 0
+    for user, rows in want.items():
+        horizon = max(m for m, _ in rows) - delay_us
+        expect = sorted((m, e) for m, e in rows if m <= horizon)
+        gotten = sorted(by_user.get(user, []))  # by seq
+        assert [(m, e) for _, m, e in gotten] == expect, f"user {user}"
+        # seqs are dense from 0 — nothing emitted twice or skipped
+        assert [s for s, _, _ in gotten] == list(range(len(expect)))
+        emitted_total += len(expect)
+    assert emitted_total > 0

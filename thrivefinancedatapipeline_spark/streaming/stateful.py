@@ -487,3 +487,79 @@ def run_scd2_upsert(spark, source_dir: str, dim_path: str, checkpoint: str):
         .awaitTermination()
     )
     return spark.read.parquet(dim_path)
+
+
+REORDER_DELAY_US = 3_600_000_000  # default: 1 hour of tolerated disorder
+REORDER_OUT_SCHEMA = "event_id long, user_id long, micros long, seq long"
+REORDER_STATE_SCHEMA = (
+    "ids array<long>, ts array<long>, seen_max long, next_seq long"
+)
+
+
+def stream_reorder(
+    spark,
+    source_dir: str,
+    delay_us: int = REORDER_DELAY_US,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Watermark-delayed REORDER BUFFER — the front that removes the
+    time-ordered-arrival contract from the stateful operators
+    downstream (FIFO matcher, EWMA): rows arriving up to `delay_us`
+    out of order are parked per key and released in exact
+    (ts, event_id) order once the key's watermark (max event time
+    seen − delay) passes them, each stamped with a per-key emission
+    sequence number.
+
+    The streaming analogue of a sort — windowed, incremental, and
+    BOUNDED: state holds only the pending tail (≤ rate × delay rows
+    per key), not the stream. Spark allows one applyInPandasWithState
+    per query, so in production this runs as its own stage writing an
+    ordered log (foreachBatch / parquet sink) that the matcher stage
+    consumes. Ordering + completeness-to-horizon on shuffled input are
+    pinned by test; rows later than the horizon still emit (tagged by
+    their out-of-order seq) rather than silently drop."""
+
+    def reorder(key, pdf_iter, state: GroupState):
+        if state.exists:
+            ids, ts, seen_max, next_seq = (
+                list(state.get[0]), list(state.get[1]),
+                state.get[2], state.get[3],
+            )
+        else:
+            ids, ts, seen_max, next_seq = [], [], -(1 << 62), 0
+        for pdf in pdf_iter:
+            ids.extend(int(x) for x in pdf["event_id"])
+            ts.extend(int(x) for x in pdf["micros"])
+        if ts:
+            seen_max = max(seen_max, max(ts))
+        wm = seen_max - delay_us
+        order = sorted(range(len(ts)), key=lambda i: (ts[i], ids[i]))
+        emit = [i for i in order if ts[i] <= wm]
+        hold = [i for i in order if ts[i] > wm]
+        out_seq = list(range(next_seq, next_seq + len(emit)))
+        state.update((
+            [ids[i] for i in hold],
+            [ts[i] for i in hold],
+            seen_max,
+            next_seq + len(emit),
+        ))
+        yield pd.DataFrame(
+            {
+                "event_id": [ids[i] for i in emit],
+                "user_id": [key[0]] * len(emit),
+                "micros": [ts[i] for i in emit],
+                "seq": out_seq,
+            }
+        )
+
+    ev = stream_events(spark, source_dir, max_files_per_trigger)
+    x = ev.select(
+        "event_id", "user_id", F.unix_micros(F.col("ts")).alias("micros")
+    )
+    return x.groupBy("user_id").applyInPandasWithState(
+        reorder,
+        outputStructType=REORDER_OUT_SCHEMA,
+        stateStructType=REORDER_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
