@@ -446,3 +446,56 @@ def test_stream_reorder_releases_in_order(spark, shuffled_events):
         assert [s for s, _, _ in gotten] == list(range(len(expect)))
         emitted_total += len(expect)
     assert emitted_total > 0
+
+
+def test_reorder_fronted_fifo_matches_batch(spark, shuffled_events):
+    """Two-stage pipeline on OUT-OF-ORDER input: reorder buffer →
+    ordered log → stateful FIFO matcher. The matcher's time-ordered
+    arrival contract is satisfied by the buffer, so its matches must
+    equal the batch FIFO over exactly the emitted (below-horizon)
+    events — the end-to-end proof the buffer removes the contract."""
+    delay_us = 6 * 24 * 3_600_000_000
+    ordered = drain(
+        stateful.stream_reorder(spark, shuffled_events, delay_us=delay_us),
+        "stream_reorder_log",
+        "append",
+    )
+    # rebuild full ordered event rows (the log carries ids + seq)
+    ev = spark.read.parquet(shuffled_events)
+    by_id = {r.event_id: r for r in ev.collect()}
+    rows = sorted(ordered, key=lambda r: (r.user_id, r.seq))
+    log_dir = tempfile.mkdtemp(prefix="ordered_log_")
+    try:
+        # one file per seq-slice: per-user order survives because seq
+        # is dense per user and slices are taken in seq order
+        max_seq = max(r.seq for r in rows)
+        n_files = 4
+        step = (max_seq + n_files) // n_files
+        for k in range(n_files):
+            slice_rows = [
+                by_id[r.event_id]
+                for r in rows
+                if k * step <= r.seq < (k + 1) * step
+            ]
+            if slice_rows:
+                spark.createDataFrame(slice_rows, ev.schema).coalesce(
+                    1
+                ).write.mode("append").parquet(log_dir)
+        got = drain(
+            stateful.stream_fifo_match(
+                spark, log_dir, max_files_per_trigger=1
+            ),
+            "stream_fifo_ordered",
+            "append",
+        )
+        stream_pairs = {(r.customerid, r.trans_id, r.redeemid) for r in got}
+        batch = fifo_match(
+            transactions_from_events(spark.read.parquet(log_dir))
+        ).filter(F.col("redeemid").isNotNull())
+        batch_pairs = {
+            (r.customerid, r.trans_id, r.redeemid) for r in batch.collect()
+        }
+        assert stream_pairs == batch_pairs
+        assert len(stream_pairs) > 0
+    finally:
+        shutil.rmtree(log_dir, ignore_errors=True)
