@@ -103,3 +103,103 @@ def test_decode_gate_still_armed_for_non_png(spark, sf_dir):
     p = _payloads(spark, sf_dir)  # utf-8 text bytes, not PNG
     with pytest.raises(Exception, match="NotImplementedError|PNG"):
         mm.decode_stub(p, fake=False).collect()
+
+
+def _real_lzw_encode(indices, min_code=8):
+    """Growing-dictionary GIF-LZW compressor (test-only) — exercises
+    the decoder's dictionary-growth and KwKwK paths that the
+    clear-per-symbol production encoder never hits. Emits a CLEAR
+    whenever the dictionary nears the 9-bit boundary so the code width
+    stays constant (sidesteps the early-vs-deferred width-change
+    ambiguity while still growing the dictionary up to 511 entries)."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}
+
+    table = fresh()
+    next_code = end + 1
+    codes = [clear]
+    w = b""
+    for b in indices:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+        else:
+            codes.append(table[w])
+            table[wk] = next_code
+            next_code += 1
+            w = bytes([b])
+            if next_code >= (1 << (min_code + 1)) - 1:
+                codes.append(clear)
+                table = fresh()
+                next_code = end + 1
+                # w keeps the pending single byte; it's in the fresh table
+    if w:
+        codes.append(table[w])
+    codes.append(end)
+    # repack with the same width schedule the decoder uses
+    acc = nbits = 0
+    stream = bytearray()
+    size = min_code + 1
+    for code in codes:
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        stream.append(acc & 0xFF)
+    return bytes(stream)
+
+
+def test_gif_codec_roundtrips(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.multimodal import gif
+
+    for w, h, pat in [(4, 3, "ramp"), (16, 8, "repeat"), (255, 2, "mix")]:
+        n = w * h
+        if pat == "ramp":
+            idx = bytes(i % 256 for i in range(n))
+        elif pat == "repeat":
+            idx = bytes([7, 7, 7, 9] * (n // 4) + [7] * (n % 4))
+        else:
+            idx = bytes((i * 31 + (i >> 3)) % 256 for i in range(n))
+        img = gif.decode_gif(gif.encode_gif(idx, w, h))
+        assert (img["width"], img["height"]) == (w, h)
+        want = b"".join(gif.PALETTE[3 * i : 3 * i + 3] for i in idx)
+        assert img["pixels"] == want
+
+
+def test_gif_lzw_decoder_handles_growing_dictionary():
+    """The production encoder pins the code width via clear-per-symbol;
+    feed the decoder a REAL growing-dictionary stream (incl. highly
+    repetitive input that triggers the KwKwK special case)."""
+    from thrivefinancedatapipeline_spark.multimodal import gif
+
+    for indices in (
+        bytes([5] * 500),                      # KwKwK immediately
+        bytes(i % 17 for i in range(2000)),    # steady growth
+        bytes([3, 3, 1, 1, 3, 3, 3, 1] * 100),
+    ):
+        data = _real_lzw_encode(indices)
+        assert gif._lzw_decode(8, data)[: len(indices)] == indices
+
+
+def test_decode_kernel_runs_real_gif_bytes(spark, sf_dir):
+    import zlib
+
+    from thrivefinancedatapipeline_spark.datamodel import load_table
+    from thrivefinancedatapipeline_spark.multimodal import gif
+
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    out = mm.decode_stub(mm.gif_payloads(docs), fake=False).collect()
+    assert len(out) == docs.count()
+    row = min(out, key=lambda r: r.doc_id)
+    d = docs.filter(F.col("doc_id") == row.doc_id).collect()[0]
+    raw = d.text.encode("utf-8")
+    height = max(1, min(64, -(-len(raw) // mm.PNG_WIDTH)))
+    buf = (raw + b"\x00" * (mm.PNG_WIDTH * height))[: mm.PNG_WIDTH * height]
+    rgb = b"".join(gif.PALETTE[3 * i : 3 * i + 3] for i in buf)
+    assert (row.width, row.height) == (mm.PNG_WIDTH, height)
+    assert row.checksum == zlib.crc32(rgb)

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..datamodel import load_table
-from . import png
+from . import gif, png
 
 DECODED_SCHEMA = (
     "doc_id long, n_bytes int, width int, height int, checksum long"
@@ -69,6 +69,11 @@ def decode_image_batch(payloads: pd.Series, *, fake: bool = False) -> pd.DataFra
             widths.append(img["width"])
             heights.append(img["height"])
             checksums.append(zlib.crc32(img["pixels"]))
+        elif gif.is_gif(bytes(b)):
+            img = gif.decode_gif(bytes(b))
+            widths.append(img["width"])
+            heights.append(img["height"])
+            checksums.append(zlib.crc32(img["pixels"]))
         elif fake:
             s = sum(b) % 1_000_003
             widths.append(len(b) % 640 + 1)
@@ -76,9 +81,10 @@ def decode_image_batch(payloads: pd.Series, *, fake: bool = False) -> pd.DataFra
             checksums.append(s)
         else:
             raise NotImplementedError(
-                "only baseline PNG decodes natively here; other image "
-                "codecs are unavailable in this environment — pass "
-                "fake=True for the deterministic stub"
+                "only baseline PNG and non-interlaced GIF decode "
+                "natively here; other image codecs are unavailable in "
+                "this environment — pass fake=True for the "
+                "deterministic stub"
             )
     return pd.DataFrame(
         {
@@ -243,10 +249,43 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_stub(png_payloads(docs), fake=False)
 
 
+def gif_payloads(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL GIF payloads: text bytes as palette indices
+    into the fixed 256-color table, LZW-encoded by the stdlib codec —
+    the second real container format on the write side."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                raw = text.encode("utf-8")
+                height = max(1, min(64, -(-len(raw) // PNG_WIDTH)))
+                buf = (raw + b"\x00" * (PNG_WIDTH * height))[
+                    : PNG_WIDTH * height
+                ]
+                payloads.append(gif.encode_gif(buf, PNG_WIDTH, height))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id long, payload binary"
+    )
+
+
+def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-bytes GIF decode path: valid GIF89a per document, decoded
+    by the stdlib LZW codec (fake=False). [rows-only in the driver
+    compare — Python-side kernel, no SQL twin]"""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_stub(gif_payloads(docs), fake=False)
+
+
 QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode_stub": q_multimodal_decode_stub,
     "multimodal_decode_png": q_multimodal_decode_png,
+    "multimodal_decode_gif": q_multimodal_decode_gif,
     "multimodal_frame_sample": q_multimodal_frame_sample,
 }
 

@@ -1,0 +1,175 @@
+"""GIF (LZW) codec on the Python stdlib only.
+
+Companion to the baseline-PNG codec (`multimodal/png.py`): GIF87a/89a
+with a global or local color table needs nothing beyond bit twiddling —
+the LZW variant is specified in the GIF89a spec (CompuServe 1990,
+public) with LSB-first code packing and a 12-bit code-width ceiling.
+Decoded output mirrors `decode_png`: width/height plus the RGB pixel
+bytes (indices mapped through the active color table), so the
+multimodal kernel checksums both formats identically.
+
+Interlaced images and animation frames beyond the first keep the
+explicit NotImplementedError gate — same policy as non-baseline PNG.
+
+The encoder synthesizes valid GIFs deterministically for tests and the
+demo query. It emits a CLEAR code before every pixel code, which pins
+the code width at min+1 bits (the dictionary never grows) — larger
+output than real LZW but bit-valid per the spec, and it exercises the
+decoder's reset path; the decoder implements the full growing-
+dictionary algorithm regardless.
+"""
+
+from __future__ import annotations
+
+import struct
+
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def is_gif(data: bytes) -> bool:
+    return data[:6] in GIF_MAGICS
+
+
+def _lzw_decode(min_code: int, data: bytes) -> bytes:
+    clear = 1 << min_code
+    end = clear + 1
+    code_size = min_code + 1
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    next_code = end + 1
+    out = bytearray()
+    prev: bytes | None = None
+    pos = 0
+    total = len(data) * 8
+    while pos + code_size <= total:
+        code = 0
+        for k in range(code_size):
+            if (data[(pos + k) >> 3] >> ((pos + k) & 7)) & 1:
+                code |= 1 << k
+        pos += code_size
+        if code == clear:
+            code_size = min_code + 1
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError(f"corrupt LZW stream: code {code}")
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        out += entry
+        prev = entry
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> dict:
+    """First image of a GIF → {'width', 'height', 'pixels'} with
+    pixels as RGB bytes (indices mapped through the color table)."""
+    if not is_gif(data):
+        raise ValueError("not a GIF")
+    w, h, packed, _bg, _aspect = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    global_table = b""
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        global_table = data[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(data):
+        intro = data[pos]
+        pos += 1
+        if intro == 0x3B:  # trailer
+            break
+        if intro == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if intro != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{intro:02x}")
+        _l, _t, iw, ih, ipacked = struct.unpack_from("<HHHHB", data, pos)
+        pos += 9
+        if ipacked & 0x40:
+            raise NotImplementedError("interlaced GIF needs a native codec")
+        table = global_table
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 7)
+            table = data[pos : pos + 3 * n]
+            pos += 3 * n
+        if not table:
+            raise ValueError("GIF image with no color table")
+        min_code = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while data[pos]:
+            size = data[pos]
+            lzw += data[pos + 1 : pos + 1 + size]
+            pos += 1 + size
+        pos += 1
+        indices = _lzw_decode(min_code, bytes(lzw))[: iw * ih]
+        if len(indices) < iw * ih:
+            raise ValueError("GIF pixel data truncated")
+        pixels = bytearray(iw * ih * 3)
+        for i, idx in enumerate(indices):
+            off = 3 * idx
+            if off + 3 > len(table):
+                raise ValueError("palette index out of range")
+            pixels[3 * i : 3 * i + 3] = table[off : off + 3]
+        return {"width": iw, "height": ih, "pixels": bytes(pixels)}
+    raise ValueError("GIF contains no image block")
+
+
+#: deterministic 256-entry palette: index i → (i, 7i mod 256, 13i mod 256)
+PALETTE = b"".join(
+    bytes((i, (7 * i) % 256, (13 * i) % 256)) for i in range(256)
+)
+
+
+def encode_gif(indices: bytes, width: int, height: int) -> bytes:
+    """Valid GIF89a from 8-bit palette indices (PALETTE color table)."""
+    if len(indices) != width * height:
+        raise ValueError("indices must be width*height bytes")
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # 256-color GCT
+    out += PALETTE
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+    min_code = 8
+    clear, end = 256, 257
+    code_size = 9
+    out.append(min_code)
+    # bit-pack LSB-first: CLEAR, then (index, CLEAR)* ..., END
+    codes = [clear]
+    for idx in indices:
+        codes.append(idx)
+        codes.append(clear)
+    codes.append(end)
+    acc = 0
+    nbits = 0
+    stream = bytearray()
+    for code in codes:
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        stream.append(acc & 0xFF)
+    for i in range(0, len(stream), 255):
+        block = stream[i : i + 255]
+        out.append(len(block))
+        out += block
+    out.append(0)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
