@@ -296,3 +296,15 @@ def test_interpolate_windows_share_one_exchange(spark, sf_dir):
     df = events_queries.q_events_interpolate_linear(spark, sf_dir)
     plan = explain(df, mode="simple")
     assert plan.count("Exchange hashpartitioning(event_type#") <= 2
+
+
+def test_chunker_is_zero_shuffle(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.operators import textops
+
+    assert shuffles(textops.q_corpus_chunk(spark, sf_dir)) == 0
+
+
+def test_chunk_dedup_is_single_shuffle(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.operators import textops
+
+    assert shuffles(textops.q_chunk_dedup(spark, sf_dir)) == 1
