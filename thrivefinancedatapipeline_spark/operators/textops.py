@@ -819,3 +819,62 @@ GROUP BY d.source"""
 
 
 ORACLES["decontamination_by_source"] = _decontamination_by_source_oracle()
+
+
+BPE_TOP_PAIRS = 20
+
+
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One round of BPE tokenizer training, distributed: the
+    corpus-weighted frequency of every ADJACENT CHARACTER PAIR inside
+    word tokens, ranked — row 1 is exactly the merge a BPE trainer
+    would perform next (Sennrich et al. 2016's algorithm, one
+    iteration; full training = iterate merges, re-pairing only words
+    that contain the merged pair).
+
+    Scale shape: the classic two-level reduce. Words distinct-reduce
+    FIRST (corpus → vocabulary with term frequencies — the 100 TB
+    shrink), then the bounded per-word pair fan-out (<= word length)
+    explodes off the TINY vocabulary relation, and pair counts
+    partial-aggregate. Only the vocabulary groupBy and the pair
+    groupBy shuffle; the final top-N is a WindowGroupLimit tail."""
+    docs = _docs(spark, sf_dir)
+    vocab = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = vocab.filter(F.length("w") >= 2).select(
+        "freq",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    counts = pairs.groupBy("pair").agg(F.sum("freq").alias("pair_count"))
+    w = Window.orderBy(F.col("pair_count").desc(), F.col("pair"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BPE_TOP_PAIRS)
+        .select("rank", "pair", "pair_count")
+    )
+
+
+QUERIES["bpe_merge_candidates"] = q_bpe_merge_candidates
+
+ORACLES["bpe_merge_candidates"] = f"""
+WITH tok AS (SELECT unnest({_TOKS}) AS w FROM documents),
+vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY w),
+pairs AS (
+  SELECT freq, unnest(list_transform(range(1, length(w)),
+                                     i -> substring(w, i, 2))) AS pair
+  FROM vocab WHERE length(w) >= 2),
+counts AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+           FROM pairs GROUP BY pair)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair) AS INT)
+         AS rank,
+       pair, pair_count
+FROM counts
+QUALIFY rank <= {BPE_TOP_PAIRS}"""
