@@ -878,3 +878,89 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair) AS INT)
        pair, pair_count
 FROM counts
 QUALIFY rank <= {BPE_TOP_PAIRS}"""
+
+
+def q_chunk_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-CHUNK language re-ID against the document-level label — the
+    quality probe that catches concatenated multi-language documents
+    (crawl pages with boilerplate in one language and body in another)
+    that a single doc-level lang-id averages away. A chunk whose
+    confident prediction disagrees with the doc label is flagged;
+    'und' chunks (no stoplist evidence) never flag.
+
+    Same zero-shuffle chunk fan-out as `corpus_chunk`; the stoplist
+    hits are array_intersect projections per chunk — all codegen."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang", tokens(F.col("text")).alias("toks")
+    )
+    n = F.size("toks")
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(CHUNK_STRIDE)),
+        lambda s: (s == 0) | (s + F.lit(CHUNK_TOKENS - CHUNK_STRIDE) < n),
+    )
+    chunked = docs.select(
+        "doc_id",
+        "lang",
+        F.posexplode(starts).alias("chunk_idx", "start"),
+        "toks",
+    ).select(
+        "doc_id",
+        "lang",
+        "chunk_idx",
+        F.slice(
+            F.col("toks"), F.col("start") + 1, F.lit(CHUNK_TOKENS)
+        ).alias("chunk"),
+    )
+    hits = {
+        lang: F.size(
+            F.array_intersect(
+                F.array_distinct(F.col("chunk")),
+                F.array(*[F.lit(w) for w in STOPLISTS[lang]]),
+            )
+        )
+        for lang in LANG_ORDER
+    }
+    pred = F.lit("und")
+    for lang in reversed(LANG_ORDER):
+        cond = hits[lang] > 0
+        for o in LANG_ORDER:
+            if o != lang:
+                cond = cond & (hits[lang] >= hits[o])
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        F.col("lang").alias("doc_lang"),
+        pred.alias("pred_lang"),
+        ((pred != F.col("lang")) & (pred != F.lit("und")))
+        .cast("int")
+        .alias("mismatch"),
+    )
+
+
+QUERIES["chunk_lang_mismatch"] = q_chunk_lang_mismatch
+
+ORACLES["chunk_lang_mismatch"] = f"""
+WITH d AS (SELECT doc_id, lang, {_TOKS} AS toks0 FROM documents),
+st AS (
+  SELECT doc_id, lang, toks0,
+         unnest(list_filter(range(0, greatest(len(toks0), 1),
+                                  {CHUNK_STRIDE}),
+                s -> s = 0 OR
+                     s + {CHUNK_TOKENS - CHUNK_STRIDE} < len(toks0)))
+           AS start
+  FROM d),
+chunks AS (
+  SELECT doc_id, lang,
+         CAST(start // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+         toks0[start + 1 : start + {CHUNK_TOKENS}] AS toks
+  FROM st),
+h AS (SELECT doc_id, chunk_idx, lang,
+             {", ".join(f"CAST({_stop_sql(lang)} AS INT) AS hits_{lang}"
+                        for lang in LANG_ORDER)}
+      FROM chunks)
+SELECT doc_id, chunk_idx, lang AS doc_lang,
+       {_LANG_CASE} AS pred_lang,
+       CAST(CASE WHEN {_LANG_CASE} <> lang AND {_LANG_CASE} <> 'und'
+                 THEN 1 ELSE 0 END AS INT) AS mismatch
+FROM h"""
