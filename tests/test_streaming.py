@@ -121,3 +121,38 @@ def test_stream_cms_grid_matches_batch(spark, staged_events):
         assert len(batch_cells) <= CMS_DEPTH * CMS_WIDTH
     finally:
         shutil.rmtree(chk, ignore_errors=True)
+
+
+def test_stream_orphan_monitor_matches_batch(spark, sf_dir, staged_events):
+    """Windowed orphan counts from the stream equal the batch
+    stream-static audit over the same events (complete drain)."""
+    from thrivefinancedatapipeline_spark.streaming import stateful
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    chk = tempfile.mkdtemp(prefix="chk_orphan_")
+    try:
+        got = balance_stream.run_to_completion(
+            stateful.stream_orphan_monitor(spark, staged_events, cust),
+            chk,
+            "stream_orphans",
+        )
+        stream_rows = {
+            r.window_start: (r.n_events, r.n_orphans) for r in got.collect()
+        }
+        ev = spark.read.parquet(staged_events)
+        keys = cust.distinct().withColumnRenamed("c_custkey", "_pk")
+        batch = (
+            ev.join(keys, ev["user_id"] == F.col("_pk"), "left")
+            .groupBy(F.date_trunc("hour", "ts").alias("window_start"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum((F.col("_pk").isNull()).cast("long")).alias("n_orphans"),
+            )
+        )
+        batch_rows = {
+            r.window_start: (r.n_events, r.n_orphans) for r in batch.collect()
+        }
+        assert stream_rows == batch_rows
+        assert sum(n for n, _ in stream_rows.values()) == ev.count()
+    finally:
+        shutil.rmtree(chk, ignore_errors=True)

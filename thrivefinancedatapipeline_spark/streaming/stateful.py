@@ -563,3 +563,41 @@ def stream_reorder(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_orphan_monitor(
+    spark,
+    source_dir: str,
+    parent_keys: DataFrame,
+    watermark: str = "4 hours",
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """Continuous referential-integrity monitor — the streaming twin
+    of `operators/quality.q_referential_integrity` for the live
+    ingest path: every micro-batch's events check their user_id
+    against the broadcast parent key set (stream-static left join, no
+    state) and feed hourly (window, orphan count, total) aggregates —
+    the first dashboard a data-contract breach shows up on, hours
+    before the nightly batch audit.
+
+    Scale shape: the static side is the distinct parent KEY column
+    only (broadcast once, refreshed per restart); the windowed agg
+    holds one row of state per open hour."""
+    ev = stream_events(spark, source_dir, max_files_per_trigger)
+    keys = F.broadcast(
+        parent_keys.select(F.col(parent_keys.columns[0]).alias("_pk"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    flagged = ev.join(keys, ev["user_id"] == F.col("_pk"), "left")
+    return (
+        flagged.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("_hit").isNull()).cast("long")).alias("n_orphans"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "n_events", "n_orphans"
+        )
+    )
