@@ -1040,9 +1040,56 @@ def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup ingest: the new batch's MinHash bands probe
+    the corpus band index — `dedup_incremental`'s daily-delivery shape
+    lifted from exact replays to near-duplicates. At 100 TB the corpus
+    band index is a maintained table; only the (small) new batch is
+    shingled/banded per delivery, and the band join touches just the
+    colliding buckets — the corpus is never re-paired against itself.
+
+    Same 4×4 banding and exact Jaccard verify as dedup_minhash_lsh;
+    candidates are (new, corpus) only — no corpus×corpus or new×new
+    pairs. Output: verified near-dup matches with overlap counts."""
+    sh = _shingle_rows(_docs(spark, sf_dir)).localCheckpoint(eager=True)
+    sig = _minhash_signatures(sh)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "_", *[F.col(f"m{b * R + r}").cast("string") for r in range(R)]
+            ).alias("key"),
+        )
+        for b in range(NB)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    is_new = (F.col("doc_id") % INCR_MOD) == INCR_NEW_REM
+    bn = bands.filter(is_new).select(
+        F.col("doc_id").alias("doc_id_1"), "band", "key"
+    )
+    bc = bands.filter(~is_new).select(
+        F.col("doc_id").alias("doc_id_2"), "band", "key"
+    )
+    cand = (
+        bn.join(bc, ["band", "key"]).select("doc_id_1", "doc_id_2").distinct()
+    )
+    return _verified_pairs(cand, sh).select(
+        F.col("doc_id_1").alias("new_doc_id"),
+        F.col("doc_id_2").alias("corpus_doc_id"),
+        "common_shingles",
+        "shingles_1",
+        "shingles_2",
+    )
+
+
 QUERIES = {
     "corpus_novelty": q_corpus_novelty,
     "fuzzy_name_match": q_fuzzy_name_match,
+    "dedup_incremental_minhash": q_dedup_incremental_minhash,
     "dedup_pagerank": q_dedup_pagerank,
     "dedup_exact": q_dedup_exact,
     "dedup_graph_stats": q_dedup_graph_stats,
@@ -1241,6 +1288,36 @@ cand AS (
     ON b1.band = b2.band AND b1.key = b2.key AND b1.doc_id < b2.doc_id
 ),
 {_VERIFY_SQL}""",
+    "dedup_incremental_minhash": f"""
+WITH {_SHINGLE_CTES},
+hs AS (SELECT doc_id,
+              (('0x' || substring(md5(sh), 1, 15))::BIGINT % {P}) AS h
+       FROM sh),
+sig AS (SELECT doc_id, {_MIN_AGGS} FROM hs GROUP BY doc_id),
+bands AS ({_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT b1.doc_id AS doc_id_1, b2.doc_id AS doc_id_2
+  FROM bands b1 JOIN bands b2
+    ON b1.band = b2.band AND b1.key = b2.key
+  WHERE b1.doc_id % {INCR_MOD} = {INCR_NEW_REM}
+    AND b2.doc_id % {INCR_MOD} <> {INCR_NEW_REM}
+),
+cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+common AS (
+  SELECT p.doc_id_1, p.doc_id_2, count(*) AS common_shingles
+  FROM cand p
+  JOIN sh s1 ON s1.doc_id = p.doc_id_1
+  JOIN sh s2 ON s2.doc_id = p.doc_id_2 AND s2.sh = s1.sh
+  GROUP BY p.doc_id_1, p.doc_id_2
+)
+SELECT doc_id_1 AS new_doc_id, doc_id_2 AS corpus_doc_id,
+       common_shingles,
+       c1.c AS shingles_1, c2.c AS shingles_2
+FROM common
+JOIN cnt c1 ON doc_id_1 = c1.doc_id
+JOIN cnt c2 ON doc_id_2 = c2.doc_id
+WHERE {JACCARD_DEN} * common_shingles
+      >= {JACCARD_NUM} * (c1.c + c2.c - common_shingles)""",
     "dedup_simhash": f"""
 WITH {_SIMHASH_CTES}
 SELECT doc_id, simhash FROM sim""",
