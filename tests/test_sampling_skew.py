@@ -234,3 +234,28 @@ def test_kmv_rolling_estimate_is_in_band(spark, sf_dir):
             assert e == x  # degenerate sketch IS the exact count
         else:
             assert abs(e - x) <= max(4, int(1.1 * x))  # 4σ at 27% rse
+
+
+def test_histogram_quantile_buckets_contain_exact_values(spark, sf_dir):
+    """Each reported [lo, hi] bucket must contain the exact rank-target
+    value, and n_below must equal the rows strictly before the
+    bucket."""
+    from thrivefinancedatapipeline_spark.datamodel import load_table
+    from thrivefinancedatapipeline_spark.operators.sketches import (
+        q_histogram_quantiles,
+    )
+
+    got = {r.q: r for r in q_histogram_quantiles(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    cents = sorted(
+        r.c for r in ev.select(
+            F.round(F.col("value") * 100).cast("long").alias("c")
+        ).collect()
+    )
+    n = len(cents)
+    for q, row in got.items():
+        target = -((-q * n) // 100)  # ceil(qn/100)
+        assert row.target_rank == target
+        exact = cents[target - 1]  # rank is 1-based
+        assert row.lo_cents <= exact <= row.hi_cents, (q, exact, row)
+        assert row.n_below == sum(1 for c in cents if c < row.lo_cents)

@@ -346,7 +346,79 @@ def q_rolling_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HIST_NBUCKETS = 256
+HIST_QUANTILES = (25, 50, 75, 90, 99)
+
+
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from a fixed equi-width integer histogram — the
+    mergeable-sketch answer to percentiles (the quantile sibling of
+    the CMS grid: 256 integer counters that merge by cell-wise
+    addition across partitions/days/clusters, then any quantile reads
+    off the cumulative histogram). Unlike approx_percentile's KLL,
+    this sketch is a DETERMINISTIC function of the data, so the full
+    structure sits under the cross-engine value hash — no error band
+    needed; the price is resolution fixed by the bucket width instead
+    of adaptive rank error.
+
+    Everything is exact integer: bucket width = ceil(range/256),
+    bucket = (cents-min) div w, target rank = ceil(q*n/100); the
+    answer row per quantile is the first bucket whose cumulative count
+    reaches the target, reported as [lo, hi] cents bounds with the
+    rank mass below it. Plan: one min/max/count scan (broadcast 1-row
+    scalar), one map-side-combinable 256-cell histogram, and a window
+    over <=256 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    stats = cents.agg(
+        F.min("cents").alias("mn"),
+        F.max("cents").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    b = cents.crossJoin(F.broadcast(stats)).withColumn(
+        "w",
+        F.expr(f"greatest(1L, (mx - mn + 1 + {HIST_NBUCKETS - 1})"
+               f" div {HIST_NBUCKETS})"),
+    )
+    hist = (
+        b.withColumn("bucket", F.expr("(cents - mn) div w"))
+        .groupBy("bucket", "mn", "w", "n")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wcum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(wcum))
+    qs = F.explode(
+        F.array(*[F.lit(q) for q in HIST_QUANTILES])
+    ).alias("q")
+    targets = stats.select(qs, F.expr("(q * n + 99) div 100").alias("target"))
+    hit = (
+        cum.join(F.broadcast(targets), F.col("cum") >= F.col("target"))
+        .groupBy("q", "target")
+        .agg(
+            F.min("bucket").alias("bucket"),
+            F.min_by(F.col("cum") - F.col("c"), F.col("bucket")).alias(
+                "n_below"
+            ),
+            F.first("mn").alias("mn"),
+            F.first("w").alias("w"),
+        )
+    )
+    return hit.select(
+        F.col("q").cast("int").alias("q"),
+        F.col("target").cast("long").alias("target_rank"),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.expr("mn + bucket * w").cast("long").alias("lo_cents"),
+        F.expr("mn + (bucket + 1) * w - 1").cast("long").alias("hi_cents"),
+        F.col("n_below").cast("long").alias("n_below"),
+    )
+
+
 QUERIES = {
+    "histogram_quantiles": q_histogram_quantiles,
     "rolling_distinct_kmv": q_rolling_distinct_kmv,
     "sketch_distinct_users": q_sketch_distinct_users,
     "approx_distinct_attest": q_approx_distinct_attest,
@@ -360,6 +432,42 @@ _H = md5_long_sql("CAST(user_id AS VARCHAR)")
 from ..plans.events_queries import ROLLING_DAYS as _RD
 
 ORACLES = {
+    "histogram_quantiles": f"""
+WITH cents AS (SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+               FROM events),
+stats AS (SELECT MIN(cents) AS mn, MAX(cents) AS mx,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM cents),
+params AS (SELECT mn, n,
+                  greatest(1, (mx - mn + 1 + {HIST_NBUCKETS - 1})
+                              // {HIST_NBUCKETS}) AS w
+           FROM stats),
+hist AS (
+  SELECT (cents - mn) // w AS bucket, mn, w, n,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM cents CROSS JOIN params
+  GROUP BY 1, 2, 3, 4),
+cum AS (
+  SELECT *, CAST(SUM(c) OVER (ORDER BY bucket
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM hist),
+targets AS (
+  SELECT q, (q * n + 99) // 100 AS target
+  FROM params CROSS JOIN (SELECT unnest({list(HIST_QUANTILES)}) AS q)),
+hit AS (
+  SELECT t.q, t.target, MIN(cum.bucket) AS bucket,
+         MIN_BY(cum.cum - cum.c, cum.bucket) AS n_below,
+         MIN_BY(cum.mn, cum.bucket) AS mn,
+         MIN_BY(cum.w, cum.bucket) AS w
+  FROM targets t JOIN cum ON cum.cum >= t.target
+  GROUP BY t.q, t.target)
+SELECT CAST(q AS INT) AS q,
+       CAST(target AS BIGINT) AS target_rank,
+       CAST(bucket AS BIGINT) AS bucket,
+       CAST(mn + bucket * w AS BIGINT) AS lo_cents,
+       CAST(mn + (bucket + 1) * w - 1 AS BIGINT) AS hi_cents,
+       CAST(n_below AS BIGINT) AS n_below
+FROM hit""",
     "rolling_distinct_kmv": f"""
 WITH daily AS (SELECT DISTINCT CAST(ts AS DATE) AS d, {_H} AS h
                FROM events),
