@@ -142,3 +142,53 @@ SELECT lang, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        CAST(before % {PACK_BUDGET} AS BIGINT) AS pack_offset
 FROM cum""",
 }
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chunk-level packing plan — the composition a pretraining
+    data build actually runs: chunk documents into overlapping token
+    windows (`corpus_chunk`), drop cross-document duplicate chunks
+    (`chunk_dedup` survivors), then assign each surviving chunk its
+    context-window pack per language stream via the same ranged
+    prefix sum as document packing (no per-stream single-reducer
+    window). Order within a stream is (doc_id, chunk_idx) — document
+    order with chunks kept contiguous."""
+    from .textops import q_chunk_dedup
+
+    chunks = q_chunk_dedup(spark, sf_dir).select(
+        "doc_id", "chunk_idx", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+    lang = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = chunks.join(lang, "doc_id")
+    return pack_assignments(
+        j, ["lang"], ["doc_id", "chunk_idx"], "n_tokens"
+    )
+
+
+QUERIES["pack_chunks"] = q_pack_chunks
+
+
+def _pack_chunks_oracle() -> str:
+    from .textops import CHUNK_H_CTES, CHUNK_SURVIVORS_SQL
+
+    return f"""
+WITH {CHUNK_H_CTES},
+{CHUNK_SURVIVORS_SQL},
+j AS (
+  SELECT d2.lang, surv.doc_id, surv.chunk_idx,
+         CAST(surv.n_tokens AS BIGINT) AS n_tokens
+  FROM surv JOIN documents d2 ON d2.doc_id = surv.doc_id),
+cum AS (
+  SELECT lang, doc_id, chunk_idx, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang
+                             ORDER BY doc_id, chunk_idx
+                             ROWS UNBOUNDED PRECEDING) - n_tokens
+           AS before
+  FROM j)
+SELECT lang, doc_id, chunk_idx, n_tokens,
+       CAST(before // {PACK_BUDGET} AS BIGINT) AS pack_id,
+       CAST(before % {PACK_BUDGET} AS BIGINT) AS pack_offset
+FROM cum"""
+
+
+ORACLES["pack_chunks"] = _pack_chunks_oracle()

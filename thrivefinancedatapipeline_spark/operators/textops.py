@@ -506,6 +506,42 @@ def _grams_sql(n: int) -> str:
             f"ELSE CAST([] AS VARCHAR[]) END")
 
 
+#: shared chunk CTEs: documents → (doc_id, chunk_idx, chunk_hash,
+#: n_tokens) survivor-eligible chunk rows (`h`), used by the
+#: chunk_dedup oracle here and the pack_chunks oracle in packing.py.
+CHUNK_H_CTES = f"""
+d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+st AS (
+  SELECT doc_id, toks,
+         unnest(list_filter(range(0, greatest(len(toks), 1),
+                                  {CHUNK_STRIDE}),
+                s -> s = 0 OR
+                     s + {CHUNK_TOKENS - CHUNK_STRIDE} < len(toks)))
+           AS start
+  FROM d),
+h AS (
+  SELECT doc_id,
+         CAST(start // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+         md5(array_to_string(toks[start + 1 : start + {CHUNK_TOKENS}], ' '))
+           AS chunk_hash,
+         CAST(len(toks[start + 1 : start + {CHUNK_TOKENS}]) AS INT)
+           AS n_tokens
+  FROM st)
+""".strip()
+
+#: survivor selection over `h` (min (doc_id, chunk_idx) per hash)
+CHUNK_SURVIVORS_SQL = f"""
+surv AS (
+  SELECT doc_id, chunk_idx, chunk_hash, n_tokens, n_copies
+  FROM (SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY chunk_hash
+                                  ORDER BY doc_id, chunk_idx) AS rn,
+               CAST(COUNT(*) OVER (PARTITION BY chunk_hash) AS BIGINT)
+                 AS n_copies
+        FROM h)
+  WHERE rn = 1)
+""".strip()
+
 ORACLES = {
     # kept starts are a PREFIX of the stride sequence (the keep
     # predicate is monotone in s), so chunk_idx == start // stride —
@@ -529,32 +565,7 @@ SELECT doc_id, chunk_idx,
        CAST(len(chunk) AS INT) AS n_tokens,
        md5(array_to_string(chunk, ' ')) AS chunk_hash
 FROM chunks""",
-    "chunk_dedup": f"""
-WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-st AS (
-  SELECT doc_id, toks,
-         unnest(list_filter(range(0, greatest(len(toks), 1),
-                                  {CHUNK_STRIDE}),
-                s -> s = 0 OR
-                     s + {CHUNK_TOKENS - CHUNK_STRIDE} < len(toks)))
-           AS start
-  FROM d),
-h AS (
-  SELECT doc_id,
-         CAST(start // {CHUNK_STRIDE} AS INT) AS chunk_idx,
-         md5(array_to_string(toks[start + 1 : start + {CHUNK_TOKENS}], ' '))
-           AS chunk_hash,
-         CAST(len(toks[start + 1 : start + {CHUNK_TOKENS}]) AS INT)
-           AS n_tokens
-  FROM st)
-SELECT doc_id, chunk_idx, chunk_hash, n_tokens, n_copies
-FROM (SELECT *,
-             ROW_NUMBER() OVER (PARTITION BY chunk_hash
-                                ORDER BY doc_id, chunk_idx) AS rn,
-             CAST(COUNT(*) OVER (PARTITION BY chunk_hash) AS BIGINT)
-               AS n_copies
-      FROM h)
-WHERE rn = 1""",
+    "chunk_dedup": None,  # filled below from the shared chunk CTEs
     "text_repetition": f"""
 WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 g AS (SELECT doc_id, toks,
@@ -964,3 +975,8 @@ SELECT doc_id, chunk_idx, lang AS doc_lang,
        CAST(CASE WHEN {_LANG_CASE} <> lang AND {_LANG_CASE} <> 'und'
                  THEN 1 ELSE 0 END AS INT) AS mismatch
 FROM h"""
+
+ORACLES["chunk_dedup"] = f"""
+WITH {CHUNK_H_CTES},
+{CHUNK_SURVIVORS_SQL}
+SELECT doc_id, chunk_idx, chunk_hash, n_tokens, n_copies FROM surv"""
