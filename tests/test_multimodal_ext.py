@@ -186,6 +186,44 @@ def test_gif_lzw_decoder_handles_growing_dictionary():
         assert gif._lzw_decode(8, data)[: len(indices)] == indices
 
 
+def test_gif_corrupt_inputs_raise_valueerror_not_keyerror():
+    """Error surface contract: every corrupt-payload path raises the
+    documented ValueError — never a bare KeyError/IndexError leaking
+    from the table lookup or sub-block reads."""
+    import pytest
+
+    from thrivefinancedatapipeline_spark.multimodal import gif
+
+    good = gif.encode_gif(bytes(range(64)), 8, 8)
+
+    # dictionary code immediately after CLEAR (prev is None): pack
+    # [CLEAR, 300] at 9 bits — 300 is not in the fresh table
+    bad_first = bytearray()
+    acc, nbits = 0, 0
+    for code in (256, 300):
+        acc |= code << nbits
+        nbits += 9
+        while nbits >= 8:
+            bad_first.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        bad_first.append(acc & 0xFF)
+    with pytest.raises(ValueError, match="corrupt LZW"):
+        gif._lzw_decode(8, bytes(bad_first))
+
+    truncations = [
+        good[:10],               # header cut inside the screen desc
+        good[: 13 + 3 * 256 + 5],  # cut inside the image descriptor
+        good[:-20],              # cut inside the LZW sub-blocks
+    ]
+    for payload in truncations:
+        with pytest.raises(ValueError):
+            gif.decode_gif(payload)
+    with pytest.raises(ValueError):
+        gif.decode_gif(b"GIF89a\x01")  # shorter than any valid header
+
+
 def test_decode_kernel_runs_real_gif_bytes(spark, sf_dir):
     import zlib
 

@@ -55,6 +55,12 @@ def _lzw_decode(min_code: int, data: bytes) -> bytes:
         if code == end:
             break
         if prev is None:
+            # first code after a CLEAR must be a literal already in the
+            # table — a dictionary code here is corrupt, and a bare
+            # dict lookup would leak KeyError instead of the
+            # documented ValueError
+            if code not in table:
+                raise ValueError(f"corrupt LZW stream: code {code}")
             entry = table[code]
         else:
             if code in table:
@@ -77,6 +83,16 @@ def decode_gif(data: bytes) -> dict:
     pixels as RGB bytes (indices mapped through the color table)."""
     if not is_gif(data):
         raise ValueError("not a GIF")
+    if len(data) < 13:
+        raise ValueError("GIF header truncated")
+
+    def byte_at(p: int) -> int:
+        # single guarded read: truncated payloads surface as the
+        # documented ValueError, never a bare IndexError
+        if p >= len(data):
+            raise ValueError("GIF data truncated")
+        return data[p]
+
     w, h, packed, _bg, _aspect = struct.unpack_from("<HHBBB", data, 6)
     pos = 13
     global_table = b""
@@ -91,12 +107,14 @@ def decode_gif(data: bytes) -> dict:
             break
         if intro == 0x21:  # extension: label + sub-blocks
             pos += 1
-            while data[pos]:
+            while byte_at(pos):
                 pos += 1 + data[pos]
             pos += 1
             continue
         if intro != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{intro:02x}")
+        if pos + 9 > len(data):
+            raise ValueError("GIF image descriptor truncated")
         _l, _t, iw, ih, ipacked = struct.unpack_from("<HHHHB", data, pos)
         pos += 9
         if ipacked & 0x40:
@@ -108,11 +126,13 @@ def decode_gif(data: bytes) -> dict:
             pos += 3 * n
         if not table:
             raise ValueError("GIF image with no color table")
-        min_code = data[pos]
+        min_code = byte_at(pos)
         pos += 1
         lzw = bytearray()
-        while data[pos]:
+        while byte_at(pos):
             size = data[pos]
+            if pos + 1 + size > len(data):
+                raise ValueError("GIF data truncated")
             lzw += data[pos + 1 : pos + 1 + size]
             pos += 1 + size
         pos += 1

@@ -934,8 +934,13 @@ def q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+    # degrees for the output come from the CHECKPOINTED edges (which
+    # carry deg per row), not the pre-checkpoint `deg` DataFrame —
+    # using `deg` here would re-run the whole simhash-pair pipeline
+    # once more at output time, defeating the checkpoint
+    out_deg = edges.select(F.col("u").alias("doc_id"), "deg").distinct()
     return (
-        mass.join(deg.select(F.col("u").alias("doc_id"), "deg"), "doc_id", "left")
+        mass.join(out_deg, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("deg"), F.lit(0)).cast("long").alias("degree"),

@@ -516,7 +516,17 @@ def q_events_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("prev").isNull() | (F.col("prev") == 0),
                 F.lit(None).cast("long"),
             )
-            .otherwise(F.expr("(cents - prev) * 1000000 div abs(prev)"))
+            .otherwise(
+                # numerator widened to DECIMAL(38,0) (repo ppm
+                # convention): raw BIGINT (cents-prev)*1e6 would throw
+                # ARITHMETIC_OVERFLOW under ANSI once weekly totals
+                # pass ~9.2e12 cents; `div` still yields BIGINT, so
+                # the output type (and the r4 proof) is unchanged
+                F.expr(
+                    "CAST(cents - prev AS DECIMAL(38,0))"
+                    " * 1000000 div abs(prev)"
+                )
+            )
             .alias("change_ppm"),
         )
     )

@@ -457,27 +457,55 @@ def run_scd2_upsert(spark, source_dir: str, dim_path: str, checkpoint: str):
     same code into the reference's monthly cron. Inherits the
     increment contract (batches arrive time-ordered — the
     monthly-export reality; a watermark-delayed buffer fronts this for
-    out-of-order sources). localCheckpoint materializes the merged
-    dimension BEFORE the overwrite so the read-then-rewrite of the
-    same path is safe. Equality with a full rebuild over all drained
-    batches is pinned by test."""
+    out-of-order sources).
+
+    The snapshot swap is ATOMIC at the directory level: each batch
+    writes the merged dimension to `<dim_path>__tmp`, then renames the
+    live dir aside and the tmp dir into place (two same-filesystem
+    renames, each atomic). A crash mid-write leaves the live snapshot
+    untouched; a crash between the renames leaves `<dim_path>__old` as
+    the fallback the next batch reads — a partially-written parquet
+    dir is never read back as prev. Equality with a full rebuild over
+    all drained batches is pinned by test."""
     import os
+    import shutil
 
     from ..operators.balance import balance_scd2, scd2_apply_increment
 
     txns = stream_transactions(spark, source_dir, max_files_per_trigger=1)
+    tmp_path, old_path = dim_path + "__tmp", dim_path + "__old"
+
+    def current_snapshot() -> str | None:
+        # The live dir is authoritative; __old only exists if a crash
+        # hit between the two renames (live was moved aside but tmp
+        # never made it in) — then __old IS the last committed state.
+        if os.path.isdir(dim_path):
+            return dim_path
+        if os.path.isdir(old_path):
+            return old_path
+        return None
 
     def upsert(batch_df, batch_id):
         if batch_df.isEmpty():
             return
-        if os.path.isdir(dim_path):
-            prev = spark.read.parquet(dim_path)
+        prev_path = current_snapshot()
+        if prev_path is not None:
+            prev = spark.read.parquet(prev_path)
             new_dim = scd2_apply_increment(prev, batch_df)
         else:
             new_dim = balance_scd2(batch_df)
+        if os.path.isdir(tmp_path):  # stale tmp from a crashed write
+            shutil.rmtree(tmp_path)
         new_dim.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            dim_path
+            tmp_path
         )
+        if os.path.isdir(old_path):
+            shutil.rmtree(old_path)
+        if os.path.isdir(dim_path):
+            os.replace(dim_path, old_path)
+        os.replace(tmp_path, dim_path)
+        if os.path.isdir(old_path):
+            shutil.rmtree(old_path)
 
     (
         txns.writeStream.foreachBatch(upsert)
