@@ -59,3 +59,75 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir):
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS ord_b")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_minhash_band_index_probe_parity_and_plan(spark, sf_dir):
+    """The materialized corpus band index: (1) probing it returns
+    row-for-row what the in-query incremental probe returns, (2) the
+    probe's band join leaves the index scan exchange-free (only the
+    small new-batch side shuffles), (3) appending a delivery keeps
+    both properties — the corpus is never re-banded."""
+    from pyspark.sql import functions as F
+
+    from thrivefinancedatapipeline_spark.datamodel import load_table
+    from thrivefinancedatapipeline_spark.operators.dedup import (
+        INCR_MOD,
+        INCR_NEW_REM,
+        build_minhash_band_index,
+        append_minhash_band_index,
+        minhash_bands_for,
+        probe_minhash_band_index,
+        q_dedup_incremental_minhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = (F.col("doc_id") % INCR_MOD) == INCR_NEW_REM
+    corpus = docs.filter(~is_new)
+    table = "minhash_band_index_t"
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    want = rows(q_dedup_incremental_minhash(spark, sf_dir))
+
+    # full build → probe parity
+    build_minhash_band_index(spark, corpus, table=table)
+    assert rows(probe_minhash_band_index(spark, sf_dir, table=table)) == want
+
+    # plan: candidate join against the index scans it with NO Exchange
+    # on the index side (force sort-merge so broadcast can't hide it)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bn = minhash_bands_for(docs.filter(is_new)).select(
+            F.col("doc_id").alias("doc_id_1"), "band", "key"
+        )
+        idx = spark.table(table).select(
+            F.col("doc_id").alias("doc_id_2"), "band", "key"
+        )
+        plan = simple_plan(bn.join(idx, ["band", "key"]))
+        # both Exchanges belong to the probe side (its signature
+        # groupBy + its join repartition); a third would mean the
+        # index got reshuffled
+        assert plan.count("Exchange") == 2
+        assert "Bucketed: true" in plan
+        # the index branch prints last (second join child): from its
+        # final Sort down to the bucketed FileScan there is no Exchange
+        index_branch = plan[plan.rfind("Sort [band") :]
+        assert "Bucketed: true" in index_branch
+        assert "Exchange" not in index_branch
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # append maintenance: build from half the corpus, append the rest
+    # — identical probe result, still bucketed
+    half_a = corpus.filter((F.col("doc_id") % 4) < 2)
+    half_b = corpus.filter((F.col("doc_id") % 4) >= 2)
+    build_minhash_band_index(spark, half_a, table=table)
+    append_minhash_band_index(spark, half_b, table=table)
+    assert rows(probe_minhash_band_index(spark, sf_dir, table=table)) == want
+    assert "Bucketed: true" in simple_plan(
+        spark.table(table).select("band", "key", "doc_id")
+    ) or "bucket" in spark.sql(f"DESCRIBE EXTENDED {table}").toPandas().to_string().lower()
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")

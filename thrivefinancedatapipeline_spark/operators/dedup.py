@@ -34,6 +34,7 @@ from ..functions.text import (
     shingles_from_tokens,
     tokens,
 )
+from ..sources.bucketing import write_bucketed
 
 # MinHash parameters (shared with the SQL oracle below).
 P = 2_147_483_647  # Mersenne prime 2^31-1: products stay inside int64
@@ -237,13 +238,11 @@ def _minhash_signatures(sh: DataFrame) -> DataFrame:
     return hs.groupBy("doc_id").agg(*aggs)
 
 
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidates (4 bands x 4 rows), exact-verified.
-    localCheckpoint over persist for the shared shingle relation: same
-    compute-once materialization, no pinned cache after the result is
-    released (see q_dedup_ngram_jaccard)."""
-    sh = _shingle_rows(_docs(spark, sf_dir)).localCheckpoint(eager=True)
-    sig = _minhash_signatures(sh)
+def _minhash_bands(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, key) rows from a minhash-signature frame — the
+    shared banding used by the LSH query, the incremental probe, and
+    the materialized corpus band index (all three MUST band
+    identically or probes silently miss collisions)."""
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -253,9 +252,28 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(NB)
     ]
-    bands = sig.select(
+    return sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
+def minhash_bands_for(docs: DataFrame) -> DataFrame:
+    """Bands for an arbitrary document set. MinHash signatures are
+    per-document, so banding a subset equals filtering the full
+    banding — the property that makes the corpus index appendable one
+    delivery at a time."""
+    return _minhash_bands(_minhash_signatures(_shingle_rows(docs)))
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates (4 bands x 4 rows), exact-verified.
+    localCheckpoint over persist for the shared shingle relation: same
+    compute-once materialization, no pinned cache after the result is
+    released (see q_dedup_ngram_jaccard)."""
+    sh = _shingle_rows(_docs(spark, sf_dir)).localCheckpoint(eager=True)
+    bands = _minhash_bands(_minhash_signatures(sh))
     b1 = bands.select(F.col("doc_id").alias("doc_id_1"), "band", "key")
     b2 = bands.select(F.col("doc_id").alias("doc_id_2"), "band", "key")
     cand = (
@@ -1055,23 +1073,15 @@ def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same 4×4 banding and exact Jaccard verify as dedup_minhash_lsh;
     candidates are (new, corpus) only — no corpus×corpus or new×new
-    pairs. Output: verified near-dup matches with overlap counts."""
+    pairs. Output: verified near-dup matches with overlap counts.
+
+    The maintained-table deployment of this probe is
+    `build_minhash_band_index` / `probe_minhash_band_index` below:
+    identical banding, with the corpus side read from a bucketed
+    catalog table instead of being re-banded per run (parity is
+    pinned by tests/test_bucketing.py)."""
     sh = _shingle_rows(_docs(spark, sf_dir)).localCheckpoint(eager=True)
-    sig = _minhash_signatures(sh)
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                "_", *[F.col(f"m{b * R + r}").cast("string") for r in range(R)]
-            ).alias("key"),
-        )
-        for b in range(NB)
-    ]
-    bands = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    bands = _minhash_bands(_minhash_signatures(sh))
     is_new = (F.col("doc_id") % INCR_MOD) == INCR_NEW_REM
     bn = bands.filter(is_new).select(
         F.col("doc_id").alias("doc_id_1"), "band", "key"
@@ -1082,6 +1092,84 @@ def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         bn.join(bc, ["band", "key"]).select("doc_id_1", "doc_id_2").distinct()
     )
+    return _verified_pairs(cand, sh).select(
+        F.col("doc_id_1").alias("new_doc_id"),
+        F.col("doc_id_2").alias("corpus_doc_id"),
+        "common_shingles",
+        "shingles_1",
+        "shingles_2",
+    )
+
+
+MINHASH_INDEX_TABLE = "minhash_band_index"
+#: power-of-2 per the bucket-count contract (sources/bucketing.py)
+MINHASH_INDEX_BUCKETS = 8
+
+
+def build_minhash_band_index(
+    spark: SparkSession,
+    corpus_docs: DataFrame,
+    table: str = MINHASH_INDEX_TABLE,
+    n_buckets: int = MINHASH_INDEX_BUCKETS,
+) -> None:
+    """Materialize the corpus MinHash band index as a BUCKETED catalog
+    table — the maintained-table form the incremental probe's
+    docstring promises. (band, key, doc_id) rows bucketed+sorted on
+    the probe's join keys (band, key): every future delivery's probe
+    join plans with NO Exchange on the corpus side — only the small
+    new batch shuffles (asserted in tests/test_bucketing.py). At
+    100 TB this is the difference between re-shuffling the corpus
+    band relation per delivery and never touching it."""
+    write_bucketed(
+        minhash_bands_for(corpus_docs), table, ["band", "key"], n_buckets
+    )
+
+
+def append_minhash_band_index(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    table: str = MINHASH_INDEX_TABLE,
+    n_buckets: int = MINHASH_INDEX_BUCKETS,
+) -> None:
+    """Index maintenance: band the (small) new delivery and APPEND it
+    into the bucketed index — per-document signatures make the index
+    append-only (banding a subset == filtering the full banding), so
+    the corpus is never re-banded. Append preserves the bucket spec:
+    Spark hashes the appended rows into the existing bucket layout, so
+    probes stay exchange-free afterwards (test-pinned)."""
+    (
+        minhash_bands_for(new_docs)
+        .write.mode("append")
+        .format("parquet")
+        .bucketBy(n_buckets, "band", "key")
+        .sortBy("band", "key")
+        .saveAsTable(table)
+    )
+
+
+def probe_minhash_band_index(
+    spark: SparkSession, sf_dir: str, table: str = MINHASH_INDEX_TABLE
+) -> DataFrame:
+    """`q_dedup_incremental_minhash` with the corpus side read from
+    the materialized bucketed index: only the new batch is shingled/
+    banded at probe time, and the band join leaves the index scan
+    exchange-free. The verify stage still needs shingle arrays for the
+    matched corpus docs — the candidate set is tiny, so at scale that
+    is a semi-join fetch against the document store, expressed here
+    over the same `documents` table. Output schema and rows are
+    IDENTICAL to q_dedup_incremental_minhash (parity test-pinned)."""
+    docs = _docs(spark, sf_dir)
+    is_new = (F.col("doc_id") % INCR_MOD) == INCR_NEW_REM
+    bn = minhash_bands_for(docs.filter(is_new)).select(
+        F.col("doc_id").alias("doc_id_1"), "band", "key"
+    )
+    idx = spark.table(table).select(
+        F.col("doc_id").alias("doc_id_2"), "band", "key"
+    )
+    cand = (
+        bn.join(idx, ["band", "key"]).select("doc_id_1", "doc_id_2").distinct()
+    )
+    sh = _shingle_rows(docs).localCheckpoint(eager=True)
     return _verified_pairs(cand, sh).select(
         F.col("doc_id_1").alias("new_doc_id"),
         F.col("doc_id_2").alias("corpus_doc_id"),
