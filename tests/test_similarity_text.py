@@ -136,3 +136,30 @@ def test_quality_gate_keeps_top_half_per_lang(spark, sf_dir):
         kept_per_lang[r.lang] = kept_per_lang.get(r.lang, 0) + 1
     for lang, n in n_per_lang.items():
         assert kept_per_lang.get(lang, 0) == n // 2
+
+
+def test_bpe_train_k_merge_list_properties(spark, sf_dir):
+    """BPE training invariants: K rows, one per round; winning pair
+    counts are non-increasing (a merge can only remove occurrences of
+    existing pairs, and pairs born from the new symbol inherit at most
+    its count); merged symbols are distinct; and round 1 equals
+    bpe_merge_candidates' rank-1 pair."""
+    from thrivefinancedatapipeline_spark.operators.textops import (
+        BPE_ROUNDS,
+        q_bpe_merge_candidates,
+        q_bpe_train_k,
+    )
+
+    rows = sorted(q_bpe_train_k(spark, sf_dir).collect())
+    assert [r["round"] for r in rows] == list(range(1, BPE_ROUNDS + 1))
+    counts = [r["pair_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert len({r["merged"] for r in rows}) == BPE_ROUNDS
+    for r in rows:
+        assert r["merged"] == r["left_sym"] + r["right_sym"]
+    top1 = q_bpe_merge_candidates(spark, sf_dir).filter("rank = 1").collect()
+    # bpe_merge_candidates pairs CHARACTERS of raw words (incl.
+    # non-alnum), train_k pairs symbols of the alnum vocab — round 1
+    # agrees whenever the global winner is alnum, which it is here
+    assert rows[0]["merged"] == top1[0]["pair"]
+    assert rows[0]["pair_count"] == top1[0]["pair_count"]

@@ -891,6 +891,141 @@ FROM counts
 QUALIFY rank <= {BPE_TOP_PAIRS}"""
 
 
+BPE_ROUNDS = 6
+
+
+def q_bpe_train_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL BPE tokenizer training, {BPE_ROUNDS} rounds distributed —
+    the iterated form of `bpe_merge_candidates` (Sennrich et al. 2016):
+    each round picks the globally most frequent adjacent symbol pair
+    and merges it greedily left-to-right in every vocabulary word,
+    then re-pairs. Output: the ordered merge list (round, left_sym,
+    right_sym, merged, pair_count) — the artifact a tokenizer ships.
+
+    Symbol sequences are encoded as `(a)(bc)(d)` strings over the
+    ALNUM-filtered vocabulary (BPE runs post-pretokenization; the
+    filter also makes the parens markers unambiguous, since merged
+    symbols stay alnum). A merge is then plain `replace(s, '(l)(r)',
+    '(lr)')` — both engines scan left-to-right without rescanning the
+    replacement, which IS greedy non-overlapping BPE merge semantics
+    ('(a)(a)(a)(a)' -> '(aa)(aa)', one pass). Pair counting follows
+    the reference algorithm: every adjacent position counts (in 'aaa'
+    the pair (a,a) counts twice) even though the merge is
+    non-overlapping.
+
+    Scale shape: the corpus -> vocabulary distinct-reduce happens ONCE
+    and is checkpointed; all {BPE_ROUNDS} rounds iterate on the TINY
+    vocab relation (pair explode bounded by word length, map-side
+    partial aggregation, one-row top-1 broadcast back — no collect).
+    localCheckpoint per round per the iterative-loop rule. Ties break
+    on (count desc, left, right) — pure ASCII ordering, engine-stable.
+    The DuckDB oracle unrolls the same {BPE_ROUNDS} rounds and matches
+    bit-for-bit (dedup_pagerank's unrolled-oracle pattern)."""
+    docs = _docs(spark, sf_dir)
+    vocab = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .filter(F.col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.regexp_replace("w", "(.)", r"($1)").alias("s"), "freq")
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    for rnd in range(1, BPE_ROUNDS + 1):
+        syms = F.split(
+            F.expr("substring(s, 2, length(s) - 2)"), r"\)\("
+        )
+        pairs = (
+            vocab.select(syms.alias("syms"), "freq")
+            .filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - F.lit(1)),
+                        lambda i: F.struct(
+                            F.element_at(F.col("syms"), i).alias("l"),
+                            F.element_at(F.col("syms"), i + 1).alias("r"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .select("freq", "p.l", "p.r")
+        )
+        best = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "l", "r")
+            .limit(1)
+            .localCheckpoint(eager=True)  # 1 row: both consumers reuse
+        )
+        merges.append(
+            best.select(
+                F.lit(rnd).alias("round"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                F.concat("l", "r").alias("merged"),
+                "pair_count",
+            )
+        )
+        vocab = (
+            vocab.crossJoin(F.broadcast(best))
+            .select(
+                F.expr(
+                    "replace(s, '(' || l || ')(' || r || ')',"
+                    " '(' || l || r || ')')"
+                ).alias("s"),
+                "freq",
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out
+
+
+QUERIES["bpe_train_k"] = q_bpe_train_k
+
+
+def _bpe_train_k_oracle() -> str:
+    ctes = [
+        f"tok AS (SELECT unnest({_TOKS}) AS w FROM documents)",
+        "vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM tok"
+        " WHERE regexp_matches(w, '^[a-z0-9]+$') GROUP BY w)",
+        "s0 AS (SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS s, freq"
+        " FROM vocab)",
+    ]
+    for r in range(1, BPE_ROUNDS + 1):
+        ctes.append(
+            f"p{r} AS (SELECT freq, unnest(list_transform("
+            "range(1, len(syms)), i -> syms[i] || ' ' || syms[i+1])) AS pr"
+            " FROM (SELECT string_split(substring(s, 2, length(s) - 2),"
+            f" ')(') AS syms, freq FROM s{r - 1}) ss"
+            " WHERE len(syms) >= 2)"
+        )
+        ctes.append(
+            f"b{r} AS (SELECT string_split(pr, ' ')[1] AS l,"
+            " string_split(pr, ' ')[2] AS r,"
+            " CAST(SUM(freq) AS BIGINT) AS pair_count"
+            f" FROM p{r} GROUP BY pr"
+            " ORDER BY pair_count DESC, l, r LIMIT 1)"
+        )
+        ctes.append(
+            f"s{r} AS (SELECT replace(s, '(' || b.l || ')(' || b.r || ')',"
+            f" '(' || b.l || b.r || ')') AS s, freq FROM s{r - 1}, b{r} b)"
+        )
+    selects = [
+        f"SELECT CAST({r} AS INT) AS round, l AS left_sym, r AS right_sym,"
+        f" l || r AS merged, pair_count FROM b{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+ORACLES["bpe_train_k"] = _bpe_train_k_oracle()
+
+
 def q_chunk_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-CHUNK language re-ID against the document-level label — the
     quality probe that catches concatenated multi-language documents
