@@ -259,3 +259,88 @@ def test_histogram_quantile_buckets_contain_exact_values(spark, sf_dir):
         exact = cents[target - 1]  # rank is 1-based
         assert row.lo_cents <= exact <= row.hi_cents, (q, exact, row)
         assert row.n_below == sum(1 for c in cents if c < row.lo_cents)
+
+
+def test_equidepth_quantiles_exact_containment_and_refinement(spark, sf_dir):
+    """The adaptive sketch keeps the containment contract (each [lo,hi]
+    holds the exact rank-target value; n_below counts rows strictly
+    below lo) AND refines: every quantile landing in a heavy cell
+    reports a bound no wider than ceil(w / EQD_SUB); total bound width
+    across quantiles is <= the equi-width sketch's."""
+    from thrivefinancedatapipeline_spark.datamodel import load_table
+    from thrivefinancedatapipeline_spark.operators.sketches import (
+        q_equidepth_quantiles,
+        q_histogram_quantiles,
+    )
+
+    got = {r.q: r for r in q_equidepth_quantiles(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    cents = sorted(
+        r.c for r in ev.select(
+            F.round(F.col("value") * 100).cast("long").alias("c")
+        ).collect()
+    )
+    n = len(cents)
+    for q, row in got.items():
+        target = -((-q * n) // 100)
+        assert row.target_rank == target
+        exact = cents[target - 1]
+        assert row.lo_cents <= exact <= row.hi_cents, (q, exact, row)
+        assert row.n_below == sum(1 for c in cents if c < row.lo_cents)
+
+    eqw = {r.q: r for r in q_histogram_quantiles(spark, sf_dir).collect()}
+    # the adaptivity contract: where a quantile lands in a heavy cell
+    # the bound collapses to a sub-cell — ceil(w/EQD_SUB) wide, i.e.
+    # up to 16x finer than even the 256-cell equi-width grid (64*64
+    # vs 256 effective cells where the mass lives)
+    from thrivefinancedatapipeline_spark.operators.sketches import (
+        EQD_NB,
+        EQD_SUB,
+    )
+
+    mn, mx = cents[0], cents[-1]
+    w = max(1, (mx - mn + 1 + EQD_NB - 1) // EQD_NB)
+    sub_w = max(1, (w + EQD_SUB - 1) // EQD_SUB)
+    assert any(r.refined for r in got.values())
+    for q, row in got.items():
+        if row.refined:
+            assert row.hi_cents - row.lo_cents + 1 <= sub_w
+            assert (
+                row.hi_cents - row.lo_cents
+                <= eqw[q].hi_cents - eqw[q].lo_cents
+            )
+        else:
+            assert row.hi_cents - row.lo_cents + 1 <= w
+
+
+def test_equidepth_cells_merge_equals_direct(spark, sf_dir):
+    """Mergeability: refined-histogram cells built on disjoint halves
+    under SHARED pass-1 boundaries, added cell-wise, equal the cells
+    built directly on the union — the property that lets a 100 TB
+    deployment sketch per partition/day and merge."""
+    from thrivefinancedatapipeline_spark.datamodel import load_table
+    from thrivefinancedatapipeline_spark.operators.sketches import (
+        equidepth_boundaries,
+        equidepth_cells,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.col("event_id"),
+    )
+    stats, heavy = equidepth_boundaries(cents.select("cents"))
+    stats = stats.localCheckpoint(eager=True)
+    heavy = heavy.localCheckpoint(eager=True)
+    half_a = cents.filter("event_id % 2 = 0").select("cents")
+    half_b = cents.filter("event_id % 2 = 1").select("cents")
+    merged = (
+        equidepth_cells(half_a, stats, heavy)
+        .unionAll(equidepth_cells(half_b, stats, heavy))
+        .groupBy("bucket", "sub")
+        .agg(F.sum("c").alias("c"))
+    )
+    direct = equidepth_cells(cents.select("cents"), stats, heavy)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )

@@ -417,8 +417,152 @@ def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EQD_NB = 64        # coarse equi-width cells (pass 1)
+EQD_SUB = 64       # sub-cells per heavy cell (pass 2)
+EQD_QUANTILES = HIST_QUANTILES
+
+
+def equidepth_cells(
+    cents: DataFrame, stats: DataFrame, heavy: DataFrame
+) -> DataFrame:
+    """(bucket, sub, c) refined-histogram cells for a data subset,
+    given GLOBAL boundaries: `stats` (1 row: mn, n, w) and `heavy`
+    (the coarse cells to split). Because the boundaries are inputs,
+    cells built on disjoint subsets MERGE by cell-wise addition —
+    the property the merge==direct test pins."""
+    b = cents.crossJoin(F.broadcast(stats)).withColumn(
+        "bucket", F.expr("(cents - mn) div w")
+    )
+    flagged = b.join(F.broadcast(heavy), "bucket", "left")
+    return (
+        flagged.withColumn(
+            "sub",
+            F.when(
+                F.col("is_heavy").isNull(), F.lit(0).cast("long")
+            ).otherwise(
+                F.expr("(cents - mn - bucket * w) div sub_w")
+            ),
+        )
+        .groupBy("bucket", "sub")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def equidepth_boundaries(cents: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Pass-1 scan: the 1-row global stats and the heavy-cell list
+    (coarse cells holding more than the average n/{EQD_NB} mass, each
+    with its sub-cell width). Both are deterministic functions of the
+    data and themselves mergeable (min/max/count + counter addition),
+    so a 100 TB deployment computes them once per epoch and shares
+    them across every partial sketch."""
+    stats = cents.agg(
+        F.min("cents").alias("mn"),
+        F.max("cents").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    ).withColumn(
+        "w",
+        F.expr(
+            f"greatest(1L, (mx - mn + 1 + {EQD_NB - 1}) div {EQD_NB})"
+        ),
+    ).select("mn", "n", "w")
+    h1 = (
+        cents.crossJoin(F.broadcast(stats))
+        .withColumn("bucket", F.expr("(cents - mn) div w"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c1"), F.first("n").alias("n"),
+             F.first("w").alias("w"))
+    )
+    heavy = h1.filter(F.expr(f"c1 > n div {EQD_NB}")).select(
+        "bucket",
+        F.lit(1).alias("is_heavy"),
+        F.expr(f"greatest(1L, (w + {EQD_SUB - 1}) div {EQD_SUB})").alias(
+            "sub_w"
+        ),
+    )
+    return stats, heavy
+
+
+def q_equidepth_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADAPTIVE quantile sketch: two-pass equi-depth refinement of the
+    equi-width histogram (`histogram_quantiles`' documented weakness
+    on long-tailed values). Pass 1 scans min/max/count and the coarse
+    {EQD_NB}-cell histogram; cells holding more than average mass —
+    where the distribution actually lives — are split into {EQD_SUB}
+    sub-cells in pass 2, so bound width shrinks by up to {EQD_SUB}x
+    exactly where quantiles land, t-digest's adaptivity with NONE of
+    its merge-order sensitivity: every structure here is a
+    DETERMINISTIC function of the data, fully under the cross-engine
+    value hash, and cells merge by addition given the shared pass-1
+    boundaries (merge==direct test-pinned).
+
+    Plan: two scans (the price of adaptivity), both map-side
+    combinable groupBys on integer cell ids; heavy list and 1-row
+    stats broadcast; final window over <= {EQD_NB}*{EQD_SUB} cells."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    stats, heavy = equidepth_boundaries(cents)
+    cells = equidepth_cells(cents, stats, heavy)
+    wcum = Window.orderBy("bucket", "sub").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cells.withColumn("cum", F.sum("c").over(wcum))
+    qs = F.explode(
+        F.array(*[F.lit(q) for q in EQD_QUANTILES])
+    ).alias("q")
+    targets = stats.select(
+        qs, F.expr("(q * n + 99) div 100").alias("target"), "mn", "w"
+    )
+    hit = (
+        cum.join(
+            F.broadcast(targets), F.col("cum") >= F.col("target")
+        )
+        .withColumn(
+            "cell", F.struct("bucket", "sub", "c", "cum")
+        )
+        .groupBy("q", "target")
+        .agg(
+            F.min_by("cell", F.struct("bucket", "sub")).alias("cell"),
+            F.first("mn").alias("mn"),
+            F.first("w").alias("w"),
+        )
+    ).join(
+        F.broadcast(heavy.select(F.col("bucket").alias("hb"), "sub_w")),
+        F.col("cell.bucket") == F.col("hb"),
+        "left",
+    )
+    sub_w = F.col("sub_w")
+    lo = F.when(
+        sub_w.isNull(), F.expr("mn + cell.bucket * w")
+    ).otherwise(
+        F.expr("mn + cell.bucket * w")
+        + F.col("cell.sub") * sub_w
+    )
+    hi = F.when(
+        sub_w.isNull(), F.expr("mn + (cell.bucket + 1) * w - 1")
+    ).otherwise(
+        F.least(
+            F.expr("mn + cell.bucket * w")
+            + (F.col("cell.sub") + 1) * sub_w - 1,
+            F.expr("mn + (cell.bucket + 1) * w - 1"),
+        )
+    )
+    return hit.select(
+        F.col("q").cast("int").alias("q"),
+        F.col("target").cast("long").alias("target_rank"),
+        F.col("cell.bucket").cast("long").alias("bucket"),
+        F.col("cell.sub").cast("long").alias("sub"),
+        lo.cast("long").alias("lo_cents"),
+        hi.cast("long").alias("hi_cents"),
+        (F.col("cell.cum") - F.col("cell.c")).cast("long").alias("n_below"),
+        sub_w.isNotNull().cast("int").alias("refined"),
+    )
+
+
 QUERIES = {
     "histogram_quantiles": q_histogram_quantiles,
+    "equidepth_quantiles": q_equidepth_quantiles,
     "rolling_distinct_kmv": q_rolling_distinct_kmv,
     "sketch_distinct_users": q_sketch_distinct_users,
     "approx_distinct_attest": q_approx_distinct_attest,
@@ -432,6 +576,60 @@ _H = md5_long_sql("CAST(user_id AS VARCHAR)")
 from ..plans.events_queries import ROLLING_DAYS as _RD
 
 ORACLES = {
+    "equidepth_quantiles": f"""
+WITH cents AS (SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+               FROM events),
+stats AS (SELECT MIN(cents) AS mn, MAX(cents) AS mx,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM cents),
+params AS (SELECT mn, n,
+                  greatest(1, (mx - mn + 1 + {EQD_NB - 1}) // {EQD_NB}) AS w
+           FROM stats),
+b AS (SELECT cents, mn, n, w, (cents - mn) // w AS bucket
+      FROM cents CROSS JOIN params),
+h1 AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c1,
+              MIN(n) AS n, MIN(w) AS w
+       FROM b GROUP BY bucket),
+heavy AS (SELECT bucket,
+                 greatest(1, (w + {EQD_SUB - 1}) // {EQD_SUB}) AS sub_w
+          FROM h1 WHERE c1 > n // {EQD_NB}),
+b2 AS (SELECT b.bucket,
+              CASE WHEN h.bucket IS NULL THEN 0
+                   ELSE (b.cents - b.mn - b.bucket * b.w) // h.sub_w
+              END AS sub
+       FROM b LEFT JOIN heavy h ON h.bucket = b.bucket),
+h2 AS (SELECT bucket, sub, CAST(COUNT(*) AS BIGINT) AS c
+       FROM b2 GROUP BY bucket, sub),
+cum AS (SELECT *, CAST(SUM(c) OVER (ORDER BY bucket, sub
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM h2),
+targets AS (SELECT q, (q * n + 99) // 100 AS target, mn, w
+            FROM params CROSS JOIN
+                 (SELECT unnest({list(EQD_QUANTILES)}) AS q)),
+hit AS (
+  SELECT t.q, t.target,
+         MIN_BY(cum.bucket, cum.bucket * {EQD_SUB} + cum.sub) AS bucket,
+         MIN_BY(cum.sub, cum.bucket * {EQD_SUB} + cum.sub) AS sub,
+         MIN_BY(cum.cum - cum.c, cum.bucket * {EQD_SUB} + cum.sub)
+           AS n_below,
+         MIN(t.mn) AS mn, MIN(t.w) AS w
+  FROM targets t JOIN cum ON cum.cum >= t.target
+  GROUP BY t.q, t.target)
+SELECT CAST(hit.q AS INT) AS q,
+       CAST(hit.target AS BIGINT) AS target_rank,
+       CAST(hit.bucket AS BIGINT) AS bucket,
+       CAST(hit.sub AS BIGINT) AS sub,
+       CAST(CASE WHEN h.sub_w IS NULL THEN mn + hit.bucket * w
+                 ELSE mn + hit.bucket * w + hit.sub * h.sub_w
+            END AS BIGINT) AS lo_cents,
+       CAST(CASE WHEN h.sub_w IS NULL THEN mn + (hit.bucket + 1) * w - 1
+                 ELSE least(mn + hit.bucket * w
+                              + (hit.sub + 1) * h.sub_w - 1,
+                            mn + (hit.bucket + 1) * w - 1)
+            END AS BIGINT) AS hi_cents,
+       CAST(hit.n_below AS BIGINT) AS n_below,
+       CAST(CASE WHEN h.sub_w IS NULL THEN 0 ELSE 1 END AS INT) AS refined
+FROM hit LEFT JOIN heavy h ON h.bucket = hit.bucket""",
     "histogram_quantiles": f"""
 WITH cents AS (SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
                FROM events),
