@@ -241,3 +241,49 @@ def test_decode_kernel_runs_real_gif_bytes(spark, sf_dir):
     rgb = b"".join(gif.PALETTE[3 * i : 3 * i + 3] for i in buf)
     assert (row.width, row.height) == (mm.PNG_WIDTH, height)
     assert row.checksum == zlib.crc32(rgb)
+
+
+def test_wav_codec_roundtrips_and_error_surface():
+    from thrivefinancedatapipeline_spark.multimodal import wav
+
+    for samples in (
+        [0, 1, -1, 32767, -32768],
+        list(range(-500, 500, 7)),
+        [],
+    ):
+        data = wav.encode_wav(samples, sample_rate=8_000)
+        dec = wav.decode_wav(data)
+        assert dec["samples"] == samples
+        assert dec["n_channels"] == 1
+        assert dec["sampwidth"] == 2
+        assert dec["framerate"] == 8_000
+        assert dec["n_frames"] == len(samples)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        wav.decode_wav(b"not audio at all")
+    good = wav.encode_wav([1, 2, 3, 4])
+    with pytest.raises(ValueError):
+        wav.decode_wav(good[:30])  # truncated header/frames
+
+
+def test_audio_energy_real_wav_path(spark, sf_dir):
+    """audio_energy over REAL WAV payloads: windowed sum-of-squares of
+    the exact PCM samples (which are the text's utf-8 bytes) — the
+    decode gate stays armed (fake=False) so any non-WAV byte stream
+    would raise instead of silently faking."""
+    from thrivefinancedatapipeline_spark.datamodel import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    out = mm.audio_energy(mm.wav_payloads(docs), fake=False).collect()
+    by_id = {r.doc_id: r for r in out}
+    for d in docs.collect():
+        raw = d.text.encode("utf-8")
+        want = [
+            float(sum(x * x for x in raw[i : i + mm.AUDIO_WINDOW]))
+            for i in range(0, max(len(raw), 1), mm.AUDIO_WINDOW)
+        ]
+        row = by_id[d.doc_id]
+        assert row.n_windows == len(want)
+        assert list(row.energy) == want

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..datamodel import load_table
-from . import gif, png
+from . import gif, png, wav
 
 DECODED_SCHEMA = (
     "doc_id long, n_bytes int, width int, height int, checksum long"
@@ -151,20 +151,46 @@ def resize_stub(decoded: DataFrame, target_w: int, target_h: int) -> DataFrame:
     )
 
 
-def audio_energy(docs_with_payload: DataFrame) -> DataFrame:
-    """Audio-style feature extraction: windowed byte-sum 'energy'
-    profile as an array<double> column per payload — the vector-per-
-    asset output shape an embedding/feature extractor produces."""
+def audio_energy(docs_with_payload: DataFrame, fake: bool = True) -> DataFrame:
+    """Audio feature extraction: windowed energy profile as an
+    array<double> column per payload — the vector-per-asset output
+    shape an embedding/feature extractor produces.
+
+    PCM WAV payloads decode FOR REAL via the stdlib codec in
+    `multimodal.wav`: energy is the sum of squared integer samples per
+    {AUDIO_WINDOW}-sample window (bit-reproducible — exact int math
+    before the float cast). Non-WAV bytes keep the decode-gate policy
+    of `decode_image_batch`: the windowed byte-sum fake when
+    fake=True, NotImplementedError otherwise (compressed audio needs
+    codecs this container doesn't have)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            energies = [
-                [
-                    float(sum(p[i : i + AUDIO_WINDOW]))
-                    for i in range(0, max(len(p), 1), AUDIO_WINDOW)
-                ]
-                for p in pdf["payload"]
-            ]
+            energies = []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                if wav.is_wav(b):
+                    s = wav.decode_wav(b)["samples"]
+                    energies.append(
+                        [
+                            float(sum(x * x for x in s[i : i + AUDIO_WINDOW]))
+                            for i in range(0, max(len(s), 1), AUDIO_WINDOW)
+                        ]
+                    )
+                elif fake:
+                    energies.append(
+                        [
+                            float(sum(b[i : i + AUDIO_WINDOW]))
+                            for i in range(0, max(len(b), 1), AUDIO_WINDOW)
+                        ]
+                    )
+                else:
+                    raise NotImplementedError(
+                        "only PCM WAV decodes natively here; compressed "
+                        "audio codecs are unavailable in this "
+                        "environment — pass fake=True for the "
+                        "deterministic stub"
+                    )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
@@ -175,6 +201,26 @@ def audio_energy(docs_with_payload: DataFrame) -> DataFrame:
 
     return docs_with_payload.mapInPandas(
         run, schema="doc_id long, n_windows int, energy array<double>"
+    )
+
+
+def wav_payloads(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL audio payloads: each document's text bytes
+    as 16-bit PCM samples in a valid mono WAV — the third real
+    container format on the write side (PNG/GIF pattern)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                wav.encode_wav(list(text.encode("utf-8")))
+                for text in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id long, payload binary"
     )
 
 
@@ -281,7 +327,60 @@ def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_stub(gif_payloads(docs), fake=False)
 
 
+ATTEST_SCHEMA = "doc_id long, png_sum long, gif_sum long, wav_energy long"
+
+
+def q_multimodal_codec_attest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-ATTESTED codec round-trips — the query that puts all
+    three real codecs (PNG, GIF, WAV) under the cross-engine value
+    hash, closing the 'rows-only by design' gap for formats we can
+    actually decode. Per document, the kernel derives 32 pixel/sample
+    values from md5(text) (the ascii codes of the hex digest — the
+    one hash both engines share), encodes them with each codec,
+    DECODES the bytes back with the real decoder, and emits
+    position-weighted checksums of the DECODED output. The DuckDB
+    oracle computes the same checksums directly from md5(text) in
+    SQL — any corruption in any encoder/decoder (filters, LZW
+    dictionary, PCM packing) flips the hash red.
+
+    png_sum weights decoded gray pixels by position; gif_sum weights
+    the palette-mapped RGB bytes (so the color-table mapping is
+    attested too); wav_energy is the exact integer sum of squared
+    decoded samples. mapInPandas batch kernel — the one place
+    Python-per-row is correct."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = {"doc_id": [], "png_sum": [], "gif_sum": [], "wav_energy": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                hx = hashlib.md5(text.encode("utf-8")).hexdigest()
+                vals = bytes(ord(c) for c in hx)  # 32 ascii codes
+                dec_png = png.decode_png(
+                    png.encode_png(
+                        vals, 8, 4, color_type=0,
+                        filter_type=int(doc_id) % 5,
+                    )
+                )["pixels"]
+                dec_gif = gif.decode_gif(gif.encode_gif(vals, 8, 4))["pixels"]
+                dec_wav = wav.decode_wav(wav.encode_wav(list(vals)))["samples"]
+                out["doc_id"].append(doc_id)
+                out["png_sum"].append(
+                    sum((i + 1) * b for i, b in enumerate(dec_png))
+                )
+                out["gif_sum"].append(
+                    sum((i + 1) * b for i, b in enumerate(dec_gif))
+                )
+                out["wav_energy"].append(sum(x * x for x in dec_wav))
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(run, schema=ATTEST_SCHEMA)
+
+
 QUERIES = {
+    "multimodal_codec_attest": q_multimodal_codec_attest,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode_stub": q_multimodal_decode_stub,
     "multimodal_decode_png": q_multimodal_decode_png,
@@ -290,6 +389,22 @@ QUERIES = {
 }
 
 ORACLES = {
+    # the checksums the real codecs must reproduce, computed directly
+    # from md5(text) in SQL: v_i = ascii(hex digit i); PNG decodes to
+    # the gray values v_i; GIF maps index v through the fixed palette
+    # (v, 7v mod 256, 13v mod 256); WAV returns the exact samples.
+    "multimodal_codec_attest": """
+WITH a AS (
+  SELECT doc_id, i, ascii(substring(md5(text), CAST(i AS INT), 1)) AS v
+  FROM documents, (SELECT unnest(range(1, 33)) AS i) t)
+SELECT doc_id,
+       CAST(SUM(i * v) AS BIGINT) AS png_sum,
+       CAST(SUM((3 * (i - 1) + 1) * v
+              + (3 * (i - 1) + 2) * ((7 * v) % 256)
+              + (3 * (i - 1) + 3) * ((13 * v) % 256)) AS BIGINT)
+         AS gif_sum,
+       CAST(SUM(v * v) AS BIGINT) AS wav_energy
+FROM a GROUP BY doc_id""",
     "multimodal_meta": """
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS INT) AS n_bytes,
