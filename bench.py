@@ -3,7 +3,12 @@
 Prints ONE JSON line:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
    "queries": {name: median_sec, ...}, "spread": {name: max_minus_min},
-   "runs_per_query": 3, "aggregation": "median", "sf": <sf>}
+   "runs_per_query": {name: 3|5}, "warmup_runs": 1,
+   "aggregation": "median", "sf": <sf>}
+
+Per query: one UNTIMED warmup (absorbs per-query codegen compilation),
+then median-of-3, escalated to median-of-5 when the spread exceeds 30%
+of the median.
 
 Each query is forced end-to-end with the `noop` sink (full computation,
 no driver-side collect bottleneck). local[$SPARK_GRAFT_CPUS].
@@ -78,14 +83,20 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    runs_used: dict[str, int] = {}
     for name in HEADLINE:
-        # median-of-3: sub-second queries jitter +/-40% run-to-run on a
-        # 32-thread local JVM (GC pauses, codegen), which made single
-        # runs unattributable round-over-round. The median is robust to
-        # one outlier either way; the spread (max-min) is reported so a
-        # regression can be told apart from noise.
+        # One UNTIMED warmup first: the r4 data showed 20/31 queries
+        # with spread > 30% of median, dominated by the first run's
+        # per-query codegen/Janino compilation — which belongs to JVM
+        # warmup, not the query. Then median-of-3, escalating to
+        # median-of-5 when the 3-run spread still exceeds 30% of the
+        # median (GC-pause outliers), so round-over-round deltas are
+        # attributable without paying 5 runs everywhere.
+        force(qs[name](spark, SF_DIR))
+        spark.catalog.clearCache()
         runs = []
-        for _ in range(3):
+
+        def timed_run() -> None:
             t0 = time.perf_counter()
             force(qs[name](spark, SF_DIR))
             runs.append(time.perf_counter() - t0)
@@ -93,9 +104,17 @@ def main() -> None:
             # cache never accumulates across the run (driver heap
             # safety) and every run re-measures the full query
             spark.catalog.clearCache()
+
+        for _ in range(3):
+            timed_run()
+        srt = sorted(runs)
+        if srt[-1] - srt[0] > 0.3 * srt[1]:
+            for _ in range(2):
+                timed_run()
         runs.sort()
-        timings[name] = round(runs[1], 3)
+        timings[name] = round(runs[len(runs) // 2], 3)
         spreads[name] = round(runs[-1] - runs[0], 3)
+        runs_used[name] = len(runs)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -108,7 +127,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "spread": spreads,
-        "runs_per_query": 3,
+        "runs_per_query": runs_used,
+        "warmup_runs": 1,
         "aggregation": "median",
         "sf": sf_val,
     }
