@@ -95,10 +95,14 @@ def _modules():
 
 
 def _proven_rounds() -> dict[str, tuple[int, bool]]:
-    """name -> (earliest passing round, proof_still_valid).
+    """name -> (LATEST valid passing round, proof_still_valid).
 
     ``proof_still_valid`` is False when every passing row predates the
-    query's ``_FORCE_RECHECK_SINCE`` output change (stale proof)."""
+    query's ``_FORCE_RECHECK_SINCE`` output change (stale proof).
+    Tracking the latest (not earliest) valid round is what makes the
+    rotation actually rotate: a query the driver just re-proved sorts
+    to the BACK of the proven tier, so the bounded window drains the
+    genuinely oldest proofs instead of re-checking fresh ones."""
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out: dict[str, tuple[int, bool]] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
@@ -124,7 +128,7 @@ def _proven_rounds() -> dict[str, tuple[int, bool]]:
                 continue
             valid = rnd >= _FORCE_RECHECK_SINCE.get(name, 0)
             prev = out.get(name)
-            if prev is None or (valid and not prev[1]):
+            if prev is None or (valid and (not prev[1] or rnd > prev[0])):
                 out[name] = (rnd, valid)
     return out
 
