@@ -155,3 +155,56 @@ def test_graph_stats_triangle_plus_pendant(spark, monkeypatch):
     )
     row = dedup.q_dedup_graph_stats(spark, "ignored").collect()[0]
     assert (row.n_edges, row.n_wedges, row.n_triangles) == (4, 1, 1)
+
+
+def test_substring_spans_invariants_and_python_twin(spark, sf_dir):
+    """Span accounting invariants (every span is >= L tokens, coverage
+    never exceeds the doc, positions >= spans) plus an exact
+    driver-side Python recompute of the full pipeline on the corpus."""
+    from collections import defaultdict
+    import hashlib
+    import re
+
+    from thrivefinancedatapipeline_spark.datamodel import load_table
+    from thrivefinancedatapipeline_spark.operators.dedup import (
+        SPAN_L,
+        q_dedup_substring_spans,
+    )
+
+    rows = {r.doc_id: r for r in q_dedup_substring_spans(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    assert len(rows) == len(docs)
+
+    # python twin
+    toks = {
+        d.doc_id: re.sub(r"\s+", " ", d.text).strip().lower().split(" ")
+        for d in docs
+    }
+    gram_docs = defaultdict(set)
+    positions = {}
+    for did, ts in toks.items():
+        ps = []
+        for i in range(len(ts) - SPAN_L + 1):
+            h = hashlib.md5(" ".join(ts[i : i + SPAN_L]).encode()).hexdigest()
+            ps.append((i + 1, h))
+            gram_docs[h].add(did)
+        positions[did] = ps
+    for did, ts in toks.items():
+        hit_pos = sorted(
+            p for p, h in positions[did] if len(gram_docs[h]) >= 2
+        )
+        n_spans = dup_tokens = 0
+        prev = None
+        for p in hit_pos:
+            if prev is None or p > prev + SPAN_L:
+                n_spans += 1
+            dup_tokens += SPAN_L if prev is None else min(SPAN_L, p - prev)
+            prev = p
+        r = rows[did]
+        assert r.n_tokens == len(ts)
+        assert r.n_dup_positions == len(hit_pos)
+        assert r.n_spans == n_spans
+        assert r.dup_tokens == dup_tokens
+        assert r.dup_tokens <= r.n_tokens
+        assert r.dup_tokens >= SPAN_L * r.n_spans or r.n_spans == 0
+        assert r.dup_ppm == dup_tokens * 1_000_000 // len(ts)

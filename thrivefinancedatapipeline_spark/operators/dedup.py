@@ -1179,7 +1179,99 @@ def probe_minhash_band_index(
     )
 
 
+SPAN_L = 8  # tokens per rolling gram for substring-span dedup
+
+
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT SUBSTRING dedup audit (Lee et al. 2022, 'Deduplicating
+    Training Data Makes Language Models Better'): per document, how
+    much of its text is covered by {SPAN_L}-token runs that appear
+    verbatim in OTHER documents — the signal exact-substring dedup
+    cuts on, here as the per-doc audit (n_spans maximal duplicated
+    spans, dup_tokens covered, integer-ppm coverage).
+
+    Spark-first shape instead of the paper's suffix array: (1) bounded
+    rolling-gram fan-out (n-L+1 grams/doc, md5-hashed so the shuffle
+    key is uniform 128-bit); (2) (doc, gram) distinct-reduce, then a
+    gram groupBy keeps only grams seen in >=2 distinct docs (the
+    inverted index never materializes position lists for unique
+    grams — at 100 TB the overwhelming majority); (3) hits join back
+    (AQE-broadcast: the duplicated-gram dictionary is small), and one
+    window per doc merges overlapping [pos, pos+L-1] intervals with
+    pure lag() arithmetic: new coverage = min(L, pos - prev), span
+    starts where pos > prev + L. All integers; ppm via the
+    DECIMAL(38,0) convention."""
+    docs = _docs(spark, sf_dir)
+    tk = docs.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).withColumn("n_tokens", F.size("toks"))
+    grams = tk.filter(F.col("n_tokens") >= SPAN_L).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tokens") - F.lit(SPAN_L - 1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(
+                        F.concat_ws(
+                            " ", F.slice(F.col("toks"), i, F.lit(SPAN_L))
+                        )
+                    ).alias("h"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    dup = (
+        grams.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    from pyspark.sql import Window
+
+    hits = grams.join(dup, "h").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cov = hits.withColumn("prev", F.lag("pos").over(w))
+    agg = cov.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_positions"),
+        F.sum(
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("pos") > F.col("prev") + SPAN_L),
+                1,
+            ).otherwise(0)
+        ).alias("n_spans"),
+        F.sum(
+            F.when(F.col("prev").isNull(), F.lit(SPAN_L)).otherwise(
+                F.least(F.lit(SPAN_L), F.col("pos") - F.col("prev"))
+            )
+        ).alias("dup_tokens"),
+    )
+    return (
+        tk.select("doc_id", "n_tokens")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("n_dup_positions", F.lit(0))
+            .cast("long")
+            .alias("n_dup_positions"),
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0))
+            .cast("long")
+            .alias("dup_tokens"),
+            F.expr(
+                "CAST(coalesce(dup_tokens, 0) AS DECIMAL(38,0))"
+                " * 1000000 div n_tokens"
+            ).alias("dup_ppm"),
+        )
+    )
+
+
 QUERIES = {
+    "dedup_substring_spans": q_dedup_substring_spans,
     "corpus_novelty": q_corpus_novelty,
     "fuzzy_name_match": q_fuzzy_name_match,
     "dedup_incremental_minhash": q_dedup_incremental_minhash,
@@ -1556,3 +1648,36 @@ reach(n, m) AS (
   SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
 )
 SELECT n AS vec_id, MIN(m) AS cluster_id FROM reach GROUP BY n"""
+
+
+ORACLES["dedup_substring_spans"] = f"""
+WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS toks
+           FROM documents),
+tk AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+g AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(toks[i:i+{SPAN_L - 1}], ' ')) AS h
+  FROM tk, unnest(range(1, n_tokens - {SPAN_L - 2})) AS u(i)
+  WHERE n_tokens >= {SPAN_L}),
+pd AS (SELECT DISTINCT doc_id, h FROM g),
+dup AS (SELECT h FROM pd GROUP BY h HAVING COUNT(*) >= 2),
+hits AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (h)),
+cov AS (SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM hits),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_dup_positions,
+         CAST(SUM(CASE WHEN prev IS NULL OR pos > prev + {SPAN_L}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+         CAST(SUM(CASE WHEN prev IS NULL THEN {SPAN_L}
+                       ELSE least({SPAN_L}, pos - prev) END) AS BIGINT)
+           AS dup_tokens
+  FROM cov GROUP BY doc_id)
+SELECT tk.doc_id, tk.n_tokens,
+       COALESCE(a.n_dup_positions, 0) AS n_dup_positions,
+       COALESCE(a.n_spans, 0) AS n_spans,
+       COALESCE(a.dup_tokens, 0) AS dup_tokens,
+       CAST(CAST(COALESCE(a.dup_tokens, 0) AS HUGEINT) * 1000000
+            // tk.n_tokens AS BIGINT) AS dup_ppm
+FROM tk LEFT JOIN agg a USING (doc_id)"""
