@@ -499,3 +499,68 @@ def test_reorder_fronted_fifo_matches_batch(spark, shuffled_events):
         assert len(stream_pairs) > 0
     finally:
         shutil.rmtree(log_dir, ignore_errors=True)
+
+
+def test_stream_scd2_upsert_crash_between_renames_recovers(
+    spark, timed_events
+):
+    """Atomic-swap recovery: kill the sink at the worst moment — the
+    live dimension renamed aside (__old) but the new snapshot never
+    promoted — then restart with the SAME checkpoint and more data.
+    The restarted sink must read prev from __old, replay the
+    uncommitted batch, and land on exactly the full-rebuild dimension
+    with no leftover __old/__tmp dirs."""
+    import glob as globmod
+
+    from thrivefinancedatapipeline_spark.operators.balance import (
+        balance_scd2,
+    )
+
+    files = globmod.glob(timed_events + "/part-*")
+    # feed files in event-time order (the increment contract)
+    files.sort(
+        key=lambda p: spark.read.parquet(p).agg(F.min("ts")).collect()[0][0]
+    )
+    assert len(files) == 6
+    src = tempfile.mkdtemp(prefix="scd2_src_")
+    dimroot = tempfile.mkdtemp(prefix="scd2_dim_crash_")
+    dim = dimroot + "/dim"
+    chk = tempfile.mkdtemp(prefix="chk_scd2_crash_")
+    try:
+        import time as _t
+
+        for f in files[:4]:
+            shutil.copy(f, src)
+            _t.sleep(0.05)  # keep source mtime order == event order
+        stateful.run_scd2_upsert(spark, src, dim, chk)
+        # simulate the crash window: live dir moved aside, tmp lost
+        os.replace(dim, dim + "__old")
+        for f in files[4:]:
+            shutil.copy(f, src)
+            _t.sleep(0.05)
+        got = stateful.run_scd2_upsert(spark, src, dim, chk)
+
+        def rows(df):
+            return {
+                (
+                    r.customer_id,
+                    round(r.balance, 2),
+                    r.effective_from,
+                    r.transaction_id,
+                    r.effective_to,
+                    r.is_current,
+                )
+                for r in df.collect()
+            }
+
+        full = balance_scd2(
+            transactions_from_events(spark.read.parquet(timed_events))
+        )
+        assert rows(got) == rows(full)
+        assert os.path.isdir(dim)
+        assert not os.path.isdir(dim + "__old")
+        assert not os.path.isdir(dim + "__tmp")
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(dimroot, ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)

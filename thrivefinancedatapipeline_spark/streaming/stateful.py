@@ -499,9 +499,14 @@ def run_scd2_upsert(spark, source_dir: str, dim_path: str, checkpoint: str):
         new_dim.localCheckpoint(eager=True).write.mode("overwrite").parquet(
             tmp_path
         )
-        if os.path.isdir(old_path):
-            shutil.rmtree(old_path)
+        # ordering invariant: a committed snapshot exists at dim_path
+        # or old_path at EVERY intermediate point — old is only
+        # deleted after tmp has been promoted to live (deleting it
+        # earlier would, on a crash in between, leave only the
+        # un-promoted tmp, which the next run discards)
         if os.path.isdir(dim_path):
+            if os.path.isdir(old_path):  # stale from a prior crash
+                shutil.rmtree(old_path)
             os.replace(dim_path, old_path)
         os.replace(tmp_path, dim_path)
         if os.path.isdir(old_path):
