@@ -94,6 +94,11 @@ def main() -> None:
         # attributable without paying 5 runs everywhere.
         force(qs[name](spark, SF_DIR))
         spark.catalog.clearCache()
+        # GC fence between queries: ~130 query executions share this
+        # JVM, and without it heap pressure from earlier queries
+        # inflates later ones (events_funnel measured 1.33 s late in a
+        # bench run vs 1.06 s in a fresh JVM)
+        spark._jvm.System.gc()
         runs = []
 
         def timed_run() -> None:
