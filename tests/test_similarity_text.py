@@ -163,3 +163,59 @@ def test_bpe_train_k_merge_list_properties(spark, sf_dir):
     # agrees whenever the global winner is alnum, which it is here
     assert rows[0]["merged"] == top1[0]["pair"]
     assert rows[0]["pair_count"] == top1[0]["pair_count"]
+
+
+def test_bpe_apply_matches_reference_python_bpe(spark, sf_dir):
+    """Tokenizing with the trained merges must match a reference
+    Python BPE (Sennrich-style greedy merge applied in order) word for
+    word; plus count invariants (words <= subwords <= chars)."""
+    import re
+    from collections import Counter
+
+    from thrivefinancedatapipeline_spark.datamodel import load_table
+    from thrivefinancedatapipeline_spark.operators.textops import (
+        q_bpe_apply,
+        q_bpe_train_k,
+    )
+
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in sorted(
+            q_bpe_train_k(spark, sf_dir).collect(), key=lambda r: r["round"]
+        )
+    ]
+
+    def bpe(word):
+        syms = list(word)
+        for l_s, r_s in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == l_s
+                    and syms[i + 1] == r_s
+                ):
+                    out.append(l_s + r_s)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    got = {r.doc_id: r for r in q_bpe_apply(spark, sf_dir).collect()}
+    for d in docs.collect():
+        words = [
+            w
+            for w in re.sub(r"\s+", " ", d.text).strip().lower().split(" ")
+            if re.fullmatch(r"[a-z0-9]+", w)
+        ]
+        counts = Counter(words)
+        n_sub = sum(len(bpe(w)) * c for w, c in counts.items())
+        n_chars = sum(len(w) * c for w, c in counts.items())
+        r = got[d.doc_id]
+        assert r.n_words == len(words)
+        assert r.n_subwords == n_sub
+        assert r.n_chars == n_chars
+        assert r.n_words <= r.n_subwords <= r.n_chars or r.n_words == 0

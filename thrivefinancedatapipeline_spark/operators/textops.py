@@ -921,13 +921,28 @@ def q_bpe_train_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (count desc, left, right) — pure ASCII ordering, engine-stable.
     The DuckDB oracle unrolls the same {BPE_ROUNDS} rounds and matches
     bit-for-bit (dedup_pagerank's unrolled-oracle pattern)."""
+    merges, _vocab = _bpe_train(spark, sf_dir)
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """The {BPE_ROUNDS}-round training loop shared by `bpe_train_k`
+    (which emits the merge list) and `bpe_apply` (which tokenizes the
+    corpus with the final vocabulary). Returns (list of one-row merge
+    DataFrames, final vocab as (w, s, freq) with s the merged
+    parenthesized symbol string)."""
     docs = _docs(spark, sf_dir)
     vocab = (
         docs.select(F.explode(tokens(F.col("text"))).alias("w"))
         .filter(F.col("w").rlike("^[a-z0-9]+$"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .select(F.regexp_replace("w", "(.)", r"($1)").alias("s"), "freq")
+        .select(
+            "w", F.regexp_replace("w", "(.)", r"($1)").alias("s"), "freq"
+        )
         .localCheckpoint(eager=True)
     )
     merges = []
@@ -971,6 +986,7 @@ def q_bpe_train_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocab = (
             vocab.crossJoin(F.broadcast(best))
             .select(
+                "w",
                 F.expr(
                     "replace(s, '(' || l || ')(' || r || ')',"
                     " '(' || l || r || ')')"
@@ -979,21 +995,84 @@ def q_bpe_train_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionAll(m)
-    return out
+    return merges, vocab
 
 
 QUERIES["bpe_train_k"] = q_bpe_train_k
 
 
-def _bpe_train_k_oracle() -> str:
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZE the corpus with the trained BPE vocabulary — the
+    apply side of `bpe_train_k` (the thing an LLM data pipeline runs
+    over every document once the tokenizer is frozen): per document,
+    how many subword tokens the {BPE_ROUNDS}-merge vocabulary
+    produces, with the chars-per-subword compression signal in
+    integer ppm.
+
+    Scale shape: tokenization happens ONCE per distinct word — the
+    final vocab (already merged, checkpointed by the shared training
+    loop) carries each word's symbol count, and the corpus pass is a
+    scan + BROADCAST hash join (the vocab is the small side by
+    construction) + per-doc partial agg. No per-row Python, no
+    re-merging per occurrence. Words outside the alnum
+    pretokenization filter are excluded from both counts
+    (documented; the lang-id/quality ops cover them)."""
+    _merges, vocab = _bpe_train(spark, sf_dir)
+    tokv = vocab.select(
+        "w",
+        F.size(
+            F.split(F.expr("substring(s, 2, length(s) - 2)"), r"\)\(")
+        ).alias("n_sub"),
+        F.length("w").alias("n_chars_w"),
+    )
+    docs = _docs(spark, sf_dir)
+    dw = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    ).filter(F.col("w").rlike("^[a-z0-9]+$"))
+    agg = (
+        dw.join(F.broadcast(tokv), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").alias("n_subwords"),
+            F.sum("n_chars_w").alias("n_chars"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_subwords", F.lit(0))
+            .cast("long")
+            .alias("n_subwords"),
+            F.coalesce("n_chars", F.lit(0)).cast("long").alias("n_chars"),
+            F.when(F.coalesce("n_chars", F.lit(0)) == 0, F.lit(0))
+            .otherwise(
+                F.expr(
+                    "CAST(n_subwords AS DECIMAL(38,0))"
+                    " * 1000000 div n_chars"
+                )
+            )
+            .cast("long")
+            .alias("subwords_per_char_ppm"),
+        )
+    )
+
+
+QUERIES["bpe_apply"] = q_bpe_apply
+
+
+def _bpe_ctes() -> list[str]:
+    """The unrolled {BPE_ROUNDS}-round training CTEs shared by the
+    train and apply oracles (the word column rides through the merge
+    chain so the apply oracle can join back to the corpus)."""
     ctes = [
         f"tok AS (SELECT unnest({_TOKS}) AS w FROM documents)",
         "vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM tok"
         " WHERE regexp_matches(w, '^[a-z0-9]+$') GROUP BY w)",
-        "s0 AS (SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS s, freq"
+        "s0 AS (SELECT w, regexp_replace(w, '(.)', '(\\1)', 'g') AS s, freq"
         " FROM vocab)",
     ]
     for r in range(1, BPE_ROUNDS + 1):
@@ -1012,18 +1091,54 @@ def _bpe_train_k_oracle() -> str:
             " ORDER BY pair_count DESC, l, r LIMIT 1)"
         )
         ctes.append(
-            f"s{r} AS (SELECT replace(s, '(' || b.l || ')(' || b.r || ')',"
-            f" '(' || b.l || b.r || ')') AS s, freq FROM s{r - 1}, b{r} b)"
+            f"s{r} AS (SELECT w, replace(s, '(' || b.l || ')(' || b.r ||"
+            f" ')', '(' || b.l || b.r || ')') AS s, freq"
+            f" FROM s{r - 1}, b{r} b)"
         )
+    return ctes
+
+
+def _bpe_train_k_oracle() -> str:
     selects = [
         f"SELECT CAST({r} AS INT) AS round, l AS left_sym, r AS right_sym,"
         f" l || r AS merged, pair_count FROM b{r}"
         for r in range(1, BPE_ROUNDS + 1)
     ]
-    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+    return (
+        "WITH " + ",\n".join(_bpe_ctes()) + "\n"
+        + "\nUNION ALL ".join(selects)
+    )
 
 
 ORACLES["bpe_train_k"] = _bpe_train_k_oracle()
+
+
+def _bpe_apply_oracle() -> str:
+    ctes = _bpe_ctes() + [
+        f"tokv AS (SELECT w, CAST(len(string_split(substring(s, 2,"
+        f" length(s) - 2), ')(')) AS BIGINT) AS n_sub,"
+        f" CAST(length(w) AS BIGINT) AS n_chars_w FROM s{BPE_ROUNDS})",
+        "dw AS (SELECT doc_id, w FROM (SELECT doc_id,"
+        f" unnest({_TOKS}) AS w FROM documents)"
+        " WHERE regexp_matches(w, '^[a-z0-9]+$'))",
+        "agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,"
+        " CAST(SUM(n_sub) AS BIGINT) AS n_subwords,"
+        " CAST(SUM(n_chars_w) AS BIGINT) AS n_chars"
+        " FROM dw JOIN tokv USING (w) GROUP BY doc_id)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT d.doc_id, COALESCE(a.n_words, 0) AS n_words,"
+        " COALESCE(a.n_subwords, 0) AS n_subwords,"
+        " COALESCE(a.n_chars, 0) AS n_chars,"
+        " CASE WHEN COALESCE(a.n_chars, 0) = 0 THEN 0"
+        " ELSE CAST(CAST(a.n_subwords AS HUGEINT) * 1000000"
+        " // a.n_chars AS BIGINT) END AS subwords_per_char_ppm"
+        " FROM documents d LEFT JOIN agg a USING (doc_id)"
+    )
+
+
+ORACLES["bpe_apply"] = _bpe_apply_oracle()
 
 
 def q_chunk_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
