@@ -308,3 +308,30 @@ def test_chunk_dedup_is_single_shuffle(spark, sf_dir):
     from thrivefinancedatapipeline_spark.operators import textops
 
     assert shuffles(textops.q_chunk_dedup(spark, sf_dir)) == 1
+
+
+def test_bpe_apply_vocab_join_broadcasts(spark, sf_dir):
+    """Corpus tokenization must be scan + BROADCAST hash join on the
+    merged vocabulary — a shuffled join here would re-shuffle every
+    token occurrence at 100 TB."""
+    from thrivefinancedatapipeline_spark.operators.textops import q_bpe_apply
+
+    plan = explain(q_bpe_apply(spark, sf_dir), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_substring_spans_no_cartesian_and_bounded_shuffles(spark, sf_dir):
+    """The >=2-doc gram join must stay an equi-join (no cartesian);
+    the whole pipeline needs only the gram distinct/groupBy, the hits
+    join, the per-doc window, the span agg and the final doc join —
+    bounded shuffle count guards against accidental re-shuffles."""
+    from thrivefinancedatapipeline_spark.operators.dedup import (
+        q_dedup_substring_spans,
+    )
+
+    df = q_dedup_substring_spans(spark, sf_dir)
+    plan = explain(df, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert exchanges(df) <= 6
