@@ -94,40 +94,46 @@ def test_minhash_band_index_probe_parity_and_plan(spark, sf_dir):
     build_minhash_band_index(spark, corpus, table=table)
     assert rows(probe_minhash_band_index(spark, sf_dir, table=table)) == want
 
-    # plan: candidate join against the index scans it with NO Exchange
-    # on the index side (force sort-merge so broadcast can't hide it)
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        bn = minhash_bands_for(docs.filter(is_new)).select(
-            F.col("doc_id").alias("doc_id_1"), "band", "key"
-        )
-        idx = spark.table(table).select(
-            F.col("doc_id").alias("doc_id_2"), "band", "key"
-        )
-        plan = simple_plan(bn.join(idx, ["band", "key"]))
-        # both Exchanges belong to the probe side (its signature
-        # groupBy + its join repartition); a third would mean the
-        # index got reshuffled
-        assert plan.count("Exchange") == 2
-        assert "Bucketed: true" in plan
-        # the index branch prints last (second join child): from its
-        # final Sort down to the bucketed FileScan there is no Exchange
-        index_branch = plan[plan.rfind("Sort [band") :]
-        assert "Bucketed: true" in index_branch
-        assert "Exchange" not in index_branch
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    def assert_index_side_exchange_free():
+        # candidate join against the index must scan it with NO
+        # Exchange on the index side (force sort-merge so broadcast
+        # can't hide the bucketing)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            bn = minhash_bands_for(docs.filter(is_new)).select(
+                F.col("doc_id").alias("doc_id_1"), "band", "key"
+            )
+            idx = spark.table(table).select(
+                F.col("doc_id").alias("doc_id_2"), "band", "key"
+            )
+            plan = simple_plan(bn.join(idx, ["band", "key"]))
+            # both Exchanges belong to the probe side (its signature
+            # groupBy + its join repartition); a third would mean the
+            # index got reshuffled
+            assert plan.count("Exchange") == 2
+            assert "Bucketed: true" in plan
+            # the index branch prints last (second join child): from
+            # its final Sort down to the bucketed FileScan there is
+            # no Exchange
+            index_branch = plan[plan.rfind("Sort [band") :]
+            assert "Bucketed: true" in index_branch
+            assert "Exchange" not in index_branch
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    assert_index_side_exchange_free()
 
     # append maintenance: build from half the corpus, append the rest
-    # — identical probe result, still bucketed
+    # — identical probe result AND the post-append probe must still
+    # plan exchange-free on the index side (the real contract; a
+    # metadata-only 'table is bucketed' check would pass even if the
+    # appended files broke the layout)
     half_a = corpus.filter((F.col("doc_id") % 4) < 2)
     half_b = corpus.filter((F.col("doc_id") % 4) >= 2)
     build_minhash_band_index(spark, half_a, table=table)
     append_minhash_band_index(spark, half_b, table=table)
     assert rows(probe_minhash_band_index(spark, sf_dir, table=table)) == want
-    assert "Bucketed: true" in simple_plan(
-        spark.table(table).select("band", "key", "doc_id")
-    ) or "bucket" in spark.sql(f"DESCRIBE EXTENDED {table}").toPandas().to_string().lower()
+    assert_index_side_exchange_free()
 
     spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -533,6 +533,17 @@ def test_stream_scd2_upsert_crash_between_renames_recovers(
             shutil.copy(f, src)
             _t.sleep(0.05)  # keep source mtime order == event order
         stateful.run_scd2_upsert(spark, src, dim, chk)
+        # replay window: a batch re-runs against a dimension that
+        # already contains it (promote landed, commit-log write lost —
+        # or, as simulated here, the whole checkpoint is lost and
+        # every batch replays). scd2_apply_increment is not
+        # idempotent, so only the _applied_batch marker keeps the
+        # re-application a no-op.
+        before = {tuple(r) for r in spark.read.parquet(dim).collect()}
+        chk_lost = tempfile.mkdtemp(prefix="chk_scd2_lost_")
+        stateful.run_scd2_upsert(spark, src, dim, chk_lost)
+        shutil.rmtree(chk_lost, ignore_errors=True)
+        assert {tuple(r) for r in spark.read.parquet(dim).collect()} == before
         # simulate the crash window: live dir moved aside, tmp lost
         os.replace(dim, dim + "__old")
         for f in files[4:]:

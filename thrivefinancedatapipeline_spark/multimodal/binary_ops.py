@@ -169,8 +169,19 @@ def audio_energy(docs_with_payload: DataFrame, fake: bool = True) -> DataFrame:
             energies = []
             for p in pdf["payload"]:
                 b = bytes(p)
+                samples = None
                 if wav.is_wav(b):
-                    s = wav.decode_wav(b)["samples"]
+                    try:
+                        samples = wav.decode_wav(b)["samples"]
+                    except (ValueError, NotImplementedError):
+                        # sniffed as RIFF/WAVE but not decodable PCM
+                        # (corrupt, 24-bit, compressed): honor the
+                        # fake/gate contract instead of failing the
+                        # task from inside the sniff branch
+                        if not fake:
+                            raise
+                if samples is not None:
+                    s = samples
                     energies.append(
                         [
                             float(sum(x * x for x in s[i : i + AUDIO_WINDOW]))

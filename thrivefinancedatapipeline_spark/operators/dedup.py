@@ -1137,13 +1137,12 @@ def append_minhash_band_index(
     the corpus is never re-banded. Append preserves the bucket spec:
     Spark hashes the appended rows into the existing bucket layout, so
     probes stay exchange-free afterwards (test-pinned)."""
-    (
-        minhash_bands_for(new_docs)
-        .write.mode("append")
-        .format("parquet")
-        .bucketBy(n_buckets, "band", "key")
-        .sortBy("band", "key")
-        .saveAsTable(table)
+    write_bucketed(
+        minhash_bands_for(new_docs),
+        table,
+        ["band", "key"],
+        n_buckets,
+        mode="append",
     )
 
 
@@ -1220,7 +1219,10 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("g"),
-    ).select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    ).select(
+        "doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h")
+    ).localCheckpoint(eager=True)  # shared by dup index AND hits join:
+    # without materialization the dominant explode+md5 stage runs twice
     dup = (
         grams.select("doc_id", "h")
         .distinct()

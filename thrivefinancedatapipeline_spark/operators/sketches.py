@@ -454,7 +454,13 @@ def equidepth_boundaries(cents: DataFrame) -> tuple[DataFrame, DataFrame]:
     with its sub-cell width). Both are deterministic functions of the
     data and themselves mergeable (min/max/count + counter addition),
     so a 100 TB deployment computes them once per epoch and shares
-    them across every partial sketch."""
+    them across every partial sketch.
+
+    Both frames are localCheckpointed (1 row / <= {EQD_NB} rows):
+    stats feeds the coarse histogram AND the quantile targets, heavy
+    is broadcast twice (cell building + final bound lookup) — without
+    materialization every consumer re-runs its own scan of the data
+    (measured ~4-5 scans instead of the documented two passes)."""
     stats = cents.agg(
         F.min("cents").alias("mn"),
         F.max("cents").alias("mx"),
@@ -464,7 +470,7 @@ def equidepth_boundaries(cents: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.expr(
             f"greatest(1L, (mx - mn + 1 + {EQD_NB - 1}) div {EQD_NB})"
         ),
-    ).select("mn", "n", "w")
+    ).select("mn", "n", "w").localCheckpoint(eager=True)
     h1 = (
         cents.crossJoin(F.broadcast(stats))
         .withColumn("bucket", F.expr("(cents - mn) div w"))
@@ -478,7 +484,7 @@ def equidepth_boundaries(cents: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.expr(f"greatest(1L, (w + {EQD_SUB - 1}) div {EQD_SUB})").alias(
             "sub_w"
         ),
-    )
+    ).localCheckpoint(eager=True)
     return stats, heavy
 
 

@@ -33,23 +33,31 @@ def write_bucketed(
     bucket_by: Sequence[str],
     n_buckets: int,
     sort: bool = True,
+    mode: str = "overwrite",
 ) -> None:
-    """Persist `df` as a bucketed (and bucket-sorted) catalog table."""
+    """Persist `df` as a bucketed (and bucket-sorted) catalog table.
+
+    mode='append' adds rows into an existing table's bucket layout
+    (Spark hashes appends into the same buckets, so exchange-free
+    joins survive maintenance) — the one writer chain serves both the
+    build and the incremental-append paths so the bucket contract
+    lives in one place."""
     keys = list(bucket_by)
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    # a crashed earlier write can leave an orphan location with no
-    # catalog entry; managed-table creation refuses to reuse it
-    wh = spark.conf.get("spark.sql.warehouse.dir", "")
-    if wh.startswith("file:"):
-        import shutil
-        from urllib.parse import urlparse
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        # a crashed earlier write can leave an orphan location with no
+        # catalog entry; managed-table creation refuses to reuse it
+        wh = spark.conf.get("spark.sql.warehouse.dir", "")
+        if wh.startswith("file:"):
+            import shutil
+            from urllib.parse import urlparse
 
-        shutil.rmtree(
-            f"{urlparse(wh).path}/{table.lower()}", ignore_errors=True
-        )
+            shutil.rmtree(
+                f"{urlparse(wh).path}/{table.lower()}", ignore_errors=True
+            )
     writer = (
-        df.write.mode("overwrite")
+        df.write.mode(mode)
         .format("parquet")
         .bucketBy(n_buckets, *keys)
     )

@@ -465,8 +465,17 @@ def run_scd2_upsert(spark, source_dir: str, dim_path: str, checkpoint: str):
     renames, each atomic). A crash mid-write leaves the live snapshot
     untouched; a crash between the renames leaves `<dim_path>__old` as
     the fallback the next batch reads — a partially-written parquet
-    dir is never read back as prev. Equality with a full rebuild over
-    all drained batches is pinned by test."""
+    dir is never read back as prev.
+
+    Replay idempotence: scd2_apply_increment is NOT idempotent, and
+    the engine re-runs a batch if a crash lands after the snapshot
+    promote but before the streaming commit-log write. Each snapshot
+    therefore carries a `_applied_batch` marker (written into tmp, so
+    it travels atomically with the promote; the leading underscore
+    makes parquet readers ignore it) and a replayed batch_id <= the
+    marker is skipped — the snapshot already contains it. Equality
+    with a full rebuild over all drained batches is pinned by test,
+    including the crash-replay windows."""
     import os
     import shutil
 
@@ -474,6 +483,7 @@ def run_scd2_upsert(spark, source_dir: str, dim_path: str, checkpoint: str):
 
     txns = stream_transactions(spark, source_dir, max_files_per_trigger=1)
     tmp_path, old_path = dim_path + "__tmp", dim_path + "__old"
+    MARKER = "_applied_batch"
 
     def current_snapshot() -> str | None:
         # The live dir is authoritative; __old only exists if a crash
@@ -485,11 +495,20 @@ def run_scd2_upsert(spark, source_dir: str, dim_path: str, checkpoint: str):
             return old_path
         return None
 
+    def applied_batch(snapshot: str) -> int:
+        try:
+            with open(os.path.join(snapshot, MARKER)) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return -1  # pre-marker snapshot: apply everything
+
     def upsert(batch_df, batch_id):
         if batch_df.isEmpty():
             return
         prev_path = current_snapshot()
         if prev_path is not None:
+            if batch_id <= applied_batch(prev_path):
+                return  # crash-replay of a batch the snapshot has
             prev = spark.read.parquet(prev_path)
             new_dim = scd2_apply_increment(prev, batch_df)
         else:
@@ -499,6 +518,8 @@ def run_scd2_upsert(spark, source_dir: str, dim_path: str, checkpoint: str):
         new_dim.localCheckpoint(eager=True).write.mode("overwrite").parquet(
             tmp_path
         )
+        with open(os.path.join(tmp_path, MARKER), "w") as f:
+            f.write(str(int(batch_id)))
         # ordering invariant: a committed snapshot exists at dim_path
         # or old_path at EVERY intermediate point — old is only
         # deleted after tmp has been promoted to live (deleting it
