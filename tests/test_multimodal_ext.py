@@ -287,3 +287,59 @@ def test_audio_energy_real_wav_path(spark, sf_dir):
         row = by_id[d.doc_id]
         assert row.n_windows == len(want)
         assert list(row.energy) == want
+
+
+def test_wav_roundtrip_property():
+    """Hypothesis: any int16 sample vector round-trips bit-exact
+    through the stdlib PCM codec (encode -> decode identity)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from thrivefinancedatapipeline_spark.multimodal import wav
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-32768, max_value=32767), max_size=400
+        ),
+        st.sampled_from([8_000, 16_000, 44_100]),
+    )
+    def check(samples, rate):
+        dec = wav.decode_wav(wav.encode_wav(samples, sample_rate=rate))
+        assert dec["samples"] == samples
+        assert dec["framerate"] == rate
+        assert dec["n_frames"] == len(samples)
+
+    check()
+
+
+def test_gif_roundtrip_property():
+    """Hypothesis: any index buffer round-trips through encode_gif /
+    decode_gif with palette mapping applied (covers arbitrary widths,
+    heights, and repetitive content that stresses the LZW reset
+    path)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from thrivefinancedatapipeline_spark.multimodal import gif
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.data())
+    def check(data):
+        w = data.draw(st.integers(min_value=1, max_value=40))
+        h = data.draw(st.integers(min_value=1, max_value=12))
+        idx = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(min_value=0, max_value=255),
+                    min_size=w * h,
+                    max_size=w * h,
+                )
+            )
+        )
+        img = gif.decode_gif(gif.encode_gif(idx, w, h))
+        assert (img["width"], img["height"]) == (w, h)
+        want = b"".join(gif.PALETTE[3 * i : 3 * i + 3] for i in idx)
+        assert img["pixels"] == want
+
+    check()
