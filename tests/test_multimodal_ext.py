@@ -343,3 +343,45 @@ def test_gif_roundtrip_property():
         assert img["pixels"] == want
 
     check()
+
+
+def test_resize_nn_real_kernel(spark, sf_dir):
+    """Real nearest-neighbor resize over decoded PNG payloads:
+    identity resize returns the original pixels bit-exact, and a
+    downsample matches an independent reference loop on the driver."""
+    import zlib
+
+    from thrivefinancedatapipeline_spark.datamodel import load_table
+    from thrivefinancedatapipeline_spark.multimodal import png
+
+    docs = load_table(spark, sf_dir, "documents").limit(15)
+    payloads = mm.png_payloads(docs)
+
+    # identity: same target dims -> crc of the original pixel buffer
+    rows_id = {r.doc_id: r for r in mm.resize_nn(payloads, mm.PNG_WIDTH, 1).collect()}
+    # independent reference on the driver
+    by_id = {r.doc_id: bytes(r.payload) for r in payloads.collect()}
+    for doc_id, data in by_id.items():
+        img = png.decode_png(data)
+        w, h, ch = img["width"], img["height"], img["channels"]
+        # reference NN loop written independently of resize_pixels_nn
+        tw, th = mm.PNG_WIDTH, 1
+        ref = bytearray()
+        for y in range(th):
+            for x in range(tw):
+                sy, sx = (y * h) // th, (x * w) // tw
+                base = (sy * w + sx) * ch
+                ref += img["pixels"][base : base + ch]
+        r = rows_id[doc_id]
+        assert (r.width, r.height) == (tw, th)
+        assert r.checksum == zlib.crc32(bytes(ref))
+
+    # full-size identity returns the original buffer exactly
+    one = docs.limit(1)
+    p1 = mm.png_payloads(one).collect()[0]
+    img = png.decode_png(bytes(p1.payload))
+    same = mm.resize_pixels_nn(
+        img["pixels"], img["width"], img["height"],
+        img["width"], img["height"], img["channels"],
+    )
+    assert same == img["pixels"]

@@ -141,13 +141,71 @@ def frame_sample(
 
 def resize_stub(decoded: DataFrame, target_w: int, target_h: int) -> DataFrame:
     """'Resize' pass over decoded image rows — pure column math on the
-    fake dimensions (a real resize is another mapInPandas kernel; the
-    pipeline position and schema contract are what this pins down)."""
+    fake dimensions (`resize_nn` below is the real kernel; this stub
+    pins the pipeline position and schema contract for callers that
+    only have decoded metadata, not pixels)."""
     return decoded.select(
         "doc_id",
         F.lit(target_w).alias("width"),
         F.lit(target_h).alias("height"),
         (F.col("checksum") * target_w * target_h % 1_000_003).alias("checksum"),
+    )
+
+
+def resize_pixels_nn(
+    pixels: bytes, w: int, h: int, tw: int, th: int, channels: int = 1
+) -> bytes:
+    """REAL nearest-neighbor resample over a raw pixel buffer — pure
+    integer index mapping (src = floor(dst * src_dim / dst_dim)), no
+    image libraries. Channel-interleaved layout, any channel count."""
+    out = bytearray(tw * th * channels)
+    for y in range(th):
+        sy = y * h // th
+        for x in range(tw):
+            sx = x * w // tw
+            src = (sy * w + sx) * channels
+            dst = (y * tw + x) * channels
+            out[dst : dst + channels] = pixels[src : src + channels]
+    return bytes(out)
+
+
+def resize_nn(
+    docs_with_payload: DataFrame, target_w: int, target_h: int
+) -> DataFrame:
+    """REAL resize pass: decode each PNG/GIF payload with the stdlib
+    codecs, nearest-neighbor-resample the actual pixel buffer to
+    (target_w, target_h), and emit the resized dims + crc32 of the
+    RESAMPLED bytes — the downsample step a multimodal training
+    pipeline runs between decode and feature extraction, as a real
+    mapInPandas kernel (formats without a codec keep the gate)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "checksum": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if png.is_png(b):
+                    img = png.decode_png(b)
+                    ch = img["channels"]
+                elif gif.is_gif(b):
+                    img = gif.decode_gif(b)
+                    ch = 3  # palette-mapped RGB
+                else:
+                    raise NotImplementedError(
+                        "resize_nn needs a decodable image payload"
+                    )
+                resized = resize_pixels_nn(
+                    img["pixels"], img["width"], img["height"],
+                    target_w, target_h, ch,
+                )
+                out["doc_id"].append(doc_id)
+                out["width"].append(target_w)
+                out["height"].append(target_h)
+                out["checksum"].append(zlib.crc32(resized))
+            yield pd.DataFrame(out)
+
+    return docs_with_payload.mapInPandas(
+        run, schema="doc_id long, width int, height int, checksum long"
     )
 
 
