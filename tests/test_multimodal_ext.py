@@ -385,3 +385,47 @@ def test_resize_nn_real_kernel(spark, sf_dir):
         img["width"], img["height"], img["channels"],
     )
     assert same == img["pixels"]
+
+
+def test_gif_animation_roundtrip_and_real_frame_sampling(spark, sf_dir):
+    """Multi-frame GIF: every encoded frame decodes back bit-exact
+    through the shared container, and the real frame sampler keeps
+    exactly the every-Nth frames with checksums of the DECODED RGB of
+    each sampled frame."""
+    import zlib
+
+    from thrivefinancedatapipeline_spark.datamodel import load_table
+    from thrivefinancedatapipeline_spark.multimodal import gif
+
+    # codec-level: rotated frames round-trip in order
+    base = bytes((i * 7 + 3) % 256 for i in range(8 * 4))
+    frames = [base[k:] + base[:k] for k in range(5)]
+    data = gif.encode_gif_animation(frames, 8, 4)
+    decoded = gif.decode_gif_frames(data)
+    assert len(decoded) == 5
+    for want_idx, f in zip(frames, decoded):
+        want = b"".join(gif.PALETTE[3 * i : 3 * i + 3] for i in want_idx)
+        assert (f["width"], f["height"]) == (8, 4)
+        assert f["pixels"] == want
+    # decode_gif (single-frame API) = frame 0
+    first = gif.decode_gif(data)
+    assert first["pixels"] == decoded[0]["pixels"]
+
+    # kernel-level: sample every 2nd frame of 6 across the corpus
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    anim = mm.gif_animation_payloads(docs, n_frames=6)
+    rows = mm.frame_sample_gif(anim, every_n=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {d.doc_id for d in docs.collect()}
+    payloads = {r.doc_id: bytes(r.payload) for r in anim.collect()}
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r.frame_idx)
+        assert [r.frame_idx for r in rs] == [0, 2, 4]
+        all_frames = gif.decode_gif_frames(payloads[doc_id])
+        assert len(all_frames) == 6
+        for r in rs:
+            f = all_frames[r.frame_idx]
+            assert (r.width, r.height) == (f["width"], f["height"])
+            assert r.checksum == zlib.crc32(f["pixels"])

@@ -388,6 +388,66 @@ def gif_payloads(docs: DataFrame) -> DataFrame:
     )
 
 
+def gif_animation_payloads(docs: DataFrame, n_frames: int = 6) -> DataFrame:
+    """Deterministic REAL animated-GIF payloads: frame k is the
+    document's byte buffer rotated by k positions — n_frames image
+    blocks in one valid GIF89a container."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                raw = text.encode("utf-8")
+                height = max(1, min(16, -(-len(raw) // PNG_WIDTH)))
+                n = PNG_WIDTH * height
+                buf = (raw + b"\x00" * n)[:n]
+                frames = [buf[k:] + buf[:k] for k in range(n_frames)]
+                payloads.append(
+                    gif.encode_gif_animation(frames, PNG_WIDTH, height)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id long, payload binary"
+    )
+
+
+def frame_sample_gif(
+    docs_with_payload: DataFrame, every_n: int = 2
+) -> DataFrame:
+    """REAL frame sampling over a real container: decode every image
+    block of the (animated) GIF payload with the stdlib multi-frame
+    decoder, keep every `every_n`-th frame, and emit one row per kept
+    frame with the crc of its DECODED RGB pixels — the keyframe-
+    extraction shape with an actual codec behind it (`frame_sample`
+    keeps the byte-slicing stand-in for formats without one)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "frame_idx": [],
+                "width": [], "height": [], "checksum": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = gif.decode_gif_frames(bytes(payload))
+                for idx in range(0, len(frames), every_n):
+                    f = frames[idx]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["width"].append(f["width"])
+                    out["height"].append(f["height"])
+                    out["checksum"].append(zlib.crc32(f["pixels"]))
+            yield pd.DataFrame(out)
+
+    return docs_with_payload.mapInPandas(
+        run,
+        schema="doc_id long, frame_idx int, width int, height int,"
+        " checksum long",
+    )
+
+
 def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL-bytes GIF decode path: valid GIF89a per document, decoded
     by the stdlib LZW codec (fake=False). [rows-only in the driver

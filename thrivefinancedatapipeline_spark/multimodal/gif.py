@@ -81,6 +81,18 @@ def _lzw_decode(min_code: int, data: bytes) -> bytes:
 def decode_gif(data: bytes) -> dict:
     """First image of a GIF → {'width', 'height', 'pixels'} with
     pixels as RGB bytes (indices mapped through the color table)."""
+    return decode_gif_frames(data, max_frames=1)[0]
+
+
+def decode_gif_frames(data: bytes, max_frames: int | None = None) -> list:
+    """ALL image blocks of a (possibly animated) GIF, in stream order —
+    each {'width', 'height', 'pixels'} with palette-mapped RGB bytes.
+    Real multi-frame decode: every frame carries its own descriptor
+    and may carry a local color table; extensions (GCE, comments,
+    NETSCAPE loop) are skipped per the 89a spec. Frame disposal /
+    compositing is NOT applied — frames are returned as stored, which
+    is exactly what a frame-sampling pipeline wants. `max_frames`
+    stops parsing early (the decode_gif fast path)."""
     if not is_gif(data):
         raise ValueError("not a GIF")
     if len(data) < 13:
@@ -100,6 +112,7 @@ def decode_gif(data: bytes) -> dict:
         n = 2 << (packed & 7)
         global_table = data[pos : pos + 3 * n]
         pos += 3 * n
+    frames: list = []
     while pos < len(data):
         intro = data[pos]
         pos += 1
@@ -145,8 +158,12 @@ def decode_gif(data: bytes) -> dict:
             if off + 3 > len(table):
                 raise ValueError("palette index out of range")
             pixels[3 * i : 3 * i + 3] = table[off : off + 3]
-        return {"width": iw, "height": ih, "pixels": bytes(pixels)}
-    raise ValueError("GIF contains no image block")
+        frames.append({"width": iw, "height": ih, "pixels": bytes(pixels)})
+        if max_frames is not None and len(frames) >= max_frames:
+            return frames
+    if not frames:
+        raise ValueError("GIF contains no image block")
+    return frames
 
 
 #: deterministic 256-entry palette: index i → (i, 7i mod 256, 13i mod 256)
@@ -155,14 +172,9 @@ PALETTE = b"".join(
 )
 
 
-def encode_gif(indices: bytes, width: int, height: int) -> bytes:
-    """Valid GIF89a from 8-bit palette indices (PALETTE color table)."""
-    if len(indices) != width * height:
-        raise ValueError("indices must be width*height bytes")
+def _encode_image_block(indices: bytes, width: int, height: int) -> bytes:
+    """One image block (descriptor + clear-per-symbol LZW data)."""
     out = bytearray()
-    out += b"GIF89a"
-    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # 256-color GCT
-    out += PALETTE
     out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
     min_code = 8
     clear, end = 256, 257
@@ -191,5 +203,31 @@ def encode_gif(indices: bytes, width: int, height: int) -> bytes:
         out.append(len(block))
         out += block
     out.append(0)  # block terminator
+    return bytes(out)
+
+
+def encode_gif(indices: bytes, width: int, height: int) -> bytes:
+    """Valid GIF89a from 8-bit palette indices (PALETTE color table)."""
+    return encode_gif_animation([indices], width, height)
+
+
+def encode_gif_animation(
+    frames: list, width: int, height: int
+) -> bytes:
+    """Valid multi-frame GIF89a: one image block per frame over the
+    shared global color table — the real container format the frame
+    sampler decodes (spec-valid without GCE/NETSCAPE extensions,
+    which the decoder skips when present anyway)."""
+    if not frames:
+        raise ValueError("animation needs at least one frame")
+    for f in frames:
+        if len(f) != width * height:
+            raise ValueError("every frame must be width*height bytes")
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # 256-color GCT
+    out += PALETTE
+    for f in frames:
+        out += _encode_image_block(bytes(f), width, height)
     out.append(0x3B)  # trailer
     return bytes(out)
