@@ -314,9 +314,14 @@ def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling path (rows-only: Pandas kernel, no SQL twin)."""
+    """Frame-sampling path over REAL multi-frame containers: each doc
+    becomes a 6-frame animated GIF, and every 2nd frame is decoded
+    back by the stdlib multi-frame codec (`frame_sample_gif`) — the
+    keyframe-extraction pipeline with an actual codec end-to-end
+    (the byte-slicing `frame_sample` stand-in remains for codec-less
+    formats). (rows-only: Pandas kernel, no SQL twin)"""
     docs = load_table(spark, sf_dir, "documents")
-    return frame_sample(with_binary_payload(docs))
+    return frame_sample_gif(gif_animation_payloads(docs))
 
 
 PNG_WIDTH = 16  # synthetic demo images: fixed stride, height from text

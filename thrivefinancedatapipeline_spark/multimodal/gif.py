@@ -34,21 +34,26 @@ def _lzw_decode(min_code: int, data: bytes) -> bytes:
     clear = 1 << min_code
     end = clear + 1
     code_size = min_code + 1
-    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    # the literal table never changes — build it once and dict-copy on
+    # CLEAR (a C-speed copy; rebuilding via comprehension per CLEAR
+    # dominated decode for the clear-per-symbol encoder's streams)
+    base: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    table = dict(base)
     next_code = end + 1
     out = bytearray()
     prev: bytes | None = None
     pos = 0
     total = len(data) * 8
+    # whole-stream integer: one shift+mask per code instead of
+    # bit-by-bit assembly (LSB-first packing makes this a plain
+    # right-shift)
+    stream = int.from_bytes(data, "little")
     while pos + code_size <= total:
-        code = 0
-        for k in range(code_size):
-            if (data[(pos + k) >> 3] >> ((pos + k) & 7)) & 1:
-                code |= 1 << k
+        code = (stream >> pos) & ((1 << code_size) - 1)
         pos += code_size
         if code == clear:
             code_size = min_code + 1
-            table = {i: bytes([i]) for i in range(clear)}
+            table = dict(base)
             next_code = end + 1
             prev = None
             continue
