@@ -208,3 +208,37 @@ def test_substring_spans_invariants_and_python_twin(spark, sf_dir):
         assert r.dup_tokens <= r.n_tokens
         assert r.dup_tokens >= SPAN_L * r.n_spans or r.n_spans == 0
         assert r.dup_ppm == dup_tokens * 1_000_000 // len(ts)
+
+
+def test_source_overlap_matrix_python_twin(spark, sf_dir):
+    """Feed-level contamination rollup equals a driver-side recompute:
+    shared distinct 8-token grams per source pair."""
+    import hashlib
+    import re
+    from collections import defaultdict
+    from itertools import combinations
+
+    from thrivefinancedatapipeline_spark.datamodel import load_table
+    from thrivefinancedatapipeline_spark.operators.dedup import (
+        SPAN_L,
+        source_overlap_matrix,
+    )
+
+    got = {
+        (r.source_1, r.source_2): r.shared_grams
+        for r in source_overlap_matrix(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    by_source = defaultdict(set)
+    for d in docs.collect():
+        ts = re.sub(r"\s+", " ", d.text).strip().lower().split(" ")
+        for i in range(len(ts) - SPAN_L + 1):
+            h = hashlib.md5(" ".join(ts[i : i + SPAN_L]).encode()).hexdigest()
+            by_source[d.source].add(h)
+    want = {}
+    for s1, s2 in combinations(sorted(by_source), 2):
+        n = len(by_source[s1] & by_source[s2])
+        if n:
+            want[(s1, s2)] = n
+    assert got == want
+    assert len(got) > 0  # synthetic corpus has cross-source overlap

@@ -1272,6 +1272,44 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE contamination matrix: for every pair of upstream
+    feeds, how many distinct {SPAN_L}-token runs they share verbatim —
+    the feed-level rollup of `dedup_substring_spans` (which source
+    pairs are leaking each other's text). Reuses the rolling-gram
+    machinery: grams distinct-reduce to (source, h) FIRST (the only
+    big shuffle), and the self-join runs on that reduced relation with
+    source_1 < source_2 — never on positions. Slated for a
+    `queries()`/oracle registration in round 6 (round 5 is at its
+    new-registration cap); pinned by a Python-twin test meanwhile."""
+    docs = _docs(spark, sf_dir)
+    tk = docs.select(
+        "source", tokens(F.col("text")).alias("toks")
+    ).withColumn("n_tokens", F.size("toks"))
+    grams = tk.filter(F.col("n_tokens") >= SPAN_L).select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tokens") - F.lit(SPAN_L - 1)),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ", F.slice(F.col("toks"), i, F.lit(SPAN_L))
+                    )
+                ),
+            )
+        ).alias("h"),
+    )
+    sh = grams.distinct().localCheckpoint(eager=True)
+    a = sh.select(F.col("source").alias("source_1"), "h")
+    b = sh.select(F.col("source").alias("source_2"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("source_1") < F.col("source_2"))
+        .groupBy("source_1", "source_2")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+
+
 QUERIES = {
     "dedup_substring_spans": q_dedup_substring_spans,
     "corpus_novelty": q_corpus_novelty,
