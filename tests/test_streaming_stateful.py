@@ -575,3 +575,81 @@ def test_stream_scd2_upsert_crash_between_renames_recovers(
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(dimroot, ignore_errors=True)
         shutil.rmtree(chk, ignore_errors=True)
+
+
+def test_substring_novelty_stream_matches_sequential_twin(spark, sf_dir):
+    """The streaming gram-index pipeline must flag exactly what a
+    sequential driver-side replay flags: a doc's gram is novel iff no
+    EARLIER batch contained it. Also exercises the shared snapshot
+    helpers (index survives across batches, marker present)."""
+    import glob as globmod
+    import hashlib
+    import re
+    import time as _t
+
+    from thrivefinancedatapipeline_spark.datamodel import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .limit(60)
+        .collect()
+    )
+    src = tempfile.mkdtemp(prefix="nov_src_")
+    idx = tempfile.mkdtemp(prefix="nov_idx_") + "/index"
+    res = tempfile.mkdtemp(prefix="nov_res_") + "/results"
+    chk = tempfile.mkdtemp(prefix="nov_chk_")
+    try:
+        batches = [docs[0:20], docs[20:40], docs[40:60]]
+        for i, b in enumerate(batches):
+            spark.createDataFrame(
+                [(d.doc_id, d.text) for d in b], "doc_id long, text string"
+            ).coalesce(1).write.mode("overwrite").parquet(f"{src}/b{i}")
+            # file stream ingests in mtime order; one dir per batch
+            _t.sleep(0.05)
+        # flatten: the stream source wants files in one dir
+        flat = tempfile.mkdtemp(prefix="nov_flat_")
+        for i in range(3):
+            for f in sorted(globmod.glob(f"{src}/b{i}/part-*")):
+                shutil.copy(f, f"{flat}/batch{i}.parquet")
+                _t.sleep(0.05)
+        got = {
+            r.doc_id: r
+            for r in stateful.run_substring_novelty_stream(
+                spark, flat, idx, res, chk
+            ).collect()
+        }
+
+        # sequential twin
+        L = 8
+        seen = set()
+        want = {}
+        for b in batches:
+            batch_grams = {}
+            for d in b:
+                ts = re.sub(r"\s+", " ", d.text).strip().lower().split(" ")
+                gs = {
+                    hashlib.md5(
+                        " ".join(ts[i : i + L]).encode()
+                    ).hexdigest()
+                    for i in range(len(ts) - L + 1)
+                }
+                batch_grams[d.doc_id] = gs
+                novel = sum(1 for g in gs if g not in seen)
+                ppm = novel * 1_000_000 // len(gs) if gs else 0
+                want[d.doc_id] = (len(gs), novel, ppm)
+            for gs in batch_grams.values():
+                seen |= gs
+        assert len(got) == 60
+        for doc_id, (n_grams, n_novel, ppm) in want.items():
+            r = got[doc_id]
+            assert (r.n_grams, r.n_novel, r.novel_ppm) == (
+                n_grams, n_novel, ppm,
+            ), doc_id
+        # index snapshot committed with its marker
+        assert os.path.isdir(idx)
+        assert os.path.isfile(os.path.join(idx, stateful.SNAPSHOT_MARKER))
+        shutil.rmtree(flat, ignore_errors=True)
+    finally:
+        for d in (src, os.path.dirname(idx), os.path.dirname(res), chk):
+            shutil.rmtree(d, ignore_errors=True)

@@ -1181,6 +1181,34 @@ def probe_minhash_band_index(
 SPAN_L = 8  # tokens per rolling gram for substring-span dedup
 
 
+def substring_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, h) rolling {SPAN_L}-token gram rows — the shared
+    fan-out under the span audit, the source-overlap matrix, and the
+    streaming gram-index novelty pipeline (all MUST gram identically
+    or probes silently miss)."""
+    tk = docs.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).withColumn("n_tokens", F.size("toks"))
+    return tk.filter(F.col("n_tokens") >= SPAN_L).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tokens") - F.lit(SPAN_L - 1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(
+                        F.concat_ws(
+                            " ", F.slice(F.col("toks"), i, F.lit(SPAN_L))
+                        )
+                    ).alias("h"),
+                ),
+            )
+        ).alias("g"),
+    ).select(
+        "doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h")
+    )
+
+
 def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT SUBSTRING dedup audit (Lee et al. 2022, 'Deduplicating
     Training Data Makes Language Models Better'): per document, how
@@ -1204,25 +1232,9 @@ def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     tk = docs.select(
         "doc_id", tokens(F.col("text")).alias("toks")
     ).withColumn("n_tokens", F.size("toks"))
-    grams = tk.filter(F.col("n_tokens") >= SPAN_L).select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.col("n_tokens") - F.lit(SPAN_L - 1)),
-                lambda i: F.struct(
-                    i.alias("pos"),
-                    F.md5(
-                        F.concat_ws(
-                            " ", F.slice(F.col("toks"), i, F.lit(SPAN_L))
-                        )
-                    ).alias("h"),
-                ),
-            )
-        ).alias("g"),
-    ).select(
-        "doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h")
-    ).localCheckpoint(eager=True)  # shared by dup index AND hits join:
-    # without materialization the dominant explode+md5 stage runs twice
+    grams = substring_grams(docs).localCheckpoint(eager=True)
+    # checkpoint: shared by dup index AND hits join — without
+    # materialization the dominant explode+md5 stage runs twice
     dup = (
         grams.select("doc_id", "h")
         .distinct()

@@ -443,6 +443,63 @@ def stream_kmv_distinct(
     )
 
 
+#: marker file carried inside every snapshot dir (leading underscore →
+#: ignored by parquet readers): the last batch_id folded in, read back
+#: to make crash-replayed batches no-ops.
+SNAPSHOT_MARKER = "_applied_batch"
+
+
+def current_snapshot(path: str) -> str | None:
+    """Resolve the committed snapshot for an atomically-swapped dir:
+    the live dir is authoritative; `<path>__old` only exists if a
+    crash hit between the two renames (live moved aside, tmp never
+    promoted) — then __old IS the last committed state."""
+    import os
+
+    if os.path.isdir(path):
+        return path
+    if os.path.isdir(path + "__old"):
+        return path + "__old"
+    return None
+
+
+def applied_batch(snapshot: str) -> int:
+    """batch_id recorded in the snapshot's marker (-1 if none)."""
+    import os
+
+    try:
+        with open(os.path.join(snapshot, SNAPSHOT_MARKER)) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return -1
+
+
+def swap_snapshot(df, path: str, batch_id: int) -> None:
+    """Write `df` as the new committed snapshot of `path` with the
+    atomic two-rename swap. Ordering invariant: a committed snapshot
+    exists at `path` or `<path>__old` at EVERY intermediate point —
+    __old is only deleted after tmp has been promoted to live
+    (deleting it earlier would, on a crash in between, leave only the
+    un-promoted tmp, which restarts discard). The batch marker is
+    written into tmp so it travels atomically with the promote."""
+    import os
+    import shutil
+
+    tmp, old = path + "__tmp", path + "__old"
+    if os.path.isdir(tmp):  # stale tmp from a crashed write
+        shutil.rmtree(tmp)
+    df.localCheckpoint(eager=True).write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, SNAPSHOT_MARKER), "w") as f:
+        f.write(str(int(batch_id)))
+    if os.path.isdir(path):
+        if os.path.isdir(old):  # stale from a prior crash
+            shutil.rmtree(old)
+        os.replace(path, old)
+    os.replace(tmp, path)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+
+
 def run_scd2_upsert(spark, source_dir: str, dim_path: str, checkpoint: str):
     """Continuous SCD2 dimension maintenance — the foreachBatch CDC
     sink pattern: each micro-batch of transactions MERGEs into the
@@ -476,36 +533,14 @@ def run_scd2_upsert(spark, source_dir: str, dim_path: str, checkpoint: str):
     marker is skipped — the snapshot already contains it. Equality
     with a full rebuild over all drained batches is pinned by test,
     including the crash-replay windows."""
-    import os
-    import shutil
-
     from ..operators.balance import balance_scd2, scd2_apply_increment
 
     txns = stream_transactions(spark, source_dir, max_files_per_trigger=1)
-    tmp_path, old_path = dim_path + "__tmp", dim_path + "__old"
-    MARKER = "_applied_batch"
-
-    def current_snapshot() -> str | None:
-        # The live dir is authoritative; __old only exists if a crash
-        # hit between the two renames (live was moved aside but tmp
-        # never made it in) — then __old IS the last committed state.
-        if os.path.isdir(dim_path):
-            return dim_path
-        if os.path.isdir(old_path):
-            return old_path
-        return None
-
-    def applied_batch(snapshot: str) -> int:
-        try:
-            with open(os.path.join(snapshot, MARKER)) as f:
-                return int(f.read().strip())
-        except (OSError, ValueError):
-            return -1  # pre-marker snapshot: apply everything
 
     def upsert(batch_df, batch_id):
         if batch_df.isEmpty():
             return
-        prev_path = current_snapshot()
+        prev_path = current_snapshot(dim_path)
         if prev_path is not None:
             if batch_id <= applied_batch(prev_path):
                 return  # crash-replay of a batch the snapshot has
@@ -513,25 +548,7 @@ def run_scd2_upsert(spark, source_dir: str, dim_path: str, checkpoint: str):
             new_dim = scd2_apply_increment(prev, batch_df)
         else:
             new_dim = balance_scd2(batch_df)
-        if os.path.isdir(tmp_path):  # stale tmp from a crashed write
-            shutil.rmtree(tmp_path)
-        new_dim.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            tmp_path
-        )
-        with open(os.path.join(tmp_path, MARKER), "w") as f:
-            f.write(str(int(batch_id)))
-        # ordering invariant: a committed snapshot exists at dim_path
-        # or old_path at EVERY intermediate point — old is only
-        # deleted after tmp has been promoted to live (deleting it
-        # earlier would, on a crash in between, leave only the
-        # un-promoted tmp, which the next run discards)
-        if os.path.isdir(dim_path):
-            if os.path.isdir(old_path):  # stale from a prior crash
-                shutil.rmtree(old_path)
-            os.replace(dim_path, old_path)
-        os.replace(tmp_path, dim_path)
-        if os.path.isdir(old_path):
-            shutil.rmtree(old_path)
+        swap_snapshot(new_dim, dim_path, batch_id)
 
     (
         txns.writeStream.foreachBatch(upsert)
@@ -655,3 +672,96 @@ def stream_orphan_monitor(
             F.col("w.start").alias("window_start"), "n_events", "n_orphans"
         )
     )
+
+
+def run_substring_novelty_stream(
+    spark,
+    source_dir: str,
+    index_path: str,
+    results_path: str,
+    checkpoint: str,
+):
+    """STREAMING corpus novelty over a maintained substring-gram index
+    — `dedup_incremental`'s daily-delivery shape as a live pipeline:
+    each arriving document batch (1) probes the persisted distinct-
+    gram index for its novelty (integer-ppm fraction of the doc's
+    distinct grams never seen in EARLIER batches), (2) folds its own
+    grams into the index via the crash-safe snapshot swap shared with
+    the SCD2 sink (same two-rename atomicity + batch marker).
+
+    Idempotence split: per-batch results land in their own
+    `batch=<id>` subdir with mode=overwrite (a replay rewrites the
+    identical rows), while the index swap skips replayed batch_ids via
+    the snapshot marker — either crash window re-runs to the same
+    state. At scale the index is exactly the corpus gram dictionary
+    (distinct-reduced, uniform 128-bit keys); the probe is a left
+    join of the SMALL batch against it. Novelty is defined against
+    PRIOR batches only (within-batch repeats don't flag), matching
+    the incremental ingest contract.
+
+    Returns the drained per-doc novelty frame."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import substring_grams
+
+    docs = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+    def step(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        grams = (
+            substring_grams(batch_df)
+            .select("doc_id", "h")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        snap = current_snapshot(index_path)
+        replay = snap is not None and batch_id <= applied_batch(snap)
+        if snap is not None:
+            idx = spark.read.parquet(snap).withColumn("_seen", F.lit(1))
+        else:
+            idx = (
+                grams.select("h").limit(0).withColumn("_seen", F.lit(1))
+            )
+        per_doc = (
+            grams.join(idx, "h", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_grams"),
+                F.sum(F.col("_seen").isNull().cast("long")).alias("n_novel"),
+            )
+        )
+        out = batch_df.select("doc_id").join(per_doc, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.expr(
+                "CAST(CASE WHEN coalesce(n_grams, 0) = 0 THEN 0"
+                " ELSE CAST(coalesce(n_novel, 0) AS DECIMAL(38,0))"
+                " * 1000000 div n_grams END AS BIGINT)"
+            ).alias("novel_ppm"),
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(results_path, f"batch={batch_id}")
+        )
+        if not replay:
+            new_index = (
+                spark.read.parquet(snap).select("h") if snap is not None
+                else grams.select("h").limit(0)
+            ).unionAll(grams.select("h")).distinct()
+            swap_snapshot(new_index, index_path, batch_id)
+
+    (
+        docs.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(results_path)
