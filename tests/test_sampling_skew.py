@@ -344,3 +344,36 @@ def test_equidepth_cells_merge_equals_direct(spark, sf_dir):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+def test_cms_join_cardinality_bounds(spark, sf_dir):
+    """Sketch inner-product join-size estimate: est >= exact always
+    (collisions only add mass), and the min-over-rows stays within
+    the expected collision overcount (na*nb/width per row — margin 2x;
+    everything is deterministic, so this cannot flake)."""
+    from thrivefinancedatapipeline_spark.datamodel import load_table
+    from thrivefinancedatapipeline_spark.operators.sketches import (
+        CMS_WIDTH,
+        cms_grid_for,
+        cms_join_cardinality,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    cu = load_table(spark, sf_dir, "customer").select("c_custkey")
+    exact = ev.join(cu, ev.user_id == cu.c_custkey).count()
+    est = cms_join_cardinality(
+        cms_grid_for(ev, "user_id"), cms_grid_for(cu, "c_custkey")
+    ).collect()[0].est_join_rows
+    na, nb = ev.count(), cu.count()
+    assert est >= exact
+    assert est <= exact + 2 * (na * nb) // CMS_WIDTH
+
+    # self-join sanity: grid against itself estimates the self-join
+    ga = cms_grid_for(ev, "user_id")
+    self_exact = ev.join(
+        ev.withColumnRenamed("user_id", "u2"),
+        F.col("user_id") == F.col("u2"),
+    ).count()
+    self_est = cms_join_cardinality(ga, ga).collect()[0].est_join_rows
+    assert self_est >= self_exact
+    assert self_est <= self_exact + 2 * (na * na) // CMS_WIDTH

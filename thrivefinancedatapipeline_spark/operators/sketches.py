@@ -177,6 +177,37 @@ def cms_grid(ev: DataFrame) -> DataFrame:
     )
 
 
+def cms_grid_for(df: DataFrame, key: str) -> DataFrame:
+    """Generic keyed CMS grid: (i, bucket, c) counters of `key`'s
+    frequencies — `cms_grid` for any relation/column (same namespaced
+    hashes, so grids over DIFFERENT relations are comparable)."""
+    hashed = df.select(
+        F.col(key).alias("k"),
+        F.explode(F.expr(f"sequence(0, {CMS_DEPTH - 1})")).alias("i"),
+    ).withColumn("bucket", cms_bucket(F.col("i"), F.col("k")))
+    return hashed.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("c"))
+
+
+def cms_join_cardinality(grid_a: DataFrame, grid_b: DataFrame) -> DataFrame:
+    """Equi-join SIZE estimate from two CMS grids — the classic
+    sketch inner product (AMS/CMS): per depth row, sum over buckets of
+    c_a * c_b over-counts |A ⋈ B| (colliding keys only add mass), and
+    the minimum across the {CMS_DEPTH} independent rows is the
+    estimate. This is what a cost-based planner wants BEFORE running a
+    100 TB join: both grids are tiny mergeable counter tables built
+    with one scan each — the join itself never runs. est >= exact by
+    construction (pinned by test with the deterministic hash family).
+    """
+    a = grid_a.select("i", "bucket", F.col("c").alias("ca"))
+    b = grid_b.select("i", "bucket", F.col("c").alias("cb"))
+    per_row = (
+        a.join(b, ["i", "bucket"])
+        .groupBy("i")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
+    )
+    return per_row.agg(F.min("ip").cast("long").alias("est_join_rows"))
+
+
 def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch heavy hitters: the top keys' exact counts next
     to their CMS estimates, both engines deriving the IDENTICAL sketch
