@@ -377,3 +377,80 @@ def test_cms_join_cardinality_bounds(spark, sf_dir):
     self_est = cms_join_cardinality(ga, ga).collect()[0].est_join_rows
     assert self_est >= self_exact
     assert self_est <= self_exact + 2 * (na * na) // CMS_WIDTH
+
+
+def test_equidepth_by_group_equals_per_subset_global(spark, sf_dir):
+    """Per-group sketch parity: for each event_type, the grouped
+    two-pass sketch must equal the GLOBAL sketch run on just that
+    group's rows — the boundaries are genuinely per-group, computed
+    in one shared pair of scans."""
+    from thrivefinancedatapipeline_spark.datamodel import load_table
+    from thrivefinancedatapipeline_spark.operators.sketches import (
+        equidepth_boundaries,
+        equidepth_cells,
+        EQD_QUANTILES,
+        equidepth_quantiles_by_group,
+    )
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    got = sorted(
+        tuple(r)
+        for r in equidepth_quantiles_by_group(keyed, "g", "cents").collect()
+    )
+
+    want = []
+    for gr in [r.g for r in keyed.select("g").distinct().collect()]:
+        cents = keyed.filter(F.col("g") == gr).select("cents")
+        stats, heavy = equidepth_boundaries(cents)
+        cells = equidepth_cells(cents, stats, heavy)
+        wcum = Window.orderBy("bucket", "sub").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cum = cells.withColumn("cum", F.sum("c").over(wcum))
+        qs = F.explode(
+            F.array(*[F.lit(q) for q in EQD_QUANTILES])
+        ).alias("q")
+        targets = stats.select(
+            qs, F.expr("(q * n + 99) div 100").alias("target"), "mn", "w"
+        )
+        hit = (
+            cum.join(F.broadcast(targets), F.col("cum") >= F.col("target"))
+            .withColumn("cell", F.struct("bucket", "sub", "c", "cum"))
+            .groupBy("q", "target")
+            .agg(
+                F.min_by("cell", F.struct("bucket", "sub")).alias("cell"),
+                F.first("mn").alias("mn"),
+                F.first("w").alias("w"),
+            )
+            .join(
+                F.broadcast(
+                    heavy.select(F.col("bucket").alias("hb"), "sub_w")
+                ),
+                F.col("cell.bucket") == F.col("hb"),
+                "left",
+            )
+        )
+        for r in hit.collect():
+            sub_w = r.sub_w
+            mn, w = r.mn, r.w
+            bkt, sub = r.cell.bucket, r.cell.sub
+            if sub_w is None:
+                lo, hi = mn + bkt * w, mn + (bkt + 1) * w - 1
+            else:
+                lo = mn + bkt * w + sub * sub_w
+                hi = min(
+                    mn + bkt * w + (sub + 1) * sub_w - 1,
+                    mn + (bkt + 1) * w - 1,
+                )
+            want.append(
+                (
+                    gr, r.q, r.target, bkt, sub, lo, hi,
+                    r.cell.cum - r.cell.c, int(sub_w is not None),
+                )
+            )
+    assert got == sorted(want)

@@ -519,6 +519,127 @@ def equidepth_boundaries(cents: DataFrame) -> tuple[DataFrame, DataFrame]:
     return stats, heavy
 
 
+def equidepth_quantiles_by_group(
+    keyed: DataFrame, group: str = "g", value: str = "cents"
+) -> DataFrame:
+    """PER-GROUP adaptive quantiles: the two-pass equi-depth sketch
+    with every boundary derived PER GROUP KEY (per-group min/max/
+    count, per-group heavy cells) — one pair of scans covers every
+    group simultaneously (groupBy agg + histogram groupBy, both
+    map-side combinable), which is how a 100 TB deployment computes
+    per-tenant / per-event-type percentile frames: never one job per
+    group. Window functions run per group partition (bounded by
+    {EQD_NB}x{EQD_SUB} cells per group). Same output contract as
+    q_equidepth_quantiles plus the group column; slated for an
+    oracled registration in round 6 (round 5 is at its cap), pinned
+    meanwhile by the per-group == per-subset-global parity test."""
+    stats = (
+        keyed.groupBy(group)
+        .agg(
+            F.min(value).alias("mn"),
+            F.max(value).alias("mx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .withColumn(
+            "w",
+            F.expr(
+                f"greatest(1L, (mx - mn + 1 + {EQD_NB - 1}) div {EQD_NB})"
+            ),
+        )
+        .select(group, "mn", "n", "w")
+        .localCheckpoint(eager=True)
+    )
+    b = keyed.join(F.broadcast(stats), group).withColumn(
+        "bucket", F.expr(f"({value} - mn) div w")
+    )
+    h1 = b.groupBy(group, "bucket").agg(
+        F.count(F.lit(1)).alias("c1"),
+        F.first("n").alias("n"),
+        F.first("w").alias("w"),
+    )
+    heavy = (
+        h1.filter(F.expr(f"c1 > n div {EQD_NB}"))
+        .select(
+            group,
+            "bucket",
+            F.lit(1).alias("is_heavy"),
+            F.expr(
+                f"greatest(1L, (w + {EQD_SUB - 1}) div {EQD_SUB})"
+            ).alias("sub_w"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    flagged = b.join(F.broadcast(heavy), [group, "bucket"], "left")
+    cells = (
+        flagged.withColumn(
+            "sub",
+            F.when(
+                F.col("is_heavy").isNull(), F.lit(0).cast("long")
+            ).otherwise(F.expr(f"({value} - mn - bucket * w) div sub_w")),
+        )
+        .groupBy(group, "bucket", "sub")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wcum = (
+        Window.partitionBy(group)
+        .orderBy("bucket", "sub")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cells.withColumn("cum", F.sum("c").over(wcum))
+    qs = F.explode(
+        F.array(*[F.lit(q) for q in EQD_QUANTILES])
+    ).alias("q")
+    targets = stats.select(
+        group, qs, F.expr("(q * n + 99) div 100").alias("target"),
+        "mn", "w",
+    )
+    hit = (
+        cum.join(F.broadcast(targets), group)
+        .filter(F.col("cum") >= F.col("target"))
+        .withColumn("cell", F.struct("bucket", "sub", "c", "cum"))
+        .groupBy(group, "q", "target")
+        .agg(
+            F.min_by("cell", F.struct("bucket", "sub")).alias("cell"),
+            F.first("mn").alias("mn"),
+            F.first("w").alias("w"),
+        )
+    ).join(
+        F.broadcast(
+            heavy.select(
+                F.col(group).alias("hg"), F.col("bucket").alias("hb"),
+                "sub_w",
+            )
+        ),
+        (F.col(group) == F.col("hg"))
+        & (F.col("cell.bucket") == F.col("hb")),
+        "left",
+    )
+    sub_w = F.col("sub_w")
+    lo = F.when(
+        sub_w.isNull(), F.expr("mn + cell.bucket * w")
+    ).otherwise(F.expr("mn + cell.bucket * w") + F.col("cell.sub") * sub_w)
+    hi = F.when(
+        sub_w.isNull(), F.expr("mn + (cell.bucket + 1) * w - 1")
+    ).otherwise(
+        F.least(
+            F.expr("mn + cell.bucket * w")
+            + (F.col("cell.sub") + 1) * sub_w - 1,
+            F.expr("mn + (cell.bucket + 1) * w - 1"),
+        )
+    )
+    return hit.select(
+        group,
+        F.col("q").cast("int").alias("q"),
+        F.col("target").cast("long").alias("target_rank"),
+        F.col("cell.bucket").cast("long").alias("bucket"),
+        F.col("cell.sub").cast("long").alias("sub"),
+        lo.cast("long").alias("lo_cents"),
+        hi.cast("long").alias("hi_cents"),
+        (F.col("cell.cum") - F.col("cell.c")).cast("long").alias("n_below"),
+        sub_w.isNotNull().cast("int").alias("refined"),
+    )
+
+
 def q_equidepth_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADAPTIVE quantile sketch: two-pass equi-depth refinement of the
     equi-width histogram (`histogram_quantiles`' documented weakness
