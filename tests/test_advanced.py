@@ -219,3 +219,50 @@ def test_star_cc_midloop_driver_finish(spark):
         ).collect()
     }
     assert out == {i: 0 for i in range(10)}
+
+
+def test_events_type_correlation_python_twin(spark, sf_dir):
+    """Exact-integer Pearson frame equals a driver-side recompute, at
+    every SF-safe scale: components exact, r2_signed_ppm via the same
+    floor division, symmetric pair coverage."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    from thrivefinancedatapipeline_spark.datamodel import load_table
+    from thrivefinancedatapipeline_spark.plans.events_queries import (
+        events_type_correlation,
+    )
+
+    got = {
+        (r.type_1, r.type_2): r
+        for r in events_type_correlation(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    daily = defaultdict(int)
+    for r in ev.collect():
+        daily[(r.day, r.event_type)] += r.c
+    daily = {k: v // 100 for k, v in daily.items()}
+    days = sorted({d for d, _ in daily})
+    types = sorted({t for _, t in daily})
+    assert set(got) == set(combinations(types, 2))
+    for t1, t2 in got:
+        xs = [daily.get((d, t1), 0) for d in days]
+        ys = [daily.get((d, t2), 0) for d in days]
+        n = len(days)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        num = n * sxy - sx * sy
+        varx, vary = n * sxx - sx * sx, n * syy - sy * sy
+        if varx == 0 or vary == 0:
+            want_ppm = 0
+        else:
+            sign = 1 if num > 0 else (-1 if num < 0 else 0)
+            want_ppm = sign * (num * num * 1_000_000 // (varx * vary))
+        r = got[(t1, t2)]
+        assert (r.n_days, r.sum_1, r.sum_2, r.sum_cross) == (n, sx, sy, sxy)
+        assert r.r2_signed_ppm == want_ppm, (t1, t2)

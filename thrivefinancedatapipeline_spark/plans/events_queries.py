@@ -486,6 +486,83 @@ def q_events_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-series correlation frame: for every pair of event types,
+    the Pearson components of their DAILY-TOTAL series (n, sums,
+    cross-products in exact integer cents) plus the signed squared
+    correlation in ppm — which metrics move together, the first
+    question a time-series analyst asks of a metrics warehouse.
+
+    Exactness strategy: Pearson r is irrational, so the emitted
+    statistic is r_sign * r^2 in ppm computed with one integer `div`
+    over DECIMAL(38,0) products. The series runs at WHOLE-UNIT scale
+    (cents div 100): the squared numerator (n*Sxy - Sx*Sy)^2 is
+    ~(n * total^2)^2, which at daily-cents scale already bursts 38
+    digits at sf0.1 — unit scale keeps it ~1e31 with headroom to
+    ~sf10 while changing r^2 only in the 5th decimal. Every output
+    column is engine-exact, making this directly oracle-able (slated
+    for a round-6 registration; Python-twin pinned meanwhile).
+
+    Scale shape: one map-side-combinable daily groupBy; the pair join
+    runs on the TINY (day, type, cents) rollup (|days| x |types|
+    rows), never on events; days with no row for a type count as 0
+    via an inner join on the shared day spine (both series defined on
+    the same observed days)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) div 100"
+            " AS BIGINT)"
+        ).alias("cents")
+    )
+    days = daily.select("day").distinct()
+    types = daily.select("event_type").distinct()
+    spine = days.crossJoin(types)
+    filled = (
+        spine.join(daily, ["day", "event_type"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.coalesce("cents", F.lit(0)).alias("cents"),
+        )
+        .localCheckpoint(eager=True)  # tiny: |days| x |types| rows
+    )
+    a = filled.select(
+        "day", F.col("event_type").alias("type_1"), F.col("cents").alias("x")
+    )
+    b = filled.select(
+        "day", F.col("event_type").alias("type_2"), F.col("cents").alias("y")
+    )
+    pairs = a.join(b, "day").filter(F.col("type_1") < F.col("type_2"))
+    agg = pairs.groupBy("type_1", "type_2").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = "CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"
+    varx = "CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"
+    vary = "CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy"
+    return agg.select(
+        "type_1",
+        "type_2",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("sx").cast("long").alias("sum_1"),
+        F.col("sy").cast("long").alias("sum_2"),
+        F.col("sxy").cast("long").alias("sum_cross"),
+        F.expr(
+            f"CASE WHEN ({varx}) = 0 OR ({vary}) = 0 THEN CAST(0 AS BIGINT)"
+            f" ELSE CAST(sign({num}) AS BIGINT)"
+            f" * (CAST(({num}) * ({num}) AS DECIMAL(38,0)) * 1000000"
+            f" div CAST(({varx}) * ({vary}) AS DECIMAL(38,0))) END"
+        ).alias("r2_signed_ppm"),
+    )
+
+
 def q_events_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Period-over-period reporting: weekly totals per event type with
     the week-over-week delta and integer-ppm relative change (lag()
