@@ -97,7 +97,12 @@ def test_decode_gate_still_armed_for_non_png(spark, sf_dir):
     import pandas as pd
     import pytest
 
+    # WebP-ish RIFF container: not WAVE, not PNG/GIF/JPEG — gate holds
     with pytest.raises(NotImplementedError):
+        mm.decode_image_batch(pd.Series([b"RIFF\x00\x00\x00\x00WEBPVP8 "]))
+    # jpeg-ish bytes now route to the REAL decoder, which rejects the
+    # corrupt stream with the documented ValueError instead of faking
+    with pytest.raises(ValueError):
         mm.decode_image_batch(pd.Series([b"\xff\xd8\xff jpeg-ish"]))
     # and through the Spark kernel too
     p = _payloads(spark, sf_dir)  # utf-8 text bytes, not PNG
@@ -429,3 +434,79 @@ def test_gif_animation_roundtrip_and_real_frame_sampling(spark, sf_dir):
             f = all_frames[r.frame_idx]
             assert (r.width, r.height) == (f["width"], f["height"])
             assert r.checksum == zlib.crc32(f["pixels"])
+
+
+def test_jpeg_codec_roundtrip_error_bounds():
+    """Baseline JPEG is lossy by construction: pin structure exactly
+    (dims, marker layout survives decode) and bound reconstruction
+    error at high quality — smooth and block-aligned content under
+    ~2 levels, noisy non-multiple-of-8 content under ~16 at q=90."""
+    from thrivefinancedatapipeline_spark.multimodal import jpeg
+
+    cases = [
+        ("flat", 16, 16, bytes([128] * 256), 1),
+        (
+            "ramp", 16, 8,
+            bytes((y * 16 + x * 3) % 256 for y in range(8) for x in range(16)),
+            4,
+        ),
+        (
+            "blocks", 24, 24,
+            bytes(
+                255 if (x // 8 + y // 8) % 2 else 0
+                for y in range(24) for x in range(24)
+            ),
+            2,
+        ),
+        (
+            "noise13x9", 13, 9,
+            bytes((x * 29 + y * 17) % 256 for y in range(9) for x in range(13)),
+            16,
+        ),
+    ]
+    for name, w, h, pix, bound in cases:
+        img = jpeg.decode_jpeg(jpeg.encode_jpeg(pix, w, h, quality=90))
+        assert (img["width"], img["height"]) == (w, h), name
+        assert len(img["pixels"]) == w * h
+        err = max(abs(a - b) for a, b in zip(pix, img["pixels"]))
+        assert err <= bound, (name, err)
+
+
+def test_jpeg_error_surface_and_gates():
+    import pytest
+
+    from thrivefinancedatapipeline_spark.multimodal import jpeg
+
+    good = jpeg.encode_jpeg(bytes(range(64)), 8, 8)
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(b"not a jpeg")
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(good[:20])  # truncated in the marker stream
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(good[:-30])  # truncated entropy data
+    # progressive gate: flip SOF0 to SOF2
+    idx = good.find(b"\xff\xc0")
+    prog = good[:idx] + b"\xff\xc2" + good[idx + 2 :]
+    with pytest.raises(NotImplementedError):
+        jpeg.decode_jpeg(prog)
+
+
+def test_decode_kernel_runs_real_jpeg_bytes(spark, sf_dir):
+    """The Spark decode kernel handles JPEG payloads with the real
+    codec (fake=False): dims match the writer's layout and the
+    checksum equals a driver-side decode of the same payload."""
+    import zlib
+
+    from thrivefinancedatapipeline_spark.datamodel import load_table
+    from thrivefinancedatapipeline_spark.multimodal import jpeg
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    payloads = mm.jpeg_payloads(docs)
+    out = {r.doc_id: r for r in mm.decode_stub(payloads, fake=False).collect()}
+    assert len(out) == docs.count()
+    for p in payloads.collect():
+        img = jpeg.decode_jpeg(bytes(p.payload))
+        r = out[p.doc_id]
+        assert (r.width, r.height) == (img["width"], img["height"])
+        assert r.width == mm.PNG_WIDTH
+        assert r.checksum == zlib.crc32(img["pixels"])

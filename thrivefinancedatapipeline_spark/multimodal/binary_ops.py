@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..datamodel import load_table
-from . import gif, png, wav
+from . import gif, jpeg, png, wav
 
 DECODED_SCHEMA = (
     "doc_id long, n_bytes int, width int, height int, checksum long"
@@ -74,6 +74,11 @@ def decode_image_batch(payloads: pd.Series, *, fake: bool = False) -> pd.DataFra
             widths.append(img["width"])
             heights.append(img["height"])
             checksums.append(zlib.crc32(img["pixels"]))
+        elif jpeg.is_jpeg(bytes(b)):
+            img = jpeg.decode_jpeg(bytes(b))
+            widths.append(img["width"])
+            heights.append(img["height"])
+            checksums.append(zlib.crc32(img["pixels"]))
         elif fake:
             s = sum(b) % 1_000_003
             widths.append(len(b) % 640 + 1)
@@ -81,10 +86,10 @@ def decode_image_batch(payloads: pd.Series, *, fake: bool = False) -> pd.DataFra
             checksums.append(s)
         else:
             raise NotImplementedError(
-                "only baseline PNG and non-interlaced GIF decode "
-                "natively here; other image codecs are unavailable in "
-                "this environment — pass fake=True for the "
-                "deterministic stub"
+                "only baseline PNG, non-interlaced GIF and baseline "
+                "grayscale JPEG decode natively here; other image "
+                "codecs are unavailable in this environment — pass "
+                "fake=True for the deterministic stub"
             )
     return pd.DataFrame(
         {
@@ -190,6 +195,9 @@ def resize_nn(
                 elif gif.is_gif(b):
                     img = gif.decode_gif(b)
                     ch = 3  # palette-mapped RGB
+                elif jpeg.is_jpeg(b):
+                    img = jpeg.decode_jpeg(b)
+                    ch = 1  # grayscale
                 else:
                     raise NotImplementedError(
                         "resize_nn needs a decodable image payload"
@@ -459,6 +467,33 @@ def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare — Python-side kernel, no SQL twin]"""
     docs = load_table(spark, sf_dir, "documents")
     return decode_stub(gif_payloads(docs), fake=False)
+
+
+def jpeg_payloads(docs: DataFrame, quality: int = 90) -> DataFrame:
+    """Deterministic REAL JPEG payloads: text bytes as an 8-bit gray
+    image, encoded by the stdlib baseline codec — fourth container
+    format on the write side (lossy, so downstream checks bound the
+    reconstruction error instead of hashing pixels)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                raw = text.encode("utf-8")
+                height = max(1, min(32, -(-len(raw) // PNG_WIDTH)))
+                buf = (raw + b"\x00" * (PNG_WIDTH * height))[
+                    : PNG_WIDTH * height
+                ]
+                payloads.append(
+                    jpeg.encode_jpeg(buf, PNG_WIDTH, height, quality=quality)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id long, payload binary"
+    )
 
 
 ATTEST_SCHEMA = "doc_id long, png_sum long, gif_sum long, wav_energy long"

@@ -1,0 +1,443 @@
+"""Baseline JPEG (SOF0) codec on the Python stdlib only.
+
+Fourth real container format after PNG, GIF, and WAV: baseline
+sequential grayscale JPEG needs nothing beyond bit twiddling and an
+8x8 DCT — all specified in ITU-T T.81 (1992, public). The decoder is a
+REAL entropy decoder: Huffman and quantization tables are parsed from
+the stream's DHT/DQT segments (never assumed), DC is differentially
+decoded, AC is run-length decoded with ZRL/EOB handling, coefficients
+are dequantized, de-zigzagged and put through a separable float IDCT
+with level shift and clamping.
+
+Scope gates (explicit NotImplementedError, same policy as interlaced
+GIF / non-baseline PNG): progressive (SOF2), multi-component color and
+chroma subsampling, arithmetic coding, and restart intervals. The
+encoder emits single-component (grayscale) baseline JFIF with the
+standard Annex-K-style tables embedded in the stream — and because the
+decoder reads its tables from the stream, encode→decode correctness
+never depends on those constants matching any external library.
+
+JPEG is lossy by construction (DCT quantization), so unlike PNG/GIF/
+WAV there is no bit-exact round trip: tests bound the per-pixel
+reconstruction error at high quality and pin dimensions/structure
+exactly.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+JPEG_MAGIC = b"\xff\xd8"
+
+#: zigzag order: index i of the scan -> position in the 8x8 block
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+#: base luminance quantization table (quality 50), row-major
+QUANT_BASE = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+#: Huffman table specs embedded by the encoder (bits, values). The
+#: decoder NEVER uses these — it parses DHT from the stream.
+DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_VALS = list(range(12))
+AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+_COS = [
+    [math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)]
+    for x in range(8)
+]
+_C = [1 / math.sqrt(2)] + [1.0] * 7
+
+
+def is_jpeg(data: bytes) -> bool:
+    return data[:2] == JPEG_MAGIC
+
+
+def _quant_table(quality: int) -> list:
+    """libjpeg-style quality scaling of the base table (5000/q below
+    50, 200-2q above), clamped to [1, 255]."""
+    q = max(1, min(100, quality))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    return [max(1, min(255, (v * scale + 50) // 100)) for v in QUANT_BASE]
+
+
+def _fdct_block(block: list) -> list:
+    """8x8 forward DCT-II (separable would be faster; direct is clear
+    and the encoder is test-side only)."""
+    out = [0.0] * 64
+    for u in range(8):
+        for v in range(8):
+            s = 0.0
+            for x in range(8):
+                cu = _COS[x][u]
+                for y in range(8):
+                    s += block[x * 8 + y] * cu * _COS[y][v]
+            out[u * 8 + v] = 0.25 * _C[u] * _C[v] * s
+    return out
+
+
+def _idct_block(coef: list) -> list:
+    out = [0.0] * 64
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                cu = _C[u] * _COS[x][u]
+                for v in range(8):
+                    s += cu * _C[v] * coef[u * 8 + v] * _COS[y][v]
+            out[x * 8 + y] = 0.25 * s
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        while self.n:
+            self.write(1, 1)  # pad with 1-bits per spec
+
+
+def _build_encode_table(bits: list, vals: list) -> dict:
+    """symbol -> (code, length) from a DHT-style (bits, values) spec."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _magnitude(v: int) -> tuple:
+    """JPEG magnitude coding: (size, amplitude bits)."""
+    if v == 0:
+        return 0, 0
+    size = v.bit_length() if v > 0 else (-v).bit_length()
+    amp = v if v > 0 else v + (1 << size) - 1
+    return size, amp
+
+
+def encode_jpeg(pixels: bytes, width: int, height: int,
+                quality: int = 90) -> bytes:
+    """Grayscale baseline JFIF from 8-bit pixels (row-major)."""
+    if len(pixels) != width * height:
+        raise ValueError("pixels must be width*height bytes")
+    quant = _quant_table(quality)
+    dc_tab = _build_encode_table(DC_BITS, DC_VALS)
+    ac_tab = _build_encode_table(AC_BITS, AC_VALS)
+    bw = _BitWriter()
+    prev_dc = 0
+    for by in range(0, height, 8):
+        for bx in range(0, width, 8):
+            block = [
+                float(
+                    pixels[min(by + x, height - 1) * width
+                           + min(bx + y, width - 1)]
+                ) - 128.0
+                for x in range(8)
+                for y in range(8)
+            ]
+            coef = _fdct_block(block)
+            q = [
+                int(round(coef[ZIGZAG[i]] / quant[ZIGZAG[i]]))
+                for i in range(64)
+            ]
+            diff = q[0] - prev_dc
+            prev_dc = q[0]
+            size, amp = _magnitude(diff)
+            code, ln = dc_tab[size]
+            bw.write(code, ln)
+            if size:
+                bw.write(amp, size)
+            run = 0
+            last_nz = 0
+            for i in range(63, 0, -1):
+                if q[i]:
+                    last_nz = i
+                    break
+            for i in range(1, last_nz + 1):
+                if q[i] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_tab[0xF0]  # ZRL
+                    bw.write(code, ln)
+                    run -= 16
+                size, amp = _magnitude(q[i])
+                code, ln = ac_tab[(run << 4) | size]
+                bw.write(code, ln)
+                bw.write(amp, size)
+                run = 0
+            if last_nz < 63:
+                code, ln = ac_tab[0x00]  # EOB
+                bw.write(code, ln)
+    bw.flush()
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+    out += struct.pack(">HHBB", 1, 1, 0, 0)  # density + no thumbnail
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0)  # DQT, table 0, 8-bit
+    out += bytes(quant[ZIGZAG[i]] for i in range(64))
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, height, width, 1)
+    out += bytes((1, 0x11, 0))  # component 1, 1x1 sampling, qtable 0
+    out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(DC_VALS), 0x00)
+    out += bytes(DC_BITS) + bytes(DC_VALS)
+    out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(AC_VALS), 0x10)
+    out += bytes(AC_BITS) + bytes(AC_VALS)
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+    out += bytes((1, 0x00))  # component 1: DC table 0, AC table 0
+    out += bytes((0, 63, 0))  # spectral selection, approximation
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _build_decode_table(bits: list, vals: list) -> dict:
+    """(length, code) -> symbol, parsed from a DHT segment."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """Entropy-segment reader with 0xFF00 de-stuffing."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG entropy data truncated")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy data truncated")
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed byte
+            elif nxt == 0xD9:  # EOI reached while padding — emit 1s
+                b = 0xFF
+            else:
+                raise NotImplementedError(
+                    f"JPEG marker 0xff{nxt:02x} inside scan "
+                    "(restart intervals need a native codec)"
+                )
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read_bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("corrupt JPEG Huffman stream")
+
+
+def _extend(amp: int, size: int) -> int:
+    if size == 0:
+        return 0
+    if amp < (1 << (size - 1)):
+        return amp - (1 << size) + 1
+    return amp
+
+
+def decode_jpeg(data: bytes) -> dict:
+    """Baseline grayscale JPEG → {'width', 'height', 'pixels'} (8-bit,
+    row-major). Tables come from the stream's own DQT/DHT segments."""
+    if not is_jpeg(data):
+        raise ValueError("not a JPEG")
+    pos = 2
+    quant: dict = {}
+    huff_dc: dict = {}
+    huff_ac: dict = {}
+    width = height = None
+    comp_q = comp_dc = comp_ac = 0
+    while True:
+        if pos + 4 > len(data):
+            raise ValueError("JPEG marker stream truncated")
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker misalignment")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI with no scan
+            raise ValueError("JPEG contains no scan")
+        seglen = struct.unpack_from(">H", data, pos)[0]
+        if pos + seglen > len(data):
+            raise ValueError("JPEG segment truncated")
+        body = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit DQT not supported")
+                zz = body[b + 1 : b + 65]
+                if len(zz) < 64:
+                    raise ValueError("DQT truncated")
+                tab = [0] * 64
+                for i in range(64):
+                    tab[ZIGZAG[i]] = zz[i]
+                quant[tq] = tab
+                b += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1 : b + 17])
+                n = sum(bits)
+                vals = list(body[b + 17 : b + 17 + n])
+                if len(vals) < n:
+                    raise ValueError("DHT truncated")
+                tab = _build_decode_table(bits, vals)
+                (huff_dc if tc == 0 else huff_ac)[th] = tab
+                b += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision supported")
+            if ncomp != 1:
+                raise NotImplementedError(
+                    "multi-component JPEG needs a native codec"
+                )
+            # per-component bytes follow the 6-byte frame header:
+            # id, sampling factors, quant table id
+            sampling = body[7]
+            if sampling != 0x11:
+                raise NotImplementedError("subsampling not supported")
+            comp_q = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential (SOF0) supported"
+            )
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals not supported")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if body[0] != 1:
+                raise NotImplementedError("multi-component scan")
+            comp_dc = body[2] >> 4
+            comp_ac = body[2] & 0x0F
+            pos += seglen
+            break
+        pos += seglen
+    if width is None or height is None:
+        raise ValueError("JPEG scan before SOF0")
+    if comp_q not in quant or comp_dc not in huff_dc or comp_ac not in huff_ac:
+        raise ValueError("JPEG scan references missing tables")
+    qt = quant[comp_q]
+    dc_t, ac_t = huff_dc[comp_dc], huff_ac[comp_ac]
+    br = _BitReader(data, pos)
+    bw_blocks = -(-width // 8)
+    bh_blocks = -(-height // 8)
+    pixels = bytearray(width * height)
+    prev_dc = 0
+    for by in range(bh_blocks):
+        for bx in range(bw_blocks):
+            zz = [0] * 64
+            size = br.read_symbol(dc_t)
+            prev_dc += _extend(br.read_bits(size), size)
+            zz[0] = prev_dc
+            i = 1
+            while i < 64:
+                rs = br.read_symbol(ac_t)
+                run, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if run == 15:  # ZRL
+                        i += 16
+                        continue
+                    break  # EOB
+                i += run
+                if i > 63:
+                    raise ValueError("corrupt JPEG AC run")
+                zz[i] = _extend(br.read_bits(size), size)
+                i += 1
+            coef = [0.0] * 64
+            for i in range(64):
+                coef[ZIGZAG[i]] = zz[i] * qt[ZIGZAG[i]]
+            block = _idct_block(coef)
+            for x in range(8):
+                py = by * 8 + x
+                if py >= height:
+                    break
+                row = py * width
+                for y in range(8):
+                    px = bx * 8 + y
+                    if px >= width:
+                        break
+                    v = int(round(block[x * 8 + y])) + 128
+                    pixels[row + px] = 0 if v < 0 else (255 if v > 255 else v)
+    return {"width": width, "height": height, "pixels": bytes(pixels)}
