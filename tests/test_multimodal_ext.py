@@ -510,3 +510,79 @@ def test_decode_kernel_runs_real_jpeg_bytes(spark, sf_dir):
         assert (r.width, r.height) == (img["width"], img["height"])
         assert r.width == mm.PNG_WIDTH
         assert r.checksum == zlib.crc32(img["pixels"])
+
+
+def test_avi_container_roundtrip_property():
+    """Hypothesis: the RIFF/AVI container is byte-transparent — any
+    list of frame payloads (arbitrary bytes, including odd lengths
+    that force pad bytes) comes back verbatim and in order from
+    avi_frame_chunks(encode_avi_mjpeg(...))."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from thrivefinancedatapipeline_spark.multimodal import avi
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(st.binary(max_size=200), max_size=8),
+        st.sampled_from([1, 10, 30]),
+    )
+    def check(frames, fps):
+        data = avi.encode_avi_mjpeg(frames, 16, 4, fps=fps)
+        assert avi.is_avi(data)
+        assert avi.avi_frame_chunks(data) == frames
+        if frames:
+            assert avi.avi_frame_chunks(data, max_frames=1) == frames[:1]
+
+    check()
+
+
+def test_avi_corrupt_inputs_raise_valueerror():
+    """Error surface: truncated/garbage containers raise ValueError
+    ('corrupt AVI container'), never struct.error/IndexError."""
+    import pytest
+
+    from thrivefinancedatapipeline_spark.multimodal import avi
+
+    good = avi.encode_avi_mjpeg([b"abc", b"defgh"], 8, 4)
+    assert avi.avi_frame_chunks(good) == [b"abc", b"defgh"]
+    for bad in (
+        b"",
+        b"RIFF\x00\x00\x00",
+        b"RIFX" + good[4:],
+        good[:30],                      # truncated inside hdrl
+        good[:-3],                      # truncated inside idx1
+        good[:16] + b"\xff\xff\xff\xff" + good[20:],  # size overruns
+    ):
+        with pytest.raises(ValueError):
+            avi.avi_frame_chunks(bad)
+
+
+def test_avi_mjpeg_real_video_frame_sampling(spark, sf_dir):
+    """End-to-end REAL video path: MJPEG frames inside a RIFF/AVI
+    container, decoded by the stdlib JPEG codec. The kernel keeps
+    exactly the every-Nth frames, skipping the DCT for dropped frames,
+    and its checksums equal a driver-side decode of the same chunks."""
+    import zlib
+
+    from thrivefinancedatapipeline_spark.datamodel import load_table
+    from thrivefinancedatapipeline_spark.multimodal import avi, jpeg
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    vids = mm.avi_payloads(docs, n_frames=5)
+    rows = mm.frame_sample_avi(vids, every_n=2).collect()
+    payloads = {r.doc_id: bytes(r.payload) for r in vids.collect()}
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(payloads)
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r.frame_idx)
+        assert [r.frame_idx for r in rs] == [0, 2, 4]
+        chunks = avi.avi_frame_chunks(payloads[doc_id])
+        assert len(chunks) == 5
+        for r in rs:
+            img = jpeg.decode_jpeg(chunks[r.frame_idx])
+            assert (r.width, r.height) == (img["width"], img["height"])
+            assert r.width == mm.PNG_WIDTH
+            assert r.checksum == zlib.crc32(img["pixels"])
