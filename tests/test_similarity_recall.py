@@ -59,3 +59,57 @@ def test_random_projection_rerank_recall(spark, sf_dir):
     recall = len(truth & approx) / len(truth)
     assert recall >= 0.3, f"rp rerank recall collapsed: {recall:.2f}"
     assert all(q != n for q, n in approx)
+
+
+def test_pq_adc_matches_duckdb_oracle(spark, sf_dir):
+    """Pre-registration correctness pin for the PQ/ADC operator: the
+    Spark two-stage result must equal the DuckDB oracle that replays
+    per-subspace training + encode + ADC + rerank — the exact check
+    the driver will run when 'knn_pq_adc' registers in round 6."""
+    import os
+
+    import duckdb
+
+    for d in (sf_dir, sf_dir.replace("sf0.001", "sf0.01")):
+        if not os.path.isdir(d):
+            continue
+        got = sorted(
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in similarity.pq_adc_knn(spark, d).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{d}/embeddings.parquet')"
+        )
+        want = sorted(
+            (int(q), int(n), int(rk))
+            for q, n, rk in con.execute(
+                similarity._pq_oracle_sql()
+            ).fetchall()
+        )
+        con.close()
+        assert got == want, f"PQ/ADC mismatch at {d}"
+
+
+def test_pq_adc_recall_and_compression(spark, sf_dir):
+    """Recall floor for the PQ pool (two-stage, like rp) and the
+    narrow-relation property: codes are PQ_M small ints per vector."""
+    import os
+
+    sf01 = sf_dir.replace("sf0.001", "sf0.01")
+    if not os.path.isdir(sf01):
+        sf01 = sf_dir
+    truth = _pairs(similarity.q_knn_bruteforce_cosine(spark, sf01))
+    approx = _pairs(similarity.pq_adc_knn(spark, sf01))
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.3, f"pq adc recall collapsed: {recall:.2f}"
+    # compressed index: PQ_M codes per vector, all within LUT range
+    iv = similarity._int_vecs(spark, sf01)
+    books = similarity._pq_codebooks_cached(sf01, iv)
+    lut_len = sum(len(b) for b in books)
+    row = iv.select(
+        similarity._pq_encode_expr(books).alias("codes")
+    ).first()
+    assert len(row.codes) == similarity.PQ_M
+    assert all(1 <= c <= lut_len for c in row.codes)

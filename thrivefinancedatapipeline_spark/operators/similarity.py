@@ -627,3 +627,289 @@ JOIN e q ON q.vec_id = cand.query_id
 JOIN e nb ON nb.vec_id = cand.neighbor_id
 QUALIFY rank <= {TOP_K}""",
 }
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric distance computation (ADC)
+# ---------------------------------------------------------------------------
+# The third classic ANN family next to ivf_knn (coarse quantizer) and
+# knn_random_projection (JL coarse-then-rerank): split the 64-dim
+# vector into PQ_M subspaces, train an independent PQ_K-centroid
+# codebook per subspace on the SAME bounded md5 hash-sample ivf uses,
+# and store each corpus vector as PQ_M small codes (8 bytes/vector
+# here vs 512 for raw doubles — the memory lever that makes
+# billion-vector search fit RAM; Jegou et al., "Product Quantization
+# for Nearest Neighbor Search", TPAMI 2011).  Queries stay
+# full-precision: each query precomputes a lookup table of exact
+# integer squared distances from ITS sub-vectors to every codebook
+# centroid (ADC), so scanning a candidate costs PQ_M table lookups —
+# no per-pair vector math at all.  The ADC scan ranks a top-
+# PQ_CANDIDATES pool per query, then the pool (and only the pool) is
+# re-ranked with exact full-dimension cosine — the same two-stage
+# shape knn_random_projection measured as mandatory on these
+# near-uniform synthetic vectors.
+#
+# Everything is deterministic and oracle-replayable: training is the
+# ivf Lloyd loop per subspace (shared md5 init, floor-division
+# centroid updates, (dist, cell) tie-breaks), distances are exact
+# int64 micros, and the DuckDB oracle replays training + encode + ADC
+# in SQL (unrolled PQ_ITERS like ivf_knn's c1/c2 chain).
+#
+# Pre-built for a round-6 registration (the r5 correctness window is
+# reserved for draining the r1/r2 proof backlog); until then the
+# Spark-vs-DuckDB comparison runs in tests/test_similarity_recall.py.
+
+PQ_M = 8            # subspaces
+PQ_SUB = DIM // PQ_M
+PQ_K = 16           # centroids per subspace codebook
+PQ_CANDIDATES = 100  # ADC pool per query, exact-reranked
+
+
+def _train_pq_codebooks(iv: DataFrame) -> list:
+    """Per-subspace Lloyd training on the shared bounded hash-sample.
+
+    Same determinism contract as _train_centroids (which see): sample
+    filter = md5 chars 1-15 % KM_SAMPLE_MOD, init cell = chars 16-30 %
+    PQ_K (disjoint digest slices), KM_ITERS unrolled rounds,
+    floor(float(int sum)/n) centroid updates, first-min (dist, cell)
+    tie-breaks.  All PQ_M codebooks train from ONE collected sample —
+    the collect is O(sample), never O(corpus).  Returns
+    books[m] = [(cell, centroid_micros[PQ_SUB])] sorted by cell.
+    """
+    import hashlib
+
+    import numpy as np
+
+    from ..functions.text import md5_long
+
+    h = md5_long(F.col("vec_id").cast("string"))
+    pdf = iv.filter(h % KM_SAMPLE_MOD == 0).toPandas()
+    X = np.array(pdf["xi"].tolist(), dtype=np.int64)
+    hs = np.array(
+        [
+            int(hashlib.md5(str(v).encode()).hexdigest()[15:30], 16)
+            for v in pdf["vec_id"].tolist()
+        ],
+        dtype=np.int64,
+    )
+    books = []
+    for m in range(PQ_M):
+        Xm = X[:, m * PQ_SUB : (m + 1) * PQ_SUB]
+        assign = hs % PQ_K
+        cents: list = []
+        for it in range(KM_ITERS):
+            cents = []
+            for cell in np.unique(assign):
+                member = Xm[assign == cell]
+                cv = np.floor(
+                    member.sum(axis=0, dtype=np.int64) / float(len(member))
+                )
+                cents.append((int(cell), [int(c) for c in cv]))
+            if it == KM_ITERS - 1:
+                break
+            C = np.array([cv for _, cv in cents], dtype=np.int64)
+            d2 = (
+                (Xm * Xm).sum(axis=1, dtype=np.int64)[:, None]
+                - 2 * (Xm @ C.T)
+                + (C * C).sum(axis=1, dtype=np.int64)[None, :]
+            )
+            cell_ids = np.array([c for c, _ in cents], dtype=np.int64)
+            assign = cell_ids[np.argmin(d2, axis=1)]
+        books.append(cents)
+    return books
+
+
+_PQ_CACHE: dict = {}
+
+
+def _pq_codebooks_cached(sf_dir: str, iv: DataFrame) -> list:
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        key = (path, os.path.getmtime(path))
+    except OSError:
+        key = None
+    if key is not None and key in _PQ_CACHE:
+        return _PQ_CACHE[key]
+    books = _train_pq_codebooks(iv)
+    if key is not None:
+        _PQ_CACHE[key] = books
+    return books
+
+
+def _pq_encode_expr(books: list):
+    """array<int> of PQ_M codes per row: code m = 1-based FLAT index
+    (into the concatenated LUT) of the nearest codebook-m centroid by
+    exact integer squared L2, ties toward the lowest cell.  One
+    literal array fold per subspace (the measured anti-Janino form —
+    see _cell_structs), never k*dim unrolled arithmetic."""
+    per_m = []
+    off = 0
+    for m, book in enumerate(books):
+        lit = "array(" + ",".join(
+            f"named_struct('i', {off + i + 1}, "
+            f"'c', array({','.join(str(int(x)) for x in cv)}))"
+            for i, (_cell, cv) in enumerate(book)
+        ) + ")"
+        sub = f"slice(xi, {m * PQ_SUB + 1}, {PQ_SUB})"
+        per_m.append(
+            f"array_min(transform({lit}, ct -> named_struct("
+            f"'d', aggregate(zip_with({sub}, ct.c, "
+            f"(x, c) -> (x - c) * (x - c)), 0L, (acc, e) -> acc + e), "
+            f"'i', ct.i))).i"
+        )
+        off += len(book)
+    return F.expr("array(" + ",".join(per_m) + ")")
+
+
+def _pq_lut_expr(books: list):
+    """array<long> ADC lookup table per QUERY row: entry for flat
+    index i = exact integer squared L2 from the query's subspace-m
+    sub-vector to that codebook centroid.  Computed only on the
+    N_QUERIES broadcast rows — sum(len(book_m)) <= PQ_M*PQ_K entries."""
+    entries = []
+    for m, book in enumerate(books):
+        sub = f"slice(xi, {m * PQ_SUB + 1}, {PQ_SUB})"
+        for _cell, cv in book:
+            lit = "array(" + ",".join(str(int(x)) for x in cv) + ")"
+            entries.append(
+                f"aggregate(zip_with({sub}, {lit}, "
+                f"(x, c) -> (x - c) * (x - c)), 0L, (acc, e) -> acc + e)"
+            )
+    return F.expr("array(" + ",".join(entries) + ")")
+
+
+def pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC two-stage kNN — (query_id, neighbor_id, rank).
+
+    Plan shape (audited in tests/test_similarity_recall.py):
+    - corpus side is ONE narrow projection (vec_id + PQ_M ints) — the
+      compressed-index relation PQ exists to produce; no shuffle;
+    - the 10 query rows compute their ADC LUT and broadcast;
+    - the ADC scan is a broadcast crossJoin whose per-pair cost is a
+      PQ_M-term lookup fold (element_at into the LUT) — no vector
+      arithmetic per pair, the defining ADC property;
+    - one window ranks the pool (the only shuffle: corpus rows x
+      N_QUERIES, each a handful of ints), then the tiny pool
+      broadcast-joins back to full vectors for the exact rerank.
+
+    At 100 TB the codes relation is ~12 bytes/vector — the ADC scan
+    reads 40x less than a raw-vector sweep and parallelizes per
+    partition with zero skew (every partition scans for all queries).
+    """
+    iv = _int_vecs(spark, sf_dir)
+    books = _pq_codebooks_cached(sf_dir, iv)
+    codes = iv.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _pq_encode_expr(books).alias("codes"),
+    )
+    qlut = iv.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), _pq_lut_expr(books).alias("lut")
+    )
+    adc = F.expr(
+        "aggregate(codes, 0L, (acc, i) -> acc + element_at(lut, i))"
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id")
+    )
+    pool = (
+        F.broadcast(qlut)
+        .crossJoin(codes)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc_d2", adc)
+        .withColumn("prank", F.row_number().over(wp))
+        .filter(F.col("prank") <= PQ_CANDIDATES)
+        .select("query_id", "neighbor_id")
+    )
+    e = _vectors(spark, sf_dir)
+    qv = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cv = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        F.broadcast(pool)
+        .join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _pq_oracle_sql() -> str:
+    """DuckDB twin: replays per-subspace training (shared init,
+    unrolled 2 Lloyd rounds), encode, the ADC scan as a relational
+    LUT join, and the exact rerank.  Held for round-6 registration as
+    'knn_pq_adc'."""
+    return f"""
+WITH {_VEC_CTE},
+em AS (SELECT vec_id,
+              [CAST(ROUND(x * {MICRO}, 0) AS BIGINT) for x in v] AS xi
+       FROM e),
+ux AS (SELECT vec_id, unnest(xi) AS x,
+              generate_subscripts(xi, 1) AS pos FROM em),
+uxm AS (SELECT vec_id, x, pos,
+               CAST((pos - 1) // {PQ_SUB} AS INT) AS m FROM ux),
+samp AS (SELECT vec_id,
+                ('0x' || substring(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS h,
+                ('0x' || substring(md5(vec_id::VARCHAR), 16, 15))::BIGINT AS h2
+         FROM em),
+a0 AS (SELECT vec_id, CAST(h2 % {PQ_K} AS INT) AS cell
+       FROM samp WHERE h % {KM_SAMPLE_MOD} = 0),
+c1 AS (SELECT cell, pos,
+              CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+       FROM a0 JOIN uxm USING (vec_id) GROUP BY cell, pos),
+d1 AS (SELECT u.vec_id, u.m, c1.cell,
+              SUM((u.x - c1.c) * (u.x - c1.c)) AS dist
+       FROM uxm u JOIN a0 USING (vec_id) JOIN c1 ON u.pos = c1.pos
+       GROUP BY u.vec_id, u.m, c1.cell),
+a1 AS (SELECT vec_id, m, cell FROM (
+         SELECT vec_id, m, cell,
+                ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                   ORDER BY dist, cell) AS rn
+         FROM d1) WHERE rn = 1),
+c2 AS (SELECT a1.cell, u.pos,
+              CAST(FLOOR(CAST(SUM(u.x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+       FROM a1 JOIN uxm u
+         ON u.vec_id = a1.vec_id AND u.m = a1.m
+       GROUP BY a1.cell, u.pos),
+dn AS (SELECT u.vec_id, u.m, c2.cell,
+              SUM((u.x - c2.c) * (u.x - c2.c)) AS dist
+       FROM uxm u JOIN c2 ON u.pos = c2.pos
+       GROUP BY u.vec_id, u.m, c2.cell),
+codes AS (SELECT vec_id AS neighbor_id, m, cell FROM (
+            SELECT vec_id, m, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                      ORDER BY dist, cell) AS rn
+            FROM dn) WHERE rn = 1),
+qd AS (SELECT vec_id AS query_id, m, cell, dist
+       FROM dn WHERE vec_id < {N_QUERIES}),
+pool AS (SELECT query_id, neighbor_id FROM (
+           SELECT qd.query_id, nb.neighbor_id,
+                  ROW_NUMBER() OVER (
+                    PARTITION BY qd.query_id
+                    ORDER BY SUM(qd.dist), nb.neighbor_id) AS prank
+           FROM codes nb
+           JOIN qd ON qd.m = nb.m AND qd.cell = nb.cell
+           WHERE qd.query_id <> nb.neighbor_id
+           GROUP BY qd.query_id, nb.neighbor_id)
+         WHERE prank <= {PQ_CANDIDATES})
+SELECT pool.query_id, pool.neighbor_id,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY pool.query_id
+         ORDER BY list_dot_product(q.v, nb.v) / (q.nrm * nb.nrm) DESC,
+                  pool.neighbor_id) AS INT) AS rank
+FROM pool
+JOIN e q ON q.vec_id = pool.query_id
+JOIN e nb ON nb.vec_id = pool.neighbor_id
+QUALIFY rank <= {TOP_K}"""
