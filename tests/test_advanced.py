@@ -266,3 +266,52 @@ def test_events_type_correlation_python_twin(spark, sf_dir):
         r = got[(t1, t2)]
         assert (r.n_days, r.sum_1, r.sum_2, r.sum_cross) == (n, sx, sy, sxy)
         assert r.r2_signed_ppm == want_ppm, (t1, t2)
+
+
+def test_events_seasonal_decompose_vs_duckdb(spark, sf_dir):
+    """Pre-registration pin for the STL-lite decomposition: Spark ==
+    the DuckDB oracle (the round-6 driver check), plus the algebraic
+    invariant sum(detr) == sum over dows of s_sum and per-(type,dow)
+    residual sum == 0 (the defining property of a fitted seasonal
+    mean in the common-denominator integer space)."""
+    import os
+
+    import duckdb
+
+    from thrivefinancedatapipeline_spark.plans.events_queries import (
+        SEASONAL_ORACLE,
+        events_seasonal_decompose,
+    )
+
+    for d in (sf_dir, sf_dir.replace("sf0.001", "sf0.01")):
+        if not os.path.isdir(d):
+            continue
+        rows = events_seasonal_decompose(spark, d).collect()
+        got = sorted(
+            (r.day, r.event_type, r.c, r.trend_sum, r.detr, r.dow,
+             r.s_sum, r.s_n, r.resid_num)
+            for r in rows
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet')"
+        )
+        want = sorted(
+            (day, et, int(c), int(ts_), int(dt), int(dw), int(ss),
+             int(sn), int(rn))
+            for day, et, c, ts_, dt, dw, ss, sn, rn in con.execute(
+                SEASONAL_ORACLE
+            ).fetchall()
+        )
+        con.close()
+        assert got == want, f"seasonal decompose mismatch at {d}"
+        # residuals of a fitted group mean sum to zero per group
+        by_group = {}
+        for r in rows:
+            by_group.setdefault((r.event_type, r.dow), []).append(
+                r.resid_num
+            )
+        assert by_group
+        for k, v in by_group.items():
+            assert sum(v) == 0, f"nonzero residual sum for {k}"

@@ -874,3 +874,113 @@ SELECT event_type,
 FROM k
 GROUP BY event_type""",
 }
+
+
+SEASONAL_HALF = 3  # centered +/-3-day trend window (7-day MA)
+
+
+def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite seasonal decomposition of the per-type daily series —
+    trend (centered 7-day moving average), day-of-week seasonal
+    component, and residual — entirely in EXACT integer arithmetic so
+    every column sits under the cross-engine value hash (no
+    loess/floats anywhere): slated for a round-6 registration,
+    Spark==DuckDB pinned by test meanwhile.
+
+    Exactness strategy (the events_daily_anomalies / correlation
+    playbook): the series runs in whole units (daily cents div 100);
+    trend is emitted as the exact pair (trend_sum, 7) rather than a
+    divided mean; the detrended value is the integer 7*c - trend_sum;
+    the seasonal fit per (event_type, epoch_dow) is the exact pair
+    (s_sum, s_n) over INTERIOR days only (full 7-day windows, so
+    every detrended value shares the denominator 7); the residual is
+    the integer numerator detr*s_n - s_sum over the implied
+    denominator 7*s_n. Day-of-week is epoch_days % 7 — identical
+    arithmetic in both engines, immune to locale dayofweek()
+    conventions.
+
+    Scale shape: ONE map-side-combinable daily groupBy over events is
+    the only big shuffle; the trend window partitions by event_type
+    over the tiny daily rollup; the seasonal fit aggregates that
+    rollup to |types| x 7 rows and broadcast-joins back. All window
+    columns attach to the ORIGINAL daily frame before any filter or
+    alias (the re-shuffle trap documented in balance_scd2)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("d"), "event_type"
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) div 100"
+            " AS BIGINT)"
+        ).alias("c")
+    )
+    dnum = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+    wtr = (
+        Window.partitionBy("event_type")
+        .orderBy(dnum)
+        .rangeBetween(-SEASONAL_HALF, SEASONAL_HALF)
+    )
+    base = daily.select(
+        "d",
+        "event_type",
+        "c",
+        (dnum % 7).alias("dow"),
+        F.sum("c").over(wtr).alias("trend_sum"),
+        F.count("c").over(wtr).alias("trend_n"),
+    ).filter(F.col("trend_n") == 2 * SEASONAL_HALF + 1)
+    detr = (F.lit(2 * SEASONAL_HALF + 1) * F.col("c")
+            - F.col("trend_sum"))
+    interior = base.withColumn("detr", detr)
+    seasonal = interior.groupBy("event_type", "dow").agg(
+        F.sum("detr").alias("s_sum"), F.count(F.lit(1)).alias("s_n")
+    )
+    return (
+        interior.join(F.broadcast(seasonal), ["event_type", "dow"])
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "c",
+            "trend_sum",
+            "detr",
+            F.col("dow").cast("int").alias("dow"),
+            "s_sum",
+            "s_n",
+            (F.col("detr") * F.col("s_n") - F.col("s_sum")).alias(
+                "resid_num"
+            ),
+        )
+    )
+
+
+#: DuckDB twin of events_seasonal_decompose, held for the round-6
+#: registration (the r5 window is reserved for the proof backlog).
+SEASONAL_ORACLE = f"""
+WITH {_EV},
+daily AS (
+  SELECT CAST(ts AS DATE) AS d, event_type,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) // 100
+              AS BIGINT) AS c
+  FROM ev GROUP BY 1, 2),
+base AS (
+  SELECT d, event_type, c,
+         CAST(datediff('day', DATE '1970-01-01', d) % 7 AS BIGINT)
+           AS dow,
+         CAST(SUM(c) OVER w AS BIGINT) AS trend_sum,
+         COUNT(c) OVER w AS trend_n
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type
+               ORDER BY datediff('day', DATE '1970-01-01', d)
+               RANGE BETWEEN {SEASONAL_HALF} PRECEDING
+                 AND {SEASONAL_HALF} FOLLOWING)),
+interior AS (
+  SELECT *, {2 * SEASONAL_HALF + 1} * c - trend_sum AS detr
+  FROM base WHERE trend_n = {2 * SEASONAL_HALF + 1}),
+seasonal AS (
+  SELECT event_type, dow, CAST(SUM(detr) AS BIGINT) AS s_sum,
+         COUNT(*) AS s_n
+  FROM interior GROUP BY event_type, dow)
+SELECT strftime(i.d, '%Y-%m-%d') AS day, i.event_type, i.c,
+       i.trend_sum, i.detr, CAST(i.dow AS INT) AS dow,
+       s.s_sum, s.s_n,
+       CAST(i.detr * s.s_n - s.s_sum AS BIGINT) AS resid_num
+FROM interior i JOIN seasonal s USING (event_type, dow)"""
