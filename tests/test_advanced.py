@@ -315,3 +315,49 @@ def test_events_seasonal_decompose_vs_duckdb(spark, sf_dir):
         assert by_group
         for k, v in by_group.items():
             assert sum(v) == 0, f"nonzero residual sum for {k}"
+
+
+def test_events_robust_anomalies_vs_duckdb(spark, sf_dir):
+    """Pre-registration pin for the median/MAD robust anomaly query:
+    Spark == DuckDB oracle, plus the robustness property that at most
+    half the days per type can be flagged (a MAD-based flag's
+    breakdown guarantee) and that med/mad are actual data values."""
+    import os
+
+    import duckdb
+
+    from thrivefinancedatapipeline_spark.plans.events_queries import (
+        ROBUST_ANOMALY_ORACLE,
+        events_robust_anomalies,
+    )
+
+    for d in (sf_dir, sf_dir.replace("sf0.001", "sf0.01")):
+        if not os.path.isdir(d):
+            continue
+        rows = events_robust_anomalies(spark, d).collect()
+        got = sorted(
+            (r.day, r.event_type, r.c, r.med, r.dev, r.mad,
+             r.is_anomaly)
+            for r in rows
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet')"
+        )
+        want = sorted(
+            (day, et, int(c), int(md), int(dv), int(ma), int(fl))
+            for day, et, c, md, dv, ma, fl in con.execute(
+                ROBUST_ANOMALY_ORACLE
+            ).fetchall()
+        )
+        con.close()
+        assert got == want, f"robust anomalies mismatch at {d}"
+        by_type = {}
+        for r in rows:
+            by_type.setdefault(r.event_type, []).append(r)
+        for et, rs in by_type.items():
+            flagged = sum(r.is_anomaly for r in rs)
+            assert flagged <= len(rs) / 2, (et, flagged, len(rs))
+            cs = {r.c for r in rs}
+            assert rs[0].med in cs

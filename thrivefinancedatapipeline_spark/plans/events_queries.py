@@ -984,3 +984,100 @@ SELECT strftime(i.d, '%Y-%m-%d') AS day, i.event_type, i.c,
        s.s_sum, s.s_n,
        CAST(i.detr * s.s_n - s.s_sum AS BIGINT) AS resid_num
 FROM interior i JOIN seasonal s USING (event_type, dow)"""
+
+
+MAD_K = 3  # robust anomaly threshold: dev > MAD_K * MAD
+
+
+def events_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) anomaly detection over the per-type daily
+    series — the breakdown-point-0.5 twin of events_daily_anomalies'
+    mean/σ z-score, which a single fat-fingered day can drag; the
+    median absolute deviation cannot be moved by fewer than half the
+    points. Slated for round-6 registration; Spark==DuckDB pinned by
+    test meanwhile.
+
+    Exactness strategy: medians are EXACT ELEMENTS, not interpolated
+    — the lower median is the row at rank (n+1) div 2 under the
+    deterministic total order (value, day), so both engines pick the
+    identical integer (no percentile interpolation, no float). MAD is
+    the same exact-rank median of |c - med|. The flag compares
+    integers: dev > MAD_K * mad.
+
+    Scale shape: one map-side-combinable daily groupBy over events;
+    both median ranks are windows over the tiny (day, type) rollup;
+    the per-type median/MAD tables (|types| rows) broadcast back."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("d"), "event_type"
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) div 100"
+            " AS BIGINT)"
+        ).alias("c")
+    )
+    wv = Window.partitionBy("event_type").orderBy("c", "d")
+    wn = Window.partitionBy("event_type")
+    ranked = daily.select(
+        "d", "event_type", "c",
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = ranked.filter(
+        F.col("rn") == F.expr("(n + 1) div 2")
+    ).select("event_type", F.col("c").alias("med"))
+    devs = daily.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("c") - F.col("med"))
+    )
+    wd = Window.partitionBy("event_type").orderBy("dev", "d")
+    mad = (
+        devs.select(
+            "event_type", "dev",
+            F.row_number().over(wd).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("dev").alias("mad"))
+    )
+    return (
+        devs.join(F.broadcast(mad), "event_type")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "event_type", "c", "med", "dev", "mad",
+            (F.col("dev") > MAD_K * F.col("mad")).cast("int").alias(
+                "is_anomaly"
+            ),
+        )
+    )
+
+
+#: DuckDB twin of events_robust_anomalies (round-6 registration).
+ROBUST_ANOMALY_ORACLE = f"""
+WITH {_EV},
+daily AS (
+  SELECT CAST(ts AS DATE) AS d, event_type,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) // 100
+              AS BIGINT) AS c
+  FROM ev GROUP BY 1, 2),
+med AS (
+  SELECT event_type, c AS med FROM (
+    SELECT event_type, c,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY c, d) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM daily) WHERE rn = (n + 1) // 2),
+devs AS (
+  SELECT daily.d, daily.event_type, daily.c, med.med,
+         abs(daily.c - med.med) AS dev
+  FROM daily JOIN med USING (event_type)),
+mad AS (
+  SELECT event_type, dev AS mad FROM (
+    SELECT event_type, dev, d,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY dev, d) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM devs) WHERE rn = (n + 1) // 2)
+SELECT strftime(devs.d, '%Y-%m-%d') AS day, devs.event_type, devs.c,
+       devs.med, devs.dev, mad.mad,
+       CAST(devs.dev > {MAD_K} * mad.mad AS INT) AS is_anomaly
+FROM devs JOIN mad USING (event_type)"""
