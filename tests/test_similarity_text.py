@@ -219,3 +219,45 @@ def test_bpe_apply_matches_reference_python_bpe(spark, sf_dir):
         assert r.n_subwords == n_sub
         assert r.n_chars == n_chars
         assert r.n_words <= r.n_subwords <= r.n_chars or r.n_words == 0
+
+
+def test_corpus_bigram_coverage_vs_duckdb(spark, sf_dir):
+    """Pre-registration pin for the bigram-LM coverage score: Spark
+    == DuckDB oracle at two SFs, plus invariants: coverage bounded in
+    [0, 1e6], n_common <= n_bigrams, and every document scored."""
+    import os
+
+    import duckdb
+
+    from thrivefinancedatapipeline_spark.datamodel import load_table
+    from thrivefinancedatapipeline_spark.operators.textops import (
+        BIGRAM_COVERAGE_ORACLE,
+        corpus_bigram_coverage,
+    )
+
+    for d in (sf_dir, sf_dir.replace("sf0.001", "sf0.01")):
+        if not os.path.isdir(d):
+            continue
+        rows = corpus_bigram_coverage(spark, d).collect()
+        got = sorted(
+            (r.doc_id, r.n_bigrams, r.n_common, r.coverage_ppm)
+            for r in rows
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')"
+        )
+        want = sorted(
+            (int(a), int(b), int(c), int(e))
+            for a, b, c, e in con.execute(
+                BIGRAM_COVERAGE_ORACLE
+            ).fetchall()
+        )
+        con.close()
+        assert got == want, f"bigram coverage mismatch at {d}"
+        n_docs = load_table(spark, d, "documents").count()
+        assert len(rows) == n_docs
+        for r in rows:
+            assert 0 <= r.n_common <= r.n_bigrams
+            assert 0 <= r.coverage_ppm <= 1_000_000

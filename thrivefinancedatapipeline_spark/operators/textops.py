@@ -1230,3 +1230,96 @@ ORACLES["chunk_dedup"] = f"""
 WITH {CHUNK_H_CTES},
 {CHUNK_SURVIVORS_SQL}
 SELECT doc_id, chunk_idx, chunk_hash, n_tokens, n_copies FROM surv"""
+
+
+BIGRAM_COMMON_MIN = 3  # corpus count threshold for a "common" bigram
+
+
+def corpus_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality signal without the LM: a
+    bigram "model" is trained FROM the corpus itself (every adjacent
+    token pair with corpus count >= BIGRAM_COMMON_MIN is "common"),
+    and each document is scored by the fraction of ITS bigram
+    occurrences that the model has seen — low coverage = atypical
+    token transitions = boilerplate/garbled/foreign text, the same
+    quality axis CCNet's KenLM-perplexity filter buckets on (Wenzek
+    et al. 2020), but fully deterministic and integer-exact: slated
+    for round-6 registration, Spark==DuckDB pinned by test meanwhile.
+
+    Output per doc: n_bigrams, n_common (occurrence-weighted), and
+    coverage_ppm = n_common * 1e6 div n_bigrams (docs with < 2 tokens
+    report 0/0/0 rather than dropping out).
+
+    Scale shape: the bigram relation is materialized ONCE as a
+    zero-shuffle per-row fan-out (transform over the token array, no
+    self-join); corpus counts are a map-side-combinable groupBy on
+    the uniform bigram string; the per-doc score is one shuffle join
+    of that relation with the count table followed by a doc groupBy.
+    At 100 TB the count table is the big intermediate — it
+    distinct-reduces to the bigram vocabulary (Heaps-law sublinear),
+    and the join key is its own uniform hash; a common-set bloom
+    filter or count-min sketch can replace the exact table without
+    changing this plan's shape."""
+    d = _docs(spark, sf_dir)
+    toks = tokens(F.col("text"))
+    bgs = F.expr(
+        "CASE WHEN size(toks) < 2 THEN array() ELSE "
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> concat(toks[i - 1], ' ', toks[i])) END"
+    )
+    doc_bg = (
+        d.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.explode_outer(bgs).alias("bg"))
+    )
+    counts = (
+        doc_bg.filter(F.col("bg").isNotNull())
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    scored = (
+        doc_bg.join(counts, "bg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.col("bg")).alias("n_bigrams"),
+            F.sum(
+                F.when(
+                    F.col("n") >= BIGRAM_COMMON_MIN, F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias("n_common"),
+        )
+    )
+    cov = F.expr(
+        "CASE WHEN n_bigrams = 0 THEN 0 "
+        "ELSE n_common * 1000000 div n_bigrams END"
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("n_common").cast("long").alias("n_common"),
+        cov.cast("long").alias("coverage_ppm"),
+    )
+
+
+#: DuckDB twin of corpus_bigram_coverage (round-6 registration).
+BIGRAM_COVERAGE_ORACLE = f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+bg AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+  FROM d, unnest(range(1, greatest(len(toks), 1))) AS t(i)),
+counts AS (SELECT bg, COUNT(*) AS n FROM bg GROUP BY bg),
+scored AS (
+  SELECT d.doc_id,
+         COUNT(bg.bg) AS n_bigrams,
+         COUNT(CASE WHEN counts.n >= {BIGRAM_COMMON_MIN}
+                    THEN 1 END) AS n_common
+  FROM d
+  LEFT JOIN bg ON bg.doc_id = d.doc_id
+  LEFT JOIN counts ON counts.bg = bg.bg
+  GROUP BY d.doc_id)
+SELECT doc_id,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(CASE WHEN n_bigrams = 0 THEN 0
+                 ELSE n_common * 1000000 // n_bigrams END AS BIGINT)
+         AS coverage_ppm
+FROM scored"""
