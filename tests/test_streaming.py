@@ -156,3 +156,58 @@ def test_stream_orphan_monitor_matches_batch(spark, sf_dir, staged_events):
         assert sum(n for n, _ in stream_rows.values()) == ev.count()
     finally:
         shutil.rmtree(chk, ignore_errors=True)
+
+
+def test_stream_value_histogram_matches_batch(spark, staged_events):
+    """The drained streaming histogram equals the batch cells
+    cell-for-cell, and the quantile read-off is identical from either
+    side — streaming aggregation state as a mergeable quantile
+    sketch (the CMS pattern applied to percentiles)."""
+    from thrivefinancedatapipeline_spark.operators.sketches import (
+        fixed_hist_cells,
+        hist_quantiles_from_cells,
+    )
+    from thrivefinancedatapipeline_spark.streaming import stateful
+
+    chk = tempfile.mkdtemp(prefix="chk_hist_")
+    try:
+        got = balance_stream.run_to_completion(
+            stateful.stream_value_histogram(spark, staged_events),
+            chk,
+            "stream_hist",
+        )
+        stream_cells = {
+            (r.event_type, r.bucket): r.c for r in got.collect()
+        }
+        batch = fixed_hist_cells(spark.read.parquet(staged_events))
+        batch_cells = {
+            (r.event_type, r.bucket): r.c for r in batch.collect()
+        }
+        assert stream_cells == batch_cells and batch_cells
+        sq = sorted(
+            (r.event_type, r.q, r.target_rank, r.bucket, r.lo_cents,
+             r.hi_cents)
+            for r in hist_quantiles_from_cells(got).collect()
+        )
+        bq = sorted(
+            (r.event_type, r.q, r.target_rank, r.bucket, r.lo_cents,
+             r.hi_cents)
+            for r in hist_quantiles_from_cells(batch).collect()
+        )
+        assert sq == bq and sq
+        # each quantile's bucket really covers its target rank and
+        # per-type counts cover the full input
+        ev = spark.read.parquet(staged_events)
+        n_by_type = {
+            r.event_type: r.n
+            for r in ev.groupBy("event_type").count()
+            .withColumnRenamed("count", "n").collect()
+        }
+        assert {
+            t for t, _ in stream_cells
+        } == set(n_by_type)
+        for t in n_by_type:
+            total = sum(c for (tt, _), c in stream_cells.items() if tt == t)
+            assert total == n_by_type[t]
+    finally:
+        shutil.rmtree(chk, ignore_errors=True)

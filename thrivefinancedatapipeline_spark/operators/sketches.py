@@ -930,3 +930,63 @@ SELECT rank, user_id, n_rows,
                           ELSE {PLAN_CPUS} END) AS INT) AS n_partitions
 FROM r CROSS JOIN t WHERE rank <= {TOP_KEYS}""",
 }
+
+
+FIXED_HIST_W = 500  # fixed 5-unit (500-cent) bucket width
+
+
+def fixed_hist_cells(events_df: DataFrame) -> DataFrame:
+    """Per-event-type FIXED-width value histogram cells — the
+    streaming-safe variant of q_histogram_quantiles' data-derived
+    width: a stream cannot re-derive min/max without rescanning
+    history, so the width is a declared constant and the cell ids
+    float with the data (bounded in practice by the value range,
+    exactly like the CMS grid is bounded by depth*width). Cells merge
+    by addition, so a streaming groupBy's state IS the sketch — one
+    code path for batch and stream (the cms_grid pattern)."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        events_df.select(
+            "event_type", cents.alias("cents")
+        )
+        .withColumn("bucket", F.expr(f"cents div {FIXED_HIST_W}"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def hist_quantiles_from_cells(cells: DataFrame) -> DataFrame:
+    """Read quantiles off drained histogram cells (batch result or
+    streamed state snapshot — same relation either way): cumulative
+    count per event_type in bucket order, first bucket reaching each
+    ceil(q*n/100) target, reported as exact [lo, hi) cent bounds."""
+    wn = Window.partitionBy("event_type")
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cells.select(
+        "event_type", "bucket", "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    qs = F.explode(
+        F.array(*[F.lit(q) for q in HIST_QUANTILES])
+    ).alias("q")
+    targets = cum.select("event_type", "bucket", "cum", "n", qs).withColumn(
+        "target", F.expr("(q * n + 99) div 100")
+    )
+    return (
+        targets.filter(F.col("cum") >= F.col("target"))
+        .groupBy("event_type", "q", "target")
+        .agg(F.min("bucket").alias("bucket"))
+        .select(
+            "event_type",
+            F.col("q").cast("int").alias("q"),
+            F.col("target").cast("long").alias("target_rank"),
+            "bucket",
+            (F.col("bucket") * FIXED_HIST_W).alias("lo_cents"),
+            ((F.col("bucket") + 1) * FIXED_HIST_W - 1).alias("hi_cents"),
+        )
+    )

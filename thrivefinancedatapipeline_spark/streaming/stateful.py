@@ -765,3 +765,23 @@ def run_substring_novelty_stream(
         .awaitTermination()
     )
     return spark.read.parquet(results_path)
+
+
+def stream_value_histogram(
+    spark, source_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """Continuous per-event-type value histogram — the quantile
+    sibling of stream_cms_counters, reusing the identical
+    `fixed_hist_cells` transformation (one code path, batch or
+    stream). Fixed declared bucket width (a stream can't re-derive
+    min/max), cells merge by addition so the streaming aggregation
+    state IS the mergeable sketch; drain any snapshot through
+    `hist_quantiles_from_cells` for percentiles. Complete output
+    mode; no watermark — cells only grow, bounded by the value
+    range / FIXED_HIST_W."""
+    from ..operators.sketches import fixed_hist_cells
+    from .balance_stream import stream_events
+
+    return fixed_hist_cells(
+        stream_events(spark, source_dir, max_files_per_trigger)
+    )
