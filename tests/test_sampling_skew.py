@@ -454,3 +454,48 @@ def test_equidepth_by_group_equals_per_subset_global(spark, sf_dir):
                 )
             )
     assert got == sorted(want)
+
+
+def test_benford_audit_vs_duckdb(spark, sf_dir):
+    """Pre-registration pin for the Benford first-digit audit: Spark
+    == DuckDB oracle at two SFs, plus mass invariants (digit counts
+    sum to n_digits; 9 rows per type; obs_ppm sums to ~1e6)."""
+    import os
+
+    import duckdb
+
+    from thrivefinancedatapipeline_spark.operators.quality import (
+        BENFORD_ORACLE,
+        benford_audit,
+    )
+
+    for d in (sf_dir, sf_dir.replace("sf0.001", "sf0.01")):
+        if not os.path.isdir(d):
+            continue
+        rows = benford_audit(spark, d).collect()
+        got = sorted(
+            (r.event_type, r.digit, r.n, r.n_digits, r.obs_ppm,
+             r.exp_ppm, r.dev_ppm)
+            for r in rows
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet')"
+        )
+        want = sorted(
+            tuple(
+                x if isinstance(x, str) else int(x) for x in row
+            )
+            for row in con.execute(BENFORD_ORACLE).fetchall()
+        )
+        con.close()
+        assert got == want, f"benford mismatch at {d}"
+        by_type = {}
+        for r in rows:
+            by_type.setdefault(r.event_type, []).append(r)
+        for et, rs in by_type.items():
+            assert len(rs) == 9
+            assert sum(r.n for r in rs) == rs[0].n_digits
+            s = sum(r.obs_ppm for r in rs)
+            assert 999_990 <= s <= 1_000_000, (et, s)

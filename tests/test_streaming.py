@@ -211,3 +211,36 @@ def test_stream_value_histogram_matches_batch(spark, staged_events):
             assert total == n_by_type[t]
     finally:
         shutil.rmtree(chk, ignore_errors=True)
+
+
+def test_stream_benford_matches_batch(spark, staged_events):
+    """The drained streaming Benford counters equal the batch cells,
+    and the deviation frame read off the stream state equals the
+    batch audit row-for-row."""
+    from thrivefinancedatapipeline_spark.operators.quality import (
+        benford_cells,
+        benford_from_cells,
+    )
+    from thrivefinancedatapipeline_spark.streaming import stateful
+
+    chk = tempfile.mkdtemp(prefix="chk_benford_")
+    try:
+        got = balance_stream.run_to_completion(
+            stateful.stream_benford(spark, staged_events),
+            chk,
+            "stream_benford",
+        )
+        stream_cells = {
+            (r.event_type, r.digit): r.n for r in got.collect()
+        }
+        batch = benford_cells(spark.read.parquet(staged_events))
+        batch_cells = {
+            (r.event_type, r.digit): r.n for r in batch.collect()
+        }
+        assert stream_cells == batch_cells and batch_cells
+        key = lambda r: (r.event_type, r.digit)  # noqa: E731
+        sa = sorted(map(tuple, benford_from_cells(got).collect()))
+        ba = sorted(map(tuple, benford_from_cells(batch).collect()))
+        assert sa == ba and sa
+    finally:
+        shutil.rmtree(chk, ignore_errors=True)

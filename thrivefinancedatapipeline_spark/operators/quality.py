@@ -11,7 +11,7 @@ sample (bounded, for the analyst report).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..datamodel import load_table
@@ -223,3 +223,138 @@ SELECT doc_id, lang, n_chars FROM (
   FROM documents)
 WHERE 2 * r <= n""",
 }
+
+
+#: floor(log10(1 + 1/d) * 1e6) for d = 1..9 — shared literal constants
+#: in BOTH engines (no runtime log10, no float drift).
+BENFORD_PPM = (301029, 176091, 124938, 96910, 79181, 66946, 57991,
+               51152, 45757)
+
+
+def benford_cells(events_df: DataFrame) -> DataFrame:
+    """(event_type, digit, n) first-digit counters — the mergeable
+    core of the Benford audit (cells add, so a streaming groupBy's
+    state IS this relation; `streaming.stateful.stream_benford` runs
+    the same code path on a stream)."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    d = events_df.select(
+        "event_type", cents.alias("cents")
+    ).withColumn(
+        "digit",
+        F.when(
+            F.col("cents") != 0,
+            F.substring(F.abs(F.col("cents")).cast("string"), 1, 1)
+            .cast("int"),
+        ),
+    )
+    return (
+        d.filter(F.col("digit").isNotNull())
+        .groupBy("event_type", "digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def benford_from_cells(cells: DataFrame) -> DataFrame:
+    """Read the audit frame off drained Benford cells (batch result
+    or streamed state snapshot): 9-digit spine per type, integer-ppm
+    observed frequencies, literal expected ppm, signed deviation."""
+    wn = Window.partitionBy("event_type")
+    totals = cells.select(
+        "event_type", "digit", "n",
+        F.sum("n").over(wn).alias("n_digits"),
+    )
+    spine = (
+        totals.select("event_type", "n_digits").distinct()
+        .select(
+            "event_type", "n_digits",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(1, 10)])
+            ).alias("digit"),
+        )
+    )
+    exp_ppm = F.element_at(
+        F.array(*[F.lit(p) for p in BENFORD_PPM]), F.col("digit")
+    )
+    obs_ppm = F.expr("n * 1000000 div n_digits")
+    # rename the probe side: spine derives from `cells`, and joining a
+    # frame with its own descendant on shared names trips Catalyst's
+    # conflicting-reference check (seen with memory-sink sources)
+    obs = cells.select(
+        F.col("event_type").alias("b_et"),
+        F.col("digit").alias("b_digit"),
+        F.col("n").alias("n_obs"),
+    )
+    return (
+        spine.join(
+            obs,
+            (F.col("event_type") == F.col("b_et"))
+            & (F.col("digit") == F.col("b_digit")),
+            "left",
+        )
+        .withColumn("n", F.coalesce("n_obs", F.lit(0)))
+        .select(
+            "event_type",
+            F.col("digit").cast("int").alias("digit"),
+            F.col("n").cast("long").alias("n"),
+            F.col("n_digits").cast("long").alias("n_digits"),
+            obs_ppm.cast("long").alias("obs_ppm"),
+            exp_ppm.cast("long").alias("exp_ppm"),
+            (obs_ppm - exp_ppm).cast("long").alias("dev_ppm"),
+        )
+    )
+
+
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over event values — the
+    classic forensic-accounting screen for fabricated or manipulated
+    amounts (naturally occurring multi-scale amounts follow
+    P(d) = log10(1+1/d); human-invented figures don't). Per
+    (event_type, leading digit): observed count, observed frequency
+    in integer ppm, the expected Benford ppm as a shared literal
+    constant, and the signed deviation — a flat deviation profile
+    clears the audit, spikes localize the suspect digit. Slated for
+    round-6 registration; Spark==DuckDB pinned by test meanwhile.
+
+    Exactness: the first significant digit of |cents| is a string
+    operation on the exact integer (never float log); frequencies
+    are integer ppm via truncating div; expected values are
+    compile-time literals, so every column is engine-exact.
+
+    Scale shape: one projection + one map-side-combinable groupBy on
+    (event_type, digit) — ≤ 9 * |types| result rows; zero values
+    (no leading digit) are excluded but reported via n_total vs
+    n_digits mass."""
+    return benford_from_cells(
+        benford_cells(load_table(spark, sf_dir, "events"))
+    )
+
+
+#: DuckDB twin of benford_audit (round-6 registration).
+BENFORD_ORACLE = f"""
+WITH ev AS (SELECT event_type,
+                   CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+            FROM events),
+d AS (SELECT event_type,
+             CAST(substring(CAST(abs(cents) AS VARCHAR), 1, 1) AS INT)
+               AS digit
+      FROM ev WHERE cents <> 0),
+counts AS (SELECT event_type, digit, COUNT(*) AS n
+           FROM d GROUP BY event_type, digit),
+total AS (SELECT event_type, COUNT(*) AS n_digits
+          FROM d GROUP BY event_type),
+spine AS (SELECT t.event_type, t.n_digits, g.digit
+          FROM total t, (SELECT unnest(range(1, 10)) AS digit) g),
+exp AS (SELECT unnest(range(1, 10)) AS digit,
+               unnest({list(BENFORD_PPM)}) AS exp_ppm)
+SELECT s.event_type, CAST(s.digit AS INT) AS digit,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+       CAST(s.n_digits AS BIGINT) AS n_digits,
+       CAST(COALESCE(c.n, 0) * 1000000 // s.n_digits AS BIGINT)
+         AS obs_ppm,
+       CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+       CAST(COALESCE(c.n, 0) * 1000000 // s.n_digits - e.exp_ppm
+            AS BIGINT) AS dev_ppm
+FROM spine s
+LEFT JOIN counts c ON c.event_type = s.event_type
+                  AND c.digit = s.digit
+JOIN exp e ON e.digit = s.digit"""

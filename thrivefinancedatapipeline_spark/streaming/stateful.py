@@ -785,3 +785,22 @@ def stream_value_histogram(
     return fixed_hist_cells(
         stream_events(spark, source_dir, max_files_per_trigger)
     )
+
+
+def stream_benford(
+    spark, source_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """Continuous Benford first-digit counters — live forensic
+    screening of the value stream, reusing the identical
+    `benford_cells` transformation (one code path, batch or stream).
+    Digit counters add across micro-batches, so the streaming
+    aggregation state IS the audit's mergeable core (bounded at
+    9 * |types| cells); drain any snapshot through
+    `benford_from_cells` for the full deviation frame. Complete
+    output mode; no watermark — counters only grow."""
+    from ..operators.quality import benford_cells
+    from .balance_stream import stream_events
+
+    return benford_cells(
+        stream_events(spark, source_dir, max_files_per_trigger)
+    )
