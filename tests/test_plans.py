@@ -335,3 +335,70 @@ def test_substring_spans_no_cartesian_and_bounded_shuffles(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert exchanges(df) <= 6
+
+
+def test_seasonal_decompose_truncates_daily_rollup(spark, sf_dir):
+    """One events aggregation feeds trend window, seasonal fit and
+    final join: the checkpointed rollup must leave ZERO parquet scans
+    in the plan and bound the remaining (tiny-relation) shuffles."""
+    from thrivefinancedatapipeline_spark.plans.events_queries import (
+        events_seasonal_decompose,
+    )
+
+    p = explain(events_seasonal_decompose(spark, sf_dir), mode="simple")
+    assert "Scan parquet" not in p and "FileScan" not in p
+    assert p.count("Exchange") <= 3
+
+
+def test_robust_anomalies_truncates_daily_rollup(spark, sf_dir):
+    """Median, devs, MAD and the final frame all read ONE
+    materialized daily rollup — no repeated events aggregation."""
+    from thrivefinancedatapipeline_spark.plans.events_queries import (
+        events_robust_anomalies,
+    )
+
+    p = explain(events_robust_anomalies(spark, sf_dir), mode="simple")
+    assert "Scan parquet" not in p and "FileScan" not in p
+    assert p.count("Exchange") <= 6
+    assert p.count("BroadcastHashJoin") >= 2  # med + mad broadcast back
+
+
+def test_bigram_coverage_single_fanout_no_cartesian(spark, sf_dir):
+    """The bigram relation fans out per row (no self-join); scoring
+    is one bg-key join + one doc groupBy."""
+    from thrivefinancedatapipeline_spark.operators.textops import (
+        corpus_bigram_coverage,
+    )
+
+    df = corpus_bigram_coverage(spark, sf_dir)
+    p = explain(df, mode="simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert p.count("Exchange") <= 4
+
+
+def test_pq_adc_scan_shape(spark, sf_dir):
+    """The ADC scan is the ONE intended broadcast nested-loop
+    (10-row LUT side x narrow codes relation); candidate pool and
+    rerank broadcast; no shuffled fact-fact join anywhere."""
+    from thrivefinancedatapipeline_spark.operators import similarity
+
+    p = explain(similarity.pq_adc_knn(spark, sf_dir), mode="simple")
+    assert p.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in p
+    assert p.count("SortMergeJoin") + p.count("ShuffledHashJoin") == 0
+
+
+def test_benford_is_one_events_aggregation(spark, sf_dir):
+    """Spine and observed-count branches both read the checkpointed
+    cells relation — events is aggregated ONCE (AQE cannot dedupe
+    these two exchanges itself: the join's build-side null filter
+    makes them non-canonical, measured before the checkpoint was
+    added)."""
+    from thrivefinancedatapipeline_spark.operators.quality import (
+        benford_audit,
+    )
+
+    p = explain(benford_audit(spark, sf_dir), mode="simple")
+    assert "Scan parquet" not in p and "FileScan" not in p
+    assert p.count("Exchange") <= 2

@@ -324,9 +324,14 @@ def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (event_type, digit) — ≤ 9 * |types| result rows; zero values
     (no leading digit) are excluded but reported via n_total vs
     n_digits mass."""
-    return benford_from_cells(
-        benford_cells(load_table(spark, sf_dir, "events"))
-    )
+    # the <= 9*|types| cells are read twice (spine + observed); the
+    # join's build-side null filter makes the two exchanges
+    # non-canonical, so AQE can NOT dedupe them — truncate once
+    # instead of scanning events twice
+    cells = benford_cells(
+        load_table(spark, sf_dir, "events")
+    ).localCheckpoint(eager=True)
+    return benford_from_cells(cells)
 
 
 #: DuckDB twin of benford_audit (round-6 registration).

@@ -913,7 +913,10 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(CAST(round(value * 100) AS BIGINT)) div 100"
             " AS BIGINT)"
         ).alias("c")
-    )
+    ).localCheckpoint(eager=True)  # tiny |days| x |types| rollup, read
+    # by the trend window AND (via interior) the seasonal fit + final
+    # join: truncating here stops the static plan re-deriving the full
+    # events aggregation per consumer (the correlation-frame pattern)
     dnum = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
     wtr = (
         Window.partitionBy("event_type")
@@ -1015,7 +1018,8 @@ def events_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(CAST(round(value * 100) AS BIGINT)) div 100"
             " AS BIGINT)"
         ).alias("c")
-    )
+    ).localCheckpoint(eager=True)  # tiny rollup read by 4 consumers
+    # (median rank, devs, MAD rank, final frame) — truncate once
     wv = Window.partitionBy("event_type").orderBy("c", "d")
     wn = Window.partitionBy("event_type")
     ranked = daily.select(
