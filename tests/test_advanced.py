@@ -361,3 +361,66 @@ def test_events_robust_anomalies_vs_duckdb(spark, sf_dir):
             assert flagged <= len(rs) / 2, (et, flagged, len(rs))
             cs = {r.c for r in rs}
             assert rs[0].med in cs
+
+
+def test_weighted_median_price_vs_duckdb(spark, sf_dir):
+    """Pre-registration pin for the weighted median: Spark == DuckDB
+    oracle at two SFs, plus the defining property — the median price
+    is a real data price, weight at-or-below it is >= half the
+    total, and weight strictly below it is < half."""
+    import os
+
+    import duckdb
+
+    from thrivefinancedatapipeline_spark.plans.advanced import (
+        WEIGHTED_MEDIAN_ORACLE,
+        weighted_median_price,
+    )
+
+    for d in (sf_dir, sf_dir.replace("sf0.001", "sf0.01")):
+        if not os.path.isdir(d):
+            continue
+        rows = weighted_median_price(spark, d).collect()
+        got = sorted(
+            (r.l_returnflag, r.median_price_cents, r.w_cum_at_median,
+             r.w_total)
+            for r in rows
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('{d}/lineitem.parquet')"
+        )
+        want = sorted(
+            (fl, int(mp), int(wc), int(wt))
+            for fl, mp, wc, wt in con.execute(
+                WEIGHTED_MEDIAN_ORACLE
+            ).fetchall()
+        )
+        con.close()
+        assert got == want, f"weighted median mismatch at {d}"
+        for r in rows:
+            assert 2 * r.w_cum_at_median >= r.w_total
+            w_at = r.w_cum_at_median
+            # weight strictly below the median price must be < half
+            # (otherwise a smaller price would satisfy the condition)
+            from pyspark.sql import functions as F
+
+            from thrivefinancedatapipeline_spark.datamodel import (
+                load_table,
+            )
+
+            li = load_table(spark, d, "lineitem")
+            below = (
+                li.filter(F.col("l_returnflag") == r.l_returnflag)
+                .filter(
+                    F.round(F.col("l_extendedprice") * 100)
+                    .cast("long") < r.median_price_cents
+                )
+                .agg(F.coalesce(
+                    F.sum(F.col("l_quantity").cast("long")), F.lit(0)
+                ))
+                .first()[0]
+            )
+            assert 2 * below < r.w_total
+            assert below < w_at

@@ -242,3 +242,44 @@ def test_source_overlap_matrix_python_twin(spark, sf_dir):
             want[(s1, s2)] = n
     assert got == want
     assert len(got) > 0  # synthetic corpus has cross-source overlap
+
+
+def test_kcore_matches_exact_python_reference(spark, sf_dir):
+    """k-core parity with an exact driver-side peeling reference over
+    the same collected edge list (iterative ops aren't
+    SQL-expressible — the dedup_clusters pattern), plus the defining
+    properties: every surviving vertex keeps >= k within-core
+    neighbors, and no peeled vertex could survive (maximality via
+    uniqueness of the k-core)."""
+    from thrivefinancedatapipeline_spark.operators.dedup import (
+        KCORE_K,
+        kcore_decompose,
+        q_dedup_simhash_pairs,
+    )
+
+    pairs = {
+        (r.doc_id_1, r.doc_id_2)
+        for r in q_dedup_simhash_pairs(spark, sf_dir)
+        .select("doc_id_1", "doc_id_2")
+        .collect()
+    }
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    while True:
+        drop = {v for v in alive
+                if len(adj[v] & alive) < KCORE_K}
+        if not drop:
+            break
+        alive -= drop
+    want = {v: len(adj[v] & alive) for v in alive}
+
+    got = {
+        r.doc_id: r.core_deg
+        for r in kcore_decompose(spark, sf_dir).collect()
+    }
+    assert got == want
+    for v, d in got.items():
+        assert d >= KCORE_K

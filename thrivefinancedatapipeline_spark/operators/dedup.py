@@ -1733,3 +1733,65 @@ SELECT tk.doc_id, tk.n_tokens,
        CAST(CAST(COALESCE(a.dup_tokens, 0) AS HUGEINT) * 1000000
             // tk.n_tokens AS BIGINT) AS dup_ppm
 FROM tk LEFT JOIN agg a USING (doc_id)"""
+
+
+KCORE_K = 2          # core order: min within-core degree
+KCORE_MAX_ROUNDS = 30
+
+
+def kcore_decompose(
+    spark: SparkSession, sf_dir: str, k: int = KCORE_K
+) -> DataFrame:
+    """k-core of the simhash near-dup graph: the MAXIMAL subgraph in
+    which every vertex keeps >= k neighbors — the standard "dense
+    duplication community" extractor (chains and stragglers peel
+    away; what survives is boilerplate/template mass worth a human
+    look). Iterative peeling: drop all vertices with degree < k,
+    recompute degrees, repeat to fixpoint. Peeling is confluent (the
+    k-core is unique), so round order can't change the answer.
+
+    Iteration discipline (the CC/star rules): edges localCheckpoint
+    ONCE up front; each round recomputes degrees with ONE
+    map-side-combinable groupBy + a semi-join filter and re-
+    checkpoints the SHRINKING edge set (plan stays 2 nodes deep);
+    convergence = edge-count fixpoint, already tracked by the
+    checkpoint's count, bounded by KCORE_MAX_ROUNDS (degeneracy
+    rounds; ~log-ish in practice, each round strictly shrinks or
+    stops). Not SQL-expressible — pinned by an exact Python-reference
+    parity test instead of a DuckDB oracle (the dedup_clusters
+    pattern).
+
+    Output: (doc_id, core_deg) for every vertex in the k-core, where
+    core_deg is its final within-core degree (>= k by construction,
+    asserted in test)."""
+    pairs = (
+        q_dedup_simhash_pairs(spark, sf_dir)
+        .select("doc_id_1", "doc_id_2")
+    )
+    edges = _sym_edges(pairs).localCheckpoint(eager=True)
+    n_edges = edges.count()
+    for _ in range(KCORE_MAX_ROUNDS):
+        if n_edges == 0:
+            break
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        nxt = (
+            edges.join(keep, "src", "semi")
+            .join(
+                keep.select(F.col("src").alias("dst")), "dst", "semi"
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_nxt = nxt.count()
+        edges = nxt
+        if n_nxt == n_edges:
+            break
+        n_edges = n_nxt
+    return (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("core_deg"))
+        .select(
+            F.col("src").alias("doc_id"),
+            F.col("core_deg").cast("long").alias("core_deg"),
+        )
+    )

@@ -739,3 +739,88 @@ FROM big
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey""",
 }
+
+
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact QUANTITY-WEIGHTED median unit price per return flag —
+    the weighted-quantile primitive (half the shipped QUANTITY sits
+    at or below this price), which plain percentile/median operators
+    can't express. Slated for round-6 registration; Spark==DuckDB
+    pinned by test meanwhile.
+
+    Exactness: the median is an exact DATA ELEMENT — the smallest
+    price (integer cents) whose cumulative quantity weight w_cum
+    satisfies 2*w_cum >= w_total — never an interpolation, so both
+    engines pick the identical integer under the deterministic price
+    order.
+
+    Scale shape (why this survives 100 TB where a naive weighted
+    median dies): the cumulative walk runs over the (flag, price)
+    DISTINCT-REDUCED relation, not raw lineitem — one map-side-
+    combinable groupBy collapses billions of rows to |flags| x
+    |distinct prices| cells, then the window sorts only those cells
+    per flag. The same two-phase shape as every sketch here; swap the
+    cells for `fixed_hist_cells` when even the distinct price set is
+    too wide."""
+    li = _t(spark, sf_dir, "lineitem")
+    cells = (
+        li.select(
+            "l_returnflag",
+            _cents("l_extendedprice").alias("price_c"),
+            F.col("l_quantity").cast("long").alias("w"),
+        )
+        .groupBy("l_returnflag", "price_c")
+        .agg(F.sum("w").alias("w"))
+    )
+    wf = Window.partitionBy("l_returnflag")
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    walked = cells.select(
+        "l_returnflag", "price_c", "w",
+        F.sum("w").over(wcum).alias("w_cum"),
+        F.sum("w").over(wf).alias("w_total"),
+    )
+    return (
+        walked.filter(2 * F.col("w_cum") >= F.col("w_total"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price_c").alias("median_price_cents"),
+            F.min_by(F.col("w_cum"), F.col("price_c")).alias(
+                "w_cum_at_median"
+            ),
+            F.first("w_total").alias("w_total"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("median_price_cents").cast("long").alias(
+                "median_price_cents"
+            ),
+            F.col("w_cum_at_median").cast("long").alias("w_cum_at_median"),
+            F.col("w_total").cast("long").alias("w_total"),
+        )
+    )
+
+
+#: DuckDB twin of weighted_median_price (round-6 registration).
+WEIGHTED_MEDIAN_ORACLE = f"""
+WITH cells AS (
+  SELECT l_returnflag, {_sql_cents('l_extendedprice')} AS price_c,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2),
+walked AS (
+  SELECT l_returnflag, price_c, w,
+         CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price_c
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS w_cum,
+         CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT)
+           AS w_total
+  FROM cells)
+SELECT l_returnflag,
+       CAST(MIN(price_c) AS BIGINT) AS median_price_cents,
+       CAST(MIN_BY(w_cum, price_c) AS BIGINT) AS w_cum_at_median,
+       CAST(MIN(w_total) AS BIGINT) AS w_total
+FROM walked WHERE 2 * w_cum >= w_total
+GROUP BY l_returnflag"""
