@@ -98,3 +98,52 @@ def test_scd2_intervals_tile_each_customer(spark, sf_dir):
         for a, b in zip(rs, rs[1:]):
             assert a.effective_to == b.effective_from
         assert round(rs[-1].balance, 2) == cur[cust]
+
+
+def test_overdraft_flags_vs_duckdb(spark, sf_dir):
+    """Pre-registration pin for the overdraft screen: Spark == DuckDB
+    oracle at two SFs, plus ledger invariants (post = prev + amount
+    to the cent; crossed_zero implies is_overdraft; at most one
+    crossing per run of negative balance)."""
+    import os
+
+    import duckdb
+
+    from thrivefinancedatapipeline_spark.plans.finance_queries import (
+        OVERDRAFT_ORACLE,
+        overdraft_flags,
+    )
+
+    for d in (sf_dir, sf_dir.replace("sf0.001", "sf0.01")):
+        if not os.path.isdir(d):
+            continue
+        rows = overdraft_flags(spark, d).collect()
+        got = sorted(
+            (r.transaction_id, r.customer_id, r.transaction_date,
+             r.amount, r.prev_balance, r.post_balance, r.is_overdraft,
+             r.crossed_zero)
+            for r in rows
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet')"
+        )
+        want = sorted(
+            (int(t), int(c), td, float(a), float(pb), float(po),
+             int(io_), int(cz))
+            for t, c, td, a, pb, po, io_, cz in con.execute(
+                OVERDRAFT_ORACLE
+            ).fetchall()
+        )
+        con.close()
+        assert got == want, f"overdraft mismatch at {d}"
+        for r in rows:
+            assert r.crossed_zero <= r.is_overdraft
+            # spent amounts are negative; ledger adds to the cent
+            assert r.amount < 0
+            assert (
+                abs(round(r.prev_balance + r.amount, 2)
+                    - r.post_balance) < 0.011
+            )
+        assert any(r.is_overdraft for r in rows)

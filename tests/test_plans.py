@@ -402,3 +402,14 @@ def test_benford_is_one_events_aggregation(spark, sf_dir):
     p = explain(benford_audit(spark, sf_dir), mode="simple")
     assert "Scan parquet" not in p and "FileScan" not in p
     assert p.count("Exchange") <= 2
+
+
+def test_overdraft_is_single_shuffle(spark, sf_dir):
+    """prev and post are two frames of ONE window over the original
+    transaction columns — the aliased-ledger form measured 2
+    exchanges and was rejected."""
+    from thrivefinancedatapipeline_spark.plans.finance_queries import (
+        overdraft_flags,
+    )
+
+    assert exchanges(overdraft_flags(spark, sf_dir)) == 1

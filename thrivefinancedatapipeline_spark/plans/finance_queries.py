@@ -633,3 +633,87 @@ SELECT * FROM current_balances
 WHERE cumulative_spent = 0 AND cumulative_expired = 0
   AND cumulative_earned > 0""",
 }
+
+
+def overdraft_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdraft screen over the spend stream: every 'spent'
+    transaction annotated with the balance the customer held JUST
+    BEFORE it (the lag of the running ledger) and just after, with
+    flags for landing negative and for being the transaction that
+    CROSSED zero — the point-in-time dimensional lookup the SCD2
+    dimension exists to answer, collapsed to its exact window form
+    (probe set == transaction set, so the asof is a lag, no join at
+    all). Slated for round-6 registration; Spark==DuckDB pinned by
+    test meanwhile.
+
+    Engine parity: prev/post are the SAME ordered window sum both
+    engines compute bit-identically (the balance_history contract);
+    flags compare those identical doubles, rounding only at the
+    emitted edge. One exchange total: prev and post are two FRAMES of
+    one window spec over the ORIGINAL transaction columns — layering
+    a lag on the aliased ledger frame would re-shuffle (the
+    balance_scd2 trap, measured 2 exchanges before this form)."""
+    txns = _txns(spark, sf_dir)
+    signed = F.when(
+        F.col("tctype") == "earned", F.abs(F.col("amount"))
+    ).otherwise(-F.abs(F.col("amount")))
+    w = Window.partitionBy("customerid").orderBy("createdat", "trans_id")
+    post = F.sum(signed).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev = F.coalesce(
+        F.sum(signed).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0.0),
+    )
+    flagged = txns.select(
+        F.col("trans_id").alias("transaction_id"),
+        F.col("customerid").alias("customer_id"),
+        F.col("createdat").alias("transaction_date"),
+        "tctype",
+        F.col("amount"),
+        post.alias("post_balance_raw"),
+        prev.alias("prev_balance_raw"),
+    ).filter(F.col("tctype") == "spent")
+    return flagged.select(
+        "transaction_id",
+        "customer_id",
+        "transaction_date",
+        F.round("amount", 2).alias("amount"),
+        F.round("prev_balance_raw", 2).alias("prev_balance"),
+        F.round("post_balance_raw", 2).alias("post_balance"),
+        (F.col("post_balance_raw") < 0).cast("int").alias("is_overdraft"),
+        ((F.col("prev_balance_raw") >= 0) & (F.col("post_balance_raw") < 0))
+        .cast("int")
+        .alias("crossed_zero"),
+    )
+
+
+#: DuckDB twin of overdraft_flags (round-6 registration). Same
+#: SIGNED single-window sum as the Spark side (one float
+#: accumulation order both engines share — mixing it with history's
+#: three-sum ledger would differ in association, not just rounding).
+OVERDRAFT_ORACLE = f"""WITH {TXNS_CTE},
+lagged AS (
+  SELECT trans_id AS transaction_id, customerid AS customer_id,
+         createdat AS transaction_date, tctype,
+         amount,
+         SUM(CASE WHEN tctype = 'earned' THEN ABS(amount)
+                  ELSE -ABS(amount) END) OVER (
+           PARTITION BY customerid ORDER BY createdat, trans_id
+           ROWS UNBOUNDED PRECEDING) AS post_balance_raw,
+         COALESCE(SUM(CASE WHEN tctype = 'earned' THEN ABS(amount)
+                           ELSE -ABS(amount) END) OVER (
+           PARTITION BY customerid ORDER BY createdat, trans_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS prev_balance_raw
+  FROM txns)
+SELECT transaction_id, customer_id, transaction_date,
+       ROUND(amount, 2) AS amount,
+       ROUND(prev_balance_raw, 2) AS prev_balance,
+       ROUND(post_balance_raw, 2) AS post_balance,
+       CAST(post_balance_raw < 0 AS INT) AS is_overdraft,
+       CAST(prev_balance_raw >= 0 AND post_balance_raw < 0 AS INT)
+         AS crossed_zero
+FROM lagged WHERE tctype = 'spent'"""
