@@ -424,3 +424,54 @@ def test_weighted_median_price_vs_duckdb(spark, sf_dir):
             )
             assert 2 * below < r.w_total
             assert below < w_at
+
+
+def test_event_transition_matrix_vs_duckdb(spark, sf_dir):
+    """Pre-registration pin for the Markov transition matrix: Spark
+    == DuckDB oracle at two SFs, plus stochastic-matrix invariants
+    (row ppm sums ~1e6; total transitions = total events - active
+    users)."""
+    import os
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from thrivefinancedatapipeline_spark.datamodel import load_table
+    from thrivefinancedatapipeline_spark.plans.events_queries import (
+        TRANSITION_ORACLE,
+        event_transition_matrix,
+    )
+
+    for d in (sf_dir, sf_dir.replace("sf0.001", "sf0.01")):
+        if not os.path.isdir(d):
+            continue
+        rows = event_transition_matrix(spark, d).collect()
+        got = sorted(
+            (r.from_type, r.to_type, r.n, r.n_from, r.p_ppm)
+            for r in rows
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet')"
+        )
+        want = sorted(
+            (ft, tt, int(n), int(nf), int(p))
+            for ft, tt, n, nf, p in con.execute(
+                TRANSITION_ORACLE
+            ).fetchall()
+        )
+        con.close()
+        assert got == want, f"transition matrix mismatch at {d}"
+        by_from = {}
+        for r in rows:
+            by_from.setdefault(r.from_type, []).append(r)
+        for ft, rs in by_from.items():
+            s = sum(r.p_ppm for r in rs)
+            assert 1_000_000 - len(rs) < s <= 1_000_000, (ft, s)
+            assert sum(r.n for r in rs) == rs[0].n_from
+        ev = load_table(spark, d, "events")
+        n_events = ev.count()
+        n_users = ev.select("user_id").distinct().count()
+        assert sum(r.n for r in rows) == n_events - n_users

@@ -1085,3 +1085,67 @@ SELECT strftime(devs.d, '%Y-%m-%d') AS day, devs.event_type, devs.c,
        devs.med, devs.dev, mad.mad,
        CAST(devs.dev > {MAD_K} * mad.mad AS INT) AS is_anomaly
 FROM devs JOIN mad USING (event_type)"""
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for
+    every ordered pair of event types, how often does a user's next
+    event follow the previous one — THE navigation/behavior-flow
+    summary (what follows a signup? what precedes an error?). Slated
+    for round-6 registration; Spark==DuckDB pinned by test meanwhile.
+
+    Per user, events order by (ts, event_id) — a total order both
+    engines share (ts alone ties at whole-second boundaries); each
+    consecutive pair emits one (from_type, to_type) observation; the
+    matrix aggregates counts plus a row-normalized probability in
+    integer ppm (truncating div, exact).
+
+    Scale shape: ONE window exchange on user_id (the lag rides the
+    per-user sort) and one map-side-combinable groupBy on the tiny
+    (from, to) key space — |types|^2 result rows. No self-join: the
+    classic sessionization-adjacent pattern done with lag, not a
+    time-range join."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id", "ts", "event_id", "event_type",
+            F.lag("event_type").over(w).alias("from_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .select("from_type", F.col("event_type").alias("to_type"))
+    )
+    wrow = Window.partitionBy("from_type")
+    counted = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return counted.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        F.sum("n").over(wrow).cast("long").alias("n_from"),
+        F.expr(
+            "CAST(n * 1000000 div sum(n) OVER "
+            "(PARTITION BY from_type) AS BIGINT)"
+        ).alias("p_ppm"),
+    )
+
+
+#: DuckDB twin of event_transition_matrix (round-6 registration).
+TRANSITION_ORACLE = f"""
+WITH {_EV},
+pairs AS (
+  SELECT LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM ev),
+counted AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM pairs WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type)
+SELECT from_type, to_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from,
+       CAST(n * 1000000 // SUM(n) OVER (PARTITION BY from_type)
+            AS BIGINT) AS p_ppm
+FROM counted"""
