@@ -475,3 +475,45 @@ def test_event_transition_matrix_vs_duckdb(spark, sf_dir):
         n_events = ev.count()
         n_users = ev.select("user_id").distinct().count()
         assert sum(r.n for r in rows) == n_events - n_users
+
+
+def test_funnel_latency_quantiles_vs_duckdb(spark, sf_dir):
+    """Pre-registration pin for time-to-convert quantiles: Spark ==
+    DuckDB oracle at two SFs; quantiles are nondecreasing in q and
+    nonnegative; n_converted matches the funnel's purchase stage."""
+    import os
+
+    import duckdb
+
+    from thrivefinancedatapipeline_spark.plans.events_queries import (
+        FUNNEL_LATENCY_ORACLE,
+        funnel_latency_quantiles,
+        q_events_funnel,
+    )
+
+    for d in (sf_dir, sf_dir.replace("sf0.001", "sf0.01")):
+        if not os.path.isdir(d):
+            continue
+        rows = funnel_latency_quantiles(spark, d).collect()
+        got = sorted(
+            (r.q, r.target_rank, r.n_converted, r.latency_us)
+            for r in rows
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet')"
+        )
+        want = sorted(
+            (int(q), int(t), int(n), int(l))
+            for q, t, n, l in con.execute(
+                FUNNEL_LATENCY_ORACLE
+            ).fetchall()
+        )
+        con.close()
+        assert got == want, f"funnel latency mismatch at {d}"
+        lats = [l for _, _, _, l in got]
+        assert lats == sorted(lats)
+        assert all(l >= 0 for l in lats)
+        funnel = q_events_funnel(spark, d).collect()[0]
+        assert got and got[0][2] == funnel.n_purchase_after_click

@@ -1149,3 +1149,120 @@ SELECT from_type, to_type,
        CAST(n * 1000000 // SUM(n) OVER (PARTITION BY from_type)
             AS BIGINT) AS p_ppm
 FROM counted"""
+
+
+FUNNEL_LATENCY_QS = (25, 50, 75, 90)
+
+
+def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How long does the funnel take? Exact quantiles of the
+    signup→purchase completion latency over converting users — the
+    time-to-convert distribution growth teams watch next to the
+    stage-reach counts (q_events_funnel). Slated for round-6
+    registration; Spark==DuckDB pinned by test meanwhile.
+
+    Exactness: latency is exact integer MICROSECONDS
+    (unix_micros(t_first_buy) - unix_micros(t_signup)); each quantile
+    is the exact ELEMENT at rank ceil(q*n/100) under the
+    deterministic (latency, user_id) order — no interpolation
+    anywhere (the events_robust_anomalies playbook).
+
+    Scale shape: the funnel's own conditional-min aggregations (no
+    self-join explosion), then ONE rank window over the converting-
+    user relation — the small end of the funnel, but still a global
+    sort: if conversions ever rival corpus size, swap the exact rank
+    for the mergeable histogram/equi-depth sketch (same output
+    contract, operators/sketches.py) — the documented exact→sketch
+    trade this catalog makes everywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).alias("t_signup"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("t_click")
+    )
+    first_click = (
+        clicks.join(per_user, "user_id")
+        .filter(F.col("t_click") >= F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("t_click").alias("t_first_click"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("t_buy")
+    )
+    first_buy = (
+        purchases.join(first_click, "user_id")
+        .filter(F.col("t_buy") >= F.col("t_first_click"))
+        .groupBy("user_id")
+        .agg(F.min("t_buy").alias("t_first_buy"))
+    )
+    lat = (
+        per_user.join(first_buy, "user_id")
+        .select(
+            "user_id",
+            (
+                F.unix_micros("t_first_buy") - F.unix_micros("t_signup")
+            ).alias("latency_us"),
+        )
+    )
+    wv = Window.orderBy("latency_us", "user_id")
+    ranked = lat.select(
+        "latency_us",
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    qs = F.explode(
+        F.array(*[F.lit(q) for q in FUNNEL_LATENCY_QS])
+    ).alias("q")
+    targets = ranked.select("rn", "latency_us", "n", qs).withColumn(
+        "target", F.expr("(q * n + 99) div 100")
+    )
+    return (
+        targets.filter(F.col("rn") == F.col("target"))
+        .select(
+            F.col("q").cast("int").alias("q"),
+            F.col("target").cast("long").alias("target_rank"),
+            F.col("n").cast("long").alias("n_converted"),
+            F.col("latency_us").cast("long").alias("latency_us"),
+        )
+    )
+
+
+#: DuckDB twin of funnel_latency_quantiles (round-6 registration).
+FUNNEL_LATENCY_ORACLE = f"""
+WITH {_EV},
+per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
+  FROM ev GROUP BY user_id),
+first_click AS (
+  SELECT c.user_id, MIN(c.ts) AS t_first_click
+  FROM ev c JOIN per_user USING (user_id)
+  WHERE c.event_type = 'click' AND c.ts >= per_user.t_signup
+  GROUP BY c.user_id),
+first_buy AS (
+  SELECT p.user_id, MIN(p.ts) AS t_first_buy
+  FROM ev p JOIN first_click USING (user_id)
+  WHERE p.event_type = 'purchase' AND p.ts >= first_click.t_first_click
+  GROUP BY p.user_id),
+lat AS (
+  SELECT per_user.user_id,
+         epoch_us(t_first_buy) - epoch_us(t_signup) AS latency_us
+  FROM per_user JOIN first_buy USING (user_id)),
+ranked AS (
+  SELECT latency_us,
+         ROW_NUMBER() OVER (ORDER BY latency_us, user_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM lat)
+SELECT CAST(q AS INT) AS q,
+       CAST((q * n + 99) // 100 AS BIGINT) AS target_rank,
+       CAST(n AS BIGINT) AS n_converted,
+       CAST(latency_us AS BIGINT) AS latency_us
+FROM ranked, (SELECT unnest({list(FUNNEL_LATENCY_QS)}) AS q) qq
+WHERE rn = (q * n + 99) // 100"""
