@@ -261,3 +261,44 @@ def test_corpus_bigram_coverage_vs_duckdb(spark, sf_dir):
         for r in rows:
             assert 0 <= r.n_common <= r.n_bigrams
             assert 0 <= r.coverage_ppm <= 1_000_000
+
+
+def test_pii_scan_redact_vs_duckdb(spark, sf_dir):
+    """Pre-registration pin for the PII scrub: Spark == DuckDB oracle
+    at two SFs INCLUDING the md5 fingerprint of the redacted text
+    (any regexp_replace divergence flips it), plus the contract: the
+    injected quota is found exactly (doc_id % 3 emails, 1 phone) and
+    every redacted doc is clean."""
+    import os
+
+    import duckdb
+
+    from thrivefinancedatapipeline_spark.operators.textops import (
+        PII_ORACLE,
+        pii_scan_redact,
+    )
+
+    for d in (sf_dir, sf_dir.replace("sf0.001", "sf0.01")):
+        if not os.path.isdir(d):
+            continue
+        rows = pii_scan_redact(spark, d).collect()
+        got = sorted(
+            (r.doc_id, r.n_emails, r.n_phones, r.redacted_len,
+             r.redacted_fp, r.is_clean)
+            for r in rows
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')"
+        )
+        want = sorted(
+            (int(a), int(b), int(c), int(e), int(f), int(g))
+            for a, b, c, e, f, g in con.execute(PII_ORACLE).fetchall()
+        )
+        con.close()
+        assert got == want, f"pii scrub mismatch at {d}"
+        for r in rows:
+            assert r.n_emails == r.doc_id % 3
+            assert r.n_phones == 1
+            assert r.is_clean == 1

@@ -1323,3 +1323,103 @@ SELECT doc_id,
                  ELSE n_common * 1000000 // n_bigrams END AS BIGINT)
          AS coverage_ppm
 FROM scored"""
+
+
+#: [.] instead of backslash-dot: Spark SQL string literals consume
+#: backslash escapes (measured: '\.' reached Java regex as a bare '.'
+#: and the email match swallowed the following word), while a
+#: character class survives literal embedding identically in Java
+#: regex and RE2.
+PII_EMAIL_PAT = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
+PII_PHONE_PAT = "555-[0-9]{4}"
+
+
+def pii_scan_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the mandatory scrub pass of every
+    LLM training-data pipeline. The synthetic corpus contains no PII,
+    so the kernel is proven the way the codecs are
+    (multimodal_codec_attest): each document is AUGMENTED with a
+    deterministic, md5-derived quota of synthetic emails (doc_id % 3
+    of them) and one 555-phone, then scanned and redacted; the
+    emitted md5 fingerprint of the REDACTED text makes any
+    regexp_replace divergence (missed match, wrong span, ordering)
+    flip the cross-engine value hash — far stronger than count
+    equality alone. Slated for round-6 registration; Spark==DuckDB
+    pinned by test meanwhile.
+
+    Patterns are RE2-safe simple classes (no lookaround/backrefs) so
+    Java regex and RE2 agree by construction; DuckDB needs the 'g'
+    flag to match Spark's replace-all. Pure per-row projection —
+    zero shuffle, scales embarrassingly."""
+    d = _docs(spark, sf_dir)
+    # guard the empty case: Spark sequence(1, 0) REVERSES to [1, 0]
+    # (DuckDB range(1, 1) is empty) — the documented divergence
+    email_k = (
+        "CASE WHEN doc_id % 3 = 0 THEN array() ELSE "
+        "transform(sequence(1, CAST(doc_id % 3 AS INT)), "
+        "k -> concat(substring(md5(concat(text, CAST(k AS STRING))), "
+        "1, 8), '@example.com')) END"
+    )
+    aug = (
+        f"concat(text, ' contact ', array_join({email_k}, ' '), "
+        "' tel 555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))"
+    )
+    scanned = d.select(
+        "doc_id",
+        F.expr(aug).alias("aug"),
+    ).select(
+        "doc_id",
+        F.expr(
+            f"size(regexp_extract_all(aug, '{PII_EMAIL_PAT}', 0))"
+        ).cast("long").alias("n_emails"),
+        F.expr(
+            f"size(regexp_extract_all(aug, '{PII_PHONE_PAT}', 0))"
+        ).cast("long").alias("n_phones"),
+        F.expr(
+            f"regexp_replace(regexp_replace(aug, '{PII_EMAIL_PAT}', "
+            f"'[EMAIL]'), '{PII_PHONE_PAT}', '[PHONE]')"
+        ).alias("redacted"),
+    )
+    return scanned.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        F.length("redacted").cast("long").alias("redacted_len"),
+        md5_long(F.col("redacted")).alias("redacted_fp"),
+        (
+            ~F.col("redacted").rlike(PII_EMAIL_PAT)
+            & ~F.col("redacted").rlike(PII_PHONE_PAT)
+        ).cast("int").alias("is_clean"),
+    )
+
+
+#: DuckDB twin of pii_scan_redact (round-6 registration).
+PII_ORACLE = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact ' ||
+         COALESCE(array_to_string(
+           [substring(md5(text || CAST(k AS VARCHAR)), 1, 8)
+              || '@example.com'
+            for k in range(1, CAST(doc_id % 3 AS INT) + 1)], ' '),
+           '') ||
+         ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           AS aug
+  FROM documents),
+red AS (
+  SELECT doc_id, aug,
+         regexp_replace(regexp_replace(aug, '{PII_EMAIL_PAT}',
+                                       '[EMAIL]', 'g'),
+                        '{PII_PHONE_PAT}', '[PHONE]', 'g') AS redacted
+  FROM aug)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(aug, '{PII_EMAIL_PAT}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(aug, '{PII_PHONE_PAT}')) AS BIGINT)
+         AS n_phones,
+       CAST(length(redacted) AS BIGINT) AS redacted_len,
+       {md5_long_sql('redacted')} AS redacted_fp,
+       CAST(NOT regexp_matches(redacted, '{PII_EMAIL_PAT}')
+            AND NOT regexp_matches(redacted, '{PII_PHONE_PAT}')
+            AS INT) AS is_clean
+FROM red"""
