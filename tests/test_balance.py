@@ -147,3 +147,53 @@ def test_overdraft_flags_vs_duckdb(spark, sf_dir):
                     - r.post_balance) < 0.011
             )
         assert any(r.is_overdraft for r in rows)
+
+
+def test_balance_snapshot_diff_vs_duckdb(spark, sf_dir):
+    """Pre-registration pin for the snapshot diff: Spark == DuckDB
+    oracle at two SFs, plus reconciliation invariants: t2 snapshot
+    equals balance_asof at T2; 'inserted' rows have no T1 balance;
+    every class is present at sf0.01-scale data."""
+    import os
+
+    import duckdb
+
+    from thrivefinancedatapipeline_spark.plans.finance_queries import (
+        SNAPSHOT_DIFF_ORACLE,
+        balance_snapshot_diff,
+        q_balance_asof,
+    )
+
+    for d in (sf_dir, sf_dir.replace("sf0.001", "sf0.01")):
+        if not os.path.isdir(d):
+            continue
+        rows = balance_snapshot_diff(spark, d).collect()
+        got = sorted(
+            (r.customer_id, r.balance_t1, r.balance_t2, r.change_type)
+            for r in rows
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet')"
+        )
+        want = sorted(
+            (int(c), None if b1 is None else float(b1), float(b2), ct)
+            for c, b1, b2, ct in con.execute(
+                SNAPSHOT_DIFF_ORACLE
+            ).fetchall()
+        )
+        con.close()
+        assert got == want, f"snapshot diff mismatch at {d}"
+        asof = {
+            r.customer_id: r.thrive_cash_balance
+            for r in q_balance_asof(spark, d).collect()
+        }
+        for r in rows:
+            assert abs(r.balance_t2 - asof[r.customer_id]) < 0.005
+            if r.change_type == "inserted":
+                assert r.balance_t1 is None
+            else:
+                assert r.balance_t1 is not None
+        kinds = {r.change_type for r in rows}
+        assert "changed" in kinds

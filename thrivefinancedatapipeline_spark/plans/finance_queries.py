@@ -717,3 +717,97 @@ SELECT transaction_id, customer_id, transaction_date,
        CAST(prev_balance_raw >= 0 AND post_balance_raw < 0 AS INT)
          AS crossed_zero
 FROM lagged WHERE tctype = 'spent'"""
+
+
+DIFF_T1 = "2024-01-10 00:00:00"
+DIFF_T2 = ASOF  # 2024-01-20
+
+
+def balance_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff: the per-customer balance table as-of
+    T1 vs as-of T2, classified into inserted / changed / unchanged
+    rows — the generic "what changed between two snapshots" operator
+    every warehouse reconciliation job needs (deletes can't occur in
+    an append-only ledger, so the class is asserted empty rather than
+    modeled). Slated for round-6 registration; Spark==DuckDB pinned
+    by test meanwhile.
+
+    Both snapshots derive from ONE pass over the ledger: conditional
+    max_by aggregations at the two cutoffs share a single groupBy
+    (never two scans + a full outer join — the naive diff shape). A
+    materialized-snapshot deployment diffs two stored tables with the
+    same output contract; this form proves the semantics against the
+    ledger itself.
+
+    Engine parity: each snapshot balance is the max_by/(arg_max)
+    element under the shared (transaction_date, transaction_id)
+    order — an exact data element, rounded only at the edge."""
+    txns = _txns(spark, sf_dir)
+    signed = F.when(
+        F.col("tctype") == "earned", F.abs(F.col("amount"))
+    ).otherwise(-F.abs(F.col("amount")))
+    w = Window.partitionBy("customerid").orderBy("createdat", "trans_id")
+    post = F.sum(signed).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ledger = txns.select(
+        "customerid", "createdat", "trans_id", post.alias("bal")
+    )
+    t1 = F.lit(DIFF_T1).cast("timestamp")
+    t2 = F.lit(DIFF_T2).cast("timestamp")
+    key = F.struct("createdat", "trans_id")
+    snap = ledger.groupBy("customerid").agg(
+        F.max_by(
+            F.when(F.col("createdat") <= t1, F.col("bal")),
+            F.when(F.col("createdat") <= t1, key),
+        ).alias("bal_t1"),
+        F.max_by(
+            F.when(F.col("createdat") <= t2, F.col("bal")),
+            F.when(F.col("createdat") <= t2, key),
+        ).alias("bal_t2"),
+    )
+    change = (
+        F.when(F.col("bal_t1").isNull() & F.col("bal_t2").isNotNull(),
+               F.lit("inserted"))
+        .when(F.round("bal_t1", 2) != F.round("bal_t2", 2),
+              F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        snap.filter(F.col("bal_t2").isNotNull())
+        .select(
+            F.col("customerid").alias("customer_id"),
+            F.round("bal_t1", 2).alias("balance_t1"),
+            F.round("bal_t2", 2).alias("balance_t2"),
+            change.alias("change_type"),
+        )
+    )
+
+
+#: DuckDB twin of balance_snapshot_diff (round-6 registration).
+SNAPSHOT_DIFF_ORACLE = f"""WITH {TXNS_CTE},
+ledger AS (
+  SELECT customerid, createdat, trans_id,
+         SUM(CASE WHEN tctype = 'earned' THEN ABS(amount)
+                  ELSE -ABS(amount) END) OVER (
+           PARTITION BY customerid ORDER BY createdat, trans_id
+           ROWS UNBOUNDED PRECEDING) AS bal
+  FROM txns),
+s1 AS (
+  SELECT customerid, bal AS bal_t1 FROM ledger
+  WHERE createdat <= TIMESTAMP '{DIFF_T1}'
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY customerid
+    ORDER BY createdat DESC, trans_id DESC) = 1),
+s2 AS (
+  SELECT customerid, bal AS bal_t2 FROM ledger
+  WHERE createdat <= TIMESTAMP '{DIFF_T2}'
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY customerid
+    ORDER BY createdat DESC, trans_id DESC) = 1)
+SELECT s2.customerid AS customer_id,
+       ROUND(s1.bal_t1, 2) AS balance_t1,
+       ROUND(s2.bal_t2, 2) AS balance_t2,
+       CASE WHEN s1.bal_t1 IS NULL THEN 'inserted'
+            WHEN ROUND(s1.bal_t1, 2) <> ROUND(s2.bal_t2, 2)
+              THEN 'changed'
+            ELSE 'unchanged' END AS change_type
+FROM s2 LEFT JOIN s1 USING (customerid)"""
