@@ -113,3 +113,50 @@ def test_pq_adc_recall_and_compression(spark, sf_dir):
     ).first()
     assert len(row.codes) == similarity.PQ_M
     assert all(1 <= c <= lut_len for c in row.codes)
+
+
+def test_ivfpq_matches_duckdb_oracle(spark, sf_dir):
+    """Pre-registration pin for IVF-PQ: the Spark result must equal
+    the DuckDB oracle that replays coarse training, residuals,
+    residual-PQ training, encode, the cell-pruned ADC scan and the
+    rerank — at two SFs."""
+    import os
+
+    import duckdb
+
+    for d in (sf_dir, sf_dir.replace("sf0.001", "sf0.01")):
+        if not os.path.isdir(d):
+            continue
+        got = sorted(
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in similarity.ivfpq_knn(spark, d).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{d}/embeddings.parquet')"
+        )
+        want = sorted(
+            (int(q), int(n), int(rk))
+            for q, n, rk in con.execute(
+                similarity._ivfpq_oracle_sql()
+            ).fetchall()
+        )
+        con.close()
+        assert got == want, f"IVF-PQ mismatch at {d}"
+
+
+def test_ivfpq_candidates_subset_of_ivf_cells(spark, sf_dir):
+    """Structural property: every IVF-PQ result lies in a probed cell
+    of its query (the candidate pruning really is the IVF one), and
+    recall against bruteforce stays above the floor."""
+    truth = _pairs(similarity.q_knn_bruteforce_cosine(spark, sf_dir))
+    approx = _pairs(similarity.ivfpq_knn(spark, sf_dir))
+    assert approx
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.2, f"ivfpq recall collapsed: {recall:.2f}"
+    ivf = _pairs(similarity.q_ivf_knn(spark, sf_dir))
+    # same coarse pruning: ivfpq candidates come from the same probed
+    # cells ivf searches, so heavy overlap is expected (not equality:
+    # ADC pre-ranking may drop a true neighbor the exact scan keeps)
+    assert len(approx & ivf) >= len(ivf) // 2

@@ -738,12 +738,14 @@ def _pq_codebooks_cached(sf_dir: str, iv: DataFrame) -> list:
     return books
 
 
-def _pq_encode_expr(books: list):
+def _pq_encode_expr(books: list, col: str = "xi"):
     """array<int> of PQ_M codes per row: code m = 1-based FLAT index
     (into the concatenated LUT) of the nearest codebook-m centroid by
     exact integer squared L2, ties toward the lowest cell.  One
     literal array fold per subspace (the measured anti-Janino form —
-    see _cell_structs), never k*dim unrolled arithmetic."""
+    see _cell_structs), never k*dim unrolled arithmetic.  `col` is
+    the integer vector column — raw micros for flat PQ, the coarse
+    residual for IVF-PQ."""
     per_m = []
     off = 0
     for m, book in enumerate(books):
@@ -752,7 +754,7 @@ def _pq_encode_expr(books: list):
             f"'c', array({','.join(str(int(x)) for x in cv)}))"
             for i, (_cell, cv) in enumerate(book)
         ) + ")"
-        sub = f"slice(xi, {m * PQ_SUB + 1}, {PQ_SUB})"
+        sub = f"slice({col}, {m * PQ_SUB + 1}, {PQ_SUB})"
         per_m.append(
             f"array_min(transform({lit}, ct -> named_struct("
             f"'d', aggregate(zip_with({sub}, ct.c, "
@@ -763,14 +765,15 @@ def _pq_encode_expr(books: list):
     return F.expr("array(" + ",".join(per_m) + ")")
 
 
-def _pq_lut_expr(books: list):
+def _pq_lut_expr(books: list, col: str = "xi"):
     """array<long> ADC lookup table per QUERY row: entry for flat
     index i = exact integer squared L2 from the query's subspace-m
     sub-vector to that codebook centroid.  Computed only on the
-    N_QUERIES broadcast rows — sum(len(book_m)) <= PQ_M*PQ_K entries."""
+    N_QUERIES broadcast rows — sum(len(book_m)) <= PQ_M*PQ_K entries.
+    `col` as in _pq_encode_expr."""
     entries = []
     for m, book in enumerate(books):
-        sub = f"slice(xi, {m * PQ_SUB + 1}, {PQ_SUB})"
+        sub = f"slice({col}, {m * PQ_SUB + 1}, {PQ_SUB})"
         for _cell, cv in book:
             lit = "array(" + ",".join(str(int(x)) for x in cv) + ")"
             entries.append(
@@ -902,6 +905,314 @@ pool AS (SELECT query_id, neighbor_id FROM (
            FROM codes nb
            JOIN qd ON qd.m = nb.m AND qd.cell = nb.cell
            WHERE qd.query_id <> nb.neighbor_id
+           GROUP BY qd.query_id, nb.neighbor_id)
+         WHERE prank <= {PQ_CANDIDATES})
+SELECT pool.query_id, pool.neighbor_id,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY pool.query_id
+         ORDER BY list_dot_product(q.v, nb.v) / (q.nrm * nb.nrm) DESC,
+                  pool.neighbor_id) AS INT) AS rank
+FROM pool
+JOIN e q ON q.vec_id = pool.query_id
+JOIN e nb ON nb.vec_id = pool.neighbor_id
+QUALIFY rank <= {TOP_K}"""
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse quantizer + product-quantized RESIDUALS (FAISS IVFPQ)
+# ---------------------------------------------------------------------------
+
+def _train_ivfpq_books(iv: DataFrame, coarse: list) -> list:
+    """PQ codebooks trained on coarse-quantization RESIDUALS of the
+    shared bounded hash-sample — the Jegou et al. 2011 IVFADC recipe:
+    residuals concentrate around 0 regardless of which cell a vector
+    lives in, so ONE set of codebooks serves every cell (the memory
+    trick that makes IVFPQ practical).  Determinism contract as
+    everywhere: the sample's coarse assignment replays the final
+    Lloyd reassignment exactly (int64 distances, (dist, cell)
+    tie-break); PQ init uses a NAMESPACED digest ('pq' || vec_id) —
+    disjoint by construction from the sampling and coarse-init
+    slices (never reuse one hash for two correlated decisions)."""
+    import hashlib
+
+    import numpy as np
+
+    from ..functions.text import md5_long
+
+    h = md5_long(F.col("vec_id").cast("string"))
+    pdf = iv.filter(h % KM_SAMPLE_MOD == 0).toPandas()
+    X = np.array(pdf["xi"].tolist(), dtype=np.int64)
+    cell_ids = np.array([c for c, _ in coarse], dtype=np.int64)
+    C = np.array([cv for _, cv in coarse], dtype=np.int64)
+    d2 = (
+        (X * X).sum(axis=1, dtype=np.int64)[:, None]
+        - 2 * (X @ C.T)
+        + (C * C).sum(axis=1, dtype=np.int64)[None, :]
+    )
+    R = X - C[np.argmin(d2, axis=1)]
+    hs = np.array(
+        [
+            int(hashlib.md5(f"pq{v}".encode()).hexdigest()[:15], 16)
+            for v in pdf["vec_id"].tolist()
+        ],
+        dtype=np.int64,
+    )
+    books = []
+    for m in range(PQ_M):
+        Rm = R[:, m * PQ_SUB : (m + 1) * PQ_SUB]
+        assign = hs % PQ_K
+        cents: list = []
+        for it in range(KM_ITERS):
+            cents = []
+            for cell in np.unique(assign):
+                member = Rm[assign == cell]
+                cv = np.floor(
+                    member.sum(axis=0, dtype=np.int64) / float(len(member))
+                )
+                cents.append((int(cell), [int(c) for c in cv]))
+            if it == KM_ITERS - 1:
+                break
+            Cm = np.array([cv for _, cv in cents], dtype=np.int64)
+            dd = (
+                (Rm * Rm).sum(axis=1, dtype=np.int64)[:, None]
+                - 2 * (Rm @ Cm.T)
+                + (Cm * Cm).sum(axis=1, dtype=np.int64)[None, :]
+            )
+            ids = np.array([c for c, _ in cents], dtype=np.int64)
+            assign = ids[np.argmin(dd, axis=1)]
+        books.append(cents)
+    return books
+
+
+_IVFPQ_CACHE: dict = {}
+
+
+def _ivfpq_books_cached(sf_dir: str, iv: DataFrame, coarse: list) -> list:
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        key = (path, os.path.getmtime(path))
+    except OSError:
+        key = None
+    if key is not None and key in _IVFPQ_CACHE:
+        return _IVFPQ_CACHE[key]
+    books = _train_ivfpq_books(iv, coarse)
+    if key is not None:
+        _IVFPQ_CACHE[key] = books
+    return books
+
+
+def _coarse_map_expr(coarse: list) -> str:
+    """SQL literal map cell -> centroid array (for residual math)."""
+    keys = ",".join(str(int(c)) for c, _ in coarse)
+    vals = ",".join(
+        "array(" + ",".join(str(int(x)) for x in cv) + ")"
+        for _, cv in coarse
+    )
+    return f"map_from_arrays(array({keys}), array({vals}))"
+
+
+def ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN — the full FAISS IVFADC shape, assembled from the
+    two proven parts: the trained coarse quantizer prunes the corpus
+    to N_PROBE cells per query (ivf_knn), and product-quantized
+    RESIDUALS give each candidate an 8-lookup asymmetric distance
+    (pq_adc_knn) — at billion-vector scale the index is cell-
+    partitioned 8-byte codes, the scan touches only probed cells,
+    and no raw vector is read until the final rerank.  Slated for a
+    round-6/7 registration; Spark==DuckDB pinned by test meanwhile.
+
+    Plan shape: corpus side is ONE projection computing (cell from
+    the literal coarse centroids, residual via a literal cell→
+    centroid map, PQ codes from the literal residual codebooks) —
+    narrow (vec_id, cell, 8 codes), no shuffle; query side explodes
+    to (query, probed cell) rows each carrying a per-cell residual
+    LUT (N_QUERIES * N_PROBE rows, broadcast); the candidate join is
+    an equi-join on cell (never a full crossJoin — the IVF pruning
+    is IN the join key, the defining difference from flat PQ); one
+    pool window; tiny-pool broadcast rerank in exact full-dim
+    cosine."""
+    iv = _int_vecs(spark, sf_dir)
+    coarse = _trained_centroids_cached(spark, sf_dir, iv)
+    books = _ivfpq_books_cached(sf_dir, iv, coarse)
+    structs = _cell_structs(coarse)
+    cmap = _coarse_map_expr(coarse)
+    enc = iv.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "xi",
+        F.array_min(structs).getField("cell").alias("cell"),
+    ).withColumn(
+        "res",
+        F.expr(f"zip_with(xi, element_at({cmap}, cell), "
+               "(x, c) -> x - c)"),
+    )
+    codes = enc.select(
+        "neighbor_id", "cell",
+        _pq_encode_expr(books, col="res").alias("codes"),
+    )
+    probes = (
+        iv.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "xi",
+            F.explode(
+                F.slice(F.array_sort(structs), 1, N_PROBE)
+            ).alias("pc"),
+        )
+        .select(
+            "query_id", "xi", F.col("pc.cell").alias("cell")
+        )
+        .withColumn(
+            "qres",
+            F.expr(f"zip_with(xi, element_at({cmap}, cell), "
+                   "(x, c) -> x - c)"),
+        )
+        .select(
+            "query_id", "cell",
+            _pq_lut_expr(books, col="qres").alias("lut"),
+        )
+    )
+    adc = F.expr(
+        "aggregate(codes, 0L, (acc, i) -> acc + element_at(lut, i))"
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id")
+    )
+    pool = (
+        F.broadcast(probes)
+        .join(codes, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc_d2", adc)
+        .withColumn("prank", F.row_number().over(wp))
+        .filter(F.col("prank") <= PQ_CANDIDATES)
+        .select("query_id", "neighbor_id")
+    )
+    e = _vectors(spark, sf_dir)
+    qv = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cv = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        F.broadcast(pool)
+        .join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _ivfpq_oracle_sql() -> str:
+    """DuckDB twin: replays coarse training (the ivf_knn chain),
+    residuals, residual-PQ training (namespaced 'pq' digest init),
+    encode, the per-(query, probed-cell) residual LUT, the
+    cell-pruned ADC scan, and the exact rerank."""
+    return f"""
+WITH {_VEC_CTE},
+em AS (SELECT vec_id,
+              [CAST(ROUND(x * {MICRO}, 0) AS BIGINT) for x in v] AS xi
+       FROM e),
+ux AS (SELECT vec_id, unnest(xi) AS x,
+              generate_subscripts(xi, 1) AS pos FROM em),
+samp AS (SELECT vec_id,
+                ('0x' || substring(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS h,
+                ('0x' || substring(md5(vec_id::VARCHAR), 16, 15))::BIGINT AS h2
+         FROM em),
+a0 AS (SELECT vec_id, CAST(h2 % {KM_K} AS INT) AS cell
+       FROM samp WHERE h % {KM_SAMPLE_MOD} = 0),
+c1 AS (SELECT cell, pos,
+              CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+       FROM a0 JOIN ux USING (vec_id) GROUP BY cell, pos),
+d1 AS (SELECT u.vec_id, c1.cell, SUM((u.x - c1.c) * (u.x - c1.c)) AS dist
+       FROM ux u JOIN a0 USING (vec_id) JOIN c1 ON u.pos = c1.pos
+       GROUP BY u.vec_id, c1.cell),
+a1 AS (SELECT vec_id, cell FROM (
+         SELECT vec_id, cell,
+                ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, cell) AS rn
+         FROM d1) WHERE rn = 1),
+c2 AS (SELECT cell, pos,
+              CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+       FROM a1 JOIN ux USING (vec_id) GROUP BY cell, pos),
+cd AS (SELECT u.vec_id, c2.cell, SUM((u.x - c2.c) * (u.x - c2.c)) AS dist
+       FROM ux u JOIN c2 ON u.pos = c2.pos
+       GROUP BY u.vec_id, c2.cell),
+cranked AS (SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cell) AS rn
+            FROM cd),
+asg AS (SELECT vec_id, cell FROM cranked WHERE rn = 1),
+probe AS (SELECT vec_id AS query_id, cell FROM cranked
+          WHERE vec_id < {N_QUERIES} AND rn <= {N_PROBE}),
+rx AS (SELECT u.vec_id, u.pos,
+              CAST((u.pos - 1) // {PQ_SUB} AS INT) AS m,
+              u.x - c2.c AS r
+       FROM ux u JOIN asg USING (vec_id)
+       JOIN c2 ON c2.cell = asg.cell AND c2.pos = u.pos),
+psamp AS (SELECT vec_id,
+                 CAST(('0x' || substring(md5('pq' || vec_id::VARCHAR),
+                                         1, 15))::BIGINT % {PQ_K}
+                      AS INT) AS cell
+          FROM a0),
+pqc1 AS (SELECT ps.cell, rx.pos,
+                CAST(FLOOR(CAST(SUM(rx.r) AS DOUBLE) / COUNT(*))
+                     AS BIGINT) AS c
+         FROM psamp ps JOIN rx USING (vec_id) GROUP BY ps.cell, rx.pos),
+pqd1 AS (SELECT rx.vec_id, rx.m, pqc1.cell,
+                SUM((rx.r - pqc1.c) * (rx.r - pqc1.c)) AS dist
+         FROM rx JOIN psamp USING (vec_id)
+         JOIN pqc1 ON pqc1.pos = rx.pos
+         GROUP BY rx.vec_id, rx.m, pqc1.cell),
+pqa1 AS (SELECT vec_id, m, cell FROM (
+           SELECT vec_id, m, cell,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                     ORDER BY dist, cell) AS rn
+           FROM pqd1) WHERE rn = 1),
+pqc2 AS (SELECT pqa1.cell, rx.pos,
+                CAST(FLOOR(CAST(SUM(rx.r) AS DOUBLE) / COUNT(*))
+                     AS BIGINT) AS c
+         FROM pqa1 JOIN rx
+           ON rx.vec_id = pqa1.vec_id AND rx.m = pqa1.m
+         GROUP BY pqa1.cell, rx.pos),
+pqdn AS (SELECT rx.vec_id, rx.m, pqc2.cell,
+                SUM((rx.r - pqc2.c) * (rx.r - pqc2.c)) AS dist
+         FROM rx JOIN pqc2 ON pqc2.pos = rx.pos
+         GROUP BY rx.vec_id, rx.m, pqc2.cell),
+codes AS (SELECT vec_id AS neighbor_id, m, cell FROM (
+            SELECT vec_id, m, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                      ORDER BY dist, cell) AS rn
+            FROM pqdn) WHERE rn = 1),
+qres AS (SELECT u.vec_id AS query_id, p.cell AS probe_cell, u.pos,
+                CAST((u.pos - 1) // {PQ_SUB} AS INT) AS m,
+                u.x - c2.c AS r
+         FROM ux u
+         JOIN probe p ON p.query_id = u.vec_id
+         JOIN c2 ON c2.cell = p.cell AND c2.pos = u.pos),
+qd AS (SELECT q.query_id, q.probe_cell, q.m, pqc2.cell,
+              SUM((q.r - pqc2.c) * (q.r - pqc2.c)) AS dist
+       FROM qres q JOIN pqc2 ON pqc2.pos = q.pos
+       GROUP BY q.query_id, q.probe_cell, q.m, pqc2.cell),
+pool AS (SELECT query_id, neighbor_id FROM (
+           SELECT qd.query_id, nb.neighbor_id,
+                  ROW_NUMBER() OVER (
+                    PARTITION BY qd.query_id
+                    ORDER BY SUM(qd.dist), nb.neighbor_id) AS prank
+           FROM asg a
+           JOIN qd ON qd.probe_cell = a.cell
+           JOIN codes nb ON nb.neighbor_id = a.vec_id
+                        AND nb.m = qd.m AND nb.cell = qd.cell
+           WHERE qd.query_id <> a.vec_id
            GROUP BY qd.query_id, nb.neighbor_id)
          WHERE prank <= {PQ_CANDIDATES})
 SELECT pool.query_id, pool.neighbor_id,
