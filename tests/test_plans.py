@@ -413,3 +413,49 @@ def test_overdraft_is_single_shuffle(spark, sf_dir):
     )
 
     assert exchanges(overdraft_flags(spark, sf_dir)) == 1
+
+
+def test_transition_matrix_single_scan_bounded_shuffles(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.plans.events_queries import (
+        event_transition_matrix,
+    )
+
+    p = explain(event_transition_matrix(spark, sf_dir), mode="simple")
+    assert p.count("Scan parquet") == 1
+    # lag window + (from,to) groupBy + tiny row-normalization window
+    assert p.count("Exchange") <= 3
+
+
+def test_weighted_median_walks_reduced_cells(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.plans.advanced import (
+        weighted_median_price,
+    )
+
+    df = weighted_median_price(spark, sf_dir)
+    p = explain(df, mode="simple")
+    assert p.count("Scan parquet") == 1
+    # cells groupBy + per-flag window; the cumulative walk must run
+    # over the distinct-reduced relation, never raw lineitem
+    assert p.count("Exchange") <= 2
+
+
+def test_snapshot_diff_is_single_shuffle(spark, sf_dir):
+    """Both as-of snapshots derive from one ledger pass: window and
+    conditional-max_by groupBy share the customerid exchange."""
+    from thrivefinancedatapipeline_spark.plans.finance_queries import (
+        balance_snapshot_diff,
+    )
+
+    assert exchanges(balance_snapshot_diff(spark, sf_dir)) == 1
+
+
+def test_ivfpq_prunes_via_cell_equijoin(spark, sf_dir):
+    """The defining IVF property: candidates come from an EQUI-join
+    on cell — never the flat-PQ broadcast nested loop, never a
+    cartesian."""
+    from thrivefinancedatapipeline_spark.operators import similarity
+
+    p = explain(similarity.ivfpq_knn(spark, sf_dir), mode="simple")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 2
