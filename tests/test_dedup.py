@@ -283,3 +283,45 @@ def test_kcore_matches_exact_python_reference(spark, sf_dir):
     assert got == want
     for v, d in got.items():
         assert d >= KCORE_K
+
+
+def test_dedup_containment_vs_duckdb(spark, sf_dir):
+    """Pre-registration pin for asymmetric containment dedup: Spark
+    == DuckDB oracle at two SFs; containment >= Jaccard on shared
+    pairs (min-denominator dominance) and the threshold really holds
+    on every emitted row."""
+    import os
+
+    import duckdb
+
+    from thrivefinancedatapipeline_spark.operators.dedup import (
+        CONTAIN_DEN,
+        CONTAIN_NUM,
+        CONTAINMENT_ORACLE,
+        dedup_containment,
+    )
+
+    for d in (sf_dir, sf_dir.replace("sf0.001", "sf0.01")):
+        if not os.path.isdir(d):
+            continue
+        rows = dedup_containment(spark, d).collect()
+        got = sorted(
+            (r.doc_id_1, r.doc_id_2, r.common_shingles, r.shingles_1,
+             r.shingles_2, r.contain_1_ppm, r.contain_2_ppm)
+            for r in rows
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')"
+        )
+        want = sorted(
+            tuple(int(x) for x in row)
+            for row in con.execute(CONTAINMENT_ORACLE).fetchall()
+        )
+        con.close()
+        assert got == want, f"containment mismatch at {d}"
+        for r in rows:
+            mn = min(r.shingles_1, r.shingles_2)
+            assert CONTAIN_DEN * r.common_shingles >= CONTAIN_NUM * mn
+            assert max(r.contain_1_ppm, r.contain_2_ppm) >= 800_000

@@ -1795,3 +1795,108 @@ def kcore_decompose(
             F.col("core_deg").cast("long").alias("core_deg"),
         )
     )
+
+
+CONTAIN_NUM, CONTAIN_DEN = 4, 5  # containment threshold 0.8
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection by shingle CONTAINMENT
+    (Broder's other resemblance measure): a short document pasted
+    inside a longer one scores near-zero Jaccard (the union is huge)
+    but containment |A∩B|/min(|A|,|B|) ≈ 1 — the boilerplate-
+    wrapped / quote-expansion case symmetric dedup misses, and the
+    direction LLM decontamination actually cares about (is the
+    benchmark INSIDE the crawl page?). Slated for round-6+
+    registration; Spark==DuckDB pinned by test meanwhile.
+
+    Candidates come from the SAME MinHash band join as
+    dedup_minhash_lsh (one banding serves both measures — MinHash
+    collision probability tracks Jaccard, so extreme-containment
+    pairs with tiny Jaccard can escape banding: recall here is
+    scoped to pairs the bands surface, documented, same trade as the
+    DF-capped jaccard index); verify swaps the Jaccard filter for
+    integer containment on both directions, emitting per-side
+    containment ppm so the consumer sees WHICH side is swallowed."""
+    sh = _shingle_rows(_docs(spark, sf_dir)).localCheckpoint(eager=True)
+    bands = _minhash_bands(_minhash_signatures(sh))
+    b1 = bands.select(F.col("doc_id").alias("doc_id_1"), "band", "key")
+    b2 = bands.select(F.col("doc_id").alias("doc_id_2"), "band", "key")
+    cand = (
+        b1.join(b2, ["band", "key"])
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .select("doc_id_1", "doc_id_2")
+        .distinct()
+    )
+    arrs = sh.groupBy("doc_id").agg(
+        F.collect_list("sh").alias("shs"), F.count("*").alias("c")
+    )
+    a1 = arrs.select(
+        F.col("doc_id").alias("doc_id_1"), F.col("shs").alias("shs1"),
+        F.col("c").alias("shingles_1"),
+    )
+    a2 = arrs.select(
+        F.col("doc_id").alias("doc_id_2"), F.col("shs").alias("shs2"),
+        F.col("c").alias("shingles_2"),
+    )
+    common = F.size(
+        F.array_intersect(F.col("shs1"), F.col("shs2"))
+    ).cast("long")
+    return (
+        cand.join(a1, "doc_id_1")
+        .join(a2, "doc_id_2")
+        .withColumn("common_shingles", common)
+        .filter(
+            CONTAIN_DEN * F.col("common_shingles")
+            >= CONTAIN_NUM * F.least("shingles_1", "shingles_2")
+        )
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            "common_shingles",
+            "shingles_1",
+            "shingles_2",
+            F.expr(
+                "CAST(common_shingles * 1000000 div shingles_1"
+                " AS BIGINT)"
+            ).alias("contain_1_ppm"),
+            F.expr(
+                "CAST(common_shingles * 1000000 div shingles_2"
+                " AS BIGINT)"
+            ).alias("contain_2_ppm"),
+        )
+    )
+
+
+#: DuckDB twin of dedup_containment (round-6+ registration).
+CONTAINMENT_ORACLE = f"""
+WITH {_SHINGLE_CTES},
+hs AS (SELECT doc_id,
+              (('0x' || substring(md5(sh), 1, 15))::BIGINT % {P}) AS h
+       FROM sh),
+sig AS (SELECT doc_id, {_MIN_AGGS} FROM hs GROUP BY doc_id),
+bands AS ({_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT b1.doc_id AS doc_id_1, b2.doc_id AS doc_id_2
+  FROM bands b1 JOIN bands b2
+    ON b1.band = b2.band AND b1.key = b2.key AND b1.doc_id < b2.doc_id
+),
+cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+common AS (
+  SELECT p.doc_id_1, p.doc_id_2, count(*) AS common_shingles
+  FROM cand p
+  JOIN sh s1 ON s1.doc_id = p.doc_id_1
+  JOIN sh s2 ON s2.doc_id = p.doc_id_2 AND s2.sh = s1.sh
+  GROUP BY p.doc_id_1, p.doc_id_2
+)
+SELECT doc_id_1, doc_id_2, common_shingles,
+       c1.c AS shingles_1, c2.c AS shingles_2,
+       CAST(common_shingles * 1000000 // c1.c AS BIGINT)
+         AS contain_1_ppm,
+       CAST(common_shingles * 1000000 // c2.c AS BIGINT)
+         AS contain_2_ppm
+FROM common
+JOIN cnt c1 ON doc_id_1 = c1.doc_id
+JOIN cnt c2 ON doc_id_2 = c2.doc_id
+WHERE {CONTAIN_DEN} * common_shingles
+      >= {CONTAIN_NUM} * least(c1.c, c2.c)"""
