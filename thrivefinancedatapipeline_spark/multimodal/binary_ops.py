@@ -75,7 +75,7 @@ def decode_image_batch(payloads: pd.Series, *, fake: bool = False) -> pd.DataFra
             heights.append(img["height"])
             checksums.append(zlib.crc32(img["pixels"]))
         elif jpeg.is_jpeg(bytes(b)):
-            img = jpeg.decode_jpeg(bytes(b))
+            img = jpeg.decode_jpeg_color(bytes(b))  # gray AND 4:4:4
             widths.append(img["width"])
             heights.append(img["height"])
             checksums.append(zlib.crc32(img["pixels"]))
@@ -87,9 +87,10 @@ def decode_image_batch(payloads: pd.Series, *, fake: bool = False) -> pd.DataFra
         else:
             raise NotImplementedError(
                 "only baseline PNG, non-interlaced GIF and baseline "
-                "grayscale JPEG decode natively here; other image "
-                "codecs are unavailable in this environment — pass "
-                "fake=True for the deterministic stub"
+                "JPEG (grayscale + 4:4:4 color) decode natively here; "
+                "other image codecs are unavailable in this "
+                "environment — pass fake=True for the deterministic "
+                "stub"
             )
     return pd.DataFrame(
         {
@@ -653,3 +654,36 @@ FROM documents""",
     # multimodal_decode_stub intentionally has no oracle: the decode
     # kernel is a Pandas UDF (rows-only check by design).
 }
+
+
+def jpeg_color_payloads(docs: DataFrame, quality: int = 90) -> DataFrame:
+    """Deterministic REAL COLOR JPEG payloads: the document's bytes
+    painted into the R channel, a rotation into G and an inversion
+    into B — exercises the full 4:4:4 YCbCr path (3 quant/Huffman
+    table pairs, interleaved MCUs, color-space round trip)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                raw = text.encode("utf-8")
+                height = max(1, min(16, -(-len(raw) // PNG_WIDTH)))
+                n = PNG_WIDTH * height
+                buf = (raw + b"\x00" * n)[:n]
+                rgb = bytes(
+                    v
+                    for i in range(n)
+                    for v in (buf[i], buf[(i + 7) % n], 255 - buf[i])
+                )
+                payloads.append(
+                    jpeg.encode_jpeg_color(
+                        rgb, PNG_WIDTH, height, quality=quality
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id long, payload binary"
+    )

@@ -441,3 +441,329 @@ def decode_jpeg(data: bytes) -> dict:
                     v = int(round(block[x * 8 + y])) + 128
                     pixels[row + px] = 0 if v < 0 else (255 if v > 255 else v)
     return {"width": width, "height": height, "pixels": bytes(pixels)}
+
+
+# ---------------------------------------------------------------------------
+# 4:4:4 YCbCr color (SOF0, no subsampling) — the color extension of the
+# baseline codec above.  Interleaved MCUs of one 8x8 block per
+# component, separate luminance/chrominance quantization and Huffman
+# tables (ITU-T T.81 Annex K constants on the encode side; the decoder
+# still parses every table from the stream).  Chroma subsampling
+# (2x1/2x2 MCUs) keeps the explicit NotImplementedError gate.
+# ---------------------------------------------------------------------------
+
+#: base chrominance quantization table (quality 50), row-major
+QUANT_BASE_C = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+DC_BITS_C = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_VALS_C = list(range(12))
+AC_BITS_C = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_VALS_C = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _quant_table_c(quality: int) -> list:
+    q = max(1, min(100, quality))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    return [max(1, min(255, (v * scale + 50) // 100)) for v in QUANT_BASE_C]
+
+
+def _rgb_to_ycbcr(pixels: bytes, width: int, height: int) -> tuple:
+    y, cb, cr = [], [], []
+    for i in range(width * height):
+        r, g, b = pixels[3 * i], pixels[3 * i + 1], pixels[3 * i + 2]
+        y.append(0.299 * r + 0.587 * g + 0.114 * b)
+        cb.append(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0)
+        cr.append(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0)
+    return y, cb, cr
+
+
+def _encode_block(bw, plane, width, height, bx, by, quant,
+                  dc_tab, ac_tab, prev_dc: int) -> int:
+    block = [
+        float(plane[min(by + x, height - 1) * width
+                    + min(bx + y, width - 1)]) - 128.0
+        for x in range(8)
+        for y in range(8)
+    ]
+    coef = _fdct_block(block)
+    q = [int(round(coef[ZIGZAG[i]] / quant[ZIGZAG[i]])) for i in range(64)]
+    diff = q[0] - prev_dc
+    size, amp = _magnitude(diff)
+    code, ln = dc_tab[size]
+    bw.write(code, ln)
+    if size:
+        bw.write(amp, size)
+    run = 0
+    last_nz = 0
+    for i in range(63, 0, -1):
+        if q[i]:
+            last_nz = i
+            break
+    for i in range(1, last_nz + 1):
+        if q[i] == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        size, amp = _magnitude(q[i])
+        code, ln = ac_tab[(run << 4) | size]
+        bw.write(code, ln)
+        bw.write(amp, size)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_tab[0x00]
+        bw.write(code, ln)
+    return q[0]
+
+
+def encode_jpeg_color(pixels: bytes, width: int, height: int,
+                      quality: int = 90) -> bytes:
+    """4:4:4 YCbCr baseline JFIF from interleaved 8-bit RGB."""
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixels must be width*height*3 bytes")
+    qy = _quant_table(quality)
+    qc = _quant_table_c(quality)
+    dc_y = _build_encode_table(DC_BITS, DC_VALS)
+    ac_y = _build_encode_table(AC_BITS, AC_VALS)
+    dc_c = _build_encode_table(DC_BITS_C, DC_VALS_C)
+    ac_c = _build_encode_table(AC_BITS_C, AC_VALS_C)
+    planes = _rgb_to_ycbcr(pixels, width, height)
+    tabs = [(qy, dc_y, ac_y), (qc, dc_c, ac_c), (qc, dc_c, ac_c)]
+    bw = _BitWriter()
+    prev = [0, 0, 0]
+    for by in range(0, height, 8):
+        for bx in range(0, width, 8):
+            for ci in range(3):
+                q, dt, at = tabs[ci]
+                prev[ci] = _encode_block(
+                    bw, planes[ci], width, height, bx, by, q, dt, at,
+                    prev[ci],
+                )
+    bw.flush()
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+    out += struct.pack(">HHBB", 1, 1, 0, 0)
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0)
+    out += bytes(qy[ZIGZAG[i]] for i in range(64))
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 1)
+    out += bytes(qc[ZIGZAG[i]] for i in range(64))
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, height, width, 3)
+    out += bytes((1, 0x11, 0))  # Y: 1x1, qtable 0
+    out += bytes((2, 0x11, 1))  # Cb: 1x1, qtable 1
+    out += bytes((3, 0x11, 1))  # Cr: 1x1, qtable 1
+    for tc_th, bits, vals in (
+        (0x00, DC_BITS, DC_VALS), (0x10, AC_BITS, AC_VALS),
+        (0x01, DC_BITS_C, DC_VALS_C), (0x11, AC_BITS_C, AC_VALS_C),
+    ):
+        out += b"\xff\xc4" + struct.pack(
+            ">HB", 2 + 1 + 16 + len(vals), tc_th
+        )
+        out += bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    out += bytes((1, 0x00, 2, 0x11, 3, 0x11))
+    out += bytes((0, 63, 0))
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _decode_block(br, dc_t, ac_t, qt, prev_dc: int) -> tuple:
+    """One 8x8 block → (spatial pixels pre-shift, new DC predictor)."""
+    zz = [0] * 64
+    size = br.read_symbol(dc_t)
+    prev_dc += _extend(br.read_bits(size), size)
+    zz[0] = prev_dc
+    i = 1
+    while i < 64:
+        rs = br.read_symbol(ac_t)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:
+                i += 16
+                continue
+            break
+        i += run
+        if i > 63:
+            raise ValueError("corrupt JPEG AC run")
+        zz[i] = _extend(br.read_bits(size), size)
+        i += 1
+    coef = [0.0] * 64
+    for i in range(64):
+        coef[ZIGZAG[i]] = zz[i] * qt[ZIGZAG[i]]
+    return _idct_block(coef), prev_dc
+
+
+def decode_jpeg_color(data: bytes) -> dict:
+    """Baseline 4:4:4 color (or grayscale) JPEG → {'width', 'height',
+    'channels', 'pixels'} with interleaved RGB for 3-component
+    streams.  Same stream-parsed-tables discipline as decode_jpeg;
+    grayscale input returns channels=1 with identical pixels."""
+    if not is_jpeg(data):
+        raise ValueError("not a JPEG")
+    pos = 2
+    quant: dict = {}
+    huff_dc: dict = {}
+    huff_ac: dict = {}
+    width = height = None
+    comps: list = []   # (comp_id, qtable)
+    scan: list = []    # (comp_id, dc_table, ac_table)
+    while True:
+        if pos + 4 > len(data):
+            raise ValueError("JPEG marker stream truncated")
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker misalignment")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            raise ValueError("JPEG contains no scan")
+        seglen = struct.unpack_from(">H", data, pos)[0]
+        if pos + seglen > len(data):
+            raise ValueError("JPEG segment truncated")
+        body = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit DQT not supported")
+                zz = body[b + 1 : b + 65]
+                if len(zz) < 64:
+                    raise ValueError("DQT truncated")
+                tab = [0] * 64
+                for i in range(64):
+                    tab[ZIGZAG[i]] = zz[i]
+                quant[tq] = tab
+                b += 65
+        elif marker == 0xC4:
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1 : b + 17])
+                n = sum(bits)
+                vals = list(body[b + 17 : b + 17 + n])
+                if len(vals) < n:
+                    raise ValueError("DHT truncated")
+                tab = _build_decode_table(bits, vals)
+                (huff_dc if tc == 0 else huff_ac)[th] = tab
+                b += 17 + n
+        elif marker == 0xC0:
+            prec, height, width, ncomp = struct.unpack_from(
+                ">BHHB", body, 0
+            )
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision supported")
+            if ncomp not in (1, 3):
+                raise NotImplementedError(
+                    f"{ncomp}-component JPEG not supported"
+                )
+            for i in range(ncomp):
+                cid = body[6 + 3 * i]
+                sampling = body[7 + 3 * i]
+                if sampling != 0x11:
+                    raise NotImplementedError(
+                        "chroma subsampling needs a native codec"
+                    )
+                comps.append((cid, body[8 + 3 * i]))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential (SOF0) supported"
+            )
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals not supported")
+        elif marker == 0xDA:
+            ns = body[0]
+            if ns != len(comps):
+                raise NotImplementedError("partial-component scan")
+            for i in range(ns):
+                scan.append(
+                    (body[1 + 2 * i], body[2 + 2 * i] >> 4,
+                     body[2 + 2 * i] & 0x0F)
+                )
+            pos += seglen
+            break
+        pos += seglen
+    if width is None or height is None:
+        raise ValueError("JPEG scan before SOF0")
+    qmap = dict(comps)
+    order = []
+    for cid, dc_id, ac_id in scan:
+        if (cid not in qmap or qmap[cid] not in quant
+                or dc_id not in huff_dc or ac_id not in huff_ac):
+            raise ValueError("JPEG scan references missing tables")
+        order.append(
+            (quant[qmap[cid]], huff_dc[dc_id], huff_ac[ac_id])
+        )
+    br = _BitReader(data, pos)
+    bw_blocks = -(-width // 8)
+    bh_blocks = -(-height // 8)
+    n = len(order)
+    planes = [bytearray(width * height) for _ in range(n)]
+    prev = [0] * n
+    for by in range(bh_blocks):
+        for bx in range(bw_blocks):
+            for ci, (qt, dc_t, ac_t) in enumerate(order):
+                block, prev[ci] = _decode_block(
+                    br, dc_t, ac_t, qt, prev[ci]
+                )
+                plane = planes[ci]
+                for x in range(8):
+                    py = by * 8 + x
+                    if py >= height:
+                        break
+                    row = py * width
+                    for y in range(8):
+                        px = bx * 8 + y
+                        if px >= width:
+                            break
+                        v = int(round(block[x * 8 + y])) + 128
+                        plane[row + px] = (
+                            0 if v < 0 else (255 if v > 255 else v)
+                        )
+    if n == 1:
+        return {
+            "width": width, "height": height, "channels": 1,
+            "pixels": bytes(planes[0]),
+        }
+    out = bytearray(width * height * 3)
+    yp, cbp, crp = planes
+    for i in range(width * height):
+        yv, cb, cr = yp[i], cbp[i] - 128.0, crp[i] - 128.0
+        r = int(round(yv + 1.402 * cr))
+        g = int(round(yv - 0.344136 * cb - 0.714136 * cr))
+        b = int(round(yv + 1.772 * cb))
+        out[3 * i] = 0 if r < 0 else (255 if r > 255 else r)
+        out[3 * i + 1] = 0 if g < 0 else (255 if g > 255 else g)
+        out[3 * i + 2] = 0 if b < 0 else (255 if b > 255 else b)
+    return {
+        "width": width, "height": height, "channels": 3,
+        "pixels": bytes(out),
+    }
