@@ -666,3 +666,25 @@ def test_decode_kernel_runs_real_color_jpeg_bytes(spark, sf_dir):
         assert (r.width, r.height) == (img["width"], img["height"])
         assert r.width == mm.PNG_WIDTH
         assert r.checksum == zlib.crc32(img["pixels"])
+
+
+def test_avi_color_video_frame_sampling(spark, sf_dir):
+    """COLOR video end to end: 4:4:4 MJPEG frames in the AVI
+    container; kernel checksums equal driver-side decodes of the RGB
+    buffers, and the color frames really carry 3 channels."""
+    import zlib
+
+    from thrivefinancedatapipeline_spark.datamodel import load_table
+    from thrivefinancedatapipeline_spark.multimodal import avi, jpeg
+
+    docs = load_table(spark, sf_dir, "documents").limit(6)
+    vids = mm.avi_payloads(docs, n_frames=4, color=True)
+    rows = mm.frame_sample_avi(vids, every_n=2).collect()
+    payloads = {r.doc_id: bytes(r.payload) for r in vids.collect()}
+    assert {r.doc_id for r in rows} == set(payloads)
+    for r in rows:
+        chunks = avi.avi_frame_chunks(payloads[r.doc_id])
+        img = jpeg.decode_jpeg_color(chunks[r.frame_idx])
+        assert img["channels"] == 3
+        assert (r.width, r.height) == (img["width"], img["height"])
+        assert r.checksum == zlib.crc32(img["pixels"])

@@ -471,14 +471,16 @@ def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def avi_payloads(
-    docs: DataFrame, n_frames: int = 4, quality: int = 90
+    docs: DataFrame, n_frames: int = 4, quality: int = 90,
+    color: bool = False,
 ) -> DataFrame:
     """Deterministic REAL video payloads: frame k is the document's
     byte buffer rotated by k positions, JPEG-encoded (8-bit gray,
     stdlib baseline codec) and wrapped in a valid RIFF/AVI MJPEG
     container — the fifth real container format on the write side,
     and the first one that is VIDEO all the way down (container +
-    per-frame image codec)."""
+    per-frame image codec).  `color=True` encodes each frame with
+    the 4:4:4 YCbCr codec — real COLOR video."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -488,13 +490,29 @@ def avi_payloads(
                 height = max(1, min(16, -(-len(raw) // PNG_WIDTH)))
                 n = PNG_WIDTH * height
                 buf = (raw + b"\x00" * n)[:n]
-                frames = [
-                    jpeg.encode_jpeg(
-                        buf[k:] + buf[:k], PNG_WIDTH, height,
-                        quality=quality,
-                    )
-                    for k in range(n_frames)
-                ]
+                if color:
+                    frames = []
+                    for k in range(n_frames):
+                        rot = buf[k:] + buf[:k]
+                        rgb = bytes(
+                            v
+                            for i in range(n)
+                            for v in (rot[i], rot[(i + 7) % n],
+                                      255 - rot[i])
+                        )
+                        frames.append(
+                            jpeg.encode_jpeg_color(
+                                rgb, PNG_WIDTH, height, quality=quality
+                            )
+                        )
+                else:
+                    frames = [
+                        jpeg.encode_jpeg(
+                            buf[k:] + buf[:k], PNG_WIDTH, height,
+                            quality=quality,
+                        )
+                        for k in range(n_frames)
+                    ]
                 payloads.append(
                     avi.encode_avi_mjpeg(frames, PNG_WIDTH, height)
                 )
@@ -526,7 +544,7 @@ def frame_sample_avi(
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 chunks = avi.avi_frame_chunks(bytes(payload))
                 for idx in range(0, len(chunks), every_n):
-                    f = jpeg.decode_jpeg(chunks[idx])
+                    f = jpeg.decode_jpeg_color(chunks[idx])
                     out["doc_id"].append(doc_id)
                     out["frame_idx"].append(idx)
                     out["width"].append(f["width"])
