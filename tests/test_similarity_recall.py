@@ -160,3 +160,40 @@ def test_ivfpq_candidates_subset_of_ivf_cells(spark, sf_dir):
     # cells ivf searches, so heavy overlap is expected (not equality:
     # ADC pre-ranking may drop a true neighbor the exact scan keeps)
     assert len(approx & ivf) >= len(ivf) // 2
+
+
+def test_label_noise_audit_vs_duckdb(spark, sf_dir):
+    """Pre-registration pin for the kNN label-noise audit: Spark ==
+    DuckDB oracle at two SFs; every vector reports <= K_NOISE
+    neighbors, disagreement bounded by neighbor count, ppm in
+    range."""
+    import os
+
+    import duckdb
+
+    for d in (sf_dir, sf_dir.replace("sf0.001", "sf0.01")):
+        if not os.path.isdir(d):
+            continue
+        rows = similarity.label_noise_audit(spark, d).collect()
+        got = sorted(
+            (r.vec_id, r.label, r.n_neighbors, r.n_disagree,
+             r.noise_ppm)
+            for r in rows
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{d}/embeddings.parquet')"
+        )
+        want = sorted(
+            tuple(int(x) for x in row)
+            for row in con.execute(
+                similarity.LABEL_NOISE_ORACLE
+            ).fetchall()
+        )
+        con.close()
+        assert got == want, f"label noise mismatch at {d}"
+        for r in rows:
+            assert 1 <= r.n_neighbors <= similarity.K_NOISE
+            assert 0 <= r.n_disagree <= r.n_neighbors
+            assert 0 <= r.noise_ppm <= 1_000_000

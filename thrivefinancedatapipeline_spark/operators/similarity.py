@@ -1224,3 +1224,110 @@ FROM pool
 JOIN e q ON q.vec_id = pool.query_id
 JOIN e nb ON nb.vec_id = pool.neighbor_id
 QUALIFY rank <= {TOP_K}"""
+
+
+K_NOISE = 5  # neighbors consulted per vector for the label audit
+
+
+def label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise screen over the embedding corpus: for EVERY vector,
+    the fraction of its approximate nearest neighbors that carry a
+    DIFFERENT label (integer ppm) — the standard kNN-disagreement
+    signal for mislabeled training examples (Confident-Learning-style
+    audits start exactly here). Vectors whose neighborhoods
+    overwhelmingly disagree are the review queue. Slated for
+    round-6+ registration; Spark==DuckDB pinned by test meanwhile.
+
+    Candidates come from the SAME multi-table hyperplane LSH banding
+    as knn_lsh/dedup_embedding_lsh (deterministic literal planes, so
+    even this audit is bit-checkable); each vector exact-ranks only
+    its bucket-mates (top-{K_NOISE} by cosine, (cos desc, id)
+    tie-break) — the all-corpus version of the query-side kNN, still
+    never an all-pairs join. Vectors with no bucket-mates drop out
+    (documented; L tables make that vanishingly rare).
+
+    Scale shape: the (table, bucket) self-join is the proven
+    dedup_embedding_lsh relation; the rank window partitions per
+    vector over its own candidates; the final groupBy is per vector.
+    Carrying (v, nrm) through the candidate join is the measured
+    winner for small candidate sets (the simhash first-band lesson:
+    measured per operator, not assumed)."""
+    b = _bucketed(_vectors(spark, sf_dir))
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label"
+    )
+    a_side = b.join(emb, "vec_id").select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("av"),
+        F.col("nrm").alias("an"), F.col("label").alias("a_label"),
+        "table", "bucket",
+    )
+    c_side = b.join(emb, "vec_id").select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"), F.col("label").alias("c_label"),
+        "table", "bucket",
+    )
+    cand = (
+        a_side.join(c_side, ["table", "bucket"])
+        .filter(F.col("a_id") != F.col("c_id"))
+        .select("a_id", "a_label", "av", "an",
+                "c_id", "c_label", "cv", "cn")
+        .distinct()
+    )
+    cos = _dot(F.col("av"), F.col("cv")) / (F.col("an") * F.col("cn"))
+    w = Window.partitionBy("a_id").orderBy(
+        F.col("cos").desc(), F.col("c_id")
+    )
+    top = (
+        cand.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K_NOISE)
+    )
+    return (
+        top.groupBy("a_id", "a_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.sum(
+                (F.col("c_label") != F.col("a_label")).cast("long")
+            ).alias("n_disagree"),
+        )
+        .select(
+            F.col("a_id").alias("vec_id"),
+            F.col("a_label").alias("label"),
+            F.col("n_neighbors").cast("long").alias("n_neighbors"),
+            F.col("n_disagree").cast("long").alias("n_disagree"),
+            F.expr(
+                "CAST(n_disagree * 1000000 div n_neighbors AS BIGINT)"
+            ).alias("noise_ppm"),
+        )
+    )
+
+
+#: DuckDB twin of label_noise_audit (round-6+ registration).
+LABEL_NOISE_ORACLE = f"""
+WITH {_VEC_CTE},
+bands AS ({BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT ba.vec_id AS a_id, bc.vec_id AS c_id
+  FROM bands ba JOIN bands bc
+    ON ba.table_id = bc.table_id AND ba.bucket = bc.bucket
+  WHERE ba.vec_id <> bc.vec_id),
+top AS (
+  SELECT cand.a_id, cand.c_id
+  FROM cand
+  JOIN e a ON a.vec_id = cand.a_id
+  JOIN e c ON c.vec_id = cand.c_id
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY cand.a_id
+    ORDER BY list_dot_product(a.v, c.v) / (a.nrm * c.nrm) DESC,
+             cand.c_id) <= {K_NOISE})
+SELECT top.a_id AS vec_id,
+       la.label AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+       CAST(COUNT(CASE WHEN lc.label <> la.label THEN 1 END)
+            AS BIGINT) AS n_disagree,
+       CAST(COUNT(CASE WHEN lc.label <> la.label THEN 1 END)
+            * 1000000 // COUNT(*) AS BIGINT) AS noise_ppm
+FROM top
+JOIN embeddings la ON la.vec_id = top.a_id
+JOIN embeddings lc ON lc.vec_id = top.c_id
+GROUP BY top.a_id, la.label"""
