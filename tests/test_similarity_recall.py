@@ -197,3 +197,40 @@ def test_label_noise_audit_vs_duckdb(spark, sf_dir):
             assert 1 <= r.n_neighbors <= similarity.K_NOISE
             assert 0 <= r.n_disagree <= r.n_neighbors
             assert 0 <= r.noise_ppm <= 1_000_000
+
+
+def test_coreset_representatives_vs_duckdb(spark, sf_dir):
+    """Pre-registration pin for coreset selection: Spark == DuckDB
+    oracle at two SFs; cells partition the corpus (population sums to
+    n), and each representative really belongs to its cell."""
+    import os
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from thrivefinancedatapipeline_spark.datamodel import load_table
+
+    for d in (sf_dir, sf_dir.replace("sf0.001", "sf0.01")):
+        if not os.path.isdir(d):
+            continue
+        rows = similarity.coreset_representatives(spark, d).collect()
+        got = sorted(
+            (r.cell, r.rep_vec_id, r.rep_d2, r.n_members)
+            for r in rows
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{d}/embeddings.parquet')"
+        )
+        want = sorted(
+            tuple(int(x) for x in row)
+            for row in con.execute(similarity.CORESET_ORACLE).fetchall()
+        )
+        con.close()
+        assert got == want, f"coreset mismatch at {d}"
+        n = load_table(spark, d, "embeddings").count()
+        assert sum(r.n_members for r in rows) == n
+        assert len({r.rep_vec_id for r in rows}) == len(rows)
+        assert all(r.rep_d2 >= 0 for r in rows)

@@ -1331,3 +1331,93 @@ FROM top
 JOIN embeddings la ON la.vec_id = top.a_id
 JOIN embeddings lc ON lc.vec_id = top.c_id
 GROUP BY top.a_id, la.label"""
+
+
+def coreset_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative CORESET selection: one medoid-style
+    representative per trained coarse cell (the member closest to its
+    centroid, ties toward the lowest id) plus the cell's population —
+    the cheap diverse-subset primitive data-curation pipelines use for
+    eval-set seeding and dedup-aware subsampling (k-center-greedy's
+    first-order approximation, one pass instead of k passes). Slated
+    for round-6+ registration; Spark==DuckDB pinned by test meanwhile.
+
+    Scale shape: cell+distance are ONE literal-centroid projection
+    per row (the ivf assignment expression, both struct fields used);
+    the argmin per cell is a map-side-combinable min_by groupBy over
+    KM_K cells. No window over the corpus, no join at all."""
+    iv = _int_vecs(spark, sf_dir)
+    cents = _trained_centroids_cached(spark, sf_dir, iv)
+    sel = F.array_min(_cell_structs(cents))
+    asg = iv.select(
+        "vec_id",
+        sel.getField("cell").alias("cell"),
+        sel.getField("d").alias("d2"),
+    )
+    return (
+        asg.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min_by(
+                F.col("vec_id"), F.struct("d2", "vec_id")
+            ).alias("rep_vec_id"),
+            F.min(F.struct("d2", "vec_id")).getField("d2").alias(
+                "rep_d2"
+            ),
+        )
+        .select(
+            F.col("cell").cast("int").alias("cell"),
+            F.col("rep_vec_id").cast("long").alias("rep_vec_id"),
+            F.col("rep_d2").cast("long").alias("rep_d2"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+    )
+
+
+#: DuckDB twin of coreset_representatives (round-6+ registration).
+CORESET_ORACLE = f"""
+WITH {_VEC_CTE},
+em AS (SELECT vec_id,
+              [CAST(ROUND(x * {MICRO}, 0) AS BIGINT) for x in v] AS xi
+       FROM e),
+ux AS (SELECT vec_id, unnest(xi) AS x,
+              generate_subscripts(xi, 1) AS pos FROM em),
+samp AS (SELECT vec_id,
+                ('0x' || substring(md5(vec_id::VARCHAR), 1, 15))::BIGINT AS h,
+                ('0x' || substring(md5(vec_id::VARCHAR), 16, 15))::BIGINT AS h2
+         FROM em),
+a0 AS (SELECT vec_id, CAST(h2 % {KM_K} AS INT) AS cell
+       FROM samp WHERE h % {KM_SAMPLE_MOD} = 0),
+c1 AS (SELECT cell, pos,
+              CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+       FROM a0 JOIN ux USING (vec_id) GROUP BY cell, pos),
+d1 AS (SELECT u.vec_id, c1.cell, SUM((u.x - c1.c) * (u.x - c1.c)) AS dist
+       FROM ux u JOIN a0 USING (vec_id) JOIN c1 ON u.pos = c1.pos
+       GROUP BY u.vec_id, c1.cell),
+a1 AS (SELECT vec_id, cell FROM (
+         SELECT vec_id, cell,
+                ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, cell) AS rn
+         FROM d1) WHERE rn = 1),
+c2 AS (SELECT cell, pos,
+              CAST(FLOOR(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+       FROM a1 JOIN ux USING (vec_id) GROUP BY cell, pos),
+cd AS (SELECT u.vec_id, c2.cell, SUM((u.x - c2.c) * (u.x - c2.c)) AS dist
+       FROM ux u JOIN c2 ON u.pos = c2.pos
+       GROUP BY u.vec_id, c2.cell),
+asg AS (SELECT vec_id, cell, dist FROM (
+          SELECT vec_id, cell, dist,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY dist, cell) AS rn
+          FROM cd) WHERE rn = 1),
+rep AS (SELECT cell, vec_id AS rep_vec_id, dist AS rep_d2 FROM (
+          SELECT cell, vec_id, dist,
+                 ROW_NUMBER() OVER (PARTITION BY cell
+                                    ORDER BY dist, vec_id) AS rn
+          FROM asg) WHERE rn = 1),
+pop AS (SELECT cell, COUNT(*) AS n_members FROM asg GROUP BY cell)
+SELECT CAST(rep.cell AS INT) AS cell,
+       CAST(rep.rep_vec_id AS BIGINT) AS rep_vec_id,
+       CAST(rep.rep_d2 AS BIGINT) AS rep_d2,
+       CAST(pop.n_members AS BIGINT) AS n_members
+FROM rep JOIN pop USING (cell)"""

@@ -47,6 +47,9 @@ def _catalog():
         "label_noise_audit": (
             similarity.label_noise_audit, similarity.LABEL_NOISE_ORACLE,
         ),
+        "coreset_representatives": (
+            similarity.coreset_representatives, similarity.CORESET_ORACLE,
+        ),
         "events_seasonal_decompose": (
             events_queries.events_seasonal_decompose,
             events_queries.SEASONAL_ORACLE,
