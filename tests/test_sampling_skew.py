@@ -499,3 +499,35 @@ def test_benford_audit_vs_duckdb(spark, sf_dir):
             assert sum(r.n for r in rs) == rs[0].n_digits
             s = sum(r.obs_ppm for r in rs)
             assert 999_990 <= s <= 1_000_000, (et, s)
+
+
+def test_aqe_skew_join_splits_hot_partition(spark, tmp_path):
+    """AQE's OptimizeSkewedJoin must fire on the hot-key demo: the
+    FINAL adaptive plan carries SortMergeJoin(skew=true), results
+    equal the plain join, and the confs restore after the scope."""
+    import contextlib
+    import io
+
+    from thrivefinancedatapipeline_spark.operators.skew import (
+        HOT_ROWS,
+        aqe_skew_confs,
+        skewed_join_frame,
+        write_skew_demo_inputs,
+    )
+
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    write_skew_demo_inputs(spark, lp, rp)
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    with aqe_skew_confs(spark):
+        df = skewed_join_frame(spark, lp, rp)
+        rows = {r.k: (r.n, r.w_sum) for r in df.collect()}
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="simple")
+        plan = buf.getvalue()
+    assert "isFinalPlan=true" in plan
+    assert "skew=true" in plan, plan
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+    assert rows[0] == (HOT_ROWS, 0)
+    assert len(rows) == 51
+    assert all(rows[k] == (100, 100 * k * 7) for k in range(1, 51))
