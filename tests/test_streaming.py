@@ -244,3 +244,54 @@ def test_stream_benford_matches_batch(spark, staged_events):
         assert sa == ba and sa
     finally:
         shutil.rmtree(chk, ignore_errors=True)
+
+
+def test_observed_metrics_batch_and_stream(spark, sf_dir, staged_events):
+    """Observation-API telemetry: batch metrics equal a direct audit
+    of the same table (while costing zero extra scans), and the
+    streaming twin surfaces per-batch observedMetrics whose totals
+    cover the full input."""
+    from pyspark.sql import functions as F
+
+    from thrivefinancedatapipeline_spark.datamodel import load_table
+    from thrivefinancedatapipeline_spark.operators.quality import (
+        observe_ingest_quality,
+    )
+    from thrivefinancedatapipeline_spark.streaming import stateful
+
+    ev = load_table(spark, sf_dir, "events")
+    observed, obs = observe_ingest_quality(ev)
+    observed.write.mode("overwrite").format("noop").save()
+    m = obs.get
+    direct = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("user_id").isNull().cast("long")).alias("nulls"),
+        F.sum((F.col("value") <= 0).cast("long")).alias("nonpos"),
+    ).collect()[0]
+    assert m["n_rows"] == direct.n
+    assert m["null_user_ids"] == (direct.nulls or 0)
+    assert m["nonpositive_values"] == (direct.nonpos or 0)
+    assert m["approx_days"] >= 1
+
+    chk = tempfile.mkdtemp(prefix="chk_obs_")
+    totals = {"n_rows": 0, "null_user_ids": 0, "nonpositive_values": 0}
+    try:
+        q = (
+            stateful.stream_observed_events(spark, staged_events)
+            .writeStream.format("noop")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        for p in q.recentProgress:
+            om = p["observedMetrics"].get("ingest_quality")
+            if om:
+                for k in totals:
+                    totals[k] += om[k]
+        q.stop()
+    finally:
+        shutil.rmtree(chk, ignore_errors=True)
+    n_input = spark.read.parquet(staged_events).count()
+    assert totals["n_rows"] == n_input
+    assert totals["null_user_ids"] == 0

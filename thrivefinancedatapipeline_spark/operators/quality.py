@@ -363,3 +363,34 @@ FROM spine s
 LEFT JOIN counts c ON c.event_type = s.event_type
                   AND c.digit = s.digit
 JOIN exp e ON e.digit = s.digit"""
+
+
+def observe_ingest_quality(df: DataFrame, name: str = "ingest_quality"):
+    """Attach ZERO-COST quality telemetry to any plan via Spark's
+    Observation API: row count, null user_ids, non-positive values
+    and distinct-day reach are computed AS THE ACTION RUNS — no
+    second scan, no separate audit job. Returns (df, observation);
+    read `observation.get` after any action on the returned frame.
+
+    This is the 100 TB form of "validate while you load": the
+    reference pipeline (src/thrive_cash_processing_dag.py
+    validate_source) re-reads its input to audit it; an observed
+    metric rides the existing pass for free. The same `observe` call
+    works on a STREAMING frame, where each micro-batch's metrics
+    surface in StreamingQueryProgress.observedMetrics
+    (streaming/stateful.stream_observed_events + test)."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("user_id").isNull().cast("long")).alias(
+            "null_user_ids"
+        ),
+        F.sum((F.col("value") <= 0).cast("long")).alias(
+            "nonpositive_values"
+        ),
+        F.approx_count_distinct(F.to_date("ts")).alias("approx_days"),
+    )
+    return observed, obs

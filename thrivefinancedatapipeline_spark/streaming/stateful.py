@@ -804,3 +804,26 @@ def stream_benford(
     return benford_cells(
         stream_events(spark, source_dir, max_files_per_trigger)
     )
+
+
+def stream_observed_events(
+    spark, source_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """The streaming twin of observe_ingest_quality: the SAME
+    `observe` expressions attached to the event stream, so every
+    micro-batch reports (rows, null ids, non-positive values) in its
+    StreamingQueryProgress.observedMetrics — continuous data-quality
+    telemetry with no extra pass and no stateful operator."""
+    from .balance_stream import stream_events
+
+    ev = stream_events(spark, source_dir, max_files_per_trigger)
+    return ev.observe(
+        "ingest_quality",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("user_id").isNull().cast("long")).alias(
+            "null_user_ids"
+        ),
+        F.sum((F.col("value") <= 0).cast("long")).alias(
+            "nonpositive_values"
+        ),
+    )
