@@ -653,3 +653,39 @@ def test_substring_novelty_stream_matches_sequential_twin(spark, sf_dir):
     finally:
         for d in (src, os.path.dirname(idx), os.path.dirname(res), chk):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_transitions_match_batch_matrix(spark, timed_events):
+    """Lambda parity for sequence mining: the streamed per-user
+    (from, to) observations — including cross-batch boundary pairs —
+    aggregate to exactly the batch Markov matrix counts."""
+    from collections import Counter
+
+    got = drain(
+        stateful.stream_transitions(
+            spark, timed_events, max_files_per_trigger=1
+        ),
+        "stream_transitions",
+        "append",
+    )
+    stream_counts = Counter((r.from_type, r.to_type) for r in got)
+
+    ev = spark.read.parquet(timed_events)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    batch_pairs = (
+        ev.select(
+            "user_id", "ts", "event_id", "event_type",
+            F.lag("event_type").over(w).alias("from_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .count()
+        .collect()
+    )
+    batch_counts = Counter()
+    for r in batch_pairs:
+        batch_counts[(r.from_type, r.to_type)] = r["count"]
+    assert stream_counts == batch_counts and stream_counts

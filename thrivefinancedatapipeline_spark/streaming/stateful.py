@@ -827,3 +827,62 @@ def stream_observed_events(
             "nonpositive_values"
         ),
     )
+
+
+TRANS_OUT_SCHEMA = "user_id long, from_type string, to_type string"
+TRANS_STATE_SCHEMA = "last_micros long, last_event long, last_type string"
+
+
+def _transition_state_fn(key, pdf_iter, state: GroupState):
+    """Per-user Markov transition emitter: state is the user's LAST
+    event (micros, event_id, type); each arriving row emits one
+    (from, to) observation against its predecessor — including the
+    cross-batch boundary pair, which a stateless per-batch lag would
+    silently drop. State is one tuple per user, the minimum possible
+    footprint for sequence mining."""
+    frames = list(pdf_iter)
+    pdf = (pd.concat(frames) if len(frames) > 1 else frames[0]).sort_values(
+        ["micros", "event_id"]
+    )
+    last = state.get if state.exists else None
+    out_from, out_to = [], []
+    for eid, mic, et in zip(pdf["event_id"], pdf["micros"], pdf["event_type"]):
+        if last is not None:
+            out_from.append(last[2])
+            out_to.append(et)
+        last = (int(mic), int(eid), et)
+    state.update(last)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(out_from),
+            "from_type": out_from,
+            "to_type": out_to,
+        }
+    )
+
+
+def stream_transitions(
+    spark, source_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """Continuous behavior-flow mining — the streaming twin of
+    `plans/events_queries.event_transition_matrix`: per-user
+    (from_type, to_type) observations emitted as events arrive, with
+    the single-row-per-user state carrying the boundary between
+    micro-batches (lambda parity over time-ordered input pinned by
+    test). Aggregate the emitted pairs with any streaming/ batch
+    groupBy to materialize the live matrix; the emission itself never
+    shuffles more than the per-user grouping."""
+    ev = stream_events(spark, source_dir, max_files_per_trigger)
+    x = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("micros"),
+    )
+    return x.groupBy("user_id").applyInPandasWithState(
+        _transition_state_fn,
+        outputStructType=TRANS_OUT_SCHEMA,
+        stateStructType=TRANS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
