@@ -302,3 +302,59 @@ def test_pii_scan_redact_vs_duckdb(spark, sf_dir):
             assert r.n_emails == r.doc_id % 3
             assert r.n_phones == 1
             assert r.is_clean == 1
+
+
+def test_corpus_source_drift_vs_duckdb(spark, sf_dir):
+    """Pre-registration pin for the TV-distance drift audit: Spark ==
+    DuckDB oracle at two SFs; tv_ppm in [0, 1e6]; a Python replay
+    over collected counts confirms the missing-bucket algebra."""
+    import os
+    from collections import Counter
+
+    import duckdb
+
+    from thrivefinancedatapipeline_spark.datamodel import load_table
+    from thrivefinancedatapipeline_spark.operators.textops import (
+        DRIFT_BUCKET_W,
+        SOURCE_DRIFT_ORACLE,
+        corpus_source_drift,
+    )
+
+    for d in (sf_dir, sf_dir.replace("sf0.001", "sf0.01")):
+        if not os.path.isdir(d):
+            continue
+        rows = corpus_source_drift(spark, d).collect()
+        got = sorted((r.source, r.n_docs, r.tv_ppm) for r in rows)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')"
+        )
+        want = sorted(
+            (s, int(n), int(t))
+            for s, n, t in con.execute(SOURCE_DRIFT_ORACLE).fetchall()
+        )
+        con.close()
+        assert got == want, f"source drift mismatch at {d}"
+        assert all(0 <= t <= 1_000_000 for _, _, t in got)
+        # exact Python replay (full TV incl. missing buckets)
+        docs = load_table(spark, d, "documents").select(
+            "source", "n_chars"
+        ).collect()
+        cells = Counter(
+            (r.source, r.n_chars // DRIFT_BUCKET_W) for r in docs
+        )
+        n = len(docs)
+        n_s = Counter(r.source for r in docs)
+        buckets = {b for _, b in cells}
+        n_b = {
+            b: sum(c for (s2, b2), c in cells.items() if b2 == b)
+            for b in buckets
+        }
+        for s, nd, tv in got:
+            num = sum(
+                abs(cells.get((s, b), 0) * n - n_b[b] * n_s[s])
+                for b in buckets
+            )
+            assert nd == n_s[s]
+            assert tv == num * 1_000_000 // (2 * n_s[s] * n)

@@ -1423,3 +1423,91 @@ SELECT doc_id,
             AND NOT regexp_matches(redacted, '{PII_PHONE_PAT}')
             AS INT) AS is_clean
 FROM red"""
+
+
+DRIFT_BUCKET_W = 64  # chars per length bucket for the drift profile
+
+
+def corpus_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit per source: the TOTAL-VARIATION
+    distance between each source's document-length profile and the
+    whole corpus's, in exact integer ppm — "which provider's
+    deliveries look different" is the first question a data-quality
+    rotation asks, and TV distance is the sane discrete metric for it
+    (PSI/KL need logs, which never hash identically across engines).
+    Slated for round-6+ registration; Spark==DuckDB pinned by test
+    meanwhile.
+
+    Exactness: TV = 1/2 * sum_b |p_sb - p_b| over common-denominator
+    integers: |n_sb * N - n_b * N_s| summed in DECIMAL(38,0) (counts
+    up to ~1e12 keep the product inside 38 digits — the ppm
+    convention), then one truncating div by 2 * N_s * N.
+
+    Scale shape: ONE map-side-combinable (source, bucket) groupBy
+    over documents; everything after runs on that tiny rollup
+    (windows for the bucket/corpus marginals, a per-source agg)."""
+    d = _docs(spark, sf_dir)
+    cells = d.groupBy(
+        "source", F.expr(f"n_chars div {DRIFT_BUCKET_W}").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_sb"))
+    wsrc = Window.partitionBy("source")
+    wbkt = Window.partitionBy("bucket")
+    wall = Window.partitionBy()
+    m = cells.select(
+        "source", "bucket", "n_sb",
+        F.sum("n_sb").over(wsrc).alias("n_s"),
+        F.sum("n_sb").over(wbkt).alias("n_b"),
+        F.sum("n_sb").over(wall).alias("n"),
+    )
+    # a bucket the source MISSES still contributes |0 - n_b * N_s|;
+    # summing the present cells and adding the missing mass
+    # algebraically: sum_b|..| = sum_present|n_sb*N - n_b*N_s|
+    #   + (N - sum_present n_b) * N_s
+    num_present = F.sum(
+        F.abs(
+            F.col("n_sb").cast("decimal(38,0)") * F.col("n")
+            - F.col("n_b").cast("decimal(38,0)") * F.col("n_s")
+        )
+    )
+    covered_b = F.sum(F.col("n_b").cast("decimal(38,0)"))
+    return (
+        m.groupBy("source")
+        .agg(
+            F.first("n_s").alias("n_docs"),
+            F.first("n").alias("n_total"),
+            num_present.alias("num_p"),
+            covered_b.alias("cov_b"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.expr(
+                "CAST((num_p + (CAST(n_total AS DECIMAL(38,0)) - cov_b)"
+                " * n_docs) * 1000000"
+                " div (2 * CAST(n_docs AS DECIMAL(38,0)) * n_total)"
+                " AS BIGINT)"
+            ).alias("tv_ppm"),
+        )
+    )
+
+
+#: DuckDB twin of corpus_source_drift (round-6+ registration).
+SOURCE_DRIFT_ORACLE = f"""
+WITH cells AS (
+  SELECT source, n_chars // {DRIFT_BUCKET_W} AS bucket,
+         COUNT(*) AS n_sb
+  FROM documents GROUP BY 1, 2),
+m AS (
+  SELECT source, bucket, n_sb,
+         SUM(n_sb) OVER (PARTITION BY source) AS n_s,
+         SUM(n_sb) OVER (PARTITION BY bucket) AS n_b,
+         SUM(n_sb) OVER () AS n
+  FROM cells)
+SELECT source,
+       CAST(MIN(n_s) AS BIGINT) AS n_docs,
+       CAST((SUM(abs(CAST(n_sb AS HUGEINT) * n - CAST(n_b AS HUGEINT)
+                     * n_s))
+             + (MIN(n) - SUM(n_b)) * MIN(n_s)) * 1000000
+            // (2 * CAST(MIN(n_s) AS HUGEINT) * MIN(n))
+            AS BIGINT) AS tv_ppm
+FROM m GROUP BY source"""

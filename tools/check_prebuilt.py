@@ -71,6 +71,9 @@ def _catalog():
             textops.BIGRAM_COVERAGE_ORACLE,
         ),
         "pii_scan_redact": (textops.pii_scan_redact, textops.PII_ORACLE),
+        "corpus_source_drift": (
+            textops.corpus_source_drift, textops.SOURCE_DRIFT_ORACLE,
+        ),
         "benford_audit": (quality.benford_audit, quality.BENFORD_ORACLE),
         "weighted_median_price": (
             advanced.weighted_median_price, advanced.WEIGHTED_MEDIAN_ORACLE,
