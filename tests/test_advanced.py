@@ -517,3 +517,59 @@ def test_funnel_latency_quantiles_vs_duckdb(spark, sf_dir):
         assert all(l >= 0 for l in lats)
         funnel = q_events_funnel(spark, d).collect()[0]
         assert got and got[0][2] == funnel.n_purchase_after_click
+
+
+def test_session_top_paths_vs_duckdb(spark, sf_dir):
+    """Pre-registration pin for session path mining: Spark == DuckDB
+    oracle at two SFs; counts nonincreasing with rank; paths are
+    3-step strings over real event types."""
+    import os
+
+    import duckdb
+
+    from thrivefinancedatapipeline_spark.plans.events_queries import (
+        TOP_PATHS_K,
+        TOP_PATHS_ORACLE,
+        session_top_paths,
+    )
+
+    for d in (sf_dir, sf_dir.replace("sf0.001", "sf0.01")):
+        if not os.path.isdir(d):
+            continue
+        rows = session_top_paths(spark, d).collect()
+        got = sorted((r.rank, r.path, r.n) for r in rows)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet')"
+        )
+        want = sorted(
+            (int(rk), p, int(n))
+            for rk, p, n in con.execute(TOP_PATHS_ORACLE).fetchall()
+        )
+        con.close()
+        assert got == want, f"top paths mismatch at {d}"
+        assert 1 <= len(got) <= TOP_PATHS_K
+        ns = [n for _, _, n in sorted(got)]
+        assert ns == sorted(ns, reverse=True)
+        assert all(p.count(">") == 2 for _, p, _ in got)
+
+
+def test_session_top_paths_single_user_exchange(spark, sf_dir):
+    """The finer (user, session) window must reuse the user_id
+    exchange (subset-clustering satisfaction) — one data shuffle
+    before the tiny path groupBy."""
+    from tests.test_plans import explain  # noqa: F401
+
+    import contextlib
+    import io
+
+    from thrivefinancedatapipeline_spark.plans.events_queries import (
+        session_top_paths,
+    )
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        session_top_paths(spark, sf_dir).explain(mode="simple")
+    p = buf.getvalue()
+    assert p.count("Exchange hashpartitioning(user_id") == 1, p

@@ -1266,3 +1266,95 @@ SELECT CAST(q AS INT) AS q,
        CAST(latency_us AS BIGINT) AS latency_us
 FROM ranked, (SELECT unnest({list(FUNNEL_LATENCY_QS)}) AS q) qq
 WHERE rn = (q * n + 99) // 100"""
+
+
+TOP_PATHS_K = 10
+
+
+def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence mining over sessions: the TOP-{TOP_PATHS_K} 3-step
+    behavior paths (event-type trigrams WITHIN a session, consecutive
+    by time) across the corpus — "what do users actually do" as a
+    ranked path table, the navigation-analysis staple. Slated for
+    round-6+ registration; Spark==DuckDB pinned by test meanwhile.
+
+    Plan: the sessionize windows (start-flag lag + running-sum index)
+    and the two path lags all share ONE user_id exchange —
+    hashpartitioning(user_id) satisfies the finer (user, session)
+    clustering, so the finer window adds a sort, not a shuffle
+    (plan-asserted). The trigram groupBy reduces to |types|^3 keys;
+    the final top-K window runs on that tiny relation. Deterministic
+    order: (n desc, path asc)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(
+        F.unix_micros(F.col("ts"))
+    ).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > SESSION_GAP_MIN * 60 * 1_000_000), 1
+    ).otherwise(0)
+    sessions = ev.select(
+        "user_id", "ts", "event_id", "event_type"
+    ).withColumn(
+        "session_idx",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "session_idx").orderBy(
+        "ts", "event_id"
+    )
+    tri = (
+        sessions.withColumn("t1", F.lag("event_type", 2).over(ws))
+        .withColumn("t2", F.lag("event_type", 1).over(ws))
+        .filter(F.col("t1").isNotNull())
+        .select(
+            F.concat_ws(
+                ">", F.col("t1"), F.col("t2"), F.col("event_type")
+            ).alias("path")
+        )
+    )
+    counts = tri.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    wr = Window.orderBy(F.col("n").desc(), F.col("path"))
+    return (
+        counts.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= TOP_PATHS_K)
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            "path",
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+
+
+#: DuckDB twin of session_top_paths (round-6+ registration).
+TOP_PATHS_ORACLE = f"""
+WITH {_EV},
+flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                   > {SESSION_GAP_MIN} * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sessions AS (
+  SELECT *, SUM(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged),
+tri AS (
+  SELECT LAG(event_type, 2) OVER ws AS t1,
+         LAG(event_type, 1) OVER ws AS t2,
+         event_type AS t3
+  FROM sessions
+  WINDOW ws AS (PARTITION BY user_id, session_idx
+                ORDER BY ts, event_id)),
+counts AS (
+  SELECT t1 || '>' || t2 || '>' || t3 AS path, COUNT(*) AS n
+  FROM tri WHERE t1 IS NOT NULL
+  GROUP BY 1)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, path) AS INT) AS rank,
+       path, CAST(n AS BIGINT) AS n
+FROM counts
+QUALIFY rank <= {TOP_PATHS_K}"""

@@ -66,6 +66,10 @@ def _catalog():
             events_queries.funnel_latency_quantiles,
             events_queries.FUNNEL_LATENCY_ORACLE,
         ),
+        "session_top_paths": (
+            events_queries.session_top_paths,
+            events_queries.TOP_PATHS_ORACLE,
+        ),
         "corpus_bigram_coverage": (
             textops.corpus_bigram_coverage,
             textops.BIGRAM_COVERAGE_ORACLE,
