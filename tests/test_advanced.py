@@ -573,3 +573,42 @@ def test_session_top_paths_single_user_exchange(spark, sf_dir):
         session_top_paths(spark, sf_dir).explain(mode="simple")
     p = buf.getvalue()
     assert p.count("Exchange hashpartitioning(user_id") == 1, p
+
+
+def test_events_burstiness_vs_duckdb(spark, sf_dir):
+    """Pre-registration pin: Spark == DuckDB at two SFs; VMR
+    components satisfy the Cauchy-Schwarz bound n*ss >= s^2."""
+    import os
+
+    import duckdb
+
+    from thrivefinancedatapipeline_spark.plans.events_queries import (
+        BURSTINESS_ORACLE,
+        events_burstiness,
+    )
+
+    for d in (sf_dir, sf_dir.replace("sf0.001", "sf0.01")):
+        if not os.path.isdir(d):
+            continue
+        rows = events_burstiness(spark, d).collect()
+        got = sorted(
+            (r.event_type, r.n_days, r.total_events, r.sum_sq,
+             r.vmr_ppm)
+            for r in rows
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet')"
+        )
+        want = sorted(
+            (et, int(a), int(b), int(c), int(e))
+            for et, a, b, c, e in con.execute(
+                BURSTINESS_ORACLE
+            ).fetchall()
+        )
+        con.close()
+        assert got == want, f"burstiness mismatch at {d}"
+        for _, n, s, ss, vmr in got:
+            assert n * ss >= s * s  # Cauchy-Schwarz
+            assert vmr >= 0

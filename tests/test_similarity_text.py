@@ -358,3 +358,42 @@ def test_corpus_source_drift_vs_duckdb(spark, sf_dir):
             )
             assert nd == n_s[s]
             assert tv == num * 1_000_000 // (2 * n_s[s] * n)
+
+
+def test_corpus_lexical_diversity_vs_duckdb(spark, sf_dir):
+    """Pre-registration pin: Spark == DuckDB at two SFs; hapax <=
+    types <= tokens and ppm columns bounded."""
+    import os
+
+    import duckdb
+
+    from thrivefinancedatapipeline_spark.operators.textops import (
+        LEXICAL_DIVERSITY_ORACLE,
+        corpus_lexical_diversity,
+    )
+
+    for d in (sf_dir, sf_dir.replace("sf0.001", "sf0.01")):
+        if not os.path.isdir(d):
+            continue
+        rows = corpus_lexical_diversity(spark, d).collect()
+        got = sorted(
+            (r.source, r.n_tokens, r.n_types, r.n_hapax, r.ttr_ppm,
+             r.hapax_ppm)
+            for r in rows
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')"
+        )
+        want = sorted(
+            (s, int(a), int(b), int(c), int(e), int(f))
+            for s, a, b, c, e, f in con.execute(
+                LEXICAL_DIVERSITY_ORACLE
+            ).fetchall()
+        )
+        con.close()
+        assert got == want, f"lexical diversity mismatch at {d}"
+        for _, n_tok, n_ty, n_hx, ttr, hap in got:
+            assert n_hx <= n_ty <= n_tok
+            assert 0 <= ttr <= 1_000_000 and 0 <= hap <= 1_000_000

@@ -1511,3 +1511,60 @@ SELECT source,
             // (2 * CAST(MIN(n_s) AS HUGEINT) * MIN(n))
             AS BIGINT) AS tv_ppm
 FROM m GROUP BY source"""
+
+
+def corpus_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity profile per source: token mass, distinct
+    vocabulary, type-token ratio in integer ppm, and hapax (frequency
+    1) share of the vocabulary — the classic Zipf-adjacent signals
+    that separate template/boilerplate feeds (low TTR, few hapaxes)
+    from natural prose, without a single logarithm. Slated for
+    round-6+ registration; Spark==DuckDB pinned by test meanwhile.
+
+    Scale shape: ONE (source, token) groupBy over the token fan-out
+    (map-side combinable, uniform keys) carries everything; the
+    per-source rollup runs on that distinct-reduced relation."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "source", F.explode(tokens(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    cells = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        cells.groupBy("source")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum((F.col("n") == 1).cast("long")).alias("n_hapax"),
+        )
+        .select(
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_types").cast("long").alias("n_types"),
+            F.col("n_hapax").cast("long").alias("n_hapax"),
+            F.expr(
+                "CAST(n_types * 1000000 div n_tokens AS BIGINT)"
+            ).alias("ttr_ppm"),
+            F.expr(
+                "CAST(n_hapax * 1000000 div n_types AS BIGINT)"
+            ).alias("hapax_ppm"),
+        )
+    )
+
+
+#: DuckDB twin of corpus_lexical_diversity (round-6+ registration).
+LEXICAL_DIVERSITY_ORACLE = f"""
+WITH tok AS (
+  SELECT source, unnest({_TOKS}) AS tok FROM documents),
+cells AS (
+  SELECT source, tok, COUNT(*) AS n
+  FROM tok WHERE tok <> '' GROUP BY source, tok)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(COUNT(CASE WHEN n = 1 THEN 1 END) AS BIGINT) AS n_hapax,
+       CAST(COUNT(*) * 1000000 // SUM(n) AS BIGINT) AS ttr_ppm,
+       CAST(COUNT(CASE WHEN n = 1 THEN 1 END) * 1000000 // COUNT(*)
+            AS BIGINT) AS hapax_ppm
+FROM cells GROUP BY source"""

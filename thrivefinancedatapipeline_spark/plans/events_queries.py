@@ -1358,3 +1358,62 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, path) AS INT) AS rank,
        path, CAST(n AS BIGINT) AS n
 FROM counts
 QUALIFY rank <= {TOP_PATHS_K}"""
+
+
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness (Fano factor) of daily event arrivals per type:
+    variance-to-mean ratio of the daily counts — VMR >> 1 flags
+    bursty/clumped traffic (incident retries, bot storms), VMR ≈ 1
+    is Poisson-like organic arrival. Emitted as the exact integer
+    Pearson-style components (n, sum, sum of squares) plus the
+    ppm-scaled VMR computed with one truncating div over
+    DECIMAL(38,0) products — no float in any hashed column. Slated
+    for round-6+ registration; Spark==DuckDB pinned by test.
+
+    vmr_ppm = 1e6 * (n*ss - s^2) / (s * (n-1))  [sample variance /
+    mean, common-denominator integer form]. Types observed on a
+    single day report vmr_ppm = 0 by convention (no variance
+    estimate). One daily groupBy + one per-type rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("c").alias("s"),
+            F.sum(F.col("c") * F.col("c")).alias("ss"),
+        )
+        .select(
+            "event_type",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("s").cast("long").alias("total_events"),
+            F.col("ss").cast("long").alias("sum_sq"),
+            F.expr(
+                "CAST(CASE WHEN n_days < 2 THEN 0 ELSE "
+                "(CAST(n_days AS DECIMAL(38,0)) * ss - "
+                "CAST(s AS DECIMAL(38,0)) * s) * 1000000 div "
+                "(CAST(s AS DECIMAL(38,0)) * (n_days - 1)) END "
+                "AS BIGINT)"
+            ).alias("vmr_ppm"),
+        )
+    )
+
+
+#: DuckDB twin of events_burstiness (round-6+ registration).
+BURSTINESS_ORACLE = f"""
+WITH {_EV},
+daily AS (
+  SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS c
+  FROM ev GROUP BY 1, 2)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(c) AS BIGINT) AS total_events,
+       CAST(SUM(c * c) AS BIGINT) AS sum_sq,
+       CAST(CASE WHEN COUNT(*) < 2 THEN 0 ELSE
+            (COUNT(*) * SUM(CAST(c AS HUGEINT) * c)
+             - SUM(CAST(c AS HUGEINT)) * SUM(c)) * 1000000
+            // (SUM(CAST(c AS HUGEINT)) * (COUNT(*) - 1)) END
+            AS BIGINT) AS vmr_ppm
+FROM daily GROUP BY event_type"""

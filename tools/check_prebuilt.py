@@ -70,6 +70,10 @@ def _catalog():
             events_queries.session_top_paths,
             events_queries.TOP_PATHS_ORACLE,
         ),
+        "events_burstiness": (
+            events_queries.events_burstiness,
+            events_queries.BURSTINESS_ORACLE,
+        ),
         "corpus_bigram_coverage": (
             textops.corpus_bigram_coverage,
             textops.BIGRAM_COVERAGE_ORACLE,
@@ -77,6 +81,10 @@ def _catalog():
         "pii_scan_redact": (textops.pii_scan_redact, textops.PII_ORACLE),
         "corpus_source_drift": (
             textops.corpus_source_drift, textops.SOURCE_DRIFT_ORACLE,
+        ),
+        "corpus_lexical_diversity": (
+            textops.corpus_lexical_diversity,
+            textops.LEXICAL_DIVERSITY_ORACLE,
         ),
         "benford_audit": (quality.benford_audit, quality.BENFORD_ORACLE),
         "weighted_median_price": (
