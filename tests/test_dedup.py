@@ -325,3 +325,43 @@ def test_dedup_containment_vs_duckdb(spark, sf_dir):
             mn = min(r.shingles_1, r.shingles_2)
             assert CONTAIN_DEN * r.common_shingles >= CONTAIN_NUM * mn
             assert max(r.contain_1_ppm, r.contain_2_ppm) >= 800_000
+
+
+def test_lsh_recall_audit_vs_duckdb(spark, sf_dir):
+    """Pre-registration pin for the banding self-audit: Spark ==
+    DuckDB oracle at two SFs; caught <= true <= pairs; recall at or
+    above the theoretical floor when true dups exist (1-(1-J^4)^4 at
+    J=0.8 is ~0.88 — assert a loose 0.5 to avoid overfitting the
+    synthetic corpus)."""
+    import os
+
+    import duckdb
+
+    from thrivefinancedatapipeline_spark.operators.dedup import (
+        LSH_RECALL_ORACLE,
+        lsh_recall_audit,
+    )
+
+    saw_true = False
+    for d in (sf_dir, sf_dir.replace("sf0.001", "sf0.01")):
+        if not os.path.isdir(d):
+            continue
+        r = lsh_recall_audit(spark, d).collect()[0]
+        got = (r.n_sample_docs, r.n_pairs, r.n_true, r.n_caught,
+               r.recall_ppm)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')"
+        )
+        want = tuple(
+            int(x) for x in con.execute(LSH_RECALL_ORACLE).fetchall()[0]
+        )
+        con.close()
+        assert got == want, f"recall audit mismatch at {d}: {got} {want}"
+        assert r.n_caught <= r.n_true <= r.n_pairs
+        assert r.n_pairs == r.n_sample_docs * (r.n_sample_docs - 1) // 2
+        if r.n_true:
+            saw_true = True
+            assert r.recall_ppm >= 500_000, got
+    assert saw_true, "audit sample contained no true near-dups anywhere"

@@ -1900,3 +1900,154 @@ JOIN cnt c1 ON doc_id_1 = c1.doc_id
 JOIN cnt c2 ON doc_id_2 = c2.doc_id
 WHERE {CONTAIN_DEN} * common_shingles
       >= {CONTAIN_NUM} * least(c1.c, c2.c)"""
+
+
+AUDIT_MOD = 8  # content-key residue classes kept in the audit sample
+
+
+def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURE the MinHash banding's recall instead of trusting the
+    1-(1-J^r)^b formula: on a bounded CONTENT-KEYED doc sample, all
+    within-sample pairs get an EXACT Jaccard verdict, and each true
+    near-dup pair is checked for >= 1 band collision. Output is one
+    row: sample size, pairs, true dups, caught dups, recall ppm —
+    the continuously-runnable self-audit that tells a production
+    dedup pipeline when its banding has drifted off its recall
+    budget (threshold moved, shingle distribution changed). Slated
+    for round-6+ registration; Spark==DuckDB pinned by test.
+
+    Sampling is the design decision here: a UNIFORM doc sample
+    almost never contains BOTH endpoints of a rare dup pair
+    (P ~ dup_count/MOD^2 — measured 0 true pairs even at 1/8 on this
+    corpus), so the sample key is the doc's MINIMUM 'audit'-hashed
+    shingle: near-dups share their min shingle with probability >= J,
+    so true pairs co-sample at ~J/MOD instead of 1/MOD^2 (measured
+    2-3 true pairs per run at 1/8). The 'audit' namespace keeps the
+    sampling hash INDEPENDENT of the signature permutations — keying
+    on the production MinHash would bias the audit toward pairs the
+    banding already catches.
+
+    Scale shape: one shingle pass computes the sample keys (the
+    audit's one corpus-wide term, map-side combinable); the only
+    quadratic term is within the bounded sample (a broadcast
+    self-join — grow AUDIT_MOD with the corpus to hold the pair
+    budget); signatures reuse the production expressions, so the
+    audit measures EXACTLY the deployed banding."""
+    sh_all = _shingle_rows(_docs(spark, sf_dir))
+    keys = sh_all.groupBy("doc_id").agg(
+        F.min(
+            md5_long(F.concat(F.lit("audit"), F.col("sh")))
+        ).alias("mk")
+    )
+    samp = keys.filter(F.col("mk") % AUDIT_MOD == 0).select("doc_id")
+    sh = sh_all.join(
+        F.broadcast(samp), "doc_id", "semi"
+    ).localCheckpoint(eager=True)
+    arrs = sh.groupBy("doc_id").agg(
+        F.collect_list("sh").alias("shs"), F.count("*").alias("c")
+    )
+    a1 = arrs.select(
+        F.col("doc_id").alias("doc_id_1"), F.col("shs").alias("shs1"),
+        F.col("c").alias("c1"),
+    )
+    a2 = arrs.select(
+        F.col("doc_id").alias("doc_id_2"), F.col("shs").alias("shs2"),
+        F.col("c").alias("c2"),
+    )
+    common = F.size(
+        F.array_intersect(F.col("shs1"), F.col("shs2"))
+    ).cast("long")
+    pairs = (
+        F.broadcast(a1)
+        .crossJoin(a2)
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .withColumn("common", common)
+        .withColumn(
+            "is_true",
+            (
+                JACCARD_DEN * F.col("common")
+                >= JACCARD_NUM * (F.col("c1") + F.col("c2") - F.col("common"))
+            ).cast("long"),
+        )
+        .select("doc_id_1", "doc_id_2", "is_true")
+    )
+    bands = _minhash_bands(_minhash_signatures(sh))
+    b1 = bands.select(F.col("doc_id").alias("doc_id_1"), "band", "key")
+    b2 = bands.select(F.col("doc_id").alias("doc_id_2"), "band", "key")
+    hits = (
+        b1.join(b2, ["band", "key"])
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .select("doc_id_1", "doc_id_2")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    joined = pairs.join(hits, ["doc_id_1", "doc_id_2"], "left")
+    n_docs = arrs.count()
+    return joined.agg(
+        F.lit(n_docs).cast("long").alias("n_sample_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("is_true").cast("long").alias("n_true"),
+        F.sum(
+            F.col("is_true") * F.coalesce(F.col("hit"), F.lit(0))
+        ).cast("long").alias("n_caught"),
+        F.expr(
+            "CAST(CASE WHEN sum(is_true) = 0 THEN 1000000 "
+            "ELSE sum(is_true * coalesce(hit, 0)) * 1000000 "
+            "div sum(is_true) END AS BIGINT)"
+        ).alias("recall_ppm"),
+    )
+
+
+#: DuckDB twin of lsh_recall_audit (round-6+ registration).
+LSH_RECALL_ORACLE = f"""
+WITH docs0 AS (SELECT doc_id, string_split({_NORM}, ' ') AS toks
+               FROM documents),
+shl0 AS (SELECT doc_id,
+                list_distinct([toks[i] || ' ' || toks[i+1] || ' '
+                               || toks[i+2]
+                               for i in range(1, len(toks) - 1)]) AS shs
+         FROM docs0 WHERE len(toks) >= 3),
+sh0 AS (SELECT doc_id, unnest(shs) AS sh FROM shl0),
+keys AS (SELECT doc_id,
+                MIN(('0x' || substring(md5('audit' || sh), 1, 15))
+                    ::BIGINT) AS mk
+         FROM sh0 GROUP BY doc_id),
+samp AS (SELECT doc_id FROM keys WHERE mk % {AUDIT_MOD} = 0),
+sh AS (SELECT sh0.* FROM sh0 JOIN samp USING (doc_id)),
+cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+com AS (
+  SELECT s1.doc_id AS doc_id_1, s2.doc_id AS doc_id_2,
+         count(*) AS common
+  FROM sh s1 JOIN sh s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT c1.doc_id AS doc_id_1, c2.doc_id AS doc_id_2,
+         CASE WHEN {JACCARD_DEN} * COALESCE(com.common, 0)
+                   >= {JACCARD_NUM} * (c1.c + c2.c
+                                       - COALESCE(com.common, 0))
+              THEN 1 ELSE 0 END AS is_true
+  FROM cnt c1 JOIN cnt c2 ON c1.doc_id < c2.doc_id
+  LEFT JOIN com ON com.doc_id_1 = c1.doc_id
+               AND com.doc_id_2 = c2.doc_id),
+hs AS (SELECT doc_id,
+              (('0x' || substring(md5(sh), 1, 15))::BIGINT % {P}) AS h
+       FROM sh),
+sig AS (SELECT doc_id, {_MIN_AGGS} FROM hs GROUP BY doc_id),
+bands AS ({_BAND_SELECTS}),
+hits AS (
+  SELECT DISTINCT b1.doc_id AS doc_id_1, b2.doc_id AS doc_id_2
+  FROM bands b1 JOIN bands b2
+    ON b1.band = b2.band AND b1.key = b2.key AND b1.doc_id < b2.doc_id)
+SELECT CAST((SELECT count(*) FROM cnt) AS BIGINT) AS n_sample_docs,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(is_true) AS BIGINT) AS n_true,
+       CAST(SUM(CASE WHEN is_true = 1 AND hits.doc_id_1 IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+       CAST(CASE WHEN SUM(is_true) = 0 THEN 1000000
+            ELSE SUM(CASE WHEN is_true = 1
+                          AND hits.doc_id_1 IS NOT NULL
+                          THEN 1 ELSE 0 END) * 1000000
+                 // SUM(is_true) END AS BIGINT) AS recall_ppm
+FROM pairs
+LEFT JOIN hits ON hits.doc_id_1 = pairs.doc_id_1
+              AND hits.doc_id_2 = pairs.doc_id_2"""

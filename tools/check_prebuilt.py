@@ -100,6 +100,9 @@ def _catalog():
         "dedup_containment": (
             dedup.dedup_containment, dedup.CONTAINMENT_ORACLE,
         ),
+        "lsh_recall_audit": (
+            dedup.lsh_recall_audit, dedup.LSH_RECALL_ORACLE,
+        ),
     }
 
 
