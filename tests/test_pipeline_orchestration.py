@@ -131,3 +131,44 @@ def test_retries_exhausted_reraises_and_alerts(spark, sf_dir, monkeypatch):
     assert sleeps == [1.0, 2.0]
     assert len(sent) == 1
     assert "validate_source" in sent[0][1]
+
+
+def test_corpus_pipeline_funnel(spark, sf_dir, tmp_path):
+    """The curation funnel composes the audited operators: stage
+    counts are nonincreasing through the doc filters, chunk totals
+    are consistent, the packed output round-trips partitioned by
+    lang, and a repeat run is deterministic."""
+    from pyspark.sql import functions as F
+
+    from thrivefinancedatapipeline_spark.pipeline import (
+        run_corpus_pipeline,
+    )
+
+    out = str(tmp_path / "packed")
+    r = run_corpus_pipeline(spark, sf_dir, output_dir=out)
+    assert (
+        r["n_documents"]
+        >= r["n_after_decontaminate"]
+        >= r["n_after_dedup"]
+        >= r["n_after_quality_gate"]
+        > 0
+    )
+    assert r["n_unique_chunks"] <= r["n_chunks"]
+    assert r["n_packs"] >= 1 and r["total_tokens"] > 0
+    packed = spark.read.parquet(out)
+    assert packed.count() == r["n_unique_chunks"]
+    assert set(packed.columns) >= {
+        "doc_id", "chunk_idx", "n_tokens", "pack_id", "pack_offset",
+        "lang",
+    }
+    # every pack offset sits inside the budget
+    from thrivefinancedatapipeline_spark.operators.packing import (
+        PACK_BUDGET,
+    )
+
+    bad = packed.filter(
+        (F.col("pack_offset") < 0) | (F.col("pack_offset") >= PACK_BUDGET)
+    ).count()
+    assert bad == 0
+    r2 = run_corpus_pipeline(spark, sf_dir)
+    assert {k: v for k, v in r.items() if k != "output_dir"} == r2

@@ -40,6 +40,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     pipep.add_argument("--retries", type=int, default=0)
 
+    cpipe = sub.add_parser(
+        "corpus-pipeline",
+        help="run the LLM-data curation funnel (decontaminate -> "
+        "dedup -> quality gate -> chunk -> pack)",
+    )
+    cpipe.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    cpipe.add_argument("--output", default=None)
+
     args = p.parse_args(argv)
 
     from .registry import all_queries
@@ -59,6 +67,15 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         df = queries[args.query](spark, args.sf_dir)
         df.show(args.limit, truncate=False)
+        return 0
+
+    if args.cmd == "corpus-pipeline":
+        from .pipeline import run_corpus_pipeline
+
+        print(json.dumps(
+            run_corpus_pipeline(spark, args.sf_dir, output_dir=args.output),
+            default=str,
+        ))
         return 0
 
     from .pipeline import run_pipeline

@@ -213,3 +213,83 @@ def run_pipeline(
     return PipelineResult(
         matched=matched, history=history, balances=balances, report=report
     )
+
+
+def run_corpus_pipeline(spark, sf_dir: str, output_dir: str | None = None):
+    """End-to-end LLM-training-data curation over `documents` — the
+    corpus counterpart of `run_pipeline`'s finance DAG, composing the
+    registered operators into the standard funnel:
+
+        decontaminate -> near-dup canonical filter -> per-language
+        quality gate -> token-window chunking -> chunk-level exact
+        dedup -> per-language context-window packing
+
+    Returns a stage report (funnel counts + token/pack totals); with
+    `output_dir`, writes the packed-chunk assignment table
+    partitioned by lang (the training-shard layout downstream
+    loaders want).
+
+    Composition is by doc_id keep-set SEMI-joins against the same
+    query plans the driver oracles check — the pipeline cannot drift
+    from the audited operators. Funnel counts are sequential
+    (each stage filters the previous stage's survivors)."""
+    from pyspark.sql import functions as F
+
+    from .datamodel import load_table
+    from .operators.dedup import q_dedup_keep_canonical
+    from .operators.packing import pack_assignments
+    from .operators.quality import q_quality_gate_by_lang
+    from .operators.textops import q_corpus_chunk, q_corpus_clean
+
+    docs = load_table(spark, sf_dir, "documents")
+    report: dict = {"n_documents": docs.count()}
+
+    clean_ids = q_corpus_clean(spark, sf_dir).select("doc_id")
+    s1 = docs.join(clean_ids, "doc_id", "semi")
+    report["n_after_decontaminate"] = s1.count()
+
+    canon_ids = q_dedup_keep_canonical(spark, sf_dir).select("doc_id")
+    s2 = s1.join(canon_ids, "doc_id", "semi")
+    report["n_after_dedup"] = s2.count()
+
+    gate_ids = q_quality_gate_by_lang(spark, sf_dir).select("doc_id")
+    s3 = s2.join(gate_ids, "doc_id", "semi").localCheckpoint(eager=True)
+    report["n_after_quality_gate"] = s3.count()
+
+    chunks = q_corpus_chunk(spark, sf_dir).join(
+        s3.select("doc_id"), "doc_id", "semi"
+    )
+    report["n_chunks"] = chunks.count()
+
+    from pyspark.sql import Window
+
+    wdup = Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_idx")
+    unique_chunks = (
+        chunks.withColumn("_rn", F.row_number().over(wdup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .select(
+            "doc_id", "chunk_idx",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+    lang = s3.select("doc_id", "lang")
+    packed = pack_assignments(
+        unique_chunks.join(lang, "doc_id"),
+        ["lang"], ["doc_id", "chunk_idx"], "n_tokens",
+    ).localCheckpoint(eager=True)
+    agg = packed.agg(
+        F.count(F.lit(1)).alias("n_unique_chunks"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count_distinct("lang", "pack_id").alias("n_packs"),
+    ).collect()[0]
+    report["n_unique_chunks"] = agg.n_unique_chunks
+    report["total_tokens"] = int(agg.total_tokens or 0)
+    report["n_packs"] = agg.n_packs
+
+    if output_dir:
+        packed.write.mode("overwrite").partitionBy("lang").parquet(
+            output_dir
+        )
+        report["output_dir"] = output_dir
+    return report
