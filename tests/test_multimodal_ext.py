@@ -688,3 +688,27 @@ def test_avi_color_video_frame_sampling(spark, sf_dir):
         assert img["channels"] == 3
         assert (r.width, r.height) == (img["width"], img["height"])
         assert r.checksum == zlib.crc32(img["pixels"])
+
+
+def test_resize_nn_handles_color_jpeg(spark, sf_dir):
+    """The real resize kernel resamples COLOR JPEG payloads through
+    the 4:4:4 decoder: checksum equals a driver-side decode+resample
+    of the same RGB buffer."""
+    import zlib
+
+    from thrivefinancedatapipeline_spark.datamodel import load_table
+    from thrivefinancedatapipeline_spark.multimodal import jpeg
+
+    docs = load_table(spark, sf_dir, "documents").limit(8)
+    payloads = mm.jpeg_color_payloads(docs)
+    out = {r.doc_id: r for r in mm.resize_nn(payloads, 8, 4).collect()}
+    for p in payloads.collect():
+        img = jpeg.decode_jpeg_color(bytes(p.payload))
+        want = zlib.crc32(
+            mm.resize_pixels_nn(
+                img["pixels"], img["width"], img["height"], 8, 4, 3
+            )
+        )
+        r = out[p.doc_id]
+        assert (r.width, r.height) == (8, 4)
+        assert r.checksum == want

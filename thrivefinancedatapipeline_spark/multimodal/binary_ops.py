@@ -197,8 +197,8 @@ def resize_nn(
                     img = gif.decode_gif(b)
                     ch = 3  # palette-mapped RGB
                 elif jpeg.is_jpeg(b):
-                    img = jpeg.decode_jpeg(b)
-                    ch = 1  # grayscale
+                    img = jpeg.decode_jpeg_color(b)  # gray AND 4:4:4
+                    ch = img["channels"]
                 else:
                     raise NotImplementedError(
                         "resize_nn needs a decodable image payload"
