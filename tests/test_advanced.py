@@ -612,3 +612,52 @@ def test_events_burstiness_vs_duckdb(spark, sf_dir):
         for _, n, s, ss, vmr in got:
             assert n * ss >= s * s  # Cauchy-Schwarz
             assert vmr >= 0
+
+
+def test_events_hour_lift_vs_duckdb(spark, sf_dir):
+    """Pre-registration pin: Spark == DuckDB at two SFs; per-type
+    observed-weighted mean lift ~1e6 (the independence identity:
+    sum_h o*lift = 1e6 * sum_h o up to truncation)."""
+    import os
+
+    import duckdb
+
+    from thrivefinancedatapipeline_spark.plans.events_queries import (
+        HOUR_LIFT_ORACLE,
+        events_hour_lift,
+    )
+
+    for d in (sf_dir, sf_dir.replace("sf0.001", "sf0.01")):
+        if not os.path.isdir(d):
+            continue
+        rows = events_hour_lift(spark, d).collect()
+        got = sorted(
+            (r.event_type, r.hour, r.n_events, r.type_total,
+             r.hour_total, r.lift_ppm)
+            for r in rows
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet')"
+        )
+        want = sorted(
+            (et, int(h), int(o), int(r_), int(c), int(l))
+            for et, h, o, r_, c, l in con.execute(
+                HOUR_LIFT_ORACLE
+            ).fetchall()
+        )
+        con.close()
+        assert got == want, f"hour lift mismatch at {d}"
+        # independence identity: EXPECTATION-weighted mean lift is 1
+        # (sum_h (r*c/N)*lift = 1e6*r, i.e. sum_h c*lift ~ 1e6*N per
+        # type); observed-weighted mean is NOT 1 — that inflated form
+        # was tried first and the identity corrected.
+        grand = {}
+        for et, h, o, r_, c, l in got:
+            grand.setdefault(et, []).append((c, l))
+        n = sum(o for _, _, o, _, _, _ in got)
+        for et, cells in grand.items():
+            weighted = sum(c * l for c, l in cells)
+            # each cell's truncation loses < 1 ppm, weighted by c
+            assert abs(weighted - 1_000_000 * n) < 2 * n, (et, weighted)

@@ -1417,3 +1417,64 @@ SELECT event_type,
             // (SUM(CAST(c AS HUGEINT)) * (COUNT(*) - 1)) END
             AS BIGINT) AS vmr_ppm
 FROM daily GROUP BY event_type"""
+
+
+def events_hour_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHEN does each event type happen, normalized: the (type, hour)
+    contingency table with per-cell LIFT in integer ppm — observed
+    count over the independence expectation row_total*col_total/N
+    (lift 1e6 = "this type is indifferent to this hour"; errors at
+    3am, purchases at noon show as >1e6 cells). The normalized
+    companion of the raw-count hourly heatmap. Slated for round-6+
+    registration; Spark==DuckDB pinned by test meanwhile.
+
+    Exactness: lift_ppm = o * N * 1e6 div (r * c) — one truncating
+    div over DECIMAL(38,0) products (counts to ~1e12 stay inside 38
+    digits with the 1e6 scale). Epoch-hour extraction is hour() on
+    the shared micros-normalized timestamp. One map-side-combinable
+    groupBy; marginals are windows over the <=24*|types| cells."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.hour("ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("hour")
+    wn = Window.partitionBy()
+    m = cells.select(
+        "event_type", "hour", "o",
+        F.sum("o").over(wr).alias("r"),
+        F.sum("o").over(wc).alias("c"),
+        F.sum("o").over(wn).alias("n"),
+    )
+    return m.select(
+        "event_type",
+        F.col("hour").cast("int").alias("hour"),
+        F.col("o").cast("long").alias("n_events"),
+        F.col("r").cast("long").alias("type_total"),
+        F.col("c").cast("long").alias("hour_total"),
+        F.expr(
+            "CAST(CAST(o AS DECIMAL(38,0)) * n * 1000000 "
+            "div (CAST(r AS DECIMAL(38,0)) * c) AS BIGINT)"
+        ).alias("lift_ppm"),
+    )
+
+
+#: DuckDB twin of events_hour_lift (round-6+ registration).
+HOUR_LIFT_ORACLE = f"""
+WITH {_EV},
+cells AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS hour, COUNT(*) AS o
+  FROM ev GROUP BY 1, 2),
+m AS (
+  SELECT event_type, hour, o,
+         SUM(o) OVER (PARTITION BY event_type) AS r,
+         SUM(o) OVER (PARTITION BY hour) AS c,
+         SUM(o) OVER () AS n
+  FROM cells)
+SELECT event_type, CAST(hour AS INT) AS hour,
+       CAST(o AS BIGINT) AS n_events,
+       CAST(r AS BIGINT) AS type_total,
+       CAST(c AS BIGINT) AS hour_total,
+       CAST(CAST(o AS HUGEINT) * n * 1000000
+            // (CAST(r AS HUGEINT) * c) AS BIGINT) AS lift_ppm
+FROM m"""

@@ -74,6 +74,10 @@ def _catalog():
             events_queries.events_burstiness,
             events_queries.BURSTINESS_ORACLE,
         ),
+        "events_hour_lift": (
+            events_queries.events_hour_lift,
+            events_queries.HOUR_LIFT_ORACLE,
+        ),
         "corpus_bigram_coverage": (
             textops.corpus_bigram_coverage,
             textops.BIGRAM_COVERAGE_ORACLE,
