@@ -661,3 +661,49 @@ def test_events_hour_lift_vs_duckdb(spark, sf_dir):
             weighted = sum(c * l for c, l in cells)
             # each cell's truncation loses < 1 ppm, weighted by c
             assert abs(weighted - 1_000_000 * n) < 2 * n, (et, weighted)
+
+
+def test_part_abc_classification_vs_duckdb(spark, sf_dir):
+    """Pre-registration pin for ABC: Spark == DuckDB at two SFs;
+    classes partition the rank order A..B..C, cum_ppm is
+    nondecreasing in rank and ends at ~1e6, and class-A revenue
+    share really is <= 80%."""
+    import os
+
+    import duckdb
+
+    from thrivefinancedatapipeline_spark.plans.advanced import (
+        ABC_ORACLE,
+        part_abc_classification,
+    )
+
+    for d in (sf_dir, sf_dir.replace("sf0.001", "sf0.01")):
+        if not os.path.isdir(d):
+            continue
+        rows = part_abc_classification(spark, d).collect()
+        got = sorted(
+            (r.rank, r.l_partkey, r.revenue_units, r.cum_ppm,
+             r.abc_class)
+            for r in rows
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('{d}/lineitem.parquet')"
+        )
+        want = sorted(
+            (int(rk), int(pk), rv, int(cp), cl)
+            for pk, rk, rv, cp, cl in con.execute(ABC_ORACLE).fetchall()
+        )
+        con.close()
+        assert got == want, f"abc mismatch at {d}"
+        classes = [cl for _, _, _, _, cl in got]
+        assert classes == sorted(classes)  # A block, then B, then C
+        ppms = [cp for _, _, _, cp, _ in got]
+        assert ppms == sorted(ppms)
+        assert ppms[-1] in (999_999, 1_000_000)
+        a_max = max(
+            (cp for _, _, _, cp, cl in got if cl == "A"), default=0
+        )
+        assert a_max <= 800_000
+        assert {"A", "C"} <= set(classes)

@@ -197,3 +197,46 @@ def test_balance_snapshot_diff_vs_duckdb(spark, sf_dir):
                 assert r.balance_t1 is not None
         kinds = {r.change_type for r in rows}
         assert "changed" in kinds
+
+
+def test_customer_rfm_vs_duckdb(spark, sf_dir):
+    """Pre-registration pin for RFM: Spark == DuckDB at two SFs;
+    quartiles near-balanced (ntile contract) and rfm code composes
+    the three digits."""
+    import os
+    from collections import Counter
+
+    import duckdb
+
+    from thrivefinancedatapipeline_spark.plans.finance_queries import (
+        RFM_ORACLE,
+        customer_rfm,
+    )
+
+    for d in (sf_dir, sf_dir.replace("sf0.001", "sf0.01")):
+        if not os.path.isdir(d):
+            continue
+        rows = customer_rfm(spark, d).collect()
+        got = sorted(
+            (r.customer_id, r.recency_days, r.frequency,
+             r.monetary_cents, r.r_quartile, r.f_quartile,
+             r.m_quartile, r.rfm)
+            for r in rows
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet')"
+        )
+        want = sorted(
+            tuple(int(x) for x in row)
+            for row in con.execute(RFM_ORACLE).fetchall()
+        )
+        con.close()
+        assert got == want, f"rfm mismatch at {d}"
+        for q in (4, 5, 6):  # the three quartile columns
+            c = Counter(row[q] for row in got)
+            assert set(c) <= {1, 2, 3, 4}
+            assert max(c.values()) - min(c.values()) <= 1
+        for row in got:
+            assert row[7] == row[4] * 100 + row[5] * 10 + row[6]

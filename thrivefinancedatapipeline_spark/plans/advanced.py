@@ -824,3 +824,79 @@ SELECT l_returnflag,
        CAST(MIN(w_total) AS BIGINT) AS w_total
 FROM walked WHERE 2 * w_cum >= w_total
 GROUP BY l_returnflag"""
+
+
+def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification: parts ranked by revenue,
+    class A while the running share of total revenue is <= 80%, B to
+    95%, C after — the classic "which 20% of SKUs carry 80% of the
+    business" cut that drives stocking policy. Slated for round-6+
+    registration; Spark==DuckDB pinned by test.
+
+    Exactness: revenue in exact integer cents-scale units
+    (the shared _revenue_s expression); running share compared by
+    integer CROSS-MULTIPLICATION (cum * 100 vs total * 80) — no
+    divided percentage ever enters the class decision; cum_ppm is
+    emitted via one truncating div for display. Deterministic order
+    (revenue desc, partkey).
+
+    Scale shape: one map-side-combinable part rollup over lineitem;
+    the ranking window runs on the DISTINCT-REDUCED part relation
+    (|parts| rows — the weighted_median_price argument); the grand
+    total broadcasts from the same window pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        _exact_sum(_revenue_s()).alias("rev")
+    )
+    wcum = Window.orderBy(
+        F.col("rev").desc(), F.col("l_partkey")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    ranked = per_part.select(
+        "l_partkey",
+        "rev",
+        F.sum("rev").over(wcum).alias("cum"),
+        F.sum("rev").over(wall).alias("total"),
+        F.row_number().over(
+            Window.orderBy(F.col("rev").desc(), F.col("l_partkey"))
+        ).alias("rank"),
+    )
+    abc = (
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, F.lit("A"))
+        .when(F.col("cum") * 100 <= F.col("total") * 95, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return ranked.select(
+        "l_partkey",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("rev").cast("decimal(38,0)").cast("string").alias(
+            "revenue_units"
+        ),
+        F.expr(
+            "CAST(CAST(cum AS DECIMAL(38,0)) * 1000000 div total"
+            " AS BIGINT)"
+        ).alias("cum_ppm"),
+        abc.alias("abc_class"),
+    )
+
+
+#: DuckDB twin of part_abc_classification (round-6+ registration).
+ABC_ORACLE = f"""
+WITH per_part AS (
+  SELECT l_partkey, CAST(SUM({REVENUE_S_SQL}) AS HUGEINT) AS rev
+  FROM lineitem GROUP BY l_partkey),
+ranked AS (
+  SELECT l_partkey, rev,
+         SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(rev) OVER () AS total,
+         ROW_NUMBER() OVER (ORDER BY rev DESC, l_partkey) AS rank
+  FROM per_part)
+SELECT l_partkey,
+       CAST(rank AS INT) AS rank,
+       CAST(rev AS VARCHAR) AS revenue_units,
+       CAST(cum * 1000000 // total AS BIGINT) AS cum_ppm,
+       CASE WHEN cum * 100 <= total * 80 THEN 'A'
+            WHEN cum * 100 <= total * 95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked"""

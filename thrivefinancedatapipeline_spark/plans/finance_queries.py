@@ -811,3 +811,78 @@ SELECT s2.customerid AS customer_id,
               THEN 'changed'
             ELSE 'unchanged' END AS change_type
 FROM s2 LEFT JOIN s1 USING (customerid)"""
+
+
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — THE classic customer-value grid: per
+    customer, Recency (days from last spend to the catalog ASOF),
+    Frequency (spend count) and Monetary (total spent cents), each
+    quartiled 1..4 by ntile under a deterministic total order, plus
+    the combined 'rfm' code (111 = best: recent, frequent, big).
+    Slated for round-6+ registration; Spark==DuckDB pinned by test.
+
+    Determinism: ntile over (metric, customer_id) — ties split by
+    id identically in both engines; recency in whole days from the
+    fixed ASOF; monetary in exact integer cents. Customers with no
+    spend are excluded (they have no R). One scan, one groupBy,
+    three ntile windows over the per-customer rollup."""
+    txns = _txns(spark, sf_dir)
+    spent = txns.filter(F.col("tctype") == "spent")
+    per_cust = spent.groupBy("customerid").agg(
+        F.max("createdat").alias("last_spend"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(
+            F.round(F.abs(F.col("amount")) * 100).cast("long")
+        ).alias("monetary_cents"),
+    )
+    asof = F.lit(ASOF).cast("timestamp")
+    base = per_cust.withColumn(
+        "recency_days", F.datediff(F.to_date(asof), F.to_date("last_spend"))
+    )
+    wr = Window.orderBy("recency_days", "customerid")
+    wf = Window.orderBy(F.col("frequency").desc(), "customerid")
+    wm = Window.orderBy(F.col("monetary_cents").desc(), "customerid")
+    return base.select(
+        F.col("customerid").alias("customer_id"),
+        F.col("recency_days").cast("int").alias("recency_days"),
+        F.col("frequency").cast("long").alias("frequency"),
+        F.col("monetary_cents").cast("long").alias("monetary_cents"),
+        F.ntile(4).over(wr).alias("r_quartile"),
+        F.ntile(4).over(wf).alias("f_quartile"),
+        F.ntile(4).over(wm).alias("m_quartile"),
+    ).withColumn(
+        "rfm",
+        (F.col("r_quartile") * 100 + F.col("f_quartile") * 10
+         + F.col("m_quartile")).cast("int"),
+    )
+
+
+#: DuckDB twin of customer_rfm (round-6+ registration).
+RFM_ORACLE = f"""WITH {TXNS_CTE},
+per_cust AS (
+  SELECT customerid,
+         MAX(createdat) AS last_spend,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(ROUND(ABS(amount) * 100, 0) AS BIGINT))
+              AS BIGINT) AS monetary_cents
+  FROM txns WHERE tctype = 'spent' GROUP BY customerid),
+base AS (
+  SELECT *,
+         datediff('day', CAST(last_spend AS DATE),
+                  CAST(TIMESTAMP '{ASOF}' AS DATE)) AS recency_days
+  FROM per_cust)
+SELECT customerid AS customer_id,
+       CAST(recency_days AS INT) AS recency_days,
+       CAST(frequency AS BIGINT) AS frequency,
+       monetary_cents,
+       CAST(ntile(4) OVER (ORDER BY recency_days, customerid) AS INT)
+         AS r_quartile,
+       CAST(ntile(4) OVER (ORDER BY frequency DESC, customerid) AS INT)
+         AS f_quartile,
+       CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, customerid)
+            AS INT) AS m_quartile,
+       CAST(ntile(4) OVER (ORDER BY recency_days, customerid) * 100
+            + ntile(4) OVER (ORDER BY frequency DESC, customerid) * 10
+            + ntile(4) OVER (ORDER BY monetary_cents DESC, customerid)
+            AS INT) AS rfm
+FROM base"""

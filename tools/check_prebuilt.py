@@ -101,6 +101,12 @@ def _catalog():
             finance_queries.balance_snapshot_diff,
             finance_queries.SNAPSHOT_DIFF_ORACLE,
         ),
+        "customer_rfm": (
+            finance_queries.customer_rfm, finance_queries.RFM_ORACLE,
+        ),
+        "part_abc_classification": (
+            advanced.part_abc_classification, advanced.ABC_ORACLE,
+        ),
         "dedup_containment": (
             dedup.dedup_containment, dedup.CONTAINMENT_ORACLE,
         ),
