@@ -240,3 +240,47 @@ def test_customer_rfm_vs_duckdb(spark, sf_dir):
             assert max(c.values()) - min(c.values()) <= 1
         for row in got:
             assert row[7] == row[4] * 100 + row[5] * 10 + row[6]
+
+
+def test_cohort_ltv_vs_duckdb(spark, sf_dir):
+    """Pre-registration pin for the LTV triangle: Spark == DuckDB at
+    two SFs; cumulative spend nondecreasing per cohort; age-0 cell
+    present for every cohort with active <= cohort_size."""
+    import os
+
+    import duckdb
+
+    from thrivefinancedatapipeline_spark.plans.finance_queries import (
+        COHORT_LTV_ORACLE,
+        cohort_ltv,
+    )
+
+    for d in (sf_dir, sf_dir.replace("sf0.001", "sf0.01")):
+        if not os.path.isdir(d):
+            continue
+        rows = cohort_ltv(spark, d).collect()
+        got = sorted(
+            (r.cohort_week, r.age_weeks, r.cohort_size,
+             r.active_customers, r.spend_cents, r.cum_spend_cents)
+            for r in rows
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet')"
+        )
+        want = sorted(
+            tuple(int(x) for x in row)
+            for row in con.execute(COHORT_LTV_ORACLE).fetchall()
+        )
+        con.close()
+        assert got == want, f"cohort ltv mismatch at {d}"
+        by_cohort = {}
+        for row in got:
+            by_cohort.setdefault(row[0], []).append(row)
+        for cw, cells in by_cohort.items():
+            cells.sort(key=lambda r: r[1])
+            assert cells[0][1] == 0  # first-spend week is age 0
+            cums = [r[5] for r in cells]
+            assert cums == sorted(cums)
+            assert all(r[3] <= r[2] for r in cells)

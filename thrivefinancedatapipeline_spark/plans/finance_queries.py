@@ -886,3 +886,103 @@ SELECT customerid AS customer_id,
             + ntile(4) OVER (ORDER BY monetary_cents DESC, customerid)
             AS INT) AS rfm
 FROM base"""
+
+
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: customers grouped by FIRST-
+    SPEND week, tracked by weeks-since-first-spend, with per-cell
+    spend cents, active customers, and the cohort's CUMULATIVE spend
+    — the LTV curve finance teams read next to cohort retention
+    (events_cohort_retention counts activity; this one counts
+    money). Slated for round-6+ registration; Spark==DuckDB pinned
+    by test.
+
+    Exactness: everything integer — epoch-week = epoch_days div 7
+    (engine-neutral, no locale week rules), spend in exact cents,
+    cumulative sums over the tiny (cohort, age) rollup. Plan: one
+    per-customer first-spend agg (broadcast back), one
+    map-side-combinable (cohort, age) rollup, one cumulative window
+    over it."""
+    txns = _txns(spark, sf_dir)
+    spent = txns.filter(F.col("tctype") == "spent").select(
+        "customerid",
+        "createdat",
+        F.round(F.abs(F.col("amount")) * 100).cast("long").alias("cents"),
+    )
+    week = lambda c: F.expr(  # noqa: E731
+        f"datediff(to_date({c}), DATE '1970-01-01') div 7"
+    )
+    first = spent.groupBy("customerid").agg(
+        F.min("createdat").alias("first_spend")
+    )
+    j = spent.join(F.broadcast(first), "customerid").select(
+        week("first_spend").alias("cohort_week"),
+        (week("createdat") - week("first_spend")).alias("age_weeks"),
+        "customerid",
+        "cents",
+    )
+    cells = j.groupBy("cohort_week", "age_weeks").agg(
+        F.sum("cents").alias("spend_cents"),
+        F.count_distinct("customerid").alias("active_customers"),
+    )
+    wcum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    size = first.groupBy(
+        week("first_spend").alias("cohort_week")
+    ).agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        cells.join(F.broadcast(size), "cohort_week")
+        .select(
+            F.col("cohort_week").cast("long").alias("cohort_week"),
+            F.col("age_weeks").cast("long").alias("age_weeks"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            F.col("active_customers").cast("long").alias(
+                "active_customers"
+            ),
+            F.col("spend_cents").cast("long").alias("spend_cents"),
+            F.sum("spend_cents").over(wcum).cast("long").alias(
+                "cum_spend_cents"
+            ),
+        )
+    )
+
+
+#: DuckDB twin of cohort_ltv (round-6+ registration).
+COHORT_LTV_ORACLE = f"""WITH {TXNS_CTE},
+spent AS (
+  SELECT customerid, createdat,
+         CAST(ROUND(ABS(amount) * 100, 0) AS BIGINT) AS cents
+  FROM txns WHERE tctype = 'spent'),
+first AS (
+  SELECT customerid, MIN(createdat) AS first_spend
+  FROM spent GROUP BY customerid),
+j AS (
+  SELECT datediff('day', DATE '1970-01-01',
+                  CAST(first_spend AS DATE)) // 7 AS cohort_week,
+         datediff('day', DATE '1970-01-01',
+                  CAST(createdat AS DATE)) // 7
+         - datediff('day', DATE '1970-01-01',
+                    CAST(first_spend AS DATE)) // 7 AS age_weeks,
+         spent.customerid, cents
+  FROM spent JOIN first USING (customerid)),
+cells AS (
+  SELECT cohort_week, age_weeks,
+         CAST(SUM(cents) AS BIGINT) AS spend_cents,
+         COUNT(DISTINCT customerid) AS active_customers
+  FROM j GROUP BY 1, 2),
+size_ AS (
+  SELECT datediff('day', DATE '1970-01-01',
+                  CAST(first_spend AS DATE)) // 7 AS cohort_week,
+         COUNT(*) AS cohort_size
+  FROM first GROUP BY 1)
+SELECT cells.cohort_week, cells.age_weeks,
+       CAST(size_.cohort_size AS BIGINT) AS cohort_size,
+       CAST(cells.active_customers AS BIGINT) AS active_customers,
+       cells.spend_cents,
+       CAST(SUM(cells.spend_cents) OVER (
+         PARTITION BY cells.cohort_week ORDER BY cells.age_weeks
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_spend_cents
+FROM cells JOIN size_ USING (cohort_week)"""

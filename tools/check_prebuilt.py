@@ -104,6 +104,9 @@ def _catalog():
         "customer_rfm": (
             finance_queries.customer_rfm, finance_queries.RFM_ORACLE,
         ),
+        "cohort_ltv": (
+            finance_queries.cohort_ltv, finance_queries.COHORT_LTV_ORACLE,
+        ),
         "part_abc_classification": (
             advanced.part_abc_classification, advanced.ABC_ORACLE,
         ),
