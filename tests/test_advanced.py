@@ -707,3 +707,42 @@ def test_part_abc_classification_vs_duckdb(spark, sf_dir):
         )
         assert a_max <= 800_000
         assert {"A", "C"} <= set(classes)
+
+
+def test_events_type_correlation_vs_duckdb(spark, sf_dir):
+    """r5 upgrade of the r4 prebuilt: the correlation frame now has a
+    full DuckDB oracle (previously Python-twin only) — Spark ==
+    oracle at two SFs."""
+    import os
+
+    import duckdb
+
+    from thrivefinancedatapipeline_spark.plans.events_queries import (
+        TYPE_CORRELATION_ORACLE,
+        events_type_correlation,
+    )
+
+    for d in (sf_dir, sf_dir.replace("sf0.001", "sf0.01")):
+        if not os.path.isdir(d):
+            continue
+        rows = events_type_correlation(spark, d).collect()
+        got = sorted(
+            (r.type_1, r.type_2, r.n_days, r.sum_1, r.sum_2,
+             r.sum_cross, r.r2_signed_ppm)
+            for r in rows
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet')"
+        )
+        want = sorted(
+            (t1, t2, int(n), int(a), int(b), int(c), int(r2))
+            for t1, t2, n, a, b, c, r2 in con.execute(
+                TYPE_CORRELATION_ORACLE
+            ).fetchall()
+        )
+        con.close()
+        assert got == want, f"type correlation mismatch at {d}"
+        for *_x, r2 in got:
+            assert -1_000_000 <= r2 <= 1_000_000

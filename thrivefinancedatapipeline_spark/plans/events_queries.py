@@ -1478,3 +1478,49 @@ SELECT event_type, CAST(hour AS INT) AS hour,
        CAST(CAST(o AS HUGEINT) * n * 1000000
             // (CAST(r AS HUGEINT) * c) AS BIGINT) AS lift_ppm
 FROM m"""
+
+
+#: DuckDB twin of events_type_correlation — written in r5 to upgrade
+#: the r4 prebuilt from Python-twin-only to oracle-ready (same
+#: unit-scale integer Pearson components; HUGEINT carries the squared
+#: numerator).
+TYPE_CORRELATION_ORACLE = f"""
+WITH {_EV},
+daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) // 100
+              AS BIGINT) AS cents
+  FROM ev GROUP BY 1, 2),
+spine AS (
+  SELECT d.day, t.event_type
+  FROM (SELECT DISTINCT day FROM daily) d,
+       (SELECT DISTINCT event_type FROM daily) t),
+filled AS (
+  SELECT spine.day, spine.event_type,
+         COALESCE(daily.cents, 0) AS cents
+  FROM spine LEFT JOIN daily USING (day, event_type)),
+pairs AS (
+  SELECT a.event_type AS type_1, b.event_type AS type_2,
+         a.cents AS x, b.cents AS y
+  FROM filled a JOIN filled b
+    ON a.day = b.day AND a.event_type < b.event_type),
+agg AS (
+  SELECT type_1, type_2, COUNT(*) AS n,
+         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM pairs GROUP BY type_1, type_2)
+SELECT type_1, type_2,
+       CAST(n AS BIGINT) AS n_days,
+       CAST(sx AS BIGINT) AS sum_1,
+       CAST(sy AS BIGINT) AS sum_2,
+       CAST(sxy AS BIGINT) AS sum_cross,
+       CAST(CASE WHEN (n * sxx - sx * sx) = 0
+                   OR (n * syy - sy * sy) = 0 THEN 0
+            ELSE CAST(sign(n * sxy - sx * sy) AS HUGEINT)
+                 * ((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                    * 1000000
+                    // ((n * sxx - sx * sx) * (n * syy - sy * sy)))
+            END AS BIGINT) AS r2_signed_ppm
+FROM agg"""

@@ -78,6 +78,10 @@ def _catalog():
             events_queries.events_hour_lift,
             events_queries.HOUR_LIFT_ORACLE,
         ),
+        "events_type_correlation": (
+            events_queries.events_type_correlation,
+            events_queries.TYPE_CORRELATION_ORACLE,
+        ),
         "corpus_bigram_coverage": (
             textops.corpus_bigram_coverage,
             textops.BIGRAM_COVERAGE_ORACLE,
