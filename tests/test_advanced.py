@@ -746,3 +746,48 @@ def test_events_type_correlation_vs_duckdb(spark, sf_dir):
         assert got == want, f"type correlation mismatch at {d}"
         for *_x, r2 in got:
             assert -1_000_000 <= r2 <= 1_000_000
+
+
+def test_order_fulfillment_latency_vs_duckdb(spark, sf_dir):
+    """Pre-registration pin: Spark == DuckDB at two SFs; per
+    priority, quantile lags nondecreasing in q; 3 quantiles per
+    priority class."""
+    import os
+    from collections import Counter
+
+    import duckdb
+
+    from thrivefinancedatapipeline_spark.plans.advanced import (
+        FULFILLMENT_ORACLE,
+        order_fulfillment_latency,
+    )
+
+    for d in (sf_dir, sf_dir.replace("sf0.001", "sf0.01")):
+        if not os.path.isdir(d):
+            continue
+        rows = order_fulfillment_latency(spark, d).collect()
+        got = sorted(
+            (r.o_orderpriority, r.q, r.target_rank, r.lag_days)
+            for r in rows
+        )
+        con = duckdb.connect()
+        for t in ("orders", "lineitem"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{d}/{t}.parquet')"
+            )
+        want = sorted(
+            (p, int(q), int(t), int(l))
+            for p, q, t, l in con.execute(FULFILLMENT_ORACLE).fetchall()
+        )
+        con.close()
+        assert got == want, f"fulfillment mismatch at {d}"
+        per = Counter(p for p, _, _, _ in got)
+        assert all(v == 3 for v in per.values())
+        by_p = {}
+        for p, q, _, l in got:
+            by_p.setdefault(p, []).append((q, l))
+        for p, cells in by_p.items():
+            cells.sort()
+            lags = [l for _, l in cells]
+            assert lags == sorted(lags)

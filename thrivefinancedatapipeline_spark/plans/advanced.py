@@ -900,3 +900,94 @@ SELECT l_partkey,
             WHEN cum * 100 <= total * 95 THEN 'B'
             ELSE 'C' END AS abc_class
 FROM ranked"""
+
+
+FULFILL_QS = (50, 90, 99)
+
+
+def order_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-last-shipment latency quantiles PER PRIORITY class —
+    the fulfillment SLA report (does '1-URGENT' actually ship
+    faster?). Exact rank-space quantiles over the DISTINCT-REDUCED
+    (priority, lag_days) cells: per order, lag = days from
+    o_orderdate to its LAST l_shipdate (the order isn't done until
+    the last line ships); per priority, the {FULFILL_QS} quantiles
+    are exact data elements at ceil(q*n/100) ranks over the
+    cumulative cell walk. Slated for round-6+ registration;
+    Spark==DuckDB pinned by test.
+
+    Scale shape: one lineitem groupBy (per-order max shipdate), one
+    broadcast-dim... no — orders is the fact here: the order join
+    shuffles on o_orderkey (the key every downstream join reuses),
+    then (priority, lag) cells distinct-reduce before any window
+    (the weighted_median_price argument)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    last_ship = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("last_ship")
+    )
+    lag = orders.join(
+        last_ship, orders["o_orderkey"] == F.col("l_orderkey")
+    ).select(
+        "o_orderpriority",
+        F.datediff("last_ship", "o_orderdate").alias("lag_days"),
+    )
+    cells = lag.groupBy("o_orderpriority", "lag_days").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wcum = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("lag_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("o_orderpriority")
+    walked = cells.select(
+        "o_orderpriority", "lag_days", "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    qs = F.explode(
+        F.array(*[F.lit(q) for q in FULFILL_QS])
+    ).alias("q")
+    targets = walked.select(
+        "o_orderpriority", "lag_days", "cum", "n", qs
+    ).withColumn("target", F.expr("(q * n + 99) div 100"))
+    return (
+        targets.filter(F.col("cum") >= F.col("target"))
+        .groupBy("o_orderpriority", "q", "target")
+        .agg(F.min("lag_days").alias("lag_days"))
+        .select(
+            "o_orderpriority",
+            F.col("q").cast("int").alias("q"),
+            F.col("target").cast("long").alias("target_rank"),
+            F.col("lag_days").cast("long").alias("lag_days"),
+        )
+    )
+
+
+#: DuckDB twin of order_fulfillment_latency (round-6+ registration).
+FULFILLMENT_ORACLE = f"""
+WITH last_ship AS (
+  SELECT l_orderkey, MAX(l_shipdate) AS last_ship
+  FROM lineitem GROUP BY l_orderkey),
+lag AS (
+  SELECT o_orderpriority,
+         datediff('day', CAST(o_orderdate AS DATE),
+                  CAST(last_ship AS DATE)) AS lag_days
+  FROM orders JOIN last_ship ON o_orderkey = l_orderkey),
+cells AS (
+  SELECT o_orderpriority, lag_days, COUNT(*) AS c
+  FROM lag GROUP BY 1, 2),
+walked AS (
+  SELECT o_orderpriority, lag_days, c,
+         SUM(c) OVER (PARTITION BY o_orderpriority ORDER BY lag_days
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER (PARTITION BY o_orderpriority) AS n
+  FROM cells)
+SELECT o_orderpriority,
+       CAST(q AS INT) AS q,
+       CAST((q * n + 99) // 100 AS BIGINT) AS target_rank,
+       CAST(MIN(lag_days) AS BIGINT) AS lag_days
+FROM walked, (SELECT unnest({list(FULFILL_QS)}) AS q) qq
+WHERE cum >= (q * n + 99) // 100
+GROUP BY o_orderpriority, q, (q * n + 99) // 100"""

@@ -114,6 +114,10 @@ def _catalog():
         "part_abc_classification": (
             advanced.part_abc_classification, advanced.ABC_ORACLE,
         ),
+        "order_fulfillment_latency": (
+            advanced.order_fulfillment_latency,
+            advanced.FULFILLMENT_ORACLE,
+        ),
         "dedup_containment": (
             dedup.dedup_containment, dedup.CONTAINMENT_ORACLE,
         ),
