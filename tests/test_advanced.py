@@ -791,3 +791,47 @@ def test_order_fulfillment_latency_vs_duckdb(spark, sf_dir):
             cells.sort()
             lags = [l for _, l in cells]
             assert lags == sorted(lags)
+
+
+def test_interpurchase_quantiles_vs_duckdb(spark, sf_dir):
+    """Pre-registration pin: Spark == DuckDB at two SFs; quantile
+    gaps nondecreasing in q; total gap count = purchases - active
+    purchasers."""
+    import os
+
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from thrivefinancedatapipeline_spark.datamodel import load_table
+    from thrivefinancedatapipeline_spark.plans.events_queries import (
+        INTERPURCHASE_ORACLE,
+        interpurchase_quantiles,
+    )
+
+    for d in (sf_dir, sf_dir.replace("sf0.001", "sf0.01")):
+        if not os.path.isdir(d):
+            continue
+        rows = interpurchase_quantiles(spark, d).collect()
+        got = sorted(
+            (r.q, r.target_rank, r.n_gaps, r.gap_days) for r in rows
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet')"
+        )
+        want = sorted(
+            tuple(int(x) for x in row)
+            for row in con.execute(INTERPURCHASE_ORACLE).fetchall()
+        )
+        con.close()
+        assert got == want, f"interpurchase mismatch at {d}"
+        gaps = [g for _, _, _, g in got]
+        assert gaps == sorted(gaps)
+        ev = load_table(spark, d, "events").filter(
+            F.col("event_type") == "purchase"
+        )
+        n_purch = ev.count()
+        n_users = ev.select("user_id").distinct().count()
+        assert got[0][2] == n_purch - n_users

@@ -1524,3 +1524,91 @@ SELECT type_1, type_2,
                     // ((n * sxx - sx * sx) * (n * syy - sy * sy)))
             END AS BIGINT) AS r2_signed_ppm
 FROM agg"""
+
+
+REPURCHASE_QS = (25, 50, 75, 90)
+
+
+def interpurchase_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repurchase-cadence distribution: exact quantiles of the gap in
+    days between a user's CONSECUTIVE purchases — the metric behind
+    replenishment emails and churn-risk windows ("the median
+    repurchaser returns in N days; 90% return within M"). Slated for
+    round-6+ registration; Spark==DuckDB pinned by test.
+
+    Exactness: gaps from the per-user lag window under the (ts,
+    event_id) total order, in whole days; quantiles are exact
+    elements at ceil(q*n/100) ranks over the DISTINCT-REDUCED
+    gap-day cells (the rank-walk pattern: one lag window on the
+    purchase stream, one tiny cell groupBy, windows over <=
+    |distinct gaps| rows)."""
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        purch.select(
+            "user_id", "ts", "event_id",
+            F.lag(F.to_date("ts")).over(w).alias("prev_d"),
+        )
+        .filter(F.col("prev_d").isNotNull())
+        .select(
+            F.datediff(F.to_date("ts"), F.col("prev_d")).alias("gap_days")
+        )
+    )
+    cells = gaps.groupBy("gap_days").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy("gap_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    walked = cells.select(
+        "gap_days", "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    qs = F.explode(
+        F.array(*[F.lit(q) for q in REPURCHASE_QS])
+    ).alias("q")
+    targets = walked.select("gap_days", "cum", "n", qs).withColumn(
+        "target", F.expr("(q * n + 99) div 100")
+    )
+    return (
+        targets.filter(F.col("cum") >= F.col("target"))
+        .groupBy("q", "target")
+        .agg(
+            F.min("gap_days").alias("gap_days"),
+            F.first("n").alias("n_gaps"),
+        )
+        .select(
+            F.col("q").cast("int").alias("q"),
+            F.col("target").cast("long").alias("target_rank"),
+            F.col("n_gaps").cast("long").alias("n_gaps"),
+            F.col("gap_days").cast("long").alias("gap_days"),
+        )
+    )
+
+
+#: DuckDB twin of interpurchase_quantiles (round-6+ registration).
+INTERPURCHASE_ORACLE = f"""
+WITH {_EV},
+purch AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+gaps AS (
+  SELECT datediff('day',
+           LAG(CAST(ts AS DATE)) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id),
+           CAST(ts AS DATE)) AS gap_days
+  FROM purch
+  QUALIFY gap_days IS NOT NULL),
+cells AS (SELECT gap_days, COUNT(*) AS c FROM gaps GROUP BY gap_days),
+walked AS (
+  SELECT gap_days, c,
+         SUM(c) OVER (ORDER BY gap_days ROWS UNBOUNDED PRECEDING)
+           AS cum,
+         SUM(c) OVER () AS n
+  FROM cells)
+SELECT CAST(q AS INT) AS q,
+       CAST((q * n + 99) // 100 AS BIGINT) AS target_rank,
+       CAST(n AS BIGINT) AS n_gaps,
+       CAST(MIN(gap_days) AS BIGINT) AS gap_days
+FROM walked, (SELECT unnest({list(REPURCHASE_QS)}) AS q) qq
+WHERE cum >= (q * n + 99) // 100
+GROUP BY q, (q * n + 99) // 100, n"""

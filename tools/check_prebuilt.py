@@ -82,6 +82,10 @@ def _catalog():
             events_queries.events_type_correlation,
             events_queries.TYPE_CORRELATION_ORACLE,
         ),
+        "interpurchase_quantiles": (
+            events_queries.interpurchase_quantiles,
+            events_queries.INTERPURCHASE_ORACLE,
+        ),
         "corpus_bigram_coverage": (
             textops.corpus_bigram_coverage,
             textops.BIGRAM_COVERAGE_ORACLE,
