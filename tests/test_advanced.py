@@ -835,3 +835,42 @@ def test_interpurchase_quantiles_vs_duckdb(spark, sf_dir):
         n_purch = ev.count()
         n_users = ev.select("user_id").distinct().count()
         assert got[0][2] == n_purch - n_users
+
+
+def test_basket_part_pairs_vs_duckdb(spark, sf_dir):
+    """Pre-registration pin: Spark == DuckDB at two SFs; supports
+    nonincreasing with rank; pairs canonical (part_1 < part_2)."""
+    import os
+
+    import duckdb
+
+    from thrivefinancedatapipeline_spark.plans.advanced import (
+        BASKET_TOP_K,
+        basket_part_pairs,
+    )
+    from thrivefinancedatapipeline_spark.plans.advanced import (
+        BASKET_ORACLE,
+    )
+
+    for d in (sf_dir, sf_dir.replace("sf0.001", "sf0.01")):
+        if not os.path.isdir(d):
+            continue
+        rows = basket_part_pairs(spark, d).collect()
+        got = sorted(
+            (r.rank, r.part_1, r.part_2, r.support) for r in rows
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('{d}/lineitem.parquet')"
+        )
+        want = sorted(
+            (int(rk), int(p1), int(p2), int(s))
+            for rk, p1, p2, s in con.execute(BASKET_ORACLE).fetchall()
+        )
+        con.close()
+        assert got == want, f"basket mismatch at {d}"
+        assert 1 <= len(got) <= BASKET_TOP_K
+        sups = [s for _, _, _, s in got]
+        assert sups == sorted(sups, reverse=True)
+        assert all(p1 < p2 for _, p1, p2, _ in got)

@@ -991,3 +991,65 @@ SELECT o_orderpriority,
 FROM walked, (SELECT unnest({list(FULFILL_QS)}) AS q) qq
 WHERE cum >= (q * n + 99) // 100
 GROUP BY o_orderpriority, q, (q * n + 99) // 100"""
+
+
+BASKET_TOP_K = 20
+
+
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining, the frequent-PAIR core: the top
+    {BASKET_TOP_K} part pairs most often bought in the SAME order,
+    with support counts — the co-purchase signal behind "frequently
+    bought together". Slated for round-6+ registration; Spark==DuckDB
+    pinned by test.
+
+    Scale shape: the within-order self-join is bounded by
+    (lines-per-order choose 2) — a per-order constant (~7 lines →
+    ≤21 pairs), never a corpus-quadratic term; parts distinct-reduce
+    per order FIRST so multi-line repeats of one part count once;
+    the pair groupBy runs on uniform (part, part) keys; the top-K
+    window runs on the pair-support rollup. Deterministic order
+    (support desc, part_1, part_2)."""
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_1")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_2")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_1") < F.col("part_2"))
+        .groupBy("part_1", "part_2")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    wr = Window.orderBy(
+        F.col("support").desc(), F.col("part_1"), F.col("part_2")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= BASKET_TOP_K)
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            "part_1",
+            "part_2",
+            F.col("support").cast("long").alias("support"),
+        )
+    )
+
+
+#: DuckDB twin of basket_part_pairs (round-6+ registration).
+BASKET_ORACLE = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_1, b.l_partkey AS part_2,
+         COUNT(*) AS support
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY support DESC, part_1, part_2)
+            AS INT) AS rank,
+       part_1, part_2, CAST(support AS BIGINT) AS support
+FROM pairs
+QUALIFY rank <= {BASKET_TOP_K}"""

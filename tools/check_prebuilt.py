@@ -122,6 +122,9 @@ def _catalog():
             advanced.order_fulfillment_latency,
             advanced.FULFILLMENT_ORACLE,
         ),
+        "basket_part_pairs": (
+            advanced.basket_part_pairs, advanced.BASKET_ORACLE,
+        ),
         "dedup_containment": (
             dedup.dedup_containment, dedup.CONTAINMENT_ORACLE,
         ),
