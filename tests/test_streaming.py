@@ -295,3 +295,33 @@ def test_observed_metrics_batch_and_stream(spark, sf_dir, staged_events):
     n_input = spark.read.parquet(staged_events).count()
     assert totals["n_rows"] == n_input
     assert totals["null_user_ids"] == 0
+
+
+def test_stream_hour_cells_match_batch(spark, staged_events):
+    """The drained streaming dayparting counters equal the batch
+    cells cell-for-cell (shared hour_cells code path)."""
+    from thrivefinancedatapipeline_spark.plans.events_queries import (
+        hour_cells,
+    )
+    from thrivefinancedatapipeline_spark.streaming import stateful
+
+    chk = tempfile.mkdtemp(prefix="chk_hourcells_")
+    try:
+        got = balance_stream.run_to_completion(
+            stateful.stream_hour_cells(spark, staged_events),
+            chk,
+            "stream_hour_cells",
+        )
+        stream_cells = {
+            (r.event_type, r.hour): r.o for r in got.collect()
+        }
+        batch_cells = {
+            (r.event_type, r.hour): r.o
+            for r in hour_cells(
+                spark.read.parquet(staged_events)
+            ).collect()
+        }
+        assert stream_cells == batch_cells and batch_cells
+        assert all(0 <= h <= 23 for _, h in stream_cells)
+    finally:
+        shutil.rmtree(chk, ignore_errors=True)

@@ -1434,9 +1434,7 @@ def events_hour_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shared micros-normalized timestamp. One map-side-combinable
     groupBy; marginals are windows over the <=24*|types| cells."""
     ev = load_table(spark, sf_dir, "events")
-    cells = ev.groupBy(
-        "event_type", F.hour("ts").alias("hour")
-    ).agg(F.count(F.lit(1)).alias("o"))
+    cells = hour_cells(ev)
     wr = Window.partitionBy("event_type")
     wc = Window.partitionBy("hour")
     wn = Window.partitionBy()
@@ -1612,3 +1610,13 @@ SELECT CAST(q AS INT) AS q,
 FROM walked, (SELECT unnest({list(REPURCHASE_QS)}) AS q) qq
 WHERE cum >= (q * n + 99) // 100
 GROUP BY q, (q * n + 99) // 100, n"""
+
+
+def hour_cells(events_df: DataFrame) -> DataFrame:
+    """(event_type, hour, o) contingency counters — the mergeable
+    core of events_hour_lift, shared by the streaming twin
+    (streaming/stateful.stream_hour_cells): cells add across
+    micro-batches, bounded at 24 * |types|."""
+    return events_df.groupBy(
+        "event_type", F.hour("ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("o"))

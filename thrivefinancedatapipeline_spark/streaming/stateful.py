@@ -886,3 +886,19 @@ def stream_transitions(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_hour_cells(
+    spark, source_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """Continuous dayparting counters — the streaming twin of
+    events_hour_lift's contingency core, reusing the identical
+    `hour_cells` transformation (the cms/benford/histogram pattern:
+    streaming aggregation state IS the mergeable cell table, bounded
+    at 24 * |types|); drain any snapshot into the lift read-off."""
+    from ..plans.events_queries import hour_cells
+    from .balance_stream import stream_events
+
+    return hour_cells(
+        stream_events(spark, source_dir, max_files_per_trigger)
+    )
