@@ -397,3 +397,45 @@ def test_corpus_lexical_diversity_vs_duckdb(spark, sf_dir):
         for _, n_tok, n_ty, n_hx, ttr, hap in got:
             assert n_hx <= n_ty <= n_tok
             assert 0 <= ttr <= 1_000_000 and 0 <= hap <= 1_000_000
+
+
+def test_corpus_dup_rate_by_source_vs_duckdb(spark, sf_dir):
+    """Pre-registration pin: Spark == DuckDB at two SFs; distinct <=
+    docs; ppm columns bounded; totals match the corpus."""
+    import os
+
+    import duckdb
+
+    from thrivefinancedatapipeline_spark.datamodel import load_table
+    from thrivefinancedatapipeline_spark.operators.textops import (
+        DUP_RATE_ORACLE,
+        corpus_dup_rate_by_source,
+    )
+
+    for d in (sf_dir, sf_dir.replace("sf0.001", "sf0.01")):
+        if not os.path.isdir(d):
+            continue
+        rows = corpus_dup_rate_by_source(spark, d).collect()
+        got = sorted(
+            (r.source, r.n_docs, r.n_distinct, r.internal_dup_ppm,
+             r.n_shared, r.cross_source_ppm)
+            for r in rows
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')"
+        )
+        want = sorted(
+            (s, int(a), int(b), int(c), int(e), int(f))
+            for s, a, b, c, e, f in con.execute(
+                DUP_RATE_ORACLE
+            ).fetchall()
+        )
+        con.close()
+        assert got == want, f"dup rate mismatch at {d}"
+        n_total = load_table(spark, d, "documents").count()
+        assert sum(r[1] for r in got) == n_total
+        for _, nd, dz, ip, sh, cp in got:
+            assert dz <= nd and sh <= dz
+            assert 0 <= ip <= 1_000_000 and 0 <= cp <= 1_000_000

@@ -1568,3 +1568,72 @@ SELECT source,
        CAST(COUNT(CASE WHEN n = 1 THEN 1 END) * 1000000 // COUNT(*)
             AS BIGINT) AS hapax_ppm
 FROM cells GROUP BY source"""
+
+
+def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHICH source ships duplicates: per source, exact-content
+    duplicate mass (docs beyond the first per normalized-text hash,
+    WITHIN the source) and cross-source overlap (this source's
+    distinct contents also seen in some other source) — both integer
+    ppm. The provider scorecard that tells a data-acquisition team
+    who to chase; complements corpus_source_drift (distribution) and
+    corpus_lexical_diversity (vocabulary). Slated for round-6+
+    registration; Spark==DuckDB pinned by test.
+
+    Scale shape: ONE (source, content-hash) groupBy over documents
+    carries the within-source audit; the cross-source flag is a
+    window over the distinct-reduced (source, hash) relation —
+    uniform 128-bit keys everywhere."""
+    d = _docs(spark, sf_dir)
+    h = F.md5(normalize(F.col("text")))
+    cells = d.select("source", h.alias("ch")).groupBy(
+        "source", "ch"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wh = Window.partitionBy("ch")
+    m = cells.withColumn(
+        "n_sources", F.count(F.lit(1)).over(wh)
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(
+                F.when(F.col("n_sources") > 1, F.lit(1)).otherwise(0)
+            ).alias("n_shared"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            F.expr(
+                "CAST((n_docs - n_distinct) * 1000000 div n_docs"
+                " AS BIGINT)"
+            ).alias("internal_dup_ppm"),
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.expr(
+                "CAST(n_shared * 1000000 div n_distinct AS BIGINT)"
+            ).alias("cross_source_ppm"),
+        )
+    )
+
+
+#: DuckDB twin of corpus_dup_rate_by_source (round-6+ registration).
+DUP_RATE_ORACLE = f"""
+WITH cells AS (
+  SELECT source, md5({_NORM}) AS ch, COUNT(*) AS n
+  FROM documents GROUP BY 1, 2),
+m AS (
+  SELECT source, ch, n,
+         COUNT(*) OVER (PARTITION BY ch) AS n_sources
+  FROM cells)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST((SUM(n) - COUNT(*)) * 1000000 // SUM(n) AS BIGINT)
+         AS internal_dup_ppm,
+       CAST(COUNT(CASE WHEN n_sources > 1 THEN 1 END) AS BIGINT)
+         AS n_shared,
+       CAST(COUNT(CASE WHEN n_sources > 1 THEN 1 END) * 1000000
+            // COUNT(*) AS BIGINT) AS cross_source_ppm
+FROM m GROUP BY source"""

@@ -98,6 +98,9 @@ def _catalog():
             textops.corpus_lexical_diversity,
             textops.LEXICAL_DIVERSITY_ORACLE,
         ),
+        "corpus_dup_rate_by_source": (
+            textops.corpus_dup_rate_by_source, textops.DUP_RATE_ORACLE,
+        ),
         "benford_audit": (quality.benford_audit, quality.BENFORD_ORACLE),
         "weighted_median_price": (
             advanced.weighted_median_price, advanced.WEIGHTED_MEDIAN_ORACLE,
