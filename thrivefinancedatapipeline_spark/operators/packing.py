@@ -83,6 +83,29 @@ def ranged_prefix_sum(
     )
 
 
+def ranged_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "_rn",
+) -> DataFrame:
+    """Global 1-based row number under the ASCENDING total order of
+    ``order_cols`` (include a unique tiebreak; for a descending key,
+    negate it), with NO single-partition window — the same two-phase
+    ranged scan as ``ranged_prefix_sum`` with a unit value and one
+    global stream. The constant stream key keeps every window's
+    partition spec non-empty (the tiny offsets window included), so
+    no plan stage funnels the relation through one task.
+
+    This is the scale-safe replacement for
+    ``row_number()/ntile()/percent_rank() OVER (ORDER BY ...)``:
+    at 10^8+ rows the global-window form is a single-task sort, while
+    this form is hundreds of bounded range partitions plus one
+    broadcast of per-partition counts."""
+    d = df.withColumn("_g", F.lit(0)).withColumn("_one", F.lit(1))
+    out = ranged_prefix_sum(d, ["_g"], list(order_cols), "_one", out_col)
+    return out.drop("_g", "_one")
+
+
 def pack_assignments(
     docs: DataFrame,
     stream_cols: list[str],

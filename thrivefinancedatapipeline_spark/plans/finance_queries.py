@@ -355,18 +355,49 @@ def q_balance_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers bucketed into balance quartiles (ntile over the
-    deterministic (balance, customer) order) with per-quartile stats —
-    the segmentation step finance reporting layers on Q7/Q9."""
-    from pyspark.sql import Window
+def _ntile4_sql(rn: str, n: str) -> str:
+    """Exact ``ntile(4)`` from a 1-based global row number: the first
+    ``n mod 4`` tiles hold ``n div 4 + 1`` rows, the rest one fewer —
+    the ANSI ntile contract, evaluated in integer space so Spark and
+    DuckDB agree bit-for-bit. Pairs with ranged_row_number to replace
+    the single-task ``ntile() OVER (ORDER BY ...)`` window.
+    greatest(q,1) guards the (never-taken when n < 4) else branch
+    against a div-by-zero under ANSI mode."""
+    q = f"({n} div 4)"
+    r = f"({n} % 4)"
+    return (
+        f"CAST(CASE WHEN {rn} <= {r} * ({q} + 1) "
+        f"THEN ({rn} + {q}) div ({q} + 1) "
+        f"ELSE {r} + ({rn} - {r} * ({q} + 1) + {q} - 1) div greatest({q}, 1) "
+        f"END AS INT)"
+    )
 
-    cur = _current(spark, sf_dir)
-    w = Window.orderBy(F.col("current_balance").desc(), F.col("customer_id"))
-    tiled = cur.select(
+
+def q_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers bucketed into balance quartiles with per-quartile
+    stats — the segmentation step finance reporting layers on Q7/Q9.
+
+    Scale posture: quartile assignment is an exact integer ntile
+    derived from a global row number computed by the two-phase ranged
+    scan (operators/packing.py ranged_row_number) — no
+    ``ntile() OVER (ORDER BY ...)`` single-task window. The descending
+    balance order is expressed as an ascending sort on the negated
+    balance with the customer_id tiebreak, so the total order (and
+    therefore every tile) is bit-identical to the old global-window
+    form."""
+    from ..operators.packing import ranged_row_number
+
+    cur = _current(spark, sf_dir).withColumn(
+        "_negbal", -F.col("current_balance")
+    )
+    ranked = ranged_row_number(
+        cur, ["_negbal", "customer_id"], "_rn"
+    )
+    n_agg = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    tiled = ranked.crossJoin(F.broadcast(n_agg)).select(
         "customer_id",
         "current_balance",
-        F.ntile(4).over(w).alias("quartile"),
+        F.expr(_ntile4_sql("_rn", "_n")).alias("quartile"),
     )
     return tiled.groupBy("quartile").agg(
         F.count("*").alias("n_customers"),
@@ -412,17 +443,33 @@ def q_balance_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_balance_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each customer's standing in the balance distribution:
-    percent_rank and cumulative distribution over the (tiny) balances
-    relation — deterministic via the (balance, customer_id) order."""
-    from pyspark.sql import Window
+    percent_rank and cumulative distribution, deterministic via the
+    (balance, customer_id) total order.
+
+    Scale posture: ranks come from the two-phase ranged scan
+    (operators/packing.py ranged_row_number), not a
+    ``percent_rank() OVER (ORDER BY ...)`` global window — that form
+    sorts the whole customer dimension in ONE task. Because the order
+    is total (customer_id tiebreak), rank == row_number and there are
+    no peer groups, so pct_rank = (rn-1)/(n-1) and cume_dist = rn/n
+    reproduce the window functions' doubles bit-for-bit."""
+    from ..operators.packing import ranged_row_number
 
     cur = _current(spark, sf_dir)
-    w = Window.orderBy(F.col("current_balance"), F.col("customer_id"))
-    return cur.select(
+    ranked = ranged_row_number(
+        cur, ["current_balance", "customer_id"], "_rn"
+    )
+    n_agg = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    return ranked.crossJoin(F.broadcast(n_agg)).select(
         "customer_id",
         "current_balance",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+        F.round(
+            F.when(F.col("_n") == 1, F.lit(0.0)).otherwise(
+                (F.col("_rn") - 1) / (F.col("_n") - 1)
+            ),
+            6,
+        ).alias("pct_rank"),
+        F.round(F.col("_rn") / F.col("_n"), 6).alias("cume_dist"),
     )
 
 
@@ -824,8 +871,17 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: ntile over (metric, customer_id) — ties split by
     id identically in both engines; recency in whole days from the
     fixed ASOF; monetary in exact integer cents. Customers with no
-    spend are excluded (they have no R). One scan, one groupBy,
-    three ntile windows over the per-customer rollup."""
+    spend are excluded (they have no R).
+
+    Scale posture: the three quartiles are exact integer ntiles from
+    three ranged-scan row numbers (operators/packing.py
+    ranged_row_number + _ntile4_sql) — never three stacked global
+    ntile windows, which would push the whole customer dimension
+    through ONE task three times. Descending orders (frequency,
+    monetary) ride the negated-key ascending sort; the total order,
+    and therefore every tile, is bit-identical to the window form."""
+    from ..operators.packing import ranged_row_number
+
     txns = _txns(spark, sf_dir)
     spent = txns.filter(F.col("tctype") == "spent")
     per_cust = spent.groupBy("customerid").agg(
@@ -838,19 +894,25 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     asof = F.lit(ASOF).cast("timestamp")
     base = per_cust.withColumn(
         "recency_days", F.datediff(F.to_date(asof), F.to_date("last_spend"))
+    ).withColumn(
+        "_negf", -F.col("frequency")
+    ).withColumn(
+        "_negm", -F.col("monetary_cents")
     )
-    wr = Window.orderBy("recency_days", "customerid")
-    wf = Window.orderBy(F.col("frequency").desc(), "customerid")
-    wm = Window.orderBy(F.col("monetary_cents").desc(), "customerid")
-    return base.select(
+    ranked = ranged_row_number(base, ["recency_days", "customerid"], "_rn_r")
+    ranked = ranged_row_number(ranked, ["_negf", "customerid"], "_rn_f")
+    ranked = ranged_row_number(ranked, ["_negm", "customerid"], "_rn_m")
+    n_agg = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    tiled = ranked.crossJoin(F.broadcast(n_agg)).select(
         F.col("customerid").alias("customer_id"),
         F.col("recency_days").cast("int").alias("recency_days"),
         F.col("frequency").cast("long").alias("frequency"),
         F.col("monetary_cents").cast("long").alias("monetary_cents"),
-        F.ntile(4).over(wr).alias("r_quartile"),
-        F.ntile(4).over(wf).alias("f_quartile"),
-        F.ntile(4).over(wm).alias("m_quartile"),
-    ).withColumn(
+        F.expr(_ntile4_sql("_rn_r", "_n")).alias("r_quartile"),
+        F.expr(_ntile4_sql("_rn_f", "_n")).alias("f_quartile"),
+        F.expr(_ntile4_sql("_rn_m", "_n")).alias("m_quartile"),
+    )
+    return tiled.withColumn(
         "rfm",
         (F.col("r_quartile") * 100 + F.col("f_quartile") * 10
          + F.col("m_quartile")).cast("int"),
