@@ -57,6 +57,10 @@ HEADLINE = [
     "session_error_overlap",
     "quality_gate_by_lang",
     "shuffle_plan_events",
+    # r6: the two newly-registered plan families with no existing
+    # headline proxy (IVF+residual-PQ ANN; asymmetric containment)
+    "knn_ivfpq",
+    "dedup_containment",
 ]
 
 

@@ -1787,13 +1787,14 @@ def kcore_decompose(
         if n_nxt == n_edges:
             break
         n_edges = n_nxt
-    return (
-        edges.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("core_deg"))
-        .select(
-            F.col("src").alias("doc_id"),
-            F.col("core_deg").cast("long").alias("core_deg"),
-        )
+    # a final peel makes the documented core_deg >= k invariant hold
+    # UNCONDITIONALLY: if the round bound was exhausted before the
+    # edge-count fixpoint, residual sub-k vertices are dropped here
+    # (one extra filter, a no-op when the loop converged).
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("core_deg"))
+    return deg.filter(F.col("core_deg") >= k).select(
+        F.col("src").alias("doc_id"),
+        F.col("core_deg").cast("long").alias("core_deg"),
     )
 
 
@@ -2051,3 +2052,12 @@ SELECT CAST((SELECT count(*) FROM cnt) AS BIGINT) AS n_sample_docs,
 FROM pairs
 LEFT JOIN hits ON hits.doc_id_1 = pairs.doc_id_1
               AND hits.doc_id_2 = pairs.doc_id_2"""
+
+
+# --- Round-6 registrations: prebuilt catalog drained into the driver
+# --- contract (queries()/oracle_sql()); locally proven green by
+# --- tools/check_prebuilt.py through round 5.
+QUERIES["dedup_containment"] = dedup_containment
+ORACLES["dedup_containment"] = CONTAINMENT_ORACLE
+QUERIES["lsh_recall_audit"] = lsh_recall_audit
+ORACLES["lsh_recall_audit"] = LSH_RECALL_ORACLE

@@ -37,17 +37,19 @@ from ..functions.text import tokens, norm_sql
 PACK_BUDGET = 2_048
 
 
-def ranged_prefix_sum(
+def ranged_scan(
     df: DataFrame,
     stream_cols: list[str],
     order_cols: list[str],
-    value_col: str,
-    out_col: str = "running_total",
+    pairs: list[tuple[str, str]],
 ) -> DataFrame:
-    """Inclusive running sum of `value_col` per stream in (stream,
-    order) order, without a per-stream single-reducer window. Ordering
-    must be a total order within each stream (include a unique
-    tiebreak column)."""
+    """Inclusive running sums of several value columns per stream in
+    (stream, order) order, without a per-stream single-reducer window.
+    ``pairs`` is a list of (value_col, out_col). Ordering must be a
+    total order within each stream (include a unique tiebreak column).
+    One ranged repartition + one checkpoint regardless of how many
+    running sums are derived — cum-revenue and rank (value 1) share
+    the same two-phase scan."""
     keys = [*stream_cols, *order_cols]
     d = (
         df.repartitionByRange(*keys)
@@ -55,9 +57,8 @@ def ranged_prefix_sum(
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)  # pin sampled range boundaries
     )
-    totals = (
-        d.groupBy(*stream_cols, "_pid")
-        .agg(F.sum(value_col).alias("_part_total"))
+    totals = d.groupBy(*stream_cols, "_pid").agg(
+        *[F.sum(v).alias(f"_pt_{o}") for v, o in pairs]
     )
     # each partition's offset = sum of earlier partitions' totals for
     # the same stream — a window over the TINY totals relation
@@ -69,18 +70,34 @@ def ranged_prefix_sum(
     offsets = totals.select(
         *stream_cols,
         "_pid",
-        F.coalesce(F.sum("_part_total").over(w_off), F.lit(0)).alias("_offset"),
+        *[
+            F.coalesce(F.sum(f"_pt_{o}").over(w_off), F.lit(0)).alias(
+                f"_off_{o}"
+            )
+            for _, o in pairs
+        ],
     )
     w_local = (
         Window.partitionBy(*stream_cols, "_pid")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        d.join(F.broadcast(offsets), [*stream_cols, "_pid"])
-        .withColumn(out_col, F.sum(value_col).over(w_local) + F.col("_offset"))
-        .drop("_pid", "_offset")
-    )
+    out = d.join(F.broadcast(offsets), [*stream_cols, "_pid"])
+    for v, o in pairs:
+        out = out.withColumn(o, F.sum(v).over(w_local) + F.col(f"_off_{o}"))
+    return out.drop("_pid", *[f"_off_{o}" for _, o in pairs])
+
+
+def ranged_prefix_sum(
+    df: DataFrame,
+    stream_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running_total",
+) -> DataFrame:
+    """Inclusive running sum of `value_col` per stream — the one-value
+    form of ``ranged_scan``."""
+    return ranged_scan(df, stream_cols, order_cols, [(value_col, out_col)])
 
 
 def ranged_row_number(

@@ -394,3 +394,10 @@ def observe_ingest_quality(df: DataFrame, name: str = "ingest_quality"):
         F.approx_count_distinct(F.to_date("ts")).alias("approx_days"),
     )
     return observed, obs
+
+
+# --- Round-6 registrations: prebuilt catalog drained into the driver
+# --- contract (queries()/oracle_sql()); locally proven green by
+# --- tools/check_prebuilt.py through round 5.
+QUERIES["benford_audit"] = benford_audit
+ORACLES["benford_audit"] = BENFORD_ORACLE

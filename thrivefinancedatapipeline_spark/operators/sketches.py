@@ -123,14 +123,14 @@ def q_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer div — the skew verdict must not depend on float
     rendering."""
     ev = load_table(spark, sf_dir, "events")
+    from ..functions.windows import ranked_top_k
+
     counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
-    w = Window.partitionBy().orderBy(
-        F.col("n_rows").desc(), F.col("user_id")
-    )
     total = counts.agg(F.sum("n_rows").alias("total"))
     return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_KEYS)
+        ranked_top_k(
+            counts, [F.col("n_rows").desc(), F.col("user_id")], TOP_KEYS
+        )
         .crossJoin(F.broadcast(total))
         .select(
             F.col("rank").cast("int").alias("rank"),
@@ -235,14 +235,11 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     counters = hashed.groupBy("i", "bucket").agg(
         F.sum("n_rows").alias("c")
     )
-    w = Window.partitionBy().orderBy(
-        F.col("n_rows").desc(), F.col("user_id")
-    )
-    top = (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_KEYS)
-        .select(F.col("rank").cast("int").alias("rank"), "user_id", "n_rows")
-    )
+    from ..functions.windows import ranked_top_k
+
+    top = ranked_top_k(
+        counts, [F.col("n_rows").desc(), F.col("user_id")], TOP_KEYS
+    ).select(F.col("rank").cast("int").alias("rank"), "user_id", "n_rows")
     est = (
         hashed.join(top.select("user_id"), "user_id", "left_semi")
         .join(F.broadcast(counters), ["i", "bucket"])
@@ -274,10 +271,9 @@ def q_shuffle_plan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     in BYTES via `plan_shuffle_partitions_from_skew` fed by
     `q_join_key_skew`'s ppm table."""
     ev = load_table(spark, sf_dir, "events")
+    from ..functions.windows import ranked_top_k
+
     counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
-    w = Window.partitionBy().orderBy(
-        F.col("n_rows").desc(), F.col("user_id")
-    )
     totals = counts.agg(
         F.sum("n_rows").alias("total"),
         F.sum(
@@ -288,8 +284,9 @@ def q_shuffle_plan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t, c = PLAN_TARGET_ROWS, PLAN_CPUS
     return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_KEYS)
+        ranked_top_k(
+            counts, [F.col("n_rows").desc(), F.col("user_id")], TOP_KEYS
+        )
         .crossJoin(F.broadcast(totals))
         .select(
             F.col("rank").cast("int").alias("rank"),
@@ -418,7 +415,10 @@ def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket", "mn", "w", "n")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    wcum = Window.orderBy("bucket").rowsBetween(
+    from ..functions.windows import bounded_spec
+
+    # fixed HIST_NBUCKETS cells: deliberate single-partition cumsum
+    wcum = bounded_spec(hist).orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     cum = hist.withColumn("cum", F.sum("c").over(wcum))
@@ -662,7 +662,10 @@ def q_equidepth_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stats, heavy = equidepth_boundaries(cents)
     cells = equidepth_cells(cents, stats, heavy)
-    wcum = Window.orderBy("bucket", "sub").rowsBetween(
+    from ..functions.windows import bounded_spec
+
+    # <= EQD_NB*EQD_SUB cells: deliberate single-partition cumsum
+    wcum = bounded_spec(cells).orderBy("bucket", "sub").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     cum = cells.withColumn("cum", F.sum("c").over(wcum))

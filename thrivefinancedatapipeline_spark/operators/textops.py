@@ -181,12 +181,11 @@ def q_corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("term_freq"),
         F.count_distinct("doc_id").alias("doc_freq"),
     )
-    w = Window.orderBy(F.col("term_freq").desc(), F.col("token"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= VOCAB_TOP_N)
-        .select("rank", "token", "term_freq", "doc_freq")
-    )
+    from ..functions.windows import ranked_top_k
+
+    return ranked_top_k(
+        counts, [F.col("term_freq").desc(), F.col("token")], VOCAB_TOP_N
+    ).select("rank", "token", "term_freq", "doc_freq")
 
 
 def q_corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -287,8 +286,12 @@ def q_corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(tokens(F.col("text"))).cast("long")).alias("n_tokens"),
     )
-    total = F.sum("n_tokens").over(Window.partitionBy())
-    return agg.withColumn("total_tokens", total).select(
+    from ..functions.windows import bounded_spec
+
+    # |lang x source| rollup: deliberate single-partition share window
+    return agg.withColumn(
+        "total_tokens", F.sum("n_tokens").over(bounded_spec(agg))
+    ).select(
         "lang",
         "source",
         "n_docs",
@@ -317,7 +320,9 @@ def q_corpus_repeat_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(tokens(F.col("text"))).cast("long")).alias("n_tokens"),
     )
-    w = Window.partitionBy()
+    from ..functions.windows import bounded_spec
+
+    w = bounded_spec(agg)  # |langs| rows by construction
     return (
         agg.withColumn("total_tokens", F.sum("n_tokens").over(w))
         .withColumn("n_langs", F.count(F.lit(1)).over(w))
@@ -405,9 +410,17 @@ def q_corpus_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted with its md5 content hash for downstream exact-dedup of
     chunks. Zero shuffle; the explode multiplies rows by ~n/stride,
     the same fan-out the training set itself has."""
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", tokens(F.col("text")).alias("toks")
-    )
+    return chunk_documents(_docs(spark, sf_dir))
+
+
+def chunk_documents(docs_df) -> DataFrame:
+    """Chunk an ARBITRARY documents relation (doc_id, text, ...) —
+    the composable form of q_corpus_chunk, so callers that already
+    hold a filtered survivor set (run_corpus_pipeline) chunk only the
+    survivors instead of chunking everything and semi-joining after
+    (tokenizing a document the quality gate already dropped is pure
+    waste)."""
+    docs = docs_df.select("doc_id", tokens(F.col("text")).alias("toks"))
     n = F.size("toks")
     starts = F.filter(
         F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(CHUNK_STRIDE)),
@@ -865,12 +878,11 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pair"),
     )
     counts = pairs.groupBy("pair").agg(F.sum("freq").alias("pair_count"))
-    w = Window.orderBy(F.col("pair_count").desc(), F.col("pair"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= BPE_TOP_PAIRS)
-        .select("rank", "pair", "pair_count")
-    )
+    from ..functions.windows import ranked_top_k
+
+    return ranked_top_k(
+        counts, [F.col("pair_count").desc(), F.col("pair")], BPE_TOP_PAIRS
+    ).select("rank", "pair", "pair_count")
 
 
 QUERIES["bpe_merge_candidates"] = q_bpe_merge_candidates
@@ -1450,9 +1462,11 @@ def corpus_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = d.groupBy(
         "source", F.expr(f"n_chars div {DRIFT_BUCKET_W}").alias("bucket")
     ).agg(F.count(F.lit(1)).alias("n_sb"))
+    from ..functions.windows import bounded_spec
+
     wsrc = Window.partitionBy("source")
     wbkt = Window.partitionBy("bucket")
-    wall = Window.partitionBy()
+    wall = bounded_spec(cells)  # |source x bucket| cells by construction
     m = cells.select(
         "source", "bucket", "n_sb",
         F.sum("n_sb").over(wsrc).alias("n_s"),
@@ -1637,3 +1651,18 @@ SELECT source,
        CAST(COUNT(CASE WHEN n_sources > 1 THEN 1 END) * 1000000
             // COUNT(*) AS BIGINT) AS cross_source_ppm
 FROM m GROUP BY source"""
+
+
+# --- Round-6 registrations: prebuilt catalog drained into the driver
+# --- contract (queries()/oracle_sql()); locally proven green by
+# --- tools/check_prebuilt.py through round 5.
+QUERIES["corpus_bigram_coverage"] = corpus_bigram_coverage
+ORACLES["corpus_bigram_coverage"] = BIGRAM_COVERAGE_ORACLE
+QUERIES["pii_scan_redact"] = pii_scan_redact
+ORACLES["pii_scan_redact"] = PII_ORACLE
+QUERIES["corpus_source_drift"] = corpus_source_drift
+ORACLES["corpus_source_drift"] = SOURCE_DRIFT_ORACLE
+QUERIES["corpus_lexical_diversity"] = corpus_lexical_diversity
+ORACLES["corpus_lexical_diversity"] = LEXICAL_DIVERSITY_ORACLE
+QUERIES["corpus_dup_rate_by_source"] = corpus_dup_rate_by_source
+ORACLES["corpus_dup_rate_by_source"] = DUP_RATE_ORACLE

@@ -239,7 +239,7 @@ def run_corpus_pipeline(spark, sf_dir: str, output_dir: str | None = None):
     from .operators.dedup import q_dedup_keep_canonical
     from .operators.packing import pack_assignments
     from .operators.quality import q_quality_gate_by_lang
-    from .operators.textops import q_corpus_chunk, q_corpus_clean
+    from .operators.textops import chunk_documents, q_corpus_clean
 
     docs = load_table(spark, sf_dir, "documents")
     report: dict = {"n_documents": docs.count()}
@@ -256,9 +256,9 @@ def run_corpus_pipeline(spark, sf_dir: str, output_dir: str | None = None):
     s3 = s2.join(gate_ids, "doc_id", "semi").localCheckpoint(eager=True)
     report["n_after_quality_gate"] = s3.count()
 
-    chunks = q_corpus_chunk(spark, sf_dir).join(
-        s3.select("doc_id"), "doc_id", "semi"
-    )
+    # chunk ONLY the survivors: the keep-set semi-join sits beneath
+    # the chunker, so dropped documents are never tokenized
+    chunks = chunk_documents(s3)
     report["n_chunks"] = chunks.count()
 
     from pyspark.sql import Window

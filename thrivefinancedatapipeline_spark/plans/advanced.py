@@ -196,7 +196,10 @@ def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(_exact_sum(_cents("o_totalprice")).alias("cents"))
     )
-    total = F.sum("cents").over(Window.partitionBy())
+    from ..functions.windows import bounded_spec
+
+    # |nations| = 25 rows: deliberate single-partition share window
+    total = F.sum("cents").over(bounded_spec(per_nation))
     return per_nation.select(
         "n_name",
         F.round(F.col("cents").cast("double") / 100, 2).alias("revenue"),
@@ -848,18 +851,23 @@ def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = li.groupBy("l_partkey").agg(
         _exact_sum(_revenue_s()).alias("rev")
     )
-    wcum = Window.orderBy(
-        F.col("rev").desc(), F.col("l_partkey")
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wall = Window.partitionBy()
-    ranked = per_part.select(
-        "l_partkey",
-        "rev",
-        F.sum("rev").over(wcum).alias("cum"),
-        F.sum("rev").over(wall).alias("total"),
-        F.row_number().over(
-            Window.orderBy(F.col("rev").desc(), F.col("l_partkey"))
-        ).alias("rank"),
+    # running revenue + rank over the |parts| relation via ONE
+    # two-phase ranged scan (a global cum/rank window here is a
+    # single-task sort of the whole part dimension at scale); the
+    # descending revenue order rides the negated-key ascending sort,
+    # and the grand total is a broadcast 1-row aggregate.
+    from ..operators.packing import ranged_scan
+
+    base = per_part.withColumn("_g", F.lit(0)).withColumn(
+        "_negrev", -F.col("rev")
+    ).withColumn("_one", F.lit(1))
+    scanned = ranged_scan(
+        base, ["_g"], ["_negrev", "l_partkey"],
+        [("rev", "cum"), ("_one", "rank")],
+    )
+    tot = scanned.agg(F.sum("rev").alias("total"))
+    ranked = scanned.crossJoin(F.broadcast(tot)).select(
+        "l_partkey", "rev", "cum", "total", "rank"
     )
     abc = (
         F.when(F.col("cum") * 100 <= F.col("total") * 80, F.lit("A"))
@@ -1024,18 +1032,17 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("part_1", "part_2")
         .agg(F.count(F.lit(1)).alias("support"))
     )
-    wr = Window.orderBy(
-        F.col("support").desc(), F.col("part_1"), F.col("part_2")
-    )
-    return (
-        pairs.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= BASKET_TOP_K)
-        .select(
-            F.col("rank").cast("int").alias("rank"),
-            "part_1",
-            "part_2",
-            F.col("support").cast("long").alias("support"),
-        )
+    from ..functions.windows import ranked_top_k
+
+    return ranked_top_k(
+        pairs,
+        [F.col("support").desc(), F.col("part_1"), F.col("part_2")],
+        BASKET_TOP_K,
+    ).select(
+        F.col("rank").cast("int").alias("rank"),
+        "part_1",
+        "part_2",
+        F.col("support").cast("long").alias("support"),
     )
 
 
@@ -1053,3 +1060,16 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY support DESC, part_1, part_2)
        part_1, part_2, CAST(support AS BIGINT) AS support
 FROM pairs
 QUALIFY rank <= {BASKET_TOP_K}"""
+
+
+# --- Round-6 registrations: prebuilt catalog drained into the driver
+# --- contract (queries()/oracle_sql()); locally proven green by
+# --- tools/check_prebuilt.py through round 5.
+QUERIES["weighted_median_price"] = weighted_median_price
+ORACLES["weighted_median_price"] = WEIGHTED_MEDIAN_ORACLE
+QUERIES["part_abc_classification"] = part_abc_classification
+ORACLES["part_abc_classification"] = ABC_ORACLE
+QUERIES["order_fulfillment_latency"] = order_fulfillment_latency
+ORACLES["order_fulfillment_latency"] = FULFILLMENT_ORACLE
+QUERIES["basket_part_pairs"] = basket_part_pairs
+ORACLES["basket_part_pairs"] = BASKET_ORACLE

@@ -1207,15 +1207,16 @@ def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("latency_us"),
         )
     )
-    wv = Window.orderBy("latency_us", "user_id")
-    ranked = lat.select(
-        "latency_us",
-        F.row_number().over(wv).alias("rn"),
-        F.count(F.lit(1)).over(
-            Window.rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("n"),
+    # global rank over the per-converting-user relation via the
+    # two-phase ranged scan (this grows with the user dimension — a
+    # row_number() OVER (ORDER BY ...) window here is a single-task
+    # sort at scale); n is a broadcast 1-row aggregate.
+    from ..operators.packing import ranged_row_number
+
+    rn_df = ranged_row_number(lat, ["latency_us", "user_id"], "rn")
+    n_agg = rn_df.agg(F.count(F.lit(1)).alias("n"))
+    ranked = rn_df.crossJoin(F.broadcast(n_agg)).select(
+        "latency_us", "rn", "n"
     )
     qs = F.explode(
         F.array(*[F.lit(q) for q in FUNNEL_LATENCY_QS])
@@ -1315,15 +1316,14 @@ def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     counts = tri.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
-    wr = Window.orderBy(F.col("n").desc(), F.col("path"))
-    return (
-        counts.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= TOP_PATHS_K)
-        .select(
-            F.col("rank").cast("int").alias("rank"),
-            "path",
-            F.col("n").cast("long").alias("n"),
-        )
+    from ..functions.windows import ranked_top_k
+
+    return ranked_top_k(
+        counts, [F.col("n").desc(), F.col("path")], TOP_PATHS_K
+    ).select(
+        F.col("rank").cast("int").alias("rank"),
+        "path",
+        F.col("n").cast("long").alias("n"),
     )
 
 
@@ -1434,10 +1434,12 @@ def events_hour_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shared micros-normalized timestamp. One map-side-combinable
     groupBy; marginals are windows over the <=24*|types| cells."""
     ev = load_table(spark, sf_dir, "events")
+    from ..functions.windows import bounded_spec
+
     cells = hour_cells(ev)
     wr = Window.partitionBy("event_type")
     wc = Window.partitionBy("hour")
-    wn = Window.partitionBy()
+    wn = bounded_spec(cells)  # <= 24*|event types| cells by construction
     m = cells.select(
         "event_type", "hour", "o",
         F.sum("o").over(wr).alias("r"),
@@ -1553,11 +1555,15 @@ def interpurchase_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.to_date("ts"), F.col("prev_d")).alias("gap_days")
         )
     )
+    from ..functions.windows import bounded_spec
+
+    # <= |distinct day gaps| cells (bounded by the corpus day span):
+    # deliberate single-partition cumulation over the tiny rollup
     cells = gaps.groupBy("gap_days").agg(F.count(F.lit(1)).alias("c"))
-    wcum = Window.orderBy("gap_days").rowsBetween(
+    wcum = bounded_spec(cells).orderBy("gap_days").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    wall = Window.partitionBy()
+    wall = bounded_spec(cells)
     walked = cells.select(
         "gap_days", "c",
         F.sum("c").over(wcum).alias("cum"),
@@ -1620,3 +1626,26 @@ def hour_cells(events_df: DataFrame) -> DataFrame:
     return events_df.groupBy(
         "event_type", F.hour("ts").alias("hour")
     ).agg(F.count(F.lit(1)).alias("o"))
+
+
+# --- Round-6 registrations: prebuilt catalog drained into the driver
+# --- contract (queries()/oracle_sql()); locally proven green by
+# --- tools/check_prebuilt.py through round 5.
+QUERIES["events_seasonal_decompose"] = events_seasonal_decompose
+ORACLES["events_seasonal_decompose"] = SEASONAL_ORACLE
+QUERIES["events_robust_anomalies"] = events_robust_anomalies
+ORACLES["events_robust_anomalies"] = ROBUST_ANOMALY_ORACLE
+QUERIES["event_transition_matrix"] = event_transition_matrix
+ORACLES["event_transition_matrix"] = TRANSITION_ORACLE
+QUERIES["funnel_latency_quantiles"] = funnel_latency_quantiles
+ORACLES["funnel_latency_quantiles"] = FUNNEL_LATENCY_ORACLE
+QUERIES["session_top_paths"] = session_top_paths
+ORACLES["session_top_paths"] = TOP_PATHS_ORACLE
+QUERIES["events_burstiness"] = events_burstiness
+ORACLES["events_burstiness"] = BURSTINESS_ORACLE
+QUERIES["events_hour_lift"] = events_hour_lift
+ORACLES["events_hour_lift"] = HOUR_LIFT_ORACLE
+QUERIES["events_type_correlation"] = events_type_correlation
+ORACLES["events_type_correlation"] = TYPE_CORRELATION_ORACLE
+QUERIES["interpurchase_quantiles"] = interpurchase_quantiles
+ORACLES["interpurchase_quantiles"] = INTERPURCHASE_ORACLE

@@ -1048,3 +1048,16 @@ SELECT cells.cohort_week, cells.age_weeks,
          PARTITION BY cells.cohort_week ORDER BY cells.age_weeks
          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_spend_cents
 FROM cells JOIN size_ USING (cohort_week)"""
+
+
+# --- Round-6 registrations: prebuilt catalog drained into the driver
+# --- contract (queries()/oracle_sql()); locally proven green by
+# --- tools/check_prebuilt.py through round 5.
+QUERIES["overdraft_flags"] = overdraft_flags
+ORACLES["overdraft_flags"] = OVERDRAFT_ORACLE
+QUERIES["balance_snapshot_diff"] = balance_snapshot_diff
+ORACLES["balance_snapshot_diff"] = SNAPSHOT_DIFF_ORACLE
+QUERIES["customer_rfm"] = customer_rfm
+ORACLES["customer_rfm"] = RFM_ORACLE
+QUERIES["cohort_ltv"] = cohort_ltv
+ORACLES["cohort_ltv"] = COHORT_LTV_ORACLE

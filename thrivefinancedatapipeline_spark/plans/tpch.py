@@ -509,9 +509,14 @@ def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy("l_suppkey").agg(
         _money(_exact_sum(_revenue_s()), 10000).alias("total_revenue")
     )
-    top = rev.withColumn(
-        "max_rev", F.max("total_revenue").over(Window.partitionBy())
-    ).filter(F.col("total_revenue") == F.col("max_rev"))
+    # grand max as a broadcast 1-row aggregate, not an all-rows MAX
+    # window (which would stream the whole supplier rollup through one
+    # task); AQE's ReuseExchange dedupes the twice-printed rollup
+    # subtree at runtime, as in tpch_q11.
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    top = rev.crossJoin(F.broadcast(mx)).filter(
+        F.col("total_revenue") == F.col("max_rev")
+    )
     return top.join(F.broadcast(supp), top["l_suppkey"] == supp["s_suppkey"]).select(
         "s_suppkey", "s_name", "total_revenue"
     )
