@@ -626,8 +626,9 @@ def test_jpeg_color_codec_roundtrip_and_gray_parity():
 
 
 def test_jpeg_color_subsampling_gate():
-    """Error surface: a stream claiming 2x2 luma sampling must hit
-    the explicit NotImplementedError gate, not misdecode."""
+    """Error surface: sampling factors outside {1,2} (and subsampled
+    single-component streams) hit the explicit NotImplementedError
+    gate, not a misdecode — 2x2/2x1/1x2 are REAL decode paths now."""
     import pytest
 
     from thrivefinancedatapipeline_spark.multimodal import jpeg
@@ -639,9 +640,17 @@ def test_jpeg_color_subsampling_gate():
     # body starts after marker(2)+len(2): prec,h,h,w,w,ncomp then
     # comp0 = id, sampling, tq — sampling is body[7] = d[sof+4+7]
     assert d[sof + 4 + 7] == 0x11
-    d[sof + 4 + 7] = 0x22
+    d[sof + 4 + 7] = 0x31  # h=3: beyond the supported {1,2} factors
     with pytest.raises(NotImplementedError):
         jpeg.decode_jpeg_color(bytes(d))
+
+    gray = bytes((i % 256) for i in range(16 * 8))
+    g = bytearray(jpeg.encode_jpeg(gray, 16, 8))
+    sof = g.find(b"\xff\xc0")
+    assert g[sof + 4 + 7] == 0x11
+    g[sof + 4 + 7] = 0x22  # subsampled single-component: gated
+    with pytest.raises(NotImplementedError):
+        jpeg.decode_jpeg_color(bytes(g))
 
 
 def test_decode_kernel_runs_real_color_jpeg_bytes(spark, sf_dir):
@@ -712,3 +721,84 @@ def test_resize_nn_handles_color_jpeg(spark, sf_dir):
         r = out[p.doc_id]
         assert (r.width, r.height) == (8, 4)
         assert r.checksum == want
+
+
+def _grad_rgb(w, h):
+    # non-wrapping gradients: a modulo wrap is a sharp edge, which
+    # chroma decimation legitimately blurs — the error bound tests
+    # smooth content, the thing 4:2:0 is designed for
+    return bytes(
+        v
+        for y in range(h)
+        for x in range(w)
+        for v in (
+            (x * 255) // max(1, w - 1),
+            (y * 255) // max(1, h - 1),
+            ((x + y) * 255) // max(1, w + h - 2),
+        )
+    )
+
+
+def test_jpeg_420_roundtrip_error_bounded():
+    """4:2:0 decode is REAL: smooth gradients round-trip within tight
+    error bounds, gray content (constant chroma) is near-lossless
+    despite the 2x2 chroma decimation, odd dims exercise the 16x16
+    MCU edge clamps, and the stream is smaller than 4:4:4 of the
+    same content (the point of subsampling)."""
+    from thrivefinancedatapipeline_spark.multimodal import jpeg
+
+    # error scales with gradient steepness (chroma decimation blurs
+    # steep transitions) — at 8x8 a full 0..255 ramp is 36/px and the
+    # "smooth" premise no longer holds, so the sizes here keep ramps
+    # gentle while still covering odd dims / MCU edge clamps
+    for w, h in ((32, 16), (20, 13), (48, 32)):
+        smooth = _grad_rgb(w, h)
+        d = jpeg.encode_jpeg_420(smooth, w, h, quality=92)
+        img = jpeg.decode_jpeg_color(d)
+        assert (img["width"], img["height"], img["channels"]) == (w, h, 3)
+        err = [abs(img["pixels"][i] - smooth[i]) for i in range(len(smooth))]
+        assert sum(err) / len(err) <= 5.0
+        assert max(err) <= 24
+        d444 = jpeg.encode_jpeg_color(smooth, w, h, quality=92)
+        assert len(d) < len(d444)
+
+    w, h = 24, 17
+    gray = bytes(
+        v
+        for i in range(w * h)
+        for v in ((i * 255) // (w * h - 1),) * 3
+    )
+    dg = jpeg.encode_jpeg_420(gray, w, h, quality=95)
+    img = jpeg.decode_jpeg_color(dg)
+    errg = [abs(img["pixels"][i] - gray[i]) for i in range(len(gray))]
+    assert max(errg) <= 3
+
+
+def test_avi_420_video_frame_sampling(spark):
+    """4:2:0 MJPEG stream end to end: container walk + frame sampler
+    decode the subsampled frames; kernel checksums equal driver-side
+    decodes of the same chunks."""
+    import zlib
+
+    from thrivefinancedatapipeline_spark.multimodal import avi, jpeg
+
+    w, h = 24, 16
+    frames = [
+        jpeg.encode_jpeg_420(
+            bytes(((p + 13 * k) % 256) for p in range(w * h * 3)), w, h,
+            quality=90,
+        )
+        for k in range(5)
+    ]
+    payload = avi.encode_avi_mjpeg(frames, w, h)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    rows = mm.frame_sample_avi(df, every_n=2).collect()
+    assert sorted(r.frame_idx for r in rows) == [0, 2, 4]
+    chunks = avi.avi_frame_chunks(payload)
+    for r in rows:
+        img = jpeg.decode_jpeg_color(chunks[r.frame_idx])
+        assert img["channels"] == 3
+        assert (r.width, r.height) == (w, h)
+        assert r.checksum == zlib.crc32(img["pixels"])

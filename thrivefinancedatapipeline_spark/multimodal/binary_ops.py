@@ -75,7 +75,7 @@ def decode_image_batch(payloads: pd.Series, *, fake: bool = False) -> pd.DataFra
             heights.append(img["height"])
             checksums.append(zlib.crc32(img["pixels"]))
         elif jpeg.is_jpeg(bytes(b)):
-            img = jpeg.decode_jpeg_color(bytes(b))  # gray AND 4:4:4
+            img = jpeg.decode_jpeg_color(bytes(b))  # gray, 4:4:4, 4:2:0
             widths.append(img["width"])
             heights.append(img["height"])
             checksums.append(zlib.crc32(img["pixels"]))
@@ -197,7 +197,7 @@ def resize_nn(
                     img = gif.decode_gif(b)
                     ch = 3  # palette-mapped RGB
                 elif jpeg.is_jpeg(b):
-                    img = jpeg.decode_jpeg_color(b)  # gray AND 4:4:4
+                    img = jpeg.decode_jpeg_color(b)  # gray, 4:4:4, 4:2:0
                     ch = img["channels"]
                 else:
                     raise NotImplementedError(

@@ -9,13 +9,18 @@ decoded, AC is run-length decoded with ZRL/EOB handling, coefficients
 are dequantized, de-zigzagged and put through a separable float IDCT
 with level shift and clamping.
 
-Scope gates (explicit NotImplementedError, same policy as interlaced
-GIF / non-baseline PNG): progressive (SOF2), multi-component color and
-chroma subsampling, arithmetic coding, and restart intervals. The
-encoder emits single-component (grayscale) baseline JFIF with the
-standard Annex-K-style tables embedded in the stream — and because the
-decoder reads its tables from the stream, encode→decode correctness
-never depends on those constants matching any external library.
+The color path handles 4:4:4 AND chroma-subsampled layouts (any
+sampling factors in {1,2}x{1,2}: 4:2:0 — the most common real-world
+JPEG — plus 4:2:2/4:4:0), with interleaved h x v MCUs and
+nearest-sample chroma upsampling. Scope gates (explicit
+NotImplementedError, same policy as interlaced GIF / non-baseline
+PNG): progressive (SOF2), sampling factors > 2, arithmetic coding,
+and restart intervals. Encoders emit grayscale (encode_jpeg), 4:4:4
+color (encode_jpeg_color) and 4:2:0 color (encode_jpeg_420) baseline
+JFIF with the standard Annex-K-style tables embedded in the stream —
+and because the decoder reads its tables from the stream,
+encode→decode correctness never depends on those constants matching
+any external library.
 
 JPEG is lossy by construction (DCT quantization), so unlike PNG/GIF/
 WAV there is no bit-exact round trip: tests bound the per-pixel
@@ -444,12 +449,11 @@ def decode_jpeg(data: bytes) -> dict:
 
 
 # ---------------------------------------------------------------------------
-# 4:4:4 YCbCr color (SOF0, no subsampling) — the color extension of the
-# baseline codec above.  Interleaved MCUs of one 8x8 block per
-# component, separate luminance/chrominance quantization and Huffman
-# tables (ITU-T T.81 Annex K constants on the encode side; the decoder
-# still parses every table from the stream).  Chroma subsampling
-# (2x1/2x2 MCUs) keeps the explicit NotImplementedError gate.
+# YCbCr color (SOF0) — the color extension of the baseline codec
+# above.  Interleaved MCUs with per-component h x v sampling factors
+# (4:4:4, 4:2:2, 4:2:0), separate luminance/chrominance quantization
+# and Huffman tables (ITU-T T.81 Annex K constants on the encode
+# side; the decoder still parses every table from the stream).
 # ---------------------------------------------------------------------------
 
 #: base chrominance quantization table (quality 50), row-major
@@ -687,11 +691,18 @@ def decode_jpeg_color(data: bytes) -> dict:
             for i in range(ncomp):
                 cid = body[6 + 3 * i]
                 sampling = body[7 + 3 * i]
-                if sampling != 0x11:
+                sh, sv = sampling >> 4, sampling & 0x0F
+                if sh not in (1, 2) or sv not in (1, 2):
                     raise NotImplementedError(
-                        "chroma subsampling needs a native codec"
+                        "only 1x1/2x1/1x2/2x2 sampling supported"
                     )
-                comps.append((cid, body[8 + 3 * i]))
+                comps.append((cid, body[8 + 3 * i], sh, sv))
+            if ncomp == 1 and comps[0][2:] != (1, 1):
+                # a single-component scan is non-interleaved per
+                # T.81 — sampling factors would apply differently
+                raise NotImplementedError(
+                    "subsampled single-component JPEG"
+                )
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -713,57 +724,169 @@ def decode_jpeg_color(data: bytes) -> dict:
         pos += seglen
     if width is None or height is None:
         raise ValueError("JPEG scan before SOF0")
-    qmap = dict(comps)
+    qmap = {cid: (qt, sh, sv) for cid, qt, sh, sv in comps}
     order = []
     for cid, dc_id, ac_id in scan:
-        if (cid not in qmap or qmap[cid] not in quant
+        if (cid not in qmap or qmap[cid][0] not in quant
                 or dc_id not in huff_dc or ac_id not in huff_ac):
             raise ValueError("JPEG scan references missing tables")
+        qt_id, sh, sv = qmap[cid]
         order.append(
-            (quant[qmap[cid]], huff_dc[dc_id], huff_ac[ac_id])
+            (quant[qt_id], huff_dc[dc_id], huff_ac[ac_id], sh, sv)
         )
     br = _BitReader(data, pos)
-    bw_blocks = -(-width // 8)
-    bh_blocks = -(-height // 8)
     n = len(order)
-    planes = [bytearray(width * height) for _ in range(n)]
+    hmax = max(e[3] for e in order)
+    vmax = max(e[4] for e in order)
+    # component plane dims per T.81 A.1.1: ceil(dim * factor / max)
+    dims = [
+        (-(-width * sh // hmax), -(-height * sv // vmax))
+        for _qt, _d, _a, sh, sv in order
+    ]
+    planes = [bytearray(pw * ph) for pw, ph in dims]
     prev = [0] * n
-    for by in range(bh_blocks):
-        for bx in range(bw_blocks):
-            for ci, (qt, dc_t, ac_t) in enumerate(order):
-                block, prev[ci] = _decode_block(
-                    br, dc_t, ac_t, qt, prev[ci]
-                )
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (qt, dc_t, ac_t, sh, sv) in enumerate(order):
+                pw, ph = dims[ci]
                 plane = planes[ci]
-                for x in range(8):
-                    py = by * 8 + x
-                    if py >= height:
-                        break
-                    row = py * width
-                    for y in range(8):
-                        px = bx * 8 + y
-                        if px >= width:
-                            break
-                        v = int(round(block[x * 8 + y])) + 128
-                        plane[row + px] = (
-                            0 if v < 0 else (255 if v > 255 else v)
+                for bv in range(sv):
+                    for bh in range(sh):
+                        block, prev[ci] = _decode_block(
+                            br, dc_t, ac_t, qt, prev[ci]
                         )
+                        bx0 = (mx * sh + bh) * 8
+                        by0 = (my * sv + bv) * 8
+                        for x in range(8):
+                            py = by0 + x
+                            if py >= ph:
+                                break
+                            row = py * pw
+                            for y in range(8):
+                                px = bx0 + y
+                                if px >= pw:
+                                    break
+                                v = int(round(block[x * 8 + y])) + 128
+                                plane[row + px] = (
+                                    0 if v < 0 else (255 if v > 255 else v)
+                                )
     if n == 1:
         return {
             "width": width, "height": height, "channels": 1,
             "pixels": bytes(planes[0]),
         }
     out = bytearray(width * height * 3)
-    yp, cbp, crp = planes
-    for i in range(width * height):
-        yv, cb, cr = yp[i], cbp[i] - 128.0, crp[i] - 128.0
-        r = int(round(yv + 1.402 * cr))
-        g = int(round(yv - 0.344136 * cb - 0.714136 * cr))
-        b = int(round(yv + 1.772 * cb))
-        out[3 * i] = 0 if r < 0 else (255 if r > 255 else r)
-        out[3 * i + 1] = 0 if g < 0 else (255 if g > 255 else g)
-        out[3 * i + 2] = 0 if b < 0 else (255 if b > 255 else b)
+    if hmax == 1 and vmax == 1:
+        # 4:4:4 fast path — bit-identical to the pre-subsampling codec
+        yp, cbp, crp = planes
+        for i in range(width * height):
+            yv, cb, cr = yp[i], cbp[i] - 128.0, crp[i] - 128.0
+            r = int(round(yv + 1.402 * cr))
+            g = int(round(yv - 0.344136 * cb - 0.714136 * cr))
+            b = int(round(yv + 1.772 * cb))
+            out[3 * i] = 0 if r < 0 else (255 if r > 255 else r)
+            out[3 * i + 1] = 0 if g < 0 else (255 if g > 255 else g)
+            out[3 * i + 2] = 0 if b < 0 else (255 if b > 255 else b)
+    else:
+        # subsampled chroma: nearest-sample upsample (replication) —
+        # chroma sample for (x, y) is at (x*sh//hmax, y*sv//vmax)
+        yp, cbp, crp = planes
+        (yw, _yh), (cbw, _cbh), (crw, _crh) = dims
+        (_q0, _d0, _a0, ysh, ysv) = order[0]
+        (_q1, _d1, _a1, csh, csv) = order[1]
+        (_q2, _d2, _a2, rsh, rsv) = order[2]
+        for yy in range(height):
+            for xx in range(width):
+                i = yy * width + xx
+                yv = yp[(yy * ysv // vmax) * yw + (xx * ysh // hmax)]
+                cb = cbp[(yy * csv // vmax) * cbw
+                         + (xx * csh // hmax)] - 128.0
+                cr = crp[(yy * rsv // vmax) * crw
+                         + (xx * rsh // hmax)] - 128.0
+                r = int(round(yv + 1.402 * cr))
+                g = int(round(yv - 0.344136 * cb - 0.714136 * cr))
+                b = int(round(yv + 1.772 * cb))
+                out[3 * i] = 0 if r < 0 else (255 if r > 255 else r)
+                out[3 * i + 1] = 0 if g < 0 else (255 if g > 255 else g)
+                out[3 * i + 2] = 0 if b < 0 else (255 if b > 255 else b)
     return {
         "width": width, "height": height, "channels": 3,
         "pixels": bytes(out),
     }
+
+
+def encode_jpeg_420(pixels: bytes, width: int, height: int,
+                    quality: int = 90) -> bytes:
+    """4:2:0 YCbCr baseline JFIF from interleaved 8-bit RGB — the
+    most common real-world JPEG layout: 16x16 MCUs of four luma
+    blocks plus one 8x8 block per chroma plane, chroma downsampled
+    2x2 by box average (edge samples duplicated on odd dims)."""
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixels must be width*height*3 bytes")
+    qy = _quant_table(quality)
+    qc = _quant_table_c(quality)
+    dc_y = _build_encode_table(DC_BITS, DC_VALS)
+    ac_y = _build_encode_table(AC_BITS, AC_VALS)
+    dc_c = _build_encode_table(DC_BITS_C, DC_VALS_C)
+    ac_c = _build_encode_table(AC_BITS_C, AC_VALS_C)
+    y, cb, cr = _rgb_to_ycbcr(pixels, width, height)
+    cw, ch = -(-width // 2), -(-height // 2)
+    cbd = [0.0] * (cw * ch)
+    crd = [0.0] * (cw * ch)
+    for cy in range(ch):
+        ys = (2 * cy, min(2 * cy + 1, height - 1))
+        for cx in range(cw):
+            xs = (2 * cx, min(2 * cx + 1, width - 1))
+            cbd[cy * cw + cx] = sum(
+                cb[yy * width + xx] for yy in ys for xx in xs
+            ) / 4.0
+            crd[cy * cw + cx] = sum(
+                cr[yy * width + xx] for yy in ys for xx in xs
+            ) / 4.0
+    bw = _BitWriter()
+    prev = [0, 0, 0]
+    for by in range(0, height, 16):
+        for bx in range(0, width, 16):
+            for dy in (0, 8):
+                for dx in (0, 8):
+                    prev[0] = _encode_block(
+                        bw, y, width, height, bx + dx, by + dy,
+                        qy, dc_y, ac_y, prev[0],
+                    )
+            prev[1] = _encode_block(
+                bw, cbd, cw, ch, bx // 2, by // 2, qc, dc_c, ac_c,
+                prev[1],
+            )
+            prev[2] = _encode_block(
+                bw, crd, cw, ch, bx // 2, by // 2, qc, dc_c, ac_c,
+                prev[2],
+            )
+    bw.flush()
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+    out += struct.pack(">HHBB", 1, 1, 0, 0)
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0)
+    out += bytes(qy[ZIGZAG[i]] for i in range(64))
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 1)
+    out += bytes(qc[ZIGZAG[i]] for i in range(64))
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, height, width, 3)
+    out += bytes((1, 0x22, 0))  # Y: 2x2, qtable 0
+    out += bytes((2, 0x11, 1))  # Cb: 1x1, qtable 1
+    out += bytes((3, 0x11, 1))  # Cr: 1x1, qtable 1
+    for tc_th, bits, vals in (
+        (0x00, DC_BITS, DC_VALS), (0x10, AC_BITS, AC_VALS),
+        (0x01, DC_BITS_C, DC_VALS_C), (0x11, AC_BITS_C, AC_VALS_C),
+    ):
+        out += b"\xff\xc4" + struct.pack(
+            ">HB", 2 + 1 + 16 + len(vals), tc_th
+        )
+        out += bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    out += bytes((1, 0x00, 2, 0x11, 3, 0x11))
+    out += bytes((0, 63, 0))
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
