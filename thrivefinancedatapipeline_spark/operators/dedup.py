@@ -1291,9 +1291,9 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs are leaking each other's text). Reuses the rolling-gram
     machinery: grams distinct-reduce to (source, h) FIRST (the only
     big shuffle), and the self-join runs on that reduced relation with
-    source_1 < source_2 — never on positions. Slated for a
-    `queries()`/oracle registration in round 6 (round 5 is at its
-    new-registration cap); pinned by a Python-twin test meanwhile."""
+    source_1 < source_2 — never on positions.
+    Registered in round 6.
+    """
     docs = _docs(spark, sf_dir)
     tk = docs.select(
         "source", tokens(F.col("text")).alias("toks")
@@ -1808,8 +1808,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     but containment |A∩B|/min(|A|,|B|) ≈ 1 — the boilerplate-
     wrapped / quote-expansion case symmetric dedup misses, and the
     direction LLM decontamination actually cares about (is the
-    benchmark INSIDE the crawl page?). Slated for round-6+
-    registration; Spark==DuckDB pinned by test meanwhile.
+    benchmark INSIDE the crawl page?).
+    Registered in round 6.
 
     Candidates come from the SAME MinHash band join as
     dedup_minhash_lsh (one banding serves both measures — MinHash
@@ -1914,8 +1914,8 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     row: sample size, pairs, true dups, caught dups, recall ppm —
     the continuously-runnable self-audit that tells a production
     dedup pipeline when its banding has drifted off its recall
-    budget (threshold moved, shingle distribution changed). Slated
-    for round-6+ registration; Spark==DuckDB pinned by test.
+    budget (threshold moved, shingle distribution changed).
+    Registered in round 6.
 
     Sampling is the design decision here: a UNIFORM doc sample
     almost never contains BOTH endpoints of a rare dup pair
@@ -2061,3 +2061,23 @@ QUERIES["dedup_containment"] = dedup_containment
 ORACLES["dedup_containment"] = CONTAINMENT_ORACLE
 QUERIES["lsh_recall_audit"] = lsh_recall_audit
 ORACLES["lsh_recall_audit"] = LSH_RECALL_ORACLE
+
+
+# Round-6 registration of the r6 prebuild: the Python-twin-pinned
+# cross-source contamination matrix gets a DuckDB oracle.
+QUERIES["source_overlap_matrix"] = source_overlap_matrix
+
+ORACLES["source_overlap_matrix"] = f"""
+WITH t AS (SELECT source, string_split({_NORM}, ' ') AS toks
+           FROM documents),
+tk AS (SELECT source, toks, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+g AS (
+  SELECT source,
+         md5(array_to_string(toks[i:i+{SPAN_L - 1}], ' ')) AS h
+  FROM tk, unnest(range(1, n_tokens - {SPAN_L - 2})) AS u(i)
+  WHERE n_tokens >= {SPAN_L}),
+sh AS (SELECT DISTINCT source, h FROM g)
+SELECT a.source AS source_1, b.source AS source_2,
+       CAST(COUNT(*) AS BIGINT) AS shared_grams
+FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+GROUP BY 1, 2"""

@@ -312,8 +312,8 @@ def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (event_type, leading digit): observed count, observed frequency
     in integer ppm, the expected Benford ppm as a shared literal
     constant, and the signed deviation — a flat deviation profile
-    clears the audit, spikes localize the suspect digit. Slated for
-    round-6 registration; Spark==DuckDB pinned by test meanwhile.
+    clears the audit, spikes localize the suspect digit.
+    Registered in round 6.
 
     Exactness: the first significant digit of |cents| is a string
     operation on the exact integer (never float log); frequencies

@@ -1025,8 +1025,8 @@ def ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     RESIDUALS give each candidate an 8-lookup asymmetric distance
     (pq_adc_knn) — at billion-vector scale the index is cell-
     partitioned 8-byte codes, the scan touches only probed cells,
-    and no raw vector is read until the final rerank.  Slated for a
-    round-6/7 registration; Spark==DuckDB pinned by test meanwhile.
+    and no raw vector is read until the final rerank.
+    Registered in round 6.
 
     Plan shape: corpus side is ONE projection computing (cell from
     the literal coarse centroids, residual via a literal cell→
@@ -1266,8 +1266,8 @@ def label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     DIFFERENT label (integer ppm) — the standard kNN-disagreement
     signal for mislabeled training examples (Confident-Learning-style
     audits start exactly here). Vectors whose neighborhoods
-    overwhelmingly disagree are the review queue. Slated for
-    round-6+ registration; Spark==DuckDB pinned by test meanwhile.
+    overwhelmingly disagree are the review queue.
+    Registered in round 6.
 
     Candidates come from the SAME multi-table hyperplane LSH banding
     as knn_lsh/dedup_embedding_lsh (deterministic literal planes, so
@@ -1370,8 +1370,8 @@ def coreset_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid, ties toward the lowest id) plus the cell's population —
     the cheap diverse-subset primitive data-curation pipelines use for
     eval-set seeding and dedup-aware subsampling (k-center-greedy's
-    first-order approximation, one pass instead of k passes). Slated
-    for round-6+ registration; Spark==DuckDB pinned by test meanwhile.
+    first-order approximation, one pass instead of k passes).
+    Registered in round 6.
 
     Scale shape: cell+distance are ONE literal-centroid projection
     per row (the ivf assignment expression, both struct fields used);

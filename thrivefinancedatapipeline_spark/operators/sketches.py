@@ -530,9 +530,9 @@ def equidepth_quantiles_by_group(
     per-tenant / per-event-type percentile frames: never one job per
     group. Window functions run per group partition (bounded by
     {EQD_NB}x{EQD_SUB} cells per group). Same output contract as
-    q_equidepth_quantiles plus the group column; slated for an
-    oracled registration in round 6 (round 5 is at its cap), pinned
-    meanwhile by the per-group == per-subset-global parity test."""
+    q_equidepth_quantiles plus the group column;
+    Registered in round 6.
+    """
     stats = (
         keyed.groupBy(group)
         .agg(
@@ -993,3 +993,122 @@ def hist_quantiles_from_cells(cells: DataFrame) -> DataFrame:
             ((F.col("bucket") + 1) * FIXED_HIST_W - 1).alias("hi_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 registrations of the r6 prebuilds: the Python-twin-pinned
+# operators get DuckDB oracles and join the driver contract.
+# ---------------------------------------------------------------------------
+
+def q_cms_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join cardinality estimate — what a cost-based planner wants
+    BEFORE shuffling 100 TB: the CMS inner-product (AMS) estimate of
+    |events ⋈ purchase-events| on user_id, from two tiny mergeable
+    counter grids built with one scan each; the join itself never
+    runs. Deterministic namespaced hashes put the sketch itself under
+    the value-hash oracle; est >= exact by construction (test-pinned
+    alongside)."""
+    ev = load_table(spark, sf_dir, "events")
+    ga = cms_grid_for(ev.select("user_id"), "user_id")
+    gb = cms_grid_for(
+        ev.filter(F.col("event_type") == "purchase").select("user_id"),
+        "user_id",
+    )
+    return cms_join_cardinality(ga, gb)
+
+
+QUERIES["cms_join_cardinality"] = q_cms_join_cardinality
+
+_CMS_B = md5_long_sql("'cms' || i || ':' || CAST(user_id AS VARCHAR)")
+
+ORACLES["cms_join_cardinality"] = f"""
+WITH ia AS (SELECT user_id, i,
+                   {_CMS_B} % {CMS_WIDTH} AS bucket
+            FROM events
+            CROSS JOIN (SELECT unnest(range({CMS_DEPTH})) AS i)),
+ib AS (SELECT user_id, i,
+              {_CMS_B} % {CMS_WIDTH} AS bucket
+       FROM events
+       CROSS JOIN (SELECT unnest(range({CMS_DEPTH})) AS i)
+       WHERE event_type = 'purchase'),
+ga AS (SELECT i, bucket, CAST(COUNT(*) AS BIGINT) AS ca
+       FROM ia GROUP BY i, bucket),
+gb AS (SELECT i, bucket, CAST(COUNT(*) AS BIGINT) AS cb
+       FROM ib GROUP BY i, bucket),
+ip AS (SELECT ga.i, CAST(SUM(ca * cb) AS BIGINT) AS ip
+       FROM ga JOIN gb USING (i, bucket) GROUP BY ga.i)
+SELECT CAST(MIN(ip) AS BIGINT) AS est_join_rows FROM ip"""
+
+
+def q_equidepth_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type adaptive quantiles: the grouped two-pass
+    equi-depth sketch (equidepth_quantiles_by_group) over value cents
+    — per-tenant percentile frames from ONE shared pair of scans,
+    never one job per group."""
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.col("event_type").alias("g"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return equidepth_quantiles_by_group(keyed, "g", "cents")
+
+
+QUERIES["equidepth_by_group"] = q_equidepth_by_group
+
+ORACLES["equidepth_by_group"] = f"""
+WITH cents AS (SELECT event_type AS g,
+                      CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+               FROM events),
+stats AS (SELECT g, MIN(cents) AS mn, MAX(cents) AS mx,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM cents GROUP BY g),
+params AS (SELECT g, mn, n,
+                  greatest(1, (mx - mn + 1 + {EQD_NB - 1}) // {EQD_NB}) AS w
+           FROM stats),
+b AS (SELECT c.g, c.cents, p.mn, p.n, p.w,
+             (c.cents - p.mn) // p.w AS bucket
+      FROM cents c JOIN params p USING (g)),
+h1 AS (SELECT g, bucket, CAST(COUNT(*) AS BIGINT) AS c1,
+              MIN(n) AS n, MIN(w) AS w
+       FROM b GROUP BY g, bucket),
+heavy AS (SELECT g, bucket,
+                 greatest(1, (w + {EQD_SUB - 1}) // {EQD_SUB}) AS sub_w
+          FROM h1 WHERE c1 > n // {EQD_NB}),
+b2 AS (SELECT b.g, b.bucket,
+              CASE WHEN h.bucket IS NULL THEN 0
+                   ELSE (b.cents - b.mn - b.bucket * b.w) // h.sub_w
+              END AS sub
+       FROM b LEFT JOIN heavy h ON h.g = b.g AND h.bucket = b.bucket),
+h2 AS (SELECT g, bucket, sub, CAST(COUNT(*) AS BIGINT) AS c
+       FROM b2 GROUP BY g, bucket, sub),
+cum AS (SELECT *, CAST(SUM(c) OVER (PARTITION BY g ORDER BY bucket, sub
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM h2),
+targets AS (SELECT g, q, (q * n + 99) // 100 AS target, mn, w
+            FROM params CROSS JOIN
+                 (SELECT unnest({list(EQD_QUANTILES)}) AS q)),
+hit AS (
+  SELECT t.g, t.q, t.target,
+         MIN_BY(cum.bucket, cum.bucket * {EQD_SUB} + cum.sub) AS bucket,
+         MIN_BY(cum.sub, cum.bucket * {EQD_SUB} + cum.sub) AS sub,
+         MIN_BY(cum.cum - cum.c, cum.bucket * {EQD_SUB} + cum.sub)
+           AS n_below,
+         MIN(t.mn) AS mn, MIN(t.w) AS w
+  FROM targets t JOIN cum ON cum.g = t.g AND cum.cum >= t.target
+  GROUP BY t.g, t.q, t.target)
+SELECT hit.g AS g,
+       CAST(hit.q AS INT) AS q,
+       CAST(hit.target AS BIGINT) AS target_rank,
+       CAST(hit.bucket AS BIGINT) AS bucket,
+       CAST(hit.sub AS BIGINT) AS sub,
+       CAST(CASE WHEN h.sub_w IS NULL THEN mn + hit.bucket * w
+                 ELSE mn + hit.bucket * w + hit.sub * h.sub_w
+            END AS BIGINT) AS lo_cents,
+       CAST(CASE WHEN h.sub_w IS NULL THEN mn + (hit.bucket + 1) * w - 1
+                 ELSE least(mn + hit.bucket * w
+                              + (hit.sub + 1) * h.sub_w - 1,
+                            mn + (hit.bucket + 1) * w - 1)
+            END AS BIGINT) AS hi_cents,
+       CAST(hit.n_below AS BIGINT) AS n_below,
+       CAST(CASE WHEN h.sub_w IS NULL THEN 0 ELSE 1 END AS INT) AS refined
+FROM hit LEFT JOIN heavy h ON h.g = hit.g AND h.bucket = hit.bucket"""

@@ -1255,8 +1255,8 @@ def corpus_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrences that the model has seen — low coverage = atypical
     token transitions = boilerplate/garbled/foreign text, the same
     quality axis CCNet's KenLM-perplexity filter buckets on (Wenzek
-    et al. 2020), but fully deterministic and integer-exact: slated
-    for round-6 registration, Spark==DuckDB pinned by test meanwhile.
+    et al. 2020), but fully deterministic and integer-exact.
+    Registered in round 6.
 
     Output per doc: n_bigrams, n_common (occurrence-weighted), and
     coverage_ppm = n_common * 1e6 div n_bigrams (docs with < 2 tokens
@@ -1356,9 +1356,8 @@ def pii_scan_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted md5 fingerprint of the REDACTED text makes any
     regexp_replace divergence (missed match, wrong span, ordering)
     flip the cross-engine value hash — far stronger than count
-    equality alone. Slated for round-6 registration; Spark==DuckDB
-    pinned by test meanwhile.
-
+    equality alone.
+    Registered in round 6.
     Patterns are RE2-safe simple classes (no lookaround/backrefs) so
     Java regex and RE2 agree by construction; DuckDB needs the 'g'
     flag to match Spark's replace-all. Pure per-row projection —
@@ -1447,9 +1446,7 @@ def corpus_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     deliveries look different" is the first question a data-quality
     rotation asks, and TV distance is the sane discrete metric for it
     (PSI/KL need logs, which never hash identically across engines).
-    Slated for round-6+ registration; Spark==DuckDB pinned by test
-    meanwhile.
-
+    Registered in round 6.
     Exactness: TV = 1/2 * sum_b |p_sb - p_b| over common-denominator
     integers: |n_sb * N - n_b * N_s| summed in DECIMAL(38,0) (counts
     up to ~1e12 keep the product inside 38 digits — the ppm
@@ -1532,8 +1529,8 @@ def corpus_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary, type-token ratio in integer ppm, and hapax (frequency
     1) share of the vocabulary — the classic Zipf-adjacent signals
     that separate template/boilerplate feeds (low TTR, few hapaxes)
-    from natural prose, without a single logarithm. Slated for
-    round-6+ registration; Spark==DuckDB pinned by test meanwhile.
+    from natural prose, without a single logarithm.
+    Registered in round 6.
 
     Scale shape: ONE (source, token) groupBy over the token fan-out
     (map-side combinable, uniform keys) carries everything; the
@@ -1591,8 +1588,8 @@ def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct contents also seen in some other source) — both integer
     ppm. The provider scorecard that tells a data-acquisition team
     who to chase; complements corpus_source_drift (distribution) and
-    corpus_lexical_diversity (vocabulary). Slated for round-6+
-    registration; Spark==DuckDB pinned by test.
+    corpus_lexical_diversity (vocabulary).
+    Registered in round 6.
 
     Scale shape: ONE (source, content-hash) groupBy over documents
     carries the within-source audit; the cross-source flag is a

@@ -748,9 +748,8 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact QUANTITY-WEIGHTED median unit price per return flag —
     the weighted-quantile primitive (half the shipped QUANTITY sits
     at or below this price), which plain percentile/median operators
-    can't express. Slated for round-6 registration; Spark==DuckDB
-    pinned by test meanwhile.
-
+    can't express.
+    Registered in round 6.
     Exactness: the median is an exact DATA ELEMENT — the smallest
     price (integer cents) whose cumulative quantity weight w_cum
     satisfies 2*w_cum >= w_total — never an interpolation, so both
@@ -833,8 +832,8 @@ def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC (Pareto) inventory classification: parts ranked by revenue,
     class A while the running share of total revenue is <= 80%, B to
     95%, C after — the classic "which 20% of SKUs carry 80% of the
-    business" cut that drives stocking policy. Slated for round-6+
-    registration; Spark==DuckDB pinned by test.
+    business" cut that drives stocking policy.
+    Registered in round 6.
 
     Exactness: revenue in exact integer cents-scale units
     (the shared _revenue_s expression); running share compared by
@@ -921,9 +920,8 @@ def order_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_orderdate to its LAST l_shipdate (the order isn't done until
     the last line ships); per priority, the {FULFILL_QS} quantiles
     are exact data elements at ceil(q*n/100) ranks over the
-    cumulative cell walk. Slated for round-6+ registration;
-    Spark==DuckDB pinned by test.
-
+    cumulative cell walk.
+    Registered in round 6.
     Scale shape: one lineitem groupBy (per-order max shipdate), one
     broadcast-dim... no — orders is the fact here: the order join
     shuffles on o_orderkey (the key every downstream join reuses),
@@ -1008,9 +1006,8 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket mining, the frequent-PAIR core: the top
     {BASKET_TOP_K} part pairs most often bought in the SAME order,
     with support counts — the co-purchase signal behind "frequently
-    bought together". Slated for round-6+ registration; Spark==DuckDB
-    pinned by test.
-
+    bought together".
+    Registered in round 6.
     Scale shape: the within-order self-join is bounded by
     (lines-per-order choose 2) — a per-order constant (~7 lines →
     ≤21 pairs), never a corpus-quadratic term; parts distinct-reduce

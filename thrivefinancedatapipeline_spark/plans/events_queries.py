@@ -500,8 +500,8 @@ def events_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~(n * total^2)^2, which at daily-cents scale already bursts 38
     digits at sf0.1 — unit scale keeps it ~1e31 with headroom to
     ~sf10 while changing r^2 only in the 5th decimal. Every output
-    column is engine-exact, making this directly oracle-able (slated
-    for a round-6 registration; Python-twin pinned meanwhile).
+    column is engine-exact, making this directly oracle-able
+    (registered in round 6).
 
     Scale shape: one map-side-combinable daily groupBy; the pair join
     runs on the TINY (day, type, cents) rollup (|days| x |types|
@@ -884,9 +884,8 @@ def events_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     trend (centered 7-day moving average), day-of-week seasonal
     component, and residual — entirely in EXACT integer arithmetic so
     every column sits under the cross-engine value hash (no
-    loess/floats anywhere): slated for a round-6 registration,
-    Spark==DuckDB pinned by test meanwhile.
-
+    loess/floats anywhere):
+    Registered in round 6.
     Exactness strategy (the events_daily_anomalies / correlation
     playbook): the series runs in whole units (daily cents div 100);
     trend is emitted as the exact pair (trend_sum, 7) rather than a
@@ -997,9 +996,8 @@ def events_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     series — the breakdown-point-0.5 twin of events_daily_anomalies'
     mean/σ z-score, which a single fat-fingered day can drag; the
     median absolute deviation cannot be moved by fewer than half the
-    points. Slated for round-6 registration; Spark==DuckDB pinned by
-    test meanwhile.
-
+    points.
+    Registered in round 6.
     Exactness strategy: medians are EXACT ELEMENTS, not interpolated
     — the lower median is the row at rank (n+1) div 2 under the
     deterministic total order (value, day), so both engines pick the
@@ -1091,8 +1089,8 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix of user behavior: for
     every ordered pair of event types, how often does a user's next
     event follow the previous one — THE navigation/behavior-flow
-    summary (what follows a signup? what precedes an error?). Slated
-    for round-6 registration; Spark==DuckDB pinned by test meanwhile.
+    summary (what follows a signup? what precedes an error?).
+    Registered in round 6.
 
     Per user, events order by (ts, event_id) — a total order both
     engines share (ts alone ties at whole-second boundaries); each
@@ -1158,8 +1156,8 @@ def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """How long does the funnel take? Exact quantiles of the
     signup→purchase completion latency over converting users — the
     time-to-convert distribution growth teams watch next to the
-    stage-reach counts (q_events_funnel). Slated for round-6
-    registration; Spark==DuckDB pinned by test meanwhile.
+    stage-reach counts (q_events_funnel).
+    Registered in round 6.
 
     Exactness: latency is exact integer MICROSECONDS
     (unix_micros(t_first_buy) - unix_micros(t_signup)); each quantile
@@ -1276,8 +1274,8 @@ def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence mining over sessions: the TOP-{TOP_PATHS_K} 3-step
     behavior paths (event-type trigrams WITHIN a session, consecutive
     by time) across the corpus — "what do users actually do" as a
-    ranked path table, the navigation-analysis staple. Slated for
-    round-6+ registration; Spark==DuckDB pinned by test meanwhile.
+    ranked path table, the navigation-analysis staple.
+    Registered in round 6.
 
     Plan: the sessionize windows (start-flag lag + running-sum index)
     and the two path lags all share ONE user_id exchange —
@@ -1367,8 +1365,8 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     is Poisson-like organic arrival. Emitted as the exact integer
     Pearson-style components (n, sum, sum of squares) plus the
     ppm-scaled VMR computed with one truncating div over
-    DECIMAL(38,0) products — no float in any hashed column. Slated
-    for round-6+ registration; Spark==DuckDB pinned by test.
+    DECIMAL(38,0) products — no float in any hashed column.
+    Registered in round 6.
 
     vmr_ppm = 1e6 * (n*ss - s^2) / (s * (n-1))  [sample variance /
     mean, common-denominator integer form]. Types observed on a
@@ -1425,8 +1423,8 @@ def events_hour_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     count over the independence expectation row_total*col_total/N
     (lift 1e6 = "this type is indifferent to this hour"; errors at
     3am, purchases at noon show as >1e6 cells). The normalized
-    companion of the raw-count hourly heatmap. Slated for round-6+
-    registration; Spark==DuckDB pinned by test meanwhile.
+    companion of the raw-count hourly heatmap.
+    Registered in round 6.
 
     Exactness: lift_ppm = o * N * 1e6 div (r * c) — one truncating
     div over DECIMAL(38,0) products (counts to ~1e12 stay inside 38
@@ -1533,8 +1531,8 @@ def interpurchase_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repurchase-cadence distribution: exact quantiles of the gap in
     days between a user's CONSECUTIVE purchases — the metric behind
     replenishment emails and churn-risk windows ("the median
-    repurchaser returns in N days; 90% return within M"). Slated for
-    round-6+ registration; Spark==DuckDB pinned by test.
+    repurchaser returns in N days; 90% return within M").
+    Registered in round 6.
 
     Exactness: gaps from the per-user lag window under the (ts,
     event_id) total order, in whole days; quantiles are exact

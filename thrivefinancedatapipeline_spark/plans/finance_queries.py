@@ -690,9 +690,8 @@ def overdraft_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     CROSSED zero — the point-in-time dimensional lookup the SCD2
     dimension exists to answer, collapsed to its exact window form
     (probe set == transaction set, so the asof is a lag, no join at
-    all). Slated for round-6 registration; Spark==DuckDB pinned by
-    test meanwhile.
-
+    all).
+    Registered in round 6.
     Engine parity: prev/post are the SAME ordered window sum both
     engines compute bit-identically (the balance_history contract);
     flags compare those identical doubles, rounding only at the
@@ -776,9 +775,8 @@ def balance_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows — the generic "what changed between two snapshots" operator
     every warehouse reconciliation job needs (deletes can't occur in
     an append-only ledger, so the class is asserted empty rather than
-    modeled). Slated for round-6 registration; Spark==DuckDB pinned
-    by test meanwhile.
-
+    modeled).
+    Registered in round 6.
     Both snapshots derive from ONE pass over the ledger: conditional
     max_by aggregations at the two cutoffs share a single groupBy
     (never two scans + a full outer join — the naive diff shape). A
@@ -866,8 +864,7 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     Frequency (spend count) and Monetary (total spent cents), each
     quartiled 1..4 by ntile under a deterministic total order, plus
     the combined 'rfm' code (111 = best: recent, frequent, big).
-    Slated for round-6+ registration; Spark==DuckDB pinned by test.
-
+    Registered in round 6.
     Determinism: ntile over (metric, customer_id) — ties split by
     id identically in both engines; recency in whole days from the
     fixed ASOF; monetary in exact integer cents. Customers with no
@@ -956,9 +953,8 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend cents, active customers, and the cohort's CUMULATIVE spend
     — the LTV curve finance teams read next to cohort retention
     (events_cohort_retention counts activity; this one counts
-    money). Slated for round-6+ registration; Spark==DuckDB pinned
-    by test.
-
+    money).
+    Registered in round 6.
     Exactness: everything integer — epoch-week = epoch_days div 7
     (engine-neutral, no locale week rules), spend in exact cents,
     cumulative sums over the tiny (cohort, age) rollup. Plan: one
