@@ -1593,3 +1593,105 @@ def probe_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell").isin(probed_cells)
     )
     return _ivfpq_rank(spark, sf_dir, probes, codes)
+
+
+def q_embedding_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE embedding centroid vs the global corpus centroid —
+    the domain-drift audit for a multi-feed corpus (a feed whose
+    centroid points away from the corpus is a different distribution:
+    new domain, new language mix, or a scraper gone wrong). Everything
+    hashable is exact integer: centroids in floor-averaged micros (the
+    one IEEE double division both engines share, the ivf_knn
+    discipline), dot products and squared norms as BIGINT sums, and
+    the alignment emitted as SIGNED squared-cosine ppm
+    (dot^2 * 1e6 div (|c|^2 |g|^2), negated when the dot is negative)
+    — no sqrt, no float in any hashed column.
+
+    Scale shape: one embeddings scan, a 64-way bounded posexplode,
+    one map-side-combinable (source, pos) rollup; everything after
+    runs on |sources| x dim rows. The doc join ships only
+    (doc_id, source)."""
+    iv = _int_vecs(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    px = iv.join(src, "vec_id").select(
+        "source", F.posexplode("xi").alias("pos", "x")
+    )
+    per = px.groupBy("source", "pos").agg(
+        F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    cent = per.select(
+        "source",
+        "pos",
+        F.expr("CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT)").alias("c"),
+        "n",
+    )
+    gper = px.groupBy("pos").agg(
+        F.sum("x").alias("gs"), F.count(F.lit(1)).alias("gn")
+    )
+    glob = gper.select(
+        "pos",
+        F.expr("CAST(floor(CAST(gs AS DOUBLE) / gn) AS BIGINT)").alias("g"),
+    )
+    j = cent.join(F.broadcast(glob), "pos")
+    agg = j.groupBy("source").agg(
+        F.expr("CAST(first(n) AS BIGINT)").alias("n_vecs"),
+        F.sum(F.col("c") * F.col("g")).alias("dot_global"),
+        F.sum(F.col("c") * F.col("c")).alias("norm_sq"),
+        F.sum(F.col("g") * F.col("g")).alias("global_norm_sq"),
+    )
+    mag = F.expr(
+        "CAST(CAST(dot_global AS DECIMAL(38,0)) * dot_global * 1000000"
+        " div (CAST(norm_sq AS DECIMAL(38,0)) * global_norm_sq)"
+        " AS BIGINT)"
+    )
+    return agg.select(
+        "source",
+        "n_vecs",
+        F.col("dot_global").cast("long").alias("dot_global"),
+        F.col("norm_sq").cast("long").alias("norm_sq"),
+        F.col("global_norm_sq").cast("long").alias("global_norm_sq"),
+        F.when(F.col("dot_global") < 0, -mag).otherwise(mag)
+        .cast("long")
+        .alias("cos2_ppm_signed"),
+    )
+
+
+QUERIES["embedding_source_drift"] = q_embedding_source_drift
+
+ORACLES["embedding_source_drift"] = f"""
+WITH em AS (SELECT vec_id,
+                   [CAST(ROUND(x * {MICRO}, 0) AS BIGINT)
+                    for x in CAST(embedding AS DOUBLE[])] AS xi
+            FROM embeddings),
+src AS (SELECT doc_id AS vec_id, source FROM documents),
+px2 AS (SELECT s.source, unnest(em.xi) AS x,
+               generate_subscripts(em.xi, 1) AS pos
+        FROM em JOIN src s USING (vec_id)),
+per AS (SELECT source, pos, CAST(SUM(x) AS BIGINT) AS sm,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM px2 GROUP BY source, pos),
+cent AS (SELECT source, pos,
+                CAST(FLOOR(CAST(sm AS DOUBLE) / n) AS BIGINT) AS c, n
+         FROM per),
+gper AS (SELECT pos, CAST(SUM(x) AS BIGINT) AS gsm,
+                CAST(COUNT(*) AS BIGINT) AS gn
+         FROM px2 GROUP BY pos),
+gcent AS (SELECT pos,
+                CAST(FLOOR(CAST(gsm AS DOUBLE) / gn) AS BIGINT) AS g
+         FROM gper),
+agg AS (SELECT source, CAST(MIN(n) AS BIGINT) AS n_vecs,
+               CAST(SUM(c * g) AS BIGINT) AS dot_global,
+               CAST(SUM(c * c) AS BIGINT) AS norm_sq,
+               CAST(SUM(g * g) AS BIGINT) AS global_norm_sq
+        FROM cent JOIN gcent USING (pos) GROUP BY source)
+SELECT source, n_vecs, dot_global, norm_sq, global_norm_sq,
+       CAST(CASE WHEN dot_global < 0 THEN
+              -(CAST(dot_global AS HUGEINT) * dot_global * 1000000
+                // (CAST(norm_sq AS HUGEINT) * global_norm_sq))
+            ELSE
+              CAST(dot_global AS HUGEINT) * dot_global * 1000000
+                // (CAST(norm_sq AS HUGEINT) * global_norm_sq)
+            END AS BIGINT) AS cos2_ppm_signed
+FROM agg"""

@@ -1663,3 +1663,157 @@ QUERIES["corpus_lexical_diversity"] = corpus_lexical_diversity
 ORACLES["corpus_lexical_diversity"] = LEXICAL_DIVERSITY_ORACLE
 QUERIES["corpus_dup_rate_by_source"] = corpus_dup_rate_by_source
 ORACLES["corpus_dup_rate_by_source"] = DUP_RATE_ORACLE
+
+
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language — the per-locale metric
+    tokenizer teams watch before freezing a vocab: subword pieces per
+    word under the trained {BPE_ROUNDS}-merge vocabulary (high
+    fertility = the merges serve that language poorly, inflating
+    sequence length per sentence) plus chars-per-subword compression.
+
+    Same scale shape as bpe_apply: tokenization cost is paid once per
+    DISTINCT word (the trained vocab carries each word's symbol
+    count), the corpus pass is a scan + broadcast vocab join + one
+    map-side-combinable per-lang rollup. Integer-exact ppm ratios."""
+    _merges, vocab = _bpe_train(spark, sf_dir)
+    tokv = vocab.select(
+        "w",
+        F.size(
+            F.split(F.expr("substring(s, 2, length(s) - 2)"), r"\)\(")
+        ).alias("n_sub"),
+        F.length("w").alias("n_chars_w"),
+    )
+    docs = _docs(spark, sf_dir)
+    dw = docs.select(
+        "lang", F.explode(tokens(F.col("text"))).alias("w")
+    ).filter(F.col("w").rlike("^[a-z0-9]+$"))
+    agg = (
+        dw.join(F.broadcast(tokv), "w")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").alias("n_subwords"),
+            F.sum("n_chars_w").alias("n_chars"),
+        )
+    )
+    return agg.select(
+        "lang",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_subwords").cast("long").alias("n_subwords"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.expr(
+            "CAST(CAST(n_subwords AS DECIMAL(38,0)) * 1000000"
+            " div n_words AS BIGINT)"
+        ).alias("fertility_ppm"),
+        F.expr(
+            "CAST(CAST(n_chars AS DECIMAL(38,0)) * 1000000"
+            " div n_subwords AS BIGINT)"
+        ).alias("chars_per_subword_ppm"),
+    )
+
+
+QUERIES["bpe_fertility"] = q_bpe_fertility
+
+
+def _bpe_fertility_oracle() -> str:
+    ctes = _bpe_ctes() + [
+        f"tokv AS (SELECT w, CAST(len(string_split(substring(s, 2,"
+        f" length(s) - 2), ')(')) AS BIGINT) AS n_sub,"
+        f" CAST(length(w) AS BIGINT) AS n_chars_w FROM s{BPE_ROUNDS})",
+        "dw AS (SELECT lang, w FROM (SELECT lang,"
+        f" unnest({_TOKS}) AS w FROM documents)"
+        " WHERE regexp_matches(w, '^[a-z0-9]+$'))",
+        "agg AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,"
+        " CAST(SUM(n_sub) AS BIGINT) AS n_subwords,"
+        " CAST(SUM(n_chars_w) AS BIGINT) AS n_chars"
+        " FROM dw JOIN tokv USING (w) GROUP BY lang)",
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT lang, n_words, n_subwords, n_chars,"
+        " CAST(CAST(n_subwords AS HUGEINT) * 1000000 // n_words"
+        " AS BIGINT) AS fertility_ppm,"
+        " CAST(CAST(n_chars AS HUGEINT) * 1000000 // n_subwords"
+        " AS BIGINT) AS chars_per_subword_ppm"
+        " FROM agg"
+    )
+
+
+ORACLES["bpe_fertility"] = _bpe_fertility_oracle()
+
+
+def q_corpus_bigram_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-free language-model quality proxy: score each document by
+    how FAMILIAR its word bigrams are to the corpus — the sum and
+    integer-average of corpus-wide occurrence counts over the doc's
+    consecutive token pairs. The log-free stand-in for perplexity
+    filtering (CCNet-style): low familiarity = text whose transitions
+    the corpus has rarely seen (noise, boilerplate soup, wrong-lang
+    fragments); no logarithm ever enters a hashed column, so both
+    engines agree exactly.
+
+    Scale shape: one bigram explode (bounded per-row fan-out), ONE
+    shuffle to count bigrams corpus-wide (uniform md5-free keys,
+    map-side combinable), one join back on the bigram key, one
+    per-doc rollup. At 100 TB the count relation is the corpus bigram
+    vocabulary — orders of magnitude smaller than the token stream."""
+    docs = _docs(spark, sf_dir)
+    tk = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    bg = tk.select(
+        "doc_id",
+        F.explode(
+            # Spark sequence(1, 0) would run DESCENDING — guard the
+            # single-token case with an explicit empty array
+            F.expr(
+                "CASE WHEN size(toks) >= 2 THEN"
+                " transform(sequence(1, size(toks) - 1),"
+                " i -> concat(element_at(toks, i), ' ',"
+                " element_at(toks, i + 1)))"
+                " ELSE array() END"
+            )
+        ).alias("bg"),
+    )
+    counts = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("n_corpus"))
+    agg = (
+        bg.join(counts, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("n_corpus").alias("fam_sum"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias(
+                "n_bigrams"
+            ),
+            F.coalesce("fam_sum", F.lit(0)).cast("long").alias("fam_sum"),
+            F.when(F.coalesce("n_bigrams", F.lit(0)) == 0, F.lit(0))
+            .otherwise(F.expr("fam_sum div n_bigrams"))
+            .cast("long")
+            .alias("fam_avg"),
+        )
+    )
+
+
+QUERIES["corpus_bigram_familiarity"] = q_corpus_bigram_familiarity
+
+ORACLES["corpus_bigram_familiarity"] = f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+bg AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+       FROM tk, unnest(range(1, greatest(len(toks), 1))) AS u(i)),
+counts AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS n_corpus
+           FROM bg GROUP BY bg),
+agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(n_corpus) AS BIGINT) AS fam_sum
+        FROM bg JOIN counts USING (bg) GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(a.n_bigrams, 0) AS n_bigrams,
+       COALESCE(a.fam_sum, 0) AS fam_sum,
+       CASE WHEN COALESCE(a.n_bigrams, 0) = 0 THEN 0
+            ELSE a.fam_sum // a.n_bigrams END AS fam_avg
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
