@@ -48,6 +48,16 @@ def main(argv: list[str] | None = None) -> int:
     cpipe.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     cpipe.add_argument("--output", default=None)
 
+    annp = sub.add_parser(
+        "ann-index",
+        help="persisted IVF-PQ index lifecycle: build (train + encode"
+        " + persist), probe (read-only query, partition-pruned), or"
+        " drop the catalog tables",
+    )
+    annp.add_argument("action", choices=["build", "probe", "drop"])
+    annp.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    annp.add_argument("--limit", type=int, default=20)
+
     args = p.parse_args(argv)
 
     from .registry import all_queries
@@ -67,6 +77,30 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         df = queries[args.query](spark, args.sf_dir)
         df.show(args.limit, truncate=False)
+        return 0
+
+    if args.cmd == "ann-index":
+        from .operators import similarity as sim
+
+        if args.action == "build":
+            sim.build_ivfpq_index(spark, args.sf_dir)
+            n = spark.table(sim.IVFPQ_CODES_TABLE).count()
+            print(json.dumps({
+                "built": [sim.IVFPQ_CENTROIDS_TABLE,
+                          sim.IVFPQ_CODEBOOKS_TABLE,
+                          sim.IVFPQ_CODES_TABLE],
+                "codes_rows": n,
+            }))
+        elif args.action == "probe":
+            sim.probe_ivfpq_index(spark, args.sf_dir).show(
+                args.limit, truncate=False
+            )
+        else:
+            for t in (sim.IVFPQ_CENTROIDS_TABLE,
+                      sim.IVFPQ_CODEBOOKS_TABLE,
+                      sim.IVFPQ_CODES_TABLE):
+                sim._drop_table(spark, t)
+            print(json.dumps({"dropped": True}))
         return 0
 
     if args.cmd == "corpus-pipeline":

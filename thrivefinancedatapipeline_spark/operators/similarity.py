@@ -1541,15 +1541,36 @@ def build_ivfpq_index(spark: SparkSession, sf_dir: str) -> None:
     )
 
 
+def _index_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read an index table — from the session catalog when present,
+    else from its warehouse directory (saveAsTable's catalog entry is
+    per-session with the in-memory catalog, but the parquet layout on
+    disk is durable; partition discovery recovers the cell
+    partitioning on the path read)."""
+    if spark.catalog.tableExists(table):
+        return spark.table(table)
+    import os
+    from urllib.parse import urlparse
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    if wh.startswith("file:"):
+        path = f"{urlparse(wh).path}/{table.lower()}"
+        if os.path.isdir(path):
+            return spark.read.parquet(path)
+    raise ValueError(
+        f"index table {table} not built — run build_ivfpq_index first"
+    )
+
+
 def load_ivfpq_quantizer(spark: SparkSession) -> tuple[list, list]:
     """(coarse, books) reconstructed from the header tables — the
     'load the index header' step; tiny (<= KM_K + PQ_M*PQ_K rows)."""
     coarse = sorted(
         (int(r.cell), [int(x) for x in r.centroid])
-        for r in spark.table(IVFPQ_CENTROIDS_TABLE).collect()
+        for r in _index_table(spark, IVFPQ_CENTROIDS_TABLE).collect()
     )
     by_m: dict = {}
-    for r in spark.table(IVFPQ_CODEBOOKS_TABLE).collect():
+    for r in _index_table(spark, IVFPQ_CODEBOOKS_TABLE).collect():
         by_m.setdefault(int(r.m), []).append(
             (int(r.i), int(r.cell), [int(x) for x in r.centroid])
         )
@@ -1567,13 +1588,27 @@ def append_ivfpq_index(spark: SparkSession, new_int_vecs: DataFrame) -> None:
     having encoded the union in one pass (same frozen quantizer), the
     invariant the maintenance parity test pins."""
     coarse, books = load_ivfpq_quantizer(spark)
-    (
-        _ivfpq_encode(new_int_vecs, coarse, books)
-        .write.format("parquet")
-        .mode("append")
-        .partitionBy("cell")
-        .saveAsTable(IVFPQ_CODES_TABLE)
-    )
+    codes = _ivfpq_encode(new_int_vecs, coarse, books)
+    if spark.catalog.tableExists(IVFPQ_CODES_TABLE):
+        (
+            codes.write.format("parquet")
+            .mode("append")
+            .partitionBy("cell")
+            .saveAsTable(IVFPQ_CODES_TABLE)
+        )
+    else:
+        # catalog entry is per-session; append into the durable
+        # warehouse layout directly (same cell partitioning)
+        import os
+        from urllib.parse import urlparse
+
+        wh = spark.conf.get("spark.sql.warehouse.dir", "")
+        path = f"{urlparse(wh).path}/{IVFPQ_CODES_TABLE.lower()}"
+        if not (wh.startswith("file:") and os.path.isdir(path)):
+            raise ValueError(
+                f"index table {IVFPQ_CODES_TABLE} not built"
+            )
+        codes.write.mode("append").partitionBy("cell").parquet(path)
 
 
 def probe_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1589,7 +1624,7 @@ def probe_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed_cells = sorted(
         int(r.cell) for r in probes.select("cell").distinct().collect()
     )
-    codes = spark.table(IVFPQ_CODES_TABLE).filter(
+    codes = _index_table(spark, IVFPQ_CODES_TABLE).filter(
         F.col("cell").isin(probed_cells)
     )
     return _ivfpq_rank(spark, sf_dir, probes, codes)
