@@ -101,3 +101,72 @@ def test_ivfpq_quantizer_roundtrip(spark, sf_dir):
         ] == books2
     finally:
         _drop_all(spark)
+
+
+def test_ivfpq_stream_append_parity_and_idempotence(spark, sf_dir, tmp_path):
+    """Streaming encode-only maintenance: draining two micro-batches
+    of new vectors yields codes identical to a one-pass encode under
+    the frozen quantizer, and a replayed batch overwrites itself (no
+    duplicate codes)."""
+    from thrivefinancedatapipeline_spark.streaming.stateful import (
+        run_ivfpq_stream_append,
+    )
+
+    try:
+        sim.build_ivfpq_index(spark, sf_dir)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
+        src = str(tmp_path / "incoming")
+        a = emb.orderBy("vec_id").limit(6).withColumn(
+            "vec_id", F.col("vec_id") + 1_000_000
+        )
+        b = emb.orderBy(F.col("vec_id").desc()).limit(5).withColumn(
+            "vec_id", F.col("vec_id") + 2_000_000
+        )
+        a.coalesce(1).write.parquet(f"{src}/f1")
+        b.coalesce(1).write.parquet(f"{src}/f2")
+        # the file source walks subdirs only with glob; write flat files
+        import glob as g
+        import shutil
+
+        flat = str(tmp_path / "flat")
+        import os
+
+        os.makedirs(flat)
+        for i, f in enumerate(
+            sorted(g.glob(f"{src}/*/part-*.parquet"))
+        ):
+            shutil.copy(f, f"{flat}/file{i}.parquet")
+
+        codes_path = str(tmp_path / "stream_codes")
+        got = run_ivfpq_stream_append(
+            spark, flat, str(tmp_path / "ckpt"), codes_path
+        )
+        coarse, books = sim.load_ivfpq_quantizer(spark)
+        expect = sim._ivfpq_encode(
+            sim.to_int_vecs(a.unionByName(b)), coarse, books
+        )
+
+        def freeze(df):
+            return sorted(
+                (r.neighbor_id, r.cell, tuple(r.codes))
+                for r in df.collect()
+            )
+
+        assert freeze(got) == freeze(expect)
+
+        # replay: re-running a batch with the same id must not grow
+        # the table (dynamic partition overwrite of batch=<id>)
+        n_before = spark.read.parquet(codes_path).count()
+        enc = sim._ivfpq_encode(sim.to_int_vecs(a), coarse, books)
+        (
+            enc.withColumn("batch", F.lit(0))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch", "cell")
+            .parquet(codes_path)
+        )
+        assert spark.read.parquet(codes_path).count() == n_before
+    finally:
+        _drop_all(spark)

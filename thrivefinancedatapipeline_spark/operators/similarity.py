@@ -207,14 +207,20 @@ KM_SAMPLE_MOD = 4  # train on the 1/4 md5 hash-sample
 MICRO = 1_000_000
 
 
-def _int_vecs(spark, sf_dir):
-    """(vec_id, xi): the embedding in exact integer micros."""
-    emb = load_table(spark, sf_dir, "embeddings")
+def to_int_vecs(emb: DataFrame) -> DataFrame:
+    """(vec_id, xi) from any (vec_id, embedding) relation — the
+    exact-integer-micros projection every quantized path shares
+    (batch tables, index appends, streaming micro-batches)."""
     xi = F.expr(
         f"transform(embedding, x -> "
         f"CAST(ROUND(CAST(x AS DOUBLE) * {MICRO}, 0) AS BIGINT))"
     )
     return emb.select("vec_id", xi.alias("xi"))
+
+
+def _int_vecs(spark, sf_dir):
+    """(vec_id, xi): the embedding in exact integer micros."""
+    return to_int_vecs(load_table(spark, sf_dir, "embeddings"))
 
 
 def _cell_structs(cents):

@@ -902,3 +902,71 @@ def stream_hour_cells(
     return hour_cells(
         stream_events(spark, source_dir, max_files_per_trigger)
     )
+
+
+def run_ivfpq_stream_append(
+    spark,
+    source_dir: str,
+    checkpoint: str,
+    codes_path: str,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming maintenance of the persisted IVF-PQ index: each
+    micro-batch of NEW vectors (parquet files of (vec_id, embedding)
+    appearing in `source_dir`) is ENCODE-ONLY appended under the
+    frozen quantizer — the streaming twin of
+    `similarity.append_ivfpq_index`, and the arrival path a
+    billion-vector deployment actually has (vectors trickle in; the
+    quantizer was trained once).
+
+    Exactly-once without an atomic append: each batch lands in its
+    own ``batch=<id>/cell=...`` partition pair via DYNAMIC partition
+    overwrite, so a crash-replayed batch OVERWRITES ITSELF instead of
+    duplicating codes (idempotence pinned by test). Readers drop the
+    batch column; the cell partitioning — the probe's pruning key —
+    is preserved in the layout.
+
+    Returns the static DataFrame over the maintained code table
+    (neighbor_id, cell, codes) after draining with
+    ``trigger(availableNow)``."""
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import (
+        _ivfpq_encode,
+        load_ivfpq_quantizer,
+        to_int_vecs,
+    )
+
+    coarse, books = load_ivfpq_quantizer(spark)  # frozen, loaded once
+    emb = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    def step(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        codes = _ivfpq_encode(
+            to_int_vecs(batch_df), coarse, books
+        ).withColumn("batch", F.lit(int(batch_id)))
+        # WRITER-level option, not a session conf: foreachBatch runs
+        # each micro-batch on a CLONED session, so setting the conf
+        # on the outer session silently does nothing here
+        (
+            codes.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch", "cell")
+            .parquet(codes_path)
+        )
+
+    (
+        emb.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.read.parquet(codes_path).select(
+        "neighbor_id", "cell", "codes"
+    )
