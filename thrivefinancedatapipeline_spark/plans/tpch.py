@@ -496,11 +496,17 @@ def q_tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q15: supplier(s) with max revenue in a quarter. The max
-    is a global window over the already-aggregated (tiny) relation —
-    ties kept, as in the spec."""
-    from pyspark.sql import Window
+    """TPC-H Q15: supplier(s) with max revenue in a quarter; ties
+    kept, as in the spec.
 
+    Plan: the supplier rollup is MATERIALIZED once (localCheckpoint)
+    and both consumers — the grand-max 1-row aggregate (broadcast
+    back) and the tie filter — read it, so lineitem is scanned
+    exactly once. Neither the old all-rows MAX window (single-task
+    sort of the whole supplier rollup) nor the bare
+    two-consumer plan (measured: AQE did NOT reuse the canonically
+    identical rollup stages here, re-scanning lineitem) is the plan
+    you'd want at scale."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -508,11 +514,7 @@ def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
     rev = li.groupBy("l_suppkey").agg(
         _money(_exact_sum(_revenue_s()), 10000).alias("total_revenue")
-    )
-    # grand max as a broadcast 1-row aggregate, not an all-rows MAX
-    # window (which would stream the whole supplier rollup through one
-    # task); AQE's ReuseExchange dedupes the twice-printed rollup
-    # subtree at runtime, as in tpch_q11.
+    ).localCheckpoint(eager=True)
     mx = rev.agg(F.max("total_revenue").alias("max_rev"))
     top = rev.crossJoin(F.broadcast(mx)).filter(
         F.col("total_revenue") == F.col("max_rev")
