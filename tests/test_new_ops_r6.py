@@ -83,3 +83,19 @@ def test_embedding_source_drift_invariants(spark, sf_dir):
         assert r.norm_sq >= 0 and r.global_norm_sq > 0
         # squared cosine is <= 1 exactly; ppm magnitude bounded
         assert abs(r.cos2_ppm_signed) <= 1_000_000
+
+
+def test_corpus_zipf_audit_invariants(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.operators.textops import (
+        ZIPF_RANKS,
+        q_corpus_zipf_audit,
+    )
+
+    rows = {r.r: r for r in q_corpus_zipf_audit(spark, sf_dir).collect()}
+    assert set(rows) <= set(ZIPF_RANKS)
+    assert rows  # at least the head ranks exist
+    for r in rows.values():
+        # frequencies are rank-ordered, so every octave ratio >= 1
+        assert r.freq_r >= r.freq_2r
+        assert r.ratio_ppm >= 1_000_000
+        assert r.ratio_ppm == r.freq_r * 1_000_000 // r.freq_2r

@@ -1817,3 +1817,70 @@ SELECT d.doc_id,
        CASE WHEN COALESCE(a.n_bigrams, 0) = 0 THEN 0
             ELSE a.fam_sum // a.n_bigrams END AS fam_avg
 FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+
+#: rank pairs audited by the Zipf check: freq(r) / freq(2r)
+ZIPF_RANKS = (1, 2, 4, 8, 16)
+
+
+def q_corpus_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency audit: for ranks r in {ZIPF_RANKS}, the
+    integer-ppm ratio freq(r) / freq(2r) over the corpus vocabulary.
+    Natural language sits near ratio 2.0e6 per octave (Zipf exponent
+    ~1); template/boilerplate corpora flatten it toward 1.0e6 and
+    keyword-stuffed spam steepens it — a one-glance distribution
+    check next to lexical diversity, with no logarithm in any hashed
+    column (the exponent is the log2 of the emitted ratio if a human
+    wants it).
+
+    Scale shape: one token explode + one map-side-combinable count
+    shuffle (the corpus_vocabulary pass), then a distributed top-2r
+    (TakeOrderedAndProject via ranked_top_k) and a broadcast
+    self-join on rank over <= 32 rows."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    from ..functions.windows import ranked_top_k
+
+    top = ranked_top_k(
+        counts, [F.col("tf").desc(), F.col("token")], 2 * max(ZIPF_RANKS)
+    ).select("rank", "tf")
+    a = top.select(F.col("rank").alias("r"), F.col("tf").alias("freq_r"))
+    b = top.select(
+        (F.col("rank") / 2).cast("int").alias("r"),
+        F.col("tf").alias("freq_2r"),
+        (F.col("rank") % 2).alias("_odd"),
+    ).filter((F.col("_odd") == 0)).drop("_odd")
+    ranks = F.col("r").isin(*ZIPF_RANKS)
+    return (
+        a.filter(ranks)
+        .join(b.filter(ranks), "r")
+        .select(
+            F.col("r").cast("int").alias("r"),
+            F.col("freq_r").cast("long").alias("freq_r"),
+            F.col("freq_2r").cast("long").alias("freq_2r"),
+            F.expr(
+                "CAST(CAST(freq_r AS DECIMAL(38,0)) * 1000000"
+                " div freq_2r AS BIGINT)"
+            ).alias("ratio_ppm"),
+        )
+    )
+
+
+QUERIES["corpus_zipf_audit"] = q_corpus_zipf_audit
+
+ORACLES["corpus_zipf_audit"] = f"""
+WITH tok AS (SELECT unnest({_TOKS}) AS token FROM documents),
+counts AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY token),
+top AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, token)
+               AS INT) AS rank, tf
+        FROM counts),
+a AS (SELECT rank AS r, tf AS freq_r FROM top
+      WHERE rank IN {ZIPF_RANKS}),
+b AS (SELECT CAST(rank / 2 AS INT) AS r, tf AS freq_2r FROM top
+      WHERE rank % 2 = 0 AND CAST(rank / 2 AS INT) IN {ZIPF_RANKS})
+SELECT a.r, a.freq_r, b.freq_2r,
+       CAST(CAST(a.freq_r AS HUGEINT) * 1000000 // b.freq_2r
+            AS BIGINT) AS ratio_ppm
+FROM a JOIN b USING (r)"""
