@@ -4,11 +4,12 @@ for the catalog of operators held back to protect the correctness
 window's proof-backlog rotation (SURVEY §8 registration budget).
 
     python tools/check_prebuilt.py            # all prebuilts
-    python tools/check_prebuilt.py benford_audit pii_scan_redact
+    python tools/check_prebuilt.py some_new_op
 
-Before registering one in round 6+, this MUST be green at the default
-sf0.01 — registration is then a 2-line move of the (query, oracle)
-pair into the module's QUERIES/ORACLES dicts.
+Round 6 drained the catalog (everything moved into the registered
+queries()/oracle_sql() contract). Future prebuilds stage here first:
+green at the default sf0.01, then a 2-line move of the (query,
+oracle) pair into the module's QUERIES/ORACLES dicts.
 """
 
 from __future__ import annotations
