@@ -1112,3 +1112,80 @@ SELECT hit.g AS g,
        CAST(hit.n_below AS BIGINT) AS n_below,
        CAST(CASE WHEN h.sub_w IS NULL THEN 0 ELSE 1 END AS INT) AS refined
 FROM hit LEFT JOIN heavy h ON h.g = hit.g AND h.bucket = hit.bucket"""
+
+
+PARETO_TOP_PCT = 1  # top 1% of users
+
+
+def events_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration audit: what integer-ppm share of all
+    events the top {PARETO_TOP_PCT}% of users generate — the
+    one-number skew summary next to join_key_skew's per-key table
+    (a high share says the workload concentrates on few keys; feeds
+    the same salting decision). Round-7 prebuild: staged in
+    tools/check_prebuilt.py until registration.
+
+    Scale shape: per-user counts (one map-side-combinable shuffle),
+    then rank AND running event total in ONE two-phase ranged scan
+    (ranged_scan — never a global window over the user dimension);
+    totals broadcast from a 1-row aggregate; the answer is the single
+    cum row at rank ceil(n/100)."""
+    from .packing import ranged_scan
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    base = (
+        counts.withColumn("_g", F.lit(0))
+        .withColumn("_neg", -F.col("n_rows"))
+        .withColumn("_one", F.lit(1))
+    )
+    scanned = ranged_scan(
+        base, ["_g"], ["_neg", "user_id"],
+        [("n_rows", "cum"), ("_one", "rn")],
+    )
+    totals = scanned.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_rows").alias("total_rows"),
+    )
+    k = F.expr(f"(n_users + {100 // PARETO_TOP_PCT} - 1)"
+               f" div {100 // PARETO_TOP_PCT}")
+    return (
+        scanned.crossJoin(F.broadcast(totals))
+        .withColumn("_k", k)
+        .filter(F.col("rn") == F.col("_k"))
+        .select(
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("_k").cast("long").alias("top_users"),
+            F.col("cum").cast("long").alias("top_rows"),
+            F.col("total_rows").cast("long").alias("total_rows"),
+            F.expr(
+                "CAST(CAST(cum AS DECIMAL(38,0)) * 1000000"
+                " div total_rows AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+    )
+
+
+#: DuckDB twin of events_pareto_share (r7 registration).
+PARETO_ORACLE = f"""
+WITH counts AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+                FROM events GROUP BY user_id),
+r AS (SELECT n_rows,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, user_id)
+                  AS BIGINT) AS rn,
+             CAST(SUM(n_rows) OVER (ORDER BY n_rows DESC, user_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM counts),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(n_rows) AS BIGINT) AS total_rows
+      FROM counts)
+SELECT t.n_users,
+       CAST((t.n_users + {100 // PARETO_TOP_PCT} - 1)
+            // {100 // PARETO_TOP_PCT} AS BIGINT) AS top_users,
+       r.cum AS top_rows,
+       t.total_rows,
+       CAST(CAST(r.cum AS HUGEINT) * 1000000 // t.total_rows
+            AS BIGINT) AS share_ppm
+FROM r, t
+WHERE r.rn = (t.n_users + {100 // PARETO_TOP_PCT} - 1)
+             // {100 // PARETO_TOP_PCT}"""

@@ -1647,3 +1647,63 @@ QUERIES["events_type_correlation"] = events_type_correlation
 ORACLES["events_type_correlation"] = TYPE_CORRELATION_ORACLE
 QUERIES["interpurchase_quantiles"] = interpurchase_quantiles
 ORACLES["interpurchase_quantiles"] = INTERPURCHASE_ORACLE
+
+
+#: session-depth histogram buckets (events per session)
+DEPTH_EDGES = (1, 3, 7, 15)
+
+
+def events_session_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement-depth profile: sessions bucketed by event count
+    (1 / 2-3 / 4-7 / 8-15 / 16+) with session and event totals per
+    bucket — the first chart a product team draws over sessionized
+    traffic. Composes the proven sessionize pass (one user_id
+    shuffle) with a tiny 5-bucket rollup. Round-7 prebuild: staged in
+    tools/check_prebuilt.py until registration."""
+    s = sessionize(load_table(spark, sf_dir, "events"))
+    bucket = (
+        F.when(F.col("n_events") <= 1, F.lit("1"))
+        .when(F.col("n_events") <= 3, F.lit("2-3"))
+        .when(F.col("n_events") <= 7, F.lit("4-7"))
+        .when(F.col("n_events") <= 15, F.lit("8-15"))
+        .otherwise(F.lit("16+"))
+    )
+    return s.groupBy(bucket.alias("depth_bucket")).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.min("n_events").cast("long").alias("min_depth"),
+        F.max("n_events").cast("long").alias("max_depth"),
+    )
+
+
+#: DuckDB twin of events_session_depth_histogram (r7 registration).
+SESSION_DEPTH_ORACLE = f"""
+WITH {_EV},
+flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                   > {SESSION_GAP_MIN * 60} * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS session_idx
+  FROM flagged
+),
+per AS (
+  SELECT user_id, session_idx, CAST(COUNT(*) AS BIGINT) AS n
+  FROM sessions GROUP BY user_id, session_idx
+)
+SELECT CASE WHEN n <= 1 THEN '1' WHEN n <= 3 THEN '2-3'
+            WHEN n <= 7 THEN '4-7' WHEN n <= 15 THEN '8-15'
+            ELSE '16+' END AS depth_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(MIN(n) AS BIGINT) AS min_depth,
+       CAST(MAX(n) AS BIGINT) AS max_depth
+FROM per GROUP BY 1"""

@@ -1057,3 +1057,59 @@ QUERIES["customer_rfm"] = customer_rfm
 ORACLES["customer_rfm"] = RFM_ORACLE
 QUERIES["cohort_ltv"] = cohort_ltv
 ORACLES["cohort_ltv"] = COHORT_LTV_ORACLE
+
+
+def customer_inactivity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-risk screen: customers bucketed by days since their LAST
+    transaction as of the catalog ASOF date — the inactivity
+    companion of balance_aging (that one ages unredeemed VALUE; this
+    one ages the customer relationship). One groupBy over the
+    transaction stream + a tiny 4-bucket rollup. Round-7 prebuild:
+    staged in tools/check_prebuilt.py until registration."""
+    txns = _txns(spark, sf_dir)
+    last = (
+        txns.filter(
+            F.col("createdat") <= F.lit(ASOF).cast("timestamp")
+        )
+        .groupBy("customerid")
+        .agg(F.max("createdat").alias("last_txn"))
+        .withColumn(
+            "idle_days",
+            F.datediff(
+                F.to_date(F.lit(ASOF).cast("timestamp")),
+                F.to_date("last_txn"),
+            ),
+        )
+    )
+    bucket = F.expr(
+        "CASE WHEN idle_days < 7 THEN '0-6d'"
+        " WHEN idle_days < 14 THEN '7-13d'"
+        " WHEN idle_days < 21 THEN '14-20d'"
+        " ELSE '21d+' END"
+    )
+    return last.groupBy(bucket.alias("idle_bucket")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("idle_days").cast("int").alias("min_idle_days"),
+        F.max("idle_days").cast("int").alias("max_idle_days"),
+    )
+
+
+#: DuckDB twin of customer_inactivity_buckets (r7 registration).
+INACTIVITY_ORACLE = f"""WITH {TXNS_CTE},
+last AS (
+  SELECT customerid, MAX(createdat) AS last_txn
+  FROM txns WHERE createdat <= TIMESTAMP '{ASOF}'
+  GROUP BY customerid),
+aged AS (
+  SELECT customerid,
+         datediff('day', CAST(last_txn AS DATE),
+                  CAST(TIMESTAMP '{ASOF}' AS DATE)) AS idle_days
+  FROM last)
+SELECT CASE WHEN idle_days < 7 THEN '0-6d'
+            WHEN idle_days < 14 THEN '7-13d'
+            WHEN idle_days < 21 THEN '14-20d'
+            ELSE '21d+' END AS idle_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(MIN(idle_days) AS INT) AS min_idle_days,
+       CAST(MAX(idle_days) AS INT) AS max_idle_days
+FROM aged GROUP BY 1"""

@@ -35,7 +35,26 @@ def _catalog():
     catalog (every entry moved to its module's QUERIES/ORACLES, so the
     driver now proves them directly); new prebuilds go here first,
     then move out once green at the driver's SF."""
-    return {}
+    from thrivefinancedatapipeline_spark.operators import sketches
+    from thrivefinancedatapipeline_spark.plans import (
+        events_queries,
+        finance_queries,
+    )
+
+    return {
+        "events_session_depth_histogram": (
+            events_queries.events_session_depth_histogram,
+            events_queries.SESSION_DEPTH_ORACLE,
+        ),
+        "customer_inactivity_buckets": (
+            finance_queries.customer_inactivity_buckets,
+            finance_queries.INACTIVITY_ORACLE,
+        ),
+        "events_pareto_share": (
+            sketches.events_pareto_share,
+            sketches.PARETO_ORACLE,
+        ),
+    }
 
 
 def main() -> int:
