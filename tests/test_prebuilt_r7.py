@@ -81,3 +81,25 @@ def test_events_pareto_share_vs_duckdb(spark, sf_dir):
         # top-1% can never hold less than its proportional share
         assert r.share_ppm * r.n_users >= 1_000_000 * r.top_users
         assert r.top_rows <= r.total_rows
+
+
+def test_cluster_size_histogram_vs_duckdb(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.operators.dedup import (
+        CLUSTER_HIST_ORACLE,
+        dedup_cluster_size_histogram,
+    )
+
+    for d in _dirs(sf_dir):
+        got = sorted(
+            tuple(r)
+            for r in dedup_cluster_size_histogram(spark, d).collect()
+        )
+        want = sorted(
+            tuple(r) for r in _duck(d, CLUSTER_HIST_ORACLE, ("documents",))
+        )
+        assert got == want, f"cluster histogram mismatch at {d}"
+        # every document is in exactly one cluster: totals partition
+        n_docs = sum(r[2] for r in got)
+        assert n_docs == spark.read.parquet(
+            f"{d}/documents.parquet"
+        ).count()

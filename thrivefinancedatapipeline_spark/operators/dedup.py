@@ -2081,3 +2081,52 @@ SELECT a.source AS source_1, b.source AS source_2,
        CAST(COUNT(*) AS BIGINT) AS shared_grams
 FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
 GROUP BY 1, 2"""
+
+
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup community structure at a glance: connected-component
+    cluster sizes bucketed (1 / 2 / 3-4 / 5-8 / 9+) with cluster and
+    document totals per bucket — singletons are unique docs, the 9+
+    tail is template/boilerplate mass worth a human look (the k-core
+    question, answered cheaply). Composes the proven CC labeling
+    (q_dedup_clusters) with two tiny rollups. Round-7 prebuild:
+    staged in tools/check_prebuilt.py until registration."""
+    labels = q_dedup_clusters(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bucket = (
+        F.when(F.col("n") == 1, F.lit("1"))
+        .when(F.col("n") == 2, F.lit("2"))
+        .when(F.col("n") <= 4, F.lit("3-4"))
+        .when(F.col("n") <= 8, F.lit("5-8"))
+        .otherwise(F.lit("9+"))
+    )
+    return sizes.groupBy(bucket.alias("size_bucket")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("n").cast("long").alias("n_docs"),
+        F.min("n").cast("long").alias("min_size"),
+        F.max("n").cast("long").alias("max_size"),
+    )
+
+
+def _cluster_hist_oracle() -> str:
+    """DuckDB twin (r7 registration): the registered dedup_clusters
+    oracle as a FROM-subquery (DuckDB allows WITH RECURSIVE inside a
+    parenthesized subquery) under the same two rollups."""
+    base = ORACLES["dedup_clusters"]
+    return f"""
+SELECT CASE WHEN n = 1 THEN '1' WHEN n = 2 THEN '2'
+            WHEN n <= 4 THEN '3-4' WHEN n <= 8 THEN '5-8'
+            ELSE '9+' END AS size_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(MIN(n) AS BIGINT) AS min_size,
+       CAST(MAX(n) AS BIGINT) AS max_size
+FROM (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ({base}) b GROUP BY cluster_id
+) sizes GROUP BY 1"""
+
+
+CLUSTER_HIST_ORACLE = _cluster_hist_oracle()

@@ -35,7 +35,7 @@ def _catalog():
     catalog (every entry moved to its module's QUERIES/ORACLES, so the
     driver now proves them directly); new prebuilds go here first,
     then move out once green at the driver's SF."""
-    from thrivefinancedatapipeline_spark.operators import sketches
+    from thrivefinancedatapipeline_spark.operators import dedup, sketches
     from thrivefinancedatapipeline_spark.plans import (
         events_queries,
         finance_queries,
@@ -53,6 +53,10 @@ def _catalog():
         "events_pareto_share": (
             sketches.events_pareto_share,
             sketches.PARETO_ORACLE,
+        ),
+        "dedup_cluster_size_histogram": (
+            dedup.dedup_cluster_size_histogram,
+            dedup.CLUSTER_HIST_ORACLE,
         ),
     }
 
