@@ -2089,8 +2089,7 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     document totals per bucket — singletons are unique docs, the 9+
     tail is template/boilerplate mass worth a human look (the k-core
     question, answered cheaply). Composes the proven CC labeling
-    (q_dedup_clusters) with two tiny rollups. Round-7 prebuild:
-    staged in tools/check_prebuilt.py until registration."""
+    (q_dedup_clusters) with two tiny rollups. Registered in round 6 (staged through check_prebuilt first)."""
     labels = q_dedup_clusters(spark, sf_dir)
     sizes = labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n")
@@ -2130,3 +2129,7 @@ FROM (
 
 
 CLUSTER_HIST_ORACLE = _cluster_hist_oracle()
+
+
+QUERIES["dedup_cluster_size_histogram"] = dedup_cluster_size_histogram
+ORACLES["dedup_cluster_size_histogram"] = CLUSTER_HIST_ORACLE

@@ -1122,8 +1122,8 @@ def events_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     events the top {PARETO_TOP_PCT}% of users generate — the
     one-number skew summary next to join_key_skew's per-key table
     (a high share says the workload concentrates on few keys; feeds
-    the same salting decision). Round-7 prebuild: staged in
-    tools/check_prebuilt.py until registration.
+    the same salting decision). Registered in round 6 (staged
+    through check_prebuilt first).
 
     Scale shape: per-user counts (one map-side-combinable shuffle),
     then rank AND running event total in ONE two-phase ranged scan
@@ -1189,3 +1189,7 @@ SELECT t.n_users,
 FROM r, t
 WHERE r.rn = (t.n_users + {100 // PARETO_TOP_PCT} - 1)
              // {100 // PARETO_TOP_PCT}"""
+
+
+QUERIES["events_pareto_share"] = events_pareto_share
+ORACLES["events_pareto_share"] = PARETO_ORACLE

@@ -1658,8 +1658,8 @@ def events_session_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFram
     (1 / 2-3 / 4-7 / 8-15 / 16+) with session and event totals per
     bucket — the first chart a product team draws over sessionized
     traffic. Composes the proven sessionize pass (one user_id
-    shuffle) with a tiny 5-bucket rollup. Round-7 prebuild: staged in
-    tools/check_prebuilt.py until registration."""
+    shuffle) with a tiny 5-bucket rollup. Registered in round 6 (staged
+    through check_prebuilt first)."""
     s = sessionize(load_table(spark, sf_dir, "events"))
     bucket = (
         F.when(F.col("n_events") <= 1, F.lit("1"))
@@ -1707,3 +1707,7 @@ SELECT CASE WHEN n <= 1 THEN '1' WHEN n <= 3 THEN '2-3'
        CAST(MIN(n) AS BIGINT) AS min_depth,
        CAST(MAX(n) AS BIGINT) AS max_depth
 FROM per GROUP BY 1"""
+
+
+QUERIES["events_session_depth_histogram"] = events_session_depth_histogram
+ORACLES["events_session_depth_histogram"] = SESSION_DEPTH_ORACLE

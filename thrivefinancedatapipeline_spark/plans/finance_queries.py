@@ -1064,8 +1064,7 @@ def customer_inactivity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     transaction as of the catalog ASOF date — the inactivity
     companion of balance_aging (that one ages unredeemed VALUE; this
     one ages the customer relationship). One groupBy over the
-    transaction stream + a tiny 4-bucket rollup. Round-7 prebuild:
-    staged in tools/check_prebuilt.py until registration."""
+    transaction stream + a tiny 4-bucket rollup. Registered in round 6 (staged through check_prebuilt first)."""
     txns = _txns(spark, sf_dir)
     last = (
         txns.filter(
@@ -1113,3 +1112,7 @@ SELECT CASE WHEN idle_days < 7 THEN '0-6d'
        CAST(MIN(idle_days) AS INT) AS min_idle_days,
        CAST(MAX(idle_days) AS INT) AS max_idle_days
 FROM aged GROUP BY 1"""
+
+
+QUERIES["customer_inactivity_buckets"] = customer_inactivity_buckets
+ORACLES["customer_inactivity_buckets"] = INACTIVITY_ORACLE

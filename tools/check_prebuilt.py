@@ -32,33 +32,11 @@ def _catalog():
     registered in a module's QUERIES/ORACLES dicts.
 
     Round 6 drained the 29-operator backlog into the registered
-    catalog (every entry moved to its module's QUERIES/ORACLES, so the
-    driver now proves them directly); new prebuilds go here first,
-    then move out once green at the driver's SF."""
-    from thrivefinancedatapipeline_spark.operators import dedup, sketches
-    from thrivefinancedatapipeline_spark.plans import (
-        events_queries,
-        finance_queries,
-    )
-
-    return {
-        "events_session_depth_histogram": (
-            events_queries.events_session_depth_histogram,
-            events_queries.SESSION_DEPTH_ORACLE,
-        ),
-        "customer_inactivity_buckets": (
-            finance_queries.customer_inactivity_buckets,
-            finance_queries.INACTIVITY_ORACLE,
-        ),
-        "events_pareto_share": (
-            sketches.events_pareto_share,
-            sketches.PARETO_ORACLE,
-        ),
-        "dedup_cluster_size_histogram": (
-            dedup.dedup_cluster_size_histogram,
-            dedup.CLUSTER_HIST_ORACLE,
-        ),
-    }
+    catalog, and the four operators built later in round 6 went
+    straight through this gate into registration the same session
+    (green here first, then the 2-line move). New prebuilds stage
+    here; empty means nothing is waiting."""
+    return {}
 
 
 def main() -> int:
