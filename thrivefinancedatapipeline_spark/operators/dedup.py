@@ -2133,3 +2133,22 @@ CLUSTER_HIST_ORACLE = _cluster_hist_oracle()
 
 QUERIES["dedup_cluster_size_histogram"] = dedup_cluster_size_histogram
 ORACLES["dedup_cluster_size_histogram"] = CLUSTER_HIST_ORACLE
+
+
+def q_dedup_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dedup_incremental_minhash` answered FROM the maintained
+    corpus band index: builds the bucketed index table once per
+    session if absent (the train-once posture — in production the
+    table already exists), then probes it exchange-free on the index
+    side. Output is row-identical to the in-query probe, so the SAME
+    oracle attests the maintained-table path under the driver —
+    closing the band index's tests-only status. Registered r6."""
+    if not spark.catalog.tableExists(MINHASH_INDEX_TABLE):
+        docs = _docs(spark, sf_dir)
+        is_new = (F.col("doc_id") % INCR_MOD) == INCR_NEW_REM
+        build_minhash_band_index(spark, docs.filter(~is_new))
+    return probe_minhash_band_index(spark, sf_dir)
+
+
+QUERIES["dedup_minhash_index_probe"] = q_dedup_minhash_index_probe
+ORACLES["dedup_minhash_index_probe"] = ORACLES["dedup_incremental_minhash"]
