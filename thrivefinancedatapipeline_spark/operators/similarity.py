@@ -1736,3 +1736,19 @@ SELECT source, n_vecs, dot_global, norm_sq, global_norm_sq,
                 // (CAST(norm_sq AS HUGEINT) * global_norm_sq)
             END AS BIGINT) AS cos2_ppm_signed
 FROM agg"""
+
+
+def knn_ivfpq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`knn_ivfpq` answered FROM the persisted index: builds the
+    centroid/codebook/code tables once per session if absent (the
+    train-once posture — in production they already exist), then runs
+    the read-only partition-pruned probe. Output is row-identical to
+    the in-query ivfpq, so the SAME oracle attests the
+    maintained-index deployment under the driver. Registered r6."""
+    if not spark.catalog.tableExists(IVFPQ_CODES_TABLE):
+        build_ivfpq_index(spark, sf_dir)
+    return probe_ivfpq_index(spark, sf_dir)
+
+
+QUERIES["knn_ivfpq_index_probe"] = knn_ivfpq_index_probe
+ORACLES["knn_ivfpq_index_probe"] = _ivfpq_oracle_sql()
