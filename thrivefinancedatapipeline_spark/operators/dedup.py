@@ -2135,6 +2135,11 @@ QUERIES["dedup_cluster_size_histogram"] = dedup_cluster_size_histogram
 ORACLES["dedup_cluster_size_histogram"] = CLUSTER_HIST_ORACLE
 
 
+#: table -> sf_dir the in-process build used (catalog entries are
+#: session-scoped, so process lifetime bounds this memo)
+_MINHASH_INDEX_SOURCE: dict = {}
+
+
 def q_dedup_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`dedup_incremental_minhash` answered FROM the maintained
     corpus band index: builds the bucketed index table once per
@@ -2143,10 +2148,17 @@ def q_dedup_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     side. Output is row-identical to the in-query probe, so the SAME
     oracle attests the maintained-table path under the driver —
     closing the band index's tests-only status. Registered r6."""
-    if not spark.catalog.tableExists(MINHASH_INDEX_TABLE):
+    if (
+        not spark.catalog.tableExists(MINHASH_INDEX_TABLE)
+        or _MINHASH_INDEX_SOURCE.get(MINHASH_INDEX_TABLE) != sf_dir
+    ):
+        # rebuild when the session's index was built from a DIFFERENT
+        # sf_dir (one corpus per index — probing a mismatched index
+        # would silently return wrong matches)
         docs = _docs(spark, sf_dir)
         is_new = (F.col("doc_id") % INCR_MOD) == INCR_NEW_REM
         build_minhash_band_index(spark, docs.filter(~is_new))
+        _MINHASH_INDEX_SOURCE[MINHASH_INDEX_TABLE] = sf_dir
     return probe_minhash_band_index(spark, sf_dir)
 
 

@@ -1738,6 +1738,10 @@ SELECT source, n_vecs, dot_global, norm_sq, global_norm_sq,
 FROM agg"""
 
 
+#: table -> sf_dir the in-process build used (see dedup's twin memo)
+_IVFPQ_INDEX_SOURCE: dict = {}
+
+
 def knn_ivfpq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`knn_ivfpq` answered FROM the persisted index: builds the
     centroid/codebook/code tables once per session if absent (the
@@ -1745,8 +1749,14 @@ def knn_ivfpq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the read-only partition-pruned probe. Output is row-identical to
     the in-query ivfpq, so the SAME oracle attests the
     maintained-index deployment under the driver. Registered r6."""
-    if not spark.catalog.tableExists(IVFPQ_CODES_TABLE):
+    if (
+        not spark.catalog.tableExists(IVFPQ_CODES_TABLE)
+        or _IVFPQ_INDEX_SOURCE.get(IVFPQ_CODES_TABLE) != sf_dir
+    ):
+        # one corpus per index: rebuild when this session's index was
+        # built from a different sf_dir
         build_ivfpq_index(spark, sf_dir)
+        _IVFPQ_INDEX_SOURCE[IVFPQ_CODES_TABLE] = sf_dir
     return probe_ivfpq_index(spark, sf_dir)
 
 
