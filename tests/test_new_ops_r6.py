@@ -99,3 +99,26 @@ def test_corpus_zipf_audit_invariants(spark, sf_dir):
         assert r.freq_r >= r.freq_2r
         assert r.ratio_ppm >= 1_000_000
         assert r.ratio_ppm == r.freq_r * 1_000_000 // r.freq_2r
+
+
+def test_knn_ivfpq_recall_audit_consistency(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        ivfpq_knn,
+        knn_ivfpq_recall_audit,
+        q_knn_bruteforce_cosine,
+    )
+
+    rows = {r.query_id: r for r in
+            knn_ivfpq_recall_audit(spark, sf_dir).collect()}
+    assert len(rows) == N_QUERIES
+    bf = {(r.query_id, r.neighbor_id)
+          for r in q_knn_bruteforce_cosine(spark, sf_dir).collect()}
+    iv = {(r.query_id, r.neighbor_id)
+          for r in ivfpq_knn(spark, sf_dir).collect()}
+    for q, r in rows.items():
+        expect = len({p for p in bf if p[0] == q} & iv)
+        assert r.n_hits == expect
+        assert 0 <= r.n_hits <= TOP_K
+        assert r.recall_ppm == r.n_hits * 1_000_000 // TOP_K

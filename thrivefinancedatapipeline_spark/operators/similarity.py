@@ -1762,3 +1762,61 @@ def knn_ivfpq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["knn_ivfpq_index_probe"] = knn_ivfpq_index_probe
 ORACLES["knn_ivfpq_index_probe"] = _ivfpq_oracle_sql()
+
+
+def knn_ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ measures its OWN recall under the driver oracle — the
+    lsh_recall_audit discipline applied to the ANN capstone: per
+    query, how many of the exact bruteforce top-{TOP_K} the IVF-PQ
+    chain returns, as an integer-ppm recall. Both sides are
+    deterministic, so the recall itself is a reproducible number the
+    cross-engine hash can attest (the DuckDB twin nests both
+    registered oracle chains as FROM-subqueries and joins them).
+
+    Scale posture: the audit runs on the bounded N_QUERIES query set
+    — never corpus-scale — and reuses the two registered plans
+    verbatim; at 100 TB you run it on a sampled query panel after
+    every index rebuild."""
+    bf = q_knn_bruteforce_cosine(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    iv = ivfpq_knn(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("ann_neighbor")
+    )
+    hits = (
+        bf.join(
+            iv,
+            (bf["query_id"] == iv["query_id"])
+            & (bf["neighbor_id"] == iv["ann_neighbor"]),
+            "left",
+        )
+        .select(bf["query_id"], iv["ann_neighbor"])
+        .groupBy("query_id")
+        .agg(F.count("ann_neighbor").alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.expr(
+            f"CAST(CAST(n_hits AS DECIMAL(38,0)) * 1000000"
+            f" div {TOP_K} AS BIGINT)"
+        ).alias("recall_ppm"),
+    )
+
+
+def _ivfpq_recall_oracle() -> str:
+    bf = ORACLES["knn_bruteforce_cosine"]
+    iv = _ivfpq_oracle_sql()
+    return f"""
+SELECT b.query_id,
+       CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(CAST(COUNT(i.neighbor_id) AS HUGEINT) * 1000000
+            // {TOP_K} AS BIGINT) AS recall_ppm
+FROM ({bf}) b
+LEFT JOIN ({iv}) i
+  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+GROUP BY b.query_id"""
+
+
+QUERIES["knn_ivfpq_recall_audit"] = knn_ivfpq_recall_audit
+ORACLES["knn_ivfpq_recall_audit"] = _ivfpq_recall_oracle()
