@@ -55,7 +55,7 @@ def test_ivfpq_index_probe_parity_plan_and_append(spark, sf_dir):
         assert scan_lines, plan
         assert any(
             "PartitionFilters: [" in ln
-            and "PartitionFilters: []" not in ln.replace(" ", "")
+            and "PartitionFilters:[]" not in ln.replace(" ", "")
             for ln in scan_lines
         ), scan_lines
         assert "hashpartitioning(cell" not in plan, plan
@@ -168,5 +168,29 @@ def test_ivfpq_stream_append_parity_and_idempotence(spark, sf_dir, tmp_path):
             .parquet(codes_path)
         )
         assert spark.read.parquet(codes_path).count() == n_before
+    finally:
+        _drop_all(spark)
+
+
+def test_ivfpq_probe_rejects_foreign_corpus(spark, sf_dir):
+    """The persisted source stamp guards cross-process probes: an
+    index built from corpus X refuses to answer for corpus Y instead
+    of silently returning X's neighbors (r6 ADVICE closed)."""
+    import os
+
+    import pytest
+
+    other = sf_dir.replace("sf0.001", "sf0.01")
+    if not os.path.isdir(other):
+        pytest.skip("needs a second SF dir")
+    try:
+        sim.build_ivfpq_index(spark, sf_dir)
+        assert sim.index_source_sf_dir(spark) == os.path.abspath(sf_dir)
+        with pytest.raises(ValueError, match="built from"):
+            sim.probe_ivfpq_index(spark, other)
+        # the registered query self-heals: it REBUILDS for the new
+        # corpus instead of erroring (train-once per corpus)
+        assert sim.knn_ivfpq_index_probe(spark, other).count() > 0
+        assert sim.index_source_sf_dir(spark) == os.path.abspath(other)
     finally:
         _drop_all(spark)

@@ -10,14 +10,41 @@ from thrivefinancedatapipeline_spark.sources.bucketing import (
 )
 
 
-def test_plan_floors_at_cores_and_scales_with_bytes(sf_dir):
+def test_plan_floors_at_cores_and_scales_with_bytes(spark, sf_dir):
     # tiny test tables: the floor (core count) wins
-    n = autotune.plan_for_query(sf_dir, "dedup_minhash_lsh")
+    n = autotune.plan_for_query(sf_dir, "dedup_minhash_lsh", spark=spark)
     assert n == autotune._cpus()
     # the same arithmetic at 100 TB: bytes dominate the floor
     assert plan_shuffle_partitions(100 * 1024**4, cpus=32) == 819_200
     # unknown query: static default, never degraded
-    assert autotune.plan_for_query(sf_dir, "nope") == autotune._cpus()
+    assert autotune.plan_for_query(sf_dir, "nope", spark=spark) == (
+        autotune._cpus()
+    )
+
+
+def test_plan_derives_tables_from_the_plan_itself(spark, sf_dir):
+    # r6 watch item closed: no QUERY_TABLES dict — any registered
+    # query is sized from the files its OWN plan scans
+    assert not hasattr(autotune, "QUERY_TABLES")
+    b = autotune.query_input_bytes(spark, sf_dir, "events_sessionize")
+    assert b > 0
+    # and the bytes agree with the on-disk footprint of its one table
+    assert b == autotune.table_bytes(sf_dir, ["events"])
+    # when bytes demand it (what-if at 1e6x the input), a query nobody
+    # listed anywhere still gets a non-default plan
+    big = autotune.plan_for_query(
+        sf_dir, "events_sessionize", spark=spark, scale=1e6
+    )
+    assert big > autotune._cpus()
+    # larger target partitions never plan more partitions
+    coarse = autotune.plan_for_query(
+        sf_dir,
+        "events_sessionize",
+        spark=spark,
+        scale=1e6,
+        target_partition_mb=1024,
+    )
+    assert coarse <= big
 
 
 def test_table_bytes_reads_real_files(sf_dir):

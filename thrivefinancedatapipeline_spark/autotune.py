@@ -8,8 +8,10 @@ task spills. ``sources.bucketing`` owns the arithmetic
 (`plan_shuffle_partitions`, `plan_shuffle_partitions_from_skew`); this
 module wires it to real queries:
 
-- ``plan_for_query`` reads the parquet footprint of the tables a
-  registered query scans (``QUERY_TABLES``) and sizes the conf;
+- ``plan_for_query`` measures the parquet footprint of the files the
+  registered query's PLAN actually scans (``DataFrame.inputFiles()``
+  on the constructed query — no hand-maintained table list, so a new
+  heavy query is automatically sized) and sizes the conf;
 - ``skew_plan_for_events`` feeds the ``q_join_key_skew`` audit's ppm
   table into the skew-aware planner, returning the SkewPlan whose
   ``salt_factors`` route hot keys to ``operators.skew.salted_join``
@@ -41,24 +43,35 @@ from .sources.bucketing import (
     plan_shuffle_partitions_from_skew,
 )
 
-#: tables each heavy registered query scans (the 5 heaviest headline
-#: queries by bench median, plus the finance core) — the planner sizes
-#: the conf from these files' bytes
-QUERY_TABLES: dict[str, list[str]] = {
-    "knn_ivfpq": ["embeddings"],
-    "knn_pq_adc": ["embeddings"],
-    "ivf_knn": ["embeddings"],
-    "knn_bruteforce_cosine": ["embeddings"],
-    "dedup_clusters_star": ["documents"],
-    "dedup_clusters": ["documents"],
-    "dedup_minhash_lsh": ["documents"],
-    "dedup_containment": ["documents"],
-    "dedup_simhash": ["documents"],
-    "fifo_matching": ["events"],
-    "balance_history": ["events"],
-    "tpch_q1_pricing_summary": ["lineitem"],
-    "tpch_q3_shipping_priority": ["customer", "orders", "lineitem"],
-}
+#: memo of measured plan-input bytes per (sf_dir, query) — constructing
+#: a query to read its inputFiles() can itself run bounded driver work
+#: (sampling/training), so measure once per process
+_BYTES_CACHE: dict[tuple[str, str], int] = {}
+
+
+def query_input_bytes(
+    spark: SparkSession, sf_dir: str, name: str
+) -> int:
+    """On-disk bytes of the files the registered query's plan scans,
+    derived from the CONSTRUCTED query via ``DataFrame.inputFiles()``
+    (closing the r6 watch item: no hand-maintained query→tables dict —
+    a new heavy query is sized automatically). Local ``file:`` URIs
+    only; unknown schemes contribute 0."""
+    key = (sf_dir, name)
+    if key not in _BYTES_CACHE:
+        from . import registry
+        from urllib.parse import urlparse
+
+        df = registry.all_queries()[name](spark, sf_dir)
+        total = 0
+        for uri in df.inputFiles():
+            p = urlparse(uri)
+            if p.scheme in ("file", ""):
+                path = p.path or uri
+                if os.path.exists(path):
+                    total += os.path.getsize(path)
+        _BYTES_CACHE[key] = total
+    return _BYTES_CACHE[key]
 
 
 def table_bytes(sf_dir: str, tables: list[str]) -> int:
@@ -82,17 +95,29 @@ def _cpus() -> int:
 
 
 def plan_for_query(
-    sf_dir: str, name: str, target_partition_mb: int = 128
+    sf_dir: str,
+    name: str,
+    target_partition_mb: int = 128,
+    spark: SparkSession | None = None,
+    scale: float = 1.0,
 ) -> int:
     """Planned ``spark.sql.shuffle.partitions`` for a registered
-    query: sized from its input tables' bytes, floored at the core
-    count. Unknown queries fall back to the core count (the static
-    default — tuning never degrades below it)."""
-    tables = QUERY_TABLES.get(name)
-    if not tables:
+    query: sized from the bytes its plan actually scans
+    (``query_input_bytes``), floored at the core count. ``scale``
+    multiplies the measured bytes for what-if sizing (the A/B tool's
+    "plan at 1e6× the input" column — the 100 TB posture). Unknown
+    queries, or queries whose construction needs state this process
+    lacks (e.g. an unbuilt index), fall back to the core count (the
+    static default — tuning never degrades below it)."""
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        return _cpus()
+    try:
+        b = query_input_bytes(spark, sf_dir, name)
+    except Exception:
         return _cpus()
     return plan_shuffle_partitions(
-        table_bytes(sf_dir, tables),
+        int(b * scale),
         target_partition_mb=target_partition_mb,
         cpus=_cpus(),
     )
@@ -147,7 +172,7 @@ def run_tuned(
     from . import registry
 
     fn = registry.all_queries()[name]
-    n = plan_for_query(sf_dir, name, target_partition_mb)
+    n = plan_for_query(sf_dir, name, target_partition_mb, spark=spark)
     with shuffle_conf_scope(spark, n):
         df = fn(spark, sf_dir).localCheckpoint(eager=True)
     return df

@@ -1520,10 +1520,16 @@ def build_ivfpq_index(spark: SparkSession, sf_dir: str) -> None:
     coarse = _trained_centroids_cached(spark, sf_dir, iv)
     books = _ivfpq_books_cached(sf_dir, iv, coarse)
 
+    import os
+
+    src_dir = os.path.abspath(sf_dir)
     _drop_table(spark, IVFPQ_CENTROIDS_TABLE)
     spark.createDataFrame(
-        [(int(c), [int(x) for x in cv]) for c, cv in coarse],
-        "cell int, centroid array<bigint>",
+        # source_sf_dir stamps WHICH corpus built this index so a
+        # cross-process probe against a foreign index errors instead
+        # of silently returning that corpus's neighbors
+        [(int(c), [int(x) for x in cv], src_dir) for c, cv in coarse],
+        "cell int, centroid array<bigint>, source_sf_dir string",
     ).write.format("parquet").saveAsTable(IVFPQ_CENTROIDS_TABLE)
 
     _drop_table(spark, IVFPQ_CODEBOOKS_TABLE)
@@ -1566,6 +1572,17 @@ def _index_table(spark: SparkSession, table: str) -> DataFrame:
     raise ValueError(
         f"index table {table} not built — run build_ivfpq_index first"
     )
+
+
+def index_source_sf_dir(spark: SparkSession) -> str | None:
+    """The corpus directory the persisted index was built from (the
+    stamp build_ivfpq_index writes into the centroids header table).
+    None for a pre-stamp index layout (no such column)."""
+    head = _index_table(spark, IVFPQ_CENTROIDS_TABLE)
+    if "source_sf_dir" not in head.columns:
+        return None
+    row = head.select(F.min("source_sf_dir").alias("d")).collect()[0]
+    return row.d
 
 
 def load_ivfpq_quantizer(spark: SparkSession) -> tuple[list, list]:
@@ -1623,7 +1640,19 @@ def probe_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     table pruned to the probed cells (the probed-cell set is known
     from the bounded query side before the corpus scan — collected
     like any 1-row budget guard). Output rows are IDENTICAL to
-    ivfpq_knn over the same corpus (parity test-pinned)."""
+    ivfpq_knn over the same corpus (parity test-pinned). Refuses to
+    probe an index STAMPED with a different source corpus — the stamp
+    lives in the persisted centroids header, so the guard holds
+    across processes (CLI probes included), not just in-process."""
+    import os
+
+    built_from = index_source_sf_dir(spark)
+    if built_from is not None and built_from != os.path.abspath(sf_dir):
+        raise ValueError(
+            f"persisted IVF-PQ index was built from {built_from!r}, "
+            f"not {os.path.abspath(sf_dir)!r} — rebuild with "
+            "build_ivfpq_index (or `ann-index build`) for this corpus"
+        )
     coarse, books = load_ivfpq_quantizer(spark)
     iv = _int_vecs(spark, sf_dir)
     probes = _ivfpq_probes(iv, coarse, books)
@@ -1677,7 +1706,7 @@ def q_embedding_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = cent.join(F.broadcast(glob), "pos")
     agg = j.groupBy("source").agg(
-        F.expr("CAST(first(n) AS BIGINT)").alias("n_vecs"),
+        F.expr("CAST(min(n) AS BIGINT)").alias("n_vecs"),
         F.sum(F.col("c") * F.col("g")).alias("dot_global"),
         F.sum(F.col("c") * F.col("c")).alias("norm_sq"),
         F.sum(F.col("g") * F.col("g")).alias("global_norm_sq"),
@@ -1738,25 +1767,24 @@ SELECT source, n_vecs, dot_global, norm_sq, global_norm_sq,
 FROM agg"""
 
 
-#: table -> sf_dir the in-process build used (see dedup's twin memo)
-_IVFPQ_INDEX_SOURCE: dict = {}
-
-
 def knn_ivfpq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`knn_ivfpq` answered FROM the persisted index: builds the
     centroid/codebook/code tables once per session if absent (the
     train-once posture — in production they already exist), then runs
     the read-only partition-pruned probe. Output is row-identical to
     the in-query ivfpq, so the SAME oracle attests the
-    maintained-index deployment under the driver. Registered r6."""
-    if (
-        not spark.catalog.tableExists(IVFPQ_CODES_TABLE)
-        or _IVFPQ_INDEX_SOURCE.get(IVFPQ_CODES_TABLE) != sf_dir
-    ):
-        # one corpus per index: rebuild when this session's index was
-        # built from a different sf_dir
+    maintained-index deployment under the driver. Registered r6.
+    One corpus per index: the PERSISTED source stamp (not a
+    per-process memo) decides whether the existing index serves this
+    sf_dir — rebuilt when it was built from a different corpus."""
+    import os
+
+    try:
+        built_from = index_source_sf_dir(spark)
+    except ValueError:
+        built_from = None  # no index at all
+    if built_from != os.path.abspath(sf_dir):
         build_ivfpq_index(spark, sf_dir)
-        _IVFPQ_INDEX_SOURCE[IVFPQ_CODES_TABLE] = sf_dir
     return probe_ivfpq_index(spark, sf_dir)
 
 

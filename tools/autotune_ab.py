@@ -54,21 +54,20 @@ def main() -> int:
     print(f"{'query':26} {'static':>7} {'planned':>8} "
           f"{'t_static':>9} {'t_planned':>10} {'plan@1e6x':>10}")
     for name in HEAVY:
-        planned = autotune.plan_for_query(SF_DIR, name)
-        tables = autotune.QUERY_TABLES[name]
-        big = autotune.plan_for_query(SF_DIR, name, target_partition_mb=128)
-        from thrivefinancedatapipeline_spark.sources.bucketing import (
-            plan_shuffle_partitions,
+        planned = autotune.plan_for_query(SF_DIR, name, spark=spark)
+        at_1e6x = autotune.plan_for_query(
+            SF_DIR, name, spark=spark, scale=1e6
         )
-
-        at_1e6x = plan_shuffle_partitions(
-            autotune.table_bytes(SF_DIR, tables) * 1_000_000, cpus=32
+        coarse_1e6x = autotune.plan_for_query(
+            SF_DIR, name, spark=spark, scale=1e6, target_partition_mb=1024
         )
         t_static = median_wall(qs[name], static_n)
         t_planned = median_wall(qs[name], planned)
         print(f"{name:26} {static_n:>7} {planned:>8} "
               f"{t_static:>9.2f} {t_planned:>10.2f} {at_1e6x:>10}")
-        assert big == planned
+        # sanity (non-tautological): a larger target partition size
+        # must plan no MORE partitions on identical scaled bytes
+        assert coarse_1e6x <= at_1e6x
     skew = autotune.skew_plan_for_events(spark, SF_DIR)
     print(f"\nskew plan (events.user_id): n_partitions={skew.n_partitions} "
           f"salting={'yes: ' + str(skew.salt_factors) if skew.needs_salting else 'no (uniform corpus)'}")
