@@ -1,0 +1,162 @@
+"""Progressive JPEG (SOF2, T.81 Annex G): the multi-scan decoder must
+reconstruct EXACTLY the pixels the baseline path produces from the
+same quantized coefficients (progressive transmission re-orders bits,
+it does not change them), across grayscale / 4:4:4 / 4:2:0, odd
+dimensions, and content shapes that exercise every scan code path
+(EOB runs, ZRL inside refinement, dense coefficient spectra). The
+Spark decode kernel routes progressive payloads with no plumbing
+changes — pinned end-to-end against a driver-side decode."""
+
+import hashlib
+
+from thrivefinancedatapipeline_spark.multimodal import jpeg
+
+
+def _det_bytes(n: int, seed: str) -> bytes:
+    out = bytearray()
+    c = 0
+    while len(out) < n:
+        out += hashlib.md5(f"{seed}:{c}".encode()).digest()
+        c += 1
+    return bytes(out[:n])
+
+
+def _rgb(w: int, h: int) -> bytes:
+    return bytes(
+        ((x * 5 + y * 3 + c * 31) % 256)
+        for y in range(h)
+        for x in range(w)
+        for c in range(3)
+    )
+
+
+def test_progressive_gray_bit_compatible_with_baseline():
+    for w, h in [(8, 8), (24, 24), (35, 29), (17, 40)]:
+        pix = _det_bytes(w * h, f"gray{w}x{h}")
+        prog = jpeg.encode_jpeg_progressive(
+            pix, w, h, quality=90, channels=1
+        )
+        base = jpeg.encode_jpeg(pix, w, h, quality=90)
+        a = jpeg.decode_jpeg(prog)
+        b = jpeg.decode_jpeg(base)
+        assert (a["width"], a["height"]) == (w, h)
+        assert a["pixels"] == b["pixels"], (w, h)
+        # the color entrypoint routes the same stream identically
+        c = jpeg.decode_jpeg_color(prog)
+        assert c["channels"] == 1 and c["pixels"] == a["pixels"]
+
+
+def test_progressive_color_444_and_420_bit_compatible():
+    for w, h in [(16, 16), (21, 13), (33, 17)]:
+        pix = _rgb(w, h)
+        b444 = jpeg.decode_jpeg_color(jpeg.encode_jpeg_color(pix, w, h, 90))
+        p444 = jpeg.decode_jpeg_color(
+            jpeg.encode_jpeg_progressive(pix, w, h, 90)
+        )
+        assert p444["channels"] == 3
+        assert p444["pixels"] == b444["pixels"], (w, h, "444")
+        b420 = jpeg.decode_jpeg_color(jpeg.encode_jpeg_420(pix, w, h, 90))
+        p420 = jpeg.decode_jpeg_color(
+            jpeg.encode_jpeg_progressive(pix, w, h, 90, subsample_420=True)
+        )
+        assert p420["pixels"] == b420["pixels"], (w, h, "420")
+
+
+def test_progressive_scan_codepaths_by_content():
+    """Content shapes chosen to exercise specific Annex-G machinery:
+    flat → long shared EOB runs; stripes → 16+ zero runs (ZRL in both
+    first and refinement scans); md5 noise → dense spectra with
+    correction bits on nearly every coefficient."""
+    w = h = 40
+    cases = {
+        "flat": bytes([77]) * (w * h * 3),
+        "stripes": bytes(
+            (255 if (i // 3) % w < 2 else 0) for i in range(w * h * 3)
+        ),
+        "noise": _det_bytes(w * h * 3, "noise"),
+    }
+    for name, pix in cases.items():
+        for q in (50, 90):
+            b = jpeg.decode_jpeg_color(jpeg.encode_jpeg_color(pix, w, h, q))
+            p = jpeg.decode_jpeg_color(
+                jpeg.encode_jpeg_progressive(pix, w, h, q)
+            )
+            assert p["pixels"] == b["pixels"], (name, q, "444")
+            b2 = jpeg.decode_jpeg_color(jpeg.encode_jpeg_420(pix, w, h, q))
+            p2 = jpeg.decode_jpeg_color(
+                jpeg.encode_jpeg_progressive(
+                    pix, w, h, q, subsample_420=True
+                )
+            )
+            assert p2["pixels"] == b2["pixels"], (name, q, "420")
+
+
+def test_progressive_error_bound_vs_original():
+    w = h = 40
+    pix = bytes(
+        min(255, (i % 120) * 2 + c) for i in range(w * h) for c in range(3)
+    )
+    dec = jpeg.decode_jpeg_color(
+        jpeg.encode_jpeg_progressive(pix, w, h, quality=95)
+    )
+    err = max(abs(a - b) for a, b in zip(pix, dec["pixels"]))
+    assert err <= 12  # smooth content at q95 reconstructs tightly
+
+
+def test_progressive_error_surface():
+    import pytest
+
+    pix = _det_bytes(16 * 16, "surf")
+    prog = jpeg.encode_jpeg_progressive(pix, 16, 16, channels=1)
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(prog[:40])  # truncated marker stream
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(prog[:-40])  # truncated entropy data
+    with pytest.raises(ValueError):
+        jpeg.encode_jpeg_progressive(pix, 16, 16, channels=2)
+    with pytest.raises(ValueError):
+        jpeg.encode_jpeg_progressive(
+            pix, 16, 16, channels=1, subsample_420=True
+        )
+    # restart intervals stay gated in the progressive path too
+    idx = prog.find(b"\xff\xda")
+    with_dri = (
+        prog[:idx] + b"\xff\xdd\x00\x04\x00\x08" + prog[idx:]
+    )
+    with pytest.raises(NotImplementedError):
+        jpeg.decode_jpeg(with_dri)
+
+
+def test_spark_decode_kernel_routes_progressive_payloads(spark):
+    """The mapInPandas decode kernel (fake=False) handles progressive
+    payloads through the same decode_jpeg_color router — dims and
+    checksums match a driver-side decode of the same bytes."""
+    import zlib
+
+    from thrivefinancedatapipeline_spark.multimodal import binary_ops as mm
+
+    rows = []
+    for i, (w, h) in enumerate([(16, 16), (21, 13), (24, 24)]):
+        pix = _rgb(w, h)
+        rows.append(
+            (i, bytearray(jpeg.encode_jpeg_progressive(pix, w, h, 90)))
+        )
+        gray = _det_bytes(w * h, f"g{i}")
+        rows.append(
+            (
+                100 + i,
+                bytearray(
+                    jpeg.encode_jpeg_progressive(
+                        gray, w, h, 90, channels=1
+                    )
+                ),
+            )
+        )
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r for r in mm.decode_stub(df, fake=False).collect()}
+    assert len(out) == len(rows)
+    for doc_id, payload in rows:
+        img = jpeg.decode_jpeg_color(bytes(payload))
+        r = out[doc_id]
+        assert (r.width, r.height) == (img["width"], img["height"])
+        assert r.checksum == zlib.crc32(img["pixels"])

@@ -484,10 +484,12 @@ def test_jpeg_error_surface_and_gates():
         jpeg.decode_jpeg(good[:20])  # truncated in the marker stream
     with pytest.raises(ValueError):
         jpeg.decode_jpeg(good[:-30])  # truncated entropy data
-    # progressive gate: flip SOF0 to SOF2
+    # a baseline stream with its SOF0 flipped to SOF2 is now a CORRUPT
+    # progressive stream (baseline SOS has Ss=0, Se=63 — a progressive
+    # scan may not mix DC and AC), not an unimplemented feature
     idx = good.find(b"\xff\xc0")
     prog = good[:idx] + b"\xff\xc2" + good[idx + 2 :]
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         jpeg.decode_jpeg(prog)
 
 

@@ -12,13 +12,29 @@ with level shift and clamping.
 The color path handles 4:4:4 AND chroma-subsampled layouts (any
 sampling factors in {1,2}x{1,2}: 4:2:0 — the most common real-world
 JPEG — plus 4:2:2/4:4:0), with interleaved h x v MCUs and
-nearest-sample chroma upsampling. Scope gates (explicit
-NotImplementedError, same policy as interlaced GIF / non-baseline
-PNG): progressive (SOF2), sampling factors > 2, arithmetic coding,
-and restart intervals. Encoders emit grayscale (encode_jpeg), 4:4:4
-color (encode_jpeg_color) and 4:2:0 color (encode_jpeg_420) baseline
-JFIF with the standard Annex-K-style tables embedded in the stream —
-and because the decoder reads its tables from the stream,
+nearest-sample chroma upsampling.
+
+PROGRESSIVE (SOF2) decode is supported end-to-end per ITU-T T.81
+Annex G: multi-scan coefficient accumulation with spectral selection
+(per-band AC scans with EOB-run coding) AND successive approximation
+(DC/AC first + refinement scans, including the correction-bit
+protocol for already-nonzero coefficients). `decode_jpeg_color`
+routes SOF0 and SOF2 transparently, so every Spark-side image op
+(decode kernels, frame_sample, meta) handles progressive web JPEGs
+with no plumbing changes. `encode_jpeg_progressive` emits a
+libjpeg-style 10-scan script (DC Al=1 → AC bands at Al=2/1 → DC
+refine → AC refines to Al=0) so encode→decode pins the scan
+machinery bit-compatibly against the baseline path: the SAME
+quantized coefficients travel either way, so pixels decode EXACTLY
+equal.
+
+Remaining scope gates (explicit NotImplementedError, same policy as
+interlaced GIF / non-baseline PNG): sampling factors > 2, arithmetic
+coding, hierarchical/lossless frames, and restart intervals.
+Encoders emit grayscale (encode_jpeg), 4:4:4 color
+(encode_jpeg_color), 4:2:0 color (encode_jpeg_420) and progressive
+(encode_jpeg_progressive) JFIF with the tables embedded in the
+stream — and because the decoder reads its tables from the stream,
 encode→decode correctness never depends on those constants matching
 any external library.
 
@@ -384,10 +400,20 @@ def decode_jpeg(data: bytes) -> dict:
             if sampling != 0x11:
                 raise NotImplementedError("subsampling not supported")
             comp_q = body[8]
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker == 0xC2:  # SOF2 — progressive path
+            res = _decode_progressive(data)
+            if res["channels"] != 1:
+                raise NotImplementedError(
+                    "color progressive JPEG: use decode_jpeg_color"
+                )
+            return {
+                "width": res["width"], "height": res["height"],
+                "pixels": res["pixels"],
+            }
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential (SOF0) supported"
+                "only baseline (SOF0) / progressive (SOF2) supported"
             )
         elif marker == 0xDD:
             raise NotImplementedError("restart intervals not supported")
@@ -703,10 +729,12 @@ def decode_jpeg_color(data: bytes) -> dict:
                 raise NotImplementedError(
                     "subsampled single-component JPEG"
                 )
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker == 0xC2:  # SOF2 — progressive path
+            return _decode_progressive(data)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential (SOF0) supported"
+                "only baseline (SOF0) / progressive (SOF2) supported"
             )
         elif marker == 0xDD:
             raise NotImplementedError("restart intervals not supported")
@@ -777,6 +805,20 @@ def decode_jpeg_color(data: bytes) -> dict:
             "width": width, "height": height, "channels": 1,
             "pixels": bytes(planes[0]),
         }
+    factors = [(sh, sv) for _q, _d, _a, sh, sv in order]
+    return {
+        "width": width, "height": height, "channels": 3,
+        "pixels": _ycbcr_planes_to_rgb(
+            planes, dims, factors, width, height, hmax, vmax
+        ),
+    }
+
+
+def _ycbcr_planes_to_rgb(planes, dims, factors, width, height,
+                         hmax, vmax) -> bytes:
+    """Y/Cb/Cr component planes → interleaved RGB bytes, with
+    nearest-sample chroma upsample (replication) for subsampled
+    layouts — shared by the baseline and progressive decoders."""
     out = bytearray(width * height * 3)
     if hmax == 1 and vmax == 1:
         # 4:4:4 fast path — bit-identical to the pre-subsampling codec
@@ -794,9 +836,9 @@ def decode_jpeg_color(data: bytes) -> dict:
         # chroma sample for (x, y) is at (x*sh//hmax, y*sv//vmax)
         yp, cbp, crp = planes
         (yw, _yh), (cbw, _cbh), (crw, _crh) = dims
-        (_q0, _d0, _a0, ysh, ysv) = order[0]
-        (_q1, _d1, _a1, csh, csv) = order[1]
-        (_q2, _d2, _a2, rsh, rsv) = order[2]
+        ysh, ysv = factors[0]
+        csh, csv = factors[1]
+        rsh, rsv = factors[2]
         for yy in range(height):
             for xx in range(width):
                 i = yy * width + xx
@@ -811,10 +853,7 @@ def decode_jpeg_color(data: bytes) -> dict:
                 out[3 * i] = 0 if r < 0 else (255 if r > 255 else r)
                 out[3 * i + 1] = 0 if g < 0 else (255 if g > 255 else g)
                 out[3 * i + 2] = 0 if b < 0 else (255 if b > 255 else b)
-    return {
-        "width": width, "height": height, "channels": 3,
-        "pixels": bytes(out),
-    }
+    return bytes(out)
 
 
 def encode_jpeg_420(pixels: bytes, width: int, height: int,
@@ -888,5 +927,683 @@ def encode_jpeg_420(pixels: bytes, width: int, height: int,
     out += bytes((1, 0x00, 2, 0x11, 3, 0x11))
     out += bytes((0, 63, 0))
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2) — ITU-T T.81 Annex G.  Multi-scan coefficient
+# accumulation: DC first/refinement scans (interleaved or per
+# component), AC spectral-selection bands with EOB-run coding, and
+# AC successive-approximation refinement with the correction-bit
+# protocol for already-nonzero coefficients (the semantics libjpeg's
+# jdphuff.c implements from figure G.7).  Coefficients accumulate in
+# zigzag space across scans; dequantize + IDCT happen once at EOI.
+# ---------------------------------------------------------------------------
+
+
+def _prog_dc(br, blk, dc_t, Ah, Al, pred: int) -> int:
+    """One block's DC in a progressive DC scan: Huffman diff decode
+    at point transform Al (first scan) or a single appended magnitude
+    bit (refinement)."""
+    if Ah == 0:
+        size = br.read_symbol(dc_t)
+        pred += _extend(br.read_bits(size), size)
+        blk[0] = pred << Al
+    else:
+        if br.read_bit():
+            blk[0] |= 1 << Al
+    return pred
+
+
+def _prog_ac_first(br, blk, ac_t, Ss, Se, Al, eobrun: int) -> int:
+    """One block's AC band in a FIRST (Ah=0) spectral-selection scan:
+    run-length coding with shared EOB runs across blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = Ss
+    while k <= Se:
+        rs = br.read_symbol(ac_t)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: 16 zero coefficients
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.read_bits(r)
+            break
+        k += r
+        if k > Se:
+            raise ValueError("corrupt progressive AC run")
+        blk[k] = _extend(br.read_bits(s), s) << Al
+        k += 1
+    return eobrun
+
+
+def _prog_ac_refine(br, blk, ac_t, Ss, Se, Al, eobrun: int) -> int:
+    """One block's AC band in a REFINEMENT (Ah>0) scan: newly
+    significant coefficients arrive as (run, 1) symbols with a sign
+    bit; every already-nonzero coefficient passed over (and every one
+    in an EOB-covered tail) consumes one correction bit that may add
+    ±2^Al toward its true magnitude."""
+    p1 = 1 << Al
+    m1 = -1 << Al
+    k = Ss
+    if eobrun == 0:
+        while k <= Se:
+            rs = br.read_symbol(ac_t)
+            r, s = rs >> 4, rs & 0x0F
+            sval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("corrupt AC refinement scan")
+                sval = p1 if br.read_bit() else m1
+            # advance over nonzero-history coefficients (each takes a
+            # correction bit) and r zero-history ones; stop AT the
+            # target zero-history position
+            while k <= Se:
+                if blk[k] != 0:
+                    if br.read_bit() and not (blk[k] & p1):
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if sval:
+                if k > Se:
+                    raise ValueError("corrupt AC refinement position")
+                blk[k] = sval
+            k += 1
+    if eobrun > 0:
+        # EOB-covered tail: refine every remaining nonzero coefficient
+        while k <= Se:
+            if blk[k] != 0:
+                if br.read_bit() and not (blk[k] & p1):
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive(data: bytes) -> dict:
+    """Progressive JPEG → {'width','height','channels','pixels'} —
+    same output contract (and pixel math) as decode_jpeg_color."""
+    if not is_jpeg(data):
+        raise ValueError("not a JPEG")
+    pos = 2
+    quant: dict = {}
+    huff_dc: dict = {}
+    huff_ac: dict = {}
+    width = height = None
+    comps: list = []      # (cid, tq, sh, sv)
+    factors: list = []    # (sh, sv) per component
+    dims: list = []       # component plane dims (pw, ph)
+    nb: list = []         # non-padded block grid (nbw, nbh)
+    bwp: list = []        # MCU-padded block-row width per component
+    coefs: list = []      # per comp: padded list of 64-int zz blocks
+    qsnap: list = []      # per comp: quant table at first scan use
+    hmax = vmax = 1
+    mcus_x = mcus_y = 0
+    saw_scan = False
+    while True:
+        if pos + 2 > len(data):
+            raise ValueError("JPEG marker stream truncated")
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker misalignment")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xFF:  # fill byte
+            pos -= 1
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7:
+            raise NotImplementedError("restart intervals not supported")
+        if pos + 2 > len(data):
+            raise ValueError("JPEG marker stream truncated")
+        seglen = struct.unpack_from(">H", data, pos)[0]
+        if pos + seglen > len(data):
+            raise ValueError("JPEG segment truncated")
+        body = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit DQT not supported")
+                zz = body[b + 1 : b + 65]
+                if len(zz) < 64:
+                    raise ValueError("DQT truncated")
+                tab = [0] * 64
+                for i in range(64):
+                    tab[ZIGZAG[i]] = zz[i]
+                quant[tq] = tab
+                b += 65
+        elif marker == 0xC4:
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1 : b + 17])
+                n = sum(bits)
+                vals = list(body[b + 17 : b + 17 + n])
+                if len(vals) < n:
+                    raise ValueError("DHT truncated")
+                tab = _build_decode_table(bits, vals)
+                (huff_dc if tc == 0 else huff_ac)[th] = tab
+                b += 17 + n
+        elif marker == 0xC2:
+            prec, height, width, ncomp = struct.unpack_from(
+                ">BHHB", body, 0
+            )
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision supported")
+            if ncomp not in (1, 3):
+                raise NotImplementedError(
+                    f"{ncomp}-component JPEG not supported"
+                )
+            for i in range(ncomp):
+                cid = body[6 + 3 * i]
+                sampling = body[7 + 3 * i]
+                sh, sv = sampling >> 4, sampling & 0x0F
+                if sh not in (1, 2) or sv not in (1, 2):
+                    raise NotImplementedError(
+                        "only 1x1/2x1/1x2/2x2 sampling supported"
+                    )
+                comps.append((cid, body[8 + 3 * i], sh, sv))
+                factors.append((sh, sv))
+            hmax = max(f[0] for f in factors)
+            vmax = max(f[1] for f in factors)
+            mcus_x = -(-width // (8 * hmax))
+            mcus_y = -(-height // (8 * vmax))
+            for sh, sv in factors:
+                pw = -(-width * sh // hmax)
+                ph = -(-height * sv // vmax)
+                dims.append((pw, ph))
+                nb.append((-(-pw // 8), -(-ph // 8)))
+                bwp.append(mcus_x * sh)
+                coefs.append(
+                    [[0] * 64 for _ in range(mcus_x * sh * mcus_y * sv)]
+                )
+                qsnap.append(None)
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("multiple frame headers in progressive JPEG")
+        elif marker == 0xDD:
+            if struct.unpack_from(">H", body, 0)[0] != 0:
+                raise NotImplementedError(
+                    "restart intervals not supported"
+                )
+        elif marker == 0xDA:
+            if width is None:
+                raise ValueError("JPEG scan before SOF2")
+            ns = body[0]
+            Ss, Se = body[1 + 2 * ns], body[2 + 2 * ns]
+            Ah, Al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+            scan = []
+            cid_index = {c[0]: i for i, c in enumerate(comps)}
+            for i in range(ns):
+                cid = body[1 + 2 * i]
+                dc_id = body[2 + 2 * i] >> 4
+                ac_id = body[2 + 2 * i] & 0x0F
+                if cid not in cid_index:
+                    raise ValueError("scan references unknown component")
+                ci = cid_index[cid]
+                dc_t = huff_dc.get(dc_id)
+                ac_t = huff_ac.get(ac_id)
+                if Ss == 0 and Ah == 0 and dc_t is None:
+                    raise ValueError("DC scan references missing table")
+                if Ss > 0 and ac_t is None:
+                    raise ValueError("AC scan references missing table")
+                if qsnap[ci] is None:
+                    tq = comps[ci][1]
+                    if tq not in quant:
+                        raise ValueError("scan references missing DQT")
+                    qsnap[ci] = list(quant[tq])
+                scan.append((ci, dc_t, ac_t))
+            pos = _prog_scan(
+                data, pos + seglen, scan, Ss, Se, Ah, Al,
+                factors, nb, bwp, coefs, mcus_x, mcus_y,
+            )
+            saw_scan = True
+            continue
+        pos += seglen
+    if width is None or not saw_scan:
+        raise ValueError("JPEG contains no scan")
+    planes = []
+    for ci in range(len(comps)):
+        qt = qsnap[ci]
+        if qt is None:  # component never scanned: flat gray plane
+            qt = [1] * 64
+        pw, ph = dims[ci]
+        nbw, nbh = nb[ci]
+        plane = bytearray(pw * ph)
+        for by in range(nbh):
+            for bx in range(nbw):
+                zz = coefs[ci][by * bwp[ci] + bx]
+                coef = [0.0] * 64
+                for i in range(64):
+                    coef[ZIGZAG[i]] = zz[i] * qt[ZIGZAG[i]]
+                block = _idct_block(coef)
+                for x in range(8):
+                    py = by * 8 + x
+                    if py >= ph:
+                        break
+                    row = py * pw
+                    for y in range(8):
+                        px = bx * 8 + y
+                        if px >= pw:
+                            break
+                        v = int(round(block[x * 8 + y])) + 128
+                        plane[row + px] = (
+                            0 if v < 0 else (255 if v > 255 else v)
+                        )
+        planes.append(plane)
+    if len(comps) == 1:
+        return {
+            "width": width, "height": height, "channels": 1,
+            "pixels": bytes(planes[0]),
+        }
+    return {
+        "width": width, "height": height, "channels": 3,
+        "pixels": _ycbcr_planes_to_rgb(
+            planes, dims, factors, width, height, hmax, vmax
+        ),
+    }
+
+
+def _prog_scan(data, pos, scan, Ss, Se, Ah, Al,
+               factors, nb, bwp, coefs, mcus_x, mcus_y) -> int:
+    """Decode one progressive scan's entropy segment; returns the
+    stream position of the next marker (resynced past pad bits)."""
+    br = _BitReader(data, pos)
+    if Ss == 0:
+        if Se != 0:
+            raise ValueError(
+                "progressive scan mixes DC and AC coefficients"
+            )
+        preds = [0] * len(scan)
+        if len(scan) > 1:
+            # interleaved DC scan: MCU order, sh x sv blocks per comp
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for si, (ci, dc_t, _a) in enumerate(scan):
+                        sh, sv = factors[ci]
+                        for bv in range(sv):
+                            for bh in range(sh):
+                                blk = coefs[ci][
+                                    (my * sv + bv) * bwp[ci]
+                                    + mx * sh + bh
+                                ]
+                                preds[si] = _prog_dc(
+                                    br, blk, dc_t, Ah, Al, preds[si]
+                                )
+        else:
+            ci, dc_t, _a = scan[0]
+            nbw, nbh = nb[ci]
+            for by in range(nbh):
+                for bx in range(nbw):
+                    blk = coefs[ci][by * bwp[ci] + bx]
+                    preds[0] = _prog_dc(br, blk, dc_t, Ah, Al, preds[0])
+    else:
+        if len(scan) != 1:
+            raise ValueError(
+                "progressive AC scan must be single-component"
+            )
+        if not (Ss <= Se <= 63):
+            raise ValueError("bad spectral selection band")
+        ci, _d, ac_t = scan[0]
+        nbw, nbh = nb[ci]
+        eobrun = 0
+        for by in range(nbh):
+            for bx in range(nbw):
+                blk = coefs[ci][by * bwp[ci] + bx]
+                if Ah == 0:
+                    eobrun = _prog_ac_first(
+                        br, blk, ac_t, Ss, Se, Al, eobrun
+                    )
+                else:
+                    eobrun = _prog_ac_refine(
+                        br, blk, ac_t, Ss, Se, Al, eobrun
+                    )
+    # resync: the next marker is FF + non-stuffing, non-fill byte
+    p = max(2, br.pos - 1)
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] not in (0x00, 0xFF):
+            return p
+        p += 1
+    raise ValueError("JPEG entropy data truncated")
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder — a libjpeg-style scan script (DC first at Al=1,
+# AC spectral bands at Al=2/1, then DC + AC refinement scans down to
+# Al=0) so the decoder's every Annex-G code path is exercised by our
+# own streams.  Because all coefficient bits are transmitted across
+# the scans, a progressive encode of the SAME quantized coefficients
+# decodes to pixels EXACTLY equal to the baseline encode — the
+# bit-compatibility tests pin that.
+# ---------------------------------------------------------------------------
+
+#: flat Huffman specs for progressive scans: every DC size category as
+#: a 4-bit code, every (run, size) AC symbol — including the EOBn
+#: symbols 0x10..0xE0 that baseline tables lack — as an 8-bit code.
+#: Valid canonical tables (Kraft sums 12/16 and 176/256), deliberately
+#: non-optimal: the tests care about scan semantics, not compression.
+PROG_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+PROG_DC_VALS = list(range(12))
+PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0]
+PROG_AC_VALS = [(r << 4) | s for r in range(16) for s in range(11)]
+
+
+def _fdct_quant_zz(plane, pw: int, ph: int, bx: int, by: int,
+                   quant: list) -> list:
+    """One 8x8 block (edge-clamped sampling) → quantized coefficients
+    in zigzag order — the shared front half of every encoder."""
+    block = [
+        float(plane[min(by + x, ph - 1) * pw + min(bx + y, pw - 1)])
+        - 128.0
+        for x in range(8)
+        for y in range(8)
+    ]
+    coef = _fdct_block(block)
+    return [
+        int(round(coef[ZIGZAG[i]] / quant[ZIGZAG[i]])) for i in range(64)
+    ]
+
+
+def _enc_ac_first(bw, blocks, ac_tab, Ss, Se, Al) -> None:
+    """AC first scan (Ah=0): run-length code the point-transformed
+    band, folding trailing zeros into shared EOB runs."""
+    eobrun = 0
+
+    def emit_eobrun():
+        nonlocal eobrun
+        if eobrun > 0:
+            nbits = eobrun.bit_length() - 1
+            code, ln = ac_tab[nbits << 4]
+            bw.write(code, ln)
+            if nbits:
+                bw.write(eobrun & ((1 << nbits) - 1), nbits)
+            eobrun = 0
+
+    for blk in blocks:
+        r = 0
+        for k in range(Ss, Se + 1):
+            v = blk[k]
+            t = (v if v >= 0 else -v) >> Al
+            if t == 0:
+                r += 1
+                continue
+            emit_eobrun()
+            while r > 15:
+                code, ln = ac_tab[0xF0]
+                bw.write(code, ln)
+                r -= 16
+            size = t.bit_length()
+            amp = t if v > 0 else (1 << size) - 1 - t
+            code, ln = ac_tab[(r << 4) | size]
+            bw.write(code, ln)
+            bw.write(amp, size)
+            r = 0
+        if r > 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                emit_eobrun()
+    emit_eobrun()
+
+
+def _enc_ac_refine(bw, blocks, ac_tab, Ss, Se, Al) -> None:
+    """AC refinement scan (Ah=Al+1): newly significant coefficients
+    as (run, 1) + sign, correction bits for already-nonzero ones
+    buffered and flushed with the symbol (or EOB run) that the
+    decoder will be walking when it reads them — the figure G.7
+    protocol as implemented by libjpeg's jcphuff."""
+    eobrun = 0
+    be_bits: list = []  # correction bits belonging to the pending EOB run
+
+    def emit_eobrun():
+        nonlocal eobrun, be_bits
+        if eobrun > 0:
+            nbits = eobrun.bit_length() - 1
+            code, ln = ac_tab[nbits << 4]
+            bw.write(code, ln)
+            if nbits:
+                bw.write(eobrun & ((1 << nbits) - 1), nbits)
+            eobrun = 0
+        for bit in be_bits:
+            bw.write(bit, 1)
+        be_bits = []
+
+    for blk in blocks:
+        absv = [0] * 64
+        eob_idx = Ss - 1
+        for k in range(Ss, Se + 1):
+            t = (blk[k] if blk[k] >= 0 else -blk[k]) >> Al
+            absv[k] = t
+            if t == 1:
+                eob_idx = k  # last newly-significant coefficient
+        r = 0
+        br_bits: list = []  # correction bits since the last symbol
+        for k in range(Ss, Se + 1):
+            t = absv[k]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob_idx:
+                emit_eobrun()
+                code, ln = ac_tab[0xF0]
+                bw.write(code, ln)
+                r -= 16
+                for bit in br_bits:
+                    bw.write(bit, 1)
+                br_bits = []
+            if t > 1:
+                br_bits.append(t & 1)
+                continue
+            emit_eobrun()
+            code, ln = ac_tab[(r << 4) | 1]
+            bw.write(code, ln)
+            bw.write(1 if blk[k] > 0 else 0, 1)
+            for bit in br_bits:
+                bw.write(bit, 1)
+            br_bits = []
+            r = 0
+        if r > 0 or br_bits:
+            eobrun += 1
+            be_bits.extend(br_bits)
+            if eobrun == 0x7FFF:
+                emit_eobrun()
+    emit_eobrun()
+
+
+def _prog_scan_script(ncomp: int) -> list:
+    """(components, Ss, Se, Ah, Al) per scan — the classic libjpeg
+    progressive script shape."""
+    if ncomp == 1:
+        return [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+    return [
+        ([0, 1, 2], 0, 0, 0, 1),
+        ([0], 1, 5, 0, 2),
+        ([2], 1, 63, 0, 1),
+        ([1], 1, 63, 0, 1),
+        ([0], 6, 63, 0, 2),
+        ([0], 1, 63, 2, 1),
+        ([0, 1, 2], 0, 0, 1, 0),
+        ([2], 1, 63, 1, 0),
+        ([1], 1, 63, 1, 0),
+        ([0], 1, 63, 1, 0),
+    ]
+
+
+def encode_jpeg_progressive(pixels: bytes, width: int, height: int,
+                            quality: int = 90, channels: int = 3,
+                            subsample_420: bool = False) -> bytes:
+    """Progressive (SOF2) JFIF: grayscale (channels=1), 4:4:4 color,
+    or 4:2:0 color (subsample_420=True) from 8-bit pixels."""
+    if channels == 1:
+        if len(pixels) != width * height:
+            raise ValueError("pixels must be width*height bytes")
+        if subsample_420:
+            raise ValueError("grayscale has no chroma to subsample")
+        planes: list = [pixels]
+        factors = [(1, 1)]
+        comp_q = [_quant_table(quality)]
+        qids = [0]
+    elif channels == 3:
+        if len(pixels) != width * height * 3:
+            raise ValueError("pixels must be width*height*3 bytes")
+        y, cb, cr = _rgb_to_ycbcr(pixels, width, height)
+        qy, qc = _quant_table(quality), _quant_table_c(quality)
+        if subsample_420:
+            cw, ch = -(-width // 2), -(-height // 2)
+            cbd = [0.0] * (cw * ch)
+            crd = [0.0] * (cw * ch)
+            for cy in range(ch):
+                ys = (2 * cy, min(2 * cy + 1, height - 1))
+                for cx in range(cw):
+                    xs = (2 * cx, min(2 * cx + 1, width - 1))
+                    cbd[cy * cw + cx] = sum(
+                        cb[yy * width + xx] for yy in ys for xx in xs
+                    ) / 4.0
+                    crd[cy * cw + cx] = sum(
+                        cr[yy * width + xx] for yy in ys for xx in xs
+                    ) / 4.0
+            planes = [y, cbd, crd]
+            factors = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            factors = [(1, 1), (1, 1), (1, 1)]
+        comp_q = [qy, qc, qc]
+        qids = [0, 1, 1]
+    else:
+        raise ValueError("channels must be 1 or 3")
+    ncomp = len(planes)
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    dims = []
+    nb = []
+    bwp = []
+    coefs = []
+    for ci, (sh, sv) in enumerate(factors):
+        pw = -(-width * sh // hmax)
+        ph = -(-height * sv // vmax)
+        dims.append((pw, ph))
+        nb.append((-(-pw // 8), -(-ph // 8)))
+        bwp.append(mcus_x * sh)
+        grid = []
+        for by in range(mcus_y * sv):
+            for bx in range(mcus_x * sh):
+                grid.append(
+                    _fdct_quant_zz(
+                        planes[ci], pw, ph, bx * 8, by * 8, comp_q[ci]
+                    )
+                )
+        coefs.append(grid)
+
+    dc_tab = _build_encode_table(PROG_DC_BITS, PROG_DC_VALS)
+    ac_tab = _build_encode_table(PROG_AC_BITS, PROG_AC_VALS)
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+    out += struct.pack(">HHBB", 1, 1, 0, 0)
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0)
+    out += bytes(comp_q[0][ZIGZAG[i]] for i in range(64))
+    if ncomp == 3:
+        out += b"\xff\xdb" + struct.pack(">HB", 67, 1)
+        out += bytes(comp_q[1][ZIGZAG[i]] for i in range(64))
+    out += b"\xff\xc2" + struct.pack(
+        ">HBHHB", 8 + 3 * ncomp, 8, height, width, ncomp
+    )
+    for ci in range(ncomp):
+        sh, sv = factors[ci]
+        out += bytes((ci + 1, (sh << 4) | sv, qids[ci]))
+    for tc_th, bits, vals in (
+        (0x00, PROG_DC_BITS, PROG_DC_VALS),
+        (0x10, PROG_AC_BITS, PROG_AC_VALS),
+    ):
+        out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(vals), tc_th)
+        out += bytes(bits) + bytes(vals)
+
+    for comps_s, Ss, Se, Ah, Al in _prog_scan_script(ncomp):
+        bw = _BitWriter()
+        if Ss == 0:
+            preds = [0] * len(comps_s)
+            if len(comps_s) > 1:
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        for si, ci in enumerate(comps_s):
+                            sh, sv = factors[ci]
+                            for bv in range(sv):
+                                for bh in range(sh):
+                                    blk = coefs[ci][
+                                        (my * sv + bv) * bwp[ci]
+                                        + mx * sh + bh
+                                    ]
+                                    v = blk[0] >> Al
+                                    if Ah == 0:
+                                        size, amp = _magnitude(
+                                            v - preds[si]
+                                        )
+                                        preds[si] = v
+                                        code, ln = dc_tab[size]
+                                        bw.write(code, ln)
+                                        if size:
+                                            bw.write(amp, size)
+                                    else:
+                                        bw.write(v & 1, 1)
+            else:
+                ci = comps_s[0]
+                nbw, nbh = nb[ci]
+                for by in range(nbh):
+                    for bx in range(nbw):
+                        blk = coefs[ci][by * bwp[ci] + bx]
+                        v = blk[0] >> Al
+                        if Ah == 0:
+                            size, amp = _magnitude(v - preds[0])
+                            preds[0] = v
+                            code, ln = dc_tab[size]
+                            bw.write(code, ln)
+                            if size:
+                                bw.write(amp, size)
+                        else:
+                            bw.write(v & 1, 1)
+        else:
+            ci = comps_s[0]
+            nbw, nbh = nb[ci]
+            blocks = [
+                coefs[ci][by * bwp[ci] + bx]
+                for by in range(nbh)
+                for bx in range(nbw)
+            ]
+            if Ah == 0:
+                _enc_ac_first(bw, blocks, ac_tab, Ss, Se, Al)
+            else:
+                _enc_ac_refine(bw, blocks, ac_tab, Ss, Se, Al)
+        bw.flush()
+        ns = len(comps_s)
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns)
+        for ci in comps_s:
+            out += bytes((ci + 1, 0x00))
+        out += bytes((Ss, Se, (Ah << 4) | Al))
+        out += bw.out
     out += b"\xff\xd9"
     return bytes(out)
