@@ -1,0 +1,175 @@
+"""Round-7 operator additions: weighted reservoir sampling (A-Res),
+source familiarity drift over time, and the IVF-PQ probe sweep —
+two-SF Spark==DuckDB pins plus per-operator invariants on top of the
+driver's oracle rows."""
+
+import os
+
+import duckdb
+
+from thrivefinancedatapipeline_spark import registry
+
+
+def _duck(d, sql, tables=("documents",)):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{d}/{t}.parquet')"
+        )
+    rows = con.execute(sql).fetchall()
+    con.close()
+    return rows
+
+
+def _dirs(sf_dir):
+    return [
+        d
+        for d in (sf_dir, sf_dir.replace("sf0.001", "sf0.01"))
+        if os.path.isdir(d)
+    ]
+
+
+def test_weighted_reservoir_vs_duckdb_two_sfs(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.operators.sampling import (
+        ORACLES,
+        RESERVOIR_K,
+        q_weighted_reservoir_attest,
+    )
+
+    for d in _dirs(sf_dir):
+        got = sorted(
+            tuple(r) for r in q_weighted_reservoir_attest(spark, d).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in _duck(d, ORACLES["weighted_reservoir_attest"])
+        )
+        assert got == want, f"reservoir mismatch at {d}"
+        # exactly k per stratum, ranks 1..k, weights in range
+        by_lang = {}
+        for lang, rank, _doc, w, _p in got:
+            by_lang.setdefault(lang, []).append(rank)
+            assert 1 <= w <= 8
+        for lang, ranks in by_lang.items():
+            assert sorted(ranks) == list(range(1, RESERVOIR_K + 1)), lang
+
+
+def test_weighted_reservoir_python_twin_and_weighting(spark, sf_dir):
+    """Exact Python replay of the A-Res max-of-w-hashes priority, and
+    the statistical point of the operator: the selected set is
+    longer (heavier) than a stratum average — weight changes
+    inclusion probability."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from thrivefinancedatapipeline_spark.datamodel import load_table
+    from thrivefinancedatapipeline_spark.operators.sampling import (
+        WEIGHT_CAP,
+        WEIGHT_STEP,
+        q_weighted_reservoir_attest,
+    )
+
+    def md5_long(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    docs = {
+        r.doc_id: r
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .collect()
+    }
+    sel = q_weighted_reservoir_attest(spark, sf_dir).collect()
+    for r in sel:
+        w = min(WEIGHT_CAP, 1 + docs[r.doc_id].n_chars // WEIGHT_STEP)
+        assert r.weight == w
+        pri = max(
+            md5_long(f"resv:{r.doc_id}:{j}") for j in range(1, w + 1)
+        )
+        assert r.priority == pri
+    # weighted selection skews heavy: mean weight of the selected set
+    # exceeds the corpus mean weight (clear margin on this corpus)
+    wexpr = F.least(
+        F.lit(WEIGHT_CAP), F.lit(1) + F.expr(f"n_chars div {WEIGHT_STEP}")
+    )
+    corpus_mean = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.avg(wexpr))
+        .collect()[0][0]
+    )
+    sel_mean = sum(r.weight for r in sel) / len(sel)
+    assert sel_mean > corpus_mean
+
+
+def test_source_familiarity_drift_vs_duckdb_two_sfs(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.operators.textops import (
+        ORACLES,
+        q_source_familiarity_drift,
+    )
+
+    for d in _dirs(sf_dir):
+        got = sorted(
+            tuple(r)
+            for r in q_source_familiarity_drift(spark, d).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in _duck(
+                d,
+                ORACLES["source_familiarity_drift"],
+                tables=("documents", "events"),
+            )
+        )
+        assert got == want, f"familiarity drift mismatch at {d}"
+        # the (source, week) cells partition the document set
+        n_docs = sum(r[2] for r in got)
+        n_corpus = _duck(d, "SELECT COUNT(*) FROM documents")[0][0]
+        assert n_docs == n_corpus
+        # drift is an at-level ratio: every source's bigram-weighted
+        # mean of drift_ppm sits AT 1e6 by construction (the weeks
+        # decompose the source's own familiarity mass)
+        for r in got:
+            assert r[3] == 0 or r[6] > 0  # bigrams present => ratio set
+
+
+def test_ivfpq_probe_sweep_contains_audit_and_curve(spark, sf_dir):
+    """The sweep's N_PROBE slice IS the registered recall audit row
+    for row; and the headline number: more probes never lower MEAN
+    recall on this corpus (the monotone candidate-pool argument holds
+    on average, though single queries may reorder)."""
+    from thrivefinancedatapipeline_spark.operators.similarity import (
+        N_PROBE,
+        PROBE_SWEEP,
+        knn_ivfpq_probe_sweep,
+        knn_ivfpq_recall_audit,
+    )
+
+    sweep = knn_ivfpq_probe_sweep(spark, sf_dir).collect()
+    audit = sorted(
+        (r.query_id, r.n_hits, r.recall_ppm)
+        for r in knn_ivfpq_recall_audit(spark, sf_dir).collect()
+    )
+    base = sorted(
+        (r.query_id, r.n_hits, r.recall_ppm)
+        for r in sweep
+        if r.n_probe == N_PROBE
+    )
+    assert base == audit
+    means = {}
+    for np_ in PROBE_SWEEP:
+        rows = [r.recall_ppm for r in sweep if r.n_probe == np_]
+        assert rows
+        means[np_] = sum(rows) / len(rows)
+    assert means[max(PROBE_SWEEP)] >= means[N_PROBE]
+
+
+def test_r7_registrations_present():
+    qs = registry.all_queries()
+    os_ = registry.all_oracles()
+    for name in (
+        "weighted_reservoir_attest",
+        "source_familiarity_drift",
+        "knn_ivfpq_probe_sweep",
+    ):
+        assert name in qs and name in os_, name

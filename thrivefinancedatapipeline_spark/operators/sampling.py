@@ -162,3 +162,105 @@ FROM documents
 WHERE {hash_bucket_sql("doc_id", PPM, "w")}
       < LEAST({PPM}, n_chars * {PPM // WEIGHT_DENOM_CHARS})""",
 }
+
+
+# -- weighted reservoir sampling (A-Res), exact-integer attestable -----
+
+#: reservoir size per stratum (lang)
+RESERVOIR_K = 10
+#: weight = least(WEIGHT_CAP, 1 + n_chars div WEIGHT_STEP) — integer
+#: weights in [1, WEIGHT_CAP], spread across the corpus length range
+WEIGHT_CAP = 8
+WEIGHT_STEP = 64
+
+
+def q_weighted_reservoir_attest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fixed-size-k WEIGHTED reservoir sample per language stratum
+    (Efraimidis–Spirakis A-Res), fully deterministic and
+    cross-engine attestable: the classic scheme ranks items by
+    u^(1/w) with u uniform — a float pow that would never hash
+    identically across engines. The exact-integer equivalence this
+    operator uses instead: for INTEGER weight w, max(u_1..u_w) of w
+    iid uniforms has CDF x^w — the SAME distribution as u^(1/w) — so
+    the priority is the MAX of w namespaced md5-prefix integers, an
+    exact BIGINT both engines compute bit-identically. Top-k per
+    stratum by (priority DESC, doc_id) is then the A-Res reservoir:
+    inclusion probability rises with weight, membership is a pure
+    function of the rows (rerun/engine/cluster-layout stable, stable
+    under corpus growth except genuine displacement — the reservoir
+    property).
+
+    Complements `weighted_sample` (Bernoulli keep-probability,
+    variable output size): this is the fixed-size-k primitive a
+    mixture sampler uses when the budget is rows, not a rate.
+
+    Scale shape: the priority is a scan-level projection (w <= 8 hash
+    evaluations per row, no shuffle); the only shuffle is the
+    per-stratum top-k window — rank over |langs| partitions with
+    early per-partition pruning; at 100 TB swap the window for
+    ranked_top_k per stratum if |strata| is tiny and skewed."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    w = F.least(
+        F.lit(WEIGHT_CAP),
+        F.lit(1) + F.expr(f"n_chars div {WEIGHT_STEP}"),
+    ).cast("int")
+    priority = F.array_max(
+        F.transform(
+            F.sequence(F.lit(1), w),
+            lambda j: md5_long(
+                F.concat(
+                    F.lit("resv:"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    j.cast("string"),
+                )
+            ),
+        )
+    )
+    ranked = docs.select(
+        "lang",
+        "doc_id",
+        w.alias("weight"),
+        priority.alias("priority"),
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(
+                F.col("priority").desc(), F.col("doc_id")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rank") <= RESERVOIR_K).select(
+        "lang",
+        F.col("rank").cast("int").alias("rank"),
+        "doc_id",
+        "weight",
+        F.col("priority").cast("long").alias("priority"),
+    )
+
+
+_RESV_H = (
+    "('0x' || substring(md5('resv:' || CAST(doc_id AS VARCHAR) || ':'"
+    " || CAST(j AS VARCHAR)), 1, 15))::BIGINT"
+)
+
+QUERIES["weighted_reservoir_attest"] = q_weighted_reservoir_attest
+
+ORACLES["weighted_reservoir_attest"] = f"""
+WITH w AS (SELECT doc_id, lang,
+                  CAST(LEAST({WEIGHT_CAP}, 1 + n_chars // {WEIGHT_STEP})
+                       AS INT) AS weight
+           FROM documents),
+pr AS (SELECT doc_id, lang, weight, MAX(h) AS priority FROM (
+         SELECT doc_id, lang, weight, {_RESV_H} AS h
+         FROM w, unnest(generate_series(1, weight)) AS u(j))
+       GROUP BY doc_id, lang, weight),
+sel AS (SELECT lang, doc_id, weight, priority,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY lang
+                 ORDER BY priority DESC, doc_id) AS INT) AS rank
+        FROM pr)
+SELECT lang, rank, doc_id, weight, CAST(priority AS BIGINT) AS priority
+FROM sel WHERE rank <= {RESERVOIR_K}"""

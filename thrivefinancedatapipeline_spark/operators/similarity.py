@@ -1024,7 +1024,9 @@ def _coarse_map_expr(coarse: list) -> str:
     return f"map_from_arrays(array({keys}), array({vals}))"
 
 
-def ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivfpq_knn(
+    spark: SparkSession, sf_dir: str, n_probe: int = N_PROBE
+) -> DataFrame:
     """IVF-PQ ANN — the full FAISS IVFADC shape, assembled from the
     two proven parts: the trained coarse quantizer prunes the corpus
     to N_PROBE cells per query (ivf_knn), and product-quantized
@@ -1048,7 +1050,7 @@ def ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse = _trained_centroids_cached(spark, sf_dir, iv)
     books = _ivfpq_books_cached(sf_dir, iv, coarse)
     codes = _ivfpq_encode(iv, coarse, books)
-    probes = _ivfpq_probes(iv, coarse, books)
+    probes = _ivfpq_probes(iv, coarse, books, n_probe)
     return _ivfpq_rank(spark, sf_dir, probes, codes)
 
 
@@ -1074,8 +1076,10 @@ def _ivfpq_encode(iv: DataFrame, coarse: list, books: list) -> DataFrame:
     )
 
 
-def _ivfpq_probes(iv: DataFrame, coarse: list, books: list) -> DataFrame:
-    """(query_id, cell, lut): each query exploded to its N_PROBE
+def _ivfpq_probes(
+    iv: DataFrame, coarse: list, books: list, n_probe: int = N_PROBE
+) -> DataFrame:
+    """(query_id, cell, lut): each query exploded to its n_probe
     nearest cells with the per-cell residual ADC lookup table."""
     structs = _cell_structs(coarse)
     cmap = _coarse_map_expr(coarse)
@@ -1085,7 +1089,7 @@ def _ivfpq_probes(iv: DataFrame, coarse: list, books: list) -> DataFrame:
             F.col("vec_id").alias("query_id"),
             "xi",
             F.explode(
-                F.slice(F.array_sort(structs), 1, N_PROBE)
+                F.slice(F.array_sort(structs), 1, n_probe)
             ).alias("pc"),
         )
         .select(
@@ -1149,7 +1153,7 @@ def _ivfpq_rank(
     )
 
 
-def _ivfpq_oracle_sql() -> str:
+def _ivfpq_oracle_sql(n_probe: int = N_PROBE) -> str:
     """DuckDB twin: replays coarse training (the ivf_knn chain),
     residuals, residual-PQ training (namespaced 'pq' digest init),
     encode, the per-(query, probed-cell) residual LUT, the
@@ -1190,7 +1194,7 @@ cranked AS (SELECT vec_id, cell,
             FROM cd),
 asg AS (SELECT vec_id, cell FROM cranked WHERE rn = 1),
 probe AS (SELECT vec_id AS query_id, cell FROM cranked
-          WHERE vec_id < {N_QUERIES} AND rn <= {N_PROBE}),
+          WHERE vec_id < {N_QUERIES} AND rn <= {n_probe}),
 rx AS (SELECT u.vec_id, u.pos,
               CAST((u.pos - 1) // {PQ_SUB} AS INT) AS m,
               u.x - c2.c AS r
@@ -1805,10 +1809,19 @@ def knn_ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     — never corpus-scale — and reuses the two registered plans
     verbatim; at 100 TB you run it on a sampled query panel after
     every index rebuild."""
+    return _ivfpq_recall(spark, sf_dir, N_PROBE)
+
+
+def _ivfpq_recall(
+    spark: SparkSession, sf_dir: str, n_probe: int
+) -> DataFrame:
+    """Per-query recall@{TOP_K} of the IVF-PQ chain at a given probe
+    count vs the exact bruteforce top-k — the shared body of the
+    registered audit (N_PROBE) and the probe sweep."""
     bf = q_knn_bruteforce_cosine(spark, sf_dir).select(
         "query_id", "neighbor_id"
     )
-    iv = ivfpq_knn(spark, sf_dir).select(
+    iv = ivfpq_knn(spark, sf_dir, n_probe).select(
         "query_id", F.col("neighbor_id").alias("ann_neighbor")
     )
     hits = (
@@ -1832,9 +1845,9 @@ def knn_ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_recall_oracle() -> str:
+def _ivfpq_recall_oracle(n_probe: int = N_PROBE) -> str:
     bf = ORACLES["knn_bruteforce_cosine"]
-    iv = _ivfpq_oracle_sql()
+    iv = _ivfpq_oracle_sql(n_probe)
     return f"""
 SELECT b.query_id,
        CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hits,
@@ -1848,3 +1861,48 @@ GROUP BY b.query_id"""
 
 QUERIES["knn_ivfpq_recall_audit"] = knn_ivfpq_recall_audit
 ORACLES["knn_ivfpq_recall_audit"] = _ivfpq_recall_oracle()
+
+
+#: probe counts swept by knn_ivfpq_probe_sweep — N_PROBE (the
+#: registered operating point) plus the next doubling, out of KM_K
+#: coarse cells
+PROBE_SWEEP = (N_PROBE, 2 * N_PROBE)
+
+
+def knn_ivfpq_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall/cost CURVE of the IVF-PQ index under the driver
+    oracle: knn_ivfpq_recall_audit evaluated at every probe count in
+    {PROBE_SWEEP} (N_PROBE=2 of {KM_K} cells — the registered
+    operating point — and its doubling), one row per (n_probe,
+    query). Doubling the probed cells roughly doubles the candidate
+    scan cost at 100 TB (the scan is cell-pruned, so cost ~
+    cells-touched), so this pair of recall numbers IS the knob a
+    deployment turns; measuring it under the same nested cross-engine
+    oracle keeps the curve honest rather than anecdotal.
+    Registered r7.
+
+    Scale posture: the quantizer is trained ONCE (both sweep points
+    share the cached coarse/PQ tables — only the bounded query side
+    re-probes); bruteforce ground truth is the bounded N_QUERIES
+    panel, never corpus-scale."""
+    out = None
+    for np_ in PROBE_SWEEP:
+        r = _ivfpq_recall(spark, sf_dir, np_).select(
+            F.lit(np_).cast("int").alias("n_probe"),
+            "query_id", "n_hits", "recall_ppm",
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+def _ivfpq_sweep_oracle() -> str:
+    parts = [
+        f"SELECT CAST({np_} AS INT) AS n_probe, query_id, n_hits,"
+        f" recall_ppm FROM ({_ivfpq_recall_oracle(np_)})"
+        for np_ in PROBE_SWEEP
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+QUERIES["knn_ivfpq_probe_sweep"] = knn_ivfpq_probe_sweep
+ORACLES["knn_ivfpq_probe_sweep"] = _ivfpq_sweep_oracle()

@@ -1884,3 +1884,133 @@ SELECT a.r, a.freq_r, b.freq_2r,
        CAST(CAST(a.freq_r AS HUGEINT) * 1000000 // b.freq_2r
             AS BIGINT) AS ratio_ppm
 FROM a JOIN b USING (r)"""
+
+
+def q_source_familiarity_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source bigram-familiarity drift over TIME — the temporal
+    extension of corpus_source_drift (distribution) and
+    corpus_bigram_familiarity (quality): did a provider's deliveries
+    start reading differently last week? Each document's arrival time
+    is its ingest event (event_id = doc_id in the events stream);
+    arrival weeks are engine-neutral epoch-weeks (epoch_days div 7 —
+    the cohort_ltv convention, no locale week rules). Familiarity is
+    measured against the CORPUS-WIDE bigram counts (a fixed
+    yardstick), so a week whose documents transition unusually is
+    visible as drift_ppm away from the source's own overall level
+    (1e6 = at level; everything exact integer, no logs, no floats in
+    any hashed column).
+
+    Scale shape: one bigram explode + ONE map-side-combinable
+    corpus-count shuffle + a join back (the proven
+    corpus_bigram_familiarity relation); the ingest join ships only
+    (event_id, ts) against the doc-keyed side; the drift window runs
+    over the tiny (source, week) cell rollup."""
+    docs = _docs(spark, sf_dir)
+    tk = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    bg = tk.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 2 THEN"
+                " transform(sequence(1, size(toks) - 1),"
+                " i -> concat(element_at(toks, i), ' ',"
+                " element_at(toks, i + 1)))"
+                " ELSE array() END"
+            )
+        ).alias("bg"),
+    )
+    counts = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("n_corpus"))
+    perdoc = (
+        bg.join(counts, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("n_corpus").alias("fam_sum"),
+        )
+    )
+    ingest = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("doc_id"),
+        F.expr(
+            "datediff(to_date(ts), DATE '1970-01-01') div 7"
+        ).alias("epoch_week"),
+    )
+    arr = (
+        docs.select("doc_id", "source")
+        .join(ingest, "doc_id")
+        .join(perdoc, "doc_id", "left")
+    )
+    cells = arr.groupBy("source", "epoch_week").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        F.coalesce(F.sum("fam_sum"), F.lit(0)).alias("fam_sum"),
+    )
+    wsrc = Window.partitionBy("source")
+    m = cells.select(
+        "source", "epoch_week", "n_docs", "n_bigrams", "fam_sum",
+        F.sum("n_bigrams").over(wsrc).alias("src_nb"),
+        F.sum("fam_sum").over(wsrc).alias("src_fam"),
+    )
+    return m.select(
+        "source",
+        F.col("epoch_week").cast("long").alias("epoch_week"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("fam_sum").cast("long").alias("fam_sum"),
+        F.when(F.col("n_bigrams") == 0, F.lit(0))
+        .otherwise(F.expr("fam_sum div n_bigrams"))
+        .cast("long")
+        .alias("fam_avg"),
+        F.when(
+            F.col("src_fam") * F.col("n_bigrams") == 0, F.lit(0)
+        )
+        .otherwise(
+            F.expr(
+                "CAST(CAST(fam_sum AS DECIMAL(38,0)) * src_nb"
+                " * 1000000 div (CAST(src_fam AS DECIMAL(38,0))"
+                " * n_bigrams) AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("drift_ppm"),
+    )
+
+
+QUERIES["source_familiarity_drift"] = q_source_familiarity_drift
+
+ORACLES["source_familiarity_drift"] = f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+bg AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+       FROM tk, unnest(range(1, greatest(len(toks), 1))) AS u(i)),
+counts AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS n_corpus
+           FROM bg GROUP BY bg),
+perdoc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                  CAST(SUM(n_corpus) AS BIGINT) AS fam_sum
+           FROM bg JOIN counts USING (bg) GROUP BY doc_id),
+arr AS (SELECT d.doc_id, d.source,
+               datediff('day', DATE '1970-01-01', CAST(e.ts AS DATE))
+                 // 7 AS epoch_week,
+               COALESCE(p.n_bigrams, 0) AS n_bigrams,
+               COALESCE(p.fam_sum, 0) AS fam_sum
+        FROM documents d
+        JOIN events e ON e.event_id = d.doc_id
+        LEFT JOIN perdoc p ON p.doc_id = d.doc_id),
+cells AS (SELECT source, epoch_week,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+                 CAST(SUM(fam_sum) AS BIGINT) AS fam_sum
+          FROM arr GROUP BY 1, 2),
+m AS (SELECT *,
+             SUM(n_bigrams) OVER (PARTITION BY source) AS src_nb,
+             SUM(fam_sum) OVER (PARTITION BY source) AS src_fam
+      FROM cells)
+SELECT source, CAST(epoch_week AS BIGINT) AS epoch_week, n_docs,
+       n_bigrams, fam_sum,
+       CASE WHEN n_bigrams = 0 THEN 0
+            ELSE fam_sum // n_bigrams END AS fam_avg,
+       CASE WHEN CAST(src_fam AS HUGEINT) * n_bigrams = 0 THEN 0
+            ELSE CAST(CAST(fam_sum AS HUGEINT) * src_nb * 1000000
+                 // (CAST(src_fam AS HUGEINT) * n_bigrams) AS BIGINT)
+       END AS drift_ppm
+FROM m"""
