@@ -194,3 +194,113 @@ def test_ivfpq_probe_rejects_foreign_corpus(spark, sf_dir):
         assert sim.index_source_sf_dir(spark) == os.path.abspath(other)
     finally:
         _drop_all(spark)
+
+
+def test_ivfpq_lifecycle_composed_cross_process(spark, sf_dir, tmp_path):
+    """The full persisted-index lifecycle as a deployment runs it,
+    each stage in its OWN process on a FRESH warehouse dir: (1) CLI
+    build, (2) cross-process read-only probe row-identical to the
+    in-process knn_ivfpq (path-fallback catalog read + source-stamp
+    validation), (3) streaming encode-only append under the frozen
+    quantizer loaded cross-process, (4) probe again over the appended
+    table. Closes the loop the per-link tests pin individually."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS="4",
+        PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    )
+    wd = str(tmp_path)  # fresh ./spark-warehouse lives here
+
+    def run(args_or_script, script=False):
+        cmd = (
+            [sys.executable, "-c", args_or_script]
+            if script
+            else [sys.executable, "-m", "thrivefinancedatapipeline_spark"]
+            + args_or_script
+        )
+        r = subprocess.run(
+            cmd, cwd=wd, env=env, capture_output=True, text=True,
+            timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        return r.stdout
+
+    # 1. CLI build in a fresh process + fresh warehouse
+    out = run(["ann-index", "build", "--sf-dir", sf_dir])
+    built = _json.loads(out.strip().splitlines()[-1])
+    assert built["codes_rows"] > 0
+
+    # 2. cross-process probe: rows IDENTICAL to in-process knn_ivfpq
+    out = run(["ann-index", "probe", "--sf-dir", sf_dir, "--json"])
+    probe_rows = [
+        tuple(r) for r in _json.loads(out.strip().splitlines()[-1])["rows"]
+    ]
+    want = sorted(
+        tuple(r) for r in sim.ivfpq_knn(spark, sf_dir).collect()
+    )
+    assert probe_rows == want
+
+    # ... and the stamp guard holds across processes: probing the
+    # same index for a DIFFERENT corpus errors instead of answering
+    other = sf_dir.replace("sf0.001", "sf0.01")
+    if os.path.isdir(other):
+        r = subprocess.run(
+            [sys.executable, "-m", "thrivefinancedatapipeline_spark",
+             "ann-index", "probe", "--sf-dir", other],
+            cwd=wd, env=env, capture_output=True, text=True, timeout=300,
+        )
+        assert r.returncode != 0
+        assert "built from" in (r.stderr + r.stdout)
+
+    # 3. streaming append in a third process: quantizer loaded via the
+    # path fallback (this process's catalog never saw the build), two
+    # micro-batches encoded and landed idempotently
+    script = f"""
+import json
+from thrivefinancedatapipeline_spark.session import get_spark
+from thrivefinancedatapipeline_spark.operators import similarity as sim
+from thrivefinancedatapipeline_spark.streaming.stateful import (
+    run_ivfpq_stream_append,
+)
+from pyspark.sql import functions as F
+spark = get_spark("lifecycle-append")
+emb = spark.read.parquet("{sf_dir}/embeddings.parquet").select(
+    "vec_id", "embedding"
+)
+a = emb.orderBy("vec_id").limit(4).withColumn(
+    "vec_id", F.col("vec_id") + 1_000_000
+)
+a.coalesce(1).write.mode("overwrite").parquet("{wd}/incoming_raw")
+import glob, shutil, os
+os.makedirs("{wd}/incoming", exist_ok=True)
+for i, f in enumerate(sorted(glob.glob("{wd}/incoming_raw/part-*.parquet"))):
+    shutil.copy(f, "{wd}/incoming/file" + str(i) + ".parquet")
+got = run_ivfpq_stream_append(
+    spark, "{wd}/incoming", "{wd}/ckpt", "{wd}/stream_codes"
+)
+coarse, books = sim.load_ivfpq_quantizer(spark)  # path fallback
+expect = sim._ivfpq_encode(sim.to_int_vecs(a), coarse, books)
+def freeze(df):
+    return sorted(
+        (r.neighbor_id, r.cell, tuple(r.codes)) for r in df.collect()
+    )
+assert freeze(got) == freeze(expect), "stream-append parity"
+# cross-process append into the warehouse layout itself
+sim.append_ivfpq_index(spark, sim.to_int_vecs(a))
+print(json.dumps({{"stream_rows": got.count()}}))
+"""
+    out = run(script, script=True)
+    assert _json.loads(out.strip().splitlines()[-1])["stream_rows"] == 4
+
+    # 4. the probe keeps answering over the appended table in yet
+    # another fresh process (appended ids may enter pools — only
+    # shape and non-emptiness are contractual here)
+    out = run(["ann-index", "probe", "--sf-dir", sf_dir, "--json"])
+    again = _json.loads(out.strip().splitlines()[-1])["rows"]
+    assert len(again) > 0 and len(again[0]) == len(want[0])

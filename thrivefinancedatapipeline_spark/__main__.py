@@ -57,6 +57,11 @@ def main(argv: list[str] | None = None) -> int:
     annp.add_argument("action", choices=["build", "probe", "drop"])
     annp.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     annp.add_argument("--limit", type=int, default=20)
+    annp.add_argument(
+        "--json", action="store_true",
+        help="probe: print ALL result rows as one JSON line (for"
+        " cross-process parity checks) instead of show()",
+    )
 
     args = p.parse_args(argv)
 
@@ -92,9 +97,12 @@ def main(argv: list[str] | None = None) -> int:
                 "codes_rows": n,
             }))
         elif args.action == "probe":
-            sim.probe_ivfpq_index(spark, args.sf_dir).show(
-                args.limit, truncate=False
-            )
+            df = sim.probe_ivfpq_index(spark, args.sf_dir)
+            if args.json:
+                rows = sorted(tuple(r) for r in df.collect())
+                print(json.dumps({"rows": rows}))
+            else:
+                df.show(args.limit, truncate=False)
         else:
             for t in (sim.IVFPQ_CENTROIDS_TABLE,
                       sim.IVFPQ_CODEBOOKS_TABLE,
