@@ -118,13 +118,52 @@ def test_progressive_error_surface():
         jpeg.encode_jpeg_progressive(
             pix, 16, 16, channels=1, subsample_420=True
         )
-    # restart intervals stay gated in the progressive path too
+    # a DRI that PROMISES restarts the stream doesn't contain fails
+    # loudly (missing RST marker), not silently
     idx = prog.find(b"\xff\xda")
     with_dri = (
-        prog[:idx] + b"\xff\xdd\x00\x04\x00\x08" + prog[idx:]
+        prog[:idx] + b"\xff\xdd\x00\x04\x00\x02" + prog[idx:]
     )
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         jpeg.decode_jpeg(with_dri)
+
+
+def test_progressive_and_baseline_restart_intervals():
+    """DRI/RSTm support end-to-end: streams encoded WITH restart
+    markers decode pixel-identically to the same content without
+    them, for every codec path (gray/444/420 x baseline/progressive)
+    — restarts re-order bytes and reset predictors/EOB runs, they
+    never change coefficients."""
+    w, h = 33, 17
+    gray = _det_bytes(w * h, "rst-gray")
+    rgb = _rgb(w, h)
+    for ri in (1, 2, 5):
+        pairs = [
+            (jpeg.encode_jpeg(gray, w, h, 90, restart_interval=ri),
+             jpeg.encode_jpeg(gray, w, h, 90)),
+            (jpeg.encode_jpeg_color(rgb, w, h, 90, restart_interval=ri),
+             jpeg.encode_jpeg_color(rgb, w, h, 90)),
+            (jpeg.encode_jpeg_420(rgb, w, h, 90, restart_interval=ri),
+             jpeg.encode_jpeg_420(rgb, w, h, 90)),
+            (jpeg.encode_jpeg_progressive(
+                gray, w, h, 90, channels=1, restart_interval=ri),
+             jpeg.encode_jpeg_progressive(gray, w, h, 90, channels=1)),
+            (jpeg.encode_jpeg_progressive(
+                rgb, w, h, 90, restart_interval=ri),
+             jpeg.encode_jpeg_progressive(rgb, w, h, 90)),
+            (jpeg.encode_jpeg_progressive(
+                rgb, w, h, 90, subsample_420=True, restart_interval=ri),
+             jpeg.encode_jpeg_progressive(
+                 rgb, w, h, 90, subsample_420=True)),
+        ]
+        for with_rst, without in pairs:
+            a = jpeg.decode_jpeg_color(with_rst)
+            b = jpeg.decode_jpeg_color(without)
+            assert a["pixels"] == b["pixels"], ri
+        # the restart stream really contains RST markers
+        assert any(
+            bytes((0xFF, 0xD0 + m)) in pairs[0][0] for m in range(8)
+        )
 
 
 def test_spark_decode_kernel_routes_progressive_payloads(spark):

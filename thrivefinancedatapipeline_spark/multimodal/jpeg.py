@@ -28,9 +28,16 @@ machinery bit-compatibly against the baseline path: the SAME
 quantized coefficients travel either way, so pixels decode EXACTLY
 equal.
 
+RESTART INTERVALS (DRI/RSTm) are supported in every decode path —
+baseline gray/color and all progressive scan kinds — with T.81
+semantics: byte-align, consume RST(m mod 8), reset DC predictors
+(and EOB runs, per scan, in progressive mode); every encoder takes a
+``restart_interval`` so the round-trip tests pin that restart
+streams decode pixel-identically to their unmarked twins.
+
 Remaining scope gates (explicit NotImplementedError, same policy as
 interlaced GIF / non-baseline PNG): sampling factors > 2, arithmetic
-coding, hierarchical/lossless frames, and restart intervals.
+coding, and hierarchical/lossless frames.
 Encoders emit grayscale (encode_jpeg), 4:4:4 color
 (encode_jpeg_color), 4:2:0 color (encode_jpeg_420) and progressive
 (encode_jpeg_progressive) JFIF with the tables embedded in the
@@ -163,6 +170,17 @@ class _BitWriter:
             self.write(1, 1)  # pad with 1-bits per spec
 
 
+def _emit_restart(bw: "_BitWriter", idx: int) -> None:
+    """Flush to a byte boundary and append RST(idx % 8) — markers are
+    raw bytes, never entropy-stuffed."""
+    bw.flush()
+    bw.out += bytes((0xFF, 0xD0 + (idx % 8)))
+
+
+def _dri_segment(restart_interval: int) -> bytes:
+    return b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+
 def _build_encode_table(bits: list, vals: list) -> dict:
     """symbol -> (code, length) from a DHT-style (bits, values) spec."""
     table = {}
@@ -187,8 +205,10 @@ def _magnitude(v: int) -> tuple:
 
 
 def encode_jpeg(pixels: bytes, width: int, height: int,
-                quality: int = 90) -> bytes:
-    """Grayscale baseline JFIF from 8-bit pixels (row-major)."""
+                quality: int = 90, restart_interval: int = 0) -> bytes:
+    """Grayscale baseline JFIF from 8-bit pixels (row-major).
+    restart_interval > 0 emits DRI + RSTm markers every that many
+    MCUs (predictor reset + byte alignment, T.81 F.1.2.3)."""
     if len(pixels) != width * height:
         raise ValueError("pixels must be width*height bytes")
     quant = _quant_table(quality)
@@ -196,8 +216,13 @@ def encode_jpeg(pixels: bytes, width: int, height: int,
     ac_tab = _build_encode_table(AC_BITS, AC_VALS)
     bw = _BitWriter()
     prev_dc = 0
+    mcu = 0
     for by in range(0, height, 8):
         for bx in range(0, width, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                _emit_restart(bw, mcu // restart_interval - 1)
+                prev_dc = 0
+            mcu += 1
             block = [
                 float(
                     pixels[min(by + x, height - 1) * width
@@ -248,6 +273,8 @@ def encode_jpeg(pixels: bytes, width: int, height: int,
     out += struct.pack(">HHBB", 1, 1, 0, 0)  # density + no thumbnail
     out += b"\xff\xdb" + struct.pack(">HB", 67, 0)  # DQT, table 0, 8-bit
     out += bytes(quant[ZIGZAG[i]] for i in range(64))
+    if restart_interval:
+        out += _dri_segment(restart_interval)
     out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, height, width, 1)
     out += bytes((1, 0x11, 0))  # component 1, 1x1 sampling, qtable 0
     out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(DC_VALS), 0x00)
@@ -299,9 +326,9 @@ class _BitReader:
             elif nxt == 0xD9:  # EOI reached while padding — emit 1s
                 b = 0xFF
             else:
-                raise NotImplementedError(
+                raise ValueError(
                     f"JPEG marker 0xff{nxt:02x} inside scan "
-                    "(restart intervals need a native codec)"
+                    "(entropy data shorter than the frame demands)"
                 )
         self.acc = (self.acc << 8) | b
         self.n += 8
@@ -327,6 +354,26 @@ class _BitReader:
                 return sym
         raise ValueError("corrupt JPEG Huffman stream")
 
+    def align_restart(self, m: int) -> None:
+        """Byte-align and consume the expected RSTm marker (skipping
+        pad/stuffing bytes the encoder's flush may have left)."""
+        self.acc = 0
+        self.n = 0
+        p = self.pos
+        while p + 1 < len(self.data):
+            if self.data[p] == 0xFF and self.data[p + 1] not in (
+                0x00, 0xFF,
+            ):
+                break
+            p += 1
+        if p + 1 >= len(self.data):
+            raise ValueError("JPEG restart marker missing (truncated)")
+        if self.data[p + 1] != 0xD0 + m:
+            raise ValueError(
+                f"expected RST{m}, found 0xff{self.data[p + 1]:02x}"
+            )
+        self.pos = p + 2
+
 
 def _extend(amp: int, size: int) -> int:
     if size == 0:
@@ -347,6 +394,7 @@ def decode_jpeg(data: bytes) -> dict:
     huff_ac: dict = {}
     width = height = None
     comp_q = comp_dc = comp_ac = 0
+    restart_interval = 0
     while True:
         if pos + 4 > len(data):
             raise ValueError("JPEG marker stream truncated")
@@ -416,7 +464,7 @@ def decode_jpeg(data: bytes) -> dict:
                 "only baseline (SOF0) / progressive (SOF2) supported"
             )
         elif marker == 0xDD:
-            raise NotImplementedError("restart intervals not supported")
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS — entropy data follows
             if body[0] != 1:
                 raise NotImplementedError("multi-component scan")
@@ -436,8 +484,13 @@ def decode_jpeg(data: bytes) -> dict:
     bh_blocks = -(-height // 8)
     pixels = bytearray(width * height)
     prev_dc = 0
+    mcu = 0
     for by in range(bh_blocks):
         for bx in range(bw_blocks):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                br.align_restart((mcu // restart_interval - 1) % 8)
+                prev_dc = 0
+            mcu += 1
             zz = [0] * 64
             size = br.read_symbol(dc_t)
             prev_dc += _extend(br.read_bits(size), size)
@@ -574,7 +627,8 @@ def _encode_block(bw, plane, width, height, bx, by, quant,
 
 
 def encode_jpeg_color(pixels: bytes, width: int, height: int,
-                      quality: int = 90) -> bytes:
+                      quality: int = 90,
+                      restart_interval: int = 0) -> bytes:
     """4:4:4 YCbCr baseline JFIF from interleaved 8-bit RGB."""
     if len(pixels) != width * height * 3:
         raise ValueError("pixels must be width*height*3 bytes")
@@ -588,8 +642,13 @@ def encode_jpeg_color(pixels: bytes, width: int, height: int,
     tabs = [(qy, dc_y, ac_y), (qc, dc_c, ac_c), (qc, dc_c, ac_c)]
     bw = _BitWriter()
     prev = [0, 0, 0]
+    mcu = 0
     for by in range(0, height, 8):
         for bx in range(0, width, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                _emit_restart(bw, mcu // restart_interval - 1)
+                prev = [0, 0, 0]
+            mcu += 1
             for ci in range(3):
                 q, dt, at = tabs[ci]
                 prev[ci] = _encode_block(
@@ -605,6 +664,8 @@ def encode_jpeg_color(pixels: bytes, width: int, height: int,
     out += bytes(qy[ZIGZAG[i]] for i in range(64))
     out += b"\xff\xdb" + struct.pack(">HB", 67, 1)
     out += bytes(qc[ZIGZAG[i]] for i in range(64))
+    if restart_interval:
+        out += _dri_segment(restart_interval)
     out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, height, width, 3)
     out += bytes((1, 0x11, 0))  # Y: 1x1, qtable 0
     out += bytes((2, 0x11, 1))  # Cb: 1x1, qtable 1
@@ -664,6 +725,7 @@ def decode_jpeg_color(data: bytes) -> dict:
     huff_ac: dict = {}
     width = height = None
     comps: list = []   # (comp_id, qtable)
+    restart_interval = 0
     scan: list = []    # (comp_id, dc_table, ac_table)
     while True:
         if pos + 4 > len(data):
@@ -737,7 +799,7 @@ def decode_jpeg_color(data: bytes) -> dict:
                 "only baseline (SOF0) / progressive (SOF2) supported"
             )
         elif marker == 0xDD:
-            raise NotImplementedError("restart intervals not supported")
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:
             ns = body[0]
             if ns != len(comps):
@@ -775,8 +837,13 @@ def decode_jpeg_color(data: bytes) -> dict:
     prev = [0] * n
     mcus_x = -(-width // (8 * hmax))
     mcus_y = -(-height // (8 * vmax))
+    mcu = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                br.align_restart((mcu // restart_interval - 1) % 8)
+                prev = [0] * n
+            mcu += 1
             for ci, (qt, dc_t, ac_t, sh, sv) in enumerate(order):
                 pw, ph = dims[ci]
                 plane = planes[ci]
@@ -857,7 +924,8 @@ def _ycbcr_planes_to_rgb(planes, dims, factors, width, height,
 
 
 def encode_jpeg_420(pixels: bytes, width: int, height: int,
-                    quality: int = 90) -> bytes:
+                    quality: int = 90,
+                    restart_interval: int = 0) -> bytes:
     """4:2:0 YCbCr baseline JFIF from interleaved 8-bit RGB — the
     most common real-world JPEG layout: 16x16 MCUs of four luma
     blocks plus one 8x8 block per chroma plane, chroma downsampled
@@ -886,8 +954,13 @@ def encode_jpeg_420(pixels: bytes, width: int, height: int,
             ) / 4.0
     bw = _BitWriter()
     prev = [0, 0, 0]
+    mcu = 0
     for by in range(0, height, 16):
         for bx in range(0, width, 16):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                _emit_restart(bw, mcu // restart_interval - 1)
+                prev = [0, 0, 0]
+            mcu += 1
             for dy in (0, 8):
                 for dx in (0, 8):
                     prev[0] = _encode_block(
@@ -911,6 +984,8 @@ def encode_jpeg_420(pixels: bytes, width: int, height: int,
     out += bytes(qy[ZIGZAG[i]] for i in range(64))
     out += b"\xff\xdb" + struct.pack(">HB", 67, 1)
     out += bytes(qc[ZIGZAG[i]] for i in range(64))
+    if restart_interval:
+        out += _dri_segment(restart_interval)
     out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, height, width, 3)
     out += bytes((1, 0x22, 0))  # Y: 2x2, qtable 0
     out += bytes((2, 0x11, 1))  # Cb: 1x1, qtable 1
@@ -1053,6 +1128,7 @@ def _decode_progressive(data: bytes) -> dict:
     qsnap: list = []      # per comp: quant table at first scan use
     hmax = vmax = 1
     mcus_x = mcus_y = 0
+    restart_interval = 0
     saw_scan = False
     while True:
         if pos + 2 > len(data):
@@ -1067,7 +1143,7 @@ def _decode_progressive(data: bytes) -> dict:
         if marker == 0xD9:  # EOI
             break
         if 0xD0 <= marker <= 0xD7:
-            raise NotImplementedError("restart intervals not supported")
+            raise ValueError("stray RST marker between segments")
         if pos + 2 > len(data):
             raise ValueError("JPEG marker stream truncated")
         seglen = struct.unpack_from(">H", data, pos)[0]
@@ -1138,10 +1214,7 @@ def _decode_progressive(data: bytes) -> dict:
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("multiple frame headers in progressive JPEG")
         elif marker == 0xDD:
-            if struct.unpack_from(">H", body, 0)[0] != 0:
-                raise NotImplementedError(
-                    "restart intervals not supported"
-                )
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:
             if width is None:
                 raise ValueError("JPEG scan before SOF2")
@@ -1172,6 +1245,7 @@ def _decode_progressive(data: bytes) -> dict:
             pos = _prog_scan(
                 data, pos + seglen, scan, Ss, Se, Ah, Al,
                 factors, nb, bwp, coefs, mcus_x, mcus_y,
+                restart_interval,
             )
             saw_scan = True
             continue
@@ -1221,10 +1295,30 @@ def _decode_progressive(data: bytes) -> dict:
 
 
 def _prog_scan(data, pos, scan, Ss, Se, Ah, Al,
-               factors, nb, bwp, coefs, mcus_x, mcus_y) -> int:
+               factors, nb, bwp, coefs, mcus_x, mcus_y,
+               restart_interval: int = 0) -> int:
     """Decode one progressive scan's entropy segment; returns the
-    stream position of the next marker (resynced past pad bits)."""
+    stream position of the next marker (resynced past pad bits).
+    Restart intervals count MCUs (a single data unit per MCU in a
+    non-interleaved scan); each RSTm resets the DC predictors AND
+    the EOB run, per T.81."""
     br = _BitReader(data, pos)
+    rst = {"unit": 0, "m": 0}
+
+    def at_restart() -> bool:
+        """Consume an expected RSTm at an interval boundary; True if
+        a restart happened (caller resets its predictors/EOB run)."""
+        hit = (
+            restart_interval
+            and rst["unit"]
+            and rst["unit"] % restart_interval == 0
+        )
+        if hit:
+            br.align_restart(rst["m"] % 8)
+            rst["m"] += 1
+        rst["unit"] += 1
+        return bool(hit)
+
     if Ss == 0:
         if Se != 0:
             raise ValueError(
@@ -1235,6 +1329,8 @@ def _prog_scan(data, pos, scan, Ss, Se, Ah, Al,
             # interleaved DC scan: MCU order, sh x sv blocks per comp
             for my in range(mcus_y):
                 for mx in range(mcus_x):
+                    if at_restart():
+                        preds = [0] * len(scan)
                     for si, (ci, dc_t, _a) in enumerate(scan):
                         sh, sv = factors[ci]
                         for bv in range(sv):
@@ -1251,6 +1347,8 @@ def _prog_scan(data, pos, scan, Ss, Se, Ah, Al,
             nbw, nbh = nb[ci]
             for by in range(nbh):
                 for bx in range(nbw):
+                    if at_restart():
+                        preds = [0]
                     blk = coefs[ci][by * bwp[ci] + bx]
                     preds[0] = _prog_dc(br, blk, dc_t, Ah, Al, preds[0])
     else:
@@ -1265,6 +1363,8 @@ def _prog_scan(data, pos, scan, Ss, Se, Ah, Al,
         eobrun = 0
         for by in range(nbh):
             for bx in range(nbw):
+                if at_restart():
+                    eobrun = 0
                 blk = coefs[ci][by * bwp[ci] + bx]
                 if Ah == 0:
                     eobrun = _prog_ac_first(
@@ -1320,9 +1420,11 @@ def _fdct_quant_zz(plane, pw: int, ph: int, bx: int, by: int,
     ]
 
 
-def _enc_ac_first(bw, blocks, ac_tab, Ss, Se, Al) -> None:
+def _enc_ac_first(bw, blocks, ac_tab, Ss, Se, Al,
+                  restart_interval: int = 0) -> None:
     """AC first scan (Ah=0): run-length code the point-transformed
-    band, folding trailing zeros into shared EOB runs."""
+    band, folding trailing zeros into shared EOB runs (never across a
+    restart boundary)."""
     eobrun = 0
 
     def emit_eobrun():
@@ -1335,7 +1437,10 @@ def _enc_ac_first(bw, blocks, ac_tab, Ss, Se, Al) -> None:
                 bw.write(eobrun & ((1 << nbits) - 1), nbits)
             eobrun = 0
 
-    for blk in blocks:
+    for bi, blk in enumerate(blocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            emit_eobrun()
+            _emit_restart(bw, bi // restart_interval - 1)
         r = 0
         for k in range(Ss, Se + 1):
             v = blk[k]
@@ -1361,7 +1466,8 @@ def _enc_ac_first(bw, blocks, ac_tab, Ss, Se, Al) -> None:
     emit_eobrun()
 
 
-def _enc_ac_refine(bw, blocks, ac_tab, Ss, Se, Al) -> None:
+def _enc_ac_refine(bw, blocks, ac_tab, Ss, Se, Al,
+                   restart_interval: int = 0) -> None:
     """AC refinement scan (Ah=Al+1): newly significant coefficients
     as (run, 1) + sign, correction bits for already-nonzero ones
     buffered and flushed with the symbol (or EOB run) that the
@@ -1383,7 +1489,10 @@ def _enc_ac_refine(bw, blocks, ac_tab, Ss, Se, Al) -> None:
             bw.write(bit, 1)
         be_bits = []
 
-    for blk in blocks:
+    for bi, blk in enumerate(blocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            emit_eobrun()
+            _emit_restart(bw, bi // restart_interval - 1)
         absv = [0] * 64
         eob_idx = Ss - 1
         for k in range(Ss, Se + 1):
@@ -1453,9 +1562,13 @@ def _prog_scan_script(ncomp: int) -> list:
 
 def encode_jpeg_progressive(pixels: bytes, width: int, height: int,
                             quality: int = 90, channels: int = 3,
-                            subsample_420: bool = False) -> bytes:
+                            subsample_420: bool = False,
+                            restart_interval: int = 0) -> bytes:
     """Progressive (SOF2) JFIF: grayscale (channels=1), 4:4:4 color,
-    or 4:2:0 color (subsample_420=True) from 8-bit pixels."""
+    or 4:2:0 color (subsample_420=True) from 8-bit pixels.
+    restart_interval > 0 emits RSTm markers every that many data
+    units in EVERY scan (DC predictors and EOB runs reset — T.81
+    restart semantics apply per scan in progressive mode)."""
     if channels == 1:
         if len(pixels) != width * height:
             raise ValueError("pixels must be width*height bytes")
@@ -1530,6 +1643,8 @@ def encode_jpeg_progressive(pixels: bytes, width: int, height: int,
     if ncomp == 3:
         out += b"\xff\xdb" + struct.pack(">HB", 67, 1)
         out += bytes(comp_q[1][ZIGZAG[i]] for i in range(64))
+    if restart_interval:
+        out += _dri_segment(restart_interval)
     out += b"\xff\xc2" + struct.pack(
         ">HBHHB", 8 + 3 * ncomp, 8, height, width, ncomp
     )
@@ -1548,8 +1663,16 @@ def encode_jpeg_progressive(pixels: bytes, width: int, height: int,
         if Ss == 0:
             preds = [0] * len(comps_s)
             if len(comps_s) > 1:
+                mcu = 0
                 for my in range(mcus_y):
                     for mx in range(mcus_x):
+                        if (restart_interval and mcu
+                                and mcu % restart_interval == 0):
+                            _emit_restart(
+                                bw, mcu // restart_interval - 1
+                            )
+                            preds = [0] * len(comps_s)
+                        mcu += 1
                         for si, ci in enumerate(comps_s):
                             sh, sv = factors[ci]
                             for bv in range(sv):
@@ -1573,8 +1696,16 @@ def encode_jpeg_progressive(pixels: bytes, width: int, height: int,
             else:
                 ci = comps_s[0]
                 nbw, nbh = nb[ci]
+                unit = 0
                 for by in range(nbh):
                     for bx in range(nbw):
+                        if (restart_interval and unit
+                                and unit % restart_interval == 0):
+                            _emit_restart(
+                                bw, unit // restart_interval - 1
+                            )
+                            preds = [0]
+                        unit += 1
                         blk = coefs[ci][by * bwp[ci] + bx]
                         v = blk[0] >> Al
                         if Ah == 0:
@@ -1595,9 +1726,11 @@ def encode_jpeg_progressive(pixels: bytes, width: int, height: int,
                 for bx in range(nbw)
             ]
             if Ah == 0:
-                _enc_ac_first(bw, blocks, ac_tab, Ss, Se, Al)
+                _enc_ac_first(bw, blocks, ac_tab, Ss, Se, Al,
+                              restart_interval)
             else:
-                _enc_ac_refine(bw, blocks, ac_tab, Ss, Se, Al)
+                _enc_ac_refine(bw, blocks, ac_tab, Ss, Se, Al,
+                               restart_interval)
         bw.flush()
         ns = len(comps_s)
         out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ns, ns)
