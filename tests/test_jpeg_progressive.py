@@ -199,3 +199,46 @@ def test_spark_decode_kernel_routes_progressive_payloads(spark):
         r = out[doc_id]
         assert (r.width, r.height) == (img["width"], img["height"])
         assert r.checksum == zlib.crc32(img["pixels"])
+
+
+def test_full_sampling_factor_family():
+    """T.81 sampling factors 1..4 end-to-end: encode_jpeg_subsampled
+    generalizes 4:2:0 to the whole family (4:1:1 = (4,1) — the
+    DV/camera layout — plus tall/wide exotics), the decoder handles
+    any pair, progressive at the same factors decodes pixel-EXACTLY
+    equal to baseline (same coefficients), and restarts compose."""
+    w, h = 37, 29
+    pix = bytes(
+        min(255, (x + y) * 2 + c * 5)
+        for y in range(h)
+        for x in range(w)
+        for c in range(3)
+    )
+    for lf in [(2, 1), (4, 1), (1, 4), (4, 2), (4, 4), (3, 2)]:
+        enc = jpeg.encode_jpeg_subsampled(pix, w, h, 92, luma_factors=lf)
+        dec = jpeg.decode_jpeg_color(enc)
+        assert (dec["width"], dec["height"]) == (w, h)
+        err = max(abs(a - b) for a, b in zip(pix, dec["pixels"]))
+        assert err <= 16, (lf, err)  # smooth content reconstructs
+        prog = jpeg.decode_jpeg_color(
+            jpeg.encode_jpeg_progressive(pix, w, h, 92, luma_factors=lf)
+        )
+        assert prog["pixels"] == dec["pixels"], lf
+        # restarts change bytes, never pixels
+        rst = jpeg.decode_jpeg_color(
+            jpeg.encode_jpeg_subsampled(
+                pix, w, h, 92, luma_factors=lf, restart_interval=2
+            )
+        )
+        assert rst["pixels"] == dec["pixels"], lf
+    # (2,2) through the generic path == the proven encode_jpeg_420
+    a = jpeg.decode_jpeg_color(
+        jpeg.encode_jpeg_subsampled(pix, w, h, 90, luma_factors=(2, 2))
+    )
+    b = jpeg.decode_jpeg_color(jpeg.encode_jpeg_420(pix, w, h, 90))
+    assert a["pixels"] == b["pixels"]
+    # factors > 4 stay gated
+    import pytest
+
+    with pytest.raises(ValueError):
+        jpeg.encode_jpeg_subsampled(pix, w, h, 90, luma_factors=(5, 1))

@@ -35,9 +35,14 @@ semantics: byte-align, consume RST(m mod 8), reset DC predictors
 ``restart_interval`` so the round-trip tests pin that restart
 streams decode pixel-identically to their unmarked twins.
 
+Sampling factors cover the FULL T.81 range 1..4 in both decoders
+(4:1:1 and the tall/wide exotics included); `encode_jpeg_subsampled`
+generalizes the 4:2:0 encoder to any luma pair with 1x1 chroma, and
+`encode_jpeg_progressive` accepts the same `luma_factors`.
+
 Remaining scope gates (explicit NotImplementedError, same policy as
-interlaced GIF / non-baseline PNG): sampling factors > 2, arithmetic
-coding, and hierarchical/lossless frames.
+interlaced GIF / non-baseline PNG): arithmetic coding and
+hierarchical/lossless frames.
 Encoders emit grayscale (encode_jpeg), 4:4:4 color
 (encode_jpeg_color), 4:2:0 color (encode_jpeg_420) and progressive
 (encode_jpeg_progressive) JFIF with the tables embedded in the
@@ -780,9 +785,9 @@ def decode_jpeg_color(data: bytes) -> dict:
                 cid = body[6 + 3 * i]
                 sampling = body[7 + 3 * i]
                 sh, sv = sampling >> 4, sampling & 0x0F
-                if sh not in (1, 2) or sv not in (1, 2):
+                if not (1 <= sh <= 4 and 1 <= sv <= 4):
                     raise NotImplementedError(
-                        "only 1x1/2x1/1x2/2x2 sampling supported"
+                        "sampling factors must be 1..4 (T.81)"
                     )
                 comps.append((cid, body[8 + 3 * i], sh, sv))
             if ncomp == 1 and comps[0][2:] != (1, 1):
@@ -1190,9 +1195,9 @@ def _decode_progressive(data: bytes) -> dict:
                 cid = body[6 + 3 * i]
                 sampling = body[7 + 3 * i]
                 sh, sv = sampling >> 4, sampling & 0x0F
-                if sh not in (1, 2) or sv not in (1, 2):
+                if not (1 <= sh <= 4 and 1 <= sv <= 4):
                     raise NotImplementedError(
-                        "only 1x1/2x1/1x2/2x2 sampling supported"
+                        "sampling factors must be 1..4 (T.81)"
                     )
                 comps.append((cid, body[8 + 3 * i], sh, sv))
                 factors.append((sh, sv))
@@ -1563,16 +1568,22 @@ def _prog_scan_script(ncomp: int) -> list:
 def encode_jpeg_progressive(pixels: bytes, width: int, height: int,
                             quality: int = 90, channels: int = 3,
                             subsample_420: bool = False,
-                            restart_interval: int = 0) -> bytes:
+                            restart_interval: int = 0,
+                            luma_factors: tuple | None = None) -> bytes:
     """Progressive (SOF2) JFIF: grayscale (channels=1), 4:4:4 color,
-    or 4:2:0 color (subsample_420=True) from 8-bit pixels.
-    restart_interval > 0 emits RSTm markers every that many data
-    units in EVERY scan (DC predictors and EOB runs reset — T.81
-    restart semantics apply per scan in progressive mode)."""
+    4:2:0 color (subsample_420=True), or any luma sampling pair in
+    1..4 x 1..4 via luma_factors (chroma stays 1x1) from 8-bit
+    pixels. restart_interval > 0 emits RSTm markers every that many
+    data units in EVERY scan (DC predictors and EOB runs reset —
+    T.81 restart semantics apply per scan in progressive mode)."""
+    if subsample_420 and luma_factors is not None:
+        raise ValueError("pass subsample_420 OR luma_factors, not both")
+    if subsample_420:
+        luma_factors = (2, 2)
     if channels == 1:
         if len(pixels) != width * height:
             raise ValueError("pixels must be width*height bytes")
-        if subsample_420:
+        if luma_factors not in (None, (1, 1)):
             raise ValueError("grayscale has no chroma to subsample")
         planes: list = [pixels]
         factors = [(1, 1)]
@@ -1583,22 +1594,14 @@ def encode_jpeg_progressive(pixels: bytes, width: int, height: int,
             raise ValueError("pixels must be width*height*3 bytes")
         y, cb, cr = _rgb_to_ycbcr(pixels, width, height)
         qy, qc = _quant_table(quality), _quant_table_c(quality)
-        if subsample_420:
-            cw, ch = -(-width // 2), -(-height // 2)
-            cbd = [0.0] * (cw * ch)
-            crd = [0.0] * (cw * ch)
-            for cy in range(ch):
-                ys = (2 * cy, min(2 * cy + 1, height - 1))
-                for cx in range(cw):
-                    xs = (2 * cx, min(2 * cx + 1, width - 1))
-                    cbd[cy * cw + cx] = sum(
-                        cb[yy * width + xx] for yy in ys for xx in xs
-                    ) / 4.0
-                    crd[cy * cw + cx] = sum(
-                        cr[yy * width + xx] for yy in ys for xx in xs
-                    ) / 4.0
+        if luma_factors is not None and luma_factors != (1, 1):
+            sh, sv = luma_factors
+            if not (1 <= sh <= 4 and 1 <= sv <= 4):
+                raise ValueError("luma factors must be 1..4")
+            cbd, _cw, _ch = _box_downsample(cb, width, height, sh, sv)
+            crd, _cw, _ch = _box_downsample(cr, width, height, sh, sv)
             planes = [y, cbd, crd]
-            factors = [(2, 2), (1, 1), (1, 1)]
+            factors = [(sh, sv), (1, 1), (1, 1)]
         else:
             planes = [y, cb, cr]
             factors = [(1, 1), (1, 1), (1, 1)]
@@ -1738,5 +1741,100 @@ def encode_jpeg_progressive(pixels: bytes, width: int, height: int,
             out += bytes((ci + 1, 0x00))
         out += bytes((Ss, Se, (Ah << 4) | Al))
         out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _box_downsample(plane: list, width: int, height: int,
+                    sh: int, sv: int) -> tuple:
+    """Chroma plane box-averaged by (sh x sv) with edge clamping —
+    the generic form of encode_jpeg_420's 2x2 average."""
+    cw, ch = -(-width // sh), -(-height // sv)
+    out = [0.0] * (cw * ch)
+    for cy in range(ch):
+        ys = [min(cy * sv + i, height - 1) for i in range(sv)]
+        for cx in range(cw):
+            xs = [min(cx * sh + i, width - 1) for i in range(sh)]
+            out[cy * cw + cx] = sum(
+                plane[yy * width + xx] for yy in ys for xx in xs
+            ) / float(sh * sv)
+    return out, cw, ch
+
+
+def encode_jpeg_subsampled(pixels: bytes, width: int, height: int,
+                           quality: int = 90,
+                           luma_factors: tuple = (2, 2),
+                           restart_interval: int = 0) -> bytes:
+    """Baseline YCbCr JFIF with an ARBITRARY luma sampling pair in
+    1..4 x 1..4 and 1x1 chroma — generalizes encode_jpeg_420 ((2,2))
+    to the whole T.81 family: (4,1) = 4:1:1 (DV/camera streams),
+    (1,2)/(2,1) = 4:4:0 / 4:2:2, (4,2)/(2,4)/(4,4) the tall/wide
+    exotics. MCUs carry sh x sv luma blocks + one block per chroma
+    plane; chroma is box-averaged sh x sv."""
+    sh, sv = luma_factors
+    if not (1 <= sh <= 4 and 1 <= sv <= 4):
+        raise ValueError("luma factors must be 1..4")
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixels must be width*height*3 bytes")
+    qy = _quant_table(quality)
+    qc = _quant_table_c(quality)
+    dc_y = _build_encode_table(DC_BITS, DC_VALS)
+    ac_y = _build_encode_table(AC_BITS, AC_VALS)
+    dc_c = _build_encode_table(DC_BITS_C, DC_VALS_C)
+    ac_c = _build_encode_table(AC_BITS_C, AC_VALS_C)
+    y, cb, cr = _rgb_to_ycbcr(pixels, width, height)
+    cbd, cw, ch = _box_downsample(cb, width, height, sh, sv)
+    crd, _cw, _ch = _box_downsample(cr, width, height, sh, sv)
+    bw = _BitWriter()
+    prev = [0, 0, 0]
+    mcu = 0
+    for by in range(0, height, 8 * sv):
+        for bx in range(0, width, 8 * sh):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                _emit_restart(bw, mcu // restart_interval - 1)
+                prev = [0, 0, 0]
+            mcu += 1
+            for bv in range(sv):
+                for bh in range(sh):
+                    prev[0] = _encode_block(
+                        bw, y, width, height,
+                        bx + 8 * bh, by + 8 * bv,
+                        qy, dc_y, ac_y, prev[0],
+                    )
+            prev[1] = _encode_block(
+                bw, cbd, cw, ch, bx // sh, by // sv, qc, dc_c, ac_c,
+                prev[1],
+            )
+            prev[2] = _encode_block(
+                bw, crd, cw, ch, bx // sh, by // sv, qc, dc_c, ac_c,
+                prev[2],
+            )
+    bw.flush()
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+    out += struct.pack(">HHBB", 1, 1, 0, 0)
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0)
+    out += bytes(qy[ZIGZAG[i]] for i in range(64))
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 1)
+    out += bytes(qc[ZIGZAG[i]] for i in range(64))
+    if restart_interval:
+        out += _dri_segment(restart_interval)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, height, width, 3)
+    out += bytes((1, (sh << 4) | sv, 0))
+    out += bytes((2, 0x11, 1))
+    out += bytes((3, 0x11, 1))
+    for tc_th, bits, vals in (
+        (0x00, DC_BITS, DC_VALS), (0x10, AC_BITS, AC_VALS),
+        (0x01, DC_BITS_C, DC_VALS_C), (0x11, AC_BITS_C, AC_VALS_C),
+    ):
+        out += b"\xff\xc4" + struct.pack(
+            ">HB", 2 + 1 + 16 + len(vals), tc_th
+        )
+        out += bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    out += bytes((1, 0x00, 2, 0x11, 3, 0x11))
+    out += bytes((0, 63, 0))
+    out += bw.out
     out += b"\xff\xd9"
     return bytes(out)
