@@ -232,3 +232,83 @@ FROM cum"""
 
 
 ORACLES["pack_chunks"] = _pack_chunks_oracle()
+
+
+# ---------------------------------------------------------------------------
+# PREBUILT (r7-staged, NOT yet registered — tools/check_prebuilt.py).
+# ---------------------------------------------------------------------------
+
+def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit a pretraining data build runs AFTER packing: per
+    language — pack count, token fill ratio of the allocated
+    capacity (integer ppm), and how many documents straddle a pack
+    boundary (boundary-crossers are the rows whose attention masks
+    need document-boundary resets; a packing plan is judged by high
+    fill and few crossers). Derived entirely from the proven
+    pack_sequences assignment, so the audit and the plan can never
+    disagree. Prebuilt r7 (tools/check_prebuilt.py).
+
+    Scale shape: one per-language rollup over the packing output —
+    the assignment's ranged prefix sum remains the only heavy pass."""
+    p = q_pack_sequences(spark, sf_dir)
+    # packs CONSUMED = ceil(total/budget): the last doc's tokens spill
+    # past the last start-position pack, and that tail capacity is
+    # real (max(pack_id)+1 undercounts it — caught by the fill<=1e6
+    # invariant test)
+    agg = p.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.expr(
+            f"CAST((sum(n_tokens) + {PACK_BUDGET} - 1)"
+            f" div {PACK_BUDGET} AS BIGINT)"
+        ).alias("n_packs"),
+        F.sum(
+            (
+                F.col("pack_offset") + F.col("n_tokens") > PACK_BUDGET
+            ).cast("long")
+        ).alias("n_split_docs"),
+    )
+    return agg.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.col("n_packs").cast("long").alias("n_packs"),
+        F.col("n_split_docs").cast("long").alias("n_split_docs"),
+        F.expr(
+            "CAST(CAST(total_tokens AS DECIMAL(38,0)) * 1000000"
+            f" div (n_packs * {PACK_BUDGET}) AS BIGINT)"
+        ).alias("fill_ppm"),
+    )
+
+
+PACKING_EFFICIENCY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         len(string_split({norm_sql("text")}, ' ')) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens
+           AS before
+  FROM toks
+),
+asg AS (
+  SELECT lang, n_tokens,
+         CAST(FLOOR(CAST(before AS DOUBLE) / {PACK_BUDGET}) AS BIGINT)
+           AS pack_id,
+         CAST(before % {PACK_BUDGET} AS BIGINT) AS pack_offset
+  FROM cum
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST((SUM(n_tokens) + {PACK_BUDGET} - 1) // {PACK_BUDGET}
+            AS BIGINT) AS n_packs,
+       CAST(COUNT(CASE WHEN pack_offset + n_tokens > {PACK_BUDGET}
+                       THEN 1 END) AS BIGINT) AS n_split_docs,
+       CAST(CAST(SUM(n_tokens) AS HUGEINT) * 1000000
+            // (((SUM(n_tokens) + {PACK_BUDGET} - 1) // {PACK_BUDGET})
+                * {PACK_BUDGET}) AS BIGINT) AS fill_ppm
+FROM asg GROUP BY lang"""

@@ -264,3 +264,107 @@ sel AS (SELECT lang, doc_id, weight, priority,
         FROM pr)
 SELECT lang, rank, doc_id, weight, CAST(priority AS BIGINT) AS priority
 FROM sel WHERE rank <= {RESERVOIR_K}"""
+
+
+# ---------------------------------------------------------------------------
+# PREBUILT (r7-staged, NOT yet registered — tools/check_prebuilt.py).
+# ---------------------------------------------------------------------------
+
+def split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-balance audit of the train/val/test split: the
+    TOTAL-VARIATION distance between each split's token UNIGRAM
+    distribution and the whole corpus's, in exact integer ppm — the
+    leakage/skew check a training pipeline runs after splitting (a
+    val split whose vocabulary profile drifts from the corpus will
+    mis-rank every checkpoint). The token-level sibling of
+    corpus_source_drift's length-profile TV, over the hash-stable
+    split_column assignment. Prebuilt r7 (tools/check_prebuilt.py).
+
+    Exactness: common-denominator integers |n_st*N - n_t*N_s| summed
+    in DECIMAL(38,0), one truncating div by 2*N_s*N — no logs, no
+    floats. Missing-token mass handled algebraically like
+    corpus_source_drift.
+
+    Scale shape: ONE map-side-combinable (split, token) groupBy over
+    the token fan-out is the only corpus-scale reduce; the marginals
+    are re-aggregations of that rollup (never a single-partition
+    global window — the grand total is a broadcast 1-row aggregate,
+    the tpch_q11 scalar-subquery shape)."""
+    from ..functions.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        split_column(F.col("doc_id")).alias("split"),
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    cells = toks.groupBy("split", "tok").agg(
+        F.count(F.lit(1)).alias("n_st")
+    )
+    per_split = cells.groupBy("split").agg(
+        F.sum("n_st").alias("n_s"), F.count(F.lit(1)).alias("n_types")
+    )
+    per_tok = cells.groupBy("tok").agg(F.sum("n_st").alias("n_t"))
+    total = per_split.agg(F.sum("n_s").alias("n"))
+    j = (
+        cells.join(per_tok, "tok")
+        .join(F.broadcast(per_split), "split")
+        .crossJoin(F.broadcast(total))
+    )
+    agg = j.groupBy("split").agg(
+        F.first("n_s").alias("n_s"),
+        F.first("n_types").alias("n_types"),
+        F.first("n").alias("n"),
+        F.sum(
+            F.abs(
+                F.col("n_st").cast("decimal(38,0)") * F.col("n")
+                - F.col("n_t").cast("decimal(38,0)") * F.col("n_s")
+            )
+        ).alias("num_p"),
+        F.sum(F.col("n_t").cast("decimal(38,0)")).alias("cov"),
+    )
+    return agg.select(
+        "split",
+        F.col("n_s").cast("long").alias("n_tokens"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.expr(
+            "CAST((num_p + (CAST(n AS DECIMAL(38,0)) - cov) * n_s)"
+            " * 1000000 div (2 * CAST(n_s AS DECIMAL(38,0)) * n)"
+            " AS BIGINT)"
+        ).alias("tv_ppm"),
+    )
+
+
+_SPLIT_TOKS = (
+    "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+    ", ' ')"
+)
+
+SPLIT_BALANCE_ORACLE = f"""
+WITH tk AS (SELECT doc_id,
+                   CASE WHEN {hash_bucket_sql("doc_id", 100, "split")}
+                             < {SPLIT_TRAIN} THEN 'train'
+                        WHEN {hash_bucket_sql("doc_id", 100, "split")}
+                             < {SPLIT_VAL} THEN 'val'
+                        ELSE 'test' END AS split,
+                   unnest({_SPLIT_TOKS}) AS tok
+            FROM documents),
+cells AS (SELECT split, tok, COUNT(*) AS n_st
+          FROM tk WHERE tok <> '' GROUP BY 1, 2),
+per_split AS (SELECT split, SUM(n_st) AS n_s, COUNT(*) AS n_types
+              FROM cells GROUP BY 1),
+per_tok AS (SELECT tok, SUM(n_st) AS n_t FROM cells GROUP BY 1),
+total AS (SELECT SUM(n_s) AS n FROM per_split),
+j AS (SELECT c.split, c.n_st, t.n_t, s.n_s, s.n_types, x.n
+      FROM cells c
+      JOIN per_tok t USING (tok)
+      JOIN per_split s USING (split)
+      CROSS JOIN total x)
+SELECT split,
+       CAST(MIN(n_s) AS BIGINT) AS n_tokens,
+       CAST(MIN(n_types) AS BIGINT) AS n_types,
+       CAST((SUM(abs(CAST(n_st AS HUGEINT) * n
+                     - CAST(n_t AS HUGEINT) * n_s))
+             + (MIN(n) - SUM(n_t)) * MIN(n_s)) * 1000000
+            // (2 * CAST(MIN(n_s) AS HUGEINT) * MIN(n))
+            AS BIGINT) AS tv_ppm
+FROM j GROUP BY split"""

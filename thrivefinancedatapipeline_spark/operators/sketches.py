@@ -1193,3 +1193,109 @@ WHERE r.rn = (t.n_users + {100 // PARETO_TOP_PCT} - 1)
 
 QUERIES["events_pareto_share"] = events_pareto_share
 ORACLES["events_pareto_share"] = PARETO_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# PREBUILT (r7-staged, NOT yet registered — tools/check_prebuilt.py).
+# ---------------------------------------------------------------------------
+
+SRC_KMV_K = 64  # sketch size per source for the pairwise Jaccard
+
+
+def source_jaccard_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-to-source Jaccard similarity from per-source
+    KMV SKETCHES — the scale path next to `source_overlap_matrix`'s
+    exact shared-gram counts: at 100 TB you cannot join two sources'
+    full shingle sets, but each source reduces to its k smallest
+    60-bit shingle hashes in ONE pass, and any pair's Jaccard is then
+    estimated from two k-element arrays (the standard KMV estimator:
+    take the k smallest of the union, count how many live in both
+    sketches). Deterministic md5 hash space end to end, so the sketch
+    — and therefore the estimate — is bit-identical in both engines.
+    Prebuilt r7 (staged in tools/check_prebuilt.py).
+
+    Scale shape: one distinct-reduce on (source, hash) — map-side
+    combinable, the only pass over raw shingles — then per-source
+    bottom-k and a broadcast |sources|^2 pair join over <= k-element
+    arrays. Nothing downstream of the sketch touches corpus-scale
+    data."""
+    from ..functions.text import shingles_from_tokens, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("source", tokens(F.col("text")).alias("toks"))
+    sh = tk.select(
+        "source",
+        F.explode(shingles_from_tokens(F.col("toks"))).alias("sh"),
+    )
+    d = sh.select("source", md5_long(F.col("sh")).alias("h")).distinct()
+    w = Window.partitionBy("source").orderBy("h")
+    sk = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SRC_KMV_K)
+        .groupBy("source")
+        .agg(F.sort_array(F.collect_list("h")).alias("sk"))
+    )
+    a = sk.select(F.col("source").alias("source_a"), F.col("sk").alias("ska"))
+    b = sk.select(F.col("source").alias("source_b"), F.col("sk").alias("skb"))
+    pairs = a.join(
+        F.broadcast(b), F.col("source_a") < F.col("source_b")
+    ).withColumn(
+        "uk",
+        F.slice(
+            F.array_sort(F.array_union("ska", "skb")), 1, SRC_KMV_K
+        ),
+    )
+    return pairs.select(
+        "source_a",
+        "source_b",
+        F.size("uk").cast("int").alias("k_used"),
+        F.size(
+            F.array_intersect(F.array_intersect("uk", "ska"), "skb")
+        ).cast("long").alias("n_both"),
+        F.expr(
+            "CAST(CAST(size(array_intersect(array_intersect(uk, ska),"
+            " skb)) AS DECIMAL(38,0)) * 1000000 div size(uk) AS BIGINT)"
+        ).alias("jaccard_ppm"),
+    )
+
+
+_SJ_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+SOURCE_JACCARD_KMV_ORACLE = f"""
+WITH docs AS (SELECT source, string_split({_SJ_NORM}, ' ') AS toks
+              FROM documents),
+g AS (SELECT source,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+      FROM docs, unnest(range(1, len(toks) - 1)) AS u(i)
+      WHERE len(toks) >= 3),
+d AS (SELECT DISTINCT source,
+             ('0x' || substring(md5(sh), 1, 15))::BIGINT AS h
+      FROM g),
+sk AS (SELECT source, h FROM (
+         SELECT source, h,
+                ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+         FROM d) WHERE rn <= {SRC_KMV_K}),
+pairs AS (SELECT a.source AS source_a, b.source AS source_b
+          FROM (SELECT DISTINCT source FROM sk) a
+          JOIN (SELECT DISTINCT source FROM sk) b
+            ON a.source < b.source),
+uh AS (SELECT p.source_a, p.source_b, s.h
+       FROM pairs p JOIN sk s ON s.source IN (p.source_a, p.source_b)
+       GROUP BY 1, 2, 3),
+uk AS (SELECT source_a, source_b, h FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY source_a, source_b
+                                      ORDER BY h) AS rn
+         FROM uh) WHERE rn <= {SRC_KMV_K}),
+ku AS (SELECT source_a, source_b, COUNT(*) AS k_used
+       FROM uk GROUP BY 1, 2),
+ovl AS (SELECT u.source_a, u.source_b, COUNT(*) AS n_both
+        FROM uk u
+        JOIN sk x ON x.source = u.source_a AND x.h = u.h
+        JOIN sk y ON y.source = u.source_b AND y.h = u.h
+        GROUP BY 1, 2)
+SELECT k.source_a, k.source_b,
+       CAST(k.k_used AS INT) AS k_used,
+       CAST(COALESCE(o.n_both, 0) AS BIGINT) AS n_both,
+       CAST(CAST(COALESCE(o.n_both, 0) AS HUGEINT) * 1000000
+            // k.k_used AS BIGINT) AS jaccard_ppm
+FROM ku k LEFT JOIN ovl o USING (source_a, source_b)"""

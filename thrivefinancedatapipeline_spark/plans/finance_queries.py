@@ -1116,3 +1116,117 @@ FROM aged GROUP BY 1"""
 
 QUERIES["customer_inactivity_buckets"] = customer_inactivity_buckets
 ORACLES["customer_inactivity_buckets"] = INACTIVITY_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# PREBUILT (r7-staged, NOT yet registered — tools/check_prebuilt.py
+# gates these until a future round's registration window has room).
+# ---------------------------------------------------------------------------
+
+def time_weighted_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average balance (TWAB) per customer over
+    [first transaction, ASOF) — the creditworthiness/interest-accrual
+    metric the reference's balance catalog lacks: a customer who held
+    900 for three weeks ranks above one who spiked to 1000 for an
+    hour. Prebuilt r7 (staged in tools/check_prebuilt.py).
+
+    Exactness: balance deltas in half-up integer cents (the rfm
+    convention), segment durations in exact epoch MICROS
+    (unix_micros / epoch_us agree engine-to-engine), the
+    cents x micros products summed in DECIMAL(38,0) (a month of
+    micros x 1e7 cents overflows int64), one truncating div by the
+    window span at the end. Customers whose first transaction is at
+    or after ASOF are excluded (they have no window).
+
+    Scale shape: ONE exchange+sort per customer serves the running
+    balance AND the lead() segment end (the scd2 one-pass
+    discipline: both windows derive from the ORIGINAL columns before
+    any aliasing), then one map-side-combinable per-customer rollup."""
+    txns = _txns(spark, sf_dir)
+    asof_us = F.unix_micros(F.lit(ASOF).cast("timestamp"))
+    cb = txns.filter(
+        F.col("createdat") < F.lit(ASOF).cast("timestamp")
+    ).select(
+        "customerid",
+        "createdat",
+        "trans_id",
+        F.when(
+            F.col("tctype") == "earned",
+            F.round(F.abs(F.col("amount")) * 100).cast("long"),
+        )
+        .otherwise(-F.round(F.abs(F.col("amount")) * 100).cast("long"))
+        .alias("delta_cents"),
+    )
+    w = (
+        Window.partitionBy("customerid")
+        .orderBy("createdat", "trans_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wl = Window.partitionBy("customerid").orderBy("createdat", "trans_id")
+    seg = cb.select(
+        "customerid",
+        F.sum("delta_cents").over(w).alias("bal_cents"),
+        F.unix_micros(F.col("createdat")).alias("t0"),
+        F.coalesce(
+            F.lead(F.unix_micros(F.col("createdat"))).over(wl), asof_us
+        ).alias("t1"),
+        F.min(F.unix_micros(F.col("createdat")))
+        .over(Window.partitionBy("customerid"))
+        .alias("tfirst"),
+    )
+    return seg.groupBy("customerid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_txns"),
+        F.expr(
+            "CAST((CAST(" + str(_ASOF_US_SQL) + " AS BIGINT) - min(tfirst))"
+            " div 1000000 AS BIGINT)"
+        ).alias("window_seconds"),
+        F.expr(
+            "CAST(SUM(CAST(bal_cents AS DECIMAL(38,0)) * (t1 - t0))"
+            f" div ({_ASOF_US_SQL} - min(tfirst)) AS BIGINT)"
+        ).alias("twab_cents"),
+    ).select(
+        F.col("customerid").alias("customer_id"),
+        "n_txns",
+        "window_seconds",
+        "twab_cents",
+    )
+
+
+#: epoch micros of ASOF, shared by the Spark aggregate SQL snippets
+#: and readable in the oracle below (UTC, second-aligned timestamp)
+import datetime as _dt  # noqa: E402
+
+_ASOF_US_SQL = int(
+    _dt.datetime.strptime(ASOF, "%Y-%m-%d %H:%M:%S")
+    .replace(tzinfo=_dt.timezone.utc)
+    .timestamp()
+    * 1_000_000
+)
+
+TWAB_ORACLE = f"""WITH {TXNS_CTE},
+cb AS (
+  SELECT customerid, createdat, trans_id,
+         CASE WHEN tctype = 'earned'
+              THEN CAST(ROUND(ABS(amount) * 100, 0) AS BIGINT)
+              ELSE -CAST(ROUND(ABS(amount) * 100, 0) AS BIGINT)
+         END AS delta_cents
+  FROM txns WHERE createdat < TIMESTAMP '{ASOF}'),
+seg AS (
+  SELECT customerid,
+         SUM(delta_cents) OVER w AS bal_cents,
+         epoch_us(createdat) AS t0,
+         COALESCE(LEAD(epoch_us(createdat)) OVER w2,
+                  {_ASOF_US_SQL}) AS t1,
+         MIN(epoch_us(createdat))
+           OVER (PARTITION BY customerid) AS tfirst
+  FROM cb
+  WINDOW w AS (PARTITION BY customerid ORDER BY createdat, trans_id
+               ROWS UNBOUNDED PRECEDING),
+         w2 AS (PARTITION BY customerid ORDER BY createdat, trans_id))
+SELECT customerid AS customer_id,
+       CAST(COUNT(*) AS BIGINT) AS n_txns,
+       CAST(({_ASOF_US_SQL} - MIN(tfirst)) // 1000000 AS BIGINT)
+         AS window_seconds,
+       CAST(SUM(CAST(bal_cents AS HUGEINT) * (t1 - t0))
+            // ({_ASOF_US_SQL} - MIN(tfirst)) AS BIGINT) AS twab_cents
+FROM seg GROUP BY customerid"""

@@ -32,11 +32,39 @@ def _catalog():
     registered in a module's QUERIES/ORACLES dicts.
 
     Round 6 drained the 29-operator backlog into the registered
-    catalog, and the four operators built later in round 6 went
-    straight through this gate into registration the same session
-    (green here first, then the 2-line move). New prebuilds stage
-    here; empty means nothing is waiting."""
-    return {}
+    catalog. Round 7 stages FOUR new operators here for the r8
+    registration window (r7's own window budget was spent on the
+    weighted-reservoir / familiarity-drift / probe-sweep trio):
+    green here first, then a 2-line move into the module dicts."""
+    from thrivefinancedatapipeline_spark.operators.packing import (
+        PACKING_EFFICIENCY_ORACLE,
+        packing_efficiency,
+    )
+    from thrivefinancedatapipeline_spark.operators.sampling import (
+        SPLIT_BALANCE_ORACLE,
+        split_balance_audit,
+    )
+    from thrivefinancedatapipeline_spark.operators.sketches import (
+        SOURCE_JACCARD_KMV_ORACLE,
+        source_jaccard_kmv,
+    )
+    from thrivefinancedatapipeline_spark.plans.finance_queries import (
+        TWAB_ORACLE,
+        time_weighted_balance,
+    )
+
+    return {
+        "time_weighted_balance": (time_weighted_balance, TWAB_ORACLE),
+        "source_jaccard_kmv": (
+            source_jaccard_kmv, SOURCE_JACCARD_KMV_ORACLE,
+        ),
+        "split_balance_audit": (
+            split_balance_audit, SPLIT_BALANCE_ORACLE,
+        ),
+        "packing_efficiency": (
+            packing_efficiency, PACKING_EFFICIENCY_ORACLE,
+        ),
+    }
 
 
 def main() -> int:
