@@ -120,6 +120,31 @@ def test_packing_efficiency_vs_duckdb(spark, sf_dir):
             assert n_split <= n_packs
 
 
+def test_ivfpq_distortion_audit_vs_duckdb(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.operators.similarity import (
+        KM_K,
+        _ivfpq_distortion_oracle,
+        ivfpq_distortion_audit,
+    )
+
+    for d in _dirs(sf_dir):
+        got = sorted(
+            tuple(r) for r in ivfpq_distortion_audit(spark, d).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in _duck(
+                d, _ivfpq_distortion_oracle(), tables=("embeddings",)
+            )
+        )
+        assert got == want, f"distortion mismatch at {d}"
+        assert 1 <= len(got) <= KM_K
+        for _cell, n_vecs, mean_sq, ppm in got:
+            assert n_vecs > 0 and mean_sq >= 0
+            # codes can only REMOVE residual energy: 0 <= ppm <= 1e6
+            assert 0 <= ppm <= 1_000_000
+
+
 def test_prebuilt_catalog_lists_the_r8_four():
     import sys
 
@@ -137,4 +162,5 @@ def test_prebuilt_catalog_lists_the_r8_four():
         "source_jaccard_kmv",
         "split_balance_audit",
         "packing_efficiency",
+        "ivfpq_distortion_audit",
     }

@@ -1929,3 +1929,110 @@ def _ivfpq_sweep_oracle() -> str:
 
 QUERIES["knn_ivfpq_probe_sweep"] = knn_ivfpq_probe_sweep
 ORACLES["knn_ivfpq_probe_sweep"] = _ivfpq_sweep_oracle()
+
+
+# ---------------------------------------------------------------------------
+# PREBUILT (r7-staged, NOT yet registered — tools/check_prebuilt.py).
+# ---------------------------------------------------------------------------
+
+def _pq_min_dist_expr(books: list, col: str) -> "F.Column":
+    """Sum over subspaces of the MINIMUM squared L2 to each codebook —
+    the per-vector PQ quantization error. Same literal-fold shape as
+    _pq_encode_expr (the anti-Janino form), reading `.d` of the
+    array_min struct instead of `.i`."""
+    per_m = []
+    for m, book in enumerate(books):
+        lit = "array(" + ",".join(
+            f"named_struct('i', {i + 1}, "
+            f"'c', array({','.join(str(int(x)) for x in cv)}))"
+            for i, (_cell, cv) in enumerate(book)
+        ) + ")"
+        sub = f"slice({col}, {m * PQ_SUB + 1}, {PQ_SUB})"
+        per_m.append(
+            f"array_min(transform({lit}, ct -> named_struct("
+            f"'d', aggregate(zip_with({sub}, ct.c, "
+            f"(x, c) -> (x - c) * (x - c)), 0L, (acc, e) -> acc + e), "
+            f"'i', ct.i))).d"
+        )
+    return F.expr(" + ".join(per_m))
+
+
+def ivfpq_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-coarse-cell PQ QUANTIZATION-ERROR audit — the third leg of
+    the ANN quality triple (recall audits search quality, the Lloyd
+    counts attest coarse convergence; this measures how much residual
+    energy the 8-byte codes FAIL to capture). distortion_ppm = sum of
+    per-vector minimum squared code distances x 1e6 div the summed
+    residual energy: 0 = codes reproduce residuals exactly, 1e6 =
+    codes carry no information. A cell whose ppm is an outlier has a
+    codebook trained on somebody else's residual distribution — the
+    signal that triggers retraining in production.
+    Prebuilt r7 (staged in tools/check_prebuilt.py).
+
+    Exactness: every distance is exact int64 (micros diffs squared,
+    summed over 8-dim subspaces), per-cell sums widen to
+    DECIMAL(38,0), one truncating div each for the mean and the ppm.
+
+    Scale shape: ONE projection over the corpus (cell assign +
+    residual + 8 literal-fold subspace minima — the knn_ivfpq encode
+    pass with `.d` in place of `.i`), then a map-side-combinable
+    per-cell rollup. No joins, no windows."""
+    iv = _int_vecs(spark, sf_dir)
+    coarse = _trained_centroids_cached(spark, sf_dir, iv)
+    books = _ivfpq_books_cached(sf_dir, iv, coarse)
+    structs = _cell_structs(coarse)
+    cmap = _coarse_map_expr(coarse)
+    enc = iv.select(
+        "vec_id",
+        "xi",
+        F.array_min(structs).getField("cell").alias("cell"),
+    ).withColumn(
+        "res",
+        F.expr(
+            f"zip_with(xi, element_at({cmap}, cell), (x, c) -> x - c)"
+        ),
+    )
+    per_vec = enc.select(
+        "cell",
+        _pq_min_dist_expr(books, "res").alias("sq_err"),
+        F.expr(
+            "aggregate(transform(res, x -> x * x), 0L,"
+            " (acc, e) -> acc + e)"
+        ).alias("energy"),
+    )
+    agg = per_vec.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.col("sq_err").cast("decimal(38,0)")).alias("sq_sum"),
+        F.sum(F.col("energy").cast("decimal(38,0)")).alias("en_sum"),
+    )
+    return agg.select(
+        F.col("cell").cast("int").alias("cell"),
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        F.expr("CAST(sq_sum div n_vecs AS BIGINT)").alias(
+            "mean_sq_err"
+        ),
+        F.expr(
+            "CAST(sq_sum * 1000000 div en_sum AS BIGINT)"
+        ).alias("distortion_ppm"),
+    )
+
+
+def _ivfpq_distortion_oracle() -> str:
+    """Reuses the registered IVF-PQ oracle's training/encode chain
+    verbatim (split before its query-side CTEs) — the audit and the
+    search oracle can never train different quantizers."""
+    full = _ivfpq_oracle_sql()
+    prefix = full.split("qres AS")[0]
+    return prefix + """md AS (SELECT vec_id, m, MIN(dist) AS dmin
+      FROM pqdn GROUP BY vec_id, m),
+dv AS (SELECT vec_id, SUM(dmin) AS sq_err FROM md GROUP BY vec_id),
+en AS (SELECT vec_id, SUM(r * r) AS energy FROM rx GROUP BY vec_id)
+SELECT CAST(a.cell AS INT) AS cell,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CAST(sq_err AS HUGEINT)) // COUNT(*) AS BIGINT)
+         AS mean_sq_err,
+       CAST(SUM(CAST(sq_err AS HUGEINT)) * 1000000
+            // SUM(CAST(energy AS HUGEINT)) AS BIGINT)
+         AS distortion_ppm
+FROM asg a JOIN dv USING (vec_id) JOIN en USING (vec_id)
+GROUP BY a.cell"""

@@ -48,12 +48,19 @@ def _catalog():
         SOURCE_JACCARD_KMV_ORACLE,
         source_jaccard_kmv,
     )
+    from thrivefinancedatapipeline_spark.operators.similarity import (
+        _ivfpq_distortion_oracle,
+        ivfpq_distortion_audit,
+    )
     from thrivefinancedatapipeline_spark.plans.finance_queries import (
         TWAB_ORACLE,
         time_weighted_balance,
     )
 
     return {
+        "ivfpq_distortion_audit": (
+            ivfpq_distortion_audit, _ivfpq_distortion_oracle(),
+        ),
         "time_weighted_balance": (time_weighted_balance, TWAB_ORACLE),
         "source_jaccard_kmv": (
             source_jaccard_kmv, SOURCE_JACCARD_KMV_ORACLE,
