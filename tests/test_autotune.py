@@ -87,3 +87,18 @@ def test_run_tuned_output_identical(spark, sf_dir):
     )
     # conf restored after the tuned run
     assert spark.conf.get("spark.sql.shuffle.partitions") != ""
+
+
+def test_checkpointed_query_gets_conservative_bytes(spark, sf_dir):
+    # dedup queries localCheckpoint their shingle relation — the final
+    # plan reads a checkpoint RDD and reports NO input files; the
+    # planner must fall back to the whole-directory footprint (upper
+    # bound), not silently plan the floor at what-if scale
+    from thrivefinancedatapipeline_spark.datamodel import TABLES
+
+    b = autotune.query_input_bytes(spark, sf_dir, "dedup_minhash_lsh")
+    assert b == autotune.table_bytes(sf_dir, list(TABLES))
+    big = autotune.plan_for_query(
+        sf_dir, "dedup_minhash_lsh", spark=spark, scale=1e6
+    )
+    assert big > autotune._cpus()

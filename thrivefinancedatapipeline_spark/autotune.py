@@ -56,7 +56,14 @@ def query_input_bytes(
     derived from the CONSTRUCTED query via ``DataFrame.inputFiles()``
     (closing the r6 watch item: no hand-maintained query→tables dict —
     a new heavy query is sized automatically). Local ``file:`` URIs
-    only; unknown schemes contribute 0."""
+    only.
+
+    Queries that sever lineage during construction (the iterative
+    dedup family localCheckpoints its shingle relation, so the final
+    plan reads a checkpoint RDD, not files) report NO input files;
+    for those the DELIBERATELY CONSERVATIVE fallback is the whole
+    sf_dir parquet footprint — an upper bound that over-partitions
+    slightly at what-if scale instead of silently planning the floor."""
     key = (sf_dir, name)
     if key not in _BYTES_CACHE:
         from . import registry
@@ -70,6 +77,10 @@ def query_input_bytes(
                 path = p.path or uri
                 if os.path.exists(path):
                     total += os.path.getsize(path)
+        if total == 0:
+            from .datamodel import TABLES
+
+            total = table_bytes(sf_dir, list(TABLES))
         _BYTES_CACHE[key] = total
     return _BYTES_CACHE[key]
 
