@@ -689,3 +689,74 @@ def test_stream_transitions_match_batch_matrix(spark, timed_events):
     for r in batch_pairs:
         batch_counts[(r.from_type, r.to_type)] = r["count"]
     assert stream_counts == batch_counts and stream_counts
+
+
+def test_stream_weighted_reservoir_matches_batch(spark, sf_dir):
+    """Drain parity for the streaming A-Res reservoir: the max-seq
+    emission per language equals the batch weighted-reservoir over
+    the full document set — the reservoir property (a merged stream
+    of bounded states == one batch pass), with byte-identical
+    priorities because both sides share the same Spark expressions."""
+    import os
+
+    from thrivefinancedatapipeline_spark.datamodel import load_table
+    from thrivefinancedatapipeline_spark.operators.sampling import (
+        q_weighted_reservoir_attest,
+    )
+
+    src = tempfile.mkdtemp(prefix="stream_resv_")
+    try:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+        )
+        # three arrival batches split by doc_id
+        for i, (lo, hi) in enumerate([(0, 170), (170, 340), (340, 10**9)]):
+            part = docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ).coalesce(1)
+            part.write.parquet(f"{src}/b{i}", mode="overwrite")
+            import glob
+            import shutil
+
+            for f in glob.glob(f"{src}/b{i}/part-*.parquet"):
+                shutil.copy(f, f"{src}/file{i}.parquet")
+            shutil.rmtree(f"{src}/b{i}")
+        got = drain(
+            stateful.stream_weighted_reservoir(
+                spark, src, max_files_per_trigger=1
+            ),
+            "stream_resv",
+            "append",
+        )
+        latest_seq = {}
+        for r in got:
+            latest_seq[r.lang] = max(latest_seq.get(r.lang, 0), r.seq)
+        final = sorted(
+            (r.lang, r.rank, r.doc_id, r.weight, r.priority)
+            for r in got
+            if r.seq == latest_seq[r.lang]
+        )
+        want = sorted(
+            tuple(r)
+            for r in q_weighted_reservoir_attest(spark, sf_dir).collect()
+        )
+        assert final == want
+        assert len({r.lang for r in got}) >= 2
+        # reservoir invariant along the stream: the k-th priority per
+        # key never decreases batch over batch (merging can only
+        # raise the bar)
+        kth = {}
+        for r in sorted(got, key=lambda r: r.seq):
+            key = (r.lang, r.seq)
+            kth.setdefault(key, []).append(r.priority)
+        for lang in latest_seq:
+            floors = [
+                min(kth[(lang, s)])
+                for s in range(1, latest_seq[lang] + 1)
+                if (lang, s) in kth and len(kth[(lang, s)]) > 0
+            ]
+            assert all(a <= b for a, b in zip(floors, floors[1:])) or (
+                len(floors) <= 1
+            )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

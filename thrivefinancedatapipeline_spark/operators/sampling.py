@@ -174,6 +174,35 @@ WEIGHT_CAP = 8
 WEIGHT_STEP = 64
 
 
+def reservoir_weight_col() -> Column:
+    """Integer A-Res weight in [1, WEIGHT_CAP] from n_chars — shared
+    by the batch operator and the streaming twin so both rank with
+    the IDENTICAL weight."""
+    return F.least(
+        F.lit(WEIGHT_CAP),
+        F.lit(1) + F.expr(f"n_chars div {WEIGHT_STEP}"),
+    ).cast("int")
+
+
+def reservoir_priority_col(w: Column) -> Column:
+    """The exact-integer A-Res priority: max of w namespaced
+    md5-prefix hashes (distributed as u^(1/w) for integer w) — a
+    scan-level projection, shared batch/stream."""
+    return F.array_max(
+        F.transform(
+            F.sequence(F.lit(1), w),
+            lambda j: md5_long(
+                F.concat(
+                    F.lit("resv:"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    j.cast("string"),
+                )
+            ),
+        )
+    )
+
+
 def q_weighted_reservoir_attest(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -202,23 +231,8 @@ def q_weighted_reservoir_attest(
     early per-partition pruning; at 100 TB swap the window for
     ranked_top_k per stratum if |strata| is tiny and skewed."""
     docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
-    w = F.least(
-        F.lit(WEIGHT_CAP),
-        F.lit(1) + F.expr(f"n_chars div {WEIGHT_STEP}"),
-    ).cast("int")
-    priority = F.array_max(
-        F.transform(
-            F.sequence(F.lit(1), w),
-            lambda j: md5_long(
-                F.concat(
-                    F.lit("resv:"),
-                    F.col("doc_id").cast("string"),
-                    F.lit(":"),
-                    j.cast("string"),
-                )
-            ),
-        )
-    )
+    w = reservoir_weight_col()
+    priority = reservoir_priority_col(w)
     ranked = docs.select(
         "lang",
         "doc_id",

@@ -970,3 +970,94 @@ def run_ivfpq_stream_append(
     return spark.read.parquet(codes_path).select(
         "neighbor_id", "cell", "codes"
     )
+
+
+RESV_OUT_SCHEMA = (
+    "lang string, seq int, rank int, doc_id long, weight int,"
+    " priority long"
+)
+RESV_STATE_SCHEMA = (
+    "seq int, prios array<long>, ids array<long>, ws array<int>"
+)
+
+
+def _resv_state_fn(key, pdf_iter, state: GroupState):
+    """Per-language A-Res reservoir state: the top-k (priority,
+    doc_id, weight) triples seen so far, by (priority desc, doc_id).
+    Each micro-batch merges its rows and re-takes the top-k — the
+    reservoir MERGE, so state stays <= k triples per key at any
+    stream volume. Replays dedupe by doc_id (the priority is a pure
+    function of the row, so a replayed doc is byte-identical). Emits
+    the full post-batch reservoir stamped with a per-key emission
+    `seq` (memory-sink row order across micro-batches is not a
+    contract — consumers take the max-seq emission per key)."""
+    from ..operators.sampling import RESERVOIR_K
+
+    seq = 0
+    cur = {}
+    if state.exists:
+        seq, prios, ids, ws = state.get
+        cur = {int(d): (int(p), int(d), int(w))
+               for p, d, w in zip(prios, ids, ws)}
+    for pdf in pdf_iter:
+        for p, d, w in zip(pdf["priority"], pdf["doc_id"], pdf["weight"]):
+            cur[int(d)] = (int(p), int(d), int(w))
+    top = sorted(cur.values(), key=lambda t: (-t[0], t[1]))[:RESERVOIR_K]
+    seq += 1
+    state.update((
+        seq,
+        [t[0] for t in top],
+        [t[1] for t in top],
+        [t[2] for t in top],
+    ))
+    yield pd.DataFrame(
+        {
+            "lang": [key[0]] * len(top),
+            "seq": [seq] * len(top),
+            "rank": list(range(1, len(top) + 1)),
+            "doc_id": [t[1] for t in top],
+            "weight": [t[2] for t in top],
+            "priority": [t[0] for t in top],
+        }
+    )
+
+
+def stream_weighted_reservoir(
+    spark, source_dir: str, max_files_per_trigger: int = 1
+):
+    """Continuous per-language WEIGHTED reservoir (A-Res) over a
+    document stream — the streaming twin of
+    `operators/sampling.q_weighted_reservoir_attest`, and the reason
+    a reservoir (fixed-size-k, mergeable) is the right weighted
+    sampler for arriving data: the stream state is <= k triples per
+    stratum forever, and the maintained sample is IDENTICAL to
+    re-running the batch operator over everything seen (drain parity
+    pinned by test — the reservoir property, exactly).
+
+    The weight and the md5 priority run in Spark EXPRESSIONS before
+    the stateful op (codegen, bit-identical to the batch operator);
+    Python only merges <= k triples per key per batch."""
+    from ..operators.sampling import (
+        reservoir_priority_col,
+        reservoir_weight_col,
+    )
+
+    docs = (
+        spark.readStream.schema("doc_id long, lang string, n_chars long")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    w = reservoir_weight_col()
+    enriched = docs.select(
+        "lang",
+        "doc_id",
+        w.alias("weight"),
+        reservoir_priority_col(w).alias("priority"),
+    )
+    return enriched.groupBy("lang").applyInPandasWithState(
+        _resv_state_fn,
+        outputStructType=RESV_OUT_SCHEMA,
+        stateStructType=RESV_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
