@@ -628,9 +628,10 @@ def test_jpeg_color_codec_roundtrip_and_gray_parity():
 
 
 def test_jpeg_color_subsampling_gate():
-    """Error surface: sampling factors outside {1,2} (and subsampled
+    """Error surface: sampling factors outside 1..4 (and subsampled
     single-component streams) hit the explicit NotImplementedError
-    gate, not a misdecode — 2x2/2x1/1x2 are REAL decode paths now."""
+    gate, not a misdecode — the whole 1..4 family is a REAL decode
+    path now (r7)."""
     import pytest
 
     from thrivefinancedatapipeline_spark.multimodal import jpeg
@@ -642,7 +643,7 @@ def test_jpeg_color_subsampling_gate():
     # body starts after marker(2)+len(2): prec,h,h,w,w,ncomp then
     # comp0 = id, sampling, tq — sampling is body[7] = d[sof+4+7]
     assert d[sof + 4 + 7] == 0x11
-    d[sof + 4 + 7] = 0x31  # h=3: beyond the supported {1,2} factors
+    d[sof + 4 + 7] = 0x51  # h=5: beyond the T.81 1..4 factor range
     with pytest.raises(NotImplementedError):
         jpeg.decode_jpeg_color(bytes(d))
 
@@ -804,3 +805,65 @@ def test_avi_420_video_frame_sampling(spark):
         assert img["channels"] == 3
         assert (r.width, r.height) == (w, h)
         assert r.checksum == zlib.crc32(img["pixels"])
+
+
+def test_png_adam7_and_palette_roundtrip():
+    """r7 PNG extensions: Adam7 interlaced streams decode BIT-EXACTLY
+    (PNG is lossless — seven independently-filtered sub-images
+    scattered on the pass grid), palette streams expand through PLTE
+    to the exact RGB, and the honest gates hold (tRNS, non-8-bit)."""
+    import hashlib
+    import struct
+    import zlib
+
+    import pytest
+
+    from thrivefinancedatapipeline_spark.multimodal import png
+
+    def det(n, seed):
+        out = bytearray()
+        c = 0
+        while len(out) < n:
+            out += hashlib.md5(f"{seed}:{c}".encode()).digest()
+            c += 1
+        return bytes(out[:n])
+
+    for (w, h) in [(1, 1), (7, 3), (13, 21), (33, 17)]:
+        for ct in (0, 2, 4, 6):
+            ch = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
+            pix = det(w * h * ch, f"{w}x{h}x{ct}")
+            for ft in range(5):
+                enc = png.encode_png(
+                    pix, w, h, color_type=ct, filter_type=ft,
+                    interlace=True,
+                )
+                dec = png.decode_png(enc)
+                assert dec["pixels"] == pix, (w, h, ct, ft)
+                assert (dec["width"], dec["height"], dec["channels"]) == (
+                    w, h, ch,
+                )
+    pal = det(256 * 3, "pal")
+    idx = det(19 * 11, "idx")
+    enc = png.encode_png_palette(idx, 19, 11, pal)
+    dec = png.decode_png(enc)
+    assert dec["channels"] == 3
+    assert dec["pixels"] == b"".join(
+        pal[3 * i : 3 * i + 3] for i in idx
+    )
+    # interlaced palette composes
+    enc_i = png.encode_png_palette(idx, 19, 11, pal, filter_type=2)
+    assert png.decode_png(enc_i)["pixels"] == dec["pixels"]
+    # gates: tRNS refuses (silent alpha drop would be a wrong answer),
+    # out-of-range palette index refuses
+    def chunk(t, b):
+        return (
+            struct.pack(">I", len(b)) + t + b
+            + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+        )
+
+    idat_end = enc.rindex(chunk(b"IEND", b""))
+    with_trns = enc[:idat_end] + chunk(b"tRNS", b"\x80") + enc[idat_end:]
+    with pytest.raises(NotImplementedError):
+        png.decode_png(with_trns)
+    with pytest.raises(ValueError):
+        png.encode_png_palette(bytes([9]), 1, 1, pal[:9])

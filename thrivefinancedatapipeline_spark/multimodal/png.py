@@ -1,17 +1,20 @@
-"""Baseline PNG codec on the Python stdlib only (zlib + struct).
+"""PNG codec on the Python stdlib only (zlib + struct).
 
-The container has no PIL/imageio, but baseline PNG (8-bit, grayscale /
-RGB / gray+alpha / RGBA, non-interlaced) needs nothing beyond zlib
-inflate and the five scanline filters from the PNG spec (RFC 2083
-section 6): None, Sub, Up, Average, Paeth. That is enough to run the
-multimodal decode kernel on REAL image bytes instead of the
-deterministic fake, keeping the NotImplementedError gate only for the
-formats that genuinely need a native codec (JPEG, palette/interlaced/
-16-bit PNG, video, audio).
+The container has no PIL/imageio, but PNG (8-bit, grayscale / RGB /
+gray+alpha / RGBA) needs nothing beyond zlib inflate and the five
+scanline filters from the PNG spec (RFC 2083 section 6): None, Sub,
+Up, Average, Paeth.
 
-The encoder exists so tests and the demo query can synthesize valid
-PNGs deterministically (any filter type per scanline — exercising every
-reconstruction branch of the decoder round-trip).
+r7 extensions: ADAM7 INTERLACED streams decode for real (seven
+sub-images, each independently filtered, scattered on the
+(x0,y0,dx,dy) pass grid — the progressive-rendering layout a web
+crawl contains), and PALETTE (color type 3) streams decode through
+their PLTE chunk to interleaved RGB. The encoder can emit both
+(interlace=True, encode_png_palette), so round-trips pin every
+reconstruction branch bit-exactly (PNG is lossless). Remaining gates:
+bit depths other than 8, and tRNS transparency on palette images
+(emitting RGB while silently dropping alpha would be a wrong answer,
+not a gate).
 """
 
 from __future__ import annotations
@@ -27,6 +30,13 @@ _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 def is_png(data: bytes) -> bool:
     return data[:8] == PNG_MAGIC
+
+
+#: Adam7 pass grid: (x0, y0, dx, dy) per pass
+ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -52,6 +62,9 @@ def decode_png(data: bytes) -> dict:
     pos = 8
     width = height = None
     channels = 0
+    interlace_flag = 0
+    palette = None
+    color_type = None
     idat = bytearray()
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
@@ -62,33 +75,98 @@ def decode_png(data: bytes) -> dict:
             width, height, bit_depth, color_type, comp, filt, interlace = (
                 struct.unpack(">IIBBBBB", body)
             )
-            if bit_depth != 8 or color_type not in _CHANNELS:
+            if bit_depth != 8 or (
+                color_type not in _CHANNELS and color_type != 3
+            ):
                 raise NotImplementedError(
                     f"PNG bit_depth={bit_depth} color_type={color_type} "
-                    "outside the baseline subset (8-bit gray/RGB/GA/RGBA)"
+                    "outside the supported subset (8-bit "
+                    "gray/RGB/GA/RGBA/palette)"
                 )
-            if interlace != 0:
-                raise NotImplementedError("interlaced PNG not supported")
+            if interlace not in (0, 1):
+                raise ValueError("invalid PNG interlace method")
+            interlace_flag = interlace
             if comp != 0 or filt != 0:
                 raise ValueError("invalid PNG compression/filter method")
-            channels = _CHANNELS[color_type]
+            channels = 1 if color_type == 3 else _CHANNELS[color_type]
+        elif ctype == b"PLTE":
+            if length % 3 != 0 or length == 0 or length > 768:
+                raise ValueError("invalid PLTE length")
+            palette = bytes(body)
+        elif ctype == b"tRNS":
+            raise NotImplementedError(
+                "palette transparency (tRNS): emitting RGB would drop "
+                "alpha silently"
+            )
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
             break
     if width is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
+    if color_type == 3 and palette is None:
+        raise ValueError("palette PNG missing PLTE")
+    if color_type != 3:
+        palette = None
     raw = zlib.decompress(bytes(idat))
+    if interlace_flag == 0:
+        stride = width * channels
+        if len(raw) != (stride + 1) * height:
+            raise ValueError("PNG pixel data length mismatch")
+        out = _defilter(raw, 0, width, height, channels)
+    else:
+        # Adam7: seven independently-filtered sub-images scattered on
+        # the pass grid (empty passes contribute zero bytes)
+        out = bytearray(width * height * channels)
+        off = 0
+        for x0, y0, dx, dy in ADAM7:
+            pw = -(-(width - x0) // dx) if width > x0 else 0
+            ph = -(-(height - y0) // dy) if height > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            sub = _defilter(raw, off, pw, ph, channels)
+            off += (pw * channels + 1) * ph
+            for j in range(ph):
+                for i in range(pw):
+                    src = (j * pw + i) * channels
+                    dst = ((y0 + j * dy) * width + (x0 + i * dx)) * channels
+                    out[dst : dst + channels] = sub[
+                        src : src + channels
+                    ]
+        if off != len(raw):
+            raise ValueError("PNG interlaced data length mismatch")
+    if palette is not None:
+        rgb = bytearray(width * height * 3)
+        n_entries = len(palette) // 3
+        for i, idx in enumerate(out):
+            if idx >= n_entries:
+                raise ValueError("PNG palette index out of range")
+            rgb[3 * i : 3 * i + 3] = palette[3 * idx : 3 * idx + 3]
+        out = rgb
+        channels = 3
+    return {
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "pixels": bytes(out),
+    }
+
+
+def _defilter(raw: bytes, off: int, width: int, height: int,
+              channels: int) -> bytearray:
+    """Reconstruct one independently-filtered (sub-)image: `height`
+    scanlines of `width*channels` bytes each, preceded by a filter
+    byte, starting at `off` in the inflated stream."""
     stride = width * channels
-    if len(raw) != (stride + 1) * height:
+    if off + (stride + 1) * height > len(raw):
         raise ValueError("PNG pixel data length mismatch")
     bpp = channels  # bytes per pixel at 8-bit depth
     out = bytearray(stride * height)
     prior = bytes(stride)
     for y in range(height):
-        off = y * (stride + 1)
-        ftype = raw[off]
-        line = bytearray(raw[off + 1 : off + 1 + stride])
+        o = off + y * (stride + 1)
+        ftype = raw[o]
+        line = bytearray(raw[o + 1 : o + 1 + stride])
         if ftype == 0:
             pass
         elif ftype == 1:  # Sub
@@ -110,12 +188,7 @@ def decode_png(data: bytes) -> dict:
             raise ValueError(f"invalid PNG filter type {ftype}")
         out[y * stride : (y + 1) * stride] = line
         prior = bytes(line)
-    return {
-        "width": width,
-        "height": height,
-        "channels": channels,
-        "pixels": bytes(out),
-    }
+    return out
 
 
 def _chunk(ctype: bytes, body: bytes) -> bytes:
@@ -127,20 +200,99 @@ def _chunk(ctype: bytes, body: bytes) -> bytes:
     )
 
 
+def _filter_image(pixels: bytes, width: int, height: int,
+                  channels: int, filter_type: int) -> bytearray:
+    """Apply one filter type to every scanline of an image (the
+    inverse of _defilter for a single independently-filtered
+    (sub-)image)."""
+    stride = width * channels
+    bpp = channels
+    raw = bytearray()
+    prior = bytes(stride)
+    for y in range(height):
+        line = pixels[y * stride : (y + 1) * stride]
+        raw.append(filter_type)
+        if filter_type == 0:
+            raw += line
+        elif filter_type == 1:
+            raw += bytes(
+                (line[i] - (line[i - bpp] if i >= bpp else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif filter_type == 2:
+            raw += bytes(
+                (line[i] - prior[i]) & 0xFF for i in range(stride)
+            )
+        elif filter_type == 3:
+            raw += bytes(
+                (
+                    line[i]
+                    - (((line[i - bpp] if i >= bpp else 0) + prior[i]) >> 1)
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        elif filter_type == 4:
+            raw += bytes(
+                (
+                    line[i]
+                    - _paeth(
+                        line[i - bpp] if i >= bpp else 0,
+                        prior[i],
+                        prior[i - bpp] if i >= bpp else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        else:
+            raise ValueError(f"invalid filter type {filter_type}")
+        prior = line
+    return raw
+
+
 def encode_png(
     pixels: bytes,
     width: int,
     height: int,
     color_type: int = 2,
     filter_type: int = 0,
+    interlace: bool = False,
 ) -> bytes:
-    """Encode raw 8-bit pixels as a valid baseline PNG. `filter_type`
-    applies the chosen scanline filter to EVERY row (0..4) — the test
-    hook that makes the decoder walk each reconstruction branch."""
+    """Encode raw 8-bit pixels as a valid PNG. `filter_type` applies
+    the chosen scanline filter to EVERY row (0..4) — the test hook
+    that makes the decoder walk each reconstruction branch.
+    `interlace=True` emits the Adam7 layout: seven sub-images, each
+    independently filtered."""
     channels = _CHANNELS[color_type]
     stride = width * channels
     if len(pixels) != stride * height:
         raise ValueError("pixel buffer does not match dimensions")
+    if interlace:
+        raw = bytearray()
+        for x0, y0, dx, dy in ADAM7:
+            pw = -(-(width - x0) // dx) if width > x0 else 0
+            ph = -(-(height - y0) // dy) if height > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            sub = bytearray(pw * ph * channels)
+            for j in range(ph):
+                for i in range(pw):
+                    src = ((y0 + j * dy) * width + (x0 + i * dx)) * channels
+                    dst = (j * pw + i) * channels
+                    sub[dst : dst + channels] = pixels[
+                        src : src + channels
+                    ]
+            raw += _filter_image(bytes(sub), pw, ph, channels, filter_type)
+        ihdr = struct.pack(
+            ">IIBBBBB", width, height, 8, color_type, 0, 0, 1
+        )
+        return (
+            PNG_MAGIC
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + _chunk(b"IEND", b"")
+        )
     bpp = channels
     raw = bytearray()
     prior = bytes(stride)
@@ -187,6 +339,30 @@ def encode_png(
     return (
         PNG_MAGIC
         + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def encode_png_palette(
+    indices: bytes, width: int, height: int, palette: bytes,
+    filter_type: int = 0,
+) -> bytes:
+    """Encode 8-bit palette indices + an RGB palette (<= 256 entries)
+    as a color-type-3 PNG."""
+    if len(indices) != width * height:
+        raise ValueError("index buffer does not match dimensions")
+    if len(palette) % 3 != 0 or not (3 <= len(palette) <= 768):
+        raise ValueError("palette must be 1..256 RGB triples")
+    n = len(palette) // 3
+    if any(i >= n for i in indices):
+        raise ValueError("palette index out of range")
+    raw = _filter_image(indices, width, height, 1, filter_type)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", palette)
         + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
         + _chunk(b"IEND", b"")
     )
