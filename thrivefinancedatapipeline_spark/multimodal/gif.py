@@ -10,6 +10,9 @@ multimodal kernel checksums both formats identically.
 
 Interlaced images and animation frames beyond the first keep the
 explicit NotImplementedError gate — same policy as non-baseline PNG.
+r7: 4-pass INTERLACED images decode for real (row-permutation on the
+decoded indices; the encoder can emit the interlaced layout, so the
+bit-exact round trip pins both directions).
 
 The encoder synthesizes valid GIFs deterministically for tests and the
 demo query. It emits a CLEAR code before every pixel code, which pins
@@ -135,8 +138,7 @@ def decode_gif_frames(data: bytes, max_frames: int | None = None) -> list:
             raise ValueError("GIF image descriptor truncated")
         _l, _t, iw, ih, ipacked = struct.unpack_from("<HHHHB", data, pos)
         pos += 9
-        if ipacked & 0x40:
-            raise NotImplementedError("interlaced GIF needs a native codec")
+        interlaced = bool(ipacked & 0x40)
         table = global_table
         if ipacked & 0x80:
             n = 2 << (ipacked & 7)
@@ -157,6 +159,16 @@ def decode_gif_frames(data: bytes, max_frames: int | None = None) -> list:
         indices = _lzw_decode(min_code, bytes(lzw))[: iw * ih]
         if len(indices) < iw * ih:
             raise ValueError("GIF pixel data truncated")
+        if interlaced:
+            # GIF87a 4-pass interlace: rows arrive 0,8,16../4,12../
+            # 2,6,10../1,3,5.. — permute delivery order back to
+            # display order
+            deint = bytearray(iw * ih)
+            for j, row in enumerate(_interlace_rows(ih)):
+                deint[row * iw : (row + 1) * iw] = indices[
+                    j * iw : (j + 1) * iw
+                ]
+            indices = bytes(deint)
         pixels = bytearray(iw * ih * 3)
         for i, idx in enumerate(indices):
             off = 3 * idx
@@ -177,10 +189,28 @@ PALETTE = b"".join(
 )
 
 
-def _encode_image_block(indices: bytes, width: int, height: int) -> bytes:
+def _interlace_rows(height: int) -> list:
+    """Display-row order of the 4 GIF interlace passes."""
+    return (
+        list(range(0, height, 8))
+        + list(range(4, height, 8))
+        + list(range(2, height, 4))
+        + list(range(1, height, 2))
+    )
+
+
+def _encode_image_block(indices: bytes, width: int, height: int,
+                        interlace: bool = False) -> bytes:
     """One image block (descriptor + clear-per-symbol LZW data)."""
+    if interlace:
+        rows = _interlace_rows(height)
+        indices = b"".join(
+            indices[r * width : (r + 1) * width] for r in rows
+        )
     out = bytearray()
-    out += struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+    out += struct.pack(
+        "<BHHHHB", 0x2C, 0, 0, width, height, 0x40 if interlace else 0
+    )
     min_code = 8
     clear, end = 256, 257
     code_size = 9
@@ -211,13 +241,18 @@ def _encode_image_block(indices: bytes, width: int, height: int) -> bytes:
     return bytes(out)
 
 
-def encode_gif(indices: bytes, width: int, height: int) -> bytes:
-    """Valid GIF89a from 8-bit palette indices (PALETTE color table)."""
-    return encode_gif_animation([indices], width, height)
+def encode_gif(indices: bytes, width: int, height: int,
+               interlace: bool = False) -> bytes:
+    """Valid GIF89a from 8-bit palette indices (PALETTE color table);
+    interlace=True emits the 4-pass row order with the descriptor
+    flag set."""
+    return encode_gif_animation(
+        [indices], width, height, interlace=interlace
+    )
 
 
 def encode_gif_animation(
-    frames: list, width: int, height: int
+    frames: list, width: int, height: int, interlace: bool = False
 ) -> bytes:
     """Valid multi-frame GIF89a: one image block per frame over the
     shared global color table — the real container format the frame
@@ -233,6 +268,8 @@ def encode_gif_animation(
     out += struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # 256-color GCT
     out += PALETTE
     for f in frames:
-        out += _encode_image_block(bytes(f), width, height)
+        out += _encode_image_block(
+            bytes(f), width, height, interlace=interlace
+        )
     out.append(0x3B)  # trailer
     return bytes(out)
