@@ -896,3 +896,46 @@ def test_gif_interlaced_roundtrip_bit_exact():
     # the 4 passes partition the rows exactly once
     rows = gif._interlace_rows(29)
     assert sorted(rows) == list(range(29))
+
+
+def test_wav_g711_mulaw_alaw_decode():
+    """r7: G.711 companded WAV (format tags 7/6) decodes for real —
+    formula-specified laws self-validated against the PUBLISHED
+    figures (max linear 32124 mu / 32256 A), exhaustive code
+    round-trips (all 256 A-law codes; 255 mu-law — the +0/-0 pair
+    shares a linear value by design), idempotent companding, and a
+    bounded quantization error. Truly compressed audio stays gated."""
+    import hashlib
+
+    from thrivefinancedatapipeline_spark.multimodal import wav
+
+    assert max(wav.mulaw_decode_byte(c) for c in range(256)) == 32124
+    assert min(wav.mulaw_decode_byte(c) for c in range(256)) == -32124
+    assert max(wav.alaw_decode_byte(c) for c in range(256)) == 32256
+    assert min(wav.alaw_decode_byte(c) for c in range(256)) == -32256
+    assert sum(
+        wav.mulaw_encode_sample(wav.mulaw_decode_byte(c)) == c
+        for c in range(256)
+    ) == 255
+    assert all(
+        wav.alaw_encode_sample(wav.alaw_decode_byte(c)) == c
+        for c in range(256)
+    )
+    samples = [
+        int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) - 32768
+        for i in range(500)
+    ]
+    for law, max_err in (("mulaw", 700), ("alaw", 600)):
+        enc = wav.encode_wav_g711(samples, 8000, law)
+        dec = wav.decode_wav(enc)
+        assert dec["encoding"] == law
+        assert dec["n_frames"] == 500 and dec["framerate"] == 8000
+        # idempotent: re-companding decoded samples is a fixpoint
+        enc2 = wav.encode_wav_g711(dec["samples"], 8000, law)
+        assert wav.decode_wav(enc2)["samples"] == dec["samples"]
+        err = max(abs(a - b) for a, b in zip(samples, dec["samples"]))
+        assert 0 < err <= max_err
+    # PCM path unchanged; format-tag probe works on stdlib-wave output
+    pcm = wav.encode_wav(samples[:100])
+    assert wav.wav_format_tag(pcm) == 1
+    assert wav.decode_wav(pcm)["samples"] == samples[:100]

@@ -11,6 +11,16 @@ The encoder synthesizes valid 16-bit mono PCM deterministically for
 tests and the attestation query; decode returns the exact integer
 sample values, so energy (sum of squares) is bit-reproducible and
 SQL-computable for the oracle.
+
+r7: G.711 COMPANDED AUDIO (WAVE format tags 7 = mu-law, 6 = A-law —
+the telephony/speech-dataset formats) decodes FOR REAL: both laws are
+FORMULA-specified (segment/exponent/mantissa expansion, no lookup
+tables to transcribe), the stdlib `wave` module refuses them so the
+RIFF fmt/data chunks are parsed directly, and the decoded linear
+maxima land on the published 32124 (mu) / 32256 (A) figures. The
+companion encoders choose the nearest-decoded code (deterministic
+tie-break), giving exhaustive code->linear->code round-trip pins.
+Truly compressed audio (mp3/aac/opus) keeps the gate.
 """
 
 from __future__ import annotations
@@ -47,6 +57,9 @@ def decode_wav(data: bytes) -> dict:
     interleaved, exactly as stored)."""
     if not is_wav(data):
         raise ValueError("not a WAV")
+    tag = wav_format_tag(data)
+    if tag in (6, 7):  # G.711 A-law / mu-law — stdlib wave refuses
+        return _decode_g711(data, tag)
     try:
         with wave.open(io.BytesIO(data), "rb") as w:
             nch, sw, rate, nframes = (
@@ -83,3 +96,146 @@ def decode_wav(data: bytes) -> dict:
         "n_frames": nframes,
         "samples": samples,
     }
+
+
+# ---------------------------------------------------------------------------
+# G.711 companded audio (r7): WAVE format tags 7 (mu-law) / 6 (A-law).
+# ---------------------------------------------------------------------------
+
+def mulaw_decode_byte(b: int) -> int:
+    """One G.711 mu-law code -> linear 16-bit sample (bias 0x84
+    segment expansion; max amplitude 32124 per the spec)."""
+    b = ~b & 0xFF
+    sign = b & 0x80
+    exp = (b >> 4) & 7
+    man = b & 0x0F
+    s = (((man << 3) + 0x84) << exp) - 0x84
+    return -s if sign else s
+
+
+def alaw_decode_byte(b: int) -> int:
+    """One G.711 A-law code -> linear sample (0x55 toggle, segment
+    expansion; sign bit 1 = POSITIVE in A-law; max 32256)."""
+    b ^= 0x55
+    sign = b & 0x80
+    exp = (b >> 4) & 7
+    man = b & 0x0F
+    if exp == 0:
+        s = (man << 4) + 8
+    else:
+        s = ((man << 4) + 0x108) << (exp - 1)
+    return s if sign else -s
+
+
+def _g711_encode_table(decode_fn) -> list:
+    """(value, code) pairs sorted by decoded value — the encoder
+    picks the nearest decoded level (ties toward the smaller code),
+    which is exactly the quantizer the decode formula defines."""
+    pairs = sorted(
+        (decode_fn(c), c) for c in range(256)
+    )
+    return pairs
+
+
+_MULAW_LEVELS = _g711_encode_table(mulaw_decode_byte)
+_ALAW_LEVELS = _g711_encode_table(alaw_decode_byte)
+
+
+def _g711_encode_sample(x: int, levels: list) -> int:
+    import bisect
+
+    i = bisect.bisect_left(levels, (x,))
+    cands = []
+    if i < len(levels):
+        cands.append(levels[i])
+    if i > 0:
+        cands.append(levels[i - 1])
+    return min(cands, key=lambda vc: (abs(vc[0] - x), vc[1]))[1]
+
+
+def mulaw_encode_sample(x: int) -> int:
+    return _g711_encode_sample(x, _MULAW_LEVELS)
+
+
+def alaw_encode_sample(x: int) -> int:
+    return _g711_encode_sample(x, _ALAW_LEVELS)
+
+
+def _riff_chunks(data: bytes) -> list:
+    """[(chunk_id, payload)] from a RIFF/WAVE stream (even-padded
+    chunk sizes per RIFF)."""
+    if not is_wav(data):
+        raise ValueError("not a WAV")
+    out = []
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("corrupt WAV stream: chunk truncated")
+        out.append((cid, body))
+        pos += 8 + size + (size & 1)
+    return out
+
+
+def wav_format_tag(data: bytes) -> int:
+    """The WAVE fmt chunk's format tag (1 = PCM, 6 = A-law,
+    7 = mu-law, ...)."""
+    for cid, body in _riff_chunks(data):
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("corrupt WAV stream: fmt too short")
+            return struct.unpack_from("<H", body, 0)[0]
+    raise ValueError("corrupt WAV stream: no fmt chunk")
+
+
+def _decode_g711(data: bytes, tag: int) -> dict:
+    fmt = None
+    payload = None
+    for cid, body in _riff_chunks(data):
+        if cid == b"fmt " and fmt is None:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data" and payload is None:
+            payload = body
+    if fmt is None or payload is None:
+        raise ValueError("corrupt WAV stream: missing fmt/data")
+    _tag, nch, rate, _br, _align, bits = fmt
+    if bits != 8:
+        raise ValueError(f"G.711 WAV must be 8 bits/sample, got {bits}")
+    if nch < 1:
+        raise ValueError("corrupt WAV stream: zero channels")
+    dec = mulaw_decode_byte if tag == 7 else alaw_decode_byte
+    samples = [dec(b) for b in payload]
+    return {
+        "n_channels": nch,
+        "sampwidth": 1,
+        "framerate": rate,
+        "n_frames": len(payload) // nch,
+        "samples": samples,
+        "encoding": "mulaw" if tag == 7 else "alaw",
+    }
+
+
+def encode_wav_g711(
+    samples: list[int], sample_rate: int = 8_000, law: str = "mulaw"
+) -> bytes:
+    """Valid mono G.711 WAV (format tag 7/6) from linear samples —
+    each companded to the nearest decodable level."""
+    if law == "mulaw":
+        tag, enc = 7, mulaw_encode_sample
+    elif law == "alaw":
+        tag, enc = 6, alaw_encode_sample
+    else:
+        raise ValueError("law must be 'mulaw' or 'alaw'")
+    payload = bytes(enc(int(x)) for x in samples)
+    fmt = struct.pack(
+        "<HHIIHH", tag, 1, sample_rate, sample_rate, 1, 8
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(payload)) + payload
+        + (b"\x00" if len(payload) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
