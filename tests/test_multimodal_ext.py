@@ -939,3 +939,38 @@ def test_wav_g711_mulaw_alaw_decode():
     pcm = wav.encode_wav(samples[:100])
     assert wav.wav_format_tag(pcm) == 1
     assert wav.decode_wav(pcm)["samples"] == samples[:100]
+
+
+def test_png_16bit_depth_roundtrip():
+    """r7: 16-bit PNG decodes bit-exactly — the same filter machinery
+    with byte-channels doubled (RFC 2083's bpp is bytes per pixel),
+    across all color types, filters, and interlaced layouts."""
+    import hashlib
+
+    from thrivefinancedatapipeline_spark.multimodal import png
+
+    def det(n, seed):
+        out = bytearray()
+        c = 0
+        while len(out) < n:
+            out += hashlib.md5(f"{seed}:{c}".encode()).digest()
+            c += 1
+        return bytes(out[:n])
+
+    for (w, h) in [(1, 1), (13, 21), (33, 17)]:
+        for ct in (0, 2, 4, 6):
+            ch = {0: 1, 2: 3, 4: 2, 6: 4}[ct]
+            pix = det(w * h * ch * 2, f"16:{w}x{h}x{ct}")
+            for ft in (0, 4):
+                for il in (False, True):
+                    enc = png.encode_png(
+                        pix, w, h, color_type=ct, filter_type=ft,
+                        interlace=il, bit_depth=16,
+                    )
+                    dec = png.decode_png(enc)
+                    assert dec["pixels"] == pix, (w, h, ct, ft, il)
+                    assert dec["bit_depth"] == 16
+                    assert dec["channels"] == ch
+    # existing 8-bit streams still report bit_depth 8
+    pix8 = det(5 * 4 * 3, "8bit")
+    assert png.decode_png(png.encode_png(pix8, 5, 4))["bit_depth"] == 8

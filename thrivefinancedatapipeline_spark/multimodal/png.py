@@ -75,13 +75,15 @@ def decode_png(data: bytes) -> dict:
             width, height, bit_depth, color_type, comp, filt, interlace = (
                 struct.unpack(">IIBBBBB", body)
             )
-            if bit_depth != 8 or (
-                color_type not in _CHANNELS and color_type != 3
-            ):
+            ok8 = bit_depth == 8 and (
+                color_type in _CHANNELS or color_type == 3
+            )
+            ok16 = bit_depth == 16 and color_type in _CHANNELS
+            if not (ok8 or ok16):
                 raise NotImplementedError(
                     f"PNG bit_depth={bit_depth} color_type={color_type} "
-                    "outside the supported subset (8-bit "
-                    "gray/RGB/GA/RGBA/palette)"
+                    "outside the supported subset (8/16-bit "
+                    "gray/RGB/GA/RGBA, 8-bit palette)"
                 )
             if interlace not in (0, 1):
                 raise ValueError("invalid PNG interlace method")
@@ -89,6 +91,7 @@ def decode_png(data: bytes) -> dict:
             if comp != 0 or filt != 0:
                 raise ValueError("invalid PNG compression/filter method")
             channels = 1 if color_type == 3 else _CHANNELS[color_type]
+            sample_bytes = bit_depth // 8
         elif ctype == b"PLTE":
             if length % 3 != 0 or length == 0 or length > 768:
                 raise ValueError("invalid PLTE length")
@@ -109,30 +112,32 @@ def decode_png(data: bytes) -> dict:
     if color_type != 3:
         palette = None
     raw = zlib.decompress(bytes(idat))
+    # filters operate on BYTES with bpp = channels * bytes-per-sample
+    # (RFC 2083: the "prior pixel" is bpp bytes back) — 16-bit depth
+    # is the same machinery with doubled byte-channels
+    bch = channels * sample_bytes
     if interlace_flag == 0:
-        stride = width * channels
+        stride = width * bch
         if len(raw) != (stride + 1) * height:
             raise ValueError("PNG pixel data length mismatch")
-        out = _defilter(raw, 0, width, height, channels)
+        out = _defilter(raw, 0, width, height, bch)
     else:
         # Adam7: seven independently-filtered sub-images scattered on
         # the pass grid (empty passes contribute zero bytes)
-        out = bytearray(width * height * channels)
+        out = bytearray(width * height * bch)
         off = 0
         for x0, y0, dx, dy in ADAM7:
             pw = -(-(width - x0) // dx) if width > x0 else 0
             ph = -(-(height - y0) // dy) if height > y0 else 0
             if pw == 0 or ph == 0:
                 continue
-            sub = _defilter(raw, off, pw, ph, channels)
-            off += (pw * channels + 1) * ph
+            sub = _defilter(raw, off, pw, ph, bch)
+            off += (pw * bch + 1) * ph
             for j in range(ph):
                 for i in range(pw):
-                    src = (j * pw + i) * channels
-                    dst = ((y0 + j * dy) * width + (x0 + i * dx)) * channels
-                    out[dst : dst + channels] = sub[
-                        src : src + channels
-                    ]
+                    src = (j * pw + i) * bch
+                    dst = ((y0 + j * dy) * width + (x0 + i * dx)) * bch
+                    out[dst : dst + bch] = sub[src : src + bch]
         if off != len(raw):
             raise ValueError("PNG interlaced data length mismatch")
     if palette is not None:
@@ -148,6 +153,7 @@ def decode_png(data: bytes) -> dict:
         "width": width,
         "height": height,
         "channels": channels,
+        "bit_depth": 8 if palette is not None else sample_bytes * 8,
         "pixels": bytes(out),
     }
 
@@ -156,7 +162,9 @@ def _defilter(raw: bytes, off: int, width: int, height: int,
               channels: int) -> bytearray:
     """Reconstruct one independently-filtered (sub-)image: `height`
     scanlines of `width*channels` bytes each, preceded by a filter
-    byte, starting at `off` in the inflated stream."""
+    byte, starting at `off` in the inflated stream. `channels` is
+    BYTE-channels (samples x bytes-per-sample): at 16-bit depth the
+    filter distance bpp doubles per RFC 2083."""
     stride = width * channels
     if off + (stride + 1) * height > len(raw):
         raise ValueError("PNG pixel data length mismatch")
@@ -258,13 +266,17 @@ def encode_png(
     color_type: int = 2,
     filter_type: int = 0,
     interlace: bool = False,
+    bit_depth: int = 8,
 ) -> bytes:
     """Encode raw 8-bit pixels as a valid PNG. `filter_type` applies
     the chosen scanline filter to EVERY row (0..4) — the test hook
     that makes the decoder walk each reconstruction branch.
     `interlace=True` emits the Adam7 layout: seven sub-images, each
-    independently filtered."""
-    channels = _CHANNELS[color_type]
+    independently filtered. `bit_depth=16` takes big-endian 2-byte
+    samples (pixels buffer doubles)."""
+    if bit_depth not in (8, 16):
+        raise ValueError("bit_depth must be 8 or 16")
+    channels = _CHANNELS[color_type] * (bit_depth // 8)
     stride = width * channels
     if len(pixels) != stride * height:
         raise ValueError("pixel buffer does not match dimensions")
@@ -285,7 +297,7 @@ def encode_png(
                     ]
             raw += _filter_image(bytes(sub), pw, ph, channels, filter_type)
         ihdr = struct.pack(
-            ">IIBBBBB", width, height, 8, color_type, 0, 0, 1
+            ">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 1
         )
         return (
             PNG_MAGIC
@@ -335,7 +347,9 @@ def encode_png(
         else:
             raise ValueError(f"invalid filter type {filter_type}")
         prior = line
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 0
+    )
     return (
         PNG_MAGIC
         + _chunk(b"IHDR", ihdr)
