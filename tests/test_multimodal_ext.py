@@ -974,3 +974,64 @@ def test_png_16bit_depth_roundtrip():
     # existing 8-bit streams still report bit_depth 8
     pix8 = det(5 * 4 * 3, "8bit")
     assert png.decode_png(png.encode_png(pix8, 5, 4))["bit_depth"] == 8
+
+
+def test_codec_error_surface_fuzz():
+    """100 TB crawl posture: the decode kernels map arbitrary web
+    bytes, so every codec path must surface corruption as the
+    documented (ValueError, NotImplementedError) contract — never a
+    leaked struct/zlib/Index/KeyError that would kill a whole Arrow
+    batch untyped. Deterministic fuzz: systematic truncations + byte
+    flips over one valid stream per r7 codec path (this sweep caught
+    PNG leaking struct.error on IHDR truncation and zlib.error on
+    IDAT truncation — both normalized)."""
+    import hashlib
+
+    from thrivefinancedatapipeline_spark.multimodal import (
+        gif,
+        jpeg,
+        png,
+        wav,
+    )
+
+    def det(n, seed):
+        out = bytearray()
+        c = 0
+        while len(out) < n:
+            out += hashlib.md5(f"{seed}:{c}".encode()).digest()
+            c += 1
+        return bytes(out[:n])
+
+    pix = det(24 * 24 * 3, "fz")
+    gray = det(24 * 24, "fzg")
+    streams = [
+        (jpeg.encode_jpeg_progressive(pix, 24, 24, 90),
+         jpeg.decode_jpeg_color),
+        (jpeg.encode_jpeg_420(pix, 24, 24, 90, restart_interval=2),
+         jpeg.decode_jpeg_color),
+        (jpeg.encode_jpeg_subsampled(pix, 24, 24, 90,
+                                     luma_factors=(4, 1)),
+         jpeg.decode_jpeg_color),
+        (png.encode_png(det(24 * 24 * 3 * 2, "p16"), 24, 24,
+                        interlace=True, bit_depth=16), png.decode_png),
+        (png.encode_png_palette(gray, 24, 24, det(768, "pal")),
+         png.decode_png),
+        (gif.encode_gif(gray, 24, 24, interlace=True), gif.decode_gif),
+        (wav.encode_wav_g711(list(range(-250, 250)), 8000, "mulaw"),
+         wav.decode_wav),
+    ]
+    for data, dec in streams:
+        step_t = max(1, len(data) // 120)
+        for cut in range(1, len(data), step_t):
+            try:
+                dec(data[:cut])
+            except (ValueError, NotImplementedError):
+                pass
+        step_f = max(1, len(data) // 90)
+        for i in range(0, len(data), step_f):
+            mut = bytearray(data)
+            mut[i] ^= 0xFF
+            try:
+                dec(bytes(mut))
+            except (ValueError, NotImplementedError):
+                pass

@@ -72,6 +72,8 @@ def decode_png(data: bytes) -> dict:
         body = data[pos + 8 : pos + 8 + length]
         pos += 12 + length  # length + type + data + crc
         if ctype == b"IHDR":
+            if len(body) != 13:
+                raise ValueError("corrupt PNG: IHDR truncated")
             width, height, bit_depth, color_type, comp, filt, interlace = (
                 struct.unpack(">IIBBBBB", body)
             )
@@ -111,7 +113,12 @@ def decode_png(data: bytes) -> dict:
         raise ValueError("palette PNG missing PLTE")
     if color_type != 3:
         palette = None
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # contract: corrupt payloads raise the documented ValueError,
+        # never a bare zlib.error leaking from inflate
+        raise ValueError(f"corrupt PNG stream: {e}") from e
     # filters operate on BYTES with bpp = channels * bytes-per-sample
     # (RFC 2083: the "prior pixel" is bpp bytes back) — 16-bit depth
     # is the same machinery with doubled byte-channels
