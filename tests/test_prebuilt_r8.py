@@ -145,6 +145,28 @@ def test_ivfpq_distortion_audit_vs_duckdb(spark, sf_dir):
             assert 0 <= ppm <= 1_000_000
 
 
+def test_events_stickiness_vs_duckdb(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.plans.events_queries import (
+        STICKINESS_ORACLE,
+        events_stickiness,
+    )
+
+    for d in _dirs(sf_dir):
+        got = sorted(
+            tuple(r) for r in events_stickiness(spark, d).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in _duck(d, STICKINESS_ORACLE, tables=("events",))
+        )
+        assert got == want, f"stickiness mismatch at {d}"
+        for _day, dau, wau, ppm in got:
+            # DAU is a subset of the trailing-window WAU by definition
+            assert 1 <= dau <= wau
+            assert 0 < ppm <= 1_000_000
+            assert ppm == dau * 1_000_000 // wau
+
+
 def test_prebuilt_catalog_lists_the_r8_four():
     import sys
 
@@ -158,6 +180,7 @@ def test_prebuilt_catalog_lists_the_r8_four():
     import check_prebuilt
 
     assert set(check_prebuilt._catalog()) == {
+        "events_stickiness",
         "time_weighted_balance",
         "source_jaccard_kmv",
         "split_balance_audit",

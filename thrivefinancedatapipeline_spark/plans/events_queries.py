@@ -1711,3 +1711,66 @@ FROM per GROUP BY 1"""
 
 QUERIES["events_session_depth_histogram"] = events_session_depth_histogram
 ORACLES["events_session_depth_histogram"] = SESSION_DEPTH_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# PREBUILT (r7-staged, NOT yet registered — tools/check_prebuilt.py).
+# ---------------------------------------------------------------------------
+
+def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day — THE product-engagement ratio
+    (what fraction of the week's active users showed up today): DAU,
+    trailing-{ROLLING_DAYS}-day WAU, and stickiness in exact integer
+    ppm, built on the proven rolling-distinct shape (distinct-reduce
+    to (day, user) pairs, bounded fan-out to window ends — never a
+    range self-join; at 100 TB swap the exact distinct for the KMV
+    merge twin exactly as events_rolling_distinct_users documents).
+    Prebuilt r7 (staged in tools/check_prebuilt.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = daily.select("d").distinct()
+    dau = daily.groupBy("d").agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    cover = daily.select(
+        F.explode(F.expr(f"sequence(0, {ROLLING_DAYS - 1})")).alias(
+            "off"
+        ),
+        "d",
+        "user_id",
+    ).select(F.date_add("d", F.col("off")).alias("day"), "user_id")
+    wau = (
+        cover.join(
+            F.broadcast(days), cover["day"] == days["d"], "left_semi"
+        )
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau["d"] == wau["day"])
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.expr(
+                "CAST(CAST(dau AS DECIMAL(38,0)) * 1000000 div wau"
+                " AS BIGINT)"
+            ).alias("stickiness_ppm"),
+        )
+    )
+
+
+STICKINESS_ORACLE = f"""
+WITH dd AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+days AS (SELECT DISTINCT d FROM dd),
+dau AS (SELECT d, COUNT(DISTINCT user_id) AS dau FROM dd GROUP BY d),
+wau AS (SELECT days.d, COUNT(DISTINCT dd.user_id) AS wau
+        FROM days JOIN dd
+          ON dd.d BETWEEN days.d - {ROLLING_DAYS - 1} AND days.d
+        GROUP BY days.d)
+SELECT strftime(dau.d, '%Y-%m-%d') AS day,
+       CAST(dau.dau AS BIGINT) AS dau,
+       CAST(wau.wau AS BIGINT) AS wau,
+       CAST(CAST(dau.dau AS HUGEINT) * 1000000 // wau.wau AS BIGINT)
+         AS stickiness_ppm
+FROM dau JOIN wau ON dau.d = wau.d"""

@@ -48,6 +48,10 @@ def _catalog():
         SOURCE_JACCARD_KMV_ORACLE,
         source_jaccard_kmv,
     )
+    from thrivefinancedatapipeline_spark.plans.events_queries import (
+        STICKINESS_ORACLE,
+        events_stickiness,
+    )
     from thrivefinancedatapipeline_spark.operators.similarity import (
         _ivfpq_distortion_oracle,
         ivfpq_distortion_audit,
@@ -58,6 +62,7 @@ def _catalog():
     )
 
     return {
+        "events_stickiness": (events_stickiness, STICKINESS_ORACLE),
         "ivfpq_distortion_audit": (
             ivfpq_distortion_audit, _ivfpq_distortion_oracle(),
         ),
