@@ -1035,3 +1035,52 @@ def test_codec_error_surface_fuzz():
                 dec(bytes(mut))
             except (ValueError, NotImplementedError):
                 pass
+
+
+def test_png_sub_byte_depths_roundtrip():
+    """r7: 1/2/4-bit PNG decodes exactly — packed rows defilter with
+    bpp rounded up to one byte (RFC 2083), unpack MSB-first, gray
+    scales by v*255/(2^d-1) exactly, palette indexes directly; both
+    sequential and Adam7 layouts, gray and palette, all filters."""
+    import hashlib
+
+    from thrivefinancedatapipeline_spark.multimodal import png
+
+    def det(n, seed):
+        out = bytearray()
+        c = 0
+        while len(out) < n:
+            out += hashlib.md5(f"{seed}:{c}".encode()).digest()
+            c += 1
+        return bytes(out[:n])
+
+    for (w, h) in [(1, 1), (7, 3), (13, 21), (33, 17)]:
+        for d in (1, 2, 4):
+            mx = (1 << d) - 1
+            samp = bytes(b % (mx + 1) for b in det(w * h, f"g{d}{w}{h}"))
+            want = bytes(v * 255 // mx for v in samp)
+            for ft in (0, 2, 4):
+                for il in (False, True):
+                    dec = png.decode_png(
+                        png.encode_png(
+                            samp, w, h, color_type=0, filter_type=ft,
+                            interlace=il, bit_depth=d,
+                        )
+                    )
+                    assert dec["pixels"] == want, (w, h, d, ft, il)
+                    assert dec["bit_depth"] == d
+            pal = det((mx + 1) * 3, f"p{d}")
+            decp = png.decode_png(
+                png.encode_png_palette(
+                    samp, w, h, pal, bit_depth=d, interlace=(d == 4)
+                )
+            )
+            assert decp["channels"] == 3
+            assert decp["pixels"] == b"".join(
+                pal[3 * i : 3 * i + 3] for i in samp
+            )
+    # samples exceeding the depth are refused at encode time
+    import pytest
+
+    with pytest.raises(ValueError):
+        png.encode_png(bytes([2]), 1, 1, color_type=0, bit_depth=1)

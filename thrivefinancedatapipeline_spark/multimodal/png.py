@@ -81,11 +81,12 @@ def decode_png(data: bytes) -> dict:
                 color_type in _CHANNELS or color_type == 3
             )
             ok16 = bit_depth == 16 and color_type in _CHANNELS
-            if not (ok8 or ok16):
+            oksub = bit_depth in (1, 2, 4) and color_type in (0, 3)
+            if not (ok8 or ok16 or oksub):
                 raise NotImplementedError(
                     f"PNG bit_depth={bit_depth} color_type={color_type} "
-                    "outside the supported subset (8/16-bit "
-                    "gray/RGB/GA/RGBA, 8-bit palette)"
+                    "outside the supported subset (1/2/4/8/16-bit "
+                    "gray, 8/16-bit RGB/GA/RGBA, 1/2/4/8-bit palette)"
                 )
             if interlace not in (0, 1):
                 raise ValueError("invalid PNG interlace method")
@@ -93,7 +94,8 @@ def decode_png(data: bytes) -> dict:
             if comp != 0 or filt != 0:
                 raise ValueError("invalid PNG compression/filter method")
             channels = 1 if color_type == 3 else _CHANNELS[color_type]
-            sample_bytes = bit_depth // 8
+            sample_bytes = max(1, bit_depth // 8)
+            depth = bit_depth
         elif ctype == b"PLTE":
             if length % 3 != 0 or length == 0 or length > 768:
                 raise ValueError("invalid PLTE length")
@@ -119,15 +121,37 @@ def decode_png(data: bytes) -> dict:
         # contract: corrupt payloads raise the documented ValueError,
         # never a bare zlib.error leaking from inflate
         raise ValueError(f"corrupt PNG stream: {e}") from e
-    # filters operate on BYTES with bpp = channels * bytes-per-sample
-    # (RFC 2083: the "prior pixel" is bpp bytes back) — 16-bit depth
-    # is the same machinery with doubled byte-channels
+
+    def sub_image(off, pw, ph):
+        """Defilter (and, below 8 bits, unpack) one (sub-)image;
+        returns (byte-channel pixels, bytes consumed). Filters
+        operate on BYTES with bpp = channels * bytes-per-sample,
+        which RFC 2083 rounds UP to one byte at sub-byte depths — so
+        sub-byte rows defilter as packed bytes with channels=1, then
+        unpack MSB-first."""
+        if depth >= 8:
+            bch = channels * sample_bytes
+            return (
+                _defilter(raw, off, pw, ph, bch),
+                (pw * bch + 1) * ph,
+            )
+        rb = (pw * depth + 7) // 8  # packed bytes per scanline
+        packed = _defilter(raw, off, rb, ph, 1)
+        outp = bytearray(pw * ph)
+        mask = (1 << depth) - 1
+        for j in range(ph):
+            base = j * rb
+            for i in range(pw):
+                byte = packed[base + (i * depth) // 8]
+                shift = 8 - depth - ((i * depth) % 8)
+                outp[j * pw + i] = (byte >> shift) & mask
+        return outp, (rb + 1) * ph
+
     bch = channels * sample_bytes
     if interlace_flag == 0:
-        stride = width * bch
-        if len(raw) != (stride + 1) * height:
+        out, consumed = sub_image(0, width, height)
+        if consumed != len(raw):
             raise ValueError("PNG pixel data length mismatch")
-        out = _defilter(raw, 0, width, height, bch)
     else:
         # Adam7: seven independently-filtered sub-images scattered on
         # the pass grid (empty passes contribute zero bytes)
@@ -138,8 +162,8 @@ def decode_png(data: bytes) -> dict:
             ph = -(-(height - y0) // dy) if height > y0 else 0
             if pw == 0 or ph == 0:
                 continue
-            sub = _defilter(raw, off, pw, ph, bch)
-            off += (pw * bch + 1) * ph
+            sub, consumed = sub_image(off, pw, ph)
+            off += consumed
             for j in range(ph):
                 for i in range(pw):
                     src = (j * pw + i) * bch
@@ -147,6 +171,11 @@ def decode_png(data: bytes) -> dict:
                     out[dst : dst + bch] = sub[src : src + bch]
         if off != len(raw):
             raise ValueError("PNG interlaced data length mismatch")
+    if depth < 8 and palette is None:
+        # sub-byte grayscale: scale to the 8-bit range per the spec
+        # (v * 255 / (2^d - 1), exact for d in {1,2,4})
+        mx = (1 << depth) - 1
+        out = bytearray(v * 255 // mx for v in out)
     if palette is not None:
         rgb = bytearray(width * height * 3)
         n_entries = len(palette) // 3
@@ -160,7 +189,7 @@ def decode_png(data: bytes) -> dict:
         "width": width,
         "height": height,
         "channels": channels,
-        "bit_depth": 8 if palette is not None else sample_bytes * 8,
+        "bit_depth": depth,
         "pixels": bytes(out),
     }
 
@@ -266,6 +295,61 @@ def _filter_image(pixels: bytes, width: int, height: int,
     return raw
 
 
+def _pack_rows(samples: bytes, width: int, height: int,
+               depth: int) -> bytes:
+    """Pack one sample-per-pixel rows into MSB-first sub-byte rows
+    (each scanline padded to a byte boundary)."""
+    out = bytearray()
+    for y in range(height):
+        acc = 0
+        n = 0
+        for x in range(width):
+            acc = (acc << depth) | (
+                samples[y * width + x] & ((1 << depth) - 1)
+            )
+            n += depth
+            if n == 8:
+                out.append(acc)
+                acc = 0
+                n = 0
+        if n:
+            out.append(acc << (8 - n))
+    return bytes(out)
+
+
+def _encode_idat(samples: bytes, width: int, height: int,
+                 channels: int, depth: int, filter_type: int,
+                 interlace: bool) -> bytes:
+    """Filtered (and possibly Adam7-split / bit-packed) image data
+    for any supported depth — shared by encode_png and
+    encode_png_palette."""
+    def one(sub: bytes, pw: int, ph: int) -> bytearray:
+        if depth >= 8:
+            return _filter_image(sub, pw, ph, channels, filter_type)
+        rb = (pw * depth + 7) // 8
+        return _filter_image(
+            _pack_rows(sub, pw, ph, depth), rb, ph, 1, filter_type
+        )
+
+    bch = channels  # sample-channels; sub-byte implies channels == 1
+    if not interlace:
+        return bytes(one(samples, width, height))
+    raw = bytearray()
+    for x0, y0, dx, dy in ADAM7:
+        pw = -(-(width - x0) // dx) if width > x0 else 0
+        ph = -(-(height - y0) // dy) if height > y0 else 0
+        if pw == 0 or ph == 0:
+            continue
+        sub = bytearray(pw * ph * bch)
+        for j in range(ph):
+            for i in range(pw):
+                src = ((y0 + j * dy) * width + (x0 + i * dx)) * bch
+                dst = (j * pw + i) * bch
+                sub[dst : dst + bch] = samples[src : src + bch]
+        raw += one(bytes(sub), pw, ph)
+    return bytes(raw)
+
+
 def encode_png(
     pixels: bytes,
     width: int,
@@ -280,9 +364,30 @@ def encode_png(
     that makes the decoder walk each reconstruction branch.
     `interlace=True` emits the Adam7 layout: seven sub-images, each
     independently filtered. `bit_depth=16` takes big-endian 2-byte
-    samples (pixels buffer doubles)."""
+    samples (pixels buffer doubles); 1/2/4 (grayscale only) take one
+    sample value per pixel in [0, 2^d)."""
+    if bit_depth in (1, 2, 4):
+        if color_type != 0:
+            raise ValueError("sub-byte depth is grayscale-only here")
+        if len(pixels) != width * height:
+            raise ValueError("pixel buffer does not match dimensions")
+        if any(v >= (1 << bit_depth) for v in pixels):
+            raise ValueError("sample exceeds bit depth")
+        raw = _encode_idat(
+            pixels, width, height, 1, bit_depth, filter_type, interlace
+        )
+        ihdr = struct.pack(
+            ">IIBBBBB", width, height, bit_depth, 0, 0, 0,
+            1 if interlace else 0,
+        )
+        return (
+            PNG_MAGIC
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(raw, 6))
+            + _chunk(b"IEND", b"")
+        )
     if bit_depth not in (8, 16):
-        raise ValueError("bit_depth must be 8 or 16")
+        raise ValueError("bit_depth must be 1, 2, 4, 8 or 16")
     channels = _CHANNELS[color_type] * (bit_depth // 8)
     stride = width * channels
     if len(pixels) != stride * height:
@@ -367,23 +472,31 @@ def encode_png(
 
 def encode_png_palette(
     indices: bytes, width: int, height: int, palette: bytes,
-    filter_type: int = 0,
+    filter_type: int = 0, bit_depth: int = 8,
+    interlace: bool = False,
 ) -> bytes:
-    """Encode 8-bit palette indices + an RGB palette (<= 256 entries)
-    as a color-type-3 PNG."""
+    """Encode palette indices + an RGB palette (<= 256 entries) as a
+    color-type-3 PNG at depth 1/2/4/8 (indices must fit the depth)."""
     if len(indices) != width * height:
         raise ValueError("index buffer does not match dimensions")
     if len(palette) % 3 != 0 or not (3 <= len(palette) <= 768):
         raise ValueError("palette must be 1..256 RGB triples")
+    if bit_depth not in (1, 2, 4, 8):
+        raise ValueError("palette bit_depth must be 1, 2, 4 or 8")
     n = len(palette) // 3
-    if any(i >= n for i in indices):
+    if any(i >= n or i >= (1 << bit_depth) for i in indices):
         raise ValueError("palette index out of range")
-    raw = _filter_image(indices, width, height, 1, filter_type)
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    raw = _encode_idat(
+        indices, width, height, 1, bit_depth, filter_type, interlace
+    )
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, bit_depth, 3, 0, 0,
+        1 if interlace else 0,
+    )
     return (
         PNG_MAGIC
         + _chunk(b"IHDR", ihdr)
         + _chunk(b"PLTE", palette)
-        + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
         + _chunk(b"IEND", b"")
     )
