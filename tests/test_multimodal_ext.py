@@ -853,8 +853,8 @@ def test_png_adam7_and_palette_roundtrip():
     # interlaced palette composes
     enc_i = png.encode_png_palette(idx, 19, 11, pal, filter_type=2)
     assert png.decode_png(enc_i)["pixels"] == dec["pixels"]
-    # gates: tRNS refuses (silent alpha drop would be a wrong answer),
-    # out-of-range palette index refuses
+    # palette tRNS decodes to RGBA (late-r7): index 0 gets the tRNS
+    # alpha, everything past the table stays opaque
     def chunk(t, b):
         return (
             struct.pack(">I", len(b)) + t + b
@@ -863,8 +863,19 @@ def test_png_adam7_and_palette_roundtrip():
 
     idat_end = enc.rindex(chunk(b"IEND", b""))
     with_trns = enc[:idat_end] + chunk(b"tRNS", b"\x80") + enc[idat_end:]
+    rgba = png.decode_png(with_trns)
+    assert rgba["channels"] == 4
+    assert rgba["pixels"] == b"".join(
+        pal[3 * i : 3 * i + 3] + bytes([0x80 if i == 0 else 255])
+        for i in idx
+    )
+    # gates: gray/RGB color-key tRNS refuses; bad palette refuses
+    gray_png = png.encode_png(bytes(range(16)), 4, 4, color_type=0)
+    ge = gray_png.rindex(chunk(b"IEND", b""))
     with pytest.raises(NotImplementedError):
-        png.decode_png(with_trns)
+        png.decode_png(
+            gray_png[:ge] + chunk(b"tRNS", b"\x00\x05") + gray_png[ge:]
+        )
     with pytest.raises(ValueError):
         png.encode_png_palette(bytes([9]), 1, 1, pal[:9])
 

@@ -11,10 +11,12 @@ sub-images, each independently filtered, scattered on the
 crawl contains), and PALETTE (color type 3) streams decode through
 their PLTE chunk to interleaved RGB. The encoder can emit both
 (interlace=True, encode_png_palette), so round-trips pin every
-reconstruction branch bit-exactly (PNG is lossless). Remaining gates:
-bit depths other than 8, and tRNS transparency on palette images
-(emitting RGB while silently dropping alpha would be a wrong answer,
-not a gate).
+reconstruction branch bit-exactly (PNG is lossless) — at depths
+1/2/4/8/16 (sub-byte rows defilter packed per RFC 2083's
+round-up-bpp rule), and palette tRNS transparency expands to RGBA
+(per-index alpha, opaque past the table). Remaining gate: color-key
+tRNS on gray/RGB streams (2-byte-per-sample comparison, rare in the
+wild).
 """
 
 from __future__ import annotations
@@ -64,6 +66,7 @@ def decode_png(data: bytes) -> dict:
     channels = 0
     interlace_flag = 0
     palette = None
+    trns = None
     color_type = None
     idat = bytearray()
     while pos + 8 <= len(data):
@@ -101,10 +104,7 @@ def decode_png(data: bytes) -> dict:
                 raise ValueError("invalid PLTE length")
             palette = bytes(body)
         elif ctype == b"tRNS":
-            raise NotImplementedError(
-                "palette transparency (tRNS): emitting RGB would drop "
-                "alpha silently"
-            )
+            trns = bytes(body)
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -115,6 +115,15 @@ def decode_png(data: bytes) -> dict:
         raise ValueError("palette PNG missing PLTE")
     if color_type != 3:
         palette = None
+        if trns is not None:
+            # gray/RGB color-key transparency is a 2-byte-per-sample
+            # comparison; rare in the wild — keep the honest gate
+            raise NotImplementedError(
+                "color-key transparency (tRNS on gray/RGB) not "
+                "supported"
+            )
+    if trns is not None and len(trns) > 256:
+        raise ValueError("invalid tRNS length")
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
@@ -177,14 +186,27 @@ def decode_png(data: bytes) -> dict:
         mx = (1 << depth) - 1
         out = bytearray(v * 255 // mx for v in out)
     if palette is not None:
-        rgb = bytearray(width * height * 3)
+        # tRNS present -> RGBA (per-index alpha, default opaque for
+        # indices past the table — emitting the alpha is the CORRECT
+        # answer, not a gate); absent -> RGB
         n_entries = len(palette) // 3
-        for i, idx in enumerate(out):
-            if idx >= n_entries:
-                raise ValueError("PNG palette index out of range")
-            rgb[3 * i : 3 * i + 3] = palette[3 * idx : 3 * idx + 3]
-        out = rgb
-        channels = 3
+        if trns is not None:
+            rgba = bytearray(width * height * 4)
+            for i, idx in enumerate(out):
+                if idx >= n_entries:
+                    raise ValueError("PNG palette index out of range")
+                rgba[4 * i : 4 * i + 3] = palette[3 * idx : 3 * idx + 3]
+                rgba[4 * i + 3] = trns[idx] if idx < len(trns) else 255
+            out = rgba
+            channels = 4
+        else:
+            rgb = bytearray(width * height * 3)
+            for i, idx in enumerate(out):
+                if idx >= n_entries:
+                    raise ValueError("PNG palette index out of range")
+                rgb[3 * i : 3 * i + 3] = palette[3 * idx : 3 * idx + 3]
+            out = rgb
+            channels = 3
     return {
         "width": width,
         "height": height,
@@ -473,7 +495,7 @@ def encode_png(
 def encode_png_palette(
     indices: bytes, width: int, height: int, palette: bytes,
     filter_type: int = 0, bit_depth: int = 8,
-    interlace: bool = False,
+    interlace: bool = False, trns: bytes | None = None,
 ) -> bytes:
     """Encode palette indices + an RGB palette (<= 256 entries) as a
     color-type-3 PNG at depth 1/2/4/8 (indices must fit the depth)."""
@@ -493,10 +515,13 @@ def encode_png_palette(
         ">IIBBBBB", width, height, bit_depth, 3, 0, 0,
         1 if interlace else 0,
     )
+    out = PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", palette)
+    if trns is not None:
+        if len(trns) > n:
+            raise ValueError("tRNS longer than the palette")
+        out += _chunk(b"tRNS", trns)
     return (
-        PNG_MAGIC
-        + _chunk(b"IHDR", ihdr)
-        + _chunk(b"PLTE", palette)
+        out
         + _chunk(b"IDAT", zlib.compress(raw, 6))
         + _chunk(b"IEND", b"")
     )
