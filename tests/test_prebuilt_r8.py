@@ -167,7 +167,10 @@ def test_events_stickiness_vs_duckdb(spark, sf_dir):
             assert ppm == dau * 1_000_000 // wau
 
 
-def test_prebuilt_catalog_lists_the_r8_four():
+def test_r8_six_promoted_to_registered_catalog():
+    """Round 8 registered the six r7-staged prebuilds: they must all
+    be in the module QUERIES/ORACLES dicts (aggregated by the
+    registry) and NO LONGER in the prebuilt staging catalog."""
     import sys
 
     sys.path.insert(
@@ -179,7 +182,12 @@ def test_prebuilt_catalog_lists_the_r8_four():
     )
     import check_prebuilt
 
-    assert set(check_prebuilt._catalog()) == {
+    from thrivefinancedatapipeline_spark.registry import (
+        all_oracles,
+        all_queries,
+    )
+
+    six = {
         "events_stickiness",
         "time_weighted_balance",
         "source_jaccard_kmv",
@@ -187,3 +195,9 @@ def test_prebuilt_catalog_lists_the_r8_four():
         "packing_efficiency",
         "ivfpq_distortion_audit",
     }
+    staged = set(check_prebuilt._catalog())
+    assert staged & six == set()
+    qs, os_ = all_queries(), all_oracles()
+    assert six <= set(qs) and six <= set(os_)
+    # the r9 prebuild is staged at the gate
+    assert "source_jaccard_drift" in staged

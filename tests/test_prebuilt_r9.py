@@ -1,0 +1,59 @@
+"""Round-9 prebuild (staged in tools/check_prebuilt.py): Spark ==
+DuckDB at two SFs plus per-operator invariants — the
+pre-registration pin the r5–r8 prebuilt catalogs used."""
+
+import os
+
+import duckdb
+
+
+def _duck(d, sql, tables=("documents", "events")):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{d}/{t}.parquet')"
+        )
+    rows = con.execute(sql).fetchall()
+    con.close()
+    return rows
+
+
+def _dirs(sf_dir):
+    return [
+        d
+        for d in (sf_dir, sf_dir.replace("sf0.001", "sf0.01"))
+        if os.path.isdir(d)
+    ]
+
+
+def test_source_jaccard_drift_vs_duckdb_and_bounds(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.operators.sketches import (
+        SOURCE_JACCARD_DRIFT_ORACLE,
+        SRC_DRIFT_K,
+        source_jaccard_drift,
+    )
+
+    for d in _dirs(sf_dir):
+        got = sorted(
+            tuple(r) for r in source_jaccard_drift(spark, d).collect()
+        )
+        want = sorted(
+            tuple(r) for r in _duck(d, SOURCE_JACCARD_DRIFT_ORACLE)
+        )
+        assert got == want, f"source_jaccard_drift mismatch at {d}"
+        # non-vacuous at every SF: the corpus ingest span covers >= 2
+        # epoch days for every source, so every source contributes at
+        # least one consecutive-period comparison
+        assert len(got) >= 1
+        srcs = {r[0] for r in got}
+        for src, day, prev, k_used, n_both, ppm in got:
+            assert prev < day
+            assert 1 <= k_used <= SRC_DRIFT_K
+            assert 0 <= n_both <= k_used
+            # ratio invariant catches DEFINITION bugs, not just math
+            assert 0 <= ppm <= 1_000_000
+            assert ppm == n_both * 1_000_000 // k_used
+        # consecutive-period pairing: per (source, day) at most one row
+        assert len(got) == len({(r[0], r[1]) for r in got})
+        assert len(srcs) >= 1

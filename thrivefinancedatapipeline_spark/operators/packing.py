@@ -312,3 +312,9 @@ SELECT lang,
             // (((SUM(n_tokens) + {PACK_BUDGET} - 1) // {PACK_BUDGET})
                 * {PACK_BUDGET}) AS BIGINT) AS fill_ppm
 FROM asg GROUP BY lang"""
+
+
+# Registered r8 (staged r7 behind tools/check_prebuilt.py, gate-green
+# and two-SF pinned in tests/test_prebuilt_r8.py before promotion).
+QUERIES["packing_efficiency"] = packing_efficiency
+ORACLES["packing_efficiency"] = PACKING_EFFICIENCY_ORACLE

@@ -382,3 +382,8 @@ SELECT split,
             // (2 * CAST(MIN(n_s) AS HUGEINT) * MIN(n))
             AS BIGINT) AS tv_ppm
 FROM j GROUP BY split"""
+
+
+# Registered r8 (staged r7 behind tools/check_prebuilt.py).
+QUERIES["split_balance_audit"] = split_balance_audit
+ORACLES["split_balance_audit"] = SPLIT_BALANCE_ORACLE

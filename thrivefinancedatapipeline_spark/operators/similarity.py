@@ -2036,3 +2036,8 @@ SELECT CAST(a.cell AS INT) AS cell,
          AS distortion_ppm
 FROM asg a JOIN dv USING (vec_id) JOIN en USING (vec_id)
 GROUP BY a.cell"""
+
+
+# Registered r8 (staged r7 behind tools/check_prebuilt.py).
+QUERIES["ivfpq_distortion_audit"] = ivfpq_distortion_audit
+ORACLES["ivfpq_distortion_audit"] = _ivfpq_distortion_oracle()

@@ -1299,3 +1299,151 @@ SELECT k.source_a, k.source_b,
        CAST(CAST(COALESCE(o.n_both, 0) AS HUGEINT) * 1000000
             // k.k_used AS BIGINT) AS jaccard_ppm
 FROM ku k LEFT JOIN ovl o USING (source_a, source_b)"""
+
+
+# Registered r8 (staged r7 behind tools/check_prebuilt.py).
+QUERIES["source_jaccard_kmv"] = source_jaccard_kmv
+ORACLES["source_jaccard_kmv"] = SOURCE_JACCARD_KMV_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# PREBUILT (r8-staged, NOT yet registered — tools/check_prebuilt.py).
+# ---------------------------------------------------------------------------
+
+SRC_DRIFT_K = 48  # per-(source, period) sketch size — cells are smaller
+
+
+def source_jaccard_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Period-over-period content drift per source from per-(source,
+    epoch-day) KMV sketches — the temporal twin of
+    `source_jaccard_kmv` (pairwise across sources) and the
+    set-similarity companion of `source_familiarity_drift`
+    (distributional): a provider silently changing its content MIX
+    shows up as a Jaccard drop between consecutive period sketch
+    cells. Arrival periods come from the ingest event stream
+    (event_id = doc_id); the grain is epoch DAYS because the test
+    corpus' ingest span is days — at a production weekly cadence the
+    same plan runs with `div 7` on the period expression (the
+    cohort_ltv convention) and nothing else changes. Shingle hashing
+    is the deterministic md5 space, so the sketch and the estimate
+    are bit-identical across engines. Prebuilt r8 (staged in
+    tools/check_prebuilt.py).
+
+    Scale shape: ONE distinct-reduce on (source, period, hash) is the
+    only pass over corpus-scale shingles (map-side combinable); the
+    per-cell bottom-k and the lag() pairing both run over <= k-row
+    cells — at 100 TB the period-over-period compare ships
+    |sources| x |periods| x k longs, nothing more."""
+    from ..functions.text import shingles_from_tokens, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    ingest = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("doc_id"),
+        F.expr(
+            "datediff(to_date(ts), DATE '1970-01-01')"
+        ).alias("epoch_day"),
+    )
+    tk = (
+        docs.select("doc_id", "source", tokens(F.col("text")).alias("toks"))
+        .join(ingest, "doc_id")
+    )
+    sh = tk.select(
+        "source",
+        "epoch_day",
+        F.explode(shingles_from_tokens(F.col("toks"))).alias("sh"),
+    )
+    d = sh.select(
+        "source", "epoch_day", md5_long(F.col("sh")).alias("h")
+    ).distinct()
+    w = Window.partitionBy("source", "epoch_day").orderBy("h")
+    sk = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= SRC_DRIFT_K)
+        .groupBy("source", "epoch_day")
+        .agg(F.sort_array(F.collect_list("h")).alias("sk"))
+    )
+    wlag = Window.partitionBy("source").orderBy("epoch_day")
+    p = (
+        sk.select(
+            "source",
+            "epoch_day",
+            "sk",
+            F.lag("epoch_day").over(wlag).alias("prev_day"),
+            F.lag("sk").over(wlag).alias("prev_sk"),
+        )
+        .filter(F.col("prev_day").isNotNull())
+        .withColumn(
+            "uk",
+            F.slice(
+                F.array_sort(F.array_union("sk", "prev_sk")), 1, SRC_DRIFT_K
+            ),
+        )
+    )
+    return p.select(
+        "source",
+        F.col("epoch_day").cast("long").alias("epoch_day"),
+        F.col("prev_day").cast("long").alias("prev_day"),
+        F.size("uk").cast("int").alias("k_used"),
+        F.size(
+            F.array_intersect(F.array_intersect("uk", "sk"), "prev_sk")
+        ).cast("long").alias("n_both"),
+        F.expr(
+            "CAST(CAST(size(array_intersect(array_intersect(uk, sk),"
+            " prev_sk)) AS DECIMAL(38,0)) * 1000000 div size(uk)"
+            " AS BIGINT)"
+        ).alias("jaccard_ppm"),
+    )
+
+
+SOURCE_JACCARD_DRIFT_ORACLE = f"""
+WITH docs AS (SELECT d.doc_id, d.source,
+                     datediff('day', DATE '1970-01-01',
+                              CAST(e.ts AS DATE)) AS epoch_day,
+                     string_split({_SJ_NORM}, ' ') AS toks
+              FROM documents d JOIN events e ON e.event_id = d.doc_id),
+g AS (SELECT source, epoch_day,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS sh
+      FROM docs, unnest(range(1, len(toks) - 1)) AS u(i)
+      WHERE len(toks) >= 3),
+dh AS (SELECT DISTINCT source, epoch_day,
+              ('0x' || substring(md5(sh), 1, 15))::BIGINT AS h
+       FROM g),
+sk AS (SELECT source, epoch_day, h FROM (
+         SELECT source, epoch_day, h,
+                ROW_NUMBER() OVER (PARTITION BY source, epoch_day
+                                   ORDER BY h) AS rn
+         FROM dh) WHERE rn <= {SRC_DRIFT_K}),
+wk AS (SELECT DISTINCT source, epoch_day FROM sk),
+pairs AS (SELECT source, epoch_day,
+                 LAG(epoch_day) OVER (PARTITION BY source
+                                       ORDER BY epoch_day) AS prev_day
+          FROM wk),
+pp AS (SELECT * FROM pairs WHERE prev_day IS NOT NULL),
+uh AS (SELECT p.source, p.epoch_day, p.prev_day, s.h
+       FROM pp p JOIN sk s ON s.source = p.source
+            AND s.epoch_day IN (p.epoch_day, p.prev_day)
+       GROUP BY 1, 2, 3, 4),
+uk AS (SELECT source, epoch_day, prev_day, h FROM (
+         SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY source, epoch_day, prev_day
+                  ORDER BY h) AS rn
+         FROM uh) WHERE rn <= {SRC_DRIFT_K}),
+ku AS (SELECT source, epoch_day, prev_day, COUNT(*) AS k_used
+       FROM uk GROUP BY 1, 2, 3),
+ovl AS (SELECT u.source, u.epoch_day, u.prev_day, COUNT(*) AS n_both
+        FROM uk u
+        JOIN sk x ON x.source = u.source
+             AND x.epoch_day = u.epoch_day AND x.h = u.h
+        JOIN sk y ON y.source = u.source
+             AND y.epoch_day = u.prev_day AND y.h = u.h
+        GROUP BY 1, 2, 3)
+SELECT k.source,
+       CAST(k.epoch_day AS BIGINT) AS epoch_day,
+       CAST(k.prev_day AS BIGINT) AS prev_day,
+       CAST(k.k_used AS INT) AS k_used,
+       CAST(COALESCE(o.n_both, 0) AS BIGINT) AS n_both,
+       CAST(CAST(COALESCE(o.n_both, 0) AS HUGEINT) * 1000000
+            // k.k_used AS BIGINT) AS jaccard_ppm
+FROM ku k LEFT JOIN ovl o USING (source, epoch_day, prev_day)"""

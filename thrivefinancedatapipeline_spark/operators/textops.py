@@ -1962,8 +1962,13 @@ def q_source_familiarity_drift(
         .otherwise(F.expr("fam_sum div n_bigrams"))
         .cast("long")
         .alias("fam_avg"),
+        # (src_fam == 0) | (n_bigrams == 0), NOT src_fam * n_bigrams
+        # == 0: the BIGINT product can ARITHMETIC_OVERFLOW under ANSI
+        # mode at large corpora; the disjunction is overflow-free and
+        # equivalent for non-negative sums.
         F.when(
-            F.col("src_fam") * F.col("n_bigrams") == 0, F.lit(0)
+            (F.col("src_fam") == 0) | (F.col("n_bigrams") == 0),
+            F.lit(0),
         )
         .otherwise(
             F.expr(

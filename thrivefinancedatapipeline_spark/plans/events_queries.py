@@ -1774,3 +1774,8 @@ SELECT strftime(dau.d, '%Y-%m-%d') AS day,
        CAST(CAST(dau.dau AS HUGEINT) * 1000000 // wau.wau AS BIGINT)
          AS stickiness_ppm
 FROM dau JOIN wau ON dau.d = wau.d"""
+
+
+# Registered r8 (staged r7 behind tools/check_prebuilt.py).
+QUERIES["events_stickiness"] = events_stickiness
+ORACLES["events_stickiness"] = STICKINESS_ORACLE

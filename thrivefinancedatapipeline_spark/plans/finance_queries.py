@@ -1230,3 +1230,8 @@ SELECT customerid AS customer_id,
        CAST(SUM(CAST(bal_cents AS HUGEINT) * (t1 - t0))
             // ({_ASOF_US_SQL} - MIN(tfirst)) AS BIGINT) AS twab_cents
 FROM seg GROUP BY customerid"""
+
+
+# Registered r8 (staged r7 behind tools/check_prebuilt.py).
+QUERIES["time_weighted_balance"] = time_weighted_balance
+ORACLES["time_weighted_balance"] = TWAB_ORACLE

@@ -31,50 +31,20 @@ def _catalog():
     """name -> (query_fn, oracle_sql) for operators built but NOT yet
     registered in a module's QUERIES/ORACLES dicts.
 
-    Round 6 drained the 29-operator backlog into the registered
-    catalog. Round 7 stages FOUR new operators here for the r8
-    registration window (r7's own window budget was spent on the
-    weighted-reservoir / familiarity-drift / probe-sweep trio):
-    green here first, then a 2-line move into the module dicts."""
-    from thrivefinancedatapipeline_spark.operators.packing import (
-        PACKING_EFFICIENCY_ORACLE,
-        packing_efficiency,
-    )
-    from thrivefinancedatapipeline_spark.operators.sampling import (
-        SPLIT_BALANCE_ORACLE,
-        split_balance_audit,
-    )
+    Round 6 drained the 29-operator backlog; round 8 registered the
+    six operators round 7 had staged here (time_weighted_balance,
+    events_stickiness, source_jaccard_kmv, split_balance_audit,
+    packing_efficiency, ivfpq_distortion_audit). Round 8 stages the
+    per-(source, period) KMV drift query for the r9 window: green
+    here first, then a 2-line move into the module dicts."""
     from thrivefinancedatapipeline_spark.operators.sketches import (
-        SOURCE_JACCARD_KMV_ORACLE,
-        source_jaccard_kmv,
-    )
-    from thrivefinancedatapipeline_spark.plans.events_queries import (
-        STICKINESS_ORACLE,
-        events_stickiness,
-    )
-    from thrivefinancedatapipeline_spark.operators.similarity import (
-        _ivfpq_distortion_oracle,
-        ivfpq_distortion_audit,
-    )
-    from thrivefinancedatapipeline_spark.plans.finance_queries import (
-        TWAB_ORACLE,
-        time_weighted_balance,
+        SOURCE_JACCARD_DRIFT_ORACLE,
+        source_jaccard_drift,
     )
 
     return {
-        "events_stickiness": (events_stickiness, STICKINESS_ORACLE),
-        "ivfpq_distortion_audit": (
-            ivfpq_distortion_audit, _ivfpq_distortion_oracle(),
-        ),
-        "time_weighted_balance": (time_weighted_balance, TWAB_ORACLE),
-        "source_jaccard_kmv": (
-            source_jaccard_kmv, SOURCE_JACCARD_KMV_ORACLE,
-        ),
-        "split_balance_audit": (
-            split_balance_audit, SPLIT_BALANCE_ORACLE,
-        ),
-        "packing_efficiency": (
-            packing_efficiency, PACKING_EFFICIENCY_ORACLE,
+        "source_jaccard_drift": (
+            source_jaccard_drift, SOURCE_JACCARD_DRIFT_ORACLE,
         ),
     }
 
