@@ -166,23 +166,35 @@ def main() -> None:
     # Self-sufficiency: the driver-committed BENCH_r0N.json tails kept
     # truncating before the medians (r5 AND r6), so round-over-round
     # comparison depended on judge-side re-runs. Persist the FULL
-    # per-query JSON in-repo too, named for the round being built
-    # (max committed CORRECTNESS round + 1 — those files land at each
-    # round's end, so during round N the max is N-1).
+    # per-query JSON in-repo too, named for the round being built.
+    # Insertion order (NOT sort_keys): metric/value lead, so a
+    # truncated tail still keeps the headline total.
     try:
         import glob
         import re
 
         repo = os.path.dirname(os.path.abspath(__file__))
-        rounds = [
-            int(m.group(1))
-            for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
-            if (m := re.search(r"CORRECTNESS_r0*(\d+)\.json$", f))
-        ]
-        n = (max(rounds) if rounds else 0) + 1
+        # Round number: explicit --round N / BENCH_ROUND env wins;
+        # the max(CORRECTNESS_r*)+1 inference is only a fallback (it
+        # mis-names the artifact when bench runs AFTER the round's
+        # CORRECTNESS file lands, or in a checkout missing them).
+        n = 0
+        if "--round" in sys.argv:
+            n = int(sys.argv[sys.argv.index("--round") + 1])
+        elif os.environ.get("BENCH_ROUND"):
+            n = int(os.environ["BENCH_ROUND"])
+        if n <= 0:
+            rounds = [
+                int(m.group(1))
+                for f in glob.glob(
+                    os.path.join(repo, "CORRECTNESS_r*.json")
+                )
+                if (m := re.search(r"CORRECTNESS_r0*(\d+)\.json$", f))
+            ]
+            n = (max(rounds) if rounds else 0) + 1
         local = os.path.join(repo, f"BENCH_LOCAL_r{n:02d}.json")
         with open(local, "w") as fh:
-            json.dump(out, fh, indent=1, sort_keys=True)
+            json.dump(out, fh, indent=1)
             fh.write("\n")
     except OSError as exc:  # read-only checkout: the stdout line stands
         print(f"# BENCH_LOCAL write skipped: {exc}", file=sys.stderr)

@@ -196,6 +196,38 @@ def test_ivfpq_probe_rejects_foreign_corpus(spark, sf_dir):
         _drop_all(spark)
 
 
+def test_ivfpq_probe_rebuilds_partial_index(spark, sf_dir):
+    """A build that crashed after the stamped centroids table (or a
+    separately dropped codes table) must trigger a REBUILD, not a
+    permanent error: the stamp alone is not evidence of a complete
+    index (r7 ADVICE closed)."""
+    import os
+
+    try:
+        sim.build_ivfpq_index(spark, sf_dir)
+        full = sorted(
+            tuple(r)
+            for r in sim.knn_ivfpq_index_probe(spark, sf_dir).collect()
+        )
+        # simulate the partial build: stamp present, codes gone
+        sim._drop_table(spark, sim.IVFPQ_CODES_TABLE)
+        assert sim.index_source_sf_dir(spark) == os.path.abspath(sf_dir)
+        healed = sorted(
+            tuple(r)
+            for r in sim.knn_ivfpq_index_probe(spark, sf_dir).collect()
+        )
+        assert healed == full
+        # and again with the codebooks table missing
+        sim._drop_table(spark, sim.IVFPQ_CODEBOOKS_TABLE)
+        healed2 = sorted(
+            tuple(r)
+            for r in sim.knn_ivfpq_index_probe(spark, sf_dir).collect()
+        )
+        assert healed2 == full
+    finally:
+        _drop_all(spark)
+
+
 def test_ivfpq_lifecycle_composed_cross_process(spark, sf_dir, tmp_path):
     """The full persisted-index lifecycle as a deployment runs it,
     each stage in its OWN process on a FRESH warehouse dir: (1) CLI

@@ -869,13 +869,17 @@ def test_png_adam7_and_palette_roundtrip():
         pal[3 * i : 3 * i + 3] + bytes([0x80 if i == 0 else 255])
         for i in idx
     )
-    # gates: gray/RGB color-key tRNS refuses; bad palette refuses
+    # gray color-key tRNS decodes (r8 — was the last PNG gate): the
+    # injected key 5 turns exactly that pixel transparent
     gray_png = png.encode_png(bytes(range(16)), 4, 4, color_type=0)
     ge = gray_png.rindex(chunk(b"IEND", b""))
-    with pytest.raises(NotImplementedError):
-        png.decode_png(
-            gray_png[:ge] + chunk(b"tRNS", b"\x00\x05") + gray_png[ge:]
-        )
+    ga = png.decode_png(
+        gray_png[:ge] + chunk(b"tRNS", b"\x00\x05") + gray_png[ge:]
+    )
+    assert ga["channels"] == 2
+    assert ga["pixels"] == b"".join(
+        bytes([v, 0 if v == 5 else 255]) for v in range(16)
+    )
     with pytest.raises(ValueError):
         png.encode_png_palette(bytes([9]), 1, 1, pal[:9])
 
@@ -1095,3 +1099,115 @@ def test_png_sub_byte_depths_roundtrip():
 
     with pytest.raises(ValueError):
         png.encode_png(bytes([2]), 1, 1, color_type=0, bit_depth=1)
+
+
+def test_png_color_key_trns_roundtrip():
+    """r8: gray/RGB color-key tRNS (RFC 2083 section 4.2.1.1) — the
+    last PNG gate. Pixels matching the key decode to alpha 0,
+    everything else opaque, at the stream's own sample width
+    (gray->GA, RGB->RGBA); EQUALITY round trips across depths x
+    filters x interlace (transparency only re-labels pixels, so the
+    strongest oracle applies)."""
+    import hashlib
+
+    import pytest
+
+    from thrivefinancedatapipeline_spark.multimodal import png
+
+    def det(n, seed):
+        out = bytearray()
+        c = 0
+        while len(out) < n:
+            out += hashlib.md5(f"{seed}:{c}".encode()).digest()
+            c += 1
+        return bytes(out[:n])
+
+    w, h = 13, 7
+
+    def expand(pix, px, key, width2):
+        res = bytearray()
+        aw = len(key) // px * 0 + (2 if width2 else 1)
+        for i in range(0, len(pix), px):
+            s = pix[i : i + px]
+            res += s
+            a = b"\x00" if s == key else b"\xff"
+            res += a * aw
+        return bytes(res)
+
+    # 8-bit gray and RGB, every filter, both layouts
+    for ctype, nsamp in ((0, 1), (2, 3)):
+        pix = det(w * h * nsamp, f"ck{ctype}")
+        key_px = bytes(pix[:nsamp])  # guaranteed present
+        key = key_px[0] if ctype == 0 else tuple(key_px)
+        for ft in (0, 1, 2, 3, 4):
+            for il in (False, True):
+                dec = png.decode_png(
+                    png.encode_png(
+                        pix, w, h, color_type=ctype, filter_type=ft,
+                        interlace=il, trns=key,
+                    )
+                )
+                assert dec["channels"] == nsamp + 1
+                assert dec["pixels"] == expand(
+                    pix, nsamp, key_px, width2=False
+                ), (ctype, ft, il)
+    # 16-bit: full 2-byte-per-sample compare, 16-bit alpha
+    for ctype, nsamp in ((0, 1), (2, 3)):
+        pix = det(w * h * nsamp * 2, f"ck16{ctype}")
+        key_px = bytes(pix[: nsamp * 2])
+        vals = [
+            int.from_bytes(key_px[2 * i : 2 * i + 2], "big")
+            for i in range(nsamp)
+        ]
+        key = vals[0] if ctype == 0 else tuple(vals)
+        dec = png.decode_png(
+            png.encode_png(
+                pix, w, h, color_type=ctype, bit_depth=16, trns=key,
+            )
+        )
+        assert dec["channels"] == nsamp + 1
+        assert dec["pixels"] == expand(pix, nsamp * 2, key_px, width2=True)
+    # sub-byte gray: key scales through the same v*255/(2^d-1) map
+    for d in (1, 2, 4):
+        mx = (1 << d) - 1
+        samp = bytes(b % (mx + 1) for b in det(w * h, f"cks{d}"))
+        keyv = samp[0]
+        dec = png.decode_png(
+            png.encode_png(
+                samp, w, h, color_type=0, bit_depth=d, trns=keyv,
+            )
+        )
+        scaled = bytes(v * 255 // mx for v in samp)
+        kb = bytes([keyv * 255 // mx])
+        assert dec["channels"] == 2
+        assert dec["pixels"] == expand(scaled, 1, kb, width2=False)
+    # a key never present -> fully opaque output
+    pix = bytes(range(16)) * 2
+    dec = png.decode_png(
+        png.encode_png(pix, 8, 4, color_type=0, trns=255)
+        if 255 not in pix
+        else png.encode_png(pix, 8, 4, color_type=0, trns=200)
+    )
+    assert all(dec["pixels"][2 * i + 1] == 255 for i in range(32))
+    # error surface: bad key shapes refused at encode, stream-side
+    # length/type violations refused at decode
+    with pytest.raises(ValueError):
+        png.encode_png(pix, 8, 4, color_type=0, trns=256)
+    with pytest.raises(ValueError):
+        png.encode_png(
+            det(8 * 4 * 3, "x"), 8, 4, color_type=2, trns=(1, 2)
+        )
+    with pytest.raises(ValueError):
+        png.encode_png(
+            det(8 * 4 * 4, "x"), 8, 4, color_type=6, trns=(1, 2, 3)
+        )
+    # decode-side: tRNS with the wrong byte length for its color type
+    good = png.encode_png(det(8 * 4, "y"), 8, 4, color_type=0, trns=7)
+    ihdr_end = good.index(b"tRNS") - 4
+    bad = (
+        good[:ihdr_end]
+        + png._chunk(b"tRNS", b"\x00\x07\x00")
+        + good[good.index(b"IDAT") - 4 :]
+    )
+    with pytest.raises(ValueError):
+        png.decode_png(bad)

@@ -744,7 +744,14 @@ def test_stream_weighted_reservoir_matches_batch(spark, sf_dir):
         assert len({r.lang for r in got}) >= 2
         # reservoir invariant along the stream: the k-th priority per
         # key never decreases batch over batch (merging can only
-        # raise the bar)
+        # raise the bar) — but ONLY once the reservoir is FULL: while
+        # a stratum holds fewer than RESERVOIR_K docs its floor is
+        # just its current minimum and legitimately drops when a
+        # lower-priority doc still makes the cut (r7 ADVICE closed)
+        from thrivefinancedatapipeline_spark.operators.sampling import (
+            RESERVOIR_K,
+        )
+
         kth = {}
         for r in sorted(got, key=lambda r: r.seq):
             key = (r.lang, r.seq)
@@ -753,7 +760,7 @@ def test_stream_weighted_reservoir_matches_batch(spark, sf_dir):
             floors = [
                 min(kth[(lang, s)])
                 for s in range(1, latest_seq[lang] + 1)
-                if (lang, s) in kth and len(kth[(lang, s)]) > 0
+                if len(kth.get((lang, s), [])) == RESERVOIR_K
             ]
             assert all(a <= b for a, b in zip(floors, floors[1:])) or (
                 len(floors) <= 1

@@ -14,9 +14,11 @@ their PLTE chunk to interleaved RGB. The encoder can emit both
 reconstruction branch bit-exactly (PNG is lossless) — at depths
 1/2/4/8/16 (sub-byte rows defilter packed per RFC 2083's
 round-up-bpp rule), and palette tRNS transparency expands to RGBA
-(per-index alpha, opaque past the table). Remaining gate: color-key
-tRNS on gray/RGB streams (2-byte-per-sample comparison, rare in the
-wild).
+(per-index alpha, opaque past the table). r8: color-key tRNS on
+gray/RGB streams (the 2-byte-per-sample key compare of RFC 2083
+section 4.2.1.1) expands to GA/RGBA at the stream's own sample
+width; the encoder emits the key chunk too, so equality round trips
+pin the compare at every depth x interlace combination.
 """
 
 from __future__ import annotations
@@ -54,10 +56,11 @@ def _paeth(a: int, b: int, c: int) -> int:
 def decode_png(data: bytes) -> dict:
     """Decode a baseline PNG → {width, height, channels, pixels}.
 
-    `pixels` is the raw scanline-major bytes (width*channels per row).
-    Raises NotImplementedError for PNG features outside the baseline
-    subset (palette, interlace, 16-bit) and ValueError for corrupt
-    streams — callers keep the explicit not-a-codec-for-this gate.
+    `pixels` is the raw scanline-major bytes (width*channels per row;
+    2 bytes per sample at depth 16). Raises NotImplementedError for
+    PNG features outside the supported subset and ValueError for
+    corrupt streams — callers keep the explicit
+    not-a-codec-for-this gate.
     """
     if not is_png(data):
         raise ValueError("not a PNG stream")
@@ -116,13 +119,14 @@ def decode_png(data: bytes) -> dict:
     if color_type != 3:
         palette = None
         if trns is not None:
-            # gray/RGB color-key transparency is a 2-byte-per-sample
-            # comparison; rare in the wild — keep the honest gate
-            raise NotImplementedError(
-                "color-key transparency (tRNS on gray/RGB) not "
-                "supported"
-            )
-    if trns is not None and len(trns) > 256:
+            # color-key tRNS: one 2-byte field per sample (gray: 2
+            # bytes, RGB: 6); illegal on streams with a real alpha
+            # channel
+            if color_type in (4, 6):
+                raise ValueError("tRNS forbidden on alpha color types")
+            if len(trns) != 2 * _CHANNELS[color_type]:
+                raise ValueError("invalid tRNS length")
+    elif trns is not None and len(trns) > 256:
         raise ValueError("invalid tRNS length")
     try:
         raw = zlib.decompress(bytes(idat))
@@ -207,6 +211,47 @@ def decode_png(data: bytes) -> dict:
                 rgb[3 * i : 3 * i + 3] = palette[3 * idx : 3 * idx + 3]
             out = rgb
             channels = 3
+    if palette is None and trns is not None:
+        # color-key transparency (RFC 2083 section 4.2.1.1): pixels
+        # whose samples ALL equal the key become fully transparent,
+        # everything else opaque; alpha is appended at the stream's
+        # own sample width (gray -> GA, RGB -> RGBA). The key is
+        # stored as 16-bit fields with the value in the LOW bits at
+        # depth < 16; sub-byte samples were scaled to 8-bit above, so
+        # the key scales through the same injective map before the
+        # compare.
+        nsamp = _CHANNELS[color_type]
+        key = [
+            struct.unpack(">H", trns[2 * i : 2 * i + 2])[0]
+            for i in range(nsamp)
+        ]
+        if depth == 16:
+            keyb: bytes | None = b"".join(
+                struct.pack(">H", k) for k in key
+            )
+            px = 2 * nsamp
+            opaque, clear = b"\xff\xff", b"\x00\x00"
+        else:
+            mx = (1 << depth) - 1
+            if any(k > mx for k in key):
+                keyb = None  # out-of-range key matches nothing
+            elif depth < 8:
+                keyb = bytes(k * 255 // mx for k in key)
+            else:
+                keyb = bytes(key)
+            px = nsamp
+            opaque, clear = b"\xff", b"\x00"
+        aw = len(opaque)
+        step = px + aw
+        res = bytearray(width * height * step)
+        for i in range(width * height):
+            s = bytes(out[i * px : (i + 1) * px])
+            res[i * step : i * step + px] = s
+            res[i * step + px : (i + 1) * step] = (
+                clear if s == keyb else opaque
+            )
+        out = res
+        channels = nsamp + 1
     return {
         "width": width,
         "height": height,
@@ -372,6 +417,28 @@ def _encode_idat(samples: bytes, width: int, height: int,
     return bytes(raw)
 
 
+def _trns_chunk(
+    trns, color_type: int, bit_depth: int
+) -> bytes:
+    """Validate + serialize a color-key for gray/RGB streams: an int
+    (gray) or an (r, g, b) tuple, each sample in [0, 2^depth)."""
+    if trns is None:
+        return b""
+    if color_type == 0:
+        key = (int(trns),)
+    elif color_type == 2:
+        key = tuple(int(v) for v in trns)
+        if len(key) != 3:
+            raise ValueError("RGB color-key needs 3 samples")
+    else:
+        raise ValueError("color-key tRNS is gray/RGB-only")
+    if any(not (0 <= v < (1 << bit_depth)) for v in key):
+        raise ValueError("color-key sample exceeds bit depth")
+    return _chunk(
+        b"tRNS", b"".join(struct.pack(">H", v) for v in key)
+    )
+
+
 def encode_png(
     pixels: bytes,
     width: int,
@@ -380,6 +447,7 @@ def encode_png(
     filter_type: int = 0,
     interlace: bool = False,
     bit_depth: int = 8,
+    trns=None,
 ) -> bytes:
     """Encode raw 8-bit pixels as a valid PNG. `filter_type` applies
     the chosen scanline filter to EVERY row (0..4) — the test hook
@@ -387,7 +455,10 @@ def encode_png(
     `interlace=True` emits the Adam7 layout: seven sub-images, each
     independently filtered. `bit_depth=16` takes big-endian 2-byte
     samples (pixels buffer doubles); 1/2/4 (grayscale only) take one
-    sample value per pixel in [0, 2^d)."""
+    sample value per pixel in [0, 2^d). `trns` emits a color-key
+    transparency chunk (gray: int, RGB: (r, g, b) tuple, samples in
+    the depth's range) — the decoder expands matches to alpha 0."""
+    tchunk = _trns_chunk(trns, color_type, bit_depth)
     if bit_depth in (1, 2, 4):
         if color_type != 0:
             raise ValueError("sub-byte depth is grayscale-only here")
@@ -405,6 +476,7 @@ def encode_png(
         return (
             PNG_MAGIC
             + _chunk(b"IHDR", ihdr)
+            + tchunk
             + _chunk(b"IDAT", zlib.compress(raw, 6))
             + _chunk(b"IEND", b"")
         )
@@ -436,6 +508,7 @@ def encode_png(
         return (
             PNG_MAGIC
             + _chunk(b"IHDR", ihdr)
+            + tchunk
             + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
             + _chunk(b"IEND", b"")
         )
@@ -487,6 +560,7 @@ def encode_png(
     return (
         PNG_MAGIC
         + _chunk(b"IHDR", ihdr)
+        + tchunk
         + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
         + _chunk(b"IEND", b"")
     )

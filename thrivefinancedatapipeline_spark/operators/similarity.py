@@ -1803,13 +1803,24 @@ def knn_ivfpq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     maintained-index deployment under the driver. Registered r6.
     One corpus per index: the PERSISTED source stamp (not a
     per-process memo) decides whether the existing index serves this
-    sf_dir — rebuilt when it was built from a different corpus."""
+    sf_dir — rebuilt when it was built from a different corpus. The
+    stamp alone is not sufficient evidence of a COMPLETE index (a
+    build that crashed after the stamped centroids table, or codes
+    dropped separately, leaves a valid stamp over missing tables), so
+    a rebuild also triggers when any of the three tables is
+    unreadable."""
     import os
 
     try:
         built_from = index_source_sf_dir(spark)
+        # all three tables must be present — the stamp lives in the
+        # FIRST table the build writes, so it can survive a partial
+        # build; an unreadable codebooks/codes table means rebuild,
+        # never a permanent error
+        _index_table(spark, IVFPQ_CODEBOOKS_TABLE)
+        _index_table(spark, IVFPQ_CODES_TABLE)
     except ValueError:
-        built_from = None  # no index at all
+        built_from = None  # no index, or a partial one
     if built_from != os.path.abspath(sf_dir):
         build_ivfpq_index(spark, sf_dir)
     return probe_ivfpq_index(spark, sf_dir)
