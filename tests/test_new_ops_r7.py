@@ -161,7 +161,15 @@ def test_ivfpq_probe_sweep_contains_audit_and_curve(spark, sf_dir):
         rows = [r.recall_ppm for r in sweep if r.n_probe == np_]
         assert rows
         means[np_] = sum(rows) / len(rows)
-    assert means[max(PROBE_SWEEP)] >= means[N_PROBE]
+    # r8: the 3-point curve (2, 4, 8 of KM_K=8 cells) is monotone in
+    # MEAN recall at every step — more probed cells never shrink the
+    # candidate pool
+    curve = [means[np_] for np_ in sorted(PROBE_SWEEP)]
+    assert all(a <= b for a, b in zip(curve, curve[1:])), curve
+    # NOT asserted per query: the rerank pool is ADC-selected, so a
+    # larger probe count can displace a true neighbor from the pool
+    # for an individual query (measured: q7 drops 0.70 -> 0.60 going
+    # 4 -> 8 probes) — only the MEAN curve is the monotone contract
 
 
 def test_r7_registrations_present():

@@ -1898,22 +1898,24 @@ ORACLES["knn_ivfpq_recall_audit"] = _ivfpq_recall_oracle()
 
 
 #: probe counts swept by knn_ivfpq_probe_sweep — N_PROBE (the
-#: registered operating point) plus the next doubling, out of KM_K
-#: coarse cells
-PROBE_SWEEP = (N_PROBE, 2 * N_PROBE)
+#: registered operating point) plus two doublings; the top point
+#: probes all KM_K coarse cells, so the curve ends at the index's
+#: PQ-limited recall ceiling (the knee is visible, not extrapolated)
+PROBE_SWEEP = (N_PROBE, 2 * N_PROBE, 4 * N_PROBE)
 
 
 def knn_ivfpq_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The recall/cost CURVE of the IVF-PQ index under the driver
     oracle: knn_ivfpq_recall_audit evaluated at every probe count in
     {PROBE_SWEEP} (N_PROBE=2 of {KM_K} cells — the registered
-    operating point — and its doubling), one row per (n_probe,
-    query). Doubling the probed cells roughly doubles the candidate
-    scan cost at 100 TB (the scan is cell-pruned, so cost ~
-    cells-touched), so this pair of recall numbers IS the knob a
-    deployment turns; measuring it under the same nested cross-engine
-    oracle keeps the curve honest rather than anecdotal.
-    Registered r7.
+    operating point — and two doublings, the last probing every
+    cell), one row per (n_probe, query). Doubling the probed cells
+    roughly doubles the candidate scan cost at 100 TB (the scan is
+    cell-pruned, so cost ~ cells-touched), and the top point is the
+    index's PQ-limited ceiling — the 3-point curve shows the knee a
+    deployment tunes against; measuring it under the same nested
+    cross-engine oracle keeps the curve honest rather than
+    anecdotal. Registered r7; extended to three points r8.
 
     Scale posture: the quantizer is trained ONCE (both sweep points
     share the cached coarse/PQ tables — only the bounded query side

@@ -60,6 +60,9 @@ _FORCE_RECHECK_SINCE: dict[str, int] = {
     # Round 3 added the RARE_KEEP_PER_DOC recall escape hatch to the
     # jaccard inverted index (pairs can appear that the DF cap dropped).
     "dedup_ngram_jaccard": 3,
+    # Round 8 extended PROBE_SWEEP to (2, 4, 8): the sweep emits a
+    # third point, so the r7 proof no longer covers the output.
+    "knn_ivfpq_probe_sweep": 8,
 }
 
 
