@@ -767,3 +767,72 @@ def test_stream_weighted_reservoir_matches_batch(spark, sf_dir):
             )
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stream_packing_efficiency_matches_batch(spark, sf_dir):
+    """Drain parity for the streaming packing audit: the max-seq row
+    per language equals the batch packing_efficiency over the full
+    corpus — the greedy pack fold is left-to-right associative, so
+    per-batch folding over four integers of state reproduces the
+    batch scan exactly (token counts share the same Spark
+    expressions). Also pins MONOTONE growth of every counter along
+    the stream."""
+    import glob
+    import os
+
+    from thrivefinancedatapipeline_spark.datamodel import load_table
+    from thrivefinancedatapipeline_spark.operators.packing import (
+        packing_efficiency,
+    )
+
+    src = tempfile.mkdtemp(prefix="stream_pack_")
+    try:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang"
+        )
+        for i, (lo, hi) in enumerate([(0, 170), (170, 340), (340, 10**9)]):
+            part = docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ).orderBy("doc_id").coalesce(1)
+            part.write.parquet(f"{src}/b{i}", mode="overwrite")
+            for f in glob.glob(f"{src}/b{i}/part-*.parquet"):
+                shutil.copy(f, f"{src}/file{i}.parquet")
+            shutil.rmtree(f"{src}/b{i}")
+            # distinct mtimes pin the FileStreamSource arrival order
+            # to the doc_id split (listing order is mtime-based)
+            os.utime(f"{src}/file{i}.parquet", (1_000_000 + i, 1_000_000 + i))
+        got = drain(
+            stateful.stream_packing_efficiency(
+                spark, src, max_files_per_trigger=1
+            ),
+            "stream_pack",
+            "append",
+        )
+        latest = {}
+        for r in got:
+            if r.lang not in latest or r.seq > latest[r.lang].seq:
+                latest[r.lang] = r
+        final = sorted(
+            (
+                r.lang, r.n_docs, r.total_tokens, r.n_packs,
+                r.n_split_docs, r.fill_ppm,
+            )
+            for r in latest.values()
+        )
+        want = sorted(
+            tuple(r) for r in packing_efficiency(spark, sf_dir).collect()
+        )
+        assert final == want
+        # counters never decrease along the stream per language
+        by_lang = {}
+        for r in sorted(got, key=lambda r: r.seq):
+            prev = by_lang.get(r.lang)
+            if prev is not None:
+                assert r.n_docs >= prev.n_docs
+                assert r.total_tokens >= prev.total_tokens
+                assert r.n_packs >= prev.n_packs
+                assert r.n_split_docs >= prev.n_split_docs
+            by_lang[r.lang] = r
+        assert len(got) > len(latest)  # multiple emissions per lang
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

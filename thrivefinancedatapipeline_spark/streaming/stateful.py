@@ -1061,3 +1061,91 @@ def stream_weighted_reservoir(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+PACK_OUT_SCHEMA = (
+    "lang string, seq int, n_docs long, total_tokens long,"
+    " n_packs long, n_split_docs long, fill_ppm long"
+)
+PACK_STATE_SCHEMA = "seq int, n_docs long, total long, n_split long"
+
+
+def _pack_state_fn(key, pdf_iter, state: GroupState):
+    """Per-language open-pack fill state: (running doc count, running
+    token total, boundary-crosser count). The open pack's fill is
+    total % PACK_BUDGET — a doc crosses a boundary exactly when the
+    fill plus its tokens exceeds the budget, the same predicate the
+    batch audit evaluates on pack_offset. Rows are consumed in doc_id
+    order within each batch (arrival order across batches is the
+    stream's contract), so draining a doc_id-ordered stream
+    reproduces the batch scan exactly. Emits the running audit
+    stamped with a per-key emission seq (micro-batch row order is not
+    a contract — consumers take the max-seq row per key)."""
+    from ..operators.packing import PACK_BUDGET
+
+    seq, n_docs, total, n_split = 0, 0, 0, 0
+    if state.exists:
+        seq, n_docs, total, n_split = state.get
+    rows = []
+    for pdf in pdf_iter:
+        rows.extend(zip(pdf["doc_id"], pdf["n_tokens"]))
+    for _d, t in sorted((int(d), int(t)) for d, t in rows):
+        if total % PACK_BUDGET + t > PACK_BUDGET:
+            n_split += 1
+        n_docs += 1
+        total += t
+    seq += 1
+    state.update((seq, n_docs, total, n_split))
+    n_packs = -(-total // PACK_BUDGET)
+    fill = (
+        total * 1_000_000 // (n_packs * PACK_BUDGET) if n_packs else 0
+    )
+    yield pd.DataFrame(
+        {
+            "lang": [key[0]],
+            "seq": [seq],
+            "n_docs": [n_docs],
+            "total_tokens": [total],
+            "n_packs": [n_packs],
+            "n_split_docs": [n_split],
+            "fill_ppm": [fill],
+        }
+    )
+
+
+def stream_packing_efficiency(
+    spark, source_dir: str, max_files_per_trigger: int = 1
+):
+    """Continuous packing audit over an arriving document stream —
+    the streaming twin of `operators/packing.packing_efficiency`
+    (the last assembly operator without one): per language, the
+    running pack count, capacity fill, and boundary-crosser count as
+    documents land. The greedy pack scan folds left-to-right, so its
+    audit needs only the OPEN pack's fill per stream — four integers
+    of state per language forever, while the batch form re-scans the
+    corpus. Token counts run in Spark expressions before the
+    stateful op (codegen, bit-identical to the batch audit); Python
+    folds pre-counted ints.
+
+    Drain parity (pinned by test): after consuming a doc_id-ordered
+    stream, the max-seq row per language equals the batch
+    packing_efficiency over the same corpus."""
+    from ..functions.text import tokens
+
+    docs = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    enriched = docs.select(
+        "lang",
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return enriched.groupBy("lang").applyInPandasWithState(
+        _pack_state_fn,
+        outputStructType=PACK_OUT_SCHEMA,
+        stateStructType=PACK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
