@@ -57,3 +57,33 @@ def test_source_jaccard_drift_vs_duckdb_and_bounds(spark, sf_dir):
         # consecutive-period pairing: per (source, day) at most one row
         assert len(got) == len({(r[0], r[1]) for r in got})
         assert len(srcs) >= 1
+
+
+def test_source_dup_matrix_vs_duckdb_and_bounds(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.operators.dedup import (
+        SOURCE_DUP_MATRIX_ORACLE,
+        source_dup_matrix,
+    )
+
+    for d in _dirs(sf_dir):
+        got = sorted(
+            tuple(r) for r in source_dup_matrix(spark, d).collect()
+        )
+        want = sorted(
+            tuple(r) for r in _duck(d, SOURCE_DUP_MATRIX_ORACLE,
+                                    tables=("documents",))
+        )
+        assert got == want, f"source_dup_matrix mismatch at {d}"
+        assert len(got) >= 1
+        for sa, sb, n_dup, na, nb, n_possible, ppm in got:
+            assert sa <= sb  # unordered pair canonicalized
+            assert n_dup >= 1 and na >= 1 and nb >= 1
+            if sa == sb:
+                assert n_possible == na * (na - 1) // 2
+            else:
+                assert n_possible == na * nb
+            # definition-bug guard: rate can never exceed 1
+            assert 0 < ppm <= 1_000_000
+            assert ppm == n_dup * 1_000_000 // n_possible
+        # each unordered pair appears at most once
+        assert len(got) == len({(r[0], r[1]) for r in got})

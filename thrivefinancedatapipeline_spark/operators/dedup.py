@@ -2164,3 +2164,98 @@ def q_dedup_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["dedup_minhash_index_probe"] = q_dedup_minhash_index_probe
 ORACLES["dedup_minhash_index_probe"] = ORACLES["dedup_incremental_minhash"]
+
+
+# ---------------------------------------------------------------------------
+# PREBUILT (r8-staged, NOT yet registered — tools/check_prebuilt.py).
+# ---------------------------------------------------------------------------
+
+def source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source NEAR-duplicate rate matrix — the provenance
+    question dedup answers for a data buyer: which providers resell
+    (or scrape) each other's content? Every verified MinHash-LSH
+    pair (the registered dedup_minhash_lsh relation, tau=0.8) is
+    labeled with its two documents' sources; the unordered source
+    pair rolls up to a duplicate count and an exact-integer rate
+    (pairs per possible cross pair, ppm — within a source the
+    denominator is C(n,2), across sources n_a x n_b). A cell whose
+    dup_ppm is an outlier against the matrix is a provider shipping
+    recycled content. Prebuilt r8 (staged in
+    tools/check_prebuilt.py).
+
+    Scale shape: the pair relation is LSH-bounded (never quadratic
+    in the corpus), so the only joins here ship |pairs| rows against
+    a broadcast-size (doc_id, source) projection twice, and the
+    matrix rollup is |sources|^2 cells. The heavy lifting stays
+    inside the proven minhash chain."""
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select(
+        "doc_id_1", "doc_id_2"
+    )
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    per = src.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    sa = src.select(
+        F.col("doc_id").alias("doc_id_1"), F.col("source").alias("sa")
+    )
+    sb = src.select(
+        F.col("doc_id").alias("doc_id_2"), F.col("source").alias("sb")
+    )
+    lab = (
+        pairs.join(sa, "doc_id_1")
+        .join(sb, "doc_id_2")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    agg = lab.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_pairs")
+    )
+    pa = per.select(F.col("source").alias("source_a"), F.col("n").alias("n_docs_a"))
+    pb = per.select(F.col("source").alias("source_b"), F.col("n").alias("n_docs_b"))
+    out = agg.join(F.broadcast(pa), "source_a").join(
+        F.broadcast(pb), "source_b"
+    )
+    possible = F.when(
+        F.col("source_a") == F.col("source_b"),
+        F.expr("n_docs_a * (n_docs_a - 1) div 2"),
+    ).otherwise(F.expr("n_docs_a * n_docs_b"))
+    return out.select(
+        "source_a",
+        "source_b",
+        "n_dup_pairs",
+        F.col("n_docs_a").cast("long").alias("n_docs_a"),
+        F.col("n_docs_b").cast("long").alias("n_docs_b"),
+        possible.cast("long").alias("n_possible"),
+        F.expr(
+            "CAST(CAST(n_dup_pairs AS DECIMAL(38,0)) * 1000000 div "
+            "(CASE WHEN source_a = source_b "
+            "THEN n_docs_a * (n_docs_a - 1) div 2 "
+            "ELSE n_docs_a * n_docs_b END) AS BIGINT)"
+        ).alias("dup_ppm"),
+    )
+
+
+SOURCE_DUP_MATRIX_ORACLE = f"""
+WITH src AS (SELECT doc_id, source FROM documents),
+per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM src GROUP BY source),
+lab AS (SELECT least(sa.source, sb.source) AS source_a,
+               greatest(sa.source, sb.source) AS source_b
+        FROM ({ORACLES["dedup_minhash_lsh"]}) p
+        JOIN src sa ON sa.doc_id = p.doc_id_1
+        JOIN src sb ON sb.doc_id = p.doc_id_2),
+agg AS (SELECT source_a, source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+        FROM lab GROUP BY 1, 2)
+SELECT a.source_a, a.source_b, a.n_dup_pairs,
+       pa.n AS n_docs_a, pb.n AS n_docs_b,
+       CAST(CASE WHEN a.source_a = a.source_b
+                 THEN pa.n * (pa.n - 1) // 2
+                 ELSE pa.n * pb.n END AS BIGINT) AS n_possible,
+       CAST(CAST(a.n_dup_pairs AS HUGEINT) * 1000000
+            // (CASE WHEN a.source_a = a.source_b
+                     THEN pa.n * (pa.n - 1) // 2
+                     ELSE pa.n * pb.n END) AS BIGINT) AS dup_ppm
+FROM agg a
+JOIN per pa ON pa.source = a.source_a
+JOIN per pb ON pb.source = a.source_b"""

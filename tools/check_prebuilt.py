@@ -35,8 +35,13 @@ def _catalog():
     six operators round 7 had staged here (time_weighted_balance,
     events_stickiness, source_jaccard_kmv, split_balance_audit,
     packing_efficiency, ivfpq_distortion_audit). Round 8 stages the
-    per-(source, period) KMV drift query for the r9 window: green
-    here first, then a 2-line move into the module dicts."""
+    per-(source, period) KMV drift query and the cross-source
+    near-dup rate matrix for the r9 window: green here first, then a
+    2-line move into the module dicts."""
+    from thrivefinancedatapipeline_spark.operators.dedup import (
+        SOURCE_DUP_MATRIX_ORACLE,
+        source_dup_matrix,
+    )
     from thrivefinancedatapipeline_spark.operators.sketches import (
         SOURCE_JACCARD_DRIFT_ORACLE,
         source_jaccard_drift,
@@ -45,6 +50,9 @@ def _catalog():
     return {
         "source_jaccard_drift": (
             source_jaccard_drift, SOURCE_JACCARD_DRIFT_ORACLE,
+        ),
+        "source_dup_matrix": (
+            source_dup_matrix, SOURCE_DUP_MATRIX_ORACLE,
         ),
     }
 
