@@ -87,3 +87,43 @@ def test_source_dup_matrix_vs_duckdb_and_bounds(spark, sf_dir):
             assert ppm == n_dup * 1_000_000 // n_possible
         # each unordered pair appears at most once
         assert len(got) == len({(r[0], r[1]) for r in got})
+
+
+def test_split_leakage_audit_vs_duckdb_and_bounds(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.operators.sampling import (
+        _split_leakage_oracle,
+        split_leakage_audit,
+    )
+
+    sql = _split_leakage_oracle()
+    for d in _dirs(sf_dir):
+        got = sorted(
+            tuple(r) for r in split_leakage_audit(spark, d).collect()
+        )
+        want = sorted(
+            tuple(r) for r in _duck(d, sql, tables=("documents",))
+        )
+        assert got == want, f"split_leakage_audit mismatch at {d}"
+        assert len(got) >= 1
+        names = {"train", "val", "test"}
+        for sa, sb, n_dup, na, nb, n_possible, ppm in got:
+            assert sa in names and sb in names and sa <= sb
+            assert n_dup >= 1 and na >= 1 and nb >= 1
+            if sa == sb:
+                assert n_possible == na * (na - 1) // 2
+            else:
+                assert n_possible == na * nb
+            assert 0 < ppm <= 1_000_000
+            assert ppm == n_dup * 1_000_000 // n_possible
+        assert len(got) == len({(r[0], r[1]) for r in got})
+        # the audit's split sizes agree with the registered
+        # split-count audit (same split_column, same corpus)
+        from thrivefinancedatapipeline_spark.operators.sampling import (
+            q_dataset_split_counts,
+        )
+
+        sizes = {}
+        for r in q_dataset_split_counts(spark, d).collect():
+            sizes[r.split] = sizes.get(r.split, 0) + r.n_docs
+        for sa, sb, _n, na, nb, _p, _ppm in got:
+            assert sizes[sa] == na and sizes[sb] == nb

@@ -42,6 +42,10 @@ def _catalog():
         SOURCE_DUP_MATRIX_ORACLE,
         source_dup_matrix,
     )
+    from thrivefinancedatapipeline_spark.operators.sampling import (
+        _split_leakage_oracle,
+        split_leakage_audit,
+    )
     from thrivefinancedatapipeline_spark.operators.sketches import (
         SOURCE_JACCARD_DRIFT_ORACLE,
         source_jaccard_drift,
@@ -53,6 +57,9 @@ def _catalog():
         ),
         "source_dup_matrix": (
             source_dup_matrix, SOURCE_DUP_MATRIX_ORACLE,
+        ),
+        "split_leakage_audit": (
+            split_leakage_audit, _split_leakage_oracle(),
         ),
     }
 
