@@ -127,3 +127,53 @@ def test_split_leakage_audit_vs_duckdb_and_bounds(spark, sf_dir):
             sizes[r.split] = sizes.get(r.split, 0) + r.n_docs
         for sa, sb, _n, na, nb, _p, _ppm in got:
             assert sizes[sa] == na and sizes[sb] == nb
+
+
+def test_balance_drawdown_vs_duckdb_and_bounds(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.plans.finance_queries import (
+        DRAWDOWN_ORACLE,
+        balance_drawdown,
+    )
+
+    for d in _dirs(sf_dir):
+        got = sorted(
+            tuple(r) for r in balance_drawdown(spark, d).collect()
+        )
+        want = sorted(
+            tuple(r) for r in _duck(d, DRAWDOWN_ORACLE, tables=("events",))
+        )
+        assert got == want, f"balance_drawdown mismatch at {d}"
+        assert len(got) >= 10
+        deep = 0
+        for _cust, n_txns, final, peak, dd, ppm in got:
+            assert n_txns >= 1
+            # peak is a prefix max over balances including the last
+            assert peak >= final
+            # the trough after the peak is at most the final balance
+            assert dd >= peak - final >= 0
+            if peak > 0:
+                assert 0 <= ppm <= dd * 1_000_000 // peak + 1
+                assert ppm == dd * 1_000_000 // peak
+            else:
+                assert ppm == 0
+            if ppm == 1_000_000:
+                deep += 1  # fully round-tripped balance exists
+        # the corpus contains real burn-and-churn customers
+        assert any(r[4] > 0 for r in got)
+
+
+def test_balance_drawdown_single_exchange_plan(spark, sf_dir):
+    """The two window phases (running balance, running peak) chain on
+    the same (customerid) partitioning with original column names —
+    ONE exchange+sort serves both (the scd2 one-pass discipline)."""
+    from thrivefinancedatapipeline_spark.plans.finance_queries import (
+        balance_drawdown,
+    )
+
+    plan = (
+        balance_drawdown(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1

@@ -1235,3 +1235,96 @@ FROM seg GROUP BY customerid"""
 # Registered r8 (staged r7 behind tools/check_prebuilt.py).
 QUERIES["time_weighted_balance"] = time_weighted_balance
 ORACLES["time_weighted_balance"] = TWAB_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# PREBUILT (r8-staged, NOT yet registered — tools/check_prebuilt.py).
+# ---------------------------------------------------------------------------
+
+def balance_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum DRAWDOWN per customer — the classic equity-curve risk
+    metric applied to the rewards balance: the deepest peak-to-trough
+    fall of the running balance over the customer's history (a
+    customer who earned 1000 then spent it all has a 1000-cent
+    drawdown even if they later recover). Surfaces burn-and-churn
+    behavior the level-based catalog (aging, TWAB, RFM) can't see.
+    Exact integer cents end-to-end; drawdown_ppm = max_dd x 1e6 div
+    peak (0 when the balance never went positive). Prebuilt r8
+    (staged in tools/check_prebuilt.py).
+
+    Scale shape: ONE exchange+sort per customer serves BOTH window
+    phases — the running-sum balance and the running max over it
+    chain on the same (customerid) partitioning with the original
+    column names kept (the scd2 discipline), so Spark reuses the
+    exchange; then one map-side-combinable per-customer rollup."""
+    txns = _txns(spark, sf_dir)
+    cb = txns.select(
+        "customerid",
+        "createdat",
+        "trans_id",
+        F.when(
+            F.col("tctype") == "earned",
+            F.round(F.abs(F.col("amount")) * 100).cast("long"),
+        )
+        .otherwise(-F.round(F.abs(F.col("amount")) * 100).cast("long"))
+        .alias("delta_cents"),
+    )
+    w = (
+        Window.partitionBy("customerid")
+        .orderBy("createdat", "trans_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bal = cb.withColumn("bal_cents", F.sum("delta_cents").over(w))
+    dd = bal.withColumn("peak_cents", F.max("bal_cents").over(w))
+    return dd.groupBy("customerid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_txns"),
+        F.sum("delta_cents").cast("long").alias("final_cents"),
+        F.max("bal_cents").cast("long").alias("peak_cents"),
+        F.max(F.col("peak_cents") - F.col("bal_cents"))
+        .cast("long")
+        .alias("max_drawdown_cents"),
+    ).select(
+        F.col("customerid").alias("customer_id"),
+        "n_txns",
+        "final_cents",
+        "peak_cents",
+        "max_drawdown_cents",
+        F.expr(
+            "CASE WHEN peak_cents <= 0 THEN CAST(0 AS BIGINT) ELSE"
+            " CAST(CAST(max_drawdown_cents AS DECIMAL(38,0)) * 1000000"
+            " div peak_cents AS BIGINT) END"
+        ).alias("drawdown_ppm"),
+    )
+
+
+DRAWDOWN_ORACLE = f"""WITH {TXNS_CTE},
+cb AS (
+  SELECT customerid, createdat, trans_id,
+         CASE WHEN tctype = 'earned'
+              THEN CAST(ROUND(ABS(amount) * 100, 0) AS BIGINT)
+              ELSE -CAST(ROUND(ABS(amount) * 100, 0) AS BIGINT)
+         END AS delta_cents
+  FROM txns),
+bal AS (
+  SELECT customerid, createdat, trans_id, delta_cents,
+         SUM(delta_cents) OVER w AS bal_cents
+  FROM cb
+  WINDOW w AS (PARTITION BY customerid ORDER BY createdat, trans_id
+               ROWS UNBOUNDED PRECEDING)),
+dd AS (
+  SELECT customerid, delta_cents, bal_cents,
+         MAX(bal_cents) OVER (PARTITION BY customerid
+           ORDER BY createdat, trans_id
+           ROWS UNBOUNDED PRECEDING) AS peak_cents
+  FROM bal)
+SELECT customerid AS customer_id,
+       CAST(COUNT(*) AS BIGINT) AS n_txns,
+       CAST(SUM(delta_cents) AS BIGINT) AS final_cents,
+       CAST(MAX(bal_cents) AS BIGINT) AS peak_cents,
+       CAST(MAX(peak_cents - bal_cents) AS BIGINT)
+         AS max_drawdown_cents,
+       CAST(CASE WHEN MAX(bal_cents) <= 0 THEN 0
+                 ELSE CAST(MAX(peak_cents - bal_cents) AS HUGEINT)
+                      * 1000000 // MAX(bal_cents) END AS BIGINT)
+         AS drawdown_ppm
+FROM dd GROUP BY customerid"""

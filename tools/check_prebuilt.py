@@ -50,8 +50,13 @@ def _catalog():
         SOURCE_JACCARD_DRIFT_ORACLE,
         source_jaccard_drift,
     )
+    from thrivefinancedatapipeline_spark.plans.finance_queries import (
+        DRAWDOWN_ORACLE,
+        balance_drawdown,
+    )
 
     return {
+        "balance_drawdown": (balance_drawdown, DRAWDOWN_ORACLE),
         "source_jaccard_drift": (
             source_jaccard_drift, SOURCE_JACCARD_DRIFT_ORACLE,
         ),
