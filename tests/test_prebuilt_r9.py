@@ -177,3 +177,49 @@ def test_balance_drawdown_single_exchange_plan(spark, sf_dir):
         .toString()
     )
     assert plan.count("Exchange") == 1
+
+
+def test_doc_length_outliers_vs_duckdb_and_python_replay(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.operators.textops import (
+        DOC_LENGTH_OUTLIERS_ORACLE,
+        LEN_MAD_K,
+        doc_length_outliers,
+    )
+
+    for d in _dirs(sf_dir):
+        got = sorted(
+            tuple(r) for r in doc_length_outliers(spark, d).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in _duck(d, DOC_LENGTH_OUTLIERS_ORACLE,
+                           tables=("documents",))
+        )
+        assert got == want, f"doc_length_outliers mismatch at {d}"
+        # exact Python replay: lower median at rank (n+1) div 2, MAD
+        # the same rank over |len - med|, the strongest oracle for an
+        # exact-element definition
+        import duckdb as _dd
+
+        con = _dd.connect()
+        rows = con.execute(
+            f"SELECT lang, n_chars FROM "
+            f"read_parquet('{d}/documents.parquet')"
+        ).fetchall()
+        con.close()
+        by_lang = {}
+        for lang, n in rows:
+            by_lang.setdefault(lang, []).append(n)
+        for lang, n_docs, med, mad, n_out, ppm in got:
+            ls = sorted(by_lang[lang])
+            assert n_docs == len(ls)
+            pymed = ls[(len(ls) + 1) // 2 - 1]
+            assert med == pymed
+            dv = sorted(abs(x - pymed) for x in ls)
+            pymad = dv[(len(dv) + 1) // 2 - 1]
+            assert mad == pymad
+            assert n_out == sum(
+                1 for x in ls if abs(x - pymed) > LEN_MAD_K * pymad
+            )
+            assert 0 <= ppm <= 1_000_000
+            assert ppm == n_out * 1_000_000 // n_docs

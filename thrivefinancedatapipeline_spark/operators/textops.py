@@ -2019,3 +2019,150 @@ SELECT source, CAST(epoch_week AS BIGINT) AS epoch_week, n_docs,
                  // (CAST(src_fam AS HUGEINT) * n_bigrams) AS BIGINT)
        END AS drift_ppm
 FROM m"""
+
+
+# ---------------------------------------------------------------------------
+# PREBUILT (r8-staged, NOT yet registered — tools/check_prebuilt.py).
+# ---------------------------------------------------------------------------
+
+LEN_MAD_K = 3  # robust outlier threshold: dev > LEN_MAD_K * MAD
+
+
+def doc_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-LENGTH outlier audit on the robust
+    median/MAD scale — the corpus-quality screen that catches
+    truncated shards and concatenation blowups without a single
+    fat-tailed shard dragging the threshold (breakdown point 0.5,
+    the events_robust_anomalies discipline applied to documents).
+    Medians are EXACT ELEMENTS (lower median at rank (n+1) div 2),
+    MAD the exact-rank median of |len - med|, the flag an integer
+    compare — replayable in both engines with no floats anywhere.
+    Prebuilt r8 (staged in tools/check_prebuilt.py).
+
+    Scale shape: documents first reduce to (lang, n_chars, count)
+    CELLS — one map-side-combinable groupBy is the only corpus-scale
+    pass, and length cardinality is bounded (thousands of distinct
+    values), so every window and re-aggregation below runs on tiny
+    cell rollups. Ranking RAW docs per language (the naive median)
+    would be the classic per-key single-reducer sort at 100 TB —
+    this shape never builds it."""
+    docs = _docs(spark, sf_dir)
+    cells = (
+        docs.groupBy("lang", "n_chars")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)  # tiny; read by 3 consumers
+    )
+    wl = Window.partitionBy("lang")
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = cells.select(
+        "lang",
+        "n_chars",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wl).alias("n"),
+    )
+    med = (
+        ranked.filter(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .groupBy("lang")
+        .agg(F.min("n_chars").alias("med"))
+    )
+    devs = (
+        cells.join(F.broadcast(med), "lang")
+        .groupBy("lang", F.abs(F.col("n_chars") - F.col("med")).alias("dev"))
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    wdcum = (
+        Window.partitionBy("lang")
+        .orderBy("dev")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dranked = devs.select(
+        "lang",
+        "dev",
+        "cnt",
+        F.sum("cnt").over(wdcum).alias("cum"),
+        F.sum("cnt").over(wl).alias("n"),
+    )
+    mad = (
+        dranked.filter(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .groupBy("lang")
+        .agg(F.min("dev").alias("mad"))
+    )
+    out = (
+        cells.join(F.broadcast(med), "lang")
+        .join(F.broadcast(mad), "lang")
+        .groupBy("lang")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_docs"),
+            F.min(F.col("med")).cast("long").alias("med_chars"),
+            F.min(F.col("mad")).cast("long").alias("mad_chars"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("n_chars") - F.col("med"))
+                    > LEN_MAD_K * F.col("mad"),
+                    F.col("cnt"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+    return out.select(
+        "lang",
+        "n_docs",
+        "med_chars",
+        "mad_chars",
+        "n_outliers",
+        F.expr(
+            "CAST(CAST(n_outliers AS DECIMAL(38,0)) * 1000000"
+            " div n_docs AS BIGINT)"
+        ).alias("outlier_ppm"),
+    )
+
+
+DOC_LENGTH_OUTLIERS_ORACLE = f"""
+WITH cells AS (
+  SELECT lang, n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY 1, 2),
+ranked AS (
+  SELECT lang, n_chars, cnt,
+         SUM(cnt) OVER (PARTITION BY lang ORDER BY n_chars
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY lang) AS n
+  FROM cells),
+med AS (
+  SELECT lang, MIN(n_chars) AS med FROM ranked
+  WHERE cum >= (n + 1) // 2 GROUP BY lang),
+devs AS (
+  SELECT c.lang, abs(c.n_chars - m.med) AS dev,
+         CAST(SUM(c.cnt) AS BIGINT) AS cnt
+  FROM cells c JOIN med m USING (lang) GROUP BY 1, 2),
+dranked AS (
+  SELECT lang, dev, cnt,
+         SUM(cnt) OVER (PARTITION BY lang ORDER BY dev
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY lang) AS n
+  FROM devs),
+mad AS (
+  SELECT lang, MIN(dev) AS mad FROM dranked
+  WHERE cum >= (n + 1) // 2 GROUP BY lang)
+SELECT c.lang,
+       CAST(SUM(c.cnt) AS BIGINT) AS n_docs,
+       CAST(MIN(m.med) AS BIGINT) AS med_chars,
+       CAST(MIN(d.mad) AS BIGINT) AS mad_chars,
+       CAST(COALESCE(SUM(CASE WHEN abs(c.n_chars - m.med)
+                                   > {LEN_MAD_K} * d.mad
+                              THEN c.cnt END), 0) AS BIGINT)
+         AS n_outliers,
+       CAST(CAST(COALESCE(SUM(CASE WHEN abs(c.n_chars - m.med)
+                                        > {LEN_MAD_K} * d.mad
+                                   THEN c.cnt END), 0) AS HUGEINT)
+            * 1000000 // SUM(c.cnt) AS BIGINT) AS outlier_ppm
+FROM cells c
+JOIN med m USING (lang)
+JOIN mad d USING (lang)
+GROUP BY c.lang"""

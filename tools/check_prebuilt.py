@@ -50,6 +50,10 @@ def _catalog():
         SOURCE_JACCARD_DRIFT_ORACLE,
         source_jaccard_drift,
     )
+    from thrivefinancedatapipeline_spark.operators.textops import (
+        DOC_LENGTH_OUTLIERS_ORACLE,
+        doc_length_outliers,
+    )
     from thrivefinancedatapipeline_spark.plans.finance_queries import (
         DRAWDOWN_ORACLE,
         balance_drawdown,
@@ -57,6 +61,9 @@ def _catalog():
 
     return {
         "balance_drawdown": (balance_drawdown, DRAWDOWN_ORACLE),
+        "doc_length_outliers": (
+            doc_length_outliers, DOC_LENGTH_OUTLIERS_ORACLE,
+        ),
         "source_jaccard_drift": (
             source_jaccard_drift, SOURCE_JACCARD_DRIFT_ORACLE,
         ),
