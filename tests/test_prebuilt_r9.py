@@ -223,3 +223,52 @@ def test_doc_length_outliers_vs_duckdb_and_python_replay(spark, sf_dir):
             )
             assert 0 <= ppm <= 1_000_000
             assert ppm == n_out * 1_000_000 // n_docs
+
+
+def test_balance_concentration_vs_duckdb_and_bounds(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.plans.finance_queries import (
+        CONCENTRATION_ORACLE,
+        balance_concentration_by_segment,
+    )
+
+    for d in _dirs(sf_dir):
+        got = sorted(
+            tuple(r)
+            for r in balance_concentration_by_segment(spark, d).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in _duck(d, CONCENTRATION_ORACLE,
+                           tables=("events", "customer"))
+        )
+        assert got == want, f"balance_concentration mismatch at {d}"
+        assert len(got) >= 2
+        for _seg, n, total, top_ppm, hhi in got:
+            assert n >= 1 and total > 0
+            # equal-shares lower bound and monopoly upper bound
+            assert 1_000_000_000 // n <= hhi <= 1_000_000_000
+            assert 1_000_000 // n <= top_ppm <= 1_000_000
+            # top-holder share squared can never exceed the HHI
+            assert top_ppm * top_ppm <= hhi * 1_000_000 + 1_000_000
+
+
+def test_prebuilt_catalog_is_the_r9_six():
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    import check_prebuilt
+
+    assert set(check_prebuilt._catalog()) == {
+        "source_jaccard_drift",
+        "source_dup_matrix",
+        "split_leakage_audit",
+        "balance_drawdown",
+        "doc_length_outliers",
+        "balance_concentration_by_segment",
+    }

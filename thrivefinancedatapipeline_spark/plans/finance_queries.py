@@ -1328,3 +1328,97 @@ SELECT customerid AS customer_id,
                       * 1000000 // MAX(bal_cents) END AS BIGINT)
          AS drawdown_ppm
 FROM dd GROUP BY customerid"""
+
+
+def balance_concentration_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Balance CONCENTRATION per market segment — the
+    portfolio-risk view of the rewards liability: a segment whose
+    outstanding balance is concentrated in a few customers is one
+    churn event away from a redemption spike. Herfindahl–Hirschman
+    index in exact integer parts-per-billion (sum of squared
+    cent-shares: hhi_ppb = sum(bal^2) x 1e9 div total^2, 1e9 =
+    monopoly) plus the top-holder share, over customers with a
+    POSITIVE final balance (shares are undefined on a mixed-sign
+    base). Prebuilt r8 (staged in tools/check_prebuilt.py).
+
+    Scale shape: one map-side-combinable per-customer fold over
+    transactions (the only corpus-scale pass), a broadcast join to
+    the customer dimension for the segment label, then a per-segment
+    rollup over |customers| rows. Squares and totals widen to
+    DECIMAL(38,0) before the one truncating div."""
+    txns = _txns(spark, sf_dir)
+    bal = (
+        txns.groupBy("customerid")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("tctype") == "earned",
+                    F.round(F.abs(F.col("amount")) * 100).cast("long"),
+                ).otherwise(
+                    -F.round(F.abs(F.col("amount")) * 100).cast("long")
+                )
+            ).alias("bal_cents")
+        )
+        .filter(F.col("bal_cents") > 0)
+    )
+    seg = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("customerid"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    lab = bal.join(F.broadcast(seg), "customerid", "left").select(
+        F.coalesce(F.col("segment"), F.lit("UNKNOWN")).alias("segment"),
+        "bal_cents",
+    )
+    return (
+        lab.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("bal_cents").cast("long").alias("total_cents"),
+            F.max("bal_cents").cast("long").alias("top_cents"),
+            F.sum(
+                F.col("bal_cents").cast("decimal(38,0)")
+                * F.col("bal_cents")
+            ).alias("sq"),
+        )
+        .select(
+            "segment",
+            "n_customers",
+            "total_cents",
+            F.expr(
+                "CAST(CAST(top_cents AS DECIMAL(38,0)) * 1000000"
+                " div total_cents AS BIGINT)"
+            ).alias("top_share_ppm"),
+            F.expr(
+                "CAST(sq * 1000000000 div (CAST(total_cents AS"
+                " DECIMAL(38,0)) * total_cents) AS BIGINT)"
+            ).alias("hhi_ppb"),
+        )
+    )
+
+
+CONCENTRATION_ORACLE = f"""WITH {TXNS_CTE},
+bal AS (
+  SELECT customerid,
+         SUM(CASE WHEN tctype = 'earned'
+                  THEN CAST(ROUND(ABS(amount) * 100, 0) AS BIGINT)
+                  ELSE -CAST(ROUND(ABS(amount) * 100, 0) AS BIGINT)
+             END) AS bal_cents
+  FROM txns GROUP BY customerid
+  HAVING SUM(CASE WHEN tctype = 'earned'
+                  THEN CAST(ROUND(ABS(amount) * 100, 0) AS BIGINT)
+                  ELSE -CAST(ROUND(ABS(amount) * 100, 0) AS BIGINT)
+             END) > 0),
+lab AS (
+  SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment, b.bal_cents
+  FROM bal b LEFT JOIN customer c ON c.c_custkey = b.customerid)
+SELECT segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(bal_cents) AS BIGINT) AS total_cents,
+       CAST(CAST(MAX(bal_cents) AS HUGEINT) * 1000000
+            // SUM(bal_cents) AS BIGINT) AS top_share_ppm,
+       CAST(SUM(CAST(bal_cents AS HUGEINT) * bal_cents) * 1000000000
+            // (CAST(SUM(bal_cents) AS HUGEINT) * SUM(bal_cents))
+            AS BIGINT) AS hhi_ppb
+FROM lab GROUP BY segment"""

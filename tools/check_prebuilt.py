@@ -34,10 +34,11 @@ def _catalog():
     Round 6 drained the 29-operator backlog; round 8 registered the
     six operators round 7 had staged here (time_weighted_balance,
     events_stickiness, source_jaccard_kmv, split_balance_audit,
-    packing_efficiency, ivfpq_distortion_audit). Round 8 stages the
-    per-(source, period) KMV drift query and the cross-source
-    near-dup rate matrix for the r9 window: green here first, then a
-    2-line move into the module dicts."""
+    packing_efficiency, ivfpq_distortion_audit). Round 8 stages SIX
+    operators for the r9 window (per-(source, period) KMV drift,
+    cross-source near-dup matrix, split-leakage decontamination,
+    balance drawdown, doc-length outliers, segment concentration):
+    green here first, then a 2-line move into the module dicts."""
     from thrivefinancedatapipeline_spark.operators.dedup import (
         SOURCE_DUP_MATRIX_ORACLE,
         source_dup_matrix,
@@ -55,11 +56,16 @@ def _catalog():
         doc_length_outliers,
     )
     from thrivefinancedatapipeline_spark.plans.finance_queries import (
+        CONCENTRATION_ORACLE,
         DRAWDOWN_ORACLE,
+        balance_concentration_by_segment,
         balance_drawdown,
     )
 
     return {
+        "balance_concentration_by_segment": (
+            balance_concentration_by_segment, CONCENTRATION_ORACLE,
+        ),
         "balance_drawdown": (balance_drawdown, DRAWDOWN_ORACLE),
         "doc_length_outliers": (
             doc_length_outliers, DOC_LENGTH_OUTLIERS_ORACLE,
