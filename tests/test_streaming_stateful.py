@@ -836,3 +836,79 @@ def test_stream_packing_efficiency_matches_batch(spark, sf_dir):
         assert len(got) > len(latest)  # multiple emissions per lang
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stream_balance_drawdown_matches_batch(spark, sf_dir):
+    """Drain parity for the streaming drawdown monitor: the max-seq
+    row per customer equals the batch drawdown rollup over the union
+    of all batches (running maxima fold left-to-right, so three
+    integers of state reproduce the whole-history windows); drawdown
+    and peak are monotone along the stream. The source pins file
+    mtimes so FileStreamSource arrival matches the time split (the
+    timed_events fixture's appended part files can tie on mtime and
+    arrive out of time order — drawdown, unlike set-valued twins, is
+    order-SENSITIVE, so the contract is explicit here)."""
+    import glob
+
+    from thrivefinancedatapipeline_spark.plans.finance_queries import (
+        drawdown_from,
+    )
+
+    src = tempfile.mkdtemp(prefix="stream_dd_")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        bounds = [1, 6, 11, 16, 21, 26, 32]
+        for i in range(6):
+            part = ev.filter(
+                (F.dayofmonth("ts") >= bounds[i])
+                & (F.dayofmonth("ts") < bounds[i + 1])
+            ).coalesce(1)
+            part.write.parquet(f"{src}/b{i}", mode="overwrite")
+            for f in glob.glob(f"{src}/b{i}/part-*.parquet"):
+                shutil.copy(f, f"{src}/file{i}.parquet")
+            shutil.rmtree(f"{src}/b{i}")
+            os.utime(
+                f"{src}/file{i}.parquet", (1_000_000 + i, 1_000_000 + i)
+            )
+        _assert_drawdown_parity(spark, src, drawdown_from)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+def _assert_drawdown_parity(spark, src, drawdown_from):
+    got = drain(
+        stateful.stream_balance_drawdown(
+            spark, src, max_files_per_trigger=1
+        ),
+        "stream_dd",
+        "append",
+    )
+    latest = {}
+    for r in got:
+        if r.customerid not in latest or r.seq > latest[r.customerid].seq:
+            latest[r.customerid] = r
+    final = sorted(
+        (
+            r.customerid, r.n_txns, r.final_cents, r.peak_cents,
+            r.max_drawdown_cents, r.drawdown_ppm,
+        )
+        for r in latest.values()
+    )
+    want = sorted(
+        tuple(r)
+        for r in drawdown_from(
+            transactions_from_events(spark.read.parquet(src))
+        ).collect()
+    )
+    assert final == want
+    assert len(final) > 10
+    # running maxima never decrease along the stream
+    by_cust = {}
+    for r in sorted(got, key=lambda r: r.seq):
+        prev = by_cust.get(r.customerid)
+        if prev is not None:
+            assert r.peak_cents >= prev.peak_cents
+            assert r.max_drawdown_cents >= prev.max_drawdown_cents
+            assert r.n_txns >= prev.n_txns
+        by_cust[r.customerid] = r
+    assert len(got) > len(latest)

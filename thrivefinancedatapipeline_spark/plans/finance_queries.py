@@ -1257,7 +1257,12 @@ def balance_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain on the same (customerid) partitioning with the original
     column names kept (the scd2 discipline), so Spark reuses the
     exchange; then one map-side-combinable per-customer rollup."""
-    txns = _txns(spark, sf_dir)
+    return drawdown_from(_txns(spark, sf_dir))
+
+
+def drawdown_from(txns: DataFrame) -> DataFrame:
+    """The drawdown rollup over ANY transaction frame — shared by the
+    sf_dir query above and the streaming twin's batch expectation."""
     cb = txns.select(
         "customerid",
         "createdat",
@@ -1275,11 +1280,17 @@ def balance_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     bal = cb.withColumn("bal_cents", F.sum("delta_cents").over(w))
-    dd = bal.withColumn("peak_cents", F.max("bal_cents").over(w))
+    # the equity curve starts at the customer's initial 0 balance, so
+    # the running peak is seeded with 0: a customer who goes negative
+    # on their first transaction has drawn down from 0, not from
+    # their own first (negative) balance
+    dd = bal.withColumn(
+        "peak_cents", F.greatest(F.lit(0), F.max("bal_cents").over(w))
+    )
     return dd.groupBy("customerid").agg(
         F.count(F.lit(1)).cast("long").alias("n_txns"),
         F.sum("delta_cents").cast("long").alias("final_cents"),
-        F.max("bal_cents").cast("long").alias("peak_cents"),
+        F.max("peak_cents").cast("long").alias("peak_cents"),
         F.max(F.col("peak_cents") - F.col("bal_cents"))
         .cast("long")
         .alias("max_drawdown_cents"),
@@ -1313,19 +1324,19 @@ bal AS (
                ROWS UNBOUNDED PRECEDING)),
 dd AS (
   SELECT customerid, delta_cents, bal_cents,
-         MAX(bal_cents) OVER (PARTITION BY customerid
+         GREATEST(0, MAX(bal_cents) OVER (PARTITION BY customerid
            ORDER BY createdat, trans_id
-           ROWS UNBOUNDED PRECEDING) AS peak_cents
+           ROWS UNBOUNDED PRECEDING)) AS peak_cents
   FROM bal)
 SELECT customerid AS customer_id,
        CAST(COUNT(*) AS BIGINT) AS n_txns,
        CAST(SUM(delta_cents) AS BIGINT) AS final_cents,
-       CAST(MAX(bal_cents) AS BIGINT) AS peak_cents,
+       CAST(MAX(peak_cents) AS BIGINT) AS peak_cents,
        CAST(MAX(peak_cents - bal_cents) AS BIGINT)
          AS max_drawdown_cents,
-       CAST(CASE WHEN MAX(bal_cents) <= 0 THEN 0
+       CAST(CASE WHEN MAX(peak_cents) <= 0 THEN 0
                  ELSE CAST(MAX(peak_cents - bal_cents) AS HUGEINT)
-                      * 1000000 // MAX(bal_cents) END AS BIGINT)
+                      * 1000000 // MAX(peak_cents) END AS BIGINT)
          AS drawdown_ppm
 FROM dd GROUP BY customerid"""
 

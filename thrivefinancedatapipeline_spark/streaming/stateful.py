@@ -1149,3 +1149,86 @@ def stream_packing_efficiency(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+DD_OUT_SCHEMA = (
+    "customerid long, seq int, n_txns long, final_cents long,"
+    " peak_cents long, max_drawdown_cents long, drawdown_ppm long"
+)
+DD_STATE_SCHEMA = (
+    "seq int, n_txns long, bal long, peak long, maxdd long"
+)
+
+
+def _drawdown_state_fn(key, pdf_iter, state: GroupState):
+    """Per-customer equity-curve state: (running balance, running
+    peak, deepest drawdown so far) — three integers reproduce the
+    whole-history scan because both the peak and the drawdown are
+    running maxima, which fold left-to-right. Rows are consumed in
+    (createdat, trans_id) order within each batch; time-ordered
+    arrival across batches is the stream's contract (the monthly-
+    export pattern). Emits the running audit stamped with a per-key
+    emission seq."""
+    seq, n_txns, bal, peak, maxdd = 0, 0, 0, 0, 0
+    if state.exists:
+        seq, n_txns, bal, peak, maxdd = state.get
+    rows = []
+    for pdf in pdf_iter:
+        rows.extend(
+            zip(pdf["createdat"], pdf["trans_id"], pdf["delta_cents"])
+        )
+    for _t, _i, dc in sorted(rows):
+        bal += int(dc)
+        n_txns += 1
+        if bal > peak:
+            peak = bal
+        if peak - bal > maxdd:
+            maxdd = peak - bal
+    seq += 1
+    state.update((seq, n_txns, bal, peak, maxdd))
+    ppm = maxdd * 1_000_000 // peak if peak > 0 else 0
+    yield pd.DataFrame(
+        {
+            "customerid": [key[0]],
+            "seq": [seq],
+            "n_txns": [n_txns],
+            "final_cents": [bal],
+            "peak_cents": [peak],
+            "max_drawdown_cents": [maxdd],
+            "drawdown_ppm": [ppm],
+        }
+    )
+
+
+def stream_balance_drawdown(
+    spark, source_dir: str, max_files_per_trigger: int = 4
+):
+    """Continuous max-drawdown monitoring over the transaction
+    stream — the streaming twin of plans/finance_queries.
+    balance_drawdown: the batch scan's whole-history windows reduce
+    to THREE integers of state per customer (balance, peak, deepest
+    fall), because running maxima fold left-to-right. The cent
+    deltas run in Spark expressions before the stateful op
+    (codegen, bit-identical to the batch rollup); Python folds
+    pre-computed ints. Drain parity pinned by test: after a
+    time-ordered drain, the max-seq row per customer equals the
+    batch drawdown over everything seen."""
+    txns = stream_transactions(spark, source_dir, max_files_per_trigger)
+    enriched = txns.select(
+        "customerid",
+        "createdat",
+        "trans_id",
+        F.when(
+            F.col("tctype") == "earned",
+            F.round(F.abs(F.col("amount")) * 100).cast("long"),
+        )
+        .otherwise(-F.round(F.abs(F.col("amount")) * 100).cast("long"))
+        .alias("delta_cents"),
+    )
+    return enriched.groupBy("customerid").applyInPandasWithState(
+        _drawdown_state_fn,
+        outputStructType=DD_OUT_SCHEMA,
+        stateStructType=DD_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
