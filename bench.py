@@ -178,11 +178,17 @@ def main() -> None:
         # the max(CORRECTNESS_r*)+1 inference is only a fallback (it
         # mis-names the artifact when bench runs AFTER the round's
         # CORRECTNESS file lands, or in a checkout missing them).
+        # a malformed override must not cost the artifact after a
+        # full bench run — fall back to inference instead of raising
         n = 0
-        if "--round" in sys.argv:
-            n = int(sys.argv[sys.argv.index("--round") + 1])
-        elif os.environ.get("BENCH_ROUND"):
-            n = int(os.environ["BENCH_ROUND"])
+        try:
+            if "--round" in sys.argv:
+                n = int(sys.argv[sys.argv.index("--round") + 1])
+            elif os.environ.get("BENCH_ROUND"):
+                n = int(os.environ["BENCH_ROUND"])
+        except (IndexError, ValueError) as exc:
+            print(f"# bad --round/BENCH_ROUND ignored: {exc}",
+                  file=sys.stderr)
         if n <= 0:
             rounds = [
                 int(m.group(1))

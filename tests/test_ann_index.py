@@ -224,6 +224,20 @@ def test_ivfpq_probe_rebuilds_partial_index(spark, sf_dir):
             for r in sim.knn_ivfpq_index_probe(spark, sf_dir).collect()
         )
         assert healed2 == full
+        # dir-exists-but-unreadable (a crashed write leaving only
+        # _temporary): read.parquet raises AnalysisException, which
+        # must also heal, not become a permanent error
+        from urllib.parse import urlparse
+
+        sim._drop_table(spark, sim.IVFPQ_CODES_TABLE)
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        junk = os.path.join(wh, sim.IVFPQ_CODES_TABLE.lower(), "_temporary")
+        os.makedirs(junk, exist_ok=True)
+        healed3 = sorted(
+            tuple(r)
+            for r in sim.knn_ivfpq_index_probe(spark, sf_dir).collect()
+        )
+        assert healed3 == full
     finally:
         _drop_all(spark)
 

@@ -144,7 +144,6 @@ def test_balance_drawdown_vs_duckdb_and_bounds(spark, sf_dir):
         )
         assert got == want, f"balance_drawdown mismatch at {d}"
         assert len(got) >= 10
-        deep = 0
         for _cust, n_txns, final, peak, dd, ppm in got:
             assert n_txns >= 1
             # peak is a prefix max over balances including the last
@@ -156,8 +155,6 @@ def test_balance_drawdown_vs_duckdb_and_bounds(spark, sf_dir):
                 assert ppm == dd * 1_000_000 // peak
             else:
                 assert ppm == 0
-            if ppm == 1_000_000:
-                deep += 1  # fully round-tripped balance exists
         # the corpus contains real burn-and-churn customers
         assert any(r[4] > 0 for r in got)
 

@@ -2170,92 +2170,112 @@ ORACLES["dedup_minhash_index_probe"] = ORACLES["dedup_incremental_minhash"]
 # PREBUILT (r8-staged, NOT yet registered — tools/check_prebuilt.py).
 # ---------------------------------------------------------------------------
 
-def source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-source NEAR-duplicate rate matrix — the provenance
-    question dedup answers for a data buyer: which providers resell
-    (or scrape) each other's content? Every verified MinHash-LSH
-    pair (the registered dedup_minhash_lsh relation, tau=0.8) is
-    labeled with its two documents' sources; the unordered source
-    pair rolls up to a duplicate count and an exact-integer rate
-    (pairs per possible cross pair, ppm — within a source the
-    denominator is C(n,2), across sources n_a x n_b). A cell whose
-    dup_ppm is an outlier against the matrix is a provider shipping
-    recycled content. Prebuilt r8 (staged in
-    tools/check_prebuilt.py).
+def pair_rate_matrix(
+    pairs: DataFrame, labels: DataFrame, col: str, rate_col: str
+) -> DataFrame:
+    """Unordered label-pair duplicate-rate rollup shared by
+    source_dup_matrix (labels = sources) and sampling's
+    split_leakage_audit (labels = hash splits): each (doc_id_1,
+    doc_id_2) pair is labeled from `labels` (doc_id, <col>),
+    canonicalized with least/greatest, and rolled up to a count and
+    an exact-integer rate per possible pair (C(n,2) within a label,
+    n_a x n_b across). Counts WIDEN to DECIMAL(38,0) before the
+    denominator product — two long doc counts can overflow int64
+    under ANSI mode at corpus scale (n_possible itself is emitted as
+    BIGINT, which bounds the *reportable* cell at 2^63 possible
+    pairs; the rate math never overflows).
 
-    Scale shape: the pair relation is LSH-bounded (never quadratic
-    in the corpus), so the only joins here ship |pairs| rows against
-    a broadcast-size (doc_id, source) projection twice, and the
-    matrix rollup is |sources|^2 cells. The heavy lifting stays
-    inside the proven minhash chain."""
-    pairs = q_dedup_minhash_lsh(spark, sf_dir).select(
-        "doc_id_1", "doc_id_2"
+    Scale: the pair relation is LSH-bounded, labeling joins ship
+    |pairs| rows against broadcast-size label projections, the
+    matrix is |labels|^2 cells."""
+    a_col, b_col = f"{col}_a", f"{col}_b"
+    per = labels.groupBy(col).agg(F.count(F.lit(1)).alias("n"))
+    sa = labels.select(
+        F.col("doc_id").alias("doc_id_1"), F.col(col).alias("la")
     )
-    src = _docs(spark, sf_dir).select("doc_id", "source")
-    per = src.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    sa = src.select(
-        F.col("doc_id").alias("doc_id_1"), F.col("source").alias("sa")
-    )
-    sb = src.select(
-        F.col("doc_id").alias("doc_id_2"), F.col("source").alias("sb")
+    sb = labels.select(
+        F.col("doc_id").alias("doc_id_2"), F.col(col).alias("lb")
     )
     lab = (
         pairs.join(sa, "doc_id_1")
         .join(sb, "doc_id_2")
         .select(
-            F.least("sa", "sb").alias("source_a"),
-            F.greatest("sa", "sb").alias("source_b"),
+            F.least("la", "lb").alias(a_col),
+            F.greatest("la", "lb").alias(b_col),
         )
     )
-    agg = lab.groupBy("source_a", "source_b").agg(
+    agg = lab.groupBy(a_col, b_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_dup_pairs")
     )
-    pa = per.select(F.col("source").alias("source_a"), F.col("n").alias("n_docs_a"))
-    pb = per.select(F.col("source").alias("source_b"), F.col("n").alias("n_docs_b"))
-    out = agg.join(F.broadcast(pa), "source_a").join(
-        F.broadcast(pb), "source_b"
+    na = per.select(F.col(col).alias(a_col), F.col("n").alias("n_docs_a"))
+    nb = per.select(F.col(col).alias(b_col), F.col("n").alias("n_docs_b"))
+    out = agg.join(F.broadcast(na), a_col).join(F.broadcast(nb), b_col)
+    poss = (
+        f"CASE WHEN {a_col} = {b_col}"
+        " THEN CAST(n_docs_a AS DECIMAL(38,0)) * (n_docs_a - 1) div 2"
+        " ELSE CAST(n_docs_a AS DECIMAL(38,0)) * n_docs_b END"
     )
-    possible = F.when(
-        F.col("source_a") == F.col("source_b"),
-        F.expr("n_docs_a * (n_docs_a - 1) div 2"),
-    ).otherwise(F.expr("n_docs_a * n_docs_b"))
     return out.select(
-        "source_a",
-        "source_b",
+        a_col,
+        b_col,
         "n_dup_pairs",
         F.col("n_docs_a").cast("long").alias("n_docs_a"),
         F.col("n_docs_b").cast("long").alias("n_docs_b"),
-        possible.cast("long").alias("n_possible"),
+        F.expr(f"CAST({poss} AS BIGINT)").alias("n_possible"),
         F.expr(
-            "CAST(CAST(n_dup_pairs AS DECIMAL(38,0)) * 1000000 div "
-            "(CASE WHEN source_a = source_b "
-            "THEN n_docs_a * (n_docs_a - 1) div 2 "
-            "ELSE n_docs_a * n_docs_b END) AS BIGINT)"
-        ).alias("dup_ppm"),
+            "CAST(CAST(n_dup_pairs AS DECIMAL(38,0)) * 1000000"
+            f" div ({poss}) AS BIGINT)"
+        ).alias(rate_col),
     )
 
 
-SOURCE_DUP_MATRIX_ORACLE = f"""
-WITH src AS (SELECT doc_id, source FROM documents),
-per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
-        FROM src GROUP BY source),
-lab AS (SELECT least(sa.source, sb.source) AS source_a,
-               greatest(sa.source, sb.source) AS source_b
+def pair_rate_matrix_sql(label_select: str, col: str, rate_col: str) -> str:
+    """DuckDB twin of pair_rate_matrix over the registered minhash
+    pair oracle; `label_select` yields (doc_id, <col>)."""
+    return f"""
+WITH lsrc AS ({label_select}),
+per AS (SELECT {col}, CAST(COUNT(*) AS BIGINT) AS n
+        FROM lsrc GROUP BY {col}),
+lab AS (SELECT least(pa.{col}, pb.{col}) AS {col}_a,
+               greatest(pa.{col}, pb.{col}) AS {col}_b
         FROM ({ORACLES["dedup_minhash_lsh"]}) p
-        JOIN src sa ON sa.doc_id = p.doc_id_1
-        JOIN src sb ON sb.doc_id = p.doc_id_2),
-agg AS (SELECT source_a, source_b,
+        JOIN lsrc pa ON pa.doc_id = p.doc_id_1
+        JOIN lsrc pb ON pb.doc_id = p.doc_id_2),
+agg AS (SELECT {col}_a, {col}_b,
                CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
         FROM lab GROUP BY 1, 2)
-SELECT a.source_a, a.source_b, a.n_dup_pairs,
+SELECT a.{col}_a, a.{col}_b, a.n_dup_pairs,
        pa.n AS n_docs_a, pb.n AS n_docs_b,
-       CAST(CASE WHEN a.source_a = a.source_b
-                 THEN pa.n * (pa.n - 1) // 2
-                 ELSE pa.n * pb.n END AS BIGINT) AS n_possible,
+       CAST(CASE WHEN a.{col}_a = a.{col}_b
+                 THEN CAST(pa.n AS HUGEINT) * (pa.n - 1) // 2
+                 ELSE CAST(pa.n AS HUGEINT) * pb.n END AS BIGINT)
+         AS n_possible,
        CAST(CAST(a.n_dup_pairs AS HUGEINT) * 1000000
-            // (CASE WHEN a.source_a = a.source_b
-                     THEN pa.n * (pa.n - 1) // 2
-                     ELSE pa.n * pb.n END) AS BIGINT) AS dup_ppm
+            // (CASE WHEN a.{col}_a = a.{col}_b
+                     THEN CAST(pa.n AS HUGEINT) * (pa.n - 1) // 2
+                     ELSE CAST(pa.n AS HUGEINT) * pb.n END) AS BIGINT)
+         AS {rate_col}
 FROM agg a
-JOIN per pa ON pa.source = a.source_a
-JOIN per pb ON pb.source = a.source_b"""
+JOIN per pa ON pa.{col} = a.{col}_a
+JOIN per pb ON pb.{col} = a.{col}_b"""
+
+
+def source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source NEAR-duplicate rate matrix — the provenance
+    question dedup answers for a data buyer: which providers resell
+    (or scrape) each other's content? Every verified MinHash-LSH
+    pair (the registered dedup_minhash_lsh relation, tau=0.8) is
+    labeled with its two documents' sources and rolled up by
+    pair_rate_matrix; a cell whose dup_ppm is an outlier against the
+    matrix is a provider shipping recycled content. Prebuilt r8
+    (staged in tools/check_prebuilt.py)."""
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select(
+        "doc_id_1", "doc_id_2"
+    )
+    labels = _docs(spark, sf_dir).select("doc_id", "source")
+    return pair_rate_matrix(pairs, labels, "source", "dup_ppm")
+
+
+SOURCE_DUP_MATRIX_ORACLE = pair_rate_matrix_sql(
+    "SELECT doc_id, source FROM documents", "source", "dup_ppm"
+)

@@ -397,102 +397,33 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate LEAKAGE across the train/val/test split — the
     decontamination audit every eval pipeline needs: a val/test
     document with a tau=0.8 near-duplicate in train inflates the
-    benchmark. Every verified MinHash-LSH pair (the registered
-    dedup_minhash_lsh relation) is labeled with its two documents'
-    hash-split assignments (the SAME split_column the split-count
-    audit uses — the audit and the split can never disagree);
-    unordered split pairs roll up to a duplicate count and an
-    exact-integer rate (pairs per possible cross pair, ppm). The
+    benchmark. Every verified MinHash-LSH pair is labeled with its
+    two documents' hash-split assignments (the SAME split_column the
+    split-count audit uses — the audit and the split can never
+    disagree) and rolled up by dedup.pair_rate_matrix; the
     (train, val) / (train, test) cells ARE the leakage number.
-    Prebuilt r8 (staged in tools/check_prebuilt.py).
-
-    Scale shape: identical to source_dup_matrix — the pair relation
-    is LSH-bounded, labeling joins ship |pairs| rows against a
-    broadcast-size (doc_id, split) projection, the matrix is 3x3."""
-    from .dedup import q_dedup_minhash_lsh
+    Prebuilt r8 (staged in tools/check_prebuilt.py)."""
+    from .dedup import pair_rate_matrix, q_dedup_minhash_lsh
 
     pairs = q_dedup_minhash_lsh(spark, sf_dir).select(
         "doc_id_1", "doc_id_2"
     )
-    docs = _docs(spark, sf_dir).select(
+    labels = _docs(spark, sf_dir).select(
         "doc_id", split_column(F.col("doc_id")).alias("split")
     )
-    per = docs.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
-    sa = docs.select(
-        F.col("doc_id").alias("doc_id_1"), F.col("split").alias("pa")
-    )
-    sb = docs.select(
-        F.col("doc_id").alias("doc_id_2"), F.col("split").alias("pb")
-    )
-    lab = (
-        pairs.join(sa, "doc_id_1")
-        .join(sb, "doc_id_2")
-        .select(
-            F.least("pa", "pb").alias("split_a"),
-            F.greatest("pa", "pb").alias("split_b"),
-        )
-    )
-    agg = lab.groupBy("split_a", "split_b").agg(
-        F.count(F.lit(1)).cast("long").alias("n_dup_pairs")
-    )
-    na = per.select(
-        F.col("split").alias("split_a"), F.col("n").alias("n_docs_a")
-    )
-    nb = per.select(
-        F.col("split").alias("split_b"), F.col("n").alias("n_docs_b")
-    )
-    out = agg.join(F.broadcast(na), "split_a").join(
-        F.broadcast(nb), "split_b"
-    )
-    return out.select(
-        "split_a",
-        "split_b",
-        "n_dup_pairs",
-        F.col("n_docs_a").cast("long").alias("n_docs_a"),
-        F.col("n_docs_b").cast("long").alias("n_docs_b"),
-        F.expr(
-            "CAST(CASE WHEN split_a = split_b "
-            "THEN n_docs_a * (n_docs_a - 1) div 2 "
-            "ELSE n_docs_a * n_docs_b END AS BIGINT)"
-        ).alias("n_possible"),
-        F.expr(
-            "CAST(CAST(n_dup_pairs AS DECIMAL(38,0)) * 1000000 div "
-            "(CASE WHEN split_a = split_b "
-            "THEN n_docs_a * (n_docs_a - 1) div 2 "
-            "ELSE n_docs_a * n_docs_b END) AS BIGINT)"
-        ).alias("leak_ppm"),
-    )
+    return pair_rate_matrix(pairs, labels, "split", "leak_ppm")
 
 
 def _split_leakage_oracle() -> str:
-    from .dedup import ORACLES as _DEDUP_ORACLES
+    from .dedup import pair_rate_matrix_sql
 
     b = hash_bucket_sql("doc_id", 100, "split")
     split_case = (
         f"CASE WHEN {b} < {SPLIT_TRAIN} THEN 'train' "
         f"WHEN {b} < {SPLIT_VAL} THEN 'val' ELSE 'test' END"
     )
-    return f"""
-WITH sp AS (SELECT doc_id, {split_case} AS split FROM documents),
-per AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n
-        FROM sp GROUP BY split),
-lab AS (SELECT least(pa.split, pb.split) AS split_a,
-               greatest(pa.split, pb.split) AS split_b
-        FROM ({_DEDUP_ORACLES["dedup_minhash_lsh"]}) p
-        JOIN sp pa ON pa.doc_id = p.doc_id_1
-        JOIN sp pb ON pb.doc_id = p.doc_id_2),
-agg AS (SELECT split_a, split_b,
-               CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
-        FROM lab GROUP BY 1, 2)
-SELECT a.split_a, a.split_b, a.n_dup_pairs,
-       pa.n AS n_docs_a, pb.n AS n_docs_b,
-       CAST(CASE WHEN a.split_a = a.split_b
-                 THEN pa.n * (pa.n - 1) // 2
-                 ELSE pa.n * pb.n END AS BIGINT) AS n_possible,
-       CAST(CAST(a.n_dup_pairs AS HUGEINT) * 1000000
-            // (CASE WHEN a.split_a = a.split_b
-                     THEN pa.n * (pa.n - 1) // 2
-                     ELSE pa.n * pb.n END) AS BIGINT) AS leak_ppm
-FROM agg a
-JOIN per pa ON pa.split = a.split_a
-JOIN per pb ON pb.split = a.split_b"""
+    return pair_rate_matrix_sql(
+        f"SELECT doc_id, {split_case} AS split FROM documents",
+        "split",
+        "leak_ppm",
+    )

@@ -1811,15 +1811,19 @@ def knn_ivfpq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     unreadable."""
     import os
 
+    from pyspark.errors import AnalysisException
+
     try:
         built_from = index_source_sf_dir(spark)
         # all three tables must be present — the stamp lives in the
         # FIRST table the build writes, so it can survive a partial
         # build; an unreadable codebooks/codes table means rebuild,
-        # never a permanent error
+        # never a permanent error. AnalysisException covers the
+        # dir-exists-but-unreadable case (a crashed write leaving
+        # only _temporary: read.parquet can't infer a schema).
         _index_table(spark, IVFPQ_CODEBOOKS_TABLE)
         _index_table(spark, IVFPQ_CODES_TABLE)
-    except ValueError:
+    except (ValueError, AnalysisException):
         built_from = None  # no index, or a partial one
     if built_from != os.path.abspath(sf_dir):
         build_ivfpq_index(spark, sf_dir)

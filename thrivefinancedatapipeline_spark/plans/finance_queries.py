@@ -102,6 +102,23 @@ def _history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return balance_history(_txns(spark, sf_dir))
 
 
+def delta_cents_col():
+    """Signed HALF-UP integer cents per transaction (+earned,
+    -spent/-expired) — the one money fold shared by TWAB, drawdown,
+    concentration, and the streaming drawdown twin. Oracles embed
+    DELTA_CENTS_SQL, so the Spark and SQL sides can never diverge."""
+    mag = F.round(F.abs(F.col("amount")) * 100).cast("long")
+    return F.when(F.col("tctype") == "earned", mag).otherwise(-mag)
+
+
+#: DuckDB twin of delta_cents_col (bit-identical by TWAB's proof).
+DELTA_CENTS_SQL = (
+    "CASE WHEN tctype = 'earned'"
+    " THEN CAST(ROUND(ABS(amount) * 100, 0) AS BIGINT)"
+    " ELSE -CAST(ROUND(ABS(amount) * 100, 0) AS BIGINT) END"
+)
+
+
 def _round_money(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
     out = df
     for c in cols:
@@ -1150,12 +1167,7 @@ def time_weighted_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "customerid",
         "createdat",
         "trans_id",
-        F.when(
-            F.col("tctype") == "earned",
-            F.round(F.abs(F.col("amount")) * 100).cast("long"),
-        )
-        .otherwise(-F.round(F.abs(F.col("amount")) * 100).cast("long"))
-        .alias("delta_cents"),
+        delta_cents_col().alias("delta_cents"),
     )
     w = (
         Window.partitionBy("customerid")
@@ -1206,10 +1218,7 @@ _ASOF_US_SQL = int(
 TWAB_ORACLE = f"""WITH {TXNS_CTE},
 cb AS (
   SELECT customerid, createdat, trans_id,
-         CASE WHEN tctype = 'earned'
-              THEN CAST(ROUND(ABS(amount) * 100, 0) AS BIGINT)
-              ELSE -CAST(ROUND(ABS(amount) * 100, 0) AS BIGINT)
-         END AS delta_cents
+         {DELTA_CENTS_SQL} AS delta_cents
   FROM txns WHERE createdat < TIMESTAMP '{ASOF}'),
 seg AS (
   SELECT customerid,
@@ -1267,12 +1276,7 @@ def drawdown_from(txns: DataFrame) -> DataFrame:
         "customerid",
         "createdat",
         "trans_id",
-        F.when(
-            F.col("tctype") == "earned",
-            F.round(F.abs(F.col("amount")) * 100).cast("long"),
-        )
-        .otherwise(-F.round(F.abs(F.col("amount")) * 100).cast("long"))
-        .alias("delta_cents"),
+        delta_cents_col().alias("delta_cents"),
     )
     w = (
         Window.partitionBy("customerid")
@@ -1311,10 +1315,7 @@ def drawdown_from(txns: DataFrame) -> DataFrame:
 DRAWDOWN_ORACLE = f"""WITH {TXNS_CTE},
 cb AS (
   SELECT customerid, createdat, trans_id,
-         CASE WHEN tctype = 'earned'
-              THEN CAST(ROUND(ABS(amount) * 100, 0) AS BIGINT)
-              ELSE -CAST(ROUND(ABS(amount) * 100, 0) AS BIGINT)
-         END AS delta_cents
+         {DELTA_CENTS_SQL} AS delta_cents
   FROM txns),
 bal AS (
   SELECT customerid, createdat, trans_id, delta_cents,
@@ -1362,16 +1363,7 @@ def balance_concentration_by_segment(
     txns = _txns(spark, sf_dir)
     bal = (
         txns.groupBy("customerid")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("tctype") == "earned",
-                    F.round(F.abs(F.col("amount")) * 100).cast("long"),
-                ).otherwise(
-                    -F.round(F.abs(F.col("amount")) * 100).cast("long")
-                )
-            ).alias("bal_cents")
-        )
+        .agg(F.sum(delta_cents_col()).alias("bal_cents"))
         .filter(F.col("bal_cents") > 0)
     )
     seg = load_table(spark, sf_dir, "customer").select(
@@ -1411,16 +1403,9 @@ def balance_concentration_by_segment(
 
 CONCENTRATION_ORACLE = f"""WITH {TXNS_CTE},
 bal AS (
-  SELECT customerid,
-         SUM(CASE WHEN tctype = 'earned'
-                  THEN CAST(ROUND(ABS(amount) * 100, 0) AS BIGINT)
-                  ELSE -CAST(ROUND(ABS(amount) * 100, 0) AS BIGINT)
-             END) AS bal_cents
+  SELECT customerid, SUM({DELTA_CENTS_SQL}) AS bal_cents
   FROM txns GROUP BY customerid
-  HAVING SUM(CASE WHEN tctype = 'earned'
-                  THEN CAST(ROUND(ABS(amount) * 100, 0) AS BIGINT)
-                  ELSE -CAST(ROUND(ABS(amount) * 100, 0) AS BIGINT)
-             END) > 0),
+  HAVING SUM({DELTA_CENTS_SQL}) > 0),
 lab AS (
   SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment, b.bal_cents
   FROM bal b LEFT JOIN customer c ON c.c_custkey = b.customerid)

@@ -1213,17 +1213,14 @@ def stream_balance_drawdown(
     pre-computed ints. Drain parity pinned by test: after a
     time-ordered drain, the max-seq row per customer equals the
     batch drawdown over everything seen."""
+    from ..plans.finance_queries import delta_cents_col
+
     txns = stream_transactions(spark, source_dir, max_files_per_trigger)
     enriched = txns.select(
         "customerid",
         "createdat",
         "trans_id",
-        F.when(
-            F.col("tctype") == "earned",
-            F.round(F.abs(F.col("amount")) * 100).cast("long"),
-        )
-        .otherwise(-F.round(F.abs(F.col("amount")) * 100).cast("long"))
-        .alias("delta_cents"),
+        delta_cents_col().alias("delta_cents"),
     )
     return enriched.groupBy("customerid").applyInPandasWithState(
         _drawdown_state_fn,

@@ -57,6 +57,12 @@ def main() -> int:
     qs = e.queries()
     oracles = e.oracle_sql()
     only = set(sys.argv[1:])
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd (or unregistered) name must NOT report
+        # green-by-vacuity — the check_prebuilt guard, here too
+        print(f"ERROR: not in the registered catalog: {sorted(unknown)}")
+        return 1
     failures = 0
     t_start = time.perf_counter()
     for name, fn in qs.items():
