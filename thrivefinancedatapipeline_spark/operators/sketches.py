@@ -1311,6 +1311,9 @@ ORACLES["source_jaccard_kmv"] = SOURCE_JACCARD_KMV_ORACLE
 # ---------------------------------------------------------------------------
 
 SRC_DRIFT_K = 48  # per-(source, period) sketch size — cells are smaller
+#: period grain in days (1 = daily; a weekly deployment sets 7 and
+#: nothing else changes — both engines divide the same epoch-days)
+DRIFT_PERIOD_DAYS = 1
 
 
 def source_jaccard_drift(
@@ -1343,6 +1346,7 @@ def source_jaccard_drift(
         F.col("event_id").alias("doc_id"),
         F.expr(
             "datediff(to_date(ts), DATE '1970-01-01')"
+            f" div {DRIFT_PERIOD_DAYS}"
         ).alias("epoch_day"),
     )
     tk = (
@@ -1400,7 +1404,8 @@ def source_jaccard_drift(
 SOURCE_JACCARD_DRIFT_ORACLE = f"""
 WITH docs AS (SELECT d.doc_id, d.source,
                      datediff('day', DATE '1970-01-01',
-                              CAST(e.ts AS DATE)) AS epoch_day,
+                              CAST(e.ts AS DATE))
+                       // {DRIFT_PERIOD_DAYS} AS epoch_day,
                      string_split({_SJ_NORM}, ' ') AS toks
               FROM documents d JOIN events e ON e.event_id = d.doc_id),
 g AS (SELECT source, epoch_day,
