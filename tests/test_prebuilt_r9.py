@@ -269,3 +269,39 @@ def test_prebuilt_catalog_is_the_r9_six():
         "doc_length_outliers",
         "balance_concentration_by_segment",
     }
+
+
+def test_staged_prebuild_plan_shapes(spark, sf_dir):
+    """Scale-posture guards for the staged ops: no SortMergeJoin
+    anywhere (joins are broadcast or key-partitioned aggregation),
+    and dimension/rollup joins broadcast. Counts are measured from
+    the intended plans; a regression to a shuffled join flips SMJ
+    positive long before it hurts at sf0.01."""
+    from thrivefinancedatapipeline_spark.operators.sketches import (
+        source_jaccard_drift,
+    )
+    from thrivefinancedatapipeline_spark.operators.textops import (
+        doc_length_outliers,
+    )
+    from thrivefinancedatapipeline_spark.plans.finance_queries import (
+        balance_concentration_by_segment,
+    )
+
+    for name, df, min_bhj in [
+        (
+            "concentration",
+            balance_concentration_by_segment(spark, sf_dir),
+            1,  # the customer-dimension join
+        ),
+        (
+            "length_outliers",
+            doc_length_outliers(spark, sf_dir),
+            2,  # med + mad broadcast back to cells
+        ),
+        ("jaccard_drift", source_jaccard_drift(spark, sf_dir), 0),
+    ]:
+        plan = (
+            df._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("SortMergeJoin") == 0, name
+        assert plan.count("BroadcastHashJoin") >= min_bhj, name
