@@ -163,6 +163,12 @@ def main() -> None:
         "sf": sf_val,
     }
     print(json.dumps(out))
+    # The driver's BENCH_r0N.json capture has truncated the LINE START
+    # in some rounds and the TAIL in others; the full artifact line
+    # leads with metric/value (head-truncation-safe), and this tiny
+    # trailing line keeps the headline total when the capture keeps
+    # only the END of output instead.
+    print(json.dumps({"total_wall_s": out["value"]}))
     # Self-sufficiency: the driver-committed BENCH_r0N.json tails kept
     # truncating before the medians (r5 AND r6), so round-over-round
     # comparison depended on judge-side re-runs. Persist the FULL

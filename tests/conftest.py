@@ -23,6 +23,7 @@ SLOW_FILES = {
     "test_asof_property.py",    # 50 s — iterative CC properties
     "test_similarity_recall.py",   # 26 s
     "test_ranged_scan_property.py",  # 21 s
+    "test_prebuilt_r9.py",      # 60 s — two-SF Spark-vs-DuckDB compares
 }
 
 

@@ -199,5 +199,3 @@ def test_r8_six_promoted_to_registered_catalog():
     assert staged & six == set()
     qs, os_ = all_queries(), all_oracles()
     assert six <= set(qs) and six <= set(os_)
-    # the r9 prebuild is staged at the gate
-    assert "source_jaccard_drift" in staged

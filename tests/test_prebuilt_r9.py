@@ -249,7 +249,10 @@ def test_balance_concentration_vs_duckdb_and_bounds(spark, sf_dir):
             assert top_ppm * top_ppm <= hhi * 1_000_000 + 1_000_000
 
 
-def test_prebuilt_catalog_is_the_r9_six():
+def test_r9_six_promoted_to_registered_catalog():
+    """Round 9 registered the six r8-staged prebuilds: they must all
+    be in the module QUERIES/ORACLES dicts (aggregated by the
+    registry) and NO LONGER in the prebuilt staging catalog."""
     import sys
 
     sys.path.insert(
@@ -261,7 +264,12 @@ def test_prebuilt_catalog_is_the_r9_six():
     )
     import check_prebuilt
 
-    assert set(check_prebuilt._catalog()) == {
+    from thrivefinancedatapipeline_spark.registry import (
+        all_oracles,
+        all_queries,
+    )
+
+    six = {
         "source_jaccard_drift",
         "source_dup_matrix",
         "split_leakage_audit",
@@ -269,6 +277,10 @@ def test_prebuilt_catalog_is_the_r9_six():
         "doc_length_outliers",
         "balance_concentration_by_segment",
     }
+    staged = set(check_prebuilt._catalog())
+    assert staged & six == set()
+    qs, os_ = all_queries(), all_oracles()
+    assert six <= set(qs) and six <= set(os_)
 
 
 def test_staged_prebuild_plan_shapes(spark, sf_dir):

@@ -2187,7 +2187,15 @@ def pair_rate_matrix(
 
     Scale: the pair relation is LSH-bounded, labeling joins ship
     |pairs| rows against broadcast-size label projections, the
-    matrix is |labels|^2 cells."""
+    matrix is |labels|^2 cells.
+
+    PRECONDITION: `labels` must cover every doc_id appearing in
+    `pairs` — the labeling joins are INNER, so a pair whose doc has
+    no label row is silently dropped and the matrix under-counts.
+    Both current callers label from the same `documents` scan that
+    produced the pairs, so coverage is total by construction; a
+    caller passing a partial label projection must pre-join or map
+    missing docs to an explicit UNKNOWN label instead."""
     a_col, b_col = f"{col}_a", f"{col}_b"
     per = labels.groupBy(col).agg(F.count(F.lit(1)).alias("n"))
     sa = labels.select(
@@ -2279,3 +2287,6 @@ def source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 SOURCE_DUP_MATRIX_ORACLE = pair_rate_matrix_sql(
     "SELECT doc_id, source FROM documents", "source", "dup_ppm"
 )
+
+QUERIES["source_dup_matrix"] = source_dup_matrix
+ORACLES["source_dup_matrix"] = SOURCE_DUP_MATRIX_ORACLE

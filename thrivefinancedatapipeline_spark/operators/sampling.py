@@ -427,3 +427,7 @@ def _split_leakage_oracle() -> str:
         "split",
         "leak_ppm",
     )
+
+
+QUERIES["split_leakage_audit"] = split_leakage_audit
+ORACLES["split_leakage_audit"] = _split_leakage_oracle()

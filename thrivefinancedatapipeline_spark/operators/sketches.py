@@ -1452,3 +1452,6 @@ SELECT k.source,
        CAST(CAST(COALESCE(o.n_both, 0) AS HUGEINT) * 1000000
             // k.k_used AS BIGINT) AS jaccard_ppm
 FROM ku k LEFT JOIN ovl o USING (source, epoch_day, prev_day)"""
+
+QUERIES["source_jaccard_drift"] = source_jaccard_drift
+ORACLES["source_jaccard_drift"] = SOURCE_JACCARD_DRIFT_ORACLE

@@ -2166,3 +2166,6 @@ FROM cells c
 JOIN med m USING (lang)
 JOIN mad d USING (lang)
 GROUP BY c.lang"""
+
+QUERIES["doc_length_outliers"] = doc_length_outliers
+ORACLES["doc_length_outliers"] = DOC_LENGTH_OUTLIERS_ORACLE

@@ -1418,3 +1418,8 @@ SELECT segment,
             // (CAST(SUM(bal_cents) AS HUGEINT) * SUM(bal_cents))
             AS BIGINT) AS hhi_ppb
 FROM lab GROUP BY segment"""
+
+QUERIES["balance_drawdown"] = balance_drawdown
+ORACLES["balance_drawdown"] = DRAWDOWN_ORACLE
+QUERIES["balance_concentration_by_segment"] = balance_concentration_by_segment
+ORACLES["balance_concentration_by_segment"] = CONCENTRATION_ORACLE

@@ -32,54 +32,13 @@ def _catalog():
     registered in a module's QUERIES/ORACLES dicts.
 
     Round 6 drained the 29-operator backlog; round 8 registered the
-    six operators round 7 had staged here (time_weighted_balance,
-    events_stickiness, source_jaccard_kmv, split_balance_audit,
-    packing_efficiency, ivfpq_distortion_audit). Round 8 stages SIX
-    operators for the r9 window (per-(source, period) KMV drift,
-    cross-source near-dup matrix, split-leakage decontamination,
-    balance drawdown, doc-length outliers, segment concentration):
-    green here first, then a 2-line move into the module dicts."""
-    from thrivefinancedatapipeline_spark.operators.dedup import (
-        SOURCE_DUP_MATRIX_ORACLE,
-        source_dup_matrix,
-    )
-    from thrivefinancedatapipeline_spark.operators.sampling import (
-        _split_leakage_oracle,
-        split_leakage_audit,
-    )
-    from thrivefinancedatapipeline_spark.operators.sketches import (
-        SOURCE_JACCARD_DRIFT_ORACLE,
-        source_jaccard_drift,
-    )
-    from thrivefinancedatapipeline_spark.operators.textops import (
-        DOC_LENGTH_OUTLIERS_ORACLE,
-        doc_length_outliers,
-    )
-    from thrivefinancedatapipeline_spark.plans.finance_queries import (
-        CONCENTRATION_ORACLE,
-        DRAWDOWN_ORACLE,
-        balance_concentration_by_segment,
-        balance_drawdown,
-    )
-
-    return {
-        "balance_concentration_by_segment": (
-            balance_concentration_by_segment, CONCENTRATION_ORACLE,
-        ),
-        "balance_drawdown": (balance_drawdown, DRAWDOWN_ORACLE),
-        "doc_length_outliers": (
-            doc_length_outliers, DOC_LENGTH_OUTLIERS_ORACLE,
-        ),
-        "source_jaccard_drift": (
-            source_jaccard_drift, SOURCE_JACCARD_DRIFT_ORACLE,
-        ),
-        "source_dup_matrix": (
-            source_dup_matrix, SOURCE_DUP_MATRIX_ORACLE,
-        ),
-        "split_leakage_audit": (
-            split_leakage_audit, _split_leakage_oracle(),
-        ),
-    }
+    six operators round 7 had staged here; round 9 registered the six
+    operators round 8 had staged (source_jaccard_drift,
+    source_dup_matrix, split_leakage_audit, balance_drawdown,
+    doc_length_outliers, balance_concentration_by_segment). Future
+    prebuilds stage here first: green at the default sf0.01, then a
+    2-line move of the (query, oracle) pair into the module dicts."""
+    return {}
 
 
 def main() -> int:
