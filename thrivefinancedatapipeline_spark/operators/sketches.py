@@ -1317,7 +1317,7 @@ DRIFT_PERIOD_DAYS = 1
 
 
 def source_jaccard_drift(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, period_days: int | None = None
 ) -> DataFrame:
     """Period-over-period content drift per source from per-(source,
     epoch-day) KMV sketches — the temporal twin of
@@ -1341,12 +1341,14 @@ def source_jaccard_drift(
     |sources| x |periods| x k longs, nothing more."""
     from ..functions.text import shingles_from_tokens, tokens
 
+    if period_days is None:
+        period_days = DRIFT_PERIOD_DAYS
     docs = load_table(spark, sf_dir, "documents")
     ingest = load_table(spark, sf_dir, "events").select(
         F.col("event_id").alias("doc_id"),
         F.expr(
             "datediff(to_date(ts), DATE '1970-01-01')"
-            f" div {DRIFT_PERIOD_DAYS}"
+            f" div {period_days}"
         ).alias("epoch_day"),
     )
     tk = (
@@ -1401,11 +1403,17 @@ def source_jaccard_drift(
     )
 
 
-SOURCE_JACCARD_DRIFT_ORACLE = f"""
+def source_jaccard_drift_oracle(period_days: int | None = None) -> str:
+    """DuckDB twin of :func:`source_jaccard_drift` at the same grain
+    — a builder so the weekly cadence (period_days=7) is testable
+    with the registered daily default unchanged."""
+    if period_days is None:
+        period_days = DRIFT_PERIOD_DAYS
+    return f"""
 WITH docs AS (SELECT d.doc_id, d.source,
                      datediff('day', DATE '1970-01-01',
                               CAST(e.ts AS DATE))
-                       // {DRIFT_PERIOD_DAYS} AS epoch_day,
+                       // {period_days} AS epoch_day,
                      string_split({_SJ_NORM}, ' ') AS toks
               FROM documents d JOIN events e ON e.event_id = d.doc_id),
 g AS (SELECT source, epoch_day,
@@ -1452,6 +1460,9 @@ SELECT k.source,
        CAST(CAST(COALESCE(o.n_both, 0) AS HUGEINT) * 1000000
             // k.k_used AS BIGINT) AS jaccard_ppm
 FROM ku k LEFT JOIN ovl o USING (source, epoch_day, prev_day)"""
+
+
+SOURCE_JACCARD_DRIFT_ORACLE = source_jaccard_drift_oracle()
 
 QUERIES["source_jaccard_drift"] = source_jaccard_drift
 ORACLES["source_jaccard_drift"] = SOURCE_JACCARD_DRIFT_ORACLE
