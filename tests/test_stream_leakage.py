@@ -1,0 +1,114 @@
+"""Streaming twin of split_leakage_audit (r8 VERDICT item 5):
+row-local MinHash banding parity, and drain parity of the stateful
+leakage counters against the batch audit."""
+
+import glob
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from thrivefinancedatapipeline_spark.streaming import stateful
+
+from test_streaming_stateful import drain
+
+
+def test_row_local_minhash_bands_match_batch(spark, sf_dir):
+    """The streaming form's per-row signature fold produces the
+    IDENTICAL (doc_id, band, key) relation as the batch
+    explode+groupBy banding — the property that lets a stream probe
+    the corpus band index without silently missing collisions."""
+    from thrivefinancedatapipeline_spark.operators.dedup import (
+        _docs,
+        minhash_bands_for,
+        minhash_bands_row_local,
+    )
+
+    docs = _docs(spark, sf_dir)
+    got = sorted(
+        tuple(r)
+        for r in minhash_bands_row_local(docs)
+        .select("doc_id", "band", "key")
+        .collect()
+    )
+    want = sorted(tuple(r) for r in minhash_bands_for(docs).collect())
+    assert got == want
+    # the carried verify payload matches the shingle relation
+    n = dict(
+        minhash_bands_row_local(docs)
+        .select("doc_id", "n_shingles")
+        .distinct()
+        .collect()
+    )
+    from thrivefinancedatapipeline_spark.operators.dedup import (
+        _shingle_rows,
+    )
+
+    want_n = dict(
+        _shingle_rows(docs).groupBy("doc_id").count().collect()
+    )
+    assert n == want_n
+
+
+def test_stream_split_leakage_matches_batch(spark, sf_dir):
+    """Drain parity: after the full corpus streams through, the
+    max-seq n_pairs per (split_a, split_b) cell equals the batch
+    split_leakage_audit's n_dup_pairs — each unordered pair is
+    counted exactly once (when its later doc arrives), whatever the
+    arrival order. Counters are monotone along the stream."""
+    from thrivefinancedatapipeline_spark.datamodel import load_table
+    from thrivefinancedatapipeline_spark.operators.sampling import (
+        split_leakage_audit,
+    )
+
+    src = tempfile.mkdtemp(prefix="stream_leak_")
+    try:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        for i, (lo, hi) in enumerate([(0, 170), (170, 340), (340, 10**9)]):
+            part = (
+                docs.filter(
+                    (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+                )
+                .orderBy("doc_id")
+                .coalesce(1)
+            )
+            part.write.parquet(f"{src}/b{i}", mode="overwrite")
+            for f in glob.glob(f"{src}/b{i}/part-*.parquet"):
+                shutil.copy(f, f"{src}/file{i}.parquet")
+            shutil.rmtree(f"{src}/b{i}")
+            os.utime(
+                f"{src}/file{i}.parquet", (1_000_000 + i, 1_000_000 + i)
+            )
+        got = drain(
+            stateful.stream_split_leakage(
+                spark, src, sf_dir, max_files_per_trigger=1
+            ),
+            "stream_leak",
+            "append",
+        )
+        latest = {}
+        for r in got:
+            cell = (r.split_a, r.split_b)
+            if cell not in latest or r.seq > latest[cell].seq:
+                latest[cell] = r
+        final = sorted(
+            (a, b, r.n_pairs) for (a, b), r in latest.items()
+        )
+        want = sorted(
+            (r.split_a, r.split_b, r.n_dup_pairs)
+            for r in split_leakage_audit(spark, sf_dir).collect()
+        )
+        assert final == want
+        assert len(final) >= 1  # non-vacuous: the corpus has leaks
+        # per-cell counters never decrease along the stream
+        by_cell = {}
+        for r in sorted(got, key=lambda r: r.seq):
+            prev = by_cell.get((r.split_a, r.split_b))
+            if prev is not None:
+                assert r.n_pairs >= prev
+            by_cell[(r.split_a, r.split_b)] = r.n_pairs
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

@@ -2290,3 +2290,78 @@ SOURCE_DUP_MATRIX_ORACLE = pair_rate_matrix_sql(
 
 QUERIES["source_dup_matrix"] = source_dup_matrix
 ORACLES["source_dup_matrix"] = SOURCE_DUP_MATRIX_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Row-local MinHash (streaming form of the banding).
+# ---------------------------------------------------------------------------
+
+_SIG_A = "array(" + ", ".join(str(a) for a in A) + ")"
+_SIG_B = "array(" + ", ".join(str(b) for b in B) + ")"
+#: one fold over the shingle-hash array updating all K mins per
+#: element (the simhash single-pass rule: K separate array_min terms
+#: would re-traverse the array per permutation)
+_ROW_SIG = (
+    f"aggregate(hs, array_repeat(CAST({P} AS BIGINT), {K}), "
+    f"(acc, h) -> zip_with(acc, sequence(0, {K - 1}), "
+    f"(m, j) -> least(m, (element_at({_SIG_A}, j + 1) * h "
+    f"+ element_at({_SIG_B}, j + 1)) % {P})))"
+)
+
+
+def minhash_bands_row_local(docs: DataFrame) -> DataFrame:
+    """The (doc_id, band, key) relation of `minhash_bands_for`, with
+    signatures folded ROW-LOCALLY over each document's shingle array
+    instead of explode + groupBy — zero shuffle and zero state, the
+    form a STREAMING probe needs (a streaming groupBy would make the
+    probe itself a stateful aggregation). Each row also carries the
+    shingle array + count for the downstream exact-Jaccard verify
+    (stream micro-batches are small; a corpus-scale batch run keeps
+    the explode+groupBy form — 16 codegen'd min-aggs beat one
+    interpreted fold there, the measured HOF rule).
+
+    Signature parity with _minhash_signatures is exact: both take
+    min over (A_j * (md5_60(sh) % P) + B_j) % P across the SAME
+    distinct shingle set (shingles_from_tokens emits distinct
+    shingles; duplicates wouldn't change a min) — pinned in
+    tests/test_stream_leakage.py."""
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    shs = toks.select(
+        "doc_id", shingles_from_tokens(F.col("toks")).alias("shs")
+    )
+    hs = shs.select(
+        "doc_id",
+        "shs",
+        F.transform(F.col("shs"), lambda sh: md5_long(sh) % P).alias("hs"),
+    )
+    sig = hs.select(
+        "doc_id",
+        "shs",
+        F.size("shs").cast("long").alias("n_shingles"),
+        F.expr(_ROW_SIG).alias("sig"),
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "_",
+                *[
+                    F.element_at("sig", b * R + r + 1).cast("string")
+                    for r in range(R)
+                ],
+            ).alias("key"),
+        )
+        for b in range(NB)
+    ]
+    return sig.select(
+        "doc_id",
+        "shs",
+        "n_shingles",
+        F.explode(F.array(*band_structs)).alias("bk"),
+    ).select(
+        "doc_id",
+        "shs",
+        "n_shingles",
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+    )

@@ -318,3 +318,155 @@ FROM asg GROUP BY lang"""
 # and two-SF pinned in tests/test_prebuilt_r8.py before promotion).
 QUERIES["packing_efficiency"] = packing_efficiency
 ORACLES["packing_efficiency"] = PACKING_EFFICIENCY_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# PREBUILT (r9-staged, NOT yet registered — tools/check_prebuilt.py).
+# ---------------------------------------------------------------------------
+
+#: (window, stride) points of the token-cost curve: each window with
+#: and without the production overlap (window - stride context carry)
+TOKEN_COST_GRID = ((64, 56), (64, 64), (128, 112), (128, 128),
+                   (256, 224), (256, 256))
+
+
+def source_token_cost_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokens shipped per source at every (window, stride) chunking
+    point, through packing — the data-buyer's cost model (r8 VERDICT
+    item 4): overlap chunking multiplies raw tokens by the context
+    carry (`blowup_ppm`), packing pads the chunk stream to whole
+    2048-token packs (`fill_ppm`), and the curve prices each
+    configuration per source before anyone pays to train on it. The
+    chunk arithmetic is exactly `textops.chunk_documents`' start/size
+    rule (equivalence at the production (64, 56) point is
+    test-pinned), evaluated in closed form from token counts.
+
+    Scale shape — the reason this is NOT chunk-and-count six times:
+    chunk starts and sizes depend only on a document's token count,
+    so the curve needs one pass computing (source, n_tokens) CELLS
+    (map-side combinable; cells are bounded by |sources| x max doc
+    length, ~10^5 rows at 100 TB) and then evaluates the per-cell
+    chunk fan-out for all six grid points over cell rows only. The
+    corpus-scale explode the real chunker pays never happens here.
+
+    Integer-exact throughout: per-cell totals fold over the start
+    sequence (one interpreted pass over <= n/stride elements per
+    cell), rollups widen to DECIMAL(38,0) before count x token
+    products (the ANSI-overflow rule)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(tokens(F.col("text"))).alias("n")
+    )
+    cells = docs.groupBy("source", "n").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    grid = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(w).alias("win_tokens"),
+                    F.lit(s).alias("stride_tokens"),
+                )
+                for w, s in TOKEN_COST_GRID
+            ]
+        )
+    ).alias("g")
+    pts = cells.select("source", "n", "cnt", grid).select(
+        "source", "n", "cnt",
+        F.col("g.win_tokens").alias("win_tokens"),
+        F.col("g.stride_tokens").alias("stride_tokens"),
+    )
+    # chunk_documents' start rule: s = 0, stride, 2*stride, ... kept
+    # while the chunk covers new tokens; chunk size = min(win, n - s)
+    per = pts.select(
+        "source", "cnt", "win_tokens", "stride_tokens",
+        F.col("n").cast("long").alias("n"),
+        F.expr(
+            "filter(sequence(0, greatest(n - 1, 0), stride_tokens),"
+            " s -> s = 0 OR s + (win_tokens - stride_tokens) < n)"
+        ).alias("starts"),
+    ).select(
+        "source", "cnt", "win_tokens", "stride_tokens", "n",
+        F.size("starts").cast("long").alias("nch"),
+        F.expr(
+            "aggregate(starts, CAST(0 AS BIGINT),"
+            " (acc, s) -> acc + least(CAST(win_tokens AS BIGINT), n - s))"
+        ).alias("ctoks"),
+    )
+    agg = per.groupBy("source", "win_tokens", "stride_tokens").agg(
+        F.sum("cnt").cast("long").alias("n_docs"),
+        F.expr(
+            "CAST(sum(CAST(cnt AS DECIMAL(38,0)) * n) AS BIGINT)"
+        ).alias("raw_tokens"),
+        F.expr(
+            "CAST(sum(CAST(cnt AS DECIMAL(38,0)) * nch) AS BIGINT)"
+        ).alias("n_chunks"),
+        F.expr(
+            "CAST(sum(CAST(cnt AS DECIMAL(38,0)) * ctoks) AS BIGINT)"
+        ).alias("chunk_tokens"),
+    )
+    return agg.select(
+        "source",
+        F.col("win_tokens").cast("int").alias("win_tokens"),
+        F.col("stride_tokens").cast("int").alias("stride_tokens"),
+        "n_docs",
+        "raw_tokens",
+        "n_chunks",
+        "chunk_tokens",
+        F.expr(
+            f"CAST((chunk_tokens + {PACK_BUDGET} - 1)"
+            f" div {PACK_BUDGET} AS BIGINT)"
+        ).alias("n_packs"),
+        F.expr(
+            "CAST(CAST(chunk_tokens AS DECIMAL(38,0)) * 1000000"
+            " div raw_tokens AS BIGINT)"
+        ).alias("blowup_ppm"),
+        F.expr(
+            "CAST(CAST(chunk_tokens AS DECIMAL(38,0)) * 1000000"
+            f" div (((chunk_tokens + {PACK_BUDGET} - 1)"
+            f" div {PACK_BUDGET}) * {PACK_BUDGET}) AS BIGINT)"
+        ).alias("fill_ppm"),
+    )
+
+
+_TCC_GRID_VALUES = ", ".join(f"({w}, {s})" for w, s in TOKEN_COST_GRID)
+
+SOURCE_TOKEN_COST_CURVE_ORACLE = f"""
+WITH toks AS (
+  SELECT source, len(string_split({norm_sql("text")}, ' ')) AS n
+  FROM documents),
+cells AS (
+  SELECT source, n, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY 1, 2),
+grid(win_tokens, stride_tokens) AS (VALUES {_TCC_GRID_VALUES}),
+st AS (
+  SELECT c.source, c.n, c.cnt, g.win_tokens, g.stride_tokens, u.s
+  FROM cells c CROSS JOIN grid g,
+       unnest(range(0, greatest(c.n, 1), g.stride_tokens)) AS u(s)
+  WHERE u.s = 0 OR u.s + (g.win_tokens - g.stride_tokens) < c.n),
+percell AS (
+  SELECT source, win_tokens, stride_tokens, n, cnt,
+         CAST(COUNT(*) AS BIGINT) AS nch,
+         CAST(SUM(least(win_tokens, n - s)) AS BIGINT) AS ctoks
+  FROM st GROUP BY 1, 2, 3, 4, 5),
+agg AS (
+  SELECT source, win_tokens, stride_tokens,
+         CAST(SUM(cnt) AS BIGINT) AS n_docs,
+         CAST(SUM(CAST(cnt AS HUGEINT) * n) AS BIGINT) AS raw_tokens,
+         CAST(SUM(CAST(cnt AS HUGEINT) * nch) AS BIGINT) AS n_chunks,
+         CAST(SUM(CAST(cnt AS HUGEINT) * ctoks) AS BIGINT)
+           AS chunk_tokens
+  FROM percell GROUP BY 1, 2, 3)
+SELECT source,
+       CAST(win_tokens AS INT) AS win_tokens,
+       CAST(stride_tokens AS INT) AS stride_tokens,
+       n_docs, raw_tokens, n_chunks, chunk_tokens,
+       CAST((chunk_tokens + {PACK_BUDGET} - 1) // {PACK_BUDGET}
+            AS BIGINT) AS n_packs,
+       CAST(CAST(chunk_tokens AS HUGEINT) * 1000000 // raw_tokens
+            AS BIGINT) AS blowup_ppm,
+       CAST(CAST(chunk_tokens AS HUGEINT) * 1000000
+            // (((chunk_tokens + {PACK_BUDGET} - 1) // {PACK_BUDGET})
+                * {PACK_BUDGET}) AS BIGINT) AS fill_ppm
+FROM agg"""

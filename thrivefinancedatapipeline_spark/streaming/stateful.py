@@ -1229,3 +1229,129 @@ def stream_balance_drawdown(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+LEAK_OUT_SCHEMA = "split_a string, split_b string, seq int, n_pairs long"
+LEAK_STATE_SCHEMA = "seq int, n long"
+
+
+def _leak_state_fn(key, pdf_iter, state: GroupState):
+    """Per-(split_a, split_b) leakage counter. State is TWO integers
+    forever — the bounded probe state the batch audit's pair relation
+    collapses to once the corpus side is a static index. A verified
+    pair reaches exactly one micro-batch (its stream doc arrives
+    once), so the cross-band duplicate collapse is a within-batch
+    set, never state."""
+    seq, n = 0, 0
+    if state.exists:
+        seq, n = state.get
+    seen = set()
+    for pdf in pdf_iter:
+        for d1, d2 in zip(pdf["doc_id_1"], pdf["doc_id_2"]):
+            seen.add((int(d1), int(d2)))
+    n += len(seen)
+    seq += 1
+    state.update((seq, n))
+    yield pd.DataFrame(
+        {
+            "split_a": [key[0]],
+            "split_b": [key[1]],
+            "seq": [seq],
+            "n_pairs": [n],
+        }
+    )
+
+
+def stream_split_leakage(
+    spark, source_dir: str, sf_dir: str, max_files_per_trigger: int = 1
+):
+    """Continuous train/val/test leakage monitoring — the streaming
+    twin of `operators/sampling.split_leakage_audit`: every arriving
+    document is MinHash-banded ROW-LOCALLY (dedup.
+    minhash_bands_row_local — no streaming aggregation), probes the
+    STATIC corpus band index for candidates, exact-Jaccard-verifies
+    them, labels both sides with the same pure-hash split_column the
+    batch audit uses (a pure expression — no label stream needed),
+    and folds verified pairs into two integers of state per
+    split-pair cell.
+
+    Pair-once contract: only (index doc < arriving doc) candidates
+    are kept, so each unordered pair is counted exactly once — when
+    its later member arrives — matching the batch pair relation
+    regardless of arrival order. At 100 TB the static side is the
+    maintained bucketed band index (build_minhash_band_index) and
+    the verify's shingle arrays are a semi-join fetch against the
+    document store; here both are materialized once per run
+    (localCheckpoint) from the same documents table."""
+    from ..operators.dedup import (
+        JACCARD_DEN,
+        JACCARD_NUM,
+        _docs,
+        _shingle_rows,
+        minhash_bands_for,
+        minhash_bands_row_local,
+    )
+    from ..operators.sampling import split_column
+
+    corpus = _docs(spark, sf_dir)
+    idx = (
+        minhash_bands_for(corpus)
+        .select(F.col("doc_id").alias("doc_id_2"), "band", "key")
+        .localCheckpoint(eager=True)
+    )
+    arrs = (
+        _shingle_rows(corpus)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list("sh").alias("shs2"),
+            F.count(F.lit(1)).cast("long").alias("shingles_2"),
+        )
+        .select(F.col("doc_id").alias("doc_id_2"), "shs2", "shingles_2")
+        .localCheckpoint(eager=True)
+    )
+    docs = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    bn = minhash_bands_row_local(docs).select(
+        F.col("doc_id").alias("doc_id_1"),
+        F.col("shs").alias("shs1"),
+        F.col("n_shingles").alias("shingles_1"),
+        "band",
+        "key",
+    )
+    cand = bn.join(idx, ["band", "key"]).filter(
+        F.col("doc_id_2") < F.col("doc_id_1")
+    )
+    common = F.size(
+        F.array_intersect(F.col("shs1"), F.col("shs2"))
+    ).cast("long")
+    verified = (
+        cand.join(arrs, "doc_id_2")
+        .withColumn("common_shingles", common)
+        .filter(
+            JACCARD_DEN * F.col("common_shingles")
+            >= JACCARD_NUM
+            * (
+                F.col("shingles_1")
+                + F.col("shingles_2")
+                - F.col("common_shingles")
+            )
+        )
+    )
+    sa = split_column(F.col("doc_id_1"))
+    sb = split_column(F.col("doc_id_2"))
+    labeled = verified.select(
+        "doc_id_1",
+        "doc_id_2",
+        F.least(sa, sb).alias("split_a"),
+        F.greatest(sa, sb).alias("split_b"),
+    )
+    return labeled.groupBy("split_a", "split_b").applyInPandasWithState(
+        _leak_state_fn,
+        outputStructType=LEAK_OUT_SCHEMA,
+        stateStructType=LEAK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

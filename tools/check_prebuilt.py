@@ -35,10 +35,19 @@ def _catalog():
     six operators round 7 had staged here; round 9 registered the six
     operators round 8 had staged (source_jaccard_drift,
     source_dup_matrix, split_leakage_audit, balance_drawdown,
-    doc_length_outliers, balance_concentration_by_segment). Future
-    prebuilds stage here first: green at the default sf0.01, then a
+    doc_length_outliers, balance_concentration_by_segment). Round 9
+    stages prebuilds for the r10 window: green here first, then a
     2-line move of the (query, oracle) pair into the module dicts."""
-    return {}
+    from thrivefinancedatapipeline_spark.operators.packing import (
+        SOURCE_TOKEN_COST_CURVE_ORACLE,
+        source_token_cost_curve,
+    )
+
+    return {
+        "source_token_cost_curve": (
+            source_token_cost_curve, SOURCE_TOKEN_COST_CURVE_ORACLE,
+        ),
+    }
 
 
 def main() -> int:
