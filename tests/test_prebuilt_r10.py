@@ -105,3 +105,167 @@ def test_token_cost_curve_matches_real_chunker_at_production_point(
         .collect()
     }
     assert curve == real
+
+
+def test_near_dup_severity_histogram_vs_duckdb_and_bounds(
+    spark, sf_dir
+):
+    from thrivefinancedatapipeline_spark.operators.dedup import (
+        NEAR_DUP_SEVERITY_ORACLE,
+        SEVERITY_BUCKET_PPM,
+        near_dup_severity_histogram,
+        q_dedup_minhash_lsh,
+    )
+
+    for d in _dirs(sf_dir):
+        got = sorted(
+            tuple(r)
+            for r in near_dup_severity_histogram(spark, d).collect()
+        )
+        want = sorted(
+            tuple(r) for r in _duck(d, NEAR_DUP_SEVERITY_ORACLE)
+        )
+        assert got == want, f"severity histogram mismatch at {d}"
+        assert len(got) >= 1
+        for lo, n in got:
+            # tau = 0.8 floor; 1e6 is the exact-duplicate bucket
+            assert 800_000 <= lo <= 1_000_000
+            assert lo % SEVERITY_BUCKET_PPM == 0
+            assert n >= 1
+        # conservation: every verified pair lands in exactly one cell
+        assert sum(n for _, n in got) == q_dedup_minhash_lsh(
+            spark, d
+        ).count()
+
+
+def test_source_token_yield_vs_duckdb_and_bounds(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.operators.dedup import (
+        SOURCE_TOKEN_YIELD_ORACLE,
+        source_token_yield,
+    )
+
+    for d in _dirs(sf_dir):
+        got = sorted(
+            tuple(r) for r in source_token_yield(spark, d).collect()
+        )
+        want = sorted(
+            tuple(r) for r in _duck(d, SOURCE_TOKEN_YIELD_ORACLE)
+        )
+        assert got == want, f"source_token_yield mismatch at {d}"
+        assert len(got) >= 2
+        for src, n_docs, raw, ex, near, ex_ppm, near_ppm in got:
+            # a near survivor (cluster min) is always an exact
+            # survivor (content-hash min): identical texts share a
+            # simhash, so exact-dup groups are cluster subsets
+            assert 0 <= near <= ex <= raw
+            assert n_docs >= 1 and raw >= n_docs
+            assert ex_ppm == ex * 1_000_000 // raw
+            assert near_ppm == near * 1_000_000 // raw
+
+
+def test_quality_split_drift_vs_duckdb_and_bounds(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.operators.sampling import (
+        _quality_split_drift_oracle,
+        quality_split_drift,
+    )
+
+    oracle = _quality_split_drift_oracle()
+    for d in _dirs(sf_dir):
+        got = sorted(
+            tuple(r) for r in quality_split_drift(spark, d).collect()
+        )
+        want = sorted(tuple(r) for r in _duck(d, oracle))
+        assert got == want, f"quality_split_drift mismatch at {d}"
+        splits = {r[0] for r in got}
+        assert splits == {"train", "val", "test"}
+        by_split = {}
+        for split, bucket, n, ppm in got:
+            assert bucket in {"low", "medium", "high"}
+            assert n >= 1 and 0 < ppm <= 1_000_000
+            by_split.setdefault(split, []).append(ppm)
+        for split, ppms in by_split.items():
+            # floor rounding loses < 1 ppm per bucket
+            assert 1_000_000 - len(ppms) < sum(ppms) <= 1_000_000
+
+
+def test_balance_volatility_vs_duckdb_and_cross_op(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.plans.finance_queries import (
+        BALANCE_VOLATILITY_ORACLE,
+        balance_drawdown,
+        balance_volatility,
+    )
+
+    for d in _dirs(sf_dir):
+        got = sorted(
+            tuple(r) for r in balance_volatility(spark, d).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in _duck(d, BALANCE_VOLATILITY_ORACLE, ("events",))
+        )
+        assert got == want, f"balance_volatility mismatch at {d}"
+        for _cid, n_days, _net, var in got:
+            assert n_days >= 1
+            assert var >= 0  # n*Σx² − (Σx)² is non-negative
+        # cross-operator conservation: per-customer net flow equals
+        # drawdown's final balance (same delta_cents fold)
+        net = {r[0]: r[2] for r in got}
+        final = {
+            r["customer_id"]: r["final_cents"]
+            for r in balance_drawdown(spark, d).collect()
+        }
+        assert net == final
+
+
+def test_balance_bucket_migration_vs_duckdb_and_bounds(
+    spark, sf_dir
+):
+    from thrivefinancedatapipeline_spark.plans.finance_queries import (
+        BUCKET_MIGRATION_ORACLE,
+        balance_bucket_migration,
+    )
+
+    buckets = {"zero_or_neg", "low", "mid", "high"}
+    for d in _dirs(sf_dir):
+        got = sorted(
+            tuple(r)
+            for r in balance_bucket_migration(spark, d).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in _duck(d, BUCKET_MIGRATION_ORACLE, ("events",))
+        )
+        assert got == want, f"bucket_migration mismatch at {d}"
+        assert len(got) >= 2  # non-vacuous at every SF (day grain)
+        for frm, to, n in got:
+            assert frm in buckets and to in buckets and n >= 1
+
+
+def test_staged_r10_plan_shapes(spark, sf_dir):
+    """Scale-posture guards: no SortMergeJoin anywhere; the
+    migration's two per-customer windows share ONE exchange (3
+    exchanges total: period cells, customer windows, matrix cells) —
+    a regression to a stacked-window re-shuffle flips the count."""
+    from thrivefinancedatapipeline_spark.operators.packing import (
+        source_token_cost_curve,
+    )
+    from thrivefinancedatapipeline_spark.operators.sampling import (
+        quality_split_drift,
+    )
+    from thrivefinancedatapipeline_spark.plans.finance_queries import (
+        balance_bucket_migration,
+        balance_volatility,
+    )
+
+    for name, df, max_exch in [
+        ("token_cost_curve", source_token_cost_curve(spark, sf_dir), 2),
+        ("quality_split_drift", quality_split_drift(spark, sf_dir), 2),
+        ("balance_volatility", balance_volatility(spark, sf_dir), 2),
+        ("bucket_migration", balance_bucket_migration(spark, sf_dir), 3),
+    ]:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("SortMergeJoin") == 0, name
+        assert plan.count("Exchange") <= max_exch, (
+            name,
+            plan.count("Exchange"),
+        )

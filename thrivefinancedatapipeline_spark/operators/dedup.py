@@ -2365,3 +2365,154 @@ def minhash_bands_row_local(docs: DataFrame) -> DataFrame:
         F.col("bk.band").alias("band"),
         F.col("bk.key").alias("key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PREBUILT (r9-staged, NOT yet registered — tools/check_prebuilt.py).
+# ---------------------------------------------------------------------------
+
+#: severity histogram bucket width in jaccard ppm (tau=0.8 floor →
+#: buckets 800k, 825k, ..., 975k, plus the exact-duplicate 1e6 bucket)
+SEVERITY_BUCKET_PPM = 25_000
+
+
+def near_dup_severity_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Severity spectrum of the verified near-dup pair relation: how
+    close to identical the corpus' near-duplicates actually are —
+    boilerplate families cluster near tau, mirror-site replicas at
+    exactly 1.0, and the mix decides whether near-dedup should keep
+    or collapse (a data-curation dial the flat pair count hides).
+    Buckets the exact integer Jaccard (ppm) of every verified
+    MinHash-LSH pair into 25k-ppm cells; the 1e6 cell is the
+    exact-duplicate mass.
+
+    Scale: a |pairs|-row projection + one groupBy on <= 9 keys over
+    the LSH-bounded pair relation — nothing touches the corpus
+    beyond the proven pair query."""
+    p = q_dedup_minhash_lsh(spark, sf_dir)
+    ppm = F.expr(
+        "CAST(CAST(common_shingles AS DECIMAL(38,0)) * 1000000"
+        " div (shingles_1 + shingles_2 - common_shingles) AS BIGINT)"
+    )
+    return (
+        p.select(
+            (
+                (ppm / SEVERITY_BUCKET_PPM).cast("long")
+                * SEVERITY_BUCKET_PPM
+            ).alias("bucket_lo")
+        )
+        .groupBy("bucket_lo")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+NEAR_DUP_SEVERITY_ORACLE = f"""
+WITH pairs AS ({{base}})
+SELECT CAST(CAST(common_shingles AS HUGEINT) * 1000000
+            // (shingles_1 + shingles_2 - common_shingles)
+            // {SEVERITY_BUCKET_PPM} * {SEVERITY_BUCKET_PPM}
+            AS BIGINT) AS bucket_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY 1""".format(base=ORACLES["dedup_minhash_lsh"])
+
+
+def source_token_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective-token yield per source — the number a data buyer
+    actually pays for: raw tokens, tokens surviving EXACT dedup
+    (canonical min-id per content hash), and tokens surviving
+    NEAR-dup clustering (one survivor per simhash connected
+    component, the registered dedup_clusters relation). A source
+    whose near yield is far below its raw token count is selling the
+    same content many times.
+
+    Survivors attribute to the SURVIVOR's source (cross-source
+    duplicate groups keep only the canonical doc's source), so the
+    three columns are one corpus-wide accounting with no double
+    counting. Scale: one token-count scan (map-side combinable)
+    feeding three rollups; the cluster relation is the proven CC
+    engine; joins against survivor id sets are semi-joins on doc_id."""
+    from pyspark.sql import Window
+
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("nt"),
+        F.md5(normalize(F.col("text"))).alias("ch"),
+    )
+    w = Window.partitionBy("ch")
+    exact_surv = (
+        base.withColumn("cid", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("cid"))
+        .groupBy("source")
+        .agg(F.sum("nt").alias("exact_tokens"))
+    )
+    near_ids = (
+        q_dedup_clusters(spark, sf_dir)
+        .filter(F.col("doc_id") == F.col("cluster_id"))
+        .select("doc_id")
+    )
+    near_surv = (
+        base.join(near_ids, "doc_id")
+        .groupBy("source")
+        .agg(F.sum("nt").alias("near_tokens"))
+    )
+    raw = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nt").alias("raw_tokens"),
+    )
+    out = (
+        raw.join(exact_surv, "source", "left")
+        .join(near_surv, "source", "left")
+        .fillna(0, ["exact_tokens", "near_tokens"])
+    )
+    return out.select(
+        "source",
+        "n_docs",
+        F.col("raw_tokens").cast("long").alias("raw_tokens"),
+        F.col("exact_tokens").cast("long").alias("exact_tokens"),
+        F.col("near_tokens").cast("long").alias("near_tokens"),
+        F.expr(
+            "CAST(CAST(exact_tokens AS DECIMAL(38,0)) * 1000000"
+            " div raw_tokens AS BIGINT)"
+        ).alias("exact_yield_ppm"),
+        F.expr(
+            "CAST(CAST(near_tokens AS DECIMAL(38,0)) * 1000000"
+            " div raw_tokens AS BIGINT)"
+        ).alias("near_yield_ppm"),
+    )
+
+
+SOURCE_TOKEN_YIELD_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS nt,
+         md5({_NORM}) AS ch
+  FROM documents),
+ex AS (
+  SELECT source, nt, doc_id,
+         MIN(doc_id) OVER (PARTITION BY ch) AS cid
+  FROM toks),
+raw AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(nt) AS BIGINT) AS raw_tokens
+  FROM toks GROUP BY 1),
+exs AS (
+  SELECT source, CAST(SUM(nt) AS BIGINT) AS exact_tokens
+  FROM ex WHERE doc_id = cid GROUP BY 1),
+nrs AS (
+  SELECT t.source, CAST(SUM(t.nt) AS BIGINT) AS near_tokens
+  FROM toks t JOIN ({ORACLES["dedup_clusters"]}) c
+    ON c.doc_id = t.doc_id AND c.doc_id = c.cluster_id
+  GROUP BY 1)
+SELECT r.source, r.n_docs, r.raw_tokens,
+       COALESCE(e.exact_tokens, 0) AS exact_tokens,
+       COALESCE(n.near_tokens, 0) AS near_tokens,
+       CAST(CAST(COALESCE(e.exact_tokens, 0) AS HUGEINT) * 1000000
+            // r.raw_tokens AS BIGINT) AS exact_yield_ppm,
+       CAST(CAST(COALESCE(n.near_tokens, 0) AS HUGEINT) * 1000000
+            // r.raw_tokens AS BIGINT) AS near_yield_ppm
+FROM raw r
+LEFT JOIN exs e USING (source)
+LEFT JOIN nrs n USING (source)"""

@@ -431,3 +431,63 @@ def _split_leakage_oracle() -> str:
 
 QUERIES["split_leakage_audit"] = split_leakage_audit
 ORACLES["split_leakage_audit"] = _split_leakage_oracle()
+
+
+# ---------------------------------------------------------------------------
+# PREBUILT (r9-staged, NOT yet registered — tools/check_prebuilt.py).
+# ---------------------------------------------------------------------------
+
+def quality_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-bucket mix per train/val/test split — the eval-health
+    audit next to split_balance_audit (language mix) and
+    split_leakage_audit (near-dup crossings): a hash split is only
+    fair if each split sees the same QUALITY distribution, and a
+    val set skewed toward 'low' quietly misgrades every model run.
+    Reuses the registered text_quality_score bucket rule VERBATIM
+    (audit and scorer can never disagree — the distortion-audit
+    principle) and the same split_column as every other split audit.
+
+    Scale: one document scan through the scorer's expressions, one
+    groupBy on <= 9 (split, bucket) cells; the per-split share
+    window runs over those 9 rows."""
+    from .textops import q_text_quality_score
+
+    q = q_text_quality_score(spark, sf_dir).select(
+        "doc_id", "quality_bucket"
+    )
+    lab = q.select(
+        "quality_bucket",
+        split_column(F.col("doc_id")).alias("split"),
+    )
+    g = lab.groupBy("split", "quality_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return g.select(
+        "split",
+        "quality_bucket",
+        "n_docs",
+        F.expr(
+            "CAST(CAST(n_docs AS DECIMAL(38,0)) * 1000000"
+            " div (sum(n_docs) OVER (PARTITION BY split)) AS BIGINT)"
+        ).alias("share_ppm"),
+    )
+
+
+def _quality_split_drift_oracle() -> str:
+    from .textops import ORACLES as _TEXT_ORACLES
+
+    b = hash_bucket_sql("doc_id", 100, "split")
+    split_case = (
+        f"CASE WHEN {b} < {SPLIT_TRAIN} THEN 'train' "
+        f"WHEN {b} < {SPLIT_VAL} THEN 'val' ELSE 'test' END"
+    )
+    return f"""
+WITH q AS ({_TEXT_ORACLES["text_quality_score"]}),
+lab AS (SELECT quality_bucket, {split_case} AS split FROM q),
+g AS (SELECT split, quality_bucket, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM lab GROUP BY 1, 2)
+SELECT split, quality_bucket, n_docs,
+       CAST(CAST(n_docs AS HUGEINT) * 1000000
+            // SUM(n_docs) OVER (PARTITION BY split) AS BIGINT)
+         AS share_ppm
+FROM g"""

@@ -1423,3 +1423,148 @@ QUERIES["balance_drawdown"] = balance_drawdown
 ORACLES["balance_drawdown"] = DRAWDOWN_ORACLE
 QUERIES["balance_concentration_by_segment"] = balance_concentration_by_segment
 ORACLES["balance_concentration_by_segment"] = CONCENTRATION_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# PREBUILT (r9-staged, NOT yet registered — tools/check_prebuilt.py).
+# ---------------------------------------------------------------------------
+
+def balance_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-flow volatility per customer: the variance of the
+    customer's DAILY net cash flow (earned minus spent/expired, in
+    cents) — the risk companion to drawdown (depth of the worst
+    fall) and TWAB (average level): a customer with violent daily
+    swings and a flat net is invisible to both. Population variance
+    emitted as exact integer cents^2 via the n*Σx² − (Σx)² identity
+    (non-negative by construction, so DuckDB floor-division and
+    Spark truncating `div` agree; a possibly-negative mean is
+    deliberately NOT emitted — the two engines' integer divisions
+    disagree below zero).
+
+    Scale: two map-side-combinable rollups (daily cells, then
+    per-customer moments); products of two BIGINT sums widen to
+    DECIMAL(38,0) first (the ANSI-overflow rule)."""
+    t = _txns(spark, sf_dir).select(
+        "customerid",
+        F.to_date("createdat").alias("d"),
+        delta_cents_col().alias("dc"),
+    )
+    daily = t.groupBy("customerid", "d").agg(
+        F.sum("dc").alias("flow")
+    )
+    agg = daily.groupBy("customerid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("flow").cast("long").alias("net_cents"),
+        F.sum(
+            F.expr("CAST(flow AS DECIMAL(38,0)) * flow")
+        ).alias("ss"),
+    )
+    return agg.select(
+        F.col("customerid").alias("customer_id"),
+        "n_days",
+        "net_cents",
+        F.expr(
+            "CAST((n_days * ss - CAST(net_cents AS DECIMAL(38,0))"
+            " * net_cents) div (CAST(n_days AS DECIMAL(38,0)) * n_days)"
+            " AS BIGINT)"
+        ).alias("flow_var_cents2"),
+    )
+
+
+BALANCE_VOLATILITY_ORACLE = f"""WITH {TXNS_CTE},
+daily AS (
+  SELECT customerid, CAST(createdat AS DATE) AS d,
+         SUM({DELTA_CENTS_SQL}) AS flow
+  FROM txns GROUP BY 1, 2),
+agg AS (
+  SELECT customerid,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(flow) AS BIGINT) AS net_cents,
+         SUM(CAST(flow AS HUGEINT) * flow) AS ss
+  FROM daily GROUP BY 1)
+SELECT customerid AS customer_id, n_days, net_cents,
+       CAST((n_days * ss - CAST(net_cents AS HUGEINT) * net_cents)
+            // (CAST(n_days AS HUGEINT) * n_days) AS BIGINT)
+         AS flow_var_cents2
+FROM agg"""
+
+
+#: fixed cent thresholds: rank-free buckets are engine-stable (a
+#: quartile boundary tie would not be)
+BUCKET_CASE = (
+    "CASE WHEN bal_cents <= 0 THEN 'zero_or_neg'"
+    " WHEN bal_cents <= 10000 THEN 'low'"
+    " WHEN bal_cents <= 100000 THEN 'mid'"
+    " ELSE 'high' END"
+)
+
+
+def balance_bucket_migration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Period-over-period migration matrix of customers across fixed
+    balance buckets (<=0 / <=100 / <=1000 / >1000 dollars in cents)
+    — the cohort-health view: a heavy low→zero_or_neg flow is churn
+    in progress, zero→mid is activation. Buckets are FIXED
+    thresholds, not quartiles: rank-based boundaries tie-break
+    differently across engines, fixed cents cannot. Transitions are
+    between consecutive ACTIVE periods per customer (period-end
+    cumulative balance after each period with transactions). The
+    period is a DAY because the test corpus' event span is days —
+    the production monthly cadence swaps the truncation format and
+    nothing else changes (the drift-grain convention).
+
+    Scale: the per-period rollup shuffles once on (customer, period)
+    cells; then ONE exchange per customer serves BOTH the running-
+    balance window and the bucket lag (chained on the same
+    partitioning, original column names kept — the scd2 one-exchange
+    discipline; 3 exchanges total, plan-pinned); the matrix is 16
+    cells."""
+    t = _txns(spark, sf_dir).select(
+        "customerid",
+        F.date_format("createdat", "yyyy-MM-dd").alias("mon"),
+        delta_cents_col().alias("dc"),
+    )
+    monthly = t.groupBy("customerid", "mon").agg(
+        F.sum("dc").alias("net")
+    )
+    w = (
+        Window.partitionBy("customerid")
+        .orderBy("mon")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wlag = Window.partitionBy("customerid").orderBy("mon")
+    bal = monthly.select(
+        "customerid",
+        "mon",
+        F.sum("net").over(w).alias("bal_cents"),
+    )
+    lab = bal.select(
+        "customerid",
+        F.expr(BUCKET_CASE).alias("bucket"),
+        F.lag(F.expr(BUCKET_CASE)).over(wlag).alias("from_bucket"),
+    ).filter(F.col("from_bucket").isNotNull())
+    return lab.groupBy(
+        "from_bucket", F.col("bucket").alias("to_bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+
+
+BUCKET_MIGRATION_ORACLE = f"""WITH {TXNS_CTE},
+monthly AS (
+  SELECT customerid, strftime(createdat, '%Y-%m-%d') AS mon,
+         SUM({DELTA_CENTS_SQL}) AS net
+  FROM txns GROUP BY 1, 2),
+bal AS (
+  SELECT customerid, mon,
+         SUM(net) OVER (PARTITION BY customerid ORDER BY mon
+                        ROWS UNBOUNDED PRECEDING) AS bal_cents
+  FROM monthly),
+lab AS (
+  SELECT customerid, {BUCKET_CASE} AS bucket,
+         LAG({BUCKET_CASE}) OVER (PARTITION BY customerid
+                                  ORDER BY mon) AS from_bucket
+  FROM bal)
+SELECT from_bucket, bucket AS to_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions
+FROM lab WHERE from_bucket IS NOT NULL
+GROUP BY 1, 2"""

@@ -38,14 +38,45 @@ def _catalog():
     doc_length_outliers, balance_concentration_by_segment). Round 9
     stages prebuilds for the r10 window: green here first, then a
     2-line move of the (query, oracle) pair into the module dicts."""
+    from thrivefinancedatapipeline_spark.operators.dedup import (
+        NEAR_DUP_SEVERITY_ORACLE,
+        SOURCE_TOKEN_YIELD_ORACLE,
+        near_dup_severity_histogram,
+        source_token_yield,
+    )
     from thrivefinancedatapipeline_spark.operators.packing import (
         SOURCE_TOKEN_COST_CURVE_ORACLE,
         source_token_cost_curve,
+    )
+    from thrivefinancedatapipeline_spark.operators.sampling import (
+        _quality_split_drift_oracle,
+        quality_split_drift,
+    )
+    from thrivefinancedatapipeline_spark.plans.finance_queries import (
+        BALANCE_VOLATILITY_ORACLE,
+        BUCKET_MIGRATION_ORACLE,
+        balance_bucket_migration,
+        balance_volatility,
     )
 
     return {
         "source_token_cost_curve": (
             source_token_cost_curve, SOURCE_TOKEN_COST_CURVE_ORACLE,
+        ),
+        "near_dup_severity_histogram": (
+            near_dup_severity_histogram, NEAR_DUP_SEVERITY_ORACLE,
+        ),
+        "source_token_yield": (
+            source_token_yield, SOURCE_TOKEN_YIELD_ORACLE,
+        ),
+        "quality_split_drift": (
+            quality_split_drift, _quality_split_drift_oracle(),
+        ),
+        "balance_volatility": (
+            balance_volatility, BALANCE_VOLATILITY_ORACLE,
+        ),
+        "balance_bucket_migration": (
+            balance_bucket_migration, BUCKET_MIGRATION_ORACLE,
         ),
     }
 
