@@ -24,6 +24,8 @@ SLOW_FILES = {
     "test_similarity_recall.py",   # 26 s
     "test_ranged_scan_property.py",  # 21 s
     "test_prebuilt_r9.py",      # 60 s — two-SF Spark-vs-DuckDB compares
+    "test_prebuilt_r10.py",     # 45 s — two-SF compares incl. CC chains
+    "test_stream_leakage.py",   # 33 s — streaming drains + band parity
 }
 
 
