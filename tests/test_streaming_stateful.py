@@ -912,3 +912,93 @@ def _assert_drawdown_parity(spark, src, drawdown_from):
             assert r.n_txns >= prev.n_txns
         by_cust[r.customerid] = r
     assert len(got) > len(latest)
+
+
+def test_stream_bucket_migration_matches_batch(spark, sf_dir):
+    """Drain parity for the streaming bucket-migration twin against
+    an exact pure-Python replay: the drained transition log equals
+    every CLOSED-day transition (a transition is closed once a later
+    active day arrives for the customer), each emitted exactly once;
+    and closed + still-open final transitions together equal the
+    batch balance_bucket_migration matrix — so the stream misses
+    nothing except the one undecidable open day per customer."""
+    import glob
+    from collections import Counter
+
+    from thrivefinancedatapipeline_spark.plans.finance_queries import (
+        _txns,
+        balance_bucket_migration,
+        bucket_of_cents,
+        delta_cents_col,
+    )
+
+    src = tempfile.mkdtemp(prefix="stream_mig_")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        bounds = [1, 6, 11, 16, 21, 26, 32]
+        for i in range(6):
+            part = ev.filter(
+                (F.dayofmonth("ts") >= bounds[i])
+                & (F.dayofmonth("ts") < bounds[i + 1])
+            ).coalesce(1)
+            part.write.parquet(f"{src}/b{i}", mode="overwrite")
+            for f in glob.glob(f"{src}/b{i}/part-*.parquet"):
+                shutil.copy(f, f"{src}/file{i}.parquet")
+            shutil.rmtree(f"{src}/b{i}")
+            os.utime(
+                f"{src}/file{i}.parquet", (1_000_000 + i, 1_000_000 + i)
+            )
+        got = drain(
+            stateful.stream_bucket_migration(
+                spark, src, max_files_per_trigger=1
+            ),
+            "stream_mig",
+            "append",
+        )
+        # exact Python replay of the daily-balance bucket walk
+        rows = (
+            _txns(spark, sf_dir)
+            .select(
+                "customerid",
+                F.date_format("createdat", "yyyy-MM-dd").alias("d"),
+                delta_cents_col().alias("dc"),
+            )
+            .collect()
+        )
+        daily = {}
+        for r in rows:
+            daily[(r.customerid, r.d)] = (
+                daily.get((r.customerid, r.d), 0) + r.dc
+            )
+        by_cust = {}
+        for (cid, d), net in sorted(daily.items()):
+            by_cust.setdefault(cid, []).append((d, net))
+        closed, final = [], Counter()
+        for cid, days in by_cust.items():
+            bal, prev = 0, None
+            for i, (d, net) in enumerate(days):
+                bal += net
+                b = bucket_of_cents(bal)
+                if prev is not None:
+                    if i < len(days) - 1:
+                        closed.append((cid, d, prev, b))
+                    else:
+                        final[(prev, b)] += 1  # open at drain end
+                prev = b
+        want_closed = Counter(closed)
+        got_closed = Counter(
+            (r.customerid, r.closed_day, r.from_bucket, r.to_bucket)
+            for r in got
+        )
+        assert got_closed == want_closed
+        assert max(got_closed.values(), default=1) == 1  # exactly once
+        # closed + open-day transitions == the batch matrix
+        batch = Counter()
+        for r in balance_bucket_migration(spark, sf_dir).collect():
+            batch[(r.from_bucket, r.to_bucket)] = r.n_transitions
+        stream_plus_final = Counter(final)
+        for _cid, _d, frm, to in got_closed:
+            stream_plus_final[(frm, to)] += 1
+        assert stream_plus_final == batch
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

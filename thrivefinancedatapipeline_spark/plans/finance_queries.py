@@ -1490,13 +1490,28 @@ FROM agg"""
 
 
 #: fixed cent thresholds: rank-free buckets are engine-stable (a
-#: quartile boundary tie would not be)
+#: quartile boundary tie would not be). The SQL case, the Spark
+#: expression, and the streaming twin's Python fold are all built
+#: from these two numbers.
+BUCKET_LOW_CENTS, BUCKET_MID_CENTS = 10_000, 100_000
+
 BUCKET_CASE = (
     "CASE WHEN bal_cents <= 0 THEN 'zero_or_neg'"
-    " WHEN bal_cents <= 10000 THEN 'low'"
-    " WHEN bal_cents <= 100000 THEN 'mid'"
+    f" WHEN bal_cents <= {BUCKET_LOW_CENTS} THEN 'low'"
+    f" WHEN bal_cents <= {BUCKET_MID_CENTS} THEN 'mid'"
     " ELSE 'high' END"
 )
+
+
+def bucket_of_cents(bal: int) -> str:
+    """Python twin of BUCKET_CASE (streaming state fold + tests)."""
+    if bal <= 0:
+        return "zero_or_neg"
+    if bal <= BUCKET_LOW_CENTS:
+        return "low"
+    if bal <= BUCKET_MID_CENTS:
+        return "mid"
+    return "high"
 
 
 def balance_bucket_migration(

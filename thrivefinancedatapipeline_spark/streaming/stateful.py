@@ -1355,3 +1355,93 @@ def stream_split_leakage(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+MIG_OUT_SCHEMA = (
+    "customerid long, seq int, closed_day string,"
+    " from_bucket string, to_bucket string"
+)
+MIG_STATE_SCHEMA = (
+    "seq int, bal long, open_day string, open_net long,"
+    " last_bucket string"
+)
+
+
+def _migration_state_fn(key, pdf_iter, state: GroupState):
+    """Per-customer bucket-migration state: the whole daily balance
+    history reduces to FIVE fields — balance through the last CLOSED
+    day, that day's bucket, and the open day's accumulated net — 
+    because a day's bucket is only known once a later day arrives
+    (the batch computes period-END balances). Each transition is
+    emitted exactly once, when its destination day closes. Rows are
+    consumed in (createdat, trans_id) order within a batch;
+    time-ordered arrival across batches is the stream's contract
+    (the drawdown twin's monthly-export pattern)."""
+    from ..plans.finance_queries import bucket_of_cents
+
+    seq, bal, open_day, open_net, last_bucket = 0, 0, "", 0, ""
+    if state.exists:
+        seq, bal, open_day, open_net, last_bucket = state.get
+    rows = []
+    for pdf in pdf_iter:
+        rows.extend(
+            zip(pdf["createdat"], pdf["trans_id"], pdf["delta_cents"])
+        )
+    out = []
+    for ts, _i, dc in sorted(rows):
+        day = str(ts)[:10]
+        if open_day and day != open_day:
+            # the open day just closed: its end-of-day balance is
+            # known, so its bucket — and the transition into it —
+            # are now final
+            bal += open_net
+            b = bucket_of_cents(bal)
+            if last_bucket:
+                out.append((open_day, last_bucket, b))
+            last_bucket = b
+            open_net = 0
+        open_day = day
+        open_net += int(dc)
+    seq += 1
+    state.update((seq, bal, open_day, open_net, last_bucket))
+    if out:
+        yield pd.DataFrame(
+            {
+                "customerid": [key[0]] * len(out),
+                "seq": [seq] * len(out),
+                "closed_day": [d for d, _f, _t in out],
+                "from_bucket": [f for _d, f, _t in out],
+                "to_bucket": [t for _d, _f, t in out],
+            }
+        )
+
+
+def stream_bucket_migration(
+    spark, source_dir: str, max_files_per_trigger: int = 4
+):
+    """Continuous balance-bucket migration over the transaction
+    stream — the streaming twin of plans/finance_queries.
+    balance_bucket_migration: transitions stream out as their
+    destination day CLOSES (a later day arrives for the customer),
+    each exactly once, so the drained transition log aggregates to
+    the batch matrix over all CLOSED days (the final open day per
+    customer is not yet decidable — the drain-parity test accounts
+    for exactly that row). Cent deltas run in Spark expressions
+    before the stateful op; Python folds pre-computed ints over five
+    fields of state per customer forever."""
+    from ..plans.finance_queries import delta_cents_col
+
+    txns = stream_transactions(spark, source_dir, max_files_per_trigger)
+    enriched = txns.select(
+        "customerid",
+        "createdat",
+        "trans_id",
+        delta_cents_col().alias("delta_cents"),
+    )
+    return enriched.groupBy("customerid").applyInPandasWithState(
+        _migration_state_fn,
+        outputStructType=MIG_OUT_SCHEMA,
+        stateStructType=MIG_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
