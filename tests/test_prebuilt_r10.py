@@ -269,3 +269,28 @@ def test_staged_r10_plan_shapes(spark, sf_dir):
             name,
             plan.count("Exchange"),
         )
+
+
+def test_chunk_near_dup_rate_vs_duckdb_and_bounds(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.operators.textops import (
+        CHUNK_NEAR_DUP_ORACLE,
+        chunk_near_dup_rate,
+        q_chunk_dedup,
+    )
+
+    for d in _dirs(sf_dir):
+        got = sorted(
+            tuple(r) for r in chunk_near_dup_rate(spark, d).collect()
+        )
+        want = sorted(
+            tuple(r) for r in _duck(d, CHUNK_NEAR_DUP_ORACLE)
+        )
+        assert got == want, f"chunk_near_dup_rate mismatch at {d}"
+        assert len(got) >= 2
+        for _lang, n_chunks, n_near, ppm in got:
+            assert 0 <= n_near <= n_chunks
+            assert ppm == n_near * 1_000_000 // n_chunks
+        # conservation: denominators cover every surviving chunk
+        assert sum(r[1] for r in got) == q_chunk_dedup(
+            spark, d
+        ).count()

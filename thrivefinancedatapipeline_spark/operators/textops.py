@@ -413,20 +413,17 @@ def q_corpus_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(_docs(spark, sf_dir))
 
 
-def chunk_documents(docs_df) -> DataFrame:
-    """Chunk an ARBITRARY documents relation (doc_id, text, ...) —
-    the composable form of q_corpus_chunk, so callers that already
-    hold a filtered survivor set (run_corpus_pipeline) chunk only the
-    survivors instead of chunking everything and semi-joining after
-    (tokenizing a document the quality gate already dropped is pure
-    waste)."""
+def _chunk_arrays(docs_df) -> DataFrame:
+    """(doc_id, chunk_idx, chunk) with the MATERIALIZED token window
+    per chunk — the shared fan-out under chunk_documents (hashes) and
+    chunk_near_dup_rate (shingles over the same windows)."""
     docs = docs_df.select("doc_id", tokens(F.col("text")).alias("toks"))
     n = F.size("toks")
     starts = F.filter(
         F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(CHUNK_STRIDE)),
         lambda s: (s == 0) | (s + F.lit(CHUNK_TOKENS - CHUNK_STRIDE) < n),
     )
-    chunked = docs.select(
+    return docs.select(
         "doc_id",
         "toks",
         F.posexplode(starts).alias("chunk_idx", "start"),
@@ -437,7 +434,16 @@ def chunk_documents(docs_df) -> DataFrame:
             F.col("toks"), F.col("start") + 1, F.lit(CHUNK_TOKENS)
         ).alias("chunk"),
     )
-    return chunked.select(
+
+
+def chunk_documents(docs_df) -> DataFrame:
+    """Chunk an ARBITRARY documents relation (doc_id, text, ...) —
+    the composable form of q_corpus_chunk, so callers that already
+    hold a filtered survivor set (run_corpus_pipeline) chunk only the
+    survivors instead of chunking everything and semi-joining after
+    (tokenizing a document the quality gate already dropped is pure
+    waste)."""
+    return _chunk_arrays(docs_df).select(
         "doc_id",
         "chunk_idx",
         F.size("chunk").alias("n_tokens"),
@@ -2169,3 +2175,180 @@ GROUP BY c.lang"""
 
 QUERIES["doc_length_outliers"] = doc_length_outliers
 ORACLES["doc_length_outliers"] = DOC_LENGTH_OUTLIERS_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# PREBUILT (r9-staged, NOT yet registered — tools/check_prebuilt.py).
+# ---------------------------------------------------------------------------
+
+#: chunk id = doc_id * 2^20 + chunk_idx: one BIGINT key so the whole
+#: proven minhash machinery (signatures, banding, verify) reuses
+#: VERBATIM over chunks. Bounds: chunk_idx < 2^20 allows ~60M-token
+#: documents at the production stride; doc_id must stay under 2^43.
+CHUNK_ID_SHIFT = 1 << 20
+
+
+def chunk_near_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level NEAR-dup audit — what document-level dedup
+    cannot see: boilerplate windows (headers, navigation, license
+    blocks) repeated across otherwise-distinct documents. Runs the
+    proven MinHash-LSH machinery over the surviving chunks of the
+    chunk_dedup relation (exact chunk dups already collapsed), keeps
+    only CROSS-document verified pairs (consecutive chunks of one
+    document share window-stride tokens by construction — within-doc
+    pairs are noise), and rolls up per language: how many surviving
+    chunks still have a tau=0.8 near-twin in another document.
+
+    Scale: the chunk fan-out is the training set's own row count;
+    signatures/banding/verify are the LSH-bounded proven shapes on
+    uniform (band, key) keys; the rollup is |langs| cells. Reuses
+    _minhash_signatures / _minhash_bands / _verified_pairs from
+    dedup with cid-as-doc_id frames (cid = doc_id * 2^20 +
+    chunk_idx), so chunk banding can never diverge from document
+    banding."""
+    from .dedup import (
+        _minhash_bands,
+        _minhash_signatures,
+        _verified_pairs,
+    )
+    from ..functions.text import shingles_from_tokens
+
+    docs = _docs(spark, sf_dir)
+    arrays = _chunk_arrays(docs)
+    surv = q_chunk_dedup(spark, sf_dir).select("doc_id", "chunk_idx")
+    sarr = arrays.join(surv, ["doc_id", "chunk_idx"]).select(
+        (F.col("doc_id") * CHUNK_ID_SHIFT + F.col("chunk_idx")).alias(
+            "cid"
+        ),
+        "chunk",
+    )
+    sh = (
+        sarr.select(
+            F.col("cid").alias("doc_id"),
+            F.explode(shingles_from_tokens(F.col("chunk"))).alias("sh"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    bands = _minhash_bands(_minhash_signatures(sh))
+    b1 = bands.select(F.col("doc_id").alias("doc_id_1"), "band", "key")
+    b2 = bands.select(F.col("doc_id").alias("doc_id_2"), "band", "key")
+    cand = (
+        b1.join(b2, ["band", "key"])
+        .filter(
+            (F.col("doc_id_1") < F.col("doc_id_2"))
+            & (
+                F.expr(f"doc_id_1 div {CHUNK_ID_SHIFT}")
+                != F.expr(f"doc_id_2 div {CHUNK_ID_SHIFT}")
+            )
+        )
+        .select("doc_id_1", "doc_id_2")
+        .distinct()
+    )
+    ver = _verified_pairs(cand, sh)
+    flagged = (
+        ver.select(F.col("doc_id_1").alias("cid"))
+        .union(ver.select(F.col("doc_id_2").alias("cid")))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    base = (
+        q_chunk_dedup(spark, sf_dir)
+        .select("doc_id", "chunk_idx")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "lang",
+            (
+                F.col("doc_id") * CHUNK_ID_SHIFT + F.col("chunk_idx")
+            ).alias("cid"),
+        )
+    )
+    g = base.join(flagged, "cid", "left").groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.coalesce(F.sum("hit"), F.lit(0))
+        .cast("long")
+        .alias("n_near_dup_chunks"),
+    )
+    return g.select(
+        "lang",
+        "n_chunks",
+        "n_near_dup_chunks",
+        F.expr(
+            "CAST(CAST(n_near_dup_chunks AS DECIMAL(38,0)) * 1000000"
+            " div n_chunks AS BIGINT)"
+        ).alias("near_dup_ppm"),
+    )
+
+
+def _chunk_near_dup_oracle() -> str:
+    from .dedup import A, B, K, NB, P, R, JACCARD_DEN, JACCARD_NUM
+
+    min_aggs = ",\n       ".join(
+        f"MIN(({A[j]} * h + {B[j]}) % {P}) AS m{j}" for j in range(K)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
+            b=b,
+            key=" || '_' || ".join(
+                f"m{b * R + r}::VARCHAR" for r in range(R)
+            ),
+        )
+        for b in range(NB)
+    )
+    return f"""
+WITH {CHUNK_H_CTES},
+{CHUNK_SURVIVORS_SQL},
+ch AS (
+  SELECT st.doc_id,
+         CAST(st.start // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+         st.toks[st.start + 1 : st.start + {CHUNK_TOKENS}] AS chunk
+  FROM st JOIN surv
+    ON surv.doc_id = st.doc_id
+   AND surv.chunk_idx = CAST(st.start // {CHUNK_STRIDE} AS INT)),
+cdocs AS (
+  SELECT doc_id * {CHUNK_ID_SHIFT} + chunk_idx AS cid, chunk FROM ch),
+shl AS (
+  SELECT cid,
+         list_distinct([chunk[i] || ' ' || chunk[i+1] || ' ' ||
+                        chunk[i+2]
+                        for i in range(1, len(chunk) - 1)]) AS shs
+  FROM cdocs WHERE len(chunk) >= 3),
+sh AS (SELECT cid AS doc_id, unnest(shs) AS sh FROM shl),
+hs AS (SELECT doc_id,
+              (('0x' || substring(md5(sh), 1, 15))::BIGINT % {P}) AS h
+       FROM sh),
+sig AS (SELECT doc_id, {min_aggs} FROM hs GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT b1.doc_id AS doc_id_1, b2.doc_id AS doc_id_2
+  FROM bands b1 JOIN bands b2
+    ON b1.band = b2.band AND b1.key = b2.key
+   AND b1.doc_id < b2.doc_id
+  WHERE b1.doc_id // {CHUNK_ID_SHIFT} <> b2.doc_id // {CHUNK_ID_SHIFT}),
+cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+common AS (
+  SELECT p.doc_id_1, p.doc_id_2, count(*) AS cs
+  FROM cand p
+  JOIN sh s1 ON s1.doc_id = p.doc_id_1
+  JOIN sh s2 ON s2.doc_id = p.doc_id_2 AND s2.sh = s1.sh
+  GROUP BY 1, 2),
+ver AS (
+  SELECT doc_id_1, doc_id_2 FROM common
+  JOIN cnt c1 ON doc_id_1 = c1.doc_id
+  JOIN cnt c2 ON doc_id_2 = c2.doc_id
+  WHERE {JACCARD_DEN} * cs >= {JACCARD_NUM} * (c1.c + c2.c - cs)),
+flagged AS (
+  SELECT doc_id_1 AS cid FROM ver
+  UNION SELECT doc_id_2 FROM ver),
+base AS (
+  SELECT d2.lang, s.doc_id * {CHUNK_ID_SHIFT} + s.chunk_idx AS cid
+  FROM surv s JOIN documents d2 ON d2.doc_id = s.doc_id)
+SELECT b.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(f.cid) AS BIGINT) AS n_near_dup_chunks,
+       CAST(CAST(COUNT(f.cid) AS HUGEINT) * 1000000 // COUNT(*)
+            AS BIGINT) AS near_dup_ppm
+FROM base b LEFT JOIN flagged f ON f.cid = b.cid
+GROUP BY b.lang"""
+
+
+CHUNK_NEAR_DUP_ORACLE = _chunk_near_dup_oracle()

@@ -52,6 +52,10 @@ def _catalog():
         _quality_split_drift_oracle,
         quality_split_drift,
     )
+    from thrivefinancedatapipeline_spark.operators.textops import (
+        CHUNK_NEAR_DUP_ORACLE,
+        chunk_near_dup_rate,
+    )
     from thrivefinancedatapipeline_spark.plans.finance_queries import (
         BALANCE_VOLATILITY_ORACLE,
         BUCKET_MIGRATION_ORACLE,
@@ -77,6 +81,9 @@ def _catalog():
         ),
         "balance_bucket_migration": (
             balance_bucket_migration, BUCKET_MIGRATION_ORACLE,
+        ),
+        "chunk_near_dup_rate": (
+            chunk_near_dup_rate, CHUNK_NEAR_DUP_ORACLE,
         ),
     }
 
