@@ -294,3 +294,34 @@ def test_chunk_near_dup_rate_vs_duckdb_and_bounds(spark, sf_dir):
         assert sum(r[1] for r in got) == q_chunk_dedup(
             spark, d
         ).count()
+
+
+def test_knn_ivfpq_filtered_vs_duckdb_and_predicate(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        _ivfpq_filtered_oracle,
+        ivfpq_knn_filtered,
+    )
+
+    oracle = _ivfpq_filtered_oracle()
+    for d in _dirs(sf_dir):
+        got = sorted(
+            tuple(r) for r in ivfpq_knn_filtered(spark, d).collect()
+        )
+        want = sorted(
+            tuple(r) for r in _duck(d, oracle, ("embeddings",))
+        )
+        assert got == want, f"knn_ivfpq_filtered mismatch at {d}"
+        # every query finds a full top-k even under the ~50% filter
+        assert len(got) == N_QUERIES * TOP_K
+        # every returned neighbor satisfies the metadata predicate,
+        # queries are NEVER their own neighbor
+        labels = dict(
+            _duck(d, "SELECT vec_id, label FROM embeddings",
+                  ("embeddings",))
+        )
+        for q, n, rank in got:
+            assert labels[n] % 2 == 0
+            assert q != n
+            assert 1 <= rank <= TOP_K

@@ -1176,11 +1176,15 @@ def _ivfpq_rank(
     )
 
 
-def _ivfpq_oracle_sql(n_probe: int = N_PROBE) -> str:
+def _ivfpq_oracle_sql(
+    n_probe: int = N_PROBE, corpus_where: str = ""
+) -> str:
     """DuckDB twin: replays coarse training (the ivf_knn chain),
     residuals, residual-PQ training (namespaced 'pq' digest init),
     encode, the per-(query, probed-cell) residual LUT, the
-    cell-pruned ADC scan, and the exact rerank."""
+    cell-pruned ADC scan, and the exact rerank. `corpus_where` is an
+    extra predicate on the ADC pool's corpus side (`a.vec_id`) — the
+    filtered-ANN variant; training always sees the FULL corpus."""
     return f"""
 WITH {_VEC_CTE},
 em AS (SELECT vec_id,
@@ -1276,7 +1280,7 @@ pool AS (SELECT query_id, neighbor_id FROM (
            JOIN qd ON qd.probe_cell = a.cell
            JOIN codes nb ON nb.neighbor_id = a.vec_id
                         AND nb.m = qd.m AND nb.cell = qd.cell
-           WHERE qd.query_id <> a.vec_id
+           WHERE qd.query_id <> a.vec_id{corpus_where}
            GROUP BY qd.query_id, nb.neighbor_id)
          WHERE prank <= {PQ_CANDIDATES})
 SELECT pool.query_id, pool.neighbor_id,
@@ -2058,3 +2062,53 @@ GROUP BY a.cell"""
 # Registered r8 (staged r7 behind tools/check_prebuilt.py).
 QUERIES["ivfpq_distortion_audit"] = ivfpq_distortion_audit
 ORACLES["ivfpq_distortion_audit"] = _ivfpq_distortion_oracle()
+
+
+# ---------------------------------------------------------------------------
+# PREBUILT (r9-staged, NOT yet registered — tools/check_prebuilt.py).
+# ---------------------------------------------------------------------------
+
+#: metadata predicate for the filtered-ANN variant (embeddings.label)
+ANN_FILTER_SQL = "label % 2 = 0"
+
+
+def ivfpq_knn_filtered(
+    spark: SparkSession, sf_dir: str, n_probe: int = N_PROBE
+) -> DataFrame:
+    """FILTERED ANN — top-k under a metadata predicate, the feature
+    every production vector store ships (search only documents with
+    license X / language Y): the full IVF-PQ pipeline with the
+    corpus side restricted to `ANN_FILTER_SQL` rows. The filter
+    composes INTO the plan at the right altitude: pushed to the
+    embeddings SCAN (only allowed rows are residual-encoded — at
+    billion-vector scale the codes relation itself shrinks), while
+    the QUANTIZER is trained on the FULL corpus, so the filtered and
+    unfiltered indexes share one set of centroids/codebooks and a
+    deployment can serve any predicate from one trained model (the
+    FAISS IDSelector posture, not a per-predicate re-train). Queries
+    are never filtered; self-matches are excluded as usual.
+
+    Post-filter ranking is exact within the probed cells: the ADC
+    pool ranks only allowed candidates, so selective predicates
+    never silently shrink below k by pool displacement — the
+    standard filtered-ANN failure this form avoids by construction."""
+    iv = _int_vecs(spark, sf_dir)
+    coarse = _trained_centroids_cached(spark, sf_dir, iv)
+    books = _ivfpq_books_cached(sf_dir, iv, coarse)
+    corpus = to_int_vecs(
+        load_table(spark, sf_dir, "embeddings").filter(
+            F.expr(ANN_FILTER_SQL)
+        )
+    )
+    codes = _ivfpq_encode(corpus, coarse, books)
+    probes = _ivfpq_probes(iv, coarse, books, n_probe)
+    return _ivfpq_rank(spark, sf_dir, probes, codes)
+
+
+def _ivfpq_filtered_oracle() -> str:
+    return _ivfpq_oracle_sql(
+        corpus_where=(
+            "\n             AND a.vec_id IN "
+            f"(SELECT vec_id FROM embeddings WHERE {ANN_FILTER_SQL})"
+        )
+    )

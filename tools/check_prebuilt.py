@@ -52,6 +52,10 @@ def _catalog():
         _quality_split_drift_oracle,
         quality_split_drift,
     )
+    from thrivefinancedatapipeline_spark.operators.similarity import (
+        _ivfpq_filtered_oracle,
+        ivfpq_knn_filtered,
+    )
     from thrivefinancedatapipeline_spark.operators.textops import (
         CHUNK_NEAR_DUP_ORACLE,
         chunk_near_dup_rate,
@@ -84,6 +88,9 @@ def _catalog():
         ),
         "chunk_near_dup_rate": (
             chunk_near_dup_rate, CHUNK_NEAR_DUP_ORACLE,
+        ),
+        "knn_ivfpq_filtered": (
+            ivfpq_knn_filtered, _ivfpq_filtered_oracle(),
         ),
     }
 
