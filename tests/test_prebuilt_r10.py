@@ -325,3 +325,33 @@ def test_knn_ivfpq_filtered_vs_duckdb_and_predicate(spark, sf_dir):
             assert labels[n] % 2 == 0
             assert q != n
             assert 1 <= rank <= TOP_K
+
+
+def test_hybrid_search_rrf_vs_duckdb_and_bounds(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.operators.similarity import (
+        HY_K,
+        HY_QUERIES,
+        HYBRID_RRF_ORACLE,
+        RRF_K,
+        hybrid_search_rrf,
+    )
+
+    for d in _dirs(sf_dir):
+        got = sorted(
+            tuple(r) for r in hybrid_search_rrf(spark, d).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in _duck(d, HYBRID_RRF_ORACLE,
+                           ("documents", "embeddings"))
+        )
+        assert got == want, f"hybrid_search_rrf mismatch at {d}"
+        assert len(got) == HY_QUERIES * HY_K
+        max_single = 1_000_000_000 // (RRF_K + 1)
+        for q, n, score, rank in got:
+            assert q != n and 1 <= rank <= HY_K
+            # a doc in both lists beats the best single-list score cap
+            assert 0 < score <= 2 * max_single
+        # fusion sanity: every query's top fused doc appears in at
+        # least one leg's top-k by construction (score > 0)
+        assert all(r[2] > 0 for r in got)

@@ -2112,3 +2112,151 @@ def _ivfpq_filtered_oracle() -> str:
             f"(SELECT vec_id FROM embeddings WHERE {ANN_FILTER_SQL})"
         )
     )
+
+
+#: hybrid search: queries, fused top-k, lexical stop cap, RRF constant
+HY_QUERIES = 5
+HY_K = 10
+LEX_DF_CAP = 64
+RRF_K = 60
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval — lexical + vector search fused by reciprocal
+    rank (RRF, Cormack et al.): for each query document, an
+    inverted-index lexical top-k (integer idf weights 1e6//df over
+    shared rare tokens; tokens above LEX_DF_CAP are stop-tokens —
+    the MAX_SHINGLE_DF posture, which also bounds the candidate
+    join) and an exact cosine top-k over the aligned embedding
+    (vec_id == doc_id in this corpus) are combined in RANK space:
+    rrf = Σ 1e9 // (60 + rank) over the lists containing the doc —
+    integer-exact, so the fusion itself is oracle-provable even
+    though the vector leg orders by a float cosine (ties broken by
+    id, the proven knn convention).
+
+    Scale: the lexical leg is the DF-capped inverted-index join
+    (uniform keys, candidate count bounded by cap x |query terms|);
+    the vector leg here is the exact broadcast scan (HY_QUERIES
+    rows) — a deployment swaps in the persisted IVF-PQ index probe
+    for that leg, and the fusion is unchanged because RRF consumes
+    only ranks."""
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(tokens(F.col("text"))).alias("toks")
+    )
+    post = docs.select("doc_id", F.explode("toks").alias("t"))
+    w = (
+        post.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= LEX_DF_CAP)
+        .select("t", F.expr("CAST(1000000 div df AS BIGINT)").alias("wt"))
+    )
+    pw = post.join(w, "t")
+    qp = pw.filter(F.col("doc_id") < HY_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "t"
+    )
+    cp = pw.select(F.col("doc_id").alias("neighbor_id"), "t", "wt")
+    wl = Window.partitionBy("query_id").orderBy(
+        F.col("lex_score").desc(), F.col("neighbor_id")
+    )
+    lex = (
+        qp.join(cp, "t")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("wt").alias("lex_score"))
+        .withColumn("lex_rank", F.row_number().over(wl))
+        .filter(F.col("lex_rank") <= HY_K)
+        .select("query_id", "neighbor_id", "lex_rank")
+    )
+    e = _vectors(spark, sf_dir)
+    qv = e.filter(F.col("vec_id") < HY_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cv = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    vec = (
+        cv.join(F.broadcast(qv))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        )
+        .withColumn("vec_rank", F.row_number().over(wv))
+        .filter(F.col("vec_rank") <= HY_K)
+        .select("query_id", "neighbor_id", "vec_rank")
+    )
+    fused = (
+        lex.join(vec, ["query_id", "neighbor_id"], "full_outer")
+        .withColumn(
+            "rrf_score",
+            F.expr(
+                f"coalesce(1000000000 div ({RRF_K} + lex_rank), 0)"
+                f" + coalesce(1000000000 div ({RRF_K} + vec_rank), 0)"
+            ).cast("long"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("neighbor_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= HY_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rrf_score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+HYBRID_RRF_ORACLE = f"""
+WITH {_VEC_CTE},
+toks AS (SELECT doc_id,
+                list_distinct(string_split(
+                  lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                  ' ')) AS tl
+         FROM documents),
+post AS (SELECT doc_id, unnest(tl) AS t FROM toks),
+w AS (SELECT t, CAST(1000000 // COUNT(*) AS BIGINT) AS wt
+      FROM post GROUP BY t HAVING COUNT(*) <= {LEX_DF_CAP}),
+pw AS (SELECT post.doc_id, post.t, w.wt FROM post JOIN w USING (t)),
+lexs AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+         SUM(c.wt) AS lex_score
+  FROM pw q JOIN pw c ON c.t = q.t AND c.doc_id <> q.doc_id
+  WHERE q.doc_id < {HY_QUERIES}
+  GROUP BY 1, 2),
+lex AS (SELECT query_id, neighbor_id, lex_rank FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY lex_score DESC, neighbor_id) AS lex_rank
+          FROM lexs) WHERE lex_rank <= {HY_K}),
+vec AS (SELECT query_id, neighbor_id, vec_rank FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm)
+                     DESC, c.vec_id) AS vec_rank
+          FROM e q JOIN e c ON c.vec_id <> q.vec_id
+          WHERE q.vec_id < {HY_QUERIES}) WHERE vec_rank <= {HY_K}),
+fused AS (
+  SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+         COALESCE(l.neighbor_id, v.neighbor_id) AS neighbor_id,
+         CAST(COALESCE(1000000000 // ({RRF_K} + l.lex_rank), 0)
+              + COALESCE(1000000000 // ({RRF_K} + v.vec_rank), 0)
+              AS BIGINT) AS rrf_score
+  FROM lex l FULL OUTER JOIN vec v
+    ON v.query_id = l.query_id AND v.neighbor_id = l.neighbor_id)
+SELECT query_id, neighbor_id, rrf_score,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         ORDER BY rrf_score DESC, neighbor_id) AS INT) AS rank
+FROM fused
+QUALIFY rank <= {HY_K}"""

@@ -53,7 +53,9 @@ def _catalog():
         quality_split_drift,
     )
     from thrivefinancedatapipeline_spark.operators.similarity import (
+        HYBRID_RRF_ORACLE,
         _ivfpq_filtered_oracle,
+        hybrid_search_rrf,
         ivfpq_knn_filtered,
     )
     from thrivefinancedatapipeline_spark.operators.textops import (
@@ -91,6 +93,9 @@ def _catalog():
         ),
         "knn_ivfpq_filtered": (
             ivfpq_knn_filtered, _ivfpq_filtered_oracle(),
+        ),
+        "hybrid_search_rrf": (
+            hybrid_search_rrf, HYBRID_RRF_ORACLE,
         ),
     }
 
