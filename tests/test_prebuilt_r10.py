@@ -355,3 +355,29 @@ def test_hybrid_search_rrf_vs_duckdb_and_bounds(spark, sf_dir):
         # fusion sanity: every query's top fused doc appears in at
         # least one leg's top-k by construction (score > 0)
         assert all(r[2] > 0 for r in got)
+
+
+def test_source_token_cost_drift_vs_duckdb_and_bounds(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.operators.packing import (
+        TOKEN_COST_DRIFT_ORACLE,
+        source_token_cost_drift,
+    )
+
+    for d in _dirs(sf_dir):
+        got = sorted(
+            tuple(r)
+            for r in source_token_cost_drift(spark, d).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in _duck(d, TOKEN_COST_DRIFT_ORACLE,
+                           ("documents", "events"))
+        )
+        assert got == want, f"token_cost_drift mismatch at {d}"
+        assert len(got) >= 2
+        for src, day, prev, n_docs, cur, prv, ratio in got:
+            assert prev < day and n_docs >= 1
+            assert cur >= 1 and prv >= 1  # >= 1 token per active day
+            assert ratio == cur * 1_000_000 // prv
+        # consecutive-period pairing: one row per (source, day)
+        assert len(got) == len({(r[0], r[1]) for r in got})

@@ -470,3 +470,123 @@ SELECT source,
             // (((chunk_tokens + {PACK_BUDGET} - 1) // {PACK_BUDGET})
                 * {PACK_BUDGET}) AS BIGINT) AS fill_ppm
 FROM agg"""
+
+
+def source_token_cost_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Period-over-period TOKEN-COST drift per source at the
+    production chunking point — the budget companion of
+    source_jaccard_drift (content) and source_familiarity_drift
+    (distribution): a provider silently doubling its shipped volume
+    (or shrinking it) moves the buyer's bill before it moves any
+    quality metric. Arrival periods come from the ingest event
+    stream (event_id = doc_id, the drift convention); per period the
+    closed-form chunk arithmetic of source_token_cost_curve prices
+    the shipped tokens at (CHUNK_TOKENS, CHUNK_STRIDE); consecutive
+    periods compare as an exact integer RATIO (cur x 1e6 div prev —
+    a signed delta would floor differently across engines below
+    zero; a ratio is always positive).
+
+    Scale: one (source, period, n_tokens)-cell reduce is the only
+    corpus-scale pass (map-side combinable); chunk arithmetic and
+    the lag run over cell/period rows."""
+    from .textops import CHUNK_STRIDE, CHUNK_TOKENS
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).alias("n")
+    )
+    ingest = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("doc_id"),
+        F.expr(
+            "datediff(to_date(ts), DATE '1970-01-01')"
+        ).alias("epoch_day"),
+    )
+    cells = (
+        docs.join(ingest, "doc_id")
+        .groupBy("source", "epoch_day", "n")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w, st = CHUNK_TOKENS, CHUNK_STRIDE
+    per = cells.select(
+        "source", "epoch_day", "cnt",
+        F.col("n").cast("long").alias("n"),
+        F.expr(
+            f"filter(sequence(0, greatest(n - 1, 0), {st}),"
+            f" s -> s = 0 OR s + {w - st} < n)"
+        ).alias("starts"),
+    ).select(
+        "source", "epoch_day", "cnt",
+        F.expr(
+            "aggregate(starts, CAST(0 AS BIGINT),"
+            f" (acc, s) -> acc + least(CAST({w} AS BIGINT), n - s))"
+        ).alias("ctoks"),
+    )
+    perday = per.groupBy("source", "epoch_day").agg(
+        F.sum("cnt").cast("long").alias("n_docs"),
+        F.expr(
+            "CAST(sum(CAST(cnt AS DECIMAL(38,0)) * ctoks) AS BIGINT)"
+        ).alias("chunk_tokens"),
+    )
+    wlag = Window.partitionBy("source").orderBy("epoch_day")
+    lagged = perday.select(
+        "source",
+        F.col("epoch_day").cast("long").alias("epoch_day"),
+        "n_docs",
+        "chunk_tokens",
+        F.lag("epoch_day").over(wlag).cast("long").alias("prev_day"),
+        F.lag("chunk_tokens").over(wlag).alias("prev_tokens"),
+    ).filter(F.col("prev_day").isNotNull())
+    return lagged.select(
+        "source", "epoch_day", "prev_day", "n_docs", "chunk_tokens",
+        F.col("prev_tokens").cast("long").alias("prev_tokens"),
+        F.expr(
+            "CAST(CAST(chunk_tokens AS DECIMAL(38,0)) * 1000000"
+            " div prev_tokens AS BIGINT)"
+        ).alias("ratio_ppm"),
+    )
+
+
+def _token_cost_drift_oracle() -> str:
+    from .textops import CHUNK_STRIDE, CHUNK_TOKENS
+
+    w, st = CHUNK_TOKENS, CHUNK_STRIDE
+    return f"""
+WITH docs AS (
+  SELECT d.source,
+         datediff('day', DATE '1970-01-01', CAST(e.ts AS DATE))
+           AS epoch_day,
+         len(string_split({norm_sql("d.text")}, ' ')) AS n
+  FROM documents d JOIN events e ON e.event_id = d.doc_id),
+cells AS (
+  SELECT source, epoch_day, n, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM docs GROUP BY 1, 2, 3),
+st AS (
+  SELECT source, epoch_day, n, cnt, u.s
+  FROM cells, unnest(range(0, greatest(n, 1), {st})) AS u(s)
+  WHERE u.s = 0 OR u.s + {w - st} < n),
+percell AS (
+  SELECT source, epoch_day, n, cnt,
+         CAST(SUM(least({w}, n - s)) AS BIGINT) AS ctoks
+  FROM st GROUP BY 1, 2, 3, 4),
+perday AS (
+  SELECT source, CAST(epoch_day AS BIGINT) AS epoch_day,
+         CAST(SUM(cnt) AS BIGINT) AS n_docs,
+         CAST(SUM(CAST(cnt AS HUGEINT) * ctoks) AS BIGINT)
+           AS chunk_tokens
+  FROM percell GROUP BY 1, 2),
+lagged AS (
+  SELECT source, epoch_day, n_docs, chunk_tokens,
+         LAG(epoch_day) OVER w AS prev_day,
+         LAG(chunk_tokens) OVER w AS prev_tokens
+  FROM perday
+  WINDOW w AS (PARTITION BY source ORDER BY epoch_day))
+SELECT source, epoch_day, CAST(prev_day AS BIGINT) AS prev_day,
+       n_docs, chunk_tokens,
+       CAST(prev_tokens AS BIGINT) AS prev_tokens,
+       CAST(CAST(chunk_tokens AS HUGEINT) * 1000000 // prev_tokens
+            AS BIGINT) AS ratio_ppm
+FROM lagged WHERE prev_day IS NOT NULL"""
+
+
+TOKEN_COST_DRIFT_ORACLE = _token_cost_drift_oracle()

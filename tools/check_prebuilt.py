@@ -46,7 +46,9 @@ def _catalog():
     )
     from thrivefinancedatapipeline_spark.operators.packing import (
         SOURCE_TOKEN_COST_CURVE_ORACLE,
+        TOKEN_COST_DRIFT_ORACLE,
         source_token_cost_curve,
+        source_token_cost_drift,
     )
     from thrivefinancedatapipeline_spark.operators.sampling import (
         _quality_split_drift_oracle,
@@ -96,6 +98,9 @@ def _catalog():
         ),
         "hybrid_search_rrf": (
             hybrid_search_rrf, HYBRID_RRF_ORACLE,
+        ),
+        "source_token_cost_drift": (
+            source_token_cost_drift, TOKEN_COST_DRIFT_ORACLE,
         ),
     }
 
