@@ -112,3 +112,71 @@ def test_stream_split_leakage_matches_batch(spark, sf_dir):
             by_cell[(r.split_a, r.split_b)] = r.n_pairs
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stream_quality_split_drift_matches_batch(spark, sf_dir):
+    """Drain parity for the quality-mix stream: max-seq rows per
+    (split, bucket) equal the batch quality_split_drift exactly
+    (same bucket expression, same split hash); per-split counters
+    are monotone along the stream and shares always sum to ~1e6."""
+    from thrivefinancedatapipeline_spark.datamodel import load_table
+    from thrivefinancedatapipeline_spark.operators.sampling import (
+        quality_split_drift,
+    )
+
+    src = tempfile.mkdtemp(prefix="stream_qsd_")
+    try:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        for i, (lo, hi) in enumerate([(0, 170), (170, 340), (340, 10**9)]):
+            part = (
+                docs.filter(
+                    (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+                )
+                .orderBy("doc_id")
+                .coalesce(1)
+            )
+            part.write.parquet(f"{src}/b{i}", mode="overwrite")
+            for f in glob.glob(f"{src}/b{i}/part-*.parquet"):
+                shutil.copy(f, f"{src}/file{i}.parquet")
+            shutil.rmtree(f"{src}/b{i}")
+            os.utime(
+                f"{src}/file{i}.parquet", (1_000_000 + i, 1_000_000 + i)
+            )
+        got = drain(
+            stateful.stream_quality_split_drift(
+                spark, src, max_files_per_trigger=1
+            ),
+            "stream_qsd",
+            "append",
+        )
+        latest = {}
+        for r in got:
+            cell = (r.split, r.quality_bucket)
+            if cell not in latest or r.seq > latest[cell].seq:
+                latest[cell] = r
+        final = sorted(
+            (s, b, r.n_docs, r.share_ppm)
+            for (s, b), r in latest.items()
+        )
+        want = sorted(
+            tuple(r) for r in quality_split_drift(spark, sf_dir).collect()
+        )
+        assert final == want
+        # monotone counters per cell; shares sum to 1e6 - (floor loss)
+        by_cell = {}
+        for r in sorted(got, key=lambda r: r.seq):
+            prev = by_cell.get((r.split, r.quality_bucket))
+            if prev is not None:
+                assert r.n_docs >= prev
+            by_cell[(r.split, r.quality_bucket)] = r.n_docs
+        from collections import defaultdict
+
+        per_emit = defaultdict(list)
+        for r in got:
+            per_emit[(r.split, r.seq)].append(r.share_ppm)
+        for ppms in per_emit.values():
+            assert 1_000_000 - len(ppms) < sum(ppms) <= 1_000_000
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

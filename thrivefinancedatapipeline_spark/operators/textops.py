@@ -68,6 +68,20 @@ def _stop_hits(t, lang: str):
     )
 
 
+def quality_bucket_col(text_col):
+    """The rule-based quality bucket as ONE expression over a text
+    column — shared by the registered scorer, the split-drift audit,
+    and the streaming twin, so the rule cannot fork."""
+    t = tokens(text_col)
+    n_tokens = F.size(t)
+    stop_hits = _stop_hits(t, "en")
+    return (
+        F.when((n_tokens >= 30) & (stop_hits >= 2), "high")
+        .when(n_tokens >= 15, "medium")
+        .otherwise("low")
+    )
+
+
 def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer quality components + a rule-based bucket.
 
@@ -81,11 +95,7 @@ def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_hits = _stop_hits(t, "en")
     punct = F.length(F.regexp_replace(F.col("text"), PUNCT_CLASS, ""))
     digits = F.length(F.regexp_replace(F.col("text"), DIGIT_CLASS, ""))
-    bucket = (
-        F.when((n_tokens >= 30) & (stop_hits >= 2), "high")
-        .when(n_tokens >= 15, "medium")
-        .otherwise("low")
-    )
+    bucket = quality_bucket_col(F.col("text"))
     return docs.select(
         "doc_id",
         F.length("text").alias("n_chars"),

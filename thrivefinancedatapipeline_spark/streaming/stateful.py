@@ -1445,3 +1445,74 @@ def stream_bucket_migration(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+QSD_OUT_SCHEMA = (
+    "split string, quality_bucket string, seq int, n_docs long,"
+    " share_ppm long"
+)
+QSD_STATE_SCHEMA = "seq int, n_low long, n_med long, n_high long"
+
+
+def _qsd_state_fn(key, pdf_iter, state: GroupState):
+    """Per-split quality-mix state: three counters forever. Shares
+    are computable at emission because the group key IS the split —
+    the denominator lives inside the group."""
+    seq, n_low, n_med, n_high = 0, 0, 0, 0
+    if state.exists:
+        seq, n_low, n_med, n_high = state.get
+    for pdf in pdf_iter:
+        vc = pdf["quality_bucket"].value_counts()
+        n_low += int(vc.get("low", 0))
+        n_med += int(vc.get("medium", 0))
+        n_high += int(vc.get("high", 0))
+    seq += 1
+    state.update((seq, n_low, n_med, n_high))
+    total = n_low + n_med + n_high
+    rows = [
+        (b, n)
+        for b, n in (("low", n_low), ("medium", n_med), ("high", n_high))
+        if n > 0
+    ]
+    if rows:
+        yield pd.DataFrame(
+            {
+                "split": [key[0]] * len(rows),
+                "quality_bucket": [b for b, _ in rows],
+                "seq": [seq] * len(rows),
+                "n_docs": [n for _, n in rows],
+                "share_ppm": [n * 1_000_000 // total for _, n in rows],
+            }
+        )
+
+
+def stream_quality_split_drift(
+    spark, source_dir: str, max_files_per_trigger: int = 1
+):
+    """Continuous quality-mix-per-split monitoring — the streaming
+    twin of `operators/sampling.quality_split_drift`: each arriving
+    document is bucketed by the SAME quality_bucket_col expression
+    the registered scorer uses and split by the same pure-hash
+    split_column, then folded into three integers of state per
+    split. Shares are exact at every emission (the split is the
+    group key, so the denominator is in-state). Drain parity pinned:
+    the max-seq rows equal the batch audit over everything seen."""
+    from ..operators.sampling import split_column
+    from ..operators.textops import quality_bucket_col
+
+    docs = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    enriched = docs.select(
+        split_column(F.col("doc_id")).alias("split"),
+        quality_bucket_col(F.col("text")).alias("quality_bucket"),
+    )
+    return enriched.groupBy("split").applyInPandasWithState(
+        _qsd_state_fn,
+        outputStructType=QSD_OUT_SCHEMA,
+        stateStructType=QSD_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
