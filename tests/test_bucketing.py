@@ -137,3 +137,95 @@ def test_minhash_band_index_probe_parity_and_plan(spark, sf_dir):
     assert_index_side_exchange_free()
 
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_chunk_band_index_probe_parity_and_plan(spark, sf_dir):
+    """The maintained CHUNK band index (doc-level index shape lifted
+    to chunk ids): (1) probing it equals the in-query chunk band
+    join over the same corpus, (2) the probe's band join leaves the
+    bucketed index scan exchange-free, (3) append maintenance keeps
+    both properties."""
+    from pyspark.sql import functions as F
+
+    from thrivefinancedatapipeline_spark.datamodel import load_table
+    from thrivefinancedatapipeline_spark.operators.dedup import (
+        INCR_MOD,
+        INCR_NEW_REM,
+        _verified_pairs,
+    )
+    from thrivefinancedatapipeline_spark.operators.textops import (
+        CHUNK_ID_SHIFT,
+        append_chunk_band_index,
+        build_chunk_band_index,
+        chunk_bands_for,
+        chunk_shingles,
+        probe_chunk_band_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = (F.col("doc_id") % INCR_MOD) == INCR_NEW_REM
+    corpus = docs.filter(~is_new)
+    table = "chunk_band_index_t"
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    # in-query twin: new chunks' bands join corpus chunks' bands
+    sh_all = chunk_shingles(docs).localCheckpoint(eager=True)
+    bn = chunk_bands_for(docs.filter(is_new)).select(
+        F.col("doc_id").alias("doc_id_1"), "band", "key"
+    )
+    bc = chunk_bands_for(corpus).select(
+        F.col("doc_id").alias("doc_id_2"), "band", "key"
+    )
+    cand = (
+        bn.join(bc, ["band", "key"])
+        .select("doc_id_1", "doc_id_2")
+        .distinct()
+    )
+    want = rows(
+        _verified_pairs(cand, sh_all).select(
+            F.expr(f"doc_id_1 div {CHUNK_ID_SHIFT}"),
+            F.expr(f"doc_id_1 % {CHUNK_ID_SHIFT}"),
+            F.expr(f"doc_id_2 div {CHUNK_ID_SHIFT}"),
+            F.expr(f"doc_id_2 % {CHUNK_ID_SHIFT}"),
+            "common_shingles",
+            "shingles_1",
+            "shingles_2",
+        )
+    )
+    assert len(want) >= 1  # non-vacuous: replayed docs share chunks
+
+    build_chunk_band_index(spark, corpus, table=table)
+    assert rows(probe_chunk_band_index(spark, sf_dir, table=table)) == want
+
+    def assert_index_side_exchange_free():
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            probe_bands = chunk_bands_for(docs.filter(is_new)).select(
+                F.col("doc_id").alias("doc_id_1"), "band", "key"
+            )
+            idx = spark.table(table).select(
+                F.col("doc_id").alias("doc_id_2"), "band", "key"
+            )
+            plan = simple_plan(probe_bands.join(idx, ["band", "key"]))
+            assert plan.count("Exchange") == 2  # both on probe side
+            assert "Bucketed: true" in plan
+            index_branch = plan[plan.rfind("Sort [band") :]
+            assert "Bucketed: true" in index_branch
+            assert "Exchange" not in index_branch
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    assert_index_side_exchange_free()
+
+    # append maintenance: half build + half append == full build
+    half_a = corpus.filter((F.col("doc_id") % 4) < 2)
+    half_b = corpus.filter((F.col("doc_id") % 4) >= 2)
+    build_chunk_band_index(spark, half_a, table=table)
+    append_chunk_band_index(spark, half_b, table=table)
+    assert rows(probe_chunk_band_index(spark, sf_dir, table=table)) == want
+    assert_index_side_exchange_free()
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -2362,3 +2362,112 @@ GROUP BY b.lang"""
 
 
 CHUNK_NEAR_DUP_ORACLE = _chunk_near_dup_oracle()
+
+
+def chunk_shingles(docs_df) -> DataFrame:
+    """(cid-as-doc_id, sh) shingle rows for EVERY chunk of a docs
+    relation — the banding input for the maintained chunk index.
+    Unlike chunk_near_dup_rate's survivor-filtered relation, the
+    index bands ALL chunks: survivorship is a corpus-global property
+    that appends can't know, so dedup decisions stay at probe time."""
+    ca = _chunk_arrays(docs_df)
+    return ca.select(
+        (
+            F.col("doc_id") * CHUNK_ID_SHIFT + F.col("chunk_idx")
+        ).alias("doc_id"),
+        F.explode(shingles_from_tokens(F.col("chunk"))).alias("sh"),
+    )
+
+
+def chunk_bands_for(docs_df) -> DataFrame:
+    """(cid, band, key) MinHash bands for every chunk — the same
+    signature/banding functions as document banding (cid keys), so
+    the chunk index is appendable one delivery at a time for the
+    same reason the document index is (per-chunk signatures)."""
+    from .dedup import _minhash_bands, _minhash_signatures
+
+    return _minhash_bands(_minhash_signatures(chunk_shingles(docs_df)))
+
+
+CHUNK_BAND_INDEX_TABLE = "chunk_band_index"
+CHUNK_BAND_INDEX_BUCKETS = 8
+
+
+def build_chunk_band_index(
+    spark: SparkSession,
+    corpus_docs: DataFrame,
+    table: str = CHUNK_BAND_INDEX_TABLE,
+    n_buckets: int = CHUNK_BAND_INDEX_BUCKETS,
+) -> None:
+    """Materialize the corpus CHUNK band index as a bucketed catalog
+    table on the probe's join keys (band, key) — the doc-level
+    maintained-index shape (dedup.build_minhash_band_index) lifted
+    to chunk ids: per-delivery probes plan with NO Exchange on the
+    corpus side, and at 100 TB the corpus' chunk bands are written
+    once, never re-shuffled per delivery."""
+    from ..sources.bucketing import write_bucketed
+
+    write_bucketed(
+        chunk_bands_for(corpus_docs), table, ["band", "key"], n_buckets
+    )
+
+
+def append_chunk_band_index(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    table: str = CHUNK_BAND_INDEX_TABLE,
+    n_buckets: int = CHUNK_BAND_INDEX_BUCKETS,
+) -> None:
+    """Band the (small) new delivery's chunks and APPEND into the
+    bucket layout — banding a subset equals filtering the full
+    banding, so the index is append-only and probes stay
+    exchange-free afterwards (test-pinned)."""
+    from ..sources.bucketing import write_bucketed
+
+    write_bucketed(
+        chunk_bands_for(new_docs),
+        table,
+        ["band", "key"],
+        n_buckets,
+        mode="append",
+    )
+
+
+def probe_chunk_band_index(
+    spark: SparkSession, sf_dir: str, table: str = CHUNK_BAND_INDEX_TABLE
+) -> DataFrame:
+    """Incremental chunk-level near-dup probe: only the NEW batch
+    (the dedup_incremental doc_id convention) is chunked/banded at
+    probe time; the band join leaves the bucketed index scan
+    exchange-free. The verify stage needs shingle arrays for the
+    matched corpus chunks — the candidate set is tiny, so at scale
+    that is a semi-join fetch against the document store, expressed
+    here over the same documents table. Output: verified
+    (new chunk, corpus chunk) near-dup matches with overlap counts,
+    cids decomposed back to (doc_id, chunk_idx)."""
+    from .dedup import INCR_MOD, INCR_NEW_REM, _verified_pairs
+
+    docs = _docs(spark, sf_dir)
+    is_new = (F.col("doc_id") % INCR_MOD) == INCR_NEW_REM
+    sh_all = chunk_shingles(docs).localCheckpoint(eager=True)
+    bn = chunk_bands_for(docs.filter(is_new)).select(
+        F.col("doc_id").alias("doc_id_1"), "band", "key"
+    )
+    idx = spark.table(table).select(
+        F.col("doc_id").alias("doc_id_2"), "band", "key"
+    )
+    cand = (
+        bn.join(idx, ["band", "key"])
+        .select("doc_id_1", "doc_id_2")
+        .distinct()
+    )
+    ver = _verified_pairs(cand, sh_all)
+    return ver.select(
+        F.expr(f"doc_id_1 div {CHUNK_ID_SHIFT}").alias("new_doc_id"),
+        F.expr(f"doc_id_1 % {CHUNK_ID_SHIFT}").alias("new_chunk_idx"),
+        F.expr(f"doc_id_2 div {CHUNK_ID_SHIFT}").alias("corpus_doc_id"),
+        F.expr(f"doc_id_2 % {CHUNK_ID_SHIFT}").alias("corpus_chunk_idx"),
+        "common_shingles",
+        "shingles_1",
+        "shingles_2",
+    )
