@@ -1,0 +1,170 @@
+"""BMP + netpbm codecs: equality round trips (including the
+representation-only variants — ascii vs binary PNM, bottom-up vs
+top-down BMP — pinned pixel-EXACT per the codec-parity principle),
+error surfaces, and the real decode path through the Spark kernel."""
+
+import hashlib
+import struct
+
+import pytest
+
+from thrivefinancedatapipeline_spark.multimodal import bmp, pnm
+
+
+def _pix(n, seed="px"):
+    out = bytearray()
+    i = 0
+    while len(out) < n:
+        out.extend(hashlib.md5(f"{seed}{i}".encode()).digest())
+        i += 1
+    return bytes(out[:n])
+
+
+# ---------------------------------------------------------------- PNM
+
+def test_pnm_binary_roundtrip_gray_and_rgb():
+    for ch in (1, 3):
+        for w, h in [(1, 1), (5, 3), (16, 7)]:
+            px = _pix(w * h * ch)
+            data = pnm.encode_pnm(px, w, h, channels=ch)
+            img = pnm.decode_pnm(data)
+            assert (img["width"], img["height"]) == (w, h)
+            assert img["channels"] == ch and img["maxval"] == 255
+            assert img["pixels"] == px
+
+
+def test_pnm_ascii_equals_binary_pixels():
+    """Ascii and binary rasters are the SAME samples re-represented:
+    decodes must be byte-identical (the interlace/progressive rule)."""
+    for ch in (1, 3):
+        px = _pix(9 * 4 * ch)
+        b = pnm.decode_pnm(pnm.encode_pnm(px, 9, 4, channels=ch))
+        a = pnm.decode_pnm(
+            pnm.encode_pnm(px, 9, 4, channels=ch, ascii_form=True)
+        )
+        assert a == b
+
+
+def test_pnm_16bit_roundtrip_and_comment_tolerance():
+    samples = [0, 1, 255, 256, 65535, 40000]
+    px = struct.pack(">6H", *samples)
+    data = pnm.encode_pnm(px, 3, 2, channels=1, maxval=65535)
+    img = pnm.decode_pnm(data)
+    assert img["maxval"] == 65535 and img["pixels"] == px
+    # header comments are legal anywhere between tokens
+    commented = b"P5\n# a comment\n3 # w\n2\n# more\n65535\n" + px
+    assert pnm.decode_pnm(commented)["pixels"] == px
+
+
+def test_pnm_error_surface_and_gates():
+    px = _pix(12)
+    good = pnm.encode_pnm(px, 4, 3, channels=1)
+    with pytest.raises(ValueError):
+        pnm.decode_pnm(b"XX no pnm")
+    with pytest.raises(ValueError):
+        pnm.decode_pnm(good[:-3])  # truncated raster
+    with pytest.raises(ValueError):
+        pnm.decode_pnm(b"P5\n0 3\n255\n")  # zero width
+    with pytest.raises(ValueError):
+        # ascii sample above maxval
+        pnm.decode_pnm(b"P2\n2 1\n10\n5 11\n")
+    with pytest.raises(NotImplementedError):
+        pnm.decode_pnm(b"P4\n4 3\n" + px)  # 1-bit PBM gated
+    with pytest.raises(ValueError):
+        pnm.encode_pnm(px, 5, 3, channels=1)  # wrong pixel count
+
+
+# ---------------------------------------------------------------- BMP
+
+def test_bmp_24_roundtrip_and_row_order_equality():
+    """Bottom-up and top-down store the same image with rows
+    re-ordered on disk: decodes must be byte-identical."""
+    for w, h in [(1, 1), (3, 2), (5, 4), (7, 3)]:  # odd widths pad
+        px = _pix(w * h * 3)
+        up = bmp.decode_bmp(bmp.encode_bmp(px, w, h))
+        dn = bmp.decode_bmp(bmp.encode_bmp(px, w, h, top_down=True))
+        assert up["pixels"] == px and up == dn
+
+
+def test_bmp_32_and_palette_roundtrip():
+    w, h = 6, 3
+    px = _pix(w * h * 3)
+    img = bmp.decode_bmp(bmp.encode_bmp(px, w, h, bpp=32))
+    assert img["pixels"] == px
+    gray = _pix(w * h)
+    pal = bmp.decode_bmp(bmp.encode_bmp_palette(gray, w, h))
+    # identity gray palette: every pixel R=G=B=gray value
+    assert pal["pixels"] == b"".join(bytes((v, v, v)) for v in gray)
+
+
+def test_bmp_error_surface_and_gates():
+    px = _pix(12 * 3)
+    good = bmp.encode_bmp(px, 4, 3)
+    with pytest.raises(ValueError):
+        bmp.decode_bmp(b"notbmp")
+    with pytest.raises(ValueError):
+        bmp.decode_bmp(good[:-5])  # truncated raster
+    rle = bytearray(good)
+    struct.pack_into("<I", rle, 30, 1)  # BI_RLE8
+    with pytest.raises(NotImplementedError):
+        bmp.decode_bmp(bytes(rle))
+    deep = bytearray(good)
+    struct.pack_into("<H", deep, 28, 16)  # 16 bpp
+    with pytest.raises(NotImplementedError):
+        bmp.decode_bmp(bytes(deep))
+    with pytest.raises(ValueError):
+        bmp.encode_bmp(px, 5, 3)  # wrong pixel count
+
+
+def test_codec_fuzz_truncations_and_flips():
+    """Systematic truncations + byte flips must raise ValueError /
+    NotImplementedError, never KeyError/IndexError/struct.error —
+    the decode-kernel contract."""
+    px = _pix(8 * 5 * 3)
+    streams = [
+        bmp.encode_bmp(px, 8, 5),
+        bmp.encode_bmp_palette(_pix(8 * 5), 8, 5),
+        pnm.encode_pnm(px, 8, 5, channels=3),
+        pnm.encode_pnm(px, 8, 5, channels=3, ascii_form=True),
+    ]
+    for data in streams:
+        for cut in range(0, len(data), max(1, len(data) // 23)):
+            try:
+                bmp.decode_bmp(data[:cut]) if data[:2] == b"BM" \
+                    else pnm.decode_pnm(data[:cut])
+            except (ValueError, NotImplementedError):
+                pass
+        for pos in range(0, min(len(data), 60), 7):
+            flipped = bytearray(data)
+            flipped[pos] ^= 0xFF
+            try:
+                bmp.decode_bmp(bytes(flipped)) if data[:2] == b"BM" \
+                    else pnm.decode_pnm(bytes(flipped))
+            except (ValueError, NotImplementedError):
+                pass
+
+
+def test_decode_kernel_runs_real_bmp_and_pnm_bytes(spark):
+    """The Spark decode kernel dispatches BMP and PNM for real:
+    dims/checksum come from the actual decoded pixels."""
+    import zlib
+
+    import pandas as pd
+
+    from thrivefinancedatapipeline_spark.multimodal.binary_ops import (
+        decode_image_batch,
+    )
+
+    px = _pix(10 * 4 * 3)
+    payloads = pd.Series(
+        [
+            bmp.encode_bmp(px, 10, 4),
+            pnm.encode_pnm(px, 10, 4, channels=3),
+            pnm.encode_pnm(_pix(10 * 4), 10, 4, channels=1),
+        ]
+    )
+    out = decode_image_batch(payloads, fake=False)
+    assert list(out["width"]) == [10, 10, 10]
+    assert list(out["height"]) == [4, 4, 4]
+    assert out["checksum"][0] == zlib.crc32(px)
+    assert out["checksum"][1] == zlib.crc32(px)

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..datamodel import load_table
-from . import avi, gif, jpeg, png, wav
+from . import avi, bmp, gif, jpeg, png, pnm, wav
 
 DECODED_SCHEMA = (
     "doc_id long, n_bytes int, width int, height int, checksum long"
@@ -79,6 +79,16 @@ def decode_image_batch(payloads: pd.Series, *, fake: bool = False) -> pd.DataFra
             widths.append(img["width"])
             heights.append(img["height"])
             checksums.append(zlib.crc32(img["pixels"]))
+        elif bmp.is_bmp(bytes(b)):
+            img = bmp.decode_bmp(bytes(b))
+            widths.append(img["width"])
+            heights.append(img["height"])
+            checksums.append(zlib.crc32(img["pixels"]))
+        elif pnm.is_pnm(bytes(b)):
+            img = pnm.decode_pnm(bytes(b))
+            widths.append(img["width"])
+            heights.append(img["height"])
+            checksums.append(zlib.crc32(img["pixels"]))
         elif fake:
             s = sum(b) % 1_000_003
             widths.append(len(b) % 640 + 1)
@@ -86,11 +96,10 @@ def decode_image_batch(payloads: pd.Series, *, fake: bool = False) -> pd.DataFra
             checksums.append(s)
         else:
             raise NotImplementedError(
-                "only baseline PNG, non-interlaced GIF and baseline "
-                "JPEG (grayscale + 4:4:4 color) decode natively here; "
-                "other image codecs are unavailable in this "
-                "environment — pass fake=True for the deterministic "
-                "stub"
+                "only PNG, GIF, baseline/progressive JPEG, BMP "
+                "(BI_RGB) and PGM/PPM decode natively here; other "
+                "image codecs are unavailable in this environment — "
+                "pass fake=True for the deterministic stub"
             )
     return pd.DataFrame(
         {
@@ -198,6 +207,17 @@ def resize_nn(
                     ch = 3  # palette-mapped RGB
                 elif jpeg.is_jpeg(b):
                     img = jpeg.decode_jpeg_color(b)  # gray, 4:4:4, 4:2:0
+                    ch = img["channels"]
+                elif bmp.is_bmp(b):
+                    img = bmp.decode_bmp(b)
+                    ch = 3
+                elif pnm.is_pnm(b):
+                    img = pnm.decode_pnm(b)
+                    if img["maxval"] > 255:
+                        raise NotImplementedError(
+                            "resize_nn is 8-bit-per-sample; 16-bit "
+                            "PNM keeps the gate"
+                        )
                     ch = img["channels"]
                 else:
                     raise NotImplementedError(
