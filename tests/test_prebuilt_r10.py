@@ -381,3 +381,32 @@ def test_source_token_cost_drift_vs_duckdb_and_bounds(spark, sf_dir):
             assert ratio == cur * 1_000_000 // prv
         # consecutive-period pairing: one row per (source, day)
         assert len(got) == len({(r[0], r[1]) for r in got})
+
+
+def test_source_curation_funnel_vs_duckdb_and_monotonicity(
+    spark, sf_dir
+):
+    from thrivefinancedatapipeline_spark.operators.quality import (
+        CURATION_FUNNEL_ORACLE,
+        source_curation_funnel,
+    )
+
+    for d in _dirs(sf_dir):
+        got = sorted(
+            tuple(r)
+            for r in source_curation_funnel(spark, d).collect()
+        )
+        want = sorted(
+            tuple(r) for r in _duck(d, CURATION_FUNNEL_ORACLE)
+        )
+        assert got == want, f"curation_funnel mismatch at {d}"
+        assert len(got) >= 2
+        for (_src, raw, clean, dd, fin, rt, ft, ppm) in got:
+            # the funnel ONLY narrows, stage by stage
+            assert raw >= clean >= dd >= fin >= 0
+            assert rt >= ft >= 0
+            assert ppm == ft * 1_000_000 // rt
+        # non-vacuous: every stage drops SOMETHING corpus-wide
+        assert sum(r[1] for r in got) > sum(r[2] for r in got)
+        assert sum(r[2] for r in got) >= sum(r[3] for r in got)
+        assert sum(r[3] for r in got) > sum(r[4] for r in got)

@@ -401,3 +401,123 @@ def observe_ingest_quality(df: DataFrame, name: str = "ingest_quality"):
 # --- tools/check_prebuilt.py through round 5.
 QUERIES["benford_audit"] = benford_audit
 ORACLES["benford_audit"] = BENFORD_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# PREBUILT (r9-staged, NOT yet registered — tools/check_prebuilt.py).
+# ---------------------------------------------------------------------------
+
+def source_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation FUNNEL per source — the dashboard number a data
+    pipeline is judged by: how many documents (and tokens) of each
+    provider survive decontamination, then exact-dup
+    canonicalization, then the per-language quality gate, applied
+    SEQUENTIALLY in run_corpus_pipeline's order. Each stage's
+    keep-set is the REGISTERED operator's own plan (corpus_clean,
+    dedup_keep_canonical, quality_gate_by_lang), so the funnel and
+    the pipeline cannot drift from the audited operators — and
+    unlike the pipeline's driver-side count report, this relation is
+    fully ORACLE-CHECKED (the oracle nests the three registered
+    oracles verbatim).
+
+    Scale: three semi-join keep-sets flagged onto one documents scan
+    (left joins on doc_id, each side a projection of an audited
+    plan), one per-source rollup; no new heavy pass."""
+    from pyspark.sql import functions as F
+
+    from ..functions.text import tokens
+    from .textops import QUERIES as _TEXT_QUERIES
+    from ..operators.dedup import q_dedup_keep_canonical
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("nt"),
+    )
+    clean = _TEXT_QUERIES["corpus_clean"](spark, sf_dir).select(
+        "doc_id"
+    ).withColumn("c", F.lit(1))
+    canon = q_dedup_keep_canonical(spark, sf_dir).select(
+        "doc_id"
+    ).withColumn("k", F.lit(1))
+    gate = q_quality_gate_by_lang(spark, sf_dir).select(
+        "doc_id"
+    ).withColumn("g", F.lit(1))
+    lab = (
+        docs.join(clean, "doc_id", "left")
+        .join(canon, "doc_id", "left")
+        .join(gate, "doc_id", "left")
+    )
+    ck = (F.col("c") == 1) & (F.col("k") == 1)
+    ckg = ck & (F.col("g") == 1)
+    agg = lab.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_raw"),
+        F.count("c").cast("long").alias("n_clean"),
+        # a NULL flag must count as 0, and an all-NULL source must
+        # aggregate to 0, not NULL — coalesce the summed flag
+        F.coalesce(F.sum(ck.cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n_dedup"),
+        F.coalesce(F.sum(ckg.cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n_final"),
+        F.sum("nt").cast("long").alias("raw_tokens"),
+        F.coalesce(
+            F.sum(F.when(ckg, F.col("nt"))), F.lit(0)
+        ).cast("long").alias("final_tokens"),
+    )
+    return agg.select(
+        "source", "n_raw", "n_clean", "n_dedup", "n_final",
+        "raw_tokens", "final_tokens",
+        F.expr(
+            "CAST(CAST(final_tokens AS DECIMAL(38,0)) * 1000000"
+            " div raw_tokens AS BIGINT)"
+        ).alias("retention_ppm"),
+    )
+
+
+def _curation_funnel_oracle() -> str:
+    from ..functions.text import norm_sql
+    from .dedup import ORACLES as _DEDUP_ORACLES
+    from .textops import ORACLES as _TEXT_ORACLES
+
+    clean = _TEXT_ORACLES["corpus_clean"]
+    canon = _DEDUP_ORACLES["dedup_keep_canonical"]
+    gate = ORACLES["quality_gate_by_lang"]
+    return f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split({norm_sql("text")}, ' ')) AS BIGINT)
+           AS nt
+  FROM documents),
+c AS (SELECT DISTINCT doc_id FROM ({clean}) x),
+k AS (SELECT DISTINCT doc_id FROM ({canon}) x),
+g AS (SELECT DISTINCT doc_id FROM ({gate}) x)
+SELECT t.source,
+       CAST(COUNT(*) AS BIGINT) AS n_raw,
+       CAST(COUNT(c.doc_id) AS BIGINT) AS n_clean,
+       CAST(COUNT(CASE WHEN c.doc_id IS NOT NULL
+                        AND k.doc_id IS NOT NULL THEN 1 END)
+            AS BIGINT) AS n_dedup,
+       CAST(COUNT(CASE WHEN c.doc_id IS NOT NULL
+                        AND k.doc_id IS NOT NULL
+                        AND g.doc_id IS NOT NULL THEN 1 END)
+            AS BIGINT) AS n_final,
+       CAST(SUM(t.nt) AS BIGINT) AS raw_tokens,
+       CAST(COALESCE(SUM(CASE WHEN c.doc_id IS NOT NULL
+                               AND k.doc_id IS NOT NULL
+                               AND g.doc_id IS NOT NULL
+                              THEN t.nt END), 0) AS BIGINT)
+         AS final_tokens,
+       CAST(CAST(COALESCE(SUM(CASE WHEN c.doc_id IS NOT NULL
+                                    AND k.doc_id IS NOT NULL
+                                    AND g.doc_id IS NOT NULL
+                                   THEN t.nt END), 0) AS HUGEINT)
+            * 1000000 // SUM(t.nt) AS BIGINT) AS retention_ppm
+FROM t
+LEFT JOIN c ON c.doc_id = t.doc_id
+LEFT JOIN k ON k.doc_id = t.doc_id
+LEFT JOIN g ON g.doc_id = t.doc_id
+GROUP BY t.source"""
+
+
+CURATION_FUNNEL_ORACLE = _curation_funnel_oracle()

@@ -50,6 +50,10 @@ def _catalog():
         source_token_cost_curve,
         source_token_cost_drift,
     )
+    from thrivefinancedatapipeline_spark.operators.quality import (
+        CURATION_FUNNEL_ORACLE,
+        source_curation_funnel,
+    )
     from thrivefinancedatapipeline_spark.operators.sampling import (
         _quality_split_drift_oracle,
         quality_split_drift,
@@ -101,6 +105,9 @@ def _catalog():
         ),
         "source_token_cost_drift": (
             source_token_cost_drift, TOKEN_COST_DRIFT_ORACLE,
+        ),
+        "source_curation_funnel": (
+            source_curation_funnel, CURATION_FUNNEL_ORACLE,
         ),
     }
 
