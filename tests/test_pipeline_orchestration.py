@@ -172,3 +172,27 @@ def test_corpus_pipeline_funnel(spark, sf_dir, tmp_path):
     assert bad == 0
     r2 = run_corpus_pipeline(spark, sf_dir)
     assert {k: v for k, v in r.items() if k != "output_dir"} == r2
+
+
+def test_corpus_pipeline_report_matches_oracled_funnel(spark, sf_dir):
+    """The pipeline's driver-side stage counts equal the per-source
+    rollup of the ORACLE-CHECKED source_curation_funnel — the count
+    report and the audited funnel relation cannot drift (same
+    keep-sets, same order)."""
+    from thrivefinancedatapipeline_spark.operators.quality import (
+        source_curation_funnel,
+    )
+    from thrivefinancedatapipeline_spark.pipeline import (
+        run_corpus_pipeline,
+    )
+
+    report = run_corpus_pipeline(spark, sf_dir)
+    funnel = source_curation_funnel(spark, sf_dir).collect()
+    assert report["n_documents"] == sum(r["n_raw"] for r in funnel)
+    assert report["n_after_decontaminate"] == sum(
+        r["n_clean"] for r in funnel
+    )
+    assert report["n_after_dedup"] == sum(r["n_dedup"] for r in funnel)
+    assert report["n_after_quality_gate"] == sum(
+        r["n_final"] for r in funnel
+    )
