@@ -914,6 +914,74 @@ def _assert_drawdown_parity(spark, src, drawdown_from):
     assert len(got) > len(latest)
 
 
+def test_stream_balance_volatility_matches_batch(spark, sf_dir):
+    """Drain parity for the streaming daily-flow volatility monitor:
+    the max-seq row per customer equals the batch volatility rollup
+    over the union of all batches (population moments fold
+    left-to-right once day cells close; six scalars of state per
+    customer). Day cells are order-SENSITIVE — an out-of-order day
+    would open a second cell for a date the batch counts once — so
+    the source pins file mtimes like the drawdown twin."""
+    import glob
+
+    from thrivefinancedatapipeline_spark.plans.finance_queries import (
+        volatility_from,
+    )
+
+    src = tempfile.mkdtemp(prefix="stream_vol_")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        bounds = [1, 6, 11, 16, 21, 26, 32]
+        for i in range(6):
+            part = ev.filter(
+                (F.dayofmonth("ts") >= bounds[i])
+                & (F.dayofmonth("ts") < bounds[i + 1])
+            ).coalesce(1)
+            part.write.parquet(f"{src}/b{i}", mode="overwrite")
+            for f in glob.glob(f"{src}/b{i}/part-*.parquet"):
+                shutil.copy(f, f"{src}/file{i}.parquet")
+            shutil.rmtree(f"{src}/b{i}")
+            os.utime(
+                f"{src}/file{i}.parquet", (1_000_000 + i, 1_000_000 + i)
+            )
+        got = drain(
+            stateful.stream_balance_volatility(
+                spark, src, max_files_per_trigger=1
+            ),
+            "stream_vol",
+            "append",
+        )
+        latest = {}
+        for r in got:
+            if (
+                r.customerid not in latest
+                or r.seq > latest[r.customerid].seq
+            ):
+                latest[r.customerid] = r
+        final = sorted(
+            (r.customerid, r.n_days, r.net_cents, r.flow_var_cents2)
+            for r in latest.values()
+        )
+        want = sorted(
+            tuple(r)
+            for r in volatility_from(
+                transactions_from_events(spark.read.parquet(src))
+            ).collect()
+        )
+        assert final == want
+        assert len(final) > 10
+        # day counts never decrease along the stream
+        by_cust = {}
+        for r in sorted(got, key=lambda r: r.seq):
+            prev = by_cust.get(r.customerid)
+            if prev is not None:
+                assert r.n_days >= prev.n_days
+            by_cust[r.customerid] = r
+        assert len(got) > len(latest)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
 def test_stream_bucket_migration_matches_batch(spark, sf_dir):
     """Drain parity for the streaming bucket-migration twin against
     an exact pure-Python replay: the drained transition log equals

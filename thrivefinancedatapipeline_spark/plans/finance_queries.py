@@ -1444,7 +1444,14 @@ def balance_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two map-side-combinable rollups (daily cells, then
     per-customer moments); products of two BIGINT sums widen to
     DECIMAL(38,0) first (the ANSI-overflow rule)."""
-    t = _txns(spark, sf_dir).select(
+    return volatility_from(_txns(spark, sf_dir))
+
+
+def volatility_from(txns: DataFrame) -> DataFrame:
+    """The daily-flow variance rollup over ANY transaction frame —
+    shared by the sf_dir query above and the streaming twin's batch
+    expectation (the drawdown_from convention)."""
+    t = txns.select(
         "customerid",
         F.to_date("createdat").alias("d"),
         delta_cents_col().alias("dc"),

@@ -1231,6 +1231,98 @@ def stream_balance_drawdown(
     )
 
 
+VOL_OUT_SCHEMA = (
+    "customerid long, seq int, n_days long, net_cents long,"
+    " flow_var_cents2 long"
+)
+VOL_STATE_SCHEMA = (
+    "seq int, n_closed long, s_closed long, ss_closed long,"
+    " open_day string, open_flow long"
+)
+
+
+def _volatility_state_fn(key, pdf_iter, state: GroupState):
+    """Per-customer daily-flow moment state: closed-day count / sum /
+    sum-of-squares plus the OPEN day's date and running flow — six
+    scalars reproduce the batch variance because population moments
+    fold left-to-right once the day boundary is known, and only the
+    newest day can still grow under time-ordered arrival. Rows are
+    consumed in (createdat, trans_id) order within each batch;
+    time-ordered arrival across batches is the stream's contract
+    (the drawdown twin's convention — day cells, unlike set-valued
+    twins, are order-SENSITIVE: an out-of-order day would open a
+    second cell for a date the batch rollup counts once). ss_closed
+    is a BIGINT: it bounds the per-customer lifetime at ~9e18
+    cents^2 (≈ a century of 1e8-cent daily swings) — the state
+    schema's honest limit, vs the batch side's DECIMAL(38,0)."""
+    seq, n_c, s_c, ss_c, open_day, open_flow = 0, 0, 0, 0, "", 0
+    if state.exists:
+        seq, n_c, s_c, ss_c, open_day, open_flow = state.get
+    rows = []
+    for pdf in pdf_iter:
+        rows.extend(
+            zip(pdf["createdat"], pdf["trans_id"], pdf["d"], pdf["dc"])
+        )
+    for _t, _i, d, dc in sorted(rows):
+        if d != open_day:
+            if open_day:
+                n_c += 1
+                s_c += open_flow
+                ss_c += open_flow * open_flow
+            open_day, open_flow = d, 0
+        open_flow += int(dc)
+    seq += 1
+    state.update((seq, n_c, s_c, ss_c, open_day, open_flow))
+    n = n_c + (1 if open_day else 0)
+    net = s_c + open_flow
+    ss = ss_c + open_flow * open_flow
+    # n*ss - net^2 >= 0 (Cauchy-Schwarz), so Python floor-div equals
+    # the batch side's truncating `div` / DuckDB `//`
+    var = (n * ss - net * net) // (n * n) if n > 0 else 0
+    yield pd.DataFrame(
+        {
+            "customerid": [key[0]],
+            "seq": [seq],
+            "n_days": [n],
+            "net_cents": [net],
+            "flow_var_cents2": [var],
+        }
+    )
+
+
+def stream_balance_volatility(
+    spark, source_dir: str, max_files_per_trigger: int = 4
+):
+    """Continuous daily-flow volatility monitoring over the
+    transaction stream — the streaming twin of
+    plans/finance_queries.balance_volatility: the batch scan's
+    daily-cell + per-customer moment rollups reduce to six scalars
+    of state per customer (closed-day moments + the open day), so
+    the risk trio (drawdown depth, TWAB level, flow variance) is now
+    fully streamable. Dates and cent deltas run in Spark expressions
+    before the stateful op (codegen, bit-identical to the batch
+    rollup); Python folds pre-computed ints. Drain parity pinned by
+    test: after a time-ordered drain, the max-seq row per customer
+    equals the batch volatility over everything seen."""
+    from ..plans.finance_queries import delta_cents_col
+
+    txns = stream_transactions(spark, source_dir, max_files_per_trigger)
+    enriched = txns.select(
+        "customerid",
+        "createdat",
+        "trans_id",
+        F.to_date("createdat").cast("string").alias("d"),
+        delta_cents_col().alias("dc"),
+    )
+    return enriched.groupBy("customerid").applyInPandasWithState(
+        _volatility_state_fn,
+        outputStructType=VOL_OUT_SCHEMA,
+        stateStructType=VOL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 LEAK_OUT_SCHEMA = "split_a string, split_b string, seq int, n_pairs long"
 LEAK_STATE_SCHEMA = "seq int, n long"
 
