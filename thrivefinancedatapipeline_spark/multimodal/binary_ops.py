@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..datamodel import load_table
-from . import avi, bmp, gif, jpeg, png, pnm, wav
+from . import avi, bmp, gif, jpeg, png, pnm, qoi, wav
 
 DECODED_SCHEMA = (
     "doc_id long, n_bytes int, width int, height int, checksum long"
@@ -89,6 +89,11 @@ def decode_image_batch(payloads: pd.Series, *, fake: bool = False) -> pd.DataFra
             widths.append(img["width"])
             heights.append(img["height"])
             checksums.append(zlib.crc32(img["pixels"]))
+        elif qoi.is_qoi(bytes(b)):
+            img = qoi.decode_qoi(bytes(b))
+            widths.append(img["width"])
+            heights.append(img["height"])
+            checksums.append(zlib.crc32(img["pixels"]))
         elif fake:
             s = sum(b) % 1_000_003
             widths.append(len(b) % 640 + 1)
@@ -97,7 +102,7 @@ def decode_image_batch(payloads: pd.Series, *, fake: bool = False) -> pd.DataFra
         else:
             raise NotImplementedError(
                 "only PNG, GIF, baseline/progressive JPEG, BMP "
-                "(BI_RGB) and PGM/PPM decode natively here; other "
+                "(BI_RGB), PGM/PPM and QOI decode natively here; other "
                 "image codecs are unavailable in this environment — "
                 "pass fake=True for the deterministic stub"
             )
@@ -218,6 +223,9 @@ def resize_nn(
                             "resize_nn is 8-bit-per-sample; 16-bit "
                             "PNM keeps the gate"
                         )
+                    ch = img["channels"]
+                elif qoi.is_qoi(b):
+                    img = qoi.decode_qoi(b)
                     ch = img["channels"]
                 else:
                     raise NotImplementedError(
