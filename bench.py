@@ -1,10 +1,16 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+STDOUT CONTRACT — exactly TWO JSON lines (parsers must read the FIRST
+line for the full record; the second exists only so a tail-truncated
+capture still keeps the headline total):
+
+  line 1 (the artifact):
   {"metric": "...", "value": <total_sec>, "unit": "sec",
    "queries": {name: median_sec, ...}, "spread": {name: max_minus_min},
    "runs_per_query": {name: 3|5}, "warmup_runs": 1,
    "aggregation": "median", "sf": <sf>}
+
+  line 2 (truncation guard): {"total_wall_s": <total_sec>}
 
 Per query: one UNTIMED warmup (absorbs per-query codegen compilation),
 then median-of-3, escalated to median-of-5/7 while the trimmed spread

@@ -1,4 +1,4 @@
-"""Round-10 prebuilds (staged in tools/check_prebuilt.py): Spark ==
+"""Round-10 prebuilds (r9-staged, registered in round 10): Spark ==
 DuckDB at two SFs plus per-operator invariants — the
 pre-registration pin the r5–r9 prebuilt catalogs used."""
 
@@ -410,3 +410,42 @@ def test_source_curation_funnel_vs_duckdb_and_monotonicity(
         assert sum(r[1] for r in got) > sum(r[2] for r in got)
         assert sum(r[2] for r in got) >= sum(r[3] for r in got)
         assert sum(r[3] for r in got) > sum(r[4] for r in got)
+
+
+def test_r10_eleven_promoted_to_registered_catalog():
+    """Round 10 registered the eleven r9-staged prebuilds: all in the
+    module QUERIES/ORACLES dicts (aggregated by the registry) and NO
+    LONGER in the prebuilt staging catalog (drained, the r6 state)."""
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    import check_prebuilt
+
+    from thrivefinancedatapipeline_spark.registry import (
+        all_oracles,
+        all_queries,
+    )
+
+    eleven = {
+        "source_token_cost_curve",
+        "near_dup_severity_histogram",
+        "source_token_yield",
+        "quality_split_drift",
+        "balance_volatility",
+        "balance_bucket_migration",
+        "chunk_near_dup_rate",
+        "knn_ivfpq_filtered",
+        "hybrid_search_rrf",
+        "source_token_cost_drift",
+        "source_curation_funnel",
+    }
+    staged = set(check_prebuilt._catalog())
+    assert staged & eleven == set()
+    qs, os_ = all_queries(), all_oracles()
+    assert eleven <= set(qs) and eleven <= set(os_)

@@ -51,6 +51,40 @@ def test_row_local_minhash_bands_match_batch(spark, sf_dir):
     assert n == want_n
 
 
+def test_row_local_bands_parity_with_shingle_less_docs(spark):
+    """Docs with < 3 tokens have NO shingles: the batch banding emits
+    no rows for them (no shingle rows → no groupBy group), and the
+    row-local form must match — not fold the empty array to the
+    [P]*16 init signature and emit NB sentinel-key band rows that
+    collide every short doc with every other (the r9 ADVICE gap:
+    parity must hold for EVERY corpus, not just shingle-rich ones)."""
+    from thrivefinancedatapipeline_spark.operators.dedup import (
+        minhash_bands_for,
+        minhash_bands_row_local,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha"),                      # 1 token → 0 shingles
+            (2, "alpha beta"),                 # 2 tokens → 0 shingles
+            (3, "alpha beta gamma delta"),     # 2 shingles
+            (4, "alpha beta gamma delta"),     # exact dup of 3
+            (5, ""),                           # empty text
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        tuple(r)
+        for r in minhash_bands_row_local(docs)
+        .select("doc_id", "band", "key")
+        .collect()
+    )
+    want = sorted(tuple(r) for r in minhash_bands_for(docs).collect())
+    assert got == want
+    # short docs emit nothing; the two real docs band identically
+    assert {r[0] for r in got} == {3, 4}
+
+
 def test_stream_split_leakage_matches_batch(spark, sf_dir):
     """Drain parity: after the full corpus streams through, the
     max-seq n_pairs per (split_a, split_b) cell equals the batch

@@ -2334,7 +2334,11 @@ def minhash_bands_row_local(docs: DataFrame) -> DataFrame:
         "shs",
         F.transform(F.col("shs"), lambda sh: md5_long(sh) % P).alias("hs"),
     )
-    sig = hs.select(
+    # Shingle-less docs (< 3 tokens) would fold to the [P]*16 init
+    # signature and all collide on the sentinel band key; the batch
+    # relation has no rows for them (no shingles → no groupBy group),
+    # so drop them here to keep the parity exact for EVERY corpus.
+    sig = hs.filter(F.size("shs") > 0).select(
         "doc_id",
         "shs",
         F.size("shs").cast("long").alias("n_shingles"),
@@ -2368,7 +2372,7 @@ def minhash_bands_row_local(docs: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# PREBUILT (r9-staged, NOT yet registered — tools/check_prebuilt.py).
+# r9-staged prebuilds, registered in round 10.
 # ---------------------------------------------------------------------------
 
 #: severity histogram bucket width in jaccard ppm (tau=0.8 floor →
@@ -2392,17 +2396,16 @@ def near_dup_severity_histogram(
     the LSH-bounded pair relation — nothing touches the corpus
     beyond the proven pair query."""
     p = q_dedup_minhash_lsh(spark, sf_dir)
-    ppm = F.expr(
+    # Integer division end-to-end (ppm div bucket * bucket): double
+    # division feeding a compared column is the engine-stability trap
+    # the repo rules ban, even when the boundary margin is safe.
+    bucket = F.expr(
         "CAST(CAST(common_shingles AS DECIMAL(38,0)) * 1000000"
         " div (shingles_1 + shingles_2 - common_shingles) AS BIGINT)"
+        f" div {SEVERITY_BUCKET_PPM} * {SEVERITY_BUCKET_PPM}"
     )
     return (
-        p.select(
-            (
-                (ppm / SEVERITY_BUCKET_PPM).cast("long")
-                * SEVERITY_BUCKET_PPM
-            ).alias("bucket_lo")
-        )
+        p.select(bucket.alias("bucket_lo"))
         .groupBy("bucket_lo")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
@@ -2416,6 +2419,9 @@ SELECT CAST(CAST(common_shingles AS HUGEINT) * 1000000
             AS BIGINT) AS bucket_lo,
        CAST(COUNT(*) AS BIGINT) AS n_pairs
 FROM pairs GROUP BY 1""".format(base=ORACLES["dedup_minhash_lsh"])
+
+QUERIES["near_dup_severity_histogram"] = near_dup_severity_histogram
+ORACLES["near_dup_severity_histogram"] = NEAR_DUP_SEVERITY_ORACLE
 
 
 def source_token_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2516,3 +2522,6 @@ SELECT r.source, r.n_docs, r.raw_tokens,
 FROM raw r
 LEFT JOIN exs e USING (source)
 LEFT JOIN nrs n USING (source)"""
+
+QUERIES["source_token_yield"] = source_token_yield
+ORACLES["source_token_yield"] = SOURCE_TOKEN_YIELD_ORACLE

@@ -321,7 +321,7 @@ ORACLES["packing_efficiency"] = PACKING_EFFICIENCY_ORACLE
 
 
 # ---------------------------------------------------------------------------
-# PREBUILT (r9-staged, NOT yet registered — tools/check_prebuilt.py).
+# r9-staged prebuilds, registered in round 10.
 # ---------------------------------------------------------------------------
 
 #: (window, stride) points of the token-cost curve: each window with
@@ -590,3 +590,8 @@ FROM lagged WHERE prev_day IS NOT NULL"""
 
 
 TOKEN_COST_DRIFT_ORACLE = _token_cost_drift_oracle()
+
+QUERIES["source_token_cost_curve"] = source_token_cost_curve
+ORACLES["source_token_cost_curve"] = SOURCE_TOKEN_COST_CURVE_ORACLE
+QUERIES["source_token_cost_drift"] = source_token_cost_drift
+ORACLES["source_token_cost_drift"] = TOKEN_COST_DRIFT_ORACLE

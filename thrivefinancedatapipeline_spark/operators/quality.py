@@ -404,7 +404,7 @@ ORACLES["benford_audit"] = BENFORD_ORACLE
 
 
 # ---------------------------------------------------------------------------
-# PREBUILT (r9-staged, NOT yet registered — tools/check_prebuilt.py).
+# r9-staged prebuilds, registered in round 10.
 # ---------------------------------------------------------------------------
 
 def source_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -521,3 +521,6 @@ GROUP BY t.source"""
 
 
 CURATION_FUNNEL_ORACLE = _curation_funnel_oracle()
+
+QUERIES["source_curation_funnel"] = source_curation_funnel
+ORACLES["source_curation_funnel"] = CURATION_FUNNEL_ORACLE

@@ -434,7 +434,7 @@ ORACLES["split_leakage_audit"] = _split_leakage_oracle()
 
 
 # ---------------------------------------------------------------------------
-# PREBUILT (r9-staged, NOT yet registered — tools/check_prebuilt.py).
+# r9-staged prebuilds, registered in round 10.
 # ---------------------------------------------------------------------------
 
 def quality_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -491,3 +491,7 @@ SELECT split, quality_bucket, n_docs,
             // SUM(n_docs) OVER (PARTITION BY split) AS BIGINT)
          AS share_ppm
 FROM g"""
+
+
+QUERIES["quality_split_drift"] = quality_split_drift
+ORACLES["quality_split_drift"] = _quality_split_drift_oracle()

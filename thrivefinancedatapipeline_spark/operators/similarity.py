@@ -2065,7 +2065,7 @@ ORACLES["ivfpq_distortion_audit"] = _ivfpq_distortion_oracle()
 
 
 # ---------------------------------------------------------------------------
-# PREBUILT (r9-staged, NOT yet registered — tools/check_prebuilt.py).
+# r9-staged prebuilds, registered in round 10.
 # ---------------------------------------------------------------------------
 
 #: metadata predicate for the filtered-ANN variant (embeddings.label)
@@ -2260,3 +2260,8 @@ SELECT query_id, neighbor_id, rrf_score,
          ORDER BY rrf_score DESC, neighbor_id) AS INT) AS rank
 FROM fused
 QUALIFY rank <= {HY_K}"""
+
+QUERIES["knn_ivfpq_filtered"] = ivfpq_knn_filtered
+ORACLES["knn_ivfpq_filtered"] = _ivfpq_filtered_oracle()
+QUERIES["hybrid_search_rrf"] = hybrid_search_rrf
+ORACLES["hybrid_search_rrf"] = HYBRID_RRF_ORACLE

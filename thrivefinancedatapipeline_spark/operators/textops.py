@@ -2188,7 +2188,7 @@ ORACLES["doc_length_outliers"] = DOC_LENGTH_OUTLIERS_ORACLE
 
 
 # ---------------------------------------------------------------------------
-# PREBUILT (r9-staged, NOT yet registered — tools/check_prebuilt.py).
+# r9-staged prebuilds, registered in round 10.
 # ---------------------------------------------------------------------------
 
 #: chunk id = doc_id * 2^20 + chunk_idx: one BIGINT key so the whole
@@ -2362,6 +2362,9 @@ GROUP BY b.lang"""
 
 
 CHUNK_NEAR_DUP_ORACLE = _chunk_near_dup_oracle()
+
+QUERIES["chunk_near_dup_rate"] = chunk_near_dup_rate
+ORACLES["chunk_near_dup_rate"] = CHUNK_NEAR_DUP_ORACLE
 
 
 def chunk_shingles(docs_df) -> DataFrame:

@@ -1426,7 +1426,7 @@ ORACLES["balance_concentration_by_segment"] = CONCENTRATION_ORACLE
 
 
 # ---------------------------------------------------------------------------
-# PREBUILT (r9-staged, NOT yet registered — tools/check_prebuilt.py).
+# r9-staged prebuilds, registered in round 10.
 # ---------------------------------------------------------------------------
 
 def balance_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1590,3 +1590,8 @@ SELECT from_bucket, bucket AS to_bucket,
        CAST(COUNT(*) AS BIGINT) AS n_transitions
 FROM lab WHERE from_bucket IS NOT NULL
 GROUP BY 1, 2"""
+
+QUERIES["balance_volatility"] = balance_volatility
+ORACLES["balance_volatility"] = BALANCE_VOLATILITY_ORACLE
+QUERIES["balance_bucket_migration"] = balance_bucket_migration
+ORACLES["balance_bucket_migration"] = BUCKET_MIGRATION_ORACLE

@@ -32,84 +32,14 @@ def _catalog():
     registered in a module's QUERIES/ORACLES dicts.
 
     Round 6 drained the 29-operator backlog; round 8 registered the
-    six operators round 7 had staged here; round 9 registered the six
-    operators round 8 had staged (source_jaccard_drift,
-    source_dup_matrix, split_leakage_audit, balance_drawdown,
-    doc_length_outliers, balance_concentration_by_segment). Round 9
-    stages prebuilds for the r10 window: green here first, then a
+    six operators round 7 had staged here; round 9 registered round
+    8's six; round 10 registered round 9's eleven (token cost
+    curve/drift, severity histogram, token yield, quality split
+    drift, balance volatility, bucket migration, chunk near-dup
+    rate, filtered ANN, hybrid RRF, curation funnel). Future
+    prebuilds stage here first: green at the default sf0.01, then a
     2-line move of the (query, oracle) pair into the module dicts."""
-    from thrivefinancedatapipeline_spark.operators.dedup import (
-        NEAR_DUP_SEVERITY_ORACLE,
-        SOURCE_TOKEN_YIELD_ORACLE,
-        near_dup_severity_histogram,
-        source_token_yield,
-    )
-    from thrivefinancedatapipeline_spark.operators.packing import (
-        SOURCE_TOKEN_COST_CURVE_ORACLE,
-        TOKEN_COST_DRIFT_ORACLE,
-        source_token_cost_curve,
-        source_token_cost_drift,
-    )
-    from thrivefinancedatapipeline_spark.operators.quality import (
-        CURATION_FUNNEL_ORACLE,
-        source_curation_funnel,
-    )
-    from thrivefinancedatapipeline_spark.operators.sampling import (
-        _quality_split_drift_oracle,
-        quality_split_drift,
-    )
-    from thrivefinancedatapipeline_spark.operators.similarity import (
-        HYBRID_RRF_ORACLE,
-        _ivfpq_filtered_oracle,
-        hybrid_search_rrf,
-        ivfpq_knn_filtered,
-    )
-    from thrivefinancedatapipeline_spark.operators.textops import (
-        CHUNK_NEAR_DUP_ORACLE,
-        chunk_near_dup_rate,
-    )
-    from thrivefinancedatapipeline_spark.plans.finance_queries import (
-        BALANCE_VOLATILITY_ORACLE,
-        BUCKET_MIGRATION_ORACLE,
-        balance_bucket_migration,
-        balance_volatility,
-    )
-
-    return {
-        "source_token_cost_curve": (
-            source_token_cost_curve, SOURCE_TOKEN_COST_CURVE_ORACLE,
-        ),
-        "near_dup_severity_histogram": (
-            near_dup_severity_histogram, NEAR_DUP_SEVERITY_ORACLE,
-        ),
-        "source_token_yield": (
-            source_token_yield, SOURCE_TOKEN_YIELD_ORACLE,
-        ),
-        "quality_split_drift": (
-            quality_split_drift, _quality_split_drift_oracle(),
-        ),
-        "balance_volatility": (
-            balance_volatility, BALANCE_VOLATILITY_ORACLE,
-        ),
-        "balance_bucket_migration": (
-            balance_bucket_migration, BUCKET_MIGRATION_ORACLE,
-        ),
-        "chunk_near_dup_rate": (
-            chunk_near_dup_rate, CHUNK_NEAR_DUP_ORACLE,
-        ),
-        "knn_ivfpq_filtered": (
-            ivfpq_knn_filtered, _ivfpq_filtered_oracle(),
-        ),
-        "hybrid_search_rrf": (
-            hybrid_search_rrf, HYBRID_RRF_ORACLE,
-        ),
-        "source_token_cost_drift": (
-            source_token_cost_drift, TOKEN_COST_DRIFT_ORACLE,
-        ),
-        "source_curation_funnel": (
-            source_curation_funnel, CURATION_FUNNEL_ORACLE,
-        ),
-    }
+    return {}
 
 
 def main() -> int:
