@@ -38,9 +38,15 @@ def pytest_collection_modifyitems(config, items):
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
-    s = get_spark("tests", shuffle_partitions=4)
+    # Private warehouse per pytest session (passed as an ARG, not the
+    # env var, so subprocess-spawning tests don't inherit it): pytest
+    # can run concurrently with the correctness sweep — or another
+    # pytest — on one checkout without racing on the persisted index
+    # tables under a shared ./spark-warehouse.
+    wh = str(tmp_path_factory.mktemp("spark-warehouse"))
+    s = get_spark("tests", shuffle_partitions=4, warehouse_dir=wh)
     yield s
 
 

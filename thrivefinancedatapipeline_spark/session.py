@@ -13,7 +13,8 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app_name: str = "thrivefinance-spark",
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              warehouse_dir: str | None = None) -> SparkSession:
     """Build (or reuse) a SparkSession with scale-appropriate defaults.
 
     - AQE on: runtime coalescing of shuffle partitions, skew-join
@@ -21,10 +22,18 @@ def get_spark(app_name: str = "thrivefinance-spark",
     - Arrow on: multimodal/decode paths use Pandas UDFs.
     - shuffle partitions default to local core count for tests; on a
       real cluster this is overridden to ~2-3x total cores.
+    - `warehouse_dir` (or $SPARK_GRAFT_WAREHOUSE) gives the process a
+      PRIVATE `spark.sql.warehouse.dir`, so concurrent runs on one
+      checkout (pytest alongside the correctness sweep) cannot race on
+      the persisted index tables under the shared ./spark-warehouse.
+      Static conf: it only takes effect for the session that CREATES
+      the JVM — pass it before any other get_spark call in the
+      process.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus)
+    wh = warehouse_dir or os.environ.get("SPARK_GRAFT_WAREHOUSE")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -46,4 +55,8 @@ def get_spark(app_name: str = "thrivefinance-spark",
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
+    if wh:
+        builder = builder.config(
+            "spark.sql.warehouse.dir", os.path.abspath(wh)
+        )
     return builder.getOrCreate()

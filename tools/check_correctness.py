@@ -45,7 +45,17 @@ def main() -> int:
     import __spark_entry__ as e
     from thrivefinancedatapipeline_spark.session import get_spark
 
-    spark = get_spark("correctness-check")
+    # Private warehouse: a concurrent pytest run on the same checkout
+    # must not race this sweep on the persisted index tables (the r9
+    # LOCATION_ALREADY_EXISTS / stamp-TOCTOU incidents). Index-probe
+    # queries self-heal by rebuilding into the tempdir.
+    import atexit
+    import shutil
+    import tempfile
+
+    wh = tempfile.mkdtemp(prefix="tfdp-wh-")
+    atexit.register(shutil.rmtree, wh, ignore_errors=True)
+    spark = get_spark("correctness-check", warehouse_dir=wh)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

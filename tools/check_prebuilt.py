@@ -52,7 +52,14 @@ def main() -> int:
         # a typo'd name must NOT report green-by-vacuity
         print(f"ERROR: not in the prebuilt catalog: {sorted(unknown)}")
         return 1
-    spark = get_spark("prebuilt-check")
+    # private warehouse: hermetic against concurrent pytest/sweep runs
+    import atexit
+    import shutil
+    import tempfile
+
+    wh = tempfile.mkdtemp(prefix="tfdp-wh-")
+    atexit.register(shutil.rmtree, wh, ignore_errors=True)
+    spark = get_spark("prebuilt-check", warehouse_dir=wh)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
