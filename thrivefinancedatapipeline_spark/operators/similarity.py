@@ -2121,25 +2121,9 @@ LEX_DF_CAP = 64
 RRF_K = 60
 
 
-def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HYBRID retrieval — lexical + vector search fused by reciprocal
-    rank (RRF, Cormack et al.): for each query document, an
-    inverted-index lexical top-k (integer idf weights 1e6//df over
-    shared rare tokens; tokens above LEX_DF_CAP are stop-tokens —
-    the MAX_SHINGLE_DF posture, which also bounds the candidate
-    join) and an exact cosine top-k over the aligned embedding
-    (vec_id == doc_id in this corpus) are combined in RANK space:
-    rrf = Σ 1e9 // (60 + rank) over the lists containing the doc —
-    integer-exact, so the fusion itself is oracle-provable even
-    though the vector leg orders by a float cosine (ties broken by
-    id, the proven knn convention).
-
-    Scale: the lexical leg is the DF-capped inverted-index join
-    (uniform keys, candidate count bounded by cap x |query terms|);
-    the vector leg here is the exact broadcast scan (HY_QUERIES
-    rows) — a deployment swaps in the persisted IVF-PQ index probe
-    for that leg, and the fusion is unchanged because RRF consumes
-    only ranks."""
+def _hybrid_lex_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, lex_rank): the DF-capped inverted-index
+    lexical top-k — shared by the exact and index-probe fusions."""
     from ..functions.text import tokens
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -2160,7 +2144,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     wl = Window.partitionBy("query_id").orderBy(
         F.col("lex_score").desc(), F.col("neighbor_id")
     )
-    lex = (
+    return (
         qp.join(cp, "t")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .groupBy("query_id", "neighbor_id")
@@ -2169,6 +2153,58 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("lex_rank") <= HY_K)
         .select("query_id", "neighbor_id", "lex_rank")
     )
+
+
+def _rrf_fuse(lex: DataFrame, vec: DataFrame) -> DataFrame:
+    """Fuse (query_id, neighbor_id, lex_rank) with (query_id,
+    neighbor_id, vec_rank) in integer rank space: rrf = Σ 1e9 //
+    (RRF_K + rank) over the lists containing the doc. Consumes ONLY
+    ranks, so any vector leg with the (query_id, neighbor_id,
+    vec_rank) shape — exact scan or persisted-index probe — fuses
+    identically."""
+    fused = lex.join(vec, ["query_id", "neighbor_id"], "full_outer").withColumn(
+        "rrf_score",
+        F.expr(
+            f"coalesce(1000000000 div ({RRF_K} + lex_rank), 0)"
+            f" + coalesce(1000000000 div ({RRF_K} + vec_rank), 0)"
+        ).cast("long"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("neighbor_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= HY_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rrf_score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval — lexical + vector search fused by reciprocal
+    rank (RRF, Cormack et al.): for each query document, an
+    inverted-index lexical top-k (integer idf weights 1e6//df over
+    shared rare tokens; tokens above LEX_DF_CAP are stop-tokens —
+    the MAX_SHINGLE_DF posture, which also bounds the candidate
+    join) and an exact cosine top-k over the aligned embedding
+    (vec_id == doc_id in this corpus) are combined in RANK space:
+    rrf = Σ 1e9 // (60 + rank) over the lists containing the doc —
+    integer-exact, so the fusion itself is oracle-provable even
+    though the vector leg orders by a float cosine (ties broken by
+    id, the proven knn convention).
+
+    Scale: the lexical leg is the DF-capped inverted-index join
+    (uniform keys, candidate count bounded by cap x |query terms|);
+    the vector leg here is the exact broadcast scan (HY_QUERIES
+    rows) — `hybrid_search_rrf_indexed` swaps in the persisted
+    IVF-PQ index probe for that leg, and the fusion is unchanged
+    because RRF consumes only ranks (parity where the probe's list
+    matches is pinned in tests/test_hybrid_indexed.py)."""
+    lex = _hybrid_lex_leg(spark, sf_dir)
     e = _vectors(spark, sf_dir)
     qv = e.filter(F.col("vec_id") < HY_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -2193,29 +2229,30 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_rank") <= HY_K)
         .select("query_id", "neighbor_id", "vec_rank")
     )
-    fused = (
-        lex.join(vec, ["query_id", "neighbor_id"], "full_outer")
-        .withColumn(
-            "rrf_score",
-            F.expr(
-                f"coalesce(1000000000 div ({RRF_K} + lex_rank), 0)"
-                f" + coalesce(1000000000 div ({RRF_K} + vec_rank), 0)"
-            ).cast("long"),
-        )
-    )
-    wf = Window.partitionBy("query_id").orderBy(
-        F.col("rrf_score").desc(), F.col("neighbor_id")
-    )
-    return (
-        fused.withColumn("rank", F.row_number().over(wf))
-        .filter(F.col("rank") <= HY_K)
+    return _rrf_fuse(lex, vec)
+
+
+def hybrid_search_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deployment variant hybrid_search_rrf's docstring promises:
+    the vector leg is the PERSISTED IVF-PQ index probe (train-once
+    tables, cell-pruned code scan, exact rerank — the
+    knn_ivfpq_index_probe path, self-healing build included) instead
+    of the exact broadcast scan; the lexical leg and the RRF fusion
+    are the SAME code. TOP_K == HY_K and the probe's query set
+    (vec_id < N_QUERIES) covers vec_id < HY_QUERIES, so the probe's
+    (query_id, neighbor_id, rank) drops in as vec_rank directly.
+    For every query where the probe's top-k list equals the exact
+    leg's list, the fused rows are IDENTICAL to hybrid_search_rrf
+    (test-pinned); elsewhere they differ exactly where ANN recall
+    differs — the fusion adds no error of its own."""
+    vec = (
+        knn_ivfpq_index_probe(spark, sf_dir)
+        .filter(F.col("query_id") < HY_QUERIES)
         .select(
-            "query_id",
-            "neighbor_id",
-            "rrf_score",
-            F.col("rank").cast("int").alias("rank"),
+            "query_id", "neighbor_id", F.col("rank").alias("vec_rank")
         )
     )
+    return _rrf_fuse(_hybrid_lex_leg(spark, sf_dir), vec)
 
 
 HYBRID_RRF_ORACLE = f"""
