@@ -1522,7 +1522,7 @@ def bucket_of_cents(bal: int) -> str:
 
 
 def balance_bucket_migration(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, period_fmt: str = "yyyy-MM-dd"
 ) -> DataFrame:
     """Period-over-period migration matrix of customers across fixed
     balance buckets (<=0 / <=100 / <=1000 / >1000 dollars in cents)
@@ -1532,9 +1532,11 @@ def balance_bucket_migration(
     differently across engines, fixed cents cannot. Transitions are
     between consecutive ACTIVE periods per customer (period-end
     cumulative balance after each period with transactions). The
-    period is a DAY because the test corpus' event span is days —
-    the production monthly cadence swaps the truncation format and
-    nothing else changes (the drift-grain convention).
+    registered grain is a DAY because the test corpus' event span is
+    days; the production monthly cadence is period_fmt="yyyy-MM" —
+    exercised on a synthetic multi-month corpus, Spark==DuckDB, in
+    tests/test_bucket_migration_monthly.py (the drift-grain
+    convention: the format string is the ONLY thing that changes).
 
     Scale: the per-period rollup shuffles once on (customer, period)
     cells; then ONE exchange per customer serves BOTH the running-
@@ -1544,7 +1546,7 @@ def balance_bucket_migration(
     cells."""
     t = _txns(spark, sf_dir).select(
         "customerid",
-        F.date_format("createdat", "yyyy-MM-dd").alias("mon"),
+        F.date_format("createdat", period_fmt).alias("mon"),
         delta_cents_col().alias("dc"),
     )
     monthly = t.groupBy("customerid", "mon").agg(
@@ -1571,9 +1573,13 @@ def balance_bucket_migration(
     ).agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
 
 
-BUCKET_MIGRATION_ORACLE = f"""WITH {TXNS_CTE},
+def bucket_migration_oracle(fmt: str = "%Y-%m-%d") -> str:
+    """DuckDB twin, grain-parameterized exactly like the Spark side
+    (fmt is strftime syntax; '%Y-%m' is the production monthly
+    cadence)."""
+    return f"""WITH {TXNS_CTE},
 monthly AS (
-  SELECT customerid, strftime(createdat, '%Y-%m-%d') AS mon,
+  SELECT customerid, strftime(createdat, '{fmt}') AS mon,
          SUM({DELTA_CENTS_SQL}) AS net
   FROM txns GROUP BY 1, 2),
 bal AS (
@@ -1590,6 +1596,9 @@ SELECT from_bucket, bucket AS to_bucket,
        CAST(COUNT(*) AS BIGINT) AS n_transitions
 FROM lab WHERE from_bucket IS NOT NULL
 GROUP BY 1, 2"""
+
+
+BUCKET_MIGRATION_ORACLE = bucket_migration_oracle()
 
 QUERIES["balance_volatility"] = balance_volatility
 ORACLES["balance_volatility"] = BALANCE_VOLATILITY_ORACLE
