@@ -27,6 +27,7 @@ SLOW_FILES = {
     "test_prebuilt_r10.py",     # 45 s — two-SF compares incl. CC chains
     "test_stream_leakage.py",   # 33 s — streaming drains + band parity
     "test_hybrid_indexed.py",   # 51 s — index build + three ANN runs
+    "test_prebuilt_r11.py",     # 48 s — two-SF compares incl. ivfpq oracle
 }
 
 

@@ -1,0 +1,163 @@
+"""Round-11 prebuilds (staged in tools/check_prebuilt.py in round 10):
+Spark == DuckDB at two SFs plus per-operator invariants — the
+pre-registration pin every prebuilt catalog since r5 has used."""
+
+import os
+
+import duckdb
+
+
+def _duck(d, sql, tables=("documents", "embeddings")):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{d}/{t}.parquet')"
+        )
+    rows = con.execute(sql).fetchall()
+    con.close()
+    return rows
+
+
+def _dirs(sf_dir):
+    return [
+        d
+        for d in (sf_dir, sf_dir.replace("sf0.001", "sf0.01"))
+        if os.path.isdir(d)
+    ]
+
+
+def test_hybrid_indexed_vs_duckdb_and_bounds(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.operators.similarity import (
+        HY_K,
+        HY_QUERIES,
+        HYBRID_RRF_INDEXED_ORACLE,
+        hybrid_search_rrf_indexed,
+    )
+
+    for d in _dirs(sf_dir):
+        got = sorted(
+            tuple(r)
+            for r in hybrid_search_rrf_indexed(spark, d).collect()
+        )
+        want = sorted(tuple(r) for r in _duck(d, HYBRID_RRF_INDEXED_ORACLE))
+        assert got == want, f"hybrid_search_rrf_indexed mismatch at {d}"
+        per_q = {}
+        for qid, _nid, score, rank in got:
+            per_q.setdefault(qid, []).append((rank, score))
+        assert set(per_q) == set(range(HY_QUERIES))
+        for rows in per_q.values():
+            rows.sort()
+            assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+            assert len(rows) <= HY_K
+            assert [r[1] for r in rows] == sorted(
+                (r[1] for r in rows), reverse=True
+            )
+
+
+def test_source_quota_sampler_vs_duckdb_and_bounds(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from thrivefinancedatapipeline_spark.operators.sampling import (
+        QUOTA_DENOM,
+        QUOTA_SAMPLER_ORACLE,
+        quota_sample_docs,
+        source_quota_sampler,
+    )
+
+    for d in _dirs(sf_dir):
+        got = sorted(
+            tuple(r) for r in source_quota_sampler(spark, d).collect()
+        )
+        want = sorted(tuple(r) for r in _duck(d, QUOTA_SAMPLER_ORACLE))
+        assert got == want, f"source_quota_sampler mismatch at {d}"
+
+        srcs = [r[0] for r in got]
+        assert len(srcs) == len(set(srcs)) >= 2
+        total = sum(r[3] for r in got)  # src_tokens over all sources
+        fair = (total // QUOTA_DENOM) // len(srcs)
+        max_nt = {
+            r["source"]: r["mx"]
+            for r in quota_sample_docs(spark, d)
+            .groupBy("source")
+            .agg(F.max("nt").alias("mx"))
+            .collect()
+        }
+        for src, n_sel, sel, src_tok, quota, fill, _ck in got:
+            assert quota == min(src_tok, fair)
+            assert n_sel >= 1 and 0 < sel <= src_tok
+            if quota == src_tok:
+                # quota covers the source: everything ships
+                assert sel == src_tok
+            else:
+                # greedy prefix fills the quota, overshooting by at
+                # most one document
+                assert quota <= sel < quota + max_nt[src]
+            assert fill == sel * 1_000_000 // quota
+
+
+def test_contrastive_negatives_vs_duckdb_and_exclusions(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from thrivefinancedatapipeline_spark.operators.similarity import (
+        CN_HARD,
+        CN_RAND,
+        CONTRASTIVE_NEGATIVES_ORACLE,
+        N_QUERIES,
+        _bucketed,
+        _vectors,
+        contrastive_negatives,
+        q_knn_bruteforce_cosine,
+    )
+
+    for d in _dirs(sf_dir):
+        got = sorted(
+            tuple(r) for r in contrastive_negatives(spark, d).collect()
+        )
+        want = sorted(
+            tuple(r) for r in _duck(d, CONTRASTIVE_NEGATIVES_ORACLE)
+        )
+        assert got == want, f"contrastive_negatives mismatch at {d}"
+
+        top = {
+            (r.query_id, r.neighbor_id)
+            for r in q_knn_bruteforce_cosine(spark, d).collect()
+        }
+        b = _bucketed(_vectors(spark, d))
+        qb = b.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), "table", "bucket"
+        )
+        mates = {
+            (r.query_id, r.neighbor_id)
+            for r in qb.join(
+                b.select(
+                    F.col("vec_id").alias("neighbor_id"),
+                    "table",
+                    "bucket",
+                ),
+                ["table", "bucket"],
+            )
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+            .distinct()
+            .collect()
+        }
+        counts = {}
+        for qid, nid, kind, rank in got:
+            counts[(qid, kind)] = counts.get((qid, kind), 0) + 1
+            assert (qid, nid) not in top  # never a potential positive
+            assert qid != nid
+            if kind == "hard":
+                assert (qid, nid) in mates  # hard = bucket collision
+            else:
+                assert (qid, nid) not in mates  # rand = easy
+            assert 1 <= rank <= (CN_HARD if kind == "hard" else CN_RAND)
+        for (qid, kind), n in counts.items():
+            assert n <= (CN_HARD if kind == "hard" else CN_RAND)
+        # non-vacuous: every anchor mined at least one of each kind
+        assert {q for q, k in counts if k == "hard"} == set(
+            range(N_QUERIES)
+        )
+        assert {q for q, k in counts if k == "rand"} == set(
+            range(N_QUERIES)
+        )

@@ -495,3 +495,121 @@ FROM g"""
 
 QUERIES["quality_split_drift"] = quality_split_drift
 ORACLES["quality_split_drift"] = _quality_split_drift_oracle()
+
+
+# ---------------------------------------------------------------------------
+# PREBUILT (r10-staged, NOT yet registered — tools/check_prebuilt.py).
+# ---------------------------------------------------------------------------
+
+#: assembly budget = total corpus tokens div QUOTA_DENOM, split as an
+#: equal fair-share quota across sources (capped by availability)
+QUOTA_DENOM = 2
+QUOTA_NS = "quota:"
+
+
+def quota_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-budget dataset assembly — the step between
+    corpus_mixture_weights (what share each source SHOULD get) and
+    dataset_manifest (what was shipped): give every source an equal
+    fair-share token quota (total div 2 div n_sources, capped by the
+    source's own tokens) and select each source's documents in
+    namespaced-hash order until the quota is reached (greedy prefix:
+    a doc is kept iff the selected tokens BEFORE it are under quota,
+    so the quota can overshoot by at most one document). Membership
+    is a pure function of (doc_id, corpus totals): reruns, engines,
+    and cluster layouts agree, and growing the corpus only reshuffles
+    selection through the totals — never through row order.
+
+    Scale: one token-count scan; the per-source cumulative sum is a
+    window partitioned by source (bounded source count; a single
+    pathological source would use the classic two-pass partial-sum
+    split, same arithmetic); quotas are a broadcast-size rollup."""
+    from ..functions.text import tokens
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("nt"),
+        md5_long(
+            F.concat(F.lit(QUOTA_NS), F.col("doc_id").cast("string"))
+        ).alias("h"),
+    )
+    tot = docs.agg(
+        F.sum("nt").alias("total_tokens"),
+        F.count_distinct("source").alias("n_sources"),
+    )
+    quota = (
+        docs.groupBy("source")
+        .agg(F.sum("nt").alias("src_tokens"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "src_tokens",
+            F.expr(
+                f"least(src_tokens, (total_tokens div {QUOTA_DENOM})"
+                " div n_sources)"
+            ).alias("quota_tokens"),
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = docs.withColumn("cum", F.sum("nt").over(w))
+    return cum.join(F.broadcast(quota), "source").filter(
+        F.col("cum") - F.col("nt") < F.col("quota_tokens")
+    )
+
+
+def source_quota_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source audit of the quota assembly: how many documents and
+    tokens each source shipped against its quota, the integer-ppm
+    fill (>= 1e6 only by the bounded one-doc overshoot), and an
+    order-independent md5-hash checksum of the selected membership
+    (bit_xor — the ANSI-safe set checksum), so the driver's oracle
+    attests WHICH documents were picked, not just how many."""
+    sel = quota_sample_docs(spark, sf_dir)
+    return sel.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_selected"),
+        F.sum("nt").cast("long").alias("sel_tokens"),
+        F.min("src_tokens").cast("long").alias("src_tokens"),
+        F.min("quota_tokens").cast("long").alias("quota_tokens"),
+        F.expr(
+            "CAST(CAST(SUM(nt) AS DECIMAL(38,0)) * 1000000"
+            " div MIN(quota_tokens) AS BIGINT)"
+        ).alias("fill_ppm"),
+        F.expr("bit_xor(h)").alias("sel_checksum"),
+    )
+
+
+from ..functions.text import tokens_sql as _tokens_sql  # noqa: E402
+
+QUOTA_SAMPLER_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len({_tokens_sql("text")}) AS BIGINT) AS nt,
+         {md5_long_sql("'" + QUOTA_NS + "' || CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents),
+tot AS (SELECT SUM(nt) AS total_tokens,
+               COUNT(DISTINCT source) AS n_sources FROM d),
+q AS (SELECT source, SUM(nt) AS src_tokens,
+             LEAST(SUM(nt), (tot.total_tokens // {QUOTA_DENOM})
+                            // tot.n_sources) AS quota_tokens
+      FROM d, tot GROUP BY source, tot.total_tokens, tot.n_sources),
+c AS (SELECT doc_id, source, nt, h,
+             SUM(nt) OVER (PARTITION BY source ORDER BY h, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d),
+sel AS (SELECT c.*, q.quota_tokens, q.src_tokens
+        FROM c JOIN q USING (source)
+        WHERE c.cum - c.nt < q.quota_tokens)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs_selected,
+       CAST(SUM(nt) AS BIGINT) AS sel_tokens,
+       CAST(MIN(src_tokens) AS BIGINT) AS src_tokens,
+       CAST(MIN(quota_tokens) AS BIGINT) AS quota_tokens,
+       CAST(CAST(SUM(nt) AS HUGEINT) * 1000000 // MIN(quota_tokens)
+            AS BIGINT) AS fill_ppm,
+       BIT_XOR(h) AS sel_checksum
+FROM sel GROUP BY 1"""

@@ -2255,7 +2255,13 @@ def hybrid_search_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rrf_fuse(_hybrid_lex_leg(spark, sf_dir), vec)
 
 
-HYBRID_RRF_ORACLE = f"""
+def _hybrid_rrf_oracle(vec_leg: str) -> str:
+    """DuckDB twin of the RRF fusion, parameterized by the vector
+    leg — `vec_leg` is any subquery producing (query_id, neighbor_id,
+    vec_rank). The lexical CTE chain and the fusion are shared text,
+    so the exact and indexed oracles can only diverge where the Spark
+    variants do: the vector leg."""
+    return f"""
 WITH {_VEC_CTE},
 toks AS (SELECT doc_id,
                 list_distinct(string_split(
@@ -2277,13 +2283,7 @@ lex AS (SELECT query_id, neighbor_id, lex_rank FROM (
                  ROW_NUMBER() OVER (PARTITION BY query_id
                    ORDER BY lex_score DESC, neighbor_id) AS lex_rank
           FROM lexs) WHERE lex_rank <= {HY_K}),
-vec AS (SELECT query_id, neighbor_id, vec_rank FROM (
-          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                   ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm)
-                     DESC, c.vec_id) AS vec_rank
-          FROM e q JOIN e c ON c.vec_id <> q.vec_id
-          WHERE q.vec_id < {HY_QUERIES}) WHERE vec_rank <= {HY_K}),
+vec AS ({vec_leg}),
 fused AS (
   SELECT COALESCE(l.query_id, v.query_id) AS query_id,
          COALESCE(l.neighbor_id, v.neighbor_id) AS neighbor_id,
@@ -2298,7 +2298,166 @@ SELECT query_id, neighbor_id, rrf_score,
 FROM fused
 QUALIFY rank <= {HY_K}"""
 
+
+_EXACT_VEC_LEG = f"""SELECT query_id, neighbor_id, vec_rank FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.v, c.v) / (q.nrm * c.nrm)
+                     DESC, c.vec_id) AS vec_rank
+          FROM e q JOIN e c ON c.vec_id <> q.vec_id
+          WHERE q.vec_id < {HY_QUERIES}) WHERE vec_rank <= {HY_K}"""
+
+HYBRID_RRF_ORACLE = _hybrid_rrf_oracle(_EXACT_VEC_LEG)
+
+#: the indexed variant's vector leg: the ENTIRE registered IVF-PQ
+#: oracle chain (coarse train → residual PQ → ADC → exact rerank) as
+#: a nested subquery — the knn_ivfpq_recall_audit composition trick
+HYBRID_RRF_INDEXED_ORACLE = _hybrid_rrf_oracle(
+    f"""SELECT query_id, neighbor_id, rank AS vec_rank
+          FROM ({_ivfpq_oracle_sql()})
+          WHERE query_id < {HY_QUERIES}"""
+)
+
 QUERIES["knn_ivfpq_filtered"] = ivfpq_knn_filtered
 ORACLES["knn_ivfpq_filtered"] = _ivfpq_filtered_oracle()
 QUERIES["hybrid_search_rrf"] = hybrid_search_rrf
 ORACLES["hybrid_search_rrf"] = HYBRID_RRF_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# PREBUILT (r10-staged, NOT yet registered — tools/check_prebuilt.py).
+# ---------------------------------------------------------------------------
+
+#: contrastive mining: negatives per anchor per kind, and the
+#: exclusion horizon (exact top-TOP_K are potential POSITIVES — never
+#: emitted as negatives of either kind)
+CN_HARD = 5
+CN_RAND = 5
+CN_NS = "cneg:"
+
+
+def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic triplet mining for contrastive training — the
+    dataset-assembly step next to similarity search itself: per
+    anchor (the standard vec_id < N_QUERIES query set), CN_HARD
+    'hard' negatives drawn from the anchor's LSH bucket-mates (the
+    collision structure the registered knn_lsh already attests:
+    close enough to collide, excluded from the exact top-TOP_K so
+    they are not positives) and CN_RAND 'rand' easy negatives drawn
+    from the rest of the corpus (neither top-TOP_K nor bucket-mate).
+    Both picks are namespaced-md5-hash order — membership is a pure
+    function of the ids, so the mined set is rerun/engine stable (no
+    rand(), the determinism rule every sampler here follows).
+
+    Scale: hard candidates are bucket-join bounded (the knn_lsh
+    plan); the easy pool is corpus-wide per anchor but the pick is a
+    per-anchor hash top-k window (AQE partial top-k caps the sort —
+    at 100 TB you'd threshold the hash instead of ranking; same
+    arithmetic). Anchors broadcast everywhere."""
+    from ..functions.text import md5_long
+
+    top = q_knn_bruteforce_cosine(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    b = _bucketed(_vectors(spark, sf_dir))
+    qb = b.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "table", "bucket"
+    )
+    mates = (
+        F.broadcast(qb)
+        .join(b.select(F.col("vec_id").alias("neighbor_id"), "table", "bucket"),
+              ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    pick_h = md5_long(
+        F.concat(
+            F.lit(CN_NS),
+            F.col("query_id").cast("string"),
+            F.lit(":"),
+            F.col("neighbor_id").cast("string"),
+        )
+    )
+    wp = Window.partitionBy("query_id").orderBy("h", "neighbor_id")
+    hard = (
+        mates.join(top, ["query_id", "neighbor_id"], "left_anti")
+        .withColumn("h", pick_h)
+        .withColumn("pick_rank", F.row_number().over(wp))
+        .filter(F.col("pick_rank") <= CN_HARD)
+        .select("query_id", "neighbor_id", F.lit("hard").alias("kind"),
+                "pick_rank")
+    )
+    anchors = (
+        _vectors(spark, sf_dir)
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"))
+    )
+    pool = (
+        _vectors(spark, sf_dir)
+        .select(F.col("vec_id").alias("neighbor_id"))
+        .crossJoin(F.broadcast(anchors))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(top, ["query_id", "neighbor_id"], "left_anti")
+        .join(mates, ["query_id", "neighbor_id"], "left_anti")
+    )
+    rand = (
+        pool.withColumn("h", pick_h)
+        .withColumn("pick_rank", F.row_number().over(wp))
+        .filter(F.col("pick_rank") <= CN_RAND)
+        .select("query_id", "neighbor_id", F.lit("rand").alias("kind"),
+                "pick_rank")
+    )
+    return hard.unionAll(rand).select(
+        "query_id",
+        F.col("neighbor_id").alias("neg_id"),
+        "kind",
+        F.col("pick_rank").cast("int").alias("pick_rank"),
+    )
+
+
+from ..functions.text import md5_long_sql as _md5_long_sql  # noqa: E402
+
+_CN_H_SQL = _md5_long_sql(
+    f"'{CN_NS}' || CAST(query_id AS VARCHAR) || ':'"
+    " || CAST(neighbor_id AS VARCHAR)"
+)
+
+CONTRASTIVE_NEGATIVES_ORACLE = f"""
+WITH {_VEC_CTE},
+bands AS ({BANDS_SQL}),
+top AS (SELECT query_id, neighbor_id FROM ({ORACLES["knn_bruteforce_cosine"]})),
+mates AS (
+  SELECT DISTINCT bq.vec_id AS query_id, bc.vec_id AS neighbor_id
+  FROM bands bq JOIN bands bc
+    ON bq.table_id = bc.table_id AND bq.bucket = bc.bucket
+  WHERE bq.vec_id < {N_QUERIES} AND bq.vec_id <> bc.vec_id),
+hard AS (
+  SELECT query_id, neighbor_id, {_CN_H_SQL} AS h
+  FROM mates m
+  WHERE NOT EXISTS (SELECT 1 FROM top t
+                    WHERE t.query_id = m.query_id
+                      AND t.neighbor_id = m.neighbor_id)),
+hk AS (
+  SELECT query_id, neighbor_id, 'hard' AS kind,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY h, neighbor_id) AS INT) AS pick_rank
+  FROM hard QUALIFY pick_rank <= {CN_HARD}),
+pool AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+  WHERE NOT EXISTS (SELECT 1 FROM top t
+                    WHERE t.query_id = q.vec_id
+                      AND t.neighbor_id = c.vec_id)
+    AND NOT EXISTS (SELECT 1 FROM mates m
+                    WHERE m.query_id = q.vec_id
+                      AND m.neighbor_id = c.vec_id)),
+pr AS (SELECT query_id, neighbor_id, {_CN_H_SQL} AS h FROM pool),
+rk AS (
+  SELECT query_id, neighbor_id, 'rand' AS kind,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY h, neighbor_id) AS INT) AS pick_rank
+  FROM pr QUALIFY pick_rank <= {CN_RAND})
+SELECT query_id, neighbor_id AS neg_id, kind, pick_rank FROM hk
+UNION ALL
+SELECT query_id, neighbor_id AS neg_id, kind, pick_rank FROM rk"""

@@ -38,8 +38,30 @@ def _catalog():
     drift, balance volatility, bucket migration, chunk near-dup
     rate, filtered ANN, hybrid RRF, curation funnel). Future
     prebuilds stage here first: green at the default sf0.01, then a
-    2-line move of the (query, oracle) pair into the module dicts."""
-    return {}
+    2-line move of the (query, oracle) pair into the module dicts.
+    Round 10 stages prebuilds for the r11 window."""
+    from thrivefinancedatapipeline_spark.operators.sampling import (
+        QUOTA_SAMPLER_ORACLE,
+        source_quota_sampler,
+    )
+    from thrivefinancedatapipeline_spark.operators.similarity import (
+        CONTRASTIVE_NEGATIVES_ORACLE,
+        HYBRID_RRF_INDEXED_ORACLE,
+        contrastive_negatives,
+        hybrid_search_rrf_indexed,
+    )
+
+    return {
+        "hybrid_search_rrf_indexed": (
+            hybrid_search_rrf_indexed, HYBRID_RRF_INDEXED_ORACLE,
+        ),
+        "source_quota_sampler": (
+            source_quota_sampler, QUOTA_SAMPLER_ORACLE,
+        ),
+        "contrastive_negatives": (
+            contrastive_negatives, CONTRASTIVE_NEGATIVES_ORACLE,
+        ),
+    }
 
 
 def main() -> int:
