@@ -161,3 +161,29 @@ def test_contrastive_negatives_vs_duckdb_and_exclusions(spark, sf_dir):
         assert {q for q, k in counts if k == "rand"} == set(
             range(N_QUERIES)
         )
+
+
+def test_codec_attest2_vs_duckdb_and_nondegeneracy(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.multimodal.binary_ops import (
+        CODEC_ATTEST2_ORACLE,
+        q_multimodal_codec_attest2,
+    )
+
+    for d in _dirs(sf_dir):
+        got = sorted(
+            tuple(r)
+            for r in q_multimodal_codec_attest2(spark, d).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in _duck(d, CODEC_ATTEST2_ORACLE, tables=("documents",))
+        )
+        assert got == want, f"codec_attest2 mismatch at {d}"
+        # the four arrangements must actually differ (a codec that
+        # ignored its arrangement and echoed another's decode would
+        # collide columns on every row)
+        diff = [
+            r for r in got
+            if len({r[1], r[2], r[3], r[4]}) == 4
+        ]
+        assert len(diff) > len(got) * 9 // 10

@@ -733,3 +733,87 @@ def jpeg_color_payloads(docs: DataFrame, quality: int = 90) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(
         run, schema="doc_id long, payload binary"
     )
+
+
+# ---------------------------------------------------------------------------
+# PREBUILT (r10-staged, NOT yet registered — tools/check_prebuilt.py).
+# ---------------------------------------------------------------------------
+
+from . import tga  # noqa: E402
+
+ATTEST2_SCHEMA = (
+    "doc_id long, qoi_sum long, bmp_sum long, pnm_sum long, tga_sum long"
+)
+
+
+def q_multimodal_codec_attest2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-ATTESTED round-trips for the four later lossless codecs
+    (QOI, BMP, PPM, TGA) — the multimodal_codec_attest discipline
+    extended to the r9/r10 formats. Per document the kernel derives
+    48 byte values from md5(text) (the 32 hex-digit ascii codes plus
+    the first 16 again — a 4x4 RGB image), gives each codec a
+    DIFFERENT deterministic arrangement so the four output columns
+    cannot shadow each other (QOI the identity, BMP the reversal,
+    PPM a 0x5A xor, TGA a 7-byte rotation through the RLE path),
+    encodes, DECODES with the real decoder, and emits the
+    position-weighted checksum of the DECODED bytes. The DuckDB
+    oracle computes all four sums directly from md5(text) — any
+    corruption in any encoder/decoder (QOI op choice, BMP stride /
+    BGR order / bottom-up flip, PPM header, TGA RLE packets) flips
+    the value hash red."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def wsum(bs):
+            return sum((i + 1) * b for i, b in enumerate(bs))
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "qoi_sum": [], "bmp_sum": [],
+                "pnm_sum": [], "tga_sum": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                hx = hashlib.md5(text.encode("utf-8")).hexdigest()
+                vals = bytes(ord(c) for c in hx)
+                vals = vals + vals[:16]  # 48 bytes = 4x4 RGB
+                dq = qoi.decode_qoi(qoi.encode_qoi(vals, 4, 4))["pixels"]
+                db = bmp.decode_bmp(
+                    bmp.encode_bmp(bytes(reversed(vals)), 4, 4)
+                )["pixels"]
+                dp = pnm.decode_pnm(
+                    pnm.encode_pnm(
+                        bytes(v ^ 0x5A for v in vals), 4, 4, channels=3
+                    )
+                )["pixels"]
+                dt = tga.decode_tga(
+                    tga.encode_tga(vals[7:] + vals[:7], 4, 4, rle=True)
+                )["pixels"]
+                out["doc_id"].append(doc_id)
+                out["qoi_sum"].append(wsum(dq))
+                out["bmp_sum"].append(wsum(db))
+                out["pnm_sum"].append(wsum(bytes(dp)))
+                out["tga_sum"].append(wsum(dt))
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(run, schema=ATTEST2_SCHEMA)
+
+
+#: v_i (1-based i in 1..48) = ascii(md5 hex digit ((i-1) mod 32) + 1);
+#: qoi = identity, bmp = reversal -> weight 49-i, pnm = xor 0x5A,
+#: tga = rotate-by-7 -> v_i lands at weight ((i+40) mod 48) + 1
+CODEC_ATTEST2_ORACLE = """
+WITH a AS (
+  SELECT doc_id, i,
+         ascii(substring(md5(text),
+                         CAST(((i - 1) % 32) + 1 AS INT), 1)) AS v
+  FROM documents, (SELECT unnest(range(1, 49)) AS i) t)
+SELECT doc_id,
+       CAST(SUM(i * v) AS BIGINT) AS qoi_sum,
+       CAST(SUM((49 - i) * v) AS BIGINT) AS bmp_sum,
+       CAST(SUM(i * xor(v, 90)) AS BIGINT) AS pnm_sum,
+       CAST(SUM((((i + 40) % 48) + 1) * v) AS BIGINT) AS tga_sum
+FROM a GROUP BY doc_id"""

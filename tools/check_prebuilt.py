@@ -40,6 +40,10 @@ def _catalog():
     prebuilds stage here first: green at the default sf0.01, then a
     2-line move of the (query, oracle) pair into the module dicts.
     Round 10 stages prebuilds for the r11 window."""
+    from thrivefinancedatapipeline_spark.multimodal.binary_ops import (
+        CODEC_ATTEST2_ORACLE,
+        q_multimodal_codec_attest2,
+    )
     from thrivefinancedatapipeline_spark.operators.sampling import (
         QUOTA_SAMPLER_ORACLE,
         source_quota_sampler,
@@ -60,6 +64,9 @@ def _catalog():
         ),
         "contrastive_negatives": (
             contrastive_negatives, CONTRASTIVE_NEGATIVES_ORACLE,
+        ),
+        "multimodal_codec_attest2": (
+            q_multimodal_codec_attest2, CODEC_ATTEST2_ORACLE,
         ),
     }
 
