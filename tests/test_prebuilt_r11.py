@@ -187,3 +187,28 @@ def test_codec_attest2_vs_duckdb_and_nondegeneracy(spark, sf_dir):
             if len({r[1], r[2], r[3], r[4]}) == 4
         ]
         assert len(diff) > len(got) * 9 // 10
+
+
+def test_staged_r11_plan_shapes(spark, sf_dir):
+    """Scale-posture guards for the r11-staged ops: no SortMergeJoin
+    anywhere (quotas and anchors broadcast; LSH/lexical candidates
+    join on uniform keys or stay key-partitioned), and the quota
+    sampler's exchange budget holds (token cells, per-source window,
+    source rollup — plus AQE bookkeeping, never a join shuffle)."""
+    from thrivefinancedatapipeline_spark.operators.sampling import (
+        source_quota_sampler,
+    )
+    from thrivefinancedatapipeline_spark.operators.similarity import (
+        contrastive_negatives,
+    )
+
+    for name, df, max_exch in [
+        ("source_quota_sampler", source_quota_sampler(spark, sf_dir), 6),
+        ("contrastive_negatives", contrastive_negatives(spark, sf_dir), 14),
+    ]:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("SortMergeJoin") == 0, name
+        assert plan.count("Exchange") <= max_exch, (
+            name,
+            plan.count("Exchange"),
+        )

@@ -2380,8 +2380,11 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wp = Window.partitionBy("query_id").orderBy("h", "neighbor_id")
+    # both exclusion sets are anchor-bounded (<= N_QUERIES x TOP_K and
+    # the bucket-collision set): broadcast them so the anti-joins are
+    # BroadcastHashJoins, never shuffles of the corpus-wide side
     hard = (
-        mates.join(top, ["query_id", "neighbor_id"], "left_anti")
+        mates.join(F.broadcast(top), ["query_id", "neighbor_id"], "left_anti")
         .withColumn("h", pick_h)
         .withColumn("pick_rank", F.row_number().over(wp))
         .filter(F.col("pick_rank") <= CN_HARD)
@@ -2398,8 +2401,8 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("neighbor_id"))
         .crossJoin(F.broadcast(anchors))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .join(top, ["query_id", "neighbor_id"], "left_anti")
-        .join(mates, ["query_id", "neighbor_id"], "left_anti")
+        .join(F.broadcast(top), ["query_id", "neighbor_id"], "left_anti")
+        .join(F.broadcast(mates), ["query_id", "neighbor_id"], "left_anti")
     )
     rand = (
         pool.withColumn("h", pick_h)
