@@ -196,3 +196,62 @@ def test_corpus_pipeline_report_matches_oracled_funnel(spark, sf_dir):
     assert report["n_after_quality_gate"] == sum(
         r["n_final"] for r in funnel
     )
+
+
+def test_corpus_pipeline_token_budget_quota_stage(spark, sf_dir):
+    """token_budget_quota=True inserts quota_select over the GATE
+    survivors: the stage only narrows, its report numbers equal a
+    direct quota_select run on the same survivor relation, and the
+    default path's report is unchanged by the feature's existence."""
+    from pyspark.sql import functions as F
+
+    from thrivefinancedatapipeline_spark.operators.sampling import (
+        quota_select,
+    )
+    from thrivefinancedatapipeline_spark.pipeline import (
+        run_corpus_pipeline,
+    )
+
+    base = run_corpus_pipeline(spark, sf_dir)
+    r = run_corpus_pipeline(spark, sf_dir, token_budget_quota=True)
+    assert "n_after_quota" not in base
+    assert 0 < r["n_after_quota"] <= r["n_after_quality_gate"]
+    assert r["quota_tokens_selected"] > 0
+    # funnel stages BEFORE the quota are identical to the default run
+    for k in (
+        "n_documents",
+        "n_after_decontaminate",
+        "n_after_dedup",
+        "n_after_quality_gate",
+    ):
+        assert r[k] == base[k]
+    # chunking narrows with the doc set
+    assert r["n_chunks"] <= base["n_chunks"]
+    assert r["total_tokens"] <= base["total_tokens"]
+
+    # report numbers == a direct quota_select over the same survivors
+    from thrivefinancedatapipeline_spark.datamodel import load_table
+    from thrivefinancedatapipeline_spark.operators.dedup import (
+        q_dedup_keep_canonical,
+    )
+    from thrivefinancedatapipeline_spark.operators.quality import (
+        q_quality_gate_by_lang,
+    )
+    from thrivefinancedatapipeline_spark.operators.textops import (
+        q_corpus_clean,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    surv = (
+        docs.join(q_corpus_clean(spark, sf_dir).select("doc_id"),
+                  "doc_id", "semi")
+        .join(q_dedup_keep_canonical(spark, sf_dir).select("doc_id"),
+              "doc_id", "semi")
+        .join(q_quality_gate_by_lang(spark, sf_dir).select("doc_id"),
+              "doc_id", "semi")
+    )
+    sel = quota_select(surv.select("doc_id", "source", "text"))
+    assert r["n_after_quota"] == sel.count()
+    assert r["quota_tokens_selected"] == (
+        sel.agg(F.sum("nt").alias("t")).collect()[0].t
+    )

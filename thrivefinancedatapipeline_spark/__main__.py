@@ -47,6 +47,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     cpipe.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     cpipe.add_argument("--output", default=None)
+    cpipe.add_argument(
+        "--token-budget-quota",
+        action="store_true",
+        help="insert the per-source token-budget quota assembly stage"
+        " (sampling.quota_select) over the quality-gate survivors",
+    )
 
     annp = sub.add_parser(
         "ann-index",
@@ -115,7 +121,12 @@ def main(argv: list[str] | None = None) -> int:
         from .pipeline import run_corpus_pipeline
 
         print(json.dumps(
-            run_corpus_pipeline(spark, args.sf_dir, output_dir=args.output),
+            run_corpus_pipeline(
+                spark,
+                args.sf_dir,
+                output_dir=args.output,
+                token_budget_quota=args.token_budget_quota,
+            ),
             default=str,
         ))
         return 0

@@ -507,7 +507,7 @@ QUOTA_DENOM = 2
 QUOTA_NS = "quota:"
 
 
-def quota_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quota_select(docs_df: DataFrame) -> DataFrame:
     """Deterministic token-budget dataset assembly — the step between
     corpus_mixture_weights (what share each source SHOULD get) and
     dataset_manifest (what was shipped): give every source an equal
@@ -518,7 +518,9 @@ def quota_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the quota can overshoot by at most one document). Membership
     is a pure function of (doc_id, corpus totals): reruns, engines,
     and cluster layouts agree, and growing the corpus only reshuffles
-    selection through the totals — never through row order.
+    selection through the totals — never through row order. Takes
+    any (doc_id, source, text) relation so the corpus pipeline can
+    run it over gate survivors, not just the raw table.
 
     Scale: one token-count scan; the per-source cumulative sum is a
     window partitioned by source (bounded source count; a single
@@ -526,7 +528,7 @@ def quota_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     split, same arithmetic); quotas are a broadcast-size rollup."""
     from ..functions.text import tokens
 
-    docs = _docs(spark, sf_dir).select(
+    docs = docs_df.select(
         "doc_id",
         "source",
         F.size(tokens(F.col("text"))).cast("long").alias("nt"),
@@ -560,6 +562,11 @@ def quota_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cum.join(F.broadcast(quota), "source").filter(
         F.col("cum") - F.col("nt") < F.col("quota_tokens")
     )
+
+
+def quota_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quota_select over the raw documents table."""
+    return quota_select(_docs(spark, sf_dir))
 
 
 def source_quota_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:

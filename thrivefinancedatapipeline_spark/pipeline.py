@@ -215,19 +215,29 @@ def run_pipeline(
     )
 
 
-def run_corpus_pipeline(spark, sf_dir: str, output_dir: str | None = None):
+def run_corpus_pipeline(
+    spark,
+    sf_dir: str,
+    output_dir: str | None = None,
+    token_budget_quota: bool = False,
+):
     """End-to-end LLM-training-data curation over `documents` — the
     corpus counterpart of `run_pipeline`'s finance DAG, composing the
     registered operators into the standard funnel:
 
         decontaminate -> near-dup canonical filter -> per-language
-        quality gate -> token-window chunking -> chunk-level exact
-        dedup -> per-language context-window packing
+        quality gate [-> per-source token-budget quota] ->
+        token-window chunking -> chunk-level exact dedup ->
+        per-language context-window packing
 
     Returns a stage report (funnel counts + token/pack totals); with
     `output_dir`, writes the packed-chunk assignment table
     partitioned by lang (the training-shard layout downstream
-    loaders want).
+    loaders want). `token_budget_quota=True` inserts the
+    sampling.quota_select assembly stage over the GATE SURVIVORS
+    (quotas computed from the curated totals — the production
+    posture); default off, so the report stays count-identical to
+    the oracled source_curation_funnel.
 
     Composition is by doc_id keep-set SEMI-joins against the same
     query plans the driver oracles check — the pipeline cannot drift
@@ -255,6 +265,17 @@ def run_corpus_pipeline(spark, sf_dir: str, output_dir: str | None = None):
     gate_ids = q_quality_gate_by_lang(spark, sf_dir).select("doc_id")
     s3 = s2.join(gate_ids, "doc_id", "semi").localCheckpoint(eager=True)
     report["n_after_quality_gate"] = s3.count()
+
+    if token_budget_quota:
+        from .operators.sampling import quota_select
+
+        sel = quota_select(
+            s3.select("doc_id", "source", "text")
+        ).localCheckpoint(eager=True)
+        s3 = s3.join(sel.select("doc_id"), "doc_id", "semi")
+        report["n_after_quota"] = s3.count()
+        row = sel.agg(F.sum("nt").alias("t")).collect()[0]
+        report["quota_tokens_selected"] = int(row.t or 0)
 
     # chunk ONLY the survivors: the keep-set semi-join sits beneath
     # the chunker, so dropped documents are never tokenized
