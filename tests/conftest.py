@@ -28,6 +28,8 @@ SLOW_FILES = {
     "test_stream_leakage.py",   # 33 s — streaming drains + band parity
     "test_hybrid_indexed.py",   # 51 s — index build + three ANN runs
     "test_prebuilt_r11.py",     # 48 s — two-SF compares incl. ivfpq oracle
+    "test_quota_property.py",   # 32 s — hypothesis x Spark jobs
+    "test_pipeline_orchestration.py",  # 112 s — three full funnel runs
 }
 
 
