@@ -212,3 +212,52 @@ def test_staged_r11_plan_shapes(spark, sf_dir):
             name,
             plan.count("Exchange"),
         )
+
+
+def test_knn_mmr_diversified_vs_duckdb_and_properties(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.operators.similarity import (
+        MMR_K,
+        MMR_ORACLE,
+        N_QUERIES,
+        _mmr_pool,
+        knn_mmr_diversified,
+    )
+
+    for d in _dirs(sf_dir):
+        got = sorted(
+            tuple(r) for r in knn_mmr_diversified(spark, d).collect()
+        )
+        want = sorted(
+            tuple(r) for r in _duck(d, MMR_ORACLE, tables=("embeddings",))
+        )
+        assert got == want, f"knn_mmr_diversified mismatch at {d}"
+
+        pool = {}
+        for r in _mmr_pool(spark, d).select(
+            "query_id", "neighbor_id", "rel"
+        ).collect():
+            pool.setdefault(r.query_id, {})[r.neighbor_id] = r.rel
+        per_q = {}
+        for qid, nid, rank, rel, dv in got:
+            per_q.setdefault(qid, []).append((rank, nid, rel, dv))
+            assert nid in pool[qid] and rel == pool[qid][nid]
+        assert set(per_q) == set(range(N_QUERIES))
+        diversified = 0
+        for qid, rows in per_q.items():
+            rows.sort()
+            assert [r[0] for r in rows] == list(range(1, MMR_K + 1))
+            assert len({r[1] for r in rows}) == MMR_K  # distinct picks
+            # first pick is the pure-relevance argmax, no diversity yet
+            assert rows[0][3] == 0
+            assert rows[0][2] == max(pool[qid].values())
+            # non-vacuous diversity: the MMR set differs from the pure
+            # top-K relevance prefix for at least one query
+            topk = {
+                n
+                for n, _r in sorted(
+                    pool[qid].items(), key=lambda kv: (-kv[1], kv[0])
+                )[:MMR_K]
+            }
+            if {r[1] for r in rows} != topk:
+                diversified += 1
+        assert diversified >= 1, "MMR degenerated to pure top-k everywhere"

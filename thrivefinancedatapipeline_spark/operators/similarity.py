@@ -2464,3 +2464,179 @@ rk AS (
 SELECT query_id, neighbor_id AS neg_id, kind, pick_rank FROM hk
 UNION ALL
 SELECT query_id, neighbor_id AS neg_id, kind, pick_rank FROM rk"""
+
+
+#: MMR diversified retrieval: relevance pool size, picks, integer
+#: trade-off weights (score = REL_W*rel_dot - DIV_W*max_sim_dot)
+MMR_POOL = 20
+MMR_K = 5
+MMR_REL_W = 7
+MMR_DIV_W = 3
+
+
+def _mmr_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, rel, cx): each query's MMR_POOL most
+    relevant corpus vectors by EXACT INTEGER dot product over the
+    micro-scaled embeddings (floats never cross an engine boundary —
+    the quantized-path convention), candidate vectors carried for
+    the in-group pairwise diversity dots."""
+    iv = _int_vecs(spark, sf_dir)
+    q = iv.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("xi").alias("qx")
+    )
+    c = iv.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("xi").alias("cx")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qx, cx, (a, b) -> a * b), 0L,"
+        " (acc, x) -> acc + x)"
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("neighbor_id")
+    )
+    return (
+        c.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rel", dot)
+        .withColumn("prank", F.row_number().over(wr))
+        .filter(F.col("prank") <= MMR_POOL)
+        .select("query_id", "neighbor_id", "rel", "cx")
+    )
+
+
+def knn_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance DIVERSIFIED top-k (Carbonell &
+    Goldstein 1998) — the retrieval op that keeps a training-data
+    sampler from returning five copies of the same boilerplate: from
+    each query's exact integer-relevance pool, greedily pick MMR_K
+    items maximizing REL_W*rel - DIV_W*(max similarity to anything
+    already picked), ties to the smaller id. All arithmetic is exact
+    integer over micro-scaled vectors, so the greedy trace (pick
+    order, rel and div dots) is oracle-provable — the DuckDB twin
+    unrolls the MMR_K greedy steps as chained CTEs (the bpe_train_k
+    unrolled-loop precedent).
+
+    Scale: the pool is a top-MMR_POOL window per query over one
+    broadcast-join scan (the knn shape); the greedy runs per query
+    in an applyInPandas kernel over MMR_POOL rows — O(K * POOL^2)
+    integer ops on bounded groups, never the corpus."""
+    import pandas as pd
+
+    pool = _mmr_pool(spark, sf_dir)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(
+            zip(pdf["neighbor_id"], pdf["rel"], pdf["cx"]),
+            key=lambda r: (-int(r[1]), int(r[0])),
+        )
+        vecs = {int(n): [int(v) for v in cx] for n, _r, cx in rows}
+        rels = {int(n): int(r) for n, r, _cx in rows}
+        qid = int(pdf["query_id"].iloc[0])
+        selected: list[int] = []
+        out = {
+            "query_id": [], "neighbor_id": [], "mmr_rank": [],
+            "rel_dot": [], "div_dot": [],
+        }
+
+        def dot(a, b):
+            return sum(x * y for x, y in zip(a, b))
+
+        for rank in range(1, min(MMR_K, len(rows)) + 1):
+            best = None
+            for n in rels:
+                if n in selected:
+                    continue
+                dv = (
+                    max(dot(vecs[n], vecs[s]) for s in selected)
+                    if selected
+                    else 0
+                )
+                score = MMR_REL_W * rels[n] - MMR_DIV_W * dv
+                key = (-score, n)
+                if best is None or key < best[0]:
+                    best = (key, n, dv)
+            _k, n, dv = best
+            selected.append(n)
+            out["query_id"].append(qid)
+            out["neighbor_id"].append(n)
+            out["mmr_rank"].append(rank)
+            out["rel_dot"].append(rels[n])
+            out["div_dot"].append(dv)
+        return pd.DataFrame(out)
+
+    return pool.groupBy("query_id").applyInPandas(
+        run,
+        schema="query_id long, neighbor_id long, mmr_rank int,"
+        " rel_dot long, div_dot long",
+    )
+
+
+def _mmr_oracle_sql() -> str:
+    """DuckDB twin: integer pool + pairwise dots, then the MMR_K
+    greedy steps UNROLLED — step i picks the argmax of
+    REL_W*rel - DIV_W*max(d to the i-1 already-selected)."""
+    steps = ["""
+s1 AS (
+  SELECT query_id, neighbor_id, rel, 1 AS mmr_rank,
+         CAST(0 AS BIGINT) AS div_dot
+  FROM pool
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY rel DESC, neighbor_id) = 1),
+sel1 AS (SELECT * FROM s1)""".strip()]
+    for i in range(2, MMR_K + 1):
+        steps.append(f"""
+c{i} AS (
+  SELECT p.query_id, p.neighbor_id, p.rel, MAX(d.d) AS dv
+  FROM pool p
+  LEFT JOIN sel{i - 1} done
+    ON done.query_id = p.query_id
+   AND done.neighbor_id = p.neighbor_id
+  JOIN sel{i - 1} s ON s.query_id = p.query_id
+  JOIN pp d ON d.query_id = p.query_id
+           AND d.a = p.neighbor_id AND d.b = s.neighbor_id
+  WHERE done.neighbor_id IS NULL
+  GROUP BY 1, 2, 3),
+s{i} AS (
+  SELECT query_id, neighbor_id, rel, {i} AS mmr_rank, dv AS div_dot
+  FROM c{i}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY {MMR_REL_W} * rel - {MMR_DIV_W} * dv DESC,
+                     neighbor_id) = 1),
+sel{i} AS (SELECT * FROM sel{i - 1} UNION ALL SELECT * FROM s{i})"""
+                     .strip())
+    chain = ",\n".join(steps)
+    return f"""
+WITH iv AS (
+  SELECT vec_id,
+         [CAST(ROUND(x * {MICRO}, 0) AS BIGINT)
+          for x in CAST(embedding AS DOUBLE[])] AS xi
+  FROM embeddings),
+ux AS (SELECT vec_id, unnest(xi) AS x,
+              generate_subscripts(xi, 1) AS pos FROM iv),
+rel AS (
+  SELECT qa.vec_id AS query_id, cb.vec_id AS neighbor_id,
+         CAST(SUM(qa.x * cb.x) AS BIGINT) AS rel
+  FROM ux qa JOIN ux cb USING (pos)
+  WHERE qa.vec_id < {N_QUERIES} AND qa.vec_id <> cb.vec_id
+  GROUP BY 1, 2),
+pool AS (
+  SELECT query_id, neighbor_id, rel
+  FROM rel
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY rel DESC, neighbor_id) <= {MMR_POOL}),
+pp AS (
+  SELECT p1.query_id, p1.neighbor_id AS a, p2.neighbor_id AS b,
+         CAST(SUM(xa.x * xb.x) AS BIGINT) AS d
+  FROM pool p1
+  JOIN pool p2 ON p2.query_id = p1.query_id
+              AND p2.neighbor_id <> p1.neighbor_id
+  JOIN ux xa ON xa.vec_id = p1.neighbor_id
+  JOIN ux xb ON xb.vec_id = p2.neighbor_id AND xb.pos = xa.pos
+  GROUP BY 1, 2, 3),
+{chain}
+SELECT query_id, neighbor_id, CAST(mmr_rank AS INT) AS mmr_rank,
+       rel AS rel_dot, div_dot
+FROM sel{MMR_K}"""
+
+
+MMR_ORACLE = _mmr_oracle_sql()

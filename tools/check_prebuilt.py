@@ -51,8 +51,10 @@ def _catalog():
     from thrivefinancedatapipeline_spark.operators.similarity import (
         CONTRASTIVE_NEGATIVES_ORACLE,
         HYBRID_RRF_INDEXED_ORACLE,
+        MMR_ORACLE,
         contrastive_negatives,
         hybrid_search_rrf_indexed,
+        knn_mmr_diversified,
     )
 
     return {
@@ -67,6 +69,9 @@ def _catalog():
         ),
         "multimodal_codec_attest2": (
             q_multimodal_codec_attest2, CODEC_ATTEST2_ORACLE,
+        ),
+        "knn_mmr_diversified": (
+            knn_mmr_diversified, MMR_ORACLE,
         ),
     }
 
