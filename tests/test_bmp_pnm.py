@@ -105,8 +105,10 @@ def test_bmp_error_surface_and_gates():
     with pytest.raises(ValueError):
         bmp.decode_bmp(good[:-5])  # truncated raster
     rle = bytearray(good)
-    struct.pack_into("<I", rle, 30, 1)  # BI_RLE8
-    with pytest.raises(NotImplementedError):
+    # BI_RLE8 decodes for real since r10, but claiming it on a 24-bpp
+    # stream is CORRUPT (the spec ties RLE8 to 8 bpp), not a gate
+    struct.pack_into("<I", rle, 30, 1)
+    with pytest.raises(ValueError):
         bmp.decode_bmp(bytes(rle))
     deep = bytearray(good)
     struct.pack_into("<H", deep, 28, 16)  # 16 bpp
@@ -168,3 +170,109 @@ def test_decode_kernel_runs_real_bmp_and_pnm_bytes(spark):
     assert list(out["height"]) == [4, 4, 4]
     assert out["checksum"][0] == zlib.crc32(px)
     assert out["checksum"][1] == zlib.crc32(px)
+
+
+# -- BI_RLE8 (r10: the compressed-BMP gate closed) ---------------------
+
+
+def test_rle8_round_trip_equals_uncompressed_twin():
+    import hashlib
+
+    w, h = 37, 9
+    pix = bytearray()
+    i = 0
+    while len(pix) < w * h:
+        pix.extend(hashlib.md5(f"rle8:{i}".encode()).digest())
+        i += 1
+    pix = bytes(pix[: w * h])
+    # hash bytes (literal-heavy), solid runs, and a mixed row
+    for case in (
+        pix,
+        b"\x42" * (w * h),
+        (b"\x01" * 19 + b"\x02\x03\x04" + b"\x05" * 15) * h,
+    ):
+        case = case[: w * h]
+        rle = bmp.decode_bmp(bmp.encode_bmp_rle8(case, w, h))
+        raw = bmp.decode_bmp(bmp.encode_bmp_palette(case, w, h))
+        assert rle == raw  # width/height/channels AND pixels
+
+
+def test_rle8_compresses_runs():
+    w, h = 200, 4
+    solid = b"\x77" * (w * h)
+    assert len(bmp.encode_bmp_rle8(solid, w, h)) < len(
+        bmp.encode_bmp_palette(solid, w, h)
+    )
+
+
+def test_rle8_escapes_delta_eol_and_skip_semantics():
+    """Hand-crafted stream: EOL short rows, a delta skip, and early
+    end-of-bitmap all leave skipped pixels at palette index 0 (the
+    documented renderer convention)."""
+    w, h = 6, 3
+    # bottom row (storage y=0): run of 2 index 9, EOL (rest 0)
+    # middle row: delta skip (+2, 0) then literal 3 bytes 1,2,3, EOL
+    # top row: nothing — early end-of-bitmap leaves it all index 0
+    stream = bytes(
+        [2, 9, 0, 0,
+         0, 2, 2, 0, 0, 3, 1, 2, 3, 0, 0, 0,
+         0, 1]
+    )
+    pal = bytearray()
+    for v in range(256):
+        pal.extend((v, v, v, 0))
+    pix_off = 14 + 40 + len(pal)
+    import struct
+
+    data = (
+        struct.pack("<2sIHHI", b"BM", pix_off + len(stream), 0, 0, pix_off)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(stream),
+            2835, 2835, 256, 0,
+        )
+        + bytes(pal)
+        + stream
+    )
+    d = bmp.decode_bmp(data)
+    px = d["pixels"]
+
+    def gray(r, c):  # top-down row r, column c; identity palette
+        v = px[(r * w + c) * 3]
+        assert px[(r * w + c) * 3 + 1] == px[(r * w + c) * 3 + 2] == v
+        return v
+
+    # top-down row 2 is storage row 0 (bottom)
+    assert [gray(2, c) for c in range(w)] == [9, 9, 0, 0, 0, 0]
+    assert [gray(1, c) for c in range(w)] == [0, 0, 1, 2, 3, 0]
+    assert [gray(0, c) for c in range(w)] == [0] * w
+
+
+def test_rle8_error_surface_and_gates():
+    good = bmp.encode_bmp_rle8(b"\x05" * 24, 6, 4)
+    with pytest.raises(ValueError):
+        bmp.decode_bmp(good[:-3])  # truncated mid-stream
+    # a run that overruns the row width
+    bad = bytearray(good)
+    body_off = 14 + 40 + 1024
+    bad[body_off : body_off + 2] = bytes([250, 1])
+    with pytest.raises(ValueError):
+        bmp.decode_bmp(bytes(bad))
+    # RLE8 claims with non-8 bpp are corrupt, not a gate
+    import struct
+
+    hdr = bytearray(bmp.encode_bmp(b"\x01\x02\x03" * 24, 6, 4))
+    hdr[28:30] = struct.pack("<H", 24)
+    hdr[30:34] = struct.pack("<I", 1)
+    with pytest.raises(ValueError):
+        bmp.decode_bmp(bytes(hdr))
+    # RLE8 must be bottom-up
+    neg = bytearray(good)
+    neg[22:26] = struct.pack("<i", -4)
+    with pytest.raises(ValueError):
+        bmp.decode_bmp(bytes(neg))
+    # RLE4 stays gated
+    rle4 = bytearray(good)
+    rle4[28:30] = struct.pack("<H", 4)
+    rle4[30:34] = struct.pack("<I", 2)
+    with pytest.raises(NotImplementedError):
+        bmp.decode_bmp(bytes(rle4))

@@ -8,9 +8,18 @@ bottom-up and top-down encodings of the same image are a pure bit
 RE-ORDERING — the codec-parity principle applies and tests pin their
 decodes pixel-EXACT (the interlace/progressive rule).
 
-Compressed BMPs (BI_RLE8/4, BI_BITFIELDS beyond BGRX) and 1/4/16-bit
-depths keep an explicit NotImplementedError gate; corrupt streams
-raise ValueError.
+BI_RLE8 (compression=1, r10): run-length-coded 8-bit paletted
+bitmaps — encoded runs, absolute (literal) packets with WORD
+padding, and all three escapes (end-of-line, end-of-bitmap, delta).
+Pixels the stream skips (EOL short rows, deltas, early EOF) decode
+as palette index 0, the common renderer convention, documented here
+because the spec leaves them undefined. RLE8 streams are bottom-up
+by definition (a negative height with RLE is rejected). RLE8 vs
+uncompressed encodings of one image are again a pure bit reordering
+— equality round trips pinned.
+
+BI_RLE4, BI_BITFIELDS beyond BGRX, and 1/4/16-bit depths keep an
+explicit NotImplementedError gate; corrupt streams raise ValueError.
 """
 
 from __future__ import annotations
@@ -44,14 +53,20 @@ def decode_bmp(data: bytes) -> dict:
     clr_used = struct.unpack_from("<I", data, 46)[0]
     if planes != 1:
         raise ValueError("bad BMP planes")
-    if compression != 0:
-        raise NotImplementedError("only BI_RGB (uncompressed) BMP")
+    if compression == 2:
+        raise NotImplementedError("BI_RLE4 BMP")
+    if compression not in (0, 1):
+        raise NotImplementedError(f"unsupported BMP compression {compression}")
+    if compression == 1 and bpp != 8:
+        raise ValueError("BI_RLE8 requires 8 bpp")
     if bpp not in (8, 24, 32):
         raise NotImplementedError(f"unsupported BMP depth {bpp}")
     if w <= 0 or h_raw == 0:
         raise ValueError("bad BMP dimensions")
     top_down = h_raw < 0
     h = -h_raw if top_down else h_raw
+    if compression == 1 and top_down:
+        raise ValueError("RLE8 BMP must be bottom-up")
     palette = []
     if bpp == 8:
         n_colors = clr_used or 256
@@ -61,6 +76,17 @@ def decode_bmp(data: bytes) -> dict:
         for i in range(n_colors):
             b, g, r, _x = struct.unpack_from("<BBBB", data, pal_off + 4 * i)
             palette.append((r, g, b))
+    if compression == 1:
+        idx_rows = _decode_rle8(data, pix_off, w, h)
+        out = bytearray()
+        for r in range(h - 1, -1, -1):  # storage row 0 is the bottom
+            for idx in idx_rows[r]:
+                if idx >= len(palette):
+                    raise ValueError("BMP palette index out of range")
+                out.extend(palette[idx])
+        return {
+            "width": w, "height": h, "channels": 3, "pixels": bytes(out),
+        }
     stride = _row_stride(w, bpp)
     if len(data) < pix_off + stride * h:
         raise ValueError("truncated BMP raster")
@@ -83,6 +109,47 @@ def decode_bmp(data: bytes) -> dict:
                 b, g, rr = data[base + 4 * x : base + 4 * x + 3]
                 out.extend((rr, g, b))
     return {"width": w, "height": h, "channels": 3, "pixels": bytes(out)}
+
+
+def _decode_rle8(data: bytes, pos: int, w: int, h: int) -> list:
+    """BI_RLE8 stream → h index rows of width w, in STORAGE order
+    (row 0 = bottom scan line). Skipped pixels stay index 0."""
+    rows = [bytearray(w) for _ in range(h)]
+    x, y = 0, 0
+    while True:
+        if pos + 2 > len(data):
+            raise ValueError("truncated BMP RLE8 stream")
+        n, v = data[pos], data[pos + 1]
+        pos += 2
+        if n > 0:  # encoded run
+            if y >= h or x + n > w:
+                raise ValueError("BMP RLE8 run overruns the raster")
+            rows[y][x : x + n] = bytes([v]) * n
+            x += n
+            continue
+        if v == 0:  # end of line
+            x, y = 0, y + 1
+            if y > h:
+                raise ValueError("BMP RLE8 runs past the last row")
+        elif v == 1:  # end of bitmap
+            return rows
+        elif v == 2:  # delta: skip (dx, dy)
+            if pos + 2 > len(data):
+                raise ValueError("truncated BMP RLE8 delta")
+            dx, dy = data[pos], data[pos + 1]
+            pos += 2
+            x, y = x + dx, y + dy
+            if x > w or y > h:
+                raise ValueError("BMP RLE8 delta leaves the raster")
+        else:  # absolute (literal) mode, WORD-padded
+            if y >= h or x + v > w:
+                raise ValueError("BMP RLE8 literal overruns the raster")
+            need = v + (v & 1)
+            if pos + need > len(data):
+                raise ValueError("truncated BMP RLE8 literal")
+            rows[y][x : x + v] = data[pos : pos + v]
+            pos += need
+            x += v
 
 
 def encode_bmp(
@@ -120,6 +187,69 @@ def encode_bmp(
         2835, 2835, 0, 0,
     )
     return header + info + bytes(raster)
+
+
+def _rle8_row(row: bytes) -> bytes:
+    """One scan line as RLE8 packets: encoded runs for >= 2 repeats,
+    absolute mode (WORD-padded) for literal stretches of >= 3,
+    single encoded pixels otherwise. Ends with the 0x00 0x00 EOL."""
+    out = bytearray()
+    i = 0
+    while i < len(row):
+        run = 1
+        while i + run < len(row) and run < 255 and row[i + run] == row[i]:
+            run += 1
+        if run >= 2:
+            out.extend((run, row[i]))
+            i += run
+            continue
+        j = i + 1
+        while (
+            j < len(row)
+            and j - i < 255
+            and not (
+                j + 2 < len(row) and row[j] == row[j + 1] == row[j + 2]
+            )
+        ):
+            j += 1
+        if j - i >= 3:
+            out.extend((0, j - i))
+            out.extend(row[i:j])
+            if (j - i) & 1:
+                out.append(0)  # WORD padding
+        else:
+            for k in range(i, j):
+                out.extend((1, row[k]))
+        i = j
+    out.extend((0, 0))
+    return bytes(out)
+
+
+def encode_bmp_rle8(pixels: bytes, width: int, height: int) -> bytes:
+    """BI_RLE8 BMP from GRAYSCALE pixels (one byte per pixel, the
+    encode_bmp_palette input contract, identity gray palette) —
+    the compressed twin: decode(encode_bmp_rle8(x)) equals
+    decode(encode_bmp_palette(x)) pixel-exact (reorder-only rule)."""
+    if len(pixels) != width * height:
+        raise ValueError("pixel count does not match dimensions")
+    if not (0 < width < 2**31 and 0 < height < 2**31):
+        raise ValueError("bad dimensions")
+    body = bytearray()
+    for r in range(height - 1, -1, -1):  # bottom-up storage order
+        body.extend(_rle8_row(pixels[r * width : (r + 1) * width]))
+    # replace the LAST row's EOL with end-of-bitmap
+    body[-2:] = b"\x00\x01"
+    pal = bytearray()
+    for v in range(256):
+        pal.extend((v, v, v, 0))
+    pix_off = 14 + 40 + len(pal)
+    file_size = pix_off + len(body)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, pix_off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, 1, len(body),
+        2835, 2835, 256, 0,
+    )
+    return header + info + bytes(pal) + bytes(body)
 
 
 def encode_bmp_palette(
