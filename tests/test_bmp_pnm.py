@@ -69,7 +69,7 @@ def test_pnm_error_surface_and_gates():
         # ascii sample above maxval
         pnm.decode_pnm(b"P2\n2 1\n10\n5 11\n")
     with pytest.raises(NotImplementedError):
-        pnm.decode_pnm(b"P4\n4 3\n" + px)  # 1-bit PBM gated
+        pnm.decode_pnm(b"P7\nWIDTH 4\n")  # PAM stays gated
     with pytest.raises(ValueError):
         pnm.encode_pnm(px, 5, 3, channels=1)  # wrong pixel count
 
@@ -276,3 +276,43 @@ def test_rle8_error_surface_and_gates():
     rle4[30:34] = struct.pack("<I", 2)
     with pytest.raises(NotImplementedError):
         bmp.decode_bmp(bytes(rle4))
+
+
+# -- P1/P4 bitmaps (r10: the 1-bit PBM gate closed) --------------------
+
+
+def test_pbm_ascii_equals_packed_and_roundtrip():
+    import hashlib
+
+    w, h = 19, 7  # width NOT a multiple of 8: row padding exercised
+    digest = hashlib.md5(b"pbm").digest() * 9
+    bits = bytes(b & 1 for b in digest[: w * h])
+    p4 = pnm.decode_pnm(pnm.encode_pbm(bits, w, h))
+    p1 = pnm.decode_pnm(pnm.encode_pbm(bits, w, h, ascii_form=True))
+    assert p4 == p1  # ascii vs packed: pure re-representation
+    assert (p4["width"], p4["height"], p4["channels"]) == (w, h, 1)
+    # ink convention: 1 = black = 0, 0 = white = 255
+    assert p4["pixels"] == bytes(0 if b else 255 for b in bits)
+
+
+def test_pbm_p1_contiguous_digits_and_comments():
+    data = b"P1\n# a comment\n4 2\n0110\n# mid\n1001\n"
+    d = pnm.decode_pnm(data)
+    assert d["pixels"] == bytes(
+        0 if b else 255 for b in (0, 1, 1, 0, 1, 0, 0, 1)
+    )
+
+
+def test_pbm_error_surface():
+    bits = bytes([0, 1]) * 8
+    good = pnm.encode_pbm(bits, 4, 4)
+    with pytest.raises(ValueError):
+        pnm.decode_pnm(good[:-1])  # truncated packed raster
+    with pytest.raises(ValueError):
+        pnm.decode_pnm(b"P1\n2 2\n01x1\n")  # bad ascii sample
+    with pytest.raises(ValueError):
+        pnm.decode_pnm(b"P1\n2 2\n011\n")  # truncated ascii raster
+    with pytest.raises(ValueError):
+        pnm.encode_pbm(b"\x02\x00\x01\x00", 2, 2)  # non-bit input
+    with pytest.raises(ValueError):
+        pnm.encode_pbm(bits, 5, 4)  # dim mismatch

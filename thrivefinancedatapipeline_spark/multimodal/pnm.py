@@ -12,8 +12,16 @@ feature that only re-represents bits — so the codec-parity principle
 applies: tests pin decode(ascii) == decode(binary) pixel-EXACT, the
 strongest possible oracle (the progressive-JPEG/interlace rule).
 
-P1/P4 bitmaps (1-bit) and the PAM 'P7' extension keep an explicit
-NotImplementedError gate; corrupt streams raise ValueError.
+P1/P4 bitmaps (1-bit, r10) decode for real: P4 packs 8 pixels per
+byte MSB-first with every row padded to a byte boundary, P1 is ascii
+'0'/'1' digits (contiguous digits are legal — the one netpbm header
+whose samples need no separators). Both decode to 8-bit GRAY with
+the PBM ink convention (1 = black = 0, 0 = white = 255), so the
+ascii and packed forms of one bitmap are again a pure bit
+re-representation — decode(P1) == decode(P4) pinned pixel-EXACT.
+
+The PAM 'P7' extension keeps an explicit NotImplementedError gate;
+corrupt streams raise ValueError.
 """
 
 from __future__ import annotations
@@ -58,13 +66,13 @@ def decode_pnm(data: bytes) -> dict:
     """PGM/PPM → {'width','height','maxval','channels','pixels'} with
     pixels as raw sample bytes in row-major order (2-byte BIG-endian
     per sample when maxval > 255 — the PNG 16-bit convention)."""
+    if data[:2] == b"P7":
+        raise NotImplementedError("PAM (P7) not supported")
     if not is_pnm(data):
         raise ValueError("not a PNM stream")
     magic = data[:2]
     if magic in (b"P1", b"P4"):
-        raise NotImplementedError("1-bit PBM not supported")
-    if magic not in _BINARY and magic not in _ASCII:
-        raise NotImplementedError(f"unsupported netpbm magic {magic!r}")
+        return _decode_pbm(data, magic)
     (w, h, maxval), off = _read_header_tokens(data, 3)
     if w <= 0 or h <= 0 or not (0 < maxval < 65536):
         raise ValueError("bad PNM dimensions/maxval")
@@ -145,3 +153,81 @@ def encode_pnm(
     else:
         raster = bytes(samples)
     return magic + b"\n" + f"{width} {height}\n{maxval}\n".encode() + raster
+
+
+def _decode_pbm(data: bytes, magic: bytes) -> dict:
+    """P1/P4 bitmap → 8-bit GRAY (PBM ink: bit 1 = black = 0, bit 0 =
+    white = 255) with the standard dict shape (maxval reported as
+    255, the gray range the bits were mapped onto)."""
+    (w, h), off = _read_header_tokens(data, 2)
+    if w <= 0 or h <= 0:
+        raise ValueError("bad PBM dimensions")
+    out = bytearray()
+    if magic == b"P4":
+        stride = (w + 7) // 8
+        need = stride * h
+        raster = data[off : off + need]
+        if len(raster) < need:
+            raise ValueError("truncated PBM raster")
+        for r in range(h):
+            base = r * stride
+            for x in range(w):
+                bit = (raster[base + (x >> 3)] >> (7 - (x & 7))) & 1
+                out.append(0 if bit else 255)
+    else:
+        i = off
+        n = len(data)
+        while len(out) < w * h:
+            if i >= n:
+                raise ValueError("truncated PBM raster")
+            c = data[i : i + 1]
+            i += 1
+            if c.isspace():
+                continue
+            if c == b"#":
+                while i < n and data[i] not in (0x0A, 0x0D):
+                    i += 1
+                continue
+            if c == b"0":
+                out.append(255)
+            elif c == b"1":
+                out.append(0)
+            else:
+                raise ValueError("bad P1 PBM sample")
+    return {
+        "width": w,
+        "height": h,
+        "maxval": 255,
+        "channels": 1,
+        "pixels": bytes(out),
+    }
+
+
+def encode_pbm(
+    bits: bytes, width: int, height: int, ascii_form: bool = False
+) -> bytes:
+    """Encode a 0/1-per-byte bitmap as PBM — P4 packed (MSB-first,
+    byte-aligned rows) by default, P1 ascii on request; both decode
+    to identical gray pixels (test-pinned)."""
+    if len(bits) != width * height:
+        raise ValueError("bit count does not match dimensions")
+    if any(b not in (0, 1) for b in bits):
+        raise ValueError("PBM bits must be 0 or 1")
+    header = f"{width} {height}\n".encode()
+    if ascii_form:
+        body = b"\n".join(
+            b"".join(
+                b"1" if bits[r * width + x] else b"0" for x in range(width)
+            )
+            for r in range(height)
+        )
+        return b"P1\n" + header + body + b"\n"
+    stride = (width + 7) // 8
+    raster = bytearray()
+    for r in range(height):
+        row = bytearray(stride)
+        for x in range(width):
+            if bits[r * width + x]:
+                row[x >> 3] |= 0x80 >> (x & 7)
+        raster.extend(row)
+    return b"P4\n" + header + bytes(raster)
