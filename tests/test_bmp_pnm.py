@@ -270,12 +270,11 @@ def test_rle8_error_surface_and_gates():
     neg[22:26] = struct.pack("<i", -4)
     with pytest.raises(ValueError):
         bmp.decode_bmp(bytes(neg))
-    # RLE4 stays gated
-    rle4 = bytearray(good)
-    rle4[28:30] = struct.pack("<H", 4)
-    rle4[30:34] = struct.pack("<I", 2)
+    # BI_BITFIELDS stays gated (RLE4 decodes for real since r10)
+    bf = bytearray(good)
+    bf[30:34] = struct.pack("<I", 3)
     with pytest.raises(NotImplementedError):
-        bmp.decode_bmp(bytes(rle4))
+        bmp.decode_bmp(bytes(bf))
 
 
 # -- P1/P4 bitmaps (r10: the 1-bit PBM gate closed) --------------------
@@ -316,3 +315,66 @@ def test_pbm_error_surface():
         pnm.encode_pbm(b"\x02\x00\x01\x00", 2, 2)  # non-bit input
     with pytest.raises(ValueError):
         pnm.encode_pbm(bits, 5, 4)  # dim mismatch
+
+
+# -- BI_RLE4 (r10: the nibble-RLE gate closed too) ----------------------
+
+
+def test_rle4_round_trip_and_alternating_runs():
+    import hashlib
+
+    w, h = 23, 6
+    digest = hashlib.md5(b"rle4").digest() * 9
+    nib = bytes(b & 0x0F for b in digest[: w * h])
+    for case in (
+        nib,                                  # literal-heavy
+        bytes([7]) * (w * h),                 # one long run
+        (bytes([1]) * 9 + bytes([2, 3, 4, 5]) + bytes([6]) * 10) * h,
+    ):
+        case = case[: w * h]
+        d = bmp.decode_bmp(bmp.encode_bmp_rle4(case, w, h))
+        assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+        want = b"".join(
+            bytes((v * 17, v * 17, v * 17)) for v in case
+        )
+        assert d["pixels"] == want
+    # a hand-crafted ALTERNATING encoded run: (n=5, 0xAB) decodes as
+    # A B A B A — the RLE4 semantics RLE8 does not have
+    import struct
+
+    pal = bytearray()
+    for v in range(16):
+        g = v * 17
+        pal.extend((g, g, g, 0))
+    stream = bytes([5, 0xAB, 0, 0, 0, 1])
+    pix_off = 14 + 40 + len(pal)
+    data = (
+        struct.pack("<2sIHHI", b"BM", pix_off + len(stream), 0, 0, pix_off)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, 5, 1, 1, 4, 2, len(stream),
+            2835, 2835, 16, 0,
+        )
+        + bytes(pal)
+        + stream
+    )
+    d = bmp.decode_bmp(data)
+    got = [d["pixels"][i * 3] for i in range(5)]
+    assert got == [0xA * 17, 0xB * 17, 0xA * 17, 0xB * 17, 0xA * 17]
+
+
+def test_rle4_error_surface_and_remaining_gates():
+    good = bmp.encode_bmp_rle4(bytes([3]) * 24, 6, 4)
+    with pytest.raises(ValueError):
+        bmp.decode_bmp(good[:-3])  # truncated stream
+    with pytest.raises(ValueError):
+        bmp.encode_bmp_rle4(b"\x10" * 24, 6, 4)  # index > 15
+    # RLE4 claims on 8-bpp streams are corrupt
+    bad = bytearray(bmp.encode_bmp_palette(b"\x01" * 24, 6, 4))
+    struct.pack_into("<I", bad, 30, 2)
+    with pytest.raises(ValueError):
+        bmp.decode_bmp(bytes(bad))
+    # uncompressed 4-bpp stays gated
+    un4 = bytearray(good)
+    struct.pack_into("<I", un4, 30, 0)
+    with pytest.raises(NotImplementedError):
+        bmp.decode_bmp(bytes(un4))

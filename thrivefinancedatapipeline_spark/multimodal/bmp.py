@@ -18,8 +18,14 @@ by definition (a negative height with RLE is rejected). RLE8 vs
 uncompressed encodings of one image are again a pure bit reordering
 — equality round trips pinned.
 
-BI_RLE4, BI_BITFIELDS beyond BGRX, and 1/4/16-bit depths keep an
-explicit NotImplementedError gate; corrupt streams raise ValueError.
+BI_RLE4 (compression=2, r10): the nibble twin — encoded runs
+ALTERNATE the value byte's two nibbles, absolute packets pack two
+indices per byte (high first) with WORD padding, same escapes and
+skip convention as RLE8.
+
+BI_BITFIELDS beyond BGRX and 1/16-bit depths (and uncompressed
+4-bpp) keep an explicit NotImplementedError gate; corrupt streams
+raise ValueError.
 """
 
 from __future__ import annotations
@@ -53,31 +59,33 @@ def decode_bmp(data: bytes) -> dict:
     clr_used = struct.unpack_from("<I", data, 46)[0]
     if planes != 1:
         raise ValueError("bad BMP planes")
-    if compression == 2:
-        raise NotImplementedError("BI_RLE4 BMP")
-    if compression not in (0, 1):
+    if compression not in (0, 1, 2):
         raise NotImplementedError(f"unsupported BMP compression {compression}")
     if compression == 1 and bpp != 8:
         raise ValueError("BI_RLE8 requires 8 bpp")
-    if bpp not in (8, 24, 32):
+    if compression == 2 and bpp != 4:
+        raise ValueError("BI_RLE4 requires 4 bpp")
+    if bpp not in (4, 8, 24, 32):
         raise NotImplementedError(f"unsupported BMP depth {bpp}")
+    if bpp == 4 and compression != 2:
+        raise NotImplementedError("uncompressed 4-bpp BMP")
     if w <= 0 or h_raw == 0:
         raise ValueError("bad BMP dimensions")
     top_down = h_raw < 0
     h = -h_raw if top_down else h_raw
-    if compression == 1 and top_down:
-        raise ValueError("RLE8 BMP must be bottom-up")
+    if compression in (1, 2) and top_down:
+        raise ValueError("RLE BMP must be bottom-up")
     palette = []
-    if bpp == 8:
-        n_colors = clr_used or 256
+    if bpp in (4, 8):
+        n_colors = clr_used or (16 if bpp == 4 else 256)
         pal_off = 14 + hdr_size
         if len(data) < pal_off + 4 * n_colors:
             raise ValueError("truncated BMP palette")
         for i in range(n_colors):
             b, g, r, _x = struct.unpack_from("<BBBB", data, pal_off + 4 * i)
             palette.append((r, g, b))
-    if compression == 1:
-        idx_rows = _decode_rle8(data, pix_off, w, h)
+    if compression in (1, 2):
+        idx_rows = _decode_rle(data, pix_off, w, h, nibble=compression == 2)
         out = bytearray()
         for r in range(h - 1, -1, -1):  # storage row 0 is the bottom
             for idx in idx_rows[r]:
@@ -111,43 +119,64 @@ def decode_bmp(data: bytes) -> dict:
     return {"width": w, "height": h, "channels": 3, "pixels": bytes(out)}
 
 
-def _decode_rle8(data: bytes, pos: int, w: int, h: int) -> list:
-    """BI_RLE8 stream → h index rows of width w, in STORAGE order
-    (row 0 = bottom scan line). Skipped pixels stay index 0."""
+def _decode_rle(
+    data: bytes, pos: int, w: int, h: int, nibble: bool = False
+) -> list:
+    """BI_RLE8 (nibble=False) / BI_RLE4 (nibble=True) stream → h
+    index rows of width w, in STORAGE order (row 0 = bottom scan
+    line). Skipped pixels stay index 0. RLE4's encoded runs
+    ALTERNATE the two nibbles of the value byte, and its absolute
+    packets pack two indices per byte (high nibble first), padded to
+    a WORD boundary."""
+    kind = "RLE4" if nibble else "RLE8"
     rows = [bytearray(w) for _ in range(h)]
     x, y = 0, 0
     while True:
         if pos + 2 > len(data):
-            raise ValueError("truncated BMP RLE8 stream")
+            raise ValueError(f"truncated BMP {kind} stream")
         n, v = data[pos], data[pos + 1]
         pos += 2
         if n > 0:  # encoded run
             if y >= h or x + n > w:
-                raise ValueError("BMP RLE8 run overruns the raster")
-            rows[y][x : x + n] = bytes([v]) * n
+                raise ValueError(f"BMP {kind} run overruns the raster")
+            if nibble:
+                hi, lo = v >> 4, v & 0x0F
+                rows[y][x : x + n] = bytes(
+                    hi if i % 2 == 0 else lo for i in range(n)
+                )
+            else:
+                rows[y][x : x + n] = bytes([v]) * n
             x += n
             continue
         if v == 0:  # end of line
             x, y = 0, y + 1
             if y > h:
-                raise ValueError("BMP RLE8 runs past the last row")
+                raise ValueError(f"BMP {kind} runs past the last row")
         elif v == 1:  # end of bitmap
             return rows
         elif v == 2:  # delta: skip (dx, dy)
             if pos + 2 > len(data):
-                raise ValueError("truncated BMP RLE8 delta")
+                raise ValueError(f"truncated BMP {kind} delta")
             dx, dy = data[pos], data[pos + 1]
             pos += 2
             x, y = x + dx, y + dy
             if x > w or y > h:
-                raise ValueError("BMP RLE8 delta leaves the raster")
+                raise ValueError(f"BMP {kind} delta leaves the raster")
         else:  # absolute (literal) mode, WORD-padded
             if y >= h or x + v > w:
-                raise ValueError("BMP RLE8 literal overruns the raster")
-            need = v + (v & 1)
+                raise ValueError(f"BMP {kind} literal overruns the raster")
+            nbytes = (v + 1) // 2 if nibble else v
+            need = nbytes + (nbytes & 1)
             if pos + need > len(data):
-                raise ValueError("truncated BMP RLE8 literal")
-            rows[y][x : x + v] = data[pos : pos + v]
+                raise ValueError(f"truncated BMP {kind} literal")
+            if nibble:
+                lit = bytearray()
+                for i in range(v):
+                    b = data[pos + (i >> 1)]
+                    lit.append(b >> 4 if i % 2 == 0 else b & 0x0F)
+                rows[y][x : x + v] = lit
+            else:
+                rows[y][x : x + v] = data[pos : pos + v]
             pos += need
             x += v
 
@@ -223,6 +252,75 @@ def _rle8_row(row: bytes) -> bytes:
         i = j
     out.extend((0, 0))
     return bytes(out)
+
+
+def _rle4_row(row: bytes) -> bytes:
+    """One scan line of nibble indices as RLE4 packets: encoded runs
+    (both nibbles = the value), WORD-padded absolute packets for
+    literal stretches of >= 3, encoded singles otherwise."""
+    out = bytearray()
+    i = 0
+    while i < len(row):
+        run = 1
+        while i + run < len(row) and run < 255 and row[i + run] == row[i]:
+            run += 1
+        if run >= 2:
+            out.extend((run, (row[i] << 4) | row[i]))
+            i += run
+            continue
+        j = i + 1
+        while (
+            j < len(row)
+            and j - i < 255
+            and not (
+                j + 2 < len(row) and row[j] == row[j + 1] == row[j + 2]
+            )
+        ):
+            j += 1
+        if j - i >= 3:
+            out.append(0)
+            out.append(j - i)
+            packed = bytearray()
+            for k in range(i, j):
+                if (k - i) % 2 == 0:
+                    packed.append(row[k] << 4)
+                else:
+                    packed[-1] |= row[k]
+            if len(packed) & 1:
+                packed.append(0)  # WORD padding
+            out.extend(packed)
+        else:
+            for k in range(i, j):
+                out.extend((1, row[k] << 4))
+        i = j
+    out.extend((0, 0))
+    return bytes(out)
+
+
+def encode_bmp_rle4(pixels: bytes, width: int, height: int) -> bytes:
+    """BI_RLE4 BMP from 4-bit indices (one 0..15 value per byte) with
+    the identity 16-gray palette (index v → gray v*17), so decode
+    reproduces v*17 as R=G=B exactly."""
+    if len(pixels) != width * height:
+        raise ValueError("pixel count does not match dimensions")
+    if any(p > 15 for p in pixels):
+        raise ValueError("RLE4 indices must be 0..15")
+    body = bytearray()
+    for r in range(height - 1, -1, -1):  # bottom-up storage order
+        body.extend(_rle4_row(pixels[r * width : (r + 1) * width]))
+    body[-2:] = b"\x00\x01"
+    pal = bytearray()
+    for v in range(16):
+        g = v * 17
+        pal.extend((g, g, g, 0))
+    pix_off = 14 + 40 + len(pal)
+    file_size = pix_off + len(body)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, pix_off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 4, 2, len(body),
+        2835, 2835, 16, 0,
+    )
+    return header + info + bytes(pal) + bytes(body)
 
 
 def encode_bmp_rle8(pixels: bytes, width: int, height: int) -> bytes:
