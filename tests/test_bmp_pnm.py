@@ -111,7 +111,7 @@ def test_bmp_error_surface_and_gates():
     with pytest.raises(ValueError):
         bmp.decode_bmp(bytes(rle))
     deep = bytearray(good)
-    struct.pack_into("<H", deep, 28, 16)  # 16 bpp
+    struct.pack_into("<H", deep, 28, 1)  # 1 bpp stays gated
     with pytest.raises(NotImplementedError):
         bmp.decode_bmp(bytes(deep))
     with pytest.raises(ValueError):
@@ -378,3 +378,30 @@ def test_rle4_error_surface_and_remaining_gates():
     struct.pack_into("<I", un4, 30, 0)
     with pytest.raises(NotImplementedError):
         bmp.decode_bmp(bytes(un4))
+
+
+# -- 16-bpp X1R5G5B5 (r10: the high-color gate closed) ------------------
+
+
+def test_bmp16_roundtrip_on_replicated_values_and_projection():
+    w, h = 7, 4  # odd width: 2-byte pixels leave a 2-byte row pad
+    # 5-bit-replicated channel values round-trip EXACTLY
+    rep = bytes(
+        ((b >> 3) << 3) | ((b >> 3) >> 2) for b in _pix(w * h * 3, "b16")
+    )
+    d = bmp.decode_bmp(bmp.encode_bmp(rep, w, h, bpp=16))
+    assert d["pixels"] == rep
+    # arbitrary input: decode(encode(x)) is a PROJECTION — applying
+    # encode+decode twice equals once (quantize then replicate is
+    # idempotent), and both row orders decode identically
+    px = _pix(w * h * 3)
+    once = bmp.decode_bmp(bmp.encode_bmp(px, w, h, bpp=16))["pixels"]
+    twice = bmp.decode_bmp(bmp.encode_bmp(once, w, h, bpp=16))["pixels"]
+    assert twice == once
+    dn = bmp.decode_bmp(
+        bmp.encode_bmp(px, w, h, bpp=16, top_down=True)
+    )["pixels"]
+    assert dn == once
+    # truncation of the 16-bpp raster is corrupt
+    with pytest.raises(ValueError):
+        bmp.decode_bmp(bmp.encode_bmp(px, w, h, bpp=16)[:-3])

@@ -23,9 +23,14 @@ ALTERNATE the value byte's two nibbles, absolute packets pack two
 indices per byte (high first) with WORD padding, same escapes and
 skip convention as RLE8.
 
-BI_BITFIELDS beyond BGRX and 1/16-bit depths (and uncompressed
-4-bpp) keep an explicit NotImplementedError gate; corrupt streams
-raise ValueError.
+16-bpp X1R5G5B5 (r10): decode bit-replicates each 5-bit channel
+to 8 bits (q<<3 | q>>2, the GDI convention); encode quantizes v>>3,
+so decode∘encode is an idempotent projection that is EXACT on
+5-bit-replicated values — both properties test-pinned.
+
+BI_BITFIELDS beyond BGRX, 1/2-bit depths and uncompressed 4-bpp keep
+an explicit NotImplementedError gate; corrupt streams raise
+ValueError.
 """
 
 from __future__ import annotations
@@ -65,7 +70,7 @@ def decode_bmp(data: bytes) -> dict:
         raise ValueError("BI_RLE8 requires 8 bpp")
     if compression == 2 and bpp != 4:
         raise ValueError("BI_RLE4 requires 4 bpp")
-    if bpp not in (4, 8, 24, 32):
+    if bpp not in (4, 8, 16, 24, 32):
         raise NotImplementedError(f"unsupported BMP depth {bpp}")
     if bpp == 4 and compression != 2:
         raise NotImplementedError("uncompressed 4-bpp BMP")
@@ -108,6 +113,19 @@ def decode_bmp(data: bytes) -> dict:
                 if idx >= len(palette):
                     raise ValueError("BMP palette index out of range")
                 out.extend(palette[idx])
+        elif bpp == 16:
+            for x in range(w):
+                word = struct.unpack_from("<H", data, base + 2 * x)[0]
+                r5 = (word >> 10) & 31
+                g5 = (word >> 5) & 31
+                b5 = word & 31
+                out.extend(
+                    (
+                        (r5 << 3) | (r5 >> 2),
+                        (g5 << 3) | (g5 >> 2),
+                        (b5 << 3) | (b5 >> 2),
+                    )
+                )
         elif bpp == 24:
             for x in range(w):
                 b, g, rr = data[base + 3 * x : base + 3 * x + 3]
@@ -189,11 +207,14 @@ def encode_bmp(
     top_down: bool = False,
 ) -> bytes:
     """Encode TOP-DOWN RGB pixels as an uncompressed BMP. bpp 24
-    writes BGR triples, 32 writes BGRX; top_down=True stores rows in
-    natural order via negative biHeight (decodes identically to the
-    bottom-up form — test-pinned)."""
-    if bpp not in (24, 32):
-        raise ValueError("encode supports 24 or 32 bpp")
+    writes BGR triples, 32 writes BGRX, 16 writes X1R5G5B5 words
+    (channels quantized v >> 3 — decode bit-replicates back, so a
+    16-bit round trip is exact precisely on 5-bit-replicated
+    values); top_down=True stores rows in natural order via negative
+    biHeight (decodes identically to the bottom-up form —
+    test-pinned)."""
+    if bpp not in (16, 24, 32):
+        raise ValueError("encode supports 16, 24 or 32 bpp")
     if len(pixels) != width * height * 3:
         raise ValueError("pixel count does not match dimensions")
     stride = _row_stride(width, bpp)
@@ -204,7 +225,15 @@ def encode_bmp(
         for x in range(width):
             i = (r * width + x) * 3
             rr, g, b = pixels[i : i + 3]
-            row.extend((b, g, rr) if bpp == 24 else (b, g, rr, 0))
+            if bpp == 16:
+                row.extend(
+                    struct.pack(
+                        "<H",
+                        ((rr >> 3) << 10) | ((g >> 3) << 5) | (b >> 3),
+                    )
+                )
+            else:
+                row.extend((b, g, rr) if bpp == 24 else (b, g, rr, 0))
         row.extend(b"\x00" * (stride - len(row)))
         raster.extend(row)
     pix_off = 14 + 40
