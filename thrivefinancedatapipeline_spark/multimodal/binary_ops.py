@@ -742,7 +742,8 @@ def jpeg_color_payloads(docs: DataFrame, quality: int = 90) -> DataFrame:
 from . import tga  # noqa: E402
 
 ATTEST2_SCHEMA = (
-    "doc_id long, qoi_sum long, bmp_sum long, pnm_sum long, tga_sum long"
+    "doc_id long, qoi_sum long, bmp_sum long, pnm_sum long,"
+    " tga_sum long, rle8_sum long, pbm_sum long, bmp16_sum long"
 )
 
 
@@ -759,10 +760,11 @@ def q_multimodal_codec_attest2(
     PPM a 0x5A xor, TGA a 7-byte rotation through the RLE path),
     encodes, DECODES with the real decoder, and emits the
     position-weighted checksum of the DECODED bytes. The DuckDB
-    oracle computes all four sums directly from md5(text) — any
+    oracle computes all seven sums directly from md5(text) — any
     corruption in any encoder/decoder (QOI op choice, BMP stride /
-    BGR order / bottom-up flip, PPM header, TGA RLE packets) flips
-    the value hash red."""
+    BGR order / bottom-up flip, PPM header, TGA RLE packets, RLE8
+    run/absolute packets, PBM bit packing, 555 quantize/replicate)
+    flips the value hash red."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -773,7 +775,8 @@ def q_multimodal_codec_attest2(
         for pdf in batches:
             out = {
                 "doc_id": [], "qoi_sum": [], "bmp_sum": [],
-                "pnm_sum": [], "tga_sum": [],
+                "pnm_sum": [], "tga_sum": [], "rle8_sum": [],
+                "pbm_sum": [], "bmp16_sum": [],
             }
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 hx = hashlib.md5(text.encode("utf-8")).hexdigest()
@@ -791,11 +794,26 @@ def q_multimodal_codec_attest2(
                 dt = tga.decode_tga(
                     tga.encode_tga(vals[7:] + vals[:7], 4, 4, rle=True)
                 )["pixels"]
+                # gray codecs: take the R channel of the RGB decode
+                d8 = bmp.decode_bmp(
+                    bmp.encode_bmp_rle8(
+                        bytes(v ^ 0xA5 for v in vals), 8, 6
+                    )
+                )["pixels"][::3]
+                dbm = pnm.decode_pnm(
+                    pnm.encode_pbm(bytes(v & 1 for v in vals), 8, 6)
+                )["pixels"]
+                d16 = bmp.decode_bmp(
+                    bmp.encode_bmp(vals, 4, 4, bpp=16)
+                )["pixels"]
                 out["doc_id"].append(doc_id)
                 out["qoi_sum"].append(wsum(dq))
                 out["bmp_sum"].append(wsum(db))
                 out["pnm_sum"].append(wsum(bytes(dp)))
                 out["tga_sum"].append(wsum(dt))
+                out["rle8_sum"].append(wsum(bytes(d8)))
+                out["pbm_sum"].append(wsum(dbm))
+                out["bmp16_sum"].append(wsum(d16))
             yield pd.DataFrame(out)
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -804,7 +822,10 @@ def q_multimodal_codec_attest2(
 
 #: v_i (1-based i in 1..48) = ascii(md5 hex digit ((i-1) mod 32) + 1);
 #: qoi = identity, bmp = reversal -> weight 49-i, pnm = xor 0x5A,
-#: tga = rotate-by-7 -> v_i lands at weight ((i+40) mod 48) + 1
+#: tga = rotate-by-7 -> v_i lands at weight ((i+40) mod 48) + 1,
+#: rle8 = xor 0xA5, pbm = parity ink (odd -> black 0, even -> 255),
+#: bmp16 = the 555 projection q*8 + q//4 with q = v//8 (applied per
+#: RGB channel of the 4x4 image, i.e. to every byte)
 CODEC_ATTEST2_ORACLE = """
 WITH a AS (
   SELECT doc_id, i,
@@ -815,5 +836,10 @@ SELECT doc_id,
        CAST(SUM(i * v) AS BIGINT) AS qoi_sum,
        CAST(SUM((49 - i) * v) AS BIGINT) AS bmp_sum,
        CAST(SUM(i * xor(v, 90)) AS BIGINT) AS pnm_sum,
-       CAST(SUM((((i + 40) % 48) + 1) * v) AS BIGINT) AS tga_sum
+       CAST(SUM((((i + 40) % 48) + 1) * v) AS BIGINT) AS tga_sum,
+       CAST(SUM(i * xor(v, 165)) AS BIGINT) AS rle8_sum,
+       CAST(SUM(i * (CASE WHEN v % 2 = 1 THEN 0 ELSE 255 END))
+            AS BIGINT) AS pbm_sum,
+       CAST(SUM(i * ((v // 8) * 8 + (v // 8) // 4)) AS BIGINT)
+         AS bmp16_sum
 FROM a GROUP BY doc_id"""
