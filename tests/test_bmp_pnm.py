@@ -405,3 +405,40 @@ def test_bmp16_roundtrip_on_replicated_values_and_projection():
     # truncation of the 16-bpp raster is corrupt
     with pytest.raises(ValueError):
         bmp.decode_bmp(bmp.encode_bmp(px, w, h, bpp=16)[:-3])
+
+
+def test_resize_nn_handles_16bit_pnm(spark):
+    """The 16-bit resize gate is closed (r10): nearest-neighbor does
+    no value arithmetic, so wide samples resample as 2-byte units —
+    checked against a direct per-sample recompute."""
+    import struct as _struct
+    import zlib
+
+    import pandas as pd
+
+    from thrivefinancedatapipeline_spark.multimodal.binary_ops import (
+        resize_nn,
+        resize_pixels_nn,
+    )
+
+    w, h, tw, th = 6, 4, 3, 3
+    samples = [
+        int.from_bytes(_pix(2, f"s{i}"), "big") for i in range(w * h)
+    ]
+    px = _struct.pack(f">{w * h}H", *samples)
+    payload = pnm.encode_pnm(px, w, h, channels=1, maxval=65535)
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    row = resize_nn(df, tw, th).collect()[0]
+    # direct recompute in SAMPLE space, then repacked big-endian
+    want_samples = [
+        samples[(y * h // th) * w + (x * w // tw)]
+        for y in range(th)
+        for x in range(tw)
+    ]
+    want = _struct.pack(f">{tw * th}H", *want_samples)
+    assert (row.width, row.height) == (tw, th)
+    assert row.checksum == zlib.crc32(want)
+    # and the byte-unit trick equals the struct-level recompute
+    assert resize_pixels_nn(px, w, h, tw, th, channels=2) == want

@@ -218,12 +218,12 @@ def resize_nn(
                     ch = 3
                 elif pnm.is_pnm(b):
                     img = pnm.decode_pnm(b)
-                    if img["maxval"] > 255:
-                        raise NotImplementedError(
-                            "resize_nn is 8-bit-per-sample; 16-bit "
-                            "PNM keeps the gate"
-                        )
-                    ch = img["channels"]
+                    # 16-bit samples (r10): nearest-neighbor never
+                    # does arithmetic on values, so a wide sample is
+                    # just a 2-byte pixel unit — double the stride
+                    ch = img["channels"] * (
+                        2 if img.get("maxval", 255) > 255 else 1
+                    )
                 elif qoi.is_qoi(b):
                     img = qoi.decode_qoi(b)
                     ch = img["channels"]
