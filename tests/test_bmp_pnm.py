@@ -111,7 +111,7 @@ def test_bmp_error_surface_and_gates():
     with pytest.raises(ValueError):
         bmp.decode_bmp(bytes(rle))
     deep = bytearray(good)
-    struct.pack_into("<H", deep, 28, 1)  # 1 bpp stays gated
+    struct.pack_into("<H", deep, 28, 2)  # 2 bpp stays gated
     with pytest.raises(NotImplementedError):
         bmp.decode_bmp(bytes(deep))
     with pytest.raises(ValueError):
@@ -373,11 +373,11 @@ def test_rle4_error_surface_and_remaining_gates():
     struct.pack_into("<I", bad, 30, 2)
     with pytest.raises(ValueError):
         bmp.decode_bmp(bytes(bad))
-    # uncompressed 4-bpp stays gated
-    un4 = bytearray(good)
-    struct.pack_into("<I", un4, 30, 0)
+    # BI_BITFIELDS stays gated
+    bf4 = bytearray(good)
+    struct.pack_into("<I", bf4, 30, 3)
     with pytest.raises(NotImplementedError):
-        bmp.decode_bmp(bytes(un4))
+        bmp.decode_bmp(bytes(bf4))
 
 
 # -- 16-bpp X1R5G5B5 (r10: the high-color gate closed) ------------------
@@ -442,3 +442,30 @@ def test_resize_nn_handles_16bit_pnm(spark):
     assert row.checksum == zlib.crc32(want)
     # and the byte-unit trick equals the struct-level recompute
     assert resize_pixels_nn(px, w, h, tw, th, channels=2) == want
+
+
+# -- uncompressed 4-bpp and 1-bpp (r10: the last depth gates closed) ----
+
+
+def test_bmp4_uncompressed_equals_rle4_decode():
+    """Raw 4-bpp and RLE4 store the SAME image — decodes must be
+    identical (the reorder-only rule), row padding exercised."""
+    w, h = 11, 5
+    nib = bytes(b & 0x0F for b in _pix(w * h, "b4"))
+    raw = bmp.decode_bmp(bmp.encode_bmp_palette4(nib, w, h))
+    rle = bmp.decode_bmp(bmp.encode_bmp_rle4(nib, w, h))
+    assert raw == rle
+    assert raw["pixels"][0::3] == bytes(v * 17 for v in nib)
+
+
+def test_bmp1_roundtrip_and_errors():
+    w, h = 19, 3  # width far from a byte boundary
+    bits = bytes(b & 1 for b in _pix(w * h, "b1"))
+    d = bmp.decode_bmp(bmp.encode_bmp_1bit(bits, w, h))
+    assert d["pixels"] == b"".join(
+        (b"\xff\xff\xff" if b else b"\x00\x00\x00") for b in bits
+    )
+    with pytest.raises(ValueError):
+        bmp.encode_bmp_1bit(b"\x02" * (w * h), w, h)
+    with pytest.raises(ValueError):
+        bmp.decode_bmp(bmp.encode_bmp_1bit(bits, w, h)[:-2])

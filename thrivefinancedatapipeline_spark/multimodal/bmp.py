@@ -28,9 +28,12 @@ to 8 bits (q<<3 | q>>2, the GDI convention); encode quantizes v>>3,
 so decode∘encode is an idempotent projection that is EXACT on
 5-bit-replicated values — both properties test-pinned.
 
-BI_BITFIELDS beyond BGRX, 1/2-bit depths and uncompressed 4-bpp keep
-an explicit NotImplementedError gate; corrupt streams raise
-ValueError.
+Uncompressed 4-bpp and 1-bpp paletted rasters (r10): plain
+nibble/bit unpacking, MSB-first, 4-byte row padding — raw 4-bpp and
+RLE4 of one image decode identically (reorder-only rule).
+
+BI_BITFIELDS beyond BGRX and 2-bit depth keep an explicit
+NotImplementedError gate; corrupt streams raise ValueError.
 """
 
 from __future__ import annotations
@@ -70,10 +73,8 @@ def decode_bmp(data: bytes) -> dict:
         raise ValueError("BI_RLE8 requires 8 bpp")
     if compression == 2 and bpp != 4:
         raise ValueError("BI_RLE4 requires 4 bpp")
-    if bpp not in (4, 8, 16, 24, 32):
+    if bpp not in (1, 4, 8, 16, 24, 32):
         raise NotImplementedError(f"unsupported BMP depth {bpp}")
-    if bpp == 4 and compression != 2:
-        raise NotImplementedError("uncompressed 4-bpp BMP")
     if w <= 0 or h_raw == 0:
         raise ValueError("bad BMP dimensions")
     top_down = h_raw < 0
@@ -81,8 +82,8 @@ def decode_bmp(data: bytes) -> dict:
     if compression in (1, 2) and top_down:
         raise ValueError("RLE BMP must be bottom-up")
     palette = []
-    if bpp in (4, 8):
-        n_colors = clr_used or (16 if bpp == 4 else 256)
+    if bpp in (1, 4, 8):
+        n_colors = clr_used or (1 << bpp)
         pal_off = 14 + hdr_size
         if len(data) < pal_off + 4 * n_colors:
             raise ValueError("truncated BMP palette")
@@ -110,6 +111,19 @@ def decode_bmp(data: bytes) -> dict:
         if bpp == 8:
             for x in range(w):
                 idx = data[base + x]
+                if idx >= len(palette):
+                    raise ValueError("BMP palette index out of range")
+                out.extend(palette[idx])
+        elif bpp == 4:
+            for x in range(w):
+                b = data[base + (x >> 1)]
+                idx = b >> 4 if x % 2 == 0 else b & 0x0F
+                if idx >= len(palette):
+                    raise ValueError("BMP palette index out of range")
+                out.extend(palette[idx])
+        elif bpp == 1:
+            for x in range(w):
+                idx = (data[base + (x >> 3)] >> (7 - (x & 7))) & 1
                 if idx >= len(palette):
                     raise ValueError("BMP palette index out of range")
                 out.extend(palette[idx])
@@ -404,3 +418,64 @@ def encode_bmp_palette(
         2835, 2835, 256, 0,
     )
     return header + info + bytes(pal) + bytes(raster)
+
+
+def encode_bmp_palette4(pixels: bytes, width: int, height: int) -> bytes:
+    """Uncompressed 4-bpp BMP from 0..15 indices (identity 16-gray
+    palette, the encode_bmp_rle4 contract) — the raw twin of RLE4:
+    both decode pixel-identical (reorder-only rule, test-pinned)."""
+    if len(pixels) != width * height:
+        raise ValueError("pixel count does not match dimensions")
+    if any(p > 15 for p in pixels):
+        raise ValueError("4-bpp indices must be 0..15")
+    stride = _row_stride(width, 4)
+    raster = bytearray()
+    for r in range(height - 1, -1, -1):
+        row = bytearray(stride)
+        for x in range(width):
+            v = pixels[r * width + x]
+            if x % 2 == 0:
+                row[x >> 1] |= v << 4
+            else:
+                row[x >> 1] |= v
+        raster.extend(row)
+    pal = bytearray()
+    for v in range(16):
+        g = v * 17
+        pal.extend((g, g, g, 0))
+    pix_off = 14 + 40 + len(pal)
+    header = struct.pack(
+        "<2sIHHI", b"BM", pix_off + len(raster), 0, 0, pix_off
+    )
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 4, 0, len(raster),
+        2835, 2835, 16, 0,
+    )
+    return header + info + bytes(pal) + bytes(raster)
+
+
+def encode_bmp_1bit(bits: bytes, width: int, height: int) -> bytes:
+    """1-bpp BMP from a 0/1-per-byte bitmap (palette: 0 = black,
+    1 = white), rows MSB-first and padded to 4 bytes."""
+    if len(bits) != width * height:
+        raise ValueError("bit count does not match dimensions")
+    if any(b not in (0, 1) for b in bits):
+        raise ValueError("1-bpp input must be 0 or 1 per byte")
+    stride = _row_stride(width, 1)
+    raster = bytearray()
+    for r in range(height - 1, -1, -1):
+        row = bytearray(stride)
+        for x in range(width):
+            if bits[r * width + x]:
+                row[x >> 3] |= 0x80 >> (x & 7)
+        raster.extend(row)
+    pal = bytes((0, 0, 0, 0, 255, 255, 255, 0))  # index 0 black, 1 white
+    pix_off = 14 + 40 + len(pal)
+    header = struct.pack(
+        "<2sIHHI", b"BM", pix_off + len(raster), 0, 0, pix_off
+    )
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 1, 0, len(raster),
+        2835, 2835, 2, 0,
+    )
+    return header + info + pal + bytes(raster)
