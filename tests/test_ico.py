@@ -1,0 +1,95 @@
+"""ICO container: DIB-vs-PNG storage parity (same RGBA either way —
+the reorder-only principle applied to a CONTAINER), AND-mask
+semantics, multi-frame directories, and the error/gate surface."""
+
+import hashlib
+import struct
+
+import pytest
+
+from thrivefinancedatapipeline_spark.multimodal import ico
+
+
+def _rgba(w, h, seed="ico"):
+    out = bytearray()
+    i = 0
+    while len(out) < w * h * 4:
+        out.extend(hashlib.md5(f"{seed}:{i}".encode()).digest())
+        i += 1
+    px = bytearray(out[: w * h * 4])
+    # avoid accidental alpha-0 pixels so DIB round trips exactly
+    # (alpha 0 is the AND-mask transparency case tested separately)
+    for j in range(3, len(px), 4):
+        px[j] = px[j] or 1
+    return bytes(px)
+
+
+def test_multiframe_roundtrip_and_png_dib_parity():
+    frames = [(_rgba(9, 7), 9, 7), (_rgba(16, 16, "b"), 16, 16)]
+    # same frames stored as DIB vs as embedded PNG decode IDENTICAL
+    as_dib = ico.decode_ico(ico.encode_ico(frames))
+    as_png = ico.decode_ico(ico.encode_ico(frames, png_frames=frozenset({0, 1})))
+    assert as_dib == as_png
+    for (px, w, h), f in zip(frames, as_dib):
+        assert (f["width"], f["height"], f["channels"]) == (w, h, 4)
+        assert f["pixels"] == px
+    # mixed storage in one directory
+    mixed = ico.decode_ico(ico.encode_ico(frames, png_frames=frozenset({1})))
+    assert mixed == as_dib
+
+
+def test_and_mask_forces_transparency():
+    # alpha-0 pixels must come back alpha-0 (mirrored into the AND
+    # mask), and the mask overrides a nonzero alpha byte when a
+    # pre-alpha writer crafted the stream
+    w, h = 5, 2
+    px = bytearray(_rgba(w, h))
+    px[3] = 0  # first pixel fully transparent
+    d = ico.decode_ico(ico.encode_ico([(bytes(px), w, h)]))[0]
+    assert d["pixels"][3] == 0
+    assert d["pixels"][7] != 0
+    # hand-set an AND bit over an opaque pixel: decoder must honor it
+    data = bytearray(ico.encode_ico([(_rgba(w, h), w, h)]))
+    and_off = 6 + 16 + 40 + w * h * 4  # dir + entry + hdr + XOR
+    data[and_off] |= 0x40  # mask bit for x=1 of the BOTTOM row
+    d2 = ico.decode_ico(bytes(data))[0]
+    assert d2["pixels"][((h - 1) * w + 1) * 4 + 3] == 0
+
+
+def test_ico_error_surface_and_gates():
+    good = ico.encode_ico([(_rgba(4, 4), 4, 4)])
+    with pytest.raises(ValueError):
+        ico.decode_ico(b"\x00\x00\x03\x00")  # bad type
+    with pytest.raises(NotImplementedError):
+        ico.decode_ico(b"\x00\x00\x02\x00\x01\x00" + good[6:])  # CUR
+    with pytest.raises(ValueError):
+        ico.decode_ico(good[:20])  # truncated directory/frame
+    with pytest.raises(ValueError):
+        ico.decode_ico(good[:-8])  # frame outside file
+    with pytest.raises(ValueError):
+        ico.encode_ico([])
+    with pytest.raises(ValueError):
+        ico.encode_ico([(b"\x00" * 12, 2, 2)])  # RGB, not RGBA
+    with pytest.raises(ValueError):
+        ico.encode_ico([(_rgba(300, 1), 300, 1)])  # > 256
+    # paletted DIB frames keep the gate
+    bad = bytearray(good)
+    struct.pack_into("<H", bad, 6 + 16 + 14, 8)  # biBitCount = 8
+    with pytest.raises(NotImplementedError):
+        ico.decode_ico(bytes(bad))
+
+
+def test_decode_kernel_selects_largest_ico_frame():
+    import zlib
+
+    import pandas as pd
+
+    from thrivefinancedatapipeline_spark.multimodal.binary_ops import (
+        decode_image_batch,
+    )
+
+    small, big = _rgba(4, 4, "s"), _rgba(12, 9, "l")
+    payload = ico.encode_ico([(small, 4, 4), (big, 12, 9)])
+    out = decode_image_batch(pd.Series([payload]))
+    assert (out["width"][0], out["height"][0]) == (12, 9)
+    assert out["checksum"][0] == zlib.crc32(big)

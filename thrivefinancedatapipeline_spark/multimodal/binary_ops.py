@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..datamodel import load_table
-from . import avi, bmp, gif, jpeg, png, pnm, qoi, wav
+from . import avi, bmp, gif, ico, jpeg, png, pnm, qoi, wav
 
 DECODED_SCHEMA = (
     "doc_id long, n_bytes int, width int, height int, checksum long"
@@ -94,6 +94,14 @@ def decode_image_batch(payloads: pd.Series, *, fake: bool = False) -> pd.DataFra
             widths.append(img["width"])
             heights.append(img["height"])
             checksums.append(zlib.crc32(img["pixels"]))
+        elif ico.is_ico(bytes(b)):
+            # multi-image container: report the LARGEST frame (the
+            # icon-selection convention), checksum over its RGBA
+            frames = ico.decode_ico(bytes(b))
+            big = max(frames, key=lambda f: (f["width"] * f["height"],))
+            widths.append(big["width"])
+            heights.append(big["height"])
+            checksums.append(zlib.crc32(big["pixels"]))
         elif fake:
             s = sum(b) % 1_000_003
             widths.append(len(b) % 640 + 1)

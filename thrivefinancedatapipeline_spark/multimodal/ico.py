@@ -1,0 +1,183 @@
+"""Windows ICO container — pure Python, no dependencies.
+
+An icon file is a directory of independently-encoded images (the
+multi-resolution favicon format web-crawl corpora are full of): a
+6-byte ICONDIR (reserved 0, type 1, count), 16-byte directory
+entries, and per entry either a PNG stream (the modern 256px form —
+delegated to `multimodal.png`) or a BITMAPINFOHEADER "DIB" with
+DOUBLED biHeight covering the XOR color raster (bottom-up BGRA/BGR)
+followed by a 1-bpp AND transparency mask (bottom-up, MSB-first,
+4-byte row stride).
+
+Decode returns every frame as TOP-DOWN RGBA: 32-bpp XOR rasters keep
+their alpha byte, 24-bpp frames derive alpha from the AND mask
+(mask bit 1 = transparent), and in BOTH cases an AND bit forces the
+pixel transparent (the classic renderer rule — 32-bpp icons written
+by pre-alpha tools carry all-zero alpha and rely on the mask).
+
+Cursor files (type 2), paletted DIB frames and BITFIELDS keep an
+explicit NotImplementedError gate; corrupt streams raise ValueError.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from . import png
+
+
+def is_ico(data: bytes) -> bool:
+    return len(data) >= 6 and data[:4] == b"\x00\x00\x01\x00"
+
+
+def _decode_dib_frame(sub: bytes) -> dict:
+    if len(sub) < 40:
+        raise ValueError("truncated ICO DIB header")
+    (
+        hdr_size,
+        w,
+        h2,
+        planes,
+        bpp,
+        compression,
+    ) = struct.unpack_from("<IiiHHI", sub, 0)
+    if hdr_size != 40:
+        raise NotImplementedError("non-BITMAPINFOHEADER ICO frame")
+    if compression != 0:
+        raise NotImplementedError("compressed ICO DIB frame")
+    if bpp not in (24, 32):
+        raise NotImplementedError(f"paletted ICO DIB frame ({bpp} bpp)")
+    if planes not in (0, 1):
+        raise ValueError("bad ICO DIB planes")
+    if w <= 0 or h2 <= 0 or h2 % 2:
+        raise ValueError("bad ICO DIB dimensions (height must double)")
+    h = h2 // 2
+    xor_stride = ((w * bpp + 31) // 32) * 4
+    and_stride = ((w + 31) // 32) * 4
+    xor_off = hdr_size
+    and_off = xor_off + xor_stride * h
+    if len(sub) < and_off + and_stride * h:
+        raise ValueError("truncated ICO DIB raster")
+    out = bytearray()
+    for r in range(h - 1, -1, -1):  # bottom-up storage
+        xbase = xor_off + r * xor_stride
+        mbase = and_off + r * and_stride
+        for x in range(w):
+            if bpp == 32:
+                b, g, rr, a = sub[xbase + 4 * x : xbase + 4 * x + 4]
+            else:
+                b, g, rr = sub[xbase + 3 * x : xbase + 3 * x + 3]
+                a = 255
+            mask = (sub[mbase + (x >> 3)] >> (7 - (x & 7))) & 1
+            if mask:
+                a = 0
+            out.extend((rr, g, b, a))
+    return {"width": w, "height": h, "channels": 4, "pixels": bytes(out)}
+
+
+def _png_to_rgba(img: dict) -> dict:
+    px, ch = img["pixels"], img["channels"]
+    if ch == 4:
+        rgba = px
+    elif ch == 3:
+        rgba = b"".join(
+            px[i : i + 3] + b"\xff" for i in range(0, len(px), 3)
+        )
+    elif ch == 2:  # gray+alpha
+        rgba = b"".join(
+            bytes((px[i], px[i], px[i], px[i + 1]))
+            for i in range(0, len(px), 2)
+        )
+    else:  # gray
+        rgba = b"".join(bytes((v, v, v, 255)) for v in px)
+    return {
+        "width": img["width"],
+        "height": img["height"],
+        "channels": 4,
+        "pixels": rgba,
+    }
+
+
+def decode_ico(data: bytes) -> list[dict]:
+    """ICO → list of TOP-DOWN RGBA frames (directory order)."""
+    if len(data) >= 6 and data[:4] == b"\x00\x00\x02\x00":
+        raise NotImplementedError("CUR (cursor) container")
+    if not is_ico(data):
+        raise ValueError("not an ICO stream")
+    count = struct.unpack_from("<H", data, 4)[0]
+    if count == 0:
+        raise ValueError("empty ICO directory")
+    frames = []
+    for i in range(count):
+        ent = 6 + 16 * i
+        if len(data) < ent + 16:
+            raise ValueError("truncated ICO directory")
+        size, off = struct.unpack_from("<II", data, ent + 8)
+        if off + size > len(data):
+            raise ValueError("ICO frame outside the file")
+        sub = data[off : off + size]
+        if png.is_png(sub):
+            frames.append(_png_to_rgba(png.decode_png(sub)))
+        else:
+            frames.append(_decode_dib_frame(sub))
+    return frames
+
+
+def encode_ico(
+    frames: list[tuple[bytes, int, int]], png_frames: frozenset = frozenset()
+) -> bytes:
+    """Encode TOP-DOWN RGBA frames as an ICO — 32-bpp DIB entries by
+    default (alpha kept in the XOR raster AND mirrored into the AND
+    mask where fully transparent), or a real PNG stream for the frame
+    indices in `png_frames` (the modern large-size form). Decoding
+    either storage returns the same RGBA — test-pinned."""
+    if not frames:
+        raise ValueError("no ICO frames")
+    blobs = []
+    for idx, (pixels, w, h) in enumerate(frames):
+        if len(pixels) != w * h * 4:
+            raise ValueError("frame pixels must be RGBA")
+        if not (0 < w <= 256 and 0 < h <= 256):
+            raise ValueError("ICO frames are at most 256x256")
+        if idx in png_frames:
+            blobs.append(png.encode_png(pixels, w, h, color_type=6))
+            continue
+        xor = bytearray()
+        for r in range(h - 1, -1, -1):
+            for x in range(w):
+                i = (r * w + x) * 4
+                rr, g, b, a = pixels[i : i + 4]
+                xor.extend((b, g, rr, a))
+        and_stride = ((w + 31) // 32) * 4
+        mask = bytearray()
+        for r in range(h - 1, -1, -1):
+            row = bytearray(and_stride)
+            for x in range(w):
+                if pixels[(r * w + x) * 4 + 3] == 0:
+                    row[x >> 3] |= 0x80 >> (x & 7)
+            mask.extend(row)
+        hdr = struct.pack(
+            "<IiiHHIIiiII", 40, w, 2 * h, 1, 32, 0,
+            len(xor) + len(mask), 2835, 2835, 0, 0,
+        )
+        blobs.append(hdr + bytes(xor) + bytes(mask))
+    out = bytearray(struct.pack("<HHH", 0, 1, len(frames)))
+    off = 6 + 16 * len(frames)
+    for (pixels, w, h), blob in zip(frames, blobs):
+        out.extend(
+            struct.pack(
+                "<BBBBHHII",
+                w % 256,  # 256 stored as 0 per spec
+                h % 256,
+                0,
+                0,
+                1,
+                32,
+                len(blob),
+                off,
+            )
+        )
+        off += len(blob)
+    for blob in blobs:
+        out.extend(blob)
+    return bytes(out)
