@@ -261,3 +261,51 @@ def test_knn_mmr_diversified_vs_duckdb_and_properties(spark, sf_dir):
             if {r[1] for r in rows} != topk:
                 diversified += 1
         assert diversified >= 1, "MMR degenerated to pure top-k everywhere"
+
+
+def test_dedup_keep_priority_vs_duckdb_and_choice_law(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from thrivefinancedatapipeline_spark.functions.text import normalize
+    from thrivefinancedatapipeline_spark.operators.dedup import (
+        KEEP_PRIORITY_ORACLE,
+        _docs,
+        dedup_keep_priority,
+        q_dedup_keep_canonical,
+    )
+
+    for d in _dirs(sf_dir):
+        got = sorted(
+            tuple(r) for r in dedup_keep_priority(spark, d).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in _duck(d, KEEP_PRIORITY_ORACLE, tables=("documents",))
+        )
+        assert got == want, f"dedup_keep_priority mismatch at {d}"
+
+        # group accounting: every document is in exactly one group
+        n_docs = _docs(spark, d).count()
+        assert sum(r[3] for r in got) == n_docs
+        # same GROUPS as the min-id canonical filter, possibly
+        # different survivors — the survivor COUNT must match
+        assert len(got) == q_dedup_keep_canonical(spark, d).count()
+
+        # the choice law, recomputed independently: per content hash
+        # the survivor minimizes (src rank, raw length, doc_id)
+        rows = (
+            _docs(spark, d)
+            .select(
+                "doc_id",
+                F.expr("CAST(substring(source, 4) AS BIGINT)").alias("p"),
+                F.length("text").alias("nc"),
+                F.md5(normalize(F.col("text"))).alias("ch"),
+            )
+            .collect()
+        )
+        best = {}
+        for r in rows:
+            k = (r.p, r.nc, r.doc_id)
+            if r.ch not in best or k < best[r.ch]:
+                best[r.ch] = k
+        assert {r[0] for r in got} == {k[2] for k in best.values()}

@@ -2525,3 +2525,67 @@ LEFT JOIN nrs n USING (source)"""
 
 QUERIES["source_token_yield"] = source_token_yield
 ORACLES["source_token_yield"] = SOURCE_TOKEN_YIELD_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# PREBUILT (r10-staged, NOT yet registered — tools/check_prebuilt.py).
+# ---------------------------------------------------------------------------
+
+#: source trust rank: the numeric suffix of the synthetic src{N}
+#: names stands in for a curation-tier table (lower = more trusted)
+_SRC_PRIO = "CAST(substring(source, 4) AS BIGINT)"
+
+
+def dedup_keep_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-priority canonicalization — what production curation
+    actually does instead of keep-min-id: when the same content
+    appears in several sources, keep the copy from the MOST TRUSTED
+    source (lower trust rank wins; the numeric src suffix stands in
+    for the curation-tier table), then the cleanest raw form
+    (shortest n_chars — duplicates share normalized text but differ
+    in raw whitespace/case padding), then min doc_id. Emits the
+    surviving copy plus its duplicate-group size, so the oracle
+    attests BOTH the choice and the group accounting.
+
+    Same scale shape as dedup_keep_canonical: one window over the
+    content-hash partitioning, decision never leaves the executor."""
+    docs = _docs(spark, sf_dir)
+    hashed = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr(_SRC_PRIO).alias("prio"),
+        F.length("text").cast("long").alias("n_chars_raw"),
+        F.md5(normalize(F.col("text"))).alias("content_hash"),
+    )
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy("content_hash")
+    wr = wp.orderBy("prio", "n_chars_raw", "doc_id")
+    return (
+        hashed.withColumn("rn", F.row_number().over(wr))
+        .withColumn("n_copies", F.count(F.lit(1)).over(wp))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.col("n_copies").cast("long").alias("n_copies"),
+        )
+    )
+
+
+KEEP_PRIORITY_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, lang, source, {_SRC_PRIO} AS prio,
+         CAST(length(text) AS BIGINT) AS n_chars_raw,
+         md5({_NORM}) AS ch
+  FROM documents),
+r AS (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (PARTITION BY ch
+           ORDER BY prio, n_chars_raw, doc_id) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY ch) AS BIGINT) AS n_copies
+  FROM h)
+SELECT doc_id, lang, source, n_copies FROM r WHERE rn = 1"""
+

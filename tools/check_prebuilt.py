@@ -44,6 +44,10 @@ def _catalog():
         CODEC_ATTEST2_ORACLE,
         q_multimodal_codec_attest2,
     )
+    from thrivefinancedatapipeline_spark.operators.dedup import (
+        KEEP_PRIORITY_ORACLE,
+        dedup_keep_priority,
+    )
     from thrivefinancedatapipeline_spark.operators.sampling import (
         QUOTA_SAMPLER_ORACLE,
         source_quota_sampler,
@@ -72,6 +76,9 @@ def _catalog():
         ),
         "knn_mmr_diversified": (
             knn_mmr_diversified, MMR_ORACLE,
+        ),
+        "dedup_keep_priority": (
+            dedup_keep_priority, KEEP_PRIORITY_ORACLE,
         ),
     }
 
