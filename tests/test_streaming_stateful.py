@@ -1070,3 +1070,61 @@ def test_stream_bucket_migration_matches_batch(spark, sf_dir):
         assert stream_plus_final == batch
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stream_keep_priority_matches_batch(spark, sf_dir):
+    """Drain parity for the streaming source-priority dedup: the
+    max-seq row per content hash equals the batch
+    dedup_keep_priority CHOICE (min is order-free, so parity must
+    hold even under an adversarial REVERSED arrival order), and the
+    per-group copy counters both grow monotonically and sum to the
+    corpus size."""
+    import glob
+    import os
+
+    from thrivefinancedatapipeline_spark.datamodel import load_table
+    from thrivefinancedatapipeline_spark.operators.dedup import (
+        dedup_keep_priority,
+    )
+
+    src = tempfile.mkdtemp(prefix="stream_keep_")
+    try:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source"
+        )
+        # REVERSED doc_id order across files: the worst case for any
+        # first-arrival rule — argmin state must not care
+        for i, (lo, hi) in enumerate([(340, 10**9), (170, 340), (0, 170)]):
+            part = docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ).orderBy(F.col("doc_id").desc()).coalesce(1)
+            part.write.parquet(f"{src}/b{i}", mode="overwrite")
+            for f in glob.glob(f"{src}/b{i}/part-*.parquet"):
+                shutil.copy(f, f"{src}/file{i}.parquet")
+            shutil.rmtree(f"{src}/b{i}")
+            os.utime(f"{src}/file{i}.parquet", (1_000_000 + i, 1_000_000 + i))
+        got = drain(
+            stateful.stream_keep_priority(spark, src, max_files_per_trigger=1),
+            "stream_keep_priority",
+            "append",
+        )
+        last, hist = {}, {}
+        for r in got:
+            if r.content_hash not in last or r.seq > last[r.content_hash].seq:
+                last[r.content_hash] = r
+            hist.setdefault(r.content_hash, []).append((r.seq, r.n_copies))
+        # monotone copy counters along each group's emission sequence
+        for rows in hist.values():
+            rows.sort()
+            counts = [n for _s, n in rows]
+            assert counts == sorted(counts)
+        stream_pick = {
+            (r.doc_id, r.lang, r.source, r.n_copies) for r in last.values()
+        }
+        batch_pick = {
+            tuple(r) for r in dedup_keep_priority(spark, sf_dir).collect()
+        }
+        assert stream_pick == batch_pick
+        assert sum(r.n_copies for r in last.values()) == docs.count()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

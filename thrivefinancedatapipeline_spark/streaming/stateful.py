@@ -1608,3 +1608,85 @@ def stream_quality_split_drift(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+KEEP_OUT_SCHEMA = (
+    "content_hash string, seq int, doc_id long, lang string,"
+    " source string, n_copies long"
+)
+KEEP_STATE_SCHEMA = (
+    "seq int, prio long, n_chars_raw long, doc_id long, lang string,"
+    " source string, n_copies long"
+)
+
+
+def _keep_priority_state_fn(key, pdf_iter, state: GroupState):
+    """Per-content-hash streaming argmin: the batch window's
+    (prio, n_chars_raw, doc_id) ordering folds left-to-right, so the
+    state is ONE candidate row + a copy counter per group — emitted
+    with a seq so drain parity reads the max-seq row."""
+    seq, best, n = 0, None, 0
+    if state.exists:
+        seq, p, nc, did, lang, src, n = state.get
+        best = (int(p), int(nc), int(did), lang, src)
+    for pdf in pdf_iter:
+        for p, nc, did, lang, src in zip(
+            pdf["prio"], pdf["n_chars_raw"], pdf["doc_id"],
+            pdf["lang"], pdf["source"],
+        ):
+            n += 1
+            cand = (int(p), int(nc), int(did), str(lang), str(src))
+            if best is None or cand[:3] < best[:3]:
+                best = cand
+    seq += 1
+    state.update((seq, best[0], best[1], best[2], best[3], best[4], n))
+    yield pd.DataFrame(
+        {
+            "content_hash": [key[0]],
+            "seq": [seq],
+            "doc_id": [best[2]],
+            "lang": [best[3]],
+            "source": [best[4]],
+            "n_copies": [n],
+        }
+    )
+
+
+def stream_keep_priority(
+    spark, source_dir: str, max_files_per_trigger: int = 1
+):
+    """Continuous source-priority canonicalization — the streaming
+    twin of operators/dedup.dedup_keep_priority: every arriving
+    document hashes its normalized text in a Spark expression
+    (codegen, bit-identical to the batch hash), and the per-group
+    state is the single best (trust rank, raw length, doc_id)
+    candidate plus a copy counter — a streaming argmin, the smallest
+    possible dedup state. Arrival order cannot change the fixpoint
+    (min is order-free), so drain parity holds for ANY file order —
+    unlike first-arrival dedup (stream_dedup_content), this twin
+    converges to the batch CHOICE, not just the batch key set."""
+    from ..functions.text import normalize
+    from ..operators.dedup import _SRC_PRIO
+
+    docs = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string"
+        )
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    enriched = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr(_SRC_PRIO).alias("prio"),
+        F.length("text").cast("long").alias("n_chars_raw"),
+        F.md5(normalize(F.col("text"))).alias("content_hash"),
+    )
+    return enriched.groupBy("content_hash").applyInPandasWithState(
+        _keep_priority_state_fn,
+        outputStructType=KEEP_OUT_SCHEMA,
+        stateStructType=KEEP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
