@@ -751,7 +751,8 @@ from . import tga  # noqa: E402
 
 ATTEST2_SCHEMA = (
     "doc_id long, qoi_sum long, bmp_sum long, pnm_sum long,"
-    " tga_sum long, rle8_sum long, pbm_sum long, bmp16_sum long"
+    " tga_sum long, rle8_sum long, pbm_sum long, bmp16_sum long,"
+    " ico_sum long"
 )
 
 
@@ -768,11 +769,12 @@ def q_multimodal_codec_attest2(
     PPM a 0x5A xor, TGA a 7-byte rotation through the RLE path),
     encodes, DECODES with the real decoder, and emits the
     position-weighted checksum of the DECODED bytes. The DuckDB
-    oracle computes all seven sums directly from md5(text) — any
+    oracle computes all eight sums directly from md5(text) — any
     corruption in any encoder/decoder (QOI op choice, BMP stride /
     BGR order / bottom-up flip, PPM header, TGA RLE packets, RLE8
-    run/absolute packets, PBM bit packing, 555 quantize/replicate)
-    flips the value hash red."""
+    run/absolute packets, PBM bit packing, 555 quantize/replicate,
+    ICONDIR offsets / XOR raster / AND mask) flips the value hash
+    red."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -784,7 +786,7 @@ def q_multimodal_codec_attest2(
             out = {
                 "doc_id": [], "qoi_sum": [], "bmp_sum": [],
                 "pnm_sum": [], "tga_sum": [], "rle8_sum": [],
-                "pbm_sum": [], "bmp16_sum": [],
+                "pbm_sum": [], "bmp16_sum": [], "ico_sum": [],
             }
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 hx = hashlib.md5(text.encode("utf-8")).hexdigest()
@@ -814,6 +816,14 @@ def q_multimodal_codec_attest2(
                 d16 = bmp.decode_bmp(
                     bmp.encode_bmp(vals, 4, 4, bpp=16)
                 )["pixels"]
+                swapped = bytearray(vals)
+                for j in range(0, 48, 2):
+                    swapped[j], swapped[j + 1] = (
+                        swapped[j + 1], swapped[j],
+                    )
+                dic = ico.decode_ico(
+                    ico.encode_ico([(bytes(swapped), 4, 3)])
+                )[0]["pixels"]
                 out["doc_id"].append(doc_id)
                 out["qoi_sum"].append(wsum(dq))
                 out["bmp_sum"].append(wsum(db))
@@ -822,6 +832,7 @@ def q_multimodal_codec_attest2(
                 out["rle8_sum"].append(wsum(bytes(d8)))
                 out["pbm_sum"].append(wsum(dbm))
                 out["bmp16_sum"].append(wsum(d16))
+                out["ico_sum"].append(wsum(dic))
             yield pd.DataFrame(out)
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -833,7 +844,8 @@ def q_multimodal_codec_attest2(
 #: tga = rotate-by-7 -> v_i lands at weight ((i+40) mod 48) + 1,
 #: rle8 = xor 0xA5, pbm = parity ink (odd -> black 0, even -> 255),
 #: bmp16 = the 555 projection q*8 + q//4 with q = v//8 (applied per
-#: RGB channel of the 4x4 image, i.e. to every byte)
+#: RGB channel of the 4x4 image, i.e. to every byte), ico = swap of
+#: adjacent bytes -> v_i lands at weight i+1 (odd i) / i-1 (even i)
 CODEC_ATTEST2_ORACLE = """
 WITH a AS (
   SELECT doc_id, i,
@@ -849,5 +861,7 @@ SELECT doc_id,
        CAST(SUM(i * (CASE WHEN v % 2 = 1 THEN 0 ELSE 255 END))
             AS BIGINT) AS pbm_sum,
        CAST(SUM(i * ((v // 8) * 8 + (v // 8) // 4)) AS BIGINT)
-         AS bmp16_sum
+         AS bmp16_sum,
+       CAST(SUM((CASE WHEN i % 2 = 1 THEN i + 1 ELSE i - 1 END) * v)
+            AS BIGINT) AS ico_sum
 FROM a GROUP BY doc_id"""
