@@ -201,10 +201,15 @@ def test_staged_r11_plan_shapes(spark, sf_dir):
     from thrivefinancedatapipeline_spark.operators.similarity import (
         contrastive_negatives,
     )
+    from thrivefinancedatapipeline_spark.plans.finance_queries import (
+        txn_velocity_flags,
+    )
 
     for name, df, max_exch in [
         ("source_quota_sampler", source_quota_sampler(spark, sf_dir), 6),
         ("contrastive_negatives", contrastive_negatives(spark, sf_dir), 14),
+        # both range frames share ONE per-customer exchange
+        ("txn_velocity_flags", txn_velocity_flags(spark, sf_dir), 1),
     ]:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("SortMergeJoin") == 0, name
@@ -309,3 +314,80 @@ def test_dedup_keep_priority_vs_duckdb_and_choice_law(spark, sf_dir):
             if r.ch not in best or k < best[r.ch]:
                 best[r.ch] = k
         assert {r[0] for r in got} == {k[2] for k in best.values()}
+
+
+def test_txn_velocity_flags_vs_duckdb_and_window_law(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from thrivefinancedatapipeline_spark.plans.finance_queries import (
+        VEL_DAY_S,
+        VEL_HOUR_S,
+        VEL_MIN_DAY,
+        VEL_RATE_NUM,
+        VELOCITY_ORACLE,
+        _txns,
+        delta_cents_col,
+        txn_velocity_flags,
+    )
+
+    def _duck_ev(d, sql):
+        import duckdb as _dd
+
+        con = _dd.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{d}/events.parquet')"
+        )
+        rows = con.execute(sql).fetchall()
+        con.close()
+        return rows
+
+    for d in _dirs(sf_dir):
+        got = sorted(
+            tuple(r) for r in txn_velocity_flags(spark, d).collect()
+        )
+        want = sorted(tuple(r) for r in _duck_ev(d, VELOCITY_ORACLE))
+        assert got == want, f"txn_velocity_flags mismatch at {d}"
+
+        total = _txns(spark, d).count()
+        assert 0 < len(got) < total  # non-vacuous, non-universal
+        for _t, _c, _es, n1, sp1, n24 in got:
+            assert 1 <= n1 <= n24
+            assert sp1 >= 0
+            assert VEL_RATE_NUM * n1 >= n24 and n24 >= VEL_MIN_DAY
+
+        # independent window-law recompute for the two busiest
+        # flagged customers: trailing counts from raw rows
+        flagged_custs = sorted(
+            {c for _t, c, _es, _n1, _s, _n24 in got}
+        )[:2]
+        raw = (
+            _txns(spark, d)
+            .filter(F.col("customerid").isin(flagged_custs))
+            .select(
+                "trans_id",
+                "customerid",
+                F.unix_timestamp("createdat").alias("es"),
+                delta_cents_col().alias("dc"),
+            )
+            .collect()
+        )
+        per = {}
+        for r in raw:
+            per.setdefault(r.customerid, []).append(
+                (int(r.es), int(r.trans_id), int(r.dc))
+            )
+        expect = set()
+        for cust, rows in per.items():
+            for es, tid, _dc in rows:
+                n1 = sum(1 for e, _t, _x in rows if es - VEL_HOUR_S <= e <= es)
+                n24 = sum(1 for e, _t, _x in rows if es - VEL_DAY_S <= e <= es)
+                sp1 = sum(
+                    -x for e, _t, x in rows
+                    if es - VEL_HOUR_S <= e <= es and x < 0
+                )
+                if VEL_RATE_NUM * n1 >= n24 and n24 >= VEL_MIN_DAY:
+                    expect.add((tid, cust, es, n1, sp1, n24))
+        assert {
+            r for r in got if r[1] in flagged_custs
+        } == expect

@@ -1604,3 +1604,83 @@ QUERIES["balance_volatility"] = balance_volatility
 ORACLES["balance_volatility"] = BALANCE_VOLATILITY_ORACLE
 QUERIES["balance_bucket_migration"] = balance_bucket_migration
 ORACLES["balance_bucket_migration"] = BUCKET_MIGRATION_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# PREBUILT (r10-staged, NOT yet registered — tools/check_prebuilt.py).
+# ---------------------------------------------------------------------------
+
+#: velocity screen: trailing windows (seconds) and the integer burst
+#: rule 12 * n_1h >= n_24h (1-hour rate at least twice the daily
+#: average rate) with a minimum daily activity floor
+VEL_HOUR_S, VEL_DAY_S = 3600, 86400
+VEL_RATE_NUM = 12
+VEL_MIN_DAY = 6
+
+
+def txn_velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-velocity anti-fraud screen — the range-frame
+    companion to overdraft_flags: per transaction, how many
+    transactions (and spent cents) the customer produced in the
+    trailing hour and day, flagging bursts where the 1-hour rate is
+    at least twice the daily average (integer cross-multiplication:
+    12*n_1h >= n_24h, with an n_24h >= {VEL_MIN_DAY} activity floor
+    so singleton customers can't trip it). Timestamps compare as
+    floor-epoch-seconds INTEGERS on both engines, so RANGE frame
+    membership can never disagree.
+
+    Scale: ONE exchange per customer serves both range frames (same
+    partition+order — the scd2 shared-sort discipline); emitting
+    only flagged rows keeps the result proportional to incidents,
+    not to the corpus."""
+    t = _txns(spark, sf_dir).select(
+        "trans_id",
+        "customerid",
+        F.unix_timestamp("createdat").alias("es"),
+        delta_cents_col().alias("dc"),
+    )
+    w1 = (
+        Window.partitionBy("customerid")
+        .orderBy("es")
+        .rangeBetween(-VEL_HOUR_S, 0)
+    )
+    wd = (
+        Window.partitionBy("customerid")
+        .orderBy("es")
+        .rangeBetween(-VEL_DAY_S, 0)
+    )
+    spent = F.when(F.col("dc") < 0, -F.col("dc")).otherwise(F.lit(0))
+    out = t.select(
+        "trans_id",
+        "customerid",
+        F.col("es").cast("long").alias("es"),
+        F.count(F.lit(1)).over(w1).cast("long").alias("n_1h"),
+        F.sum(spent).over(w1).cast("long").alias("spent_1h_cents"),
+        F.count(F.lit(1)).over(wd).cast("long").alias("n_24h"),
+    )
+    return out.filter(
+        (VEL_RATE_NUM * F.col("n_1h") >= F.col("n_24h"))
+        & (F.col("n_24h") >= VEL_MIN_DAY)
+    )
+
+
+VELOCITY_ORACLE = f"""WITH {TXNS_CTE},
+b AS (
+  SELECT trans_id, customerid,
+         CAST(epoch_ms(createdat) // 1000 AS BIGINT) AS es,
+         {DELTA_CENTS_SQL} AS dc
+  FROM txns),
+wnd AS (
+  SELECT trans_id, customerid, es,
+         CAST(COUNT(*) OVER w1 AS BIGINT) AS n_1h,
+         CAST(SUM(CASE WHEN dc < 0 THEN -dc ELSE 0 END) OVER w1
+              AS BIGINT) AS spent_1h_cents,
+         CAST(COUNT(*) OVER wd AS BIGINT) AS n_24h
+  FROM b
+  WINDOW w1 AS (PARTITION BY customerid ORDER BY es
+                RANGE BETWEEN {VEL_HOUR_S} PRECEDING AND CURRENT ROW),
+         wd AS (PARTITION BY customerid ORDER BY es
+                RANGE BETWEEN {VEL_DAY_S} PRECEDING AND CURRENT ROW))
+SELECT trans_id, customerid, es, n_1h, spent_1h_cents, n_24h
+FROM wnd
+WHERE {VEL_RATE_NUM} * n_1h >= n_24h AND n_24h >= {VEL_MIN_DAY}"""

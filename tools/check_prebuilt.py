@@ -48,6 +48,10 @@ def _catalog():
         KEEP_PRIORITY_ORACLE,
         dedup_keep_priority,
     )
+    from thrivefinancedatapipeline_spark.plans.finance_queries import (
+        VELOCITY_ORACLE,
+        txn_velocity_flags,
+    )
     from thrivefinancedatapipeline_spark.operators.sampling import (
         QUOTA_SAMPLER_ORACLE,
         source_quota_sampler,
@@ -79,6 +83,9 @@ def _catalog():
         ),
         "dedup_keep_priority": (
             dedup_keep_priority, KEEP_PRIORITY_ORACLE,
+        ),
+        "txn_velocity_flags": (
+            txn_velocity_flags, VELOCITY_ORACLE,
         ),
     }
 
