@@ -1128,3 +1128,52 @@ def test_stream_keep_priority_matches_batch(spark, sf_dir):
         assert sum(r.n_copies for r in last.values()) == docs.count()
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stream_velocity_flags_matches_batch(spark, sf_dir):
+    """Drain parity for the streaming velocity screen: on a
+    time-ordered drain (files split on day boundaries, so equal-es
+    tie groups never straddle micro-batches) the emitted flag rows
+    equal the batch txn_velocity_flags EXACTLY — backward-looking
+    range frames never need future events."""
+    import glob
+
+    from thrivefinancedatapipeline_spark.plans.finance_queries import (
+        txn_velocity_flags,
+    )
+
+    src = tempfile.mkdtemp(prefix="stream_vel_")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        bounds = [1, 6, 11, 16, 21, 26, 32]
+        for i in range(6):
+            part = ev.filter(
+                (F.dayofmonth("ts") >= bounds[i])
+                & (F.dayofmonth("ts") < bounds[i + 1])
+            ).coalesce(1)
+            part.write.parquet(f"{src}/b{i}", mode="overwrite")
+            for f in glob.glob(f"{src}/b{i}/part-*.parquet"):
+                shutil.copy(f, f"{src}/file{i}.parquet")
+            shutil.rmtree(f"{src}/b{i}")
+            os.utime(
+                f"{src}/file{i}.parquet", (1_000_000 + i, 1_000_000 + i)
+            )
+        got = drain(
+            stateful.stream_velocity_flags(
+                spark, src, max_files_per_trigger=1
+            ),
+            "stream_vel_flags",
+            "append",
+        )
+        stream_rows = sorted(
+            (r.trans_id, r.customerid, r.es, r.n_1h,
+             r.spent_1h_cents, r.n_24h)
+            for r in got
+        )
+        batch_rows = sorted(
+            tuple(r) for r in txn_velocity_flags(spark, sf_dir).collect()
+        )
+        assert stream_rows == batch_rows
+        assert len(stream_rows) > 0
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

@@ -1690,3 +1690,96 @@ def stream_keep_priority(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+VEL_OUT_SCHEMA = (
+    "trans_id long, customerid long, es long, n_1h long,"
+    " spent_1h_cents long, n_24h long"
+)
+VEL_STATE_SCHEMA = "es array<long>, dc array<long>"
+
+
+def _velocity_flags_state_fn(key, pdf_iter, state: GroupState):
+    """Per-customer trailing-window state: the (es, dc) events of the
+    last 24 hours RELATIVE TO THE NEWEST EVENT SEEN — everything
+    older can never enter a future backward-looking frame of a
+    time-ordered stream, so the state is bounded by the customer's
+    busiest day, not by history. Emits exactly the batch screen's
+    flagged rows when events arrive time-ordered (the range frames
+    only look backward)."""
+    from ..plans.finance_queries import (
+        VEL_DAY_S,
+        VEL_HOUR_S,
+        VEL_MIN_DAY,
+        VEL_RATE_NUM,
+    )
+
+    hist: list[tuple[int, int]] = []
+    if state.exists:
+        es_arr, dc_arr = state.get
+        hist = [(int(e), int(x)) for e, x in zip(es_arr, dc_arr)]
+    rows = []
+    for pdf in pdf_iter:
+        for t, e, x in zip(pdf["trans_id"], pdf["es"], pdf["dc"]):
+            rows.append((int(e), int(t), int(x)))
+    rows.sort()  # within-batch time order
+    # the WHOLE batch joins the history BEFORE any row is scored:
+    # a batch range frame includes every row of the current row's
+    # equal-es TIE GROUP (even ones "later" in arrival order), so
+    # same-second ties that share a micro-batch must see each other
+    # — the he <= e guard still excludes genuinely later events
+    hist.extend((e, x) for e, _t, x in rows)
+    out = {
+        "trans_id": [], "customerid": [], "es": [], "n_1h": [],
+        "spent_1h_cents": [], "n_24h": [],
+    }
+    for e, t, _x in rows:
+        n1 = n24 = 0
+        sp1 = 0
+        for he, hx in hist:
+            if e - VEL_DAY_S <= he <= e:
+                n24 += 1
+                if e - VEL_HOUR_S <= he:
+                    n1 += 1
+                    if hx < 0:
+                        sp1 += -hx
+        if VEL_RATE_NUM * n1 >= n24 and n24 >= VEL_MIN_DAY:
+            out["trans_id"].append(t)
+            out["customerid"].append(int(key[0]))
+            out["es"].append(e)
+            out["n_1h"].append(n1)
+            out["spent_1h_cents"].append(sp1)
+            out["n_24h"].append(n24)
+    newest = max(e for e, _x in hist)
+    hist = [(e, x) for e, x in hist if e >= newest - VEL_DAY_S]
+    state.update(([e for e, _x in hist], [x for _e, x in hist]))
+    yield pd.DataFrame(out)
+
+
+def stream_velocity_flags(
+    spark, source_dir: str, max_files_per_trigger: int = 1
+):
+    """Continuous transaction-velocity screening — the streaming twin
+    of plans/finance_queries.txn_velocity_flags: epoch seconds and
+    cent deltas run in Spark expressions (bit-identical to the batch
+    projection); per customer the state is the trailing 24 hours of
+    (es, dc) pairs relative to the newest event (bounded by the
+    busiest day). On a time-ordered drain the emitted flag rows
+    equal the batch screen EXACTLY — backward-looking frames never
+    need future events (parity-pinned)."""
+    from ..plans.finance_queries import delta_cents_col
+
+    txns = stream_transactions(spark, source_dir, max_files_per_trigger)
+    enriched = txns.select(
+        "customerid",
+        "trans_id",
+        F.unix_timestamp("createdat").alias("es"),
+        delta_cents_col().alias("dc"),
+    )
+    return enriched.groupBy("customerid").applyInPandasWithState(
+        _velocity_flags_state_fn,
+        outputStructType=VEL_OUT_SCHEMA,
+        stateStructType=VEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
