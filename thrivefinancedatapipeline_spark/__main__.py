@@ -53,6 +53,13 @@ def main(argv: list[str] | None = None) -> int:
         help="insert the per-source token-budget quota assembly stage"
         " (sampling.quota_select) over the quality-gate survivors",
     )
+    cpipe.add_argument(
+        "--dedup",
+        choices=("canonical", "priority"),
+        default="canonical",
+        help="duplicate-group survivor rule: min-id canonical or the"
+        " trust-ranked dedup_keep_priority choice",
+    )
 
     annp = sub.add_parser(
         "ann-index",
@@ -126,6 +133,7 @@ def main(argv: list[str] | None = None) -> int:
                 args.sf_dir,
                 output_dir=args.output,
                 token_budget_quota=args.token_budget_quota,
+                dedup=args.dedup,
             ),
             default=str,
         ))

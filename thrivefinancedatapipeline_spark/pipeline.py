@@ -220,6 +220,7 @@ def run_corpus_pipeline(
     sf_dir: str,
     output_dir: str | None = None,
     token_budget_quota: bool = False,
+    dedup: str = "canonical",
 ):
     """End-to-end LLM-training-data curation over `documents` — the
     corpus counterpart of `run_pipeline`'s finance DAG, composing the
@@ -236,8 +237,11 @@ def run_corpus_pipeline(
     loaders want). `token_budget_quota=True` inserts the
     sampling.quota_select assembly stage over the GATE SURVIVORS
     (quotas computed from the curated totals — the production
-    posture); default off, so the report stays count-identical to
-    the oracled source_curation_funnel.
+    posture); `dedup="priority"` swaps the min-id canonical filter
+    for the trust-ranked dedup_keep_priority survivor (same GROUPS,
+    so the stage count is identical — only the surviving COPIES
+    change). Both default off, so the default report stays
+    count-identical to the oracled source_curation_funnel.
 
     Composition is by doc_id keep-set SEMI-joins against the same
     query plans the driver oracles check — the pipeline cannot drift
@@ -258,7 +262,14 @@ def run_corpus_pipeline(
     s1 = docs.join(clean_ids, "doc_id", "semi")
     report["n_after_decontaminate"] = s1.count()
 
-    canon_ids = q_dedup_keep_canonical(spark, sf_dir).select("doc_id")
+    if dedup == "priority":
+        from .operators.dedup import dedup_keep_priority
+
+        canon_ids = dedup_keep_priority(spark, sf_dir).select("doc_id")
+    elif dedup == "canonical":
+        canon_ids = q_dedup_keep_canonical(spark, sf_dir).select("doc_id")
+    else:
+        raise ValueError(f"unknown dedup mode {dedup!r}")
     s2 = s1.join(canon_ids, "doc_id", "semi")
     report["n_after_dedup"] = s2.count()
 
