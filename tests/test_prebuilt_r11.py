@@ -391,3 +391,45 @@ def test_txn_velocity_flags_vs_duckdb_and_window_law(spark, sf_dir):
         assert {
             r for r in got if r[1] in flagged_custs
         } == expect
+
+
+def test_dedup_cluster_keep_priority_vs_duckdb_and_laws(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.operators.dedup import (
+        CLUSTER_KEEP_PRIORITY_ORACLE,
+        _docs,
+        dedup_cluster_keep_priority,
+        q_dedup_clusters,
+    )
+
+    for d in _dirs(sf_dir):
+        got = sorted(
+            tuple(r)
+            for r in dedup_cluster_keep_priority(spark, d).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in _duck(
+                d, CLUSTER_KEEP_PRIORITY_ORACLE, tables=("documents",)
+            )
+        )
+        assert got == want, f"dedup_cluster_keep_priority mismatch at {d}"
+
+        cc = q_dedup_clusters(spark, d).collect()
+        clusters = {}
+        for r in cc:
+            clusters.setdefault(r.cluster_id, set()).add(r.doc_id)
+        # one survivor per cluster, membership conserved
+        assert {r[0] for r in got} == set(clusters)
+        assert sum(r[4] for r in got) == _docs(spark, d).count()
+        for cid, did, _lang, _src, n in got:
+            assert did in clusters[cid]
+            assert n == len(clusters[cid])
+        # the survivor need not be the min-id LABEL where trust ranks
+        # disagree — require at least one cluster to show the
+        # difference, or every multi-member cluster to be
+        # single-source (vacuity guard)
+        multi = [r for r in got if r[4] > 1]
+        if multi:
+            assert any(r[0] != r[1] for r in multi) or all(
+                len({d2 for d2 in clusters[r[0]]}) == 1 for r in multi
+            )

@@ -2589,3 +2589,62 @@ r AS (
   FROM h)
 SELECT doc_id, lang, source, n_copies FROM r WHERE rn = 1"""
 
+
+
+def dedup_cluster_keep_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Trust-ranked survivors over NEAR-dup clusters — keep_priority
+    lifted from exact-hash groups to the connected-component
+    relation: per simhash CC cluster keep the copy from the most
+    trusted source (then shortest raw form, then min doc_id), with
+    the member count so the oracle attests choice AND accounting.
+    This is the decision rule production near-dedup actually ships:
+    cluster_id == doc_id (the min-id convention dedup_clusters uses
+    for its LABEL) names the cluster, not the survivor.
+
+    Scale: the proven CC engine produces (doc_id, cluster_id); one
+    broadcast-free equi-join attaches doc attributes; one window per
+    cluster picks the survivor."""
+    cc = q_dedup_clusters(spark, sf_dir)
+    attrs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr(_SRC_PRIO).alias("prio"),
+        F.length("text").cast("long").alias("n_chars_raw"),
+    )
+    from pyspark.sql import Window
+
+    joined = cc.join(attrs, "doc_id")
+    wp = Window.partitionBy("cluster_id")
+    wr = wp.orderBy("prio", "n_chars_raw", "doc_id")
+    return (
+        joined.withColumn("rn", F.row_number().over(wr))
+        .withColumn("n_members", F.count(F.lit(1)).over(wp))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            "doc_id",
+            "lang",
+            "source",
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+    )
+
+
+CLUSTER_KEEP_PRIORITY_ORACLE = f"""
+WITH cc AS (SELECT * FROM ({ORACLES["dedup_clusters"]})),
+a AS (
+  SELECT c.cluster_id, d.doc_id, d.lang, d.source,
+         {_SRC_PRIO} AS prio,
+         CAST(length(d.text) AS BIGINT) AS nc
+  FROM cc c JOIN documents d ON d.doc_id = c.doc_id),
+r AS (
+  SELECT cluster_id, doc_id, lang, source,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+           ORDER BY prio, nc, doc_id) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+           AS n_members
+  FROM a)
+SELECT cluster_id, doc_id, lang, source, n_members FROM r WHERE rn = 1"""

@@ -45,7 +45,9 @@ def _catalog():
         q_multimodal_codec_attest2,
     )
     from thrivefinancedatapipeline_spark.operators.dedup import (
+        CLUSTER_KEEP_PRIORITY_ORACLE,
         KEEP_PRIORITY_ORACLE,
+        dedup_cluster_keep_priority,
         dedup_keep_priority,
     )
     from thrivefinancedatapipeline_spark.plans.finance_queries import (
@@ -86,6 +88,9 @@ def _catalog():
         ),
         "txn_velocity_flags": (
             txn_velocity_flags, VELOCITY_ORACLE,
+        ),
+        "dedup_cluster_keep_priority": (
+            dedup_cluster_keep_priority, CLUSTER_KEEP_PRIORITY_ORACLE,
         ),
     }
 
