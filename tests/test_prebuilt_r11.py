@@ -433,3 +433,73 @@ def test_dedup_cluster_keep_priority_vs_duckdb_and_laws(spark, sf_dir):
             assert any(r[0] != r[1] for r in multi) or all(
                 len({d2 for d2 in clusters[r[0]]}) == 1 for r in multi
             )
+
+
+def test_mmr_diversity_cost_vs_duckdb_and_bounds(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.operators.similarity import (
+        MMR_COST_ORACLE,
+        N_QUERIES,
+        mmr_diversity_cost,
+    )
+
+    for d in _dirs(sf_dir):
+        got = sorted(
+            tuple(r) for r in mmr_diversity_cost(spark, d).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in _duck(d, MMR_COST_ORACLE, tables=("embeddings",))
+        )
+        assert got == want, f"mmr_diversity_cost mismatch at {d}"
+        assert {r[0] for r in got} == set(range(N_QUERIES))
+        for _q, top_rel, mmr_rel, ppm in got:
+            # the plain top-K is the relevance OPTIMUM over the pool:
+            # diversification can only give ground (<= 1e6), and the
+            # first MMR pick alone guarantees a positive floor
+            assert 0 < mmr_rel <= top_rel
+            assert 0 < ppm <= 1_000_000
+            assert ppm == mmr_rel * 1_000_000 // top_rel
+        # non-vacuous: diversity actually costs something somewhere
+        assert any(r[3] < 1_000_000 for r in got)
+
+
+def test_hybrid_fusion_coverage_vs_duckdb_and_conservation(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.operators.similarity import (
+        HY_K,
+        HY_QUERIES,
+        HYBRID_COVERAGE_ORACLE,
+        hybrid_fusion_coverage,
+        hybrid_search_rrf,
+    )
+
+    for d in _dirs(sf_dir):
+        got = sorted(
+            tuple(r) for r in hybrid_fusion_coverage(spark, d).collect()
+        )
+        want = sorted(tuple(r) for r in _duck(d, HYBRID_COVERAGE_ORACLE))
+        assert got == want, f"hybrid_fusion_coverage mismatch at {d}"
+        assert {r[0] for r in got} == set(range(HY_QUERIES))
+        fused_n = {}
+        for r in hybrid_search_rrf(spark, d).collect():
+            fused_n[r.query_id] = fused_n.get(r.query_id, 0) + 1
+        for q, nb, nl, nv in got:
+            # every fused row is in at least one leg: categories
+            # partition the fused set exactly
+            assert nb + nl + nv == fused_n[q] <= HY_K
+            assert min(nb, nl, nv) >= 0
+        # the vector leg always contributes; the LEXICAL leg only
+        # when it is non-empty at this SF — which is exactly the
+        # degeneracy this audit exists to expose (at sf0.01 every
+        # shared token exceeds LEX_DF_CAP, the leg is empty, and the
+        # audit reports a pure-vector mix: verified here rather than
+        # papered over)
+        from thrivefinancedatapipeline_spark.operators.similarity import (
+            _hybrid_lex_leg,
+        )
+
+        assert sum(r[1] + r[3] for r in got) > 0  # vector present
+        lex_rows = _hybrid_lex_leg(spark, d).count()
+        if lex_rows == 0:
+            assert sum(r[1] + r[2] for r in got) == 0
+        else:
+            assert sum(r[1] + r[2] for r in got) > 0

@@ -2114,26 +2114,48 @@ def _ivfpq_filtered_oracle() -> str:
     )
 
 
-#: hybrid search: queries, fused top-k, lexical stop cap, RRF constant
+#: hybrid search: queries, fused top-k, lexical stop rule, RRF
+#: constant. The stop threshold is CORPUS-RELATIVE — a token is
+#: indexable iff df <= max(LEX_DF_CAP, n_docs div LEX_DF_DENOM) —
+#: because a fixed cap silently empties the lexical leg as the
+#: corpus grows (measured: cap 64 left ZERO indexable tokens at
+#: sf0.01, making the registered hybrid vector-only at the proof SF
+#: — the degeneracy hybrid_fusion_coverage exists to expose).
 HY_QUERIES = 5
 HY_K = 10
 LEX_DF_CAP = 64
+LEX_DF_DENOM = 20
 RRF_K = 60
 
 
 def _hybrid_lex_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query_id, neighbor_id, lex_rank): the DF-capped inverted-index
-    lexical top-k — shared by the exact and index-probe fusions."""
-    from ..functions.text import tokens
+    lexical top-k over distinct BIGRAMS — shared by the exact and
+    index-probe fusions. Bigrams, not unigrams: on a small shared
+    vocabulary every unigram is a stopword at corpus scale (measured:
+    zero indexable unigrams past sf0.001), while bigram DF keeps real
+    rare terms at every SF — the term-length lever production lexical
+    retrieval pulls for the same reason (phrase terms beat bag-of-
+    stopwords)."""
+    from ..functions.text import shingles_from_tokens, tokens
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.array_distinct(tokens(F.col("text"))).alias("toks")
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
     )
-    post = docs.select("doc_id", F.explode("toks").alias("t"))
+    docs = base.select(
+        "doc_id", shingles_from_tokens(F.col("toks"), 2).alias("bgs")
+    )
+    post = docs.select("doc_id", F.explode("bgs").alias("t"))
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     w = (
         post.groupBy("t")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= LEX_DF_CAP)
+        .crossJoin(F.broadcast(nd))
+        .filter(
+            F.expr(
+                f"df <= greatest({LEX_DF_CAP}, n_docs div {LEX_DF_DENOM})"
+            )
+        )
         .select("t", F.expr("CAST(1000000 div df AS BIGINT)").alias("wt"))
     )
     pw = post.join(w, "t")
@@ -2264,13 +2286,20 @@ def _hybrid_rrf_oracle(vec_leg: str) -> str:
     return f"""
 WITH {_VEC_CTE},
 toks AS (SELECT doc_id,
-                list_distinct(string_split(
+                string_split(
                   lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
-                  ' ')) AS tl
+                  ' ') AS tl
          FROM documents),
-post AS (SELECT doc_id, unnest(tl) AS t FROM toks),
+bgl AS (SELECT doc_id,
+               list_distinct([tl[i] || ' ' || tl[i + 1]
+                              for i in range(1, len(tl))]) AS bgs
+        FROM toks WHERE len(tl) >= 2),
+post AS (SELECT doc_id, unnest(bgs) AS t FROM bgl),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
 w AS (SELECT t, CAST(1000000 // COUNT(*) AS BIGINT) AS wt
-      FROM post GROUP BY t HAVING COUNT(*) <= {LEX_DF_CAP}),
+      FROM post, nd GROUP BY t, nd.n_docs
+      HAVING COUNT(*) <= greatest({LEX_DF_CAP},
+                                  nd.n_docs // {LEX_DF_DENOM})),
 pw AS (SELECT post.doc_id, post.t, w.wt FROM post JOIN w USING (t)),
 lexs AS (
   SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
@@ -2640,3 +2669,176 @@ FROM sel{MMR_K}"""
 
 
 MMR_ORACLE = _mmr_oracle_sql()
+
+
+def mmr_diversity_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What diversification COSTS in relevance — the recall-audit
+    discipline applied to MMR: per query, the exact-integer relevance
+    mass of the MMR_K diversified picks vs the plain top-MMR_K
+    relevance picks, as an integer ppm ratio (1e6 = free diversity).
+    Both sides reuse the SAME pool relation, so the audit cannot
+    drift from the operator it audits (the distortion-audit rule)."""
+    pool = _mmr_pool(spark, sf_dir).select("query_id", "neighbor_id", "rel")
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("neighbor_id")
+    )
+    top = (
+        pool.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= MMR_K)
+        .groupBy("query_id")
+        .agg(F.sum("rel").alias("top_rel"))
+    )
+    mmr = (
+        knn_mmr_diversified(spark, sf_dir)
+        .groupBy("query_id")
+        .agg(F.sum("rel_dot").alias("mmr_rel"))
+    )
+    return (
+        top.join(mmr, "query_id")
+        .select(
+            "query_id",
+            F.col("top_rel").cast("long").alias("top_rel"),
+            F.col("mmr_rel").cast("long").alias("mmr_rel"),
+            F.expr(
+                "CAST(CAST(mmr_rel AS DECIMAL(38,0)) * 1000000"
+                " div top_rel AS BIGINT)"
+            ).alias("retention_ppm"),
+        )
+    )
+
+
+MMR_COST_ORACLE = f"""
+WITH m AS (SELECT * FROM ({_mmr_oracle_sql()})),
+pool AS (
+  SELECT query_id, neighbor_id, rel FROM (
+    SELECT qa.vec_id AS query_id, cb.vec_id AS neighbor_id,
+           CAST(SUM(qa.x * cb.x) AS BIGINT) AS rel
+    FROM (SELECT vec_id, unnest([CAST(ROUND(x * {MICRO}, 0) AS BIGINT)
+                                 for x in CAST(embedding AS DOUBLE[])]) AS x,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings) qa
+    JOIN (SELECT vec_id, unnest([CAST(ROUND(x * {MICRO}, 0) AS BIGINT)
+                                 for x in CAST(embedding AS DOUBLE[])]) AS x,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings) cb USING (pos)
+    WHERE qa.vec_id < {N_QUERIES} AND qa.vec_id <> cb.vec_id
+    GROUP BY 1, 2)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY rel DESC, neighbor_id) <= {MMR_POOL}),
+top AS (
+  SELECT query_id, SUM(rel) AS top_rel FROM (
+    SELECT query_id, rel,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY rel DESC, neighbor_id) AS rn
+    FROM pool) WHERE rn <= {MMR_K} GROUP BY 1),
+mm AS (SELECT query_id, SUM(rel_dot) AS mmr_rel FROM m GROUP BY 1)
+SELECT t.query_id,
+       CAST(t.top_rel AS BIGINT) AS top_rel,
+       CAST(mm.mmr_rel AS BIGINT) AS mmr_rel,
+       CAST(CAST(mm.mmr_rel AS HUGEINT) * 1000000 // t.top_rel
+            AS BIGINT) AS retention_ppm
+FROM top t JOIN mm USING (query_id)"""
+
+
+def hybrid_fusion_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explainability audit of the RRF fusion: per query, how many of
+    the fused top-k came from BOTH legs, lexical only, and vector
+    only — the telemetry a hybrid-retrieval deployment watches (a
+    degenerate mix means one leg is dead weight). Recomputes the two
+    leg relations the registered hybrid uses VERBATIM and labels
+    fused membership, so the audit cannot drift from the fusion."""
+    lex = _hybrid_lex_leg(spark, sf_dir)
+    e = _vectors(spark, sf_dir)
+    qv = e.filter(F.col("vec_id") < HY_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cv = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    vec = (
+        cv.join(F.broadcast(qv))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        )
+        .withColumn("vec_rank", F.row_number().over(wv))
+        .filter(F.col("vec_rank") <= HY_K)
+        .select("query_id", "neighbor_id", "vec_rank")
+    )
+    fused = _rrf_fuse(lex, vec).select("query_id", "neighbor_id")
+    labeled = (
+        fused.join(
+            F.broadcast(lex.select("query_id", "neighbor_id", "lex_rank")),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .join(
+            F.broadcast(vec),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+    )
+    in_lex = F.col("lex_rank").isNotNull().cast("long")
+    in_vec = F.col("vec_rank").isNotNull().cast("long")
+    return labeled.groupBy("query_id").agg(
+        F.sum(in_lex * in_vec).cast("long").alias("n_both"),
+        F.sum(in_lex * (1 - in_vec)).cast("long").alias("n_lex_only"),
+        F.sum((1 - in_lex) * in_vec).cast("long").alias("n_vec_only"),
+    )
+
+
+HYBRID_COVERAGE_ORACLE = f"""
+WITH fused AS (SELECT query_id, neighbor_id
+               FROM ({_hybrid_rrf_oracle(_EXACT_VEC_LEG)})),
+{_VEC_CTE},
+toks AS (SELECT doc_id,
+                string_split(
+                  lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                  ' ') AS tl
+         FROM documents),
+bgl AS (SELECT doc_id,
+               list_distinct([tl[i] || ' ' || tl[i + 1]
+                              for i in range(1, len(tl))]) AS bgs
+        FROM toks WHERE len(tl) >= 2),
+post AS (SELECT doc_id, unnest(bgs) AS t FROM bgl),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+w AS (SELECT t, CAST(1000000 // COUNT(*) AS BIGINT) AS wt
+      FROM post, nd GROUP BY t, nd.n_docs
+      HAVING COUNT(*) <= greatest({LEX_DF_CAP},
+                                  nd.n_docs // {LEX_DF_DENOM})),
+pw AS (SELECT post.doc_id, post.t, w.wt FROM post JOIN w USING (t)),
+lexs AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+         SUM(c.wt) AS lex_score
+  FROM pw q JOIN pw c ON c.t = q.t AND c.doc_id <> q.doc_id
+  WHERE q.doc_id < {HY_QUERIES}
+  GROUP BY 1, 2),
+lex AS (SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY lex_score DESC, neighbor_id) AS lex_rank
+          FROM lexs) WHERE lex_rank <= {HY_K}),
+vec AS (SELECT query_id, neighbor_id FROM ({_EXACT_VEC_LEG}))
+SELECT f.query_id,
+       CAST(COUNT(CASE WHEN l.neighbor_id IS NOT NULL
+                        AND v.neighbor_id IS NOT NULL THEN 1 END)
+            AS BIGINT) AS n_both,
+       CAST(COUNT(CASE WHEN l.neighbor_id IS NOT NULL
+                        AND v.neighbor_id IS NULL THEN 1 END)
+            AS BIGINT) AS n_lex_only,
+       CAST(COUNT(CASE WHEN l.neighbor_id IS NULL
+                        AND v.neighbor_id IS NOT NULL THEN 1 END)
+            AS BIGINT) AS n_vec_only
+FROM fused f
+LEFT JOIN lex l ON l.query_id = f.query_id
+               AND l.neighbor_id = f.neighbor_id
+LEFT JOIN vec v ON v.query_id = f.query_id
+               AND v.neighbor_id = f.neighbor_id
+GROUP BY 1"""

@@ -60,11 +60,15 @@ def _catalog():
     )
     from thrivefinancedatapipeline_spark.operators.similarity import (
         CONTRASTIVE_NEGATIVES_ORACLE,
+        HYBRID_COVERAGE_ORACLE,
         HYBRID_RRF_INDEXED_ORACLE,
+        MMR_COST_ORACLE,
         MMR_ORACLE,
         contrastive_negatives,
+        hybrid_fusion_coverage,
         hybrid_search_rrf_indexed,
         knn_mmr_diversified,
+        mmr_diversity_cost,
     )
 
     return {
@@ -91,6 +95,12 @@ def _catalog():
         ),
         "dedup_cluster_keep_priority": (
             dedup_cluster_keep_priority, CLUSTER_KEEP_PRIORITY_ORACLE,
+        ),
+        "mmr_diversity_cost": (
+            mmr_diversity_cost, MMR_COST_ORACLE,
+        ),
+        "hybrid_fusion_coverage": (
+            hybrid_fusion_coverage, HYBRID_COVERAGE_ORACLE,
         ),
     }
 
