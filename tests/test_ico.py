@@ -60,8 +60,10 @@ def test_ico_error_surface_and_gates():
     good = ico.encode_ico([(_rgba(4, 4), 4, 4)])
     with pytest.raises(ValueError):
         ico.decode_ico(b"\x00\x00\x03\x00")  # bad type
-    with pytest.raises(NotImplementedError):
-        ico.decode_ico(b"\x00\x00\x02\x00\x01\x00" + good[6:])  # CUR
+    with pytest.raises(ValueError):
+        # CUR decodes for real since r10 — but never through the ICO
+        # entry point (magic mismatch is corrupt, not a gate)
+        ico.decode_ico(b"\x00\x00\x02\x00\x01\x00" + good[6:])
     with pytest.raises(ValueError):
         ico.decode_ico(good[:20])  # truncated directory/frame
     with pytest.raises(ValueError):
@@ -93,3 +95,30 @@ def test_decode_kernel_selects_largest_ico_frame():
     out = decode_image_batch(pd.Series([payload]))
     assert (out["width"][0], out["height"][0]) == (12, 9)
     assert out["checksum"][0] == zlib.crc32(big)
+
+
+def test_cur_roundtrip_hotspots_and_errors():
+    """CUR (r10): the cursor container round-trips frames AND
+    hotspots; hotspot bounds are enforced both ways."""
+    frames = [
+        (_rgba(8, 6, "c1"), 8, 6, 3, 2),
+        (_rgba(4, 4, "c2"), 4, 4, 0, 3),
+    ]
+    data = ico.encode_cur(frames)
+    assert ico.is_cur(data) and not ico.is_ico(data)
+    dec = ico.decode_cur(data)
+    for (px, w, h, hx, hy), f in zip(frames, dec):
+        assert (f["width"], f["height"]) == (w, h)
+        assert f["pixels"] == px
+        assert (f["hotspot_x"], f["hotspot_y"]) == (hx, hy)
+    with pytest.raises(ValueError):
+        ico.encode_cur([(_rgba(4, 4), 4, 4, 4, 0)])  # hotspot x == w
+    with pytest.raises(ValueError):
+        ico.decode_cur(ico.encode_ico([(_rgba(4, 4), 4, 4)]))  # ICO
+    # a crafted out-of-bounds hotspot is corrupt on decode too
+    bad = bytearray(data)
+    import struct as _s
+
+    _s.pack_into("<HH", bad, 6 + 4, 99, 0)
+    with pytest.raises(ValueError):
+        ico.decode_cur(bytes(bad))

@@ -15,8 +15,13 @@ their alpha byte, 24-bpp frames derive alpha from the AND mask
 pixel transparent (the classic renderer rule — 32-bpp icons written
 by pre-alpha tools carry all-zero alpha and rely on the mask).
 
-Cursor files (type 2), paletted DIB frames and BITFIELDS keep an
-explicit NotImplementedError gate; corrupt streams raise ValueError.
+CUR cursor files (type 2, r10) decode for real: the container is
+ICO with the directory's planes/bpp fields reinterpreted as the
+click hotspot — decode_cur returns the same RGBA frames plus
+(hotspot_x, hotspot_y), bounds-checked against the frame.
+
+Paletted DIB frames and BITFIELDS keep an explicit
+NotImplementedError gate; corrupt streams raise ValueError.
 """
 
 from __future__ import annotations
@@ -100,8 +105,6 @@ def _png_to_rgba(img: dict) -> dict:
 
 def decode_ico(data: bytes) -> list[dict]:
     """ICO → list of TOP-DOWN RGBA frames (directory order)."""
-    if len(data) >= 6 and data[:4] == b"\x00\x00\x02\x00":
-        raise NotImplementedError("CUR (cursor) container")
     if not is_ico(data):
         raise ValueError("not an ICO stream")
     count = struct.unpack_from("<H", data, 4)[0]
@@ -181,3 +184,41 @@ def encode_ico(
     for blob in blobs:
         out.extend(blob)
     return bytes(out)
+
+
+def is_cur(data: bytes) -> bool:
+    return len(data) >= 6 and data[:4] == b"\x00\x00\x02\x00"
+
+
+def decode_cur(data: bytes) -> list[dict]:
+    """CUR (cursor) → ICO frames + per-frame (hotspot_x, hotspot_y):
+    the container is byte-identical to ICO except type=2 and the
+    directory's planes/bpp fields are reinterpreted as the hotspot."""
+    if not is_cur(data):
+        raise ValueError("not a CUR stream")
+    count = struct.unpack_from("<H", data, 4)[0]
+    if count == 0:
+        raise ValueError("empty CUR directory")
+    frames = decode_ico(b"\x00\x00\x01\x00" + data[4:])
+    for i, f in enumerate(frames):
+        hx, hy = struct.unpack_from("<HH", data, 6 + 16 * i + 4)
+        if hx >= f["width"] or hy >= f["height"]:
+            raise ValueError("CUR hotspot outside the frame")
+        f["hotspot_x"], f["hotspot_y"] = hx, hy
+    return frames
+
+
+def encode_cur(
+    frames: list[tuple[bytes, int, int, int, int]]
+) -> bytes:
+    """Encode (rgba, w, h, hotspot_x, hotspot_y) frames as a CUR:
+    reuse the ICO encoder, then flip the type and write hotspots into
+    the directory's planes/bpp slots."""
+    for _px, w, h, hx, hy in frames:
+        if not (0 <= hx < w and 0 <= hy < h):
+            raise ValueError("CUR hotspot outside the frame")
+    blob = bytearray(encode_ico([(px, w, h) for px, w, h, _x, _y in frames]))
+    struct.pack_into("<H", blob, 2, 2)  # ICONDIR type: cursor
+    for i, (_px, _w, _h, hx, hy) in enumerate(frames):
+        struct.pack_into("<HH", blob, 6 + 16 * i + 4, hx, hy)
+    return bytes(blob)
