@@ -20,8 +20,13 @@ ICO with the directory's planes/bpp fields reinterpreted as the
 click hotspot — decode_cur returns the same RGBA frames plus
 (hotspot_x, hotspot_y), bounds-checked against the frame.
 
-Paletted DIB frames and BITFIELDS keep an explicit
-NotImplementedError gate; corrupt streams raise ValueError.
+Paletted DIB frames (1/4/8 bpp, RGBQUAD color table, MSB-first
+packed indices) decode for real since r11 and encode via
+``encode_ico(..., paletted={idx: bpp})`` — pinned pixel-EQUAL
+against the 32-bpp storage of the same content (the reorder-only
+codec-parity principle). BITFIELDS and other depths keep an
+explicit NotImplementedError gate; corrupt streams raise
+ValueError.
 """
 
 from __future__ import annotations
@@ -50,16 +55,35 @@ def _decode_dib_frame(sub: bytes) -> dict:
         raise NotImplementedError("non-BITMAPINFOHEADER ICO frame")
     if compression != 0:
         raise NotImplementedError("compressed ICO DIB frame")
-    if bpp not in (24, 32):
-        raise NotImplementedError(f"paletted ICO DIB frame ({bpp} bpp)")
+    if bpp not in (1, 4, 8, 24, 32):
+        raise NotImplementedError(f"unsupported ICO DIB depth ({bpp} bpp)")
     if planes not in (0, 1):
         raise ValueError("bad ICO DIB planes")
     if w <= 0 or h2 <= 0 or h2 % 2:
         raise ValueError("bad ICO DIB dimensions (height must double)")
     h = h2 // 2
+    clr_used = struct.unpack_from("<I", sub, 32)[0]
+    if clr_used > 256:
+        raise ValueError("bad ICO DIB biClrUsed")
+    pal: list[tuple[int, int, int]] = []
+    if bpp <= 8:
+        # paletted frame: biClrUsed RGBQUADs (2^bpp when zero)
+        n_pal = clr_used or (1 << bpp)
+        if len(sub) < hdr_size + 4 * n_pal:
+            raise ValueError("truncated ICO DIB palette")
+        pal = [
+            tuple(sub[hdr_size + 4 * j : hdr_size + 4 * j + 3])
+            for j in range(n_pal)
+        ]
+        xor_off = hdr_size + 4 * n_pal
+    else:
+        # 24/32-bpp frames may still carry a (redundant but legal)
+        # "optimal palette" color table of biClrUsed RGBQUADs before
+        # the XOR raster — skip it, or the raster would be misread
+        # from the palette bytes.
+        xor_off = hdr_size + 4 * clr_used
     xor_stride = ((w * bpp + 31) // 32) * 4
     and_stride = ((w + 31) // 32) * 4
-    xor_off = hdr_size
     and_off = xor_off + xor_stride * h
     if len(sub) < and_off + and_stride * h:
         raise ValueError("truncated ICO DIB raster")
@@ -70,8 +94,20 @@ def _decode_dib_frame(sub: bytes) -> dict:
         for x in range(w):
             if bpp == 32:
                 b, g, rr, a = sub[xbase + 4 * x : xbase + 4 * x + 4]
-            else:
+            elif bpp == 24:
                 b, g, rr = sub[xbase + 3 * x : xbase + 3 * x + 3]
+                a = 255
+            else:
+                if bpp == 8:
+                    idx = sub[xbase + x]
+                elif bpp == 4:
+                    byte = sub[xbase + (x >> 1)]
+                    idx = (byte >> 4) if x % 2 == 0 else (byte & 0x0F)
+                else:  # 1 bpp, MSB-first
+                    idx = (sub[xbase + (x >> 3)] >> (7 - (x & 7))) & 1
+                if idx >= len(pal):
+                    raise ValueError("ICO palette index out of range")
+                b, g, rr = pal[idx]
                 a = 255
             mask = (sub[mbase + (x >> 3)] >> (7 - (x & 7))) & 1
             if mask:
@@ -127,16 +163,24 @@ def decode_ico(data: bytes) -> list[dict]:
 
 
 def encode_ico(
-    frames: list[tuple[bytes, int, int]], png_frames: frozenset = frozenset()
+    frames: list[tuple[bytes, int, int]],
+    png_frames: frozenset = frozenset(),
+    paletted: dict[int, int] | None = None,
 ) -> bytes:
     """Encode TOP-DOWN RGBA frames as an ICO — 32-bpp DIB entries by
     default (alpha kept in the XOR raster AND mirrored into the AND
-    mask where fully transparent), or a real PNG stream for the frame
-    indices in `png_frames` (the modern large-size form). Decoding
-    either storage returns the same RGBA — test-pinned."""
+    mask where fully transparent), a real PNG stream for the frame
+    indices in `png_frames` (the modern large-size form), or a
+    paletted DIB at `paletted[idx]` ∈ {1, 4, 8} bpp (the classic
+    small-icon form: a color table of RGBQUADs, MSB-first packed
+    indices, transparency ONLY via the AND mask — so paletted frames
+    require alpha ∈ {0, 255} and at most 2^bpp distinct colors).
+    Decoding any storage returns the same RGBA — test-pinned."""
     if not frames:
         raise ValueError("no ICO frames")
+    paletted = paletted or {}
     blobs = []
+    dir_meta = []  # (color_count_byte, bpp) per frame directory entry
     for idx, (pixels, w, h) in enumerate(frames):
         if len(pixels) != w * h * 4:
             raise ValueError("frame pixels must be RGBA")
@@ -144,13 +188,8 @@ def encode_ico(
             raise ValueError("ICO frames are at most 256x256")
         if idx in png_frames:
             blobs.append(png.encode_png(pixels, w, h, color_type=6))
+            dir_meta.append((0, 32))
             continue
-        xor = bytearray()
-        for r in range(h - 1, -1, -1):
-            for x in range(w):
-                i = (r * w + x) * 4
-                rr, g, b, a = pixels[i : i + 4]
-                xor.extend((b, g, rr, a))
         and_stride = ((w + 31) // 32) * 4
         mask = bytearray()
         for r in range(h - 1, -1, -1):
@@ -159,23 +198,71 @@ def encode_ico(
                 if pixels[(r * w + x) * 4 + 3] == 0:
                     row[x >> 3] |= 0x80 >> (x & 7)
             mask.extend(row)
+        if idx in paletted:
+            bpp = paletted[idx]
+            if bpp not in (1, 4, 8):
+                raise ValueError("paletted ICO depth must be 1, 4, or 8")
+            colors: list[tuple[int, int, int]] = []
+            cindex: dict[tuple[int, int, int], int] = {}
+            for p in range(0, len(pixels), 4):
+                rr, g, b, a = pixels[p : p + 4]
+                if a not in (0, 255):
+                    raise ValueError(
+                        "paletted ICO frames cannot keep partial alpha"
+                    )
+                key = (rr, g, b)
+                if key not in cindex:
+                    cindex[key] = len(colors)
+                    colors.append(key)
+            if len(colors) > (1 << bpp):
+                raise ValueError("too many colors for paletted ICO depth")
+            xor_stride = ((w * bpp + 31) // 32) * 4
+            xor = bytearray()
+            for r in range(h - 1, -1, -1):
+                row = bytearray(xor_stride)
+                for x in range(w):
+                    i = (r * w + x) * 4
+                    ci = cindex[tuple(pixels[i : i + 3])]
+                    if bpp == 8:
+                        row[x] = ci
+                    elif bpp == 4:
+                        row[x >> 1] |= (ci << 4) if x % 2 == 0 else ci
+                    elif ci:
+                        row[x >> 3] |= 0x80 >> (x & 7)
+                xor.extend(row)
+            pal = b"".join(bytes((b, g, rr, 0)) for (rr, g, b) in colors)
+            hdr = struct.pack(
+                "<IiiHHIIiiII", 40, w, 2 * h, 1, bpp, 0,
+                len(pal) + len(xor) + len(mask), 2835, 2835,
+                len(colors), 0,
+            )
+            blobs.append(hdr + pal + bytes(xor) + bytes(mask))
+            dir_meta.append((len(colors) % 256, bpp))
+            continue
+        xor = bytearray()
+        for r in range(h - 1, -1, -1):
+            for x in range(w):
+                i = (r * w + x) * 4
+                rr, g, b, a = pixels[i : i + 4]
+                xor.extend((b, g, rr, a))
         hdr = struct.pack(
             "<IiiHHIIiiII", 40, w, 2 * h, 1, 32, 0,
             len(xor) + len(mask), 2835, 2835, 0, 0,
         )
         blobs.append(hdr + bytes(xor) + bytes(mask))
+        dir_meta.append((0, 32))
     out = bytearray(struct.pack("<HHH", 0, 1, len(frames)))
     off = 6 + 16 * len(frames)
-    for (pixels, w, h), blob in zip(frames, blobs):
+    for (pixels, w, h), blob, (cc, bpp) in zip(frames, blobs, dir_meta):
         out.extend(
             struct.pack(
                 "<BBBBHHII",
                 w % 256,  # 256 stored as 0 per spec
                 h % 256,
-                0,
+                cc,
                 0,
                 1,
-                32,
+                bpp,
                 len(blob),
                 off,
             )
