@@ -503,3 +503,23 @@ def test_hybrid_fusion_coverage_vs_duckdb_and_conservation(spark, sf_dir):
             assert sum(r[1] + r[2] for r in got) == 0
         else:
             assert sum(r[1] + r[2] for r in got) > 0
+
+
+def test_hybrid_fusion_coverage_lazy_flag(spark, sf_dir):
+    # plan-only consumers can disable the construction-time
+    # localCheckpoint (COVERAGE_EAGER=False): construction stays lazy
+    # and the result is identical to the eager path
+    from thrivefinancedatapipeline_spark.operators import similarity
+
+    eager = sorted(
+        tuple(r)
+        for r in similarity.hybrid_fusion_coverage(spark, sf_dir).collect()
+    )
+    similarity.COVERAGE_EAGER = False
+    try:
+        df = similarity.hybrid_fusion_coverage(spark, sf_dir)
+        # lazy construction keeps full lineage: parquet scans visible
+        assert df.inputFiles(), "lazy path severed lineage"
+        assert sorted(tuple(r) for r in df.collect()) == eager
+    finally:
+        similarity.COVERAGE_EAGER = True

@@ -865,3 +865,8 @@ SELECT doc_id,
        CAST(SUM((CASE WHEN i % 2 = 1 THEN i + 1 ELSE i - 1 END) * v)
             AS BIGINT) AS ico_sum
 FROM a GROUP BY doc_id"""
+
+
+# Round 11 registration of the r10-staged eight-column codec attest.
+QUERIES["multimodal_codec_attest2"] = q_multimodal_codec_attest2
+ORACLES["multimodal_codec_attest2"] = CODEC_ATTEST2_ORACLE

@@ -2648,3 +2648,10 @@ r AS (
            AS n_members
   FROM a)
 SELECT cluster_id, doc_id, lang, source, n_members FROM r WHERE rn = 1"""
+
+
+# Round 11 registration of the r10-staged survivor-selection prebuilds.
+QUERIES["dedup_keep_priority"] = dedup_keep_priority
+ORACLES["dedup_keep_priority"] = KEEP_PRIORITY_ORACLE
+QUERIES["dedup_cluster_keep_priority"] = dedup_cluster_keep_priority
+ORACLES["dedup_cluster_keep_priority"] = CLUSTER_KEEP_PRIORITY_ORACLE

@@ -620,3 +620,8 @@ SELECT source,
             AS BIGINT) AS fill_ppm,
        BIT_XOR(h) AS sel_checksum
 FROM sel GROUP BY 1"""
+
+
+# Round 11 registration of the r10-staged quota sampler.
+QUERIES["source_quota_sampler"] = source_quota_sampler
+ORACLES["source_quota_sampler"] = QUOTA_SAMPLER_ORACLE

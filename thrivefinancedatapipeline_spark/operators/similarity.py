@@ -2747,6 +2747,15 @@ SELECT t.query_id,
 FROM top t JOIN mm USING (query_id)"""
 
 
+#: hybrid_fusion_coverage materializes its two bounded leg relations
+#: with localCheckpoint(eager=True) at query-CONSTRUCTION time (two
+#: corpus-side jobs run when the DataFrame is merely built). Plan-only
+#: consumers (autotune / window introspection) that must construct the
+#: query lazily can set this False: the legs then keep full lineage and
+#: the corpus-side plans are re-derived per use (correct, slower).
+COVERAGE_EAGER = True
+
+
 def hybrid_fusion_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explainability audit of the RRF fusion: per query, how many of
     the fused top-k came from BOTH legs, lexical only, and vector
@@ -2757,8 +2766,11 @@ def hybrid_fusion_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both legs are bounded (<= HY_QUERIES x HY_K rows), so they
     localCheckpoint once instead of re-deriving the corpus-side
     plans for the fusion AND each membership label (measured 3.1x
-    per 100x before, sub-linear after)."""
-    lex = _hybrid_lex_leg(spark, sf_dir).localCheckpoint(eager=True)
+    per 100x before, sub-linear after). NOTE: with COVERAGE_EAGER
+    (the default) construction executes those jobs eagerly."""
+    lex = _hybrid_lex_leg(spark, sf_dir)
+    if COVERAGE_EAGER:
+        lex = lex.localCheckpoint(eager=True)
     e = _vectors(spark, sf_dir)
     qv = e.filter(F.col("vec_id") < HY_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -2782,8 +2794,9 @@ def hybrid_fusion_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("vec_rank", F.row_number().over(wv))
         .filter(F.col("vec_rank") <= HY_K)
         .select("query_id", "neighbor_id", "vec_rank")
-        .localCheckpoint(eager=True)
     )
+    if COVERAGE_EAGER:
+        vec = vec.localCheckpoint(eager=True)
     fused = _rrf_fuse(lex, vec).select("query_id", "neighbor_id")
     labeled = (
         fused.join(
@@ -2854,3 +2867,18 @@ LEFT JOIN lex l ON l.query_id = f.query_id
 LEFT JOIN vec v ON v.query_id = f.query_id
                AND v.neighbor_id = f.neighbor_id
 GROUP BY 1"""
+
+
+# Round 11 registration of the r10-staged retrieval prebuilds (each
+# was gate-green under tools/check_prebuilt.py and two-SF pinned in
+# tests/test_prebuilt_r11.py before this 2-line move).
+QUERIES["hybrid_search_rrf_indexed"] = hybrid_search_rrf_indexed
+ORACLES["hybrid_search_rrf_indexed"] = HYBRID_RRF_INDEXED_ORACLE
+QUERIES["contrastive_negatives"] = contrastive_negatives
+ORACLES["contrastive_negatives"] = CONTRASTIVE_NEGATIVES_ORACLE
+QUERIES["knn_mmr_diversified"] = knn_mmr_diversified
+ORACLES["knn_mmr_diversified"] = MMR_ORACLE
+QUERIES["mmr_diversity_cost"] = mmr_diversity_cost
+ORACLES["mmr_diversity_cost"] = MMR_COST_ORACLE
+QUERIES["hybrid_fusion_coverage"] = hybrid_fusion_coverage
+ORACLES["hybrid_fusion_coverage"] = HYBRID_COVERAGE_ORACLE

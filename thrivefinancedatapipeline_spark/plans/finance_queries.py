@@ -1684,3 +1684,8 @@ wnd AS (
 SELECT trans_id, customerid, es, n_1h, spent_1h_cents, n_24h
 FROM wnd
 WHERE {VEL_RATE_NUM} * n_1h >= n_24h AND n_24h >= {VEL_MIN_DAY}"""
+
+
+# Round 11 registration of the r10-staged velocity screen.
+QUERIES["txn_velocity_flags"] = txn_velocity_flags
+ORACLES["txn_velocity_flags"] = VELOCITY_ORACLE

@@ -11,7 +11,10 @@ the bounded window always lands on the least-proven queries:
 2. queries proven in some round but whose output semantics changed in a
    later commit (``_FORCE_RECHECK_SINCE``), oldest proof first;
 3. everything else, oldest proof first — so long-standing proofs are
-   re-validated before recent ones when budget allows.
+   re-validated before recent ones when budget allows;
+4. rows-only queries (no oracle) last: the driver's rows-only check is
+   strictly weaker than the pytest coverage the same kernels get, so
+   they must not pin window slots ahead of real proof refreshes.
 
 Because each round's CORRECTNESS file is committed, this rotates
 coverage automatically: whatever the driver proves this round sorts to
@@ -149,18 +152,20 @@ def _query_order() -> list[str]:
 
     def key(name: str):
         hit = proven.get(name)
-        if hit is None and name not in oracled:
-            # rows-only queries (no oracle) can never be hash-proven:
-            # a dedicated tier AFTER the stale-proof rechecks, so the
-            # permanently-unprovable queries never pin front-window
-            # slots ahead of queries that still need (re)attestation
-            return (2, 0, insertion[name])
+        if name not in oracled:
+            # rows-only queries (no oracle) can never be hash-proven —
+            # the driver's check is strictly weaker than the pytest
+            # coverage the same kernels already get, so they sort
+            # BEHIND the proven tier (they had burned 4 of 50 window
+            # slots every round for ten rounds of "ran clean"); each
+            # freed slot becomes a real proof refresh instead
+            return (3, 0, insertion[name])
         if hit is None:
             return (0, 0, insertion[name])  # never driver-proven
         rnd, valid = hit
         if not valid:
             return (1, rnd, insertion[name])  # proof stale — recheck
-        return (3, rnd, insertion[name])  # proven, oldest first
+        return (2, rnd, insertion[name])  # proven, oldest first
 
     return sorted(merged, key=key)
 

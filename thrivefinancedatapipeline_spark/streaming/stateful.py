@@ -1764,9 +1764,14 @@ def stream_velocity_flags(
     cent deltas run in Spark expressions (bit-identical to the batch
     projection); per customer the state is the trailing 24 hours of
     (es, dc) pairs relative to the newest event (bounded by the
-    busiest day). On a time-ordered drain the emitted flag rows
+    busiest day). On a time-ordered drain where equal-second tie
+    groups arrive within ONE micro-batch, the emitted flag rows
     equal the batch screen EXACTLY — backward-looking frames never
-    need future events (parity-pinned)."""
+    need strictly-future events, but the batch RANGE frame includes
+    all same-es peers, so a row emitted before a same-second tie
+    arrives in a later file would undercount n_1h/n_24h. The parity
+    test guarantees the precondition by splitting files on day
+    boundaries (ties share a file)."""
     from ..plans.finance_queries import delta_cents_col
 
     txns = stream_transactions(spark, source_dir, max_files_per_trigger)

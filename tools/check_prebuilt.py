@@ -33,76 +33,16 @@ def _catalog():
 
     Round 6 drained the 29-operator backlog; round 8 registered the
     six operators round 7 had staged here; round 9 registered round
-    8's six; round 10 registered round 9's eleven (token cost
-    curve/drift, severity histogram, token yield, quality split
-    drift, balance volatility, bucket migration, chunk near-dup
-    rate, filtered ANN, hybrid RRF, curation funnel). Future
-    prebuilds stage here first: green at the default sf0.01, then a
-    2-line move of the (query, oracle) pair into the module dicts.
-    Round 10 stages prebuilds for the r11 window."""
-    from thrivefinancedatapipeline_spark.multimodal.binary_ops import (
-        CODEC_ATTEST2_ORACLE,
-        q_multimodal_codec_attest2,
-    )
-    from thrivefinancedatapipeline_spark.operators.dedup import (
-        CLUSTER_KEEP_PRIORITY_ORACLE,
-        KEEP_PRIORITY_ORACLE,
-        dedup_cluster_keep_priority,
-        dedup_keep_priority,
-    )
-    from thrivefinancedatapipeline_spark.plans.finance_queries import (
-        VELOCITY_ORACLE,
-        txn_velocity_flags,
-    )
-    from thrivefinancedatapipeline_spark.operators.sampling import (
-        QUOTA_SAMPLER_ORACLE,
-        source_quota_sampler,
-    )
-    from thrivefinancedatapipeline_spark.operators.similarity import (
-        CONTRASTIVE_NEGATIVES_ORACLE,
-        HYBRID_COVERAGE_ORACLE,
-        HYBRID_RRF_INDEXED_ORACLE,
-        MMR_COST_ORACLE,
-        MMR_ORACLE,
-        contrastive_negatives,
-        hybrid_fusion_coverage,
-        hybrid_search_rrf_indexed,
-        knn_mmr_diversified,
-        mmr_diversity_cost,
-    )
-
-    return {
-        "hybrid_search_rrf_indexed": (
-            hybrid_search_rrf_indexed, HYBRID_RRF_INDEXED_ORACLE,
-        ),
-        "source_quota_sampler": (
-            source_quota_sampler, QUOTA_SAMPLER_ORACLE,
-        ),
-        "contrastive_negatives": (
-            contrastive_negatives, CONTRASTIVE_NEGATIVES_ORACLE,
-        ),
-        "multimodal_codec_attest2": (
-            q_multimodal_codec_attest2, CODEC_ATTEST2_ORACLE,
-        ),
-        "knn_mmr_diversified": (
-            knn_mmr_diversified, MMR_ORACLE,
-        ),
-        "dedup_keep_priority": (
-            dedup_keep_priority, KEEP_PRIORITY_ORACLE,
-        ),
-        "txn_velocity_flags": (
-            txn_velocity_flags, VELOCITY_ORACLE,
-        ),
-        "dedup_cluster_keep_priority": (
-            dedup_cluster_keep_priority, CLUSTER_KEEP_PRIORITY_ORACLE,
-        ),
-        "mmr_diversity_cost": (
-            mmr_diversity_cost, MMR_COST_ORACLE,
-        ),
-        "hybrid_fusion_coverage": (
-            hybrid_fusion_coverage, HYBRID_COVERAGE_ORACLE,
-        ),
-    }
+    8's six; round 10 registered round 9's eleven; round 11 registered
+    round 10's ten (hybrid_search_rrf_indexed, source_quota_sampler,
+    contrastive_negatives, multimodal_codec_attest2,
+    knn_mmr_diversified, dedup_keep_priority, txn_velocity_flags,
+    dedup_cluster_keep_priority, mmr_diversity_cost,
+    hybrid_fusion_coverage) and stages prebuilds for the r12 window
+    below. Future prebuilds stage here first: green at the default
+    sf0.01, then a 2-line move of the (query, oracle) pair into the
+    module dicts."""
+    return {}
 
 
 def main() -> int:
