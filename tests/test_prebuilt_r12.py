@@ -1,0 +1,180 @@
+"""Round-12 prebuilds (staged in tools/check_prebuilt.py in round 11):
+Spark == DuckDB at two SFs plus per-operator invariants — the
+pre-registration pin every prebuilt catalog since r5 has used.
+
+The r11 theme is knob-sweep telemetry: each sweep rides the proven
+machinery of a registered operator (probe counts, DF stop rules,
+banding configs, pack budgets) and emits the tuning curve a 100 TB
+deployment reads before turning the knob."""
+
+import os
+
+import duckdb
+
+
+def _duck(d, sql, tables=("documents", "embeddings")):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{d}/{t}.parquet')"
+        )
+    rows = con.execute(sql).fetchall()
+    con.close()
+    return rows
+
+
+def _dirs(sf_dir):
+    return [
+        d
+        for d in (sf_dir, sf_dir.replace("sf0.001", "sf0.01"))
+        if os.path.isdir(d)
+    ]
+
+
+def test_codec_attest3_vs_duckdb_and_arrangements(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.multimodal.binary_ops import (
+        CODEC_ATTEST3_ORACLE,
+        q_multimodal_codec_attest3,
+    )
+
+    for d in _dirs(sf_dir):
+        got = sorted(
+            tuple(r)
+            for r in q_multimodal_codec_attest3(spark, d).collect()
+        )
+        want = sorted(tuple(r) for r in _duck(d, CODEC_ATTEST3_ORACLE))
+        assert got == want, f"codec_attest3 mismatch at {d}"
+        assert all(all(v > 0 for v in r[1:]) for r in got)
+        # the depth arrangements must not shadow each other: identity
+        # vs reversed digit order differ unless the digest is a
+        # palindrome — across a corpus at least one doc must differ
+        assert any(r[1] != r[2] for r in got), "pal8 == pal4 everywhere"
+        assert any(r[1] != r[3] for r in got), "pal8 == pal1 everywhere"
+
+
+def test_hybrid_probe_sweep_vs_duckdb_and_shape(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.operators.similarity import (
+        HY_K,
+        HY_QUERIES,
+        HYBRID_PROBE_SWEEP_ORACLE,
+        PROBE_SWEEP,
+        hybrid_probe_sweep,
+    )
+
+    for d in _dirs(sf_dir):
+        got = sorted(
+            tuple(r) for r in hybrid_probe_sweep(spark, d).collect()
+        )
+        want = sorted(
+            tuple(r) for r in _duck(d, HYBRID_PROBE_SWEEP_ORACLE)
+        )
+        assert got == want, f"hybrid_probe_sweep mismatch at {d}"
+        per_np = {}
+        for np_, qid, n_ret, ppm in got:
+            per_np.setdefault(np_, set()).add(qid)
+            assert 0 <= n_ret <= HY_K
+            assert ppm == n_ret * 1_000_000 // HY_K
+        assert set(per_np) == set(PROBE_SWEEP)
+        for qids in per_np.values():
+            assert qids == set(range(HY_QUERIES))
+        # non-vacuity: at the widest probe the fusion must retain
+        # SOMETHING of the exact hybrid (the lexical leg alone
+        # guarantees overlap even if ANN recall were zero)
+        widest = max(PROBE_SWEEP)
+        assert sum(r[2] for r in got if r[0] == widest) > 0
+
+
+def test_lex_cap_sweep_vs_duckdb_and_monotonicity(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.operators.similarity import (
+        LEX_CAP_SWEEP_ORACLE,
+        LEX_SWEEP_DENOMS,
+        lex_cap_sweep,
+    )
+
+    for d in _dirs(sf_dir):
+        got = sorted(tuple(r) for r in lex_cap_sweep(spark, d).collect())
+        want = sorted(tuple(r) for r in _duck(d, LEX_CAP_SWEEP_ORACLE))
+        assert got == want, f"lex_cap_sweep mismatch at {d}"
+        by_denom = {r[0]: r for r in got}
+        assert set(by_denom) == set(LEX_SWEEP_DENOMS)
+        # loosening the stop rule (smaller denominator -> higher
+        # threshold) can only ADD indexable terms, posting mass, and
+        # candidate pairs
+        ordered = [by_denom[dn] for dn in sorted(LEX_SWEEP_DENOMS,
+                                                 reverse=True)]
+        for prev, cur in zip(ordered, ordered[1:]):
+            assert cur[1] >= prev[1]  # df_threshold
+            assert cur[2] >= prev[2]  # n_terms
+            assert cur[3] >= prev[3]  # posting_mass
+            assert cur[5] >= prev[5]  # n_query_pairs
+        assert ordered[-1][2] > 0, "loosest rule indexes nothing"
+
+
+def test_minhash_band_sweep_vs_duckdb_and_nesting(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.operators.dedup import (
+        K,
+        MINHASH_BAND_SWEEP_ORACLE,
+        MINHASH_SWEEP_ROWS,
+        dedup_minhash_band_sweep,
+    )
+
+    for d in _dirs(sf_dir):
+        got = sorted(
+            tuple(r)
+            for r in dedup_minhash_band_sweep(spark, d).collect()
+        )
+        want = sorted(
+            tuple(r) for r in _duck(d, MINHASH_BAND_SWEEP_ORACLE)
+        )
+        assert got == want, f"minhash_band_sweep mismatch at {d}"
+        by_r = {r[0]: r for r in got}
+        assert set(by_r) == set(MINHASH_SWEEP_ROWS)
+        for r, row in by_r.items():
+            assert row[1] == K // r  # n_bands
+            assert 0 <= row[3] <= row[2]  # verified <= candidates
+            expect = (
+                1_000_000
+                if row[2] == 0
+                else row[3] * 1_000_000 // row[2]
+            )
+            assert row[4] == expect
+        # aligned-block nesting: an r-row band collision implies both
+        # constituent (r/2)-row bands collide, so candidate and
+        # verified sets can only SHRINK as rows-per-band doubles
+        ordered = [by_r[r] for r in sorted(MINHASH_SWEEP_ROWS)]
+        for prev, cur in zip(ordered, ordered[1:]):
+            assert cur[2] <= prev[2]  # n_candidates
+            assert cur[3] <= prev[3]  # n_verified
+        assert ordered[0][2] > 0, "loosest banding found no candidates"
+
+
+def test_pack_budget_sweep_vs_duckdb_and_bounds(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.operators.packing import (
+        PACK_BUDGET_SWEEP_ORACLE,
+        PACK_SWEEP_BUDGETS,
+        pack_budget_sweep,
+    )
+
+    for d in _dirs(sf_dir):
+        got = sorted(tuple(r) for r in pack_budget_sweep(spark, d).collect())
+        want = sorted(tuple(r) for r in _duck(d, PACK_BUDGET_SWEEP_ORACLE))
+        assert got == want, f"pack_budget_sweep mismatch at {d}"
+        langs = {r[1] for r in got}
+        assert len(got) == len(PACK_SWEEP_BUDGETS) * len(langs)
+        by_lang = {}
+        for budget, lang, n_docs, total, n_packs, n_split, fill in got:
+            assert n_packs == -(-total // budget)
+            assert 0 <= n_split <= n_docs
+            assert fill <= 1_000_000
+            assert fill == total * 1_000_000 // (n_packs * budget)
+            by_lang.setdefault(lang, {})[budget] = (total, n_packs, n_split)
+        for rows in by_lang.values():
+            totals = {v[0] for v in rows.values()}
+            assert len(totals) == 1  # budget never changes the corpus
+            ordered = [rows[b] for b in sorted(PACK_SWEEP_BUDGETS)]
+            for prev, cur in zip(ordered, ordered[1:]):
+                # budgets divide each other: larger-budget boundaries
+                # are a subset, so packs and split docs only shrink
+                assert cur[1] <= prev[1]
+                assert cur[2] <= prev[2]

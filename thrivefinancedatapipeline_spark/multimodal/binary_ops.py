@@ -870,3 +870,134 @@ FROM a GROUP BY doc_id"""
 # Round 11 registration of the r10-staged eight-column codec attest.
 QUERIES["multimodal_codec_attest2"] = q_multimodal_codec_attest2
 ORACLES["multimodal_codec_attest2"] = CODEC_ATTEST2_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# PREBUILT (r11-staged, NOT yet registered — tools/check_prebuilt.py).
+# ---------------------------------------------------------------------------
+
+ATTEST3_SCHEMA = (
+    "doc_id long, pal8_sum long, pal4_sum long, pal1_sum long,"
+    " cur_sum long"
+)
+
+
+def q_multimodal_codec_attest3(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-ATTESTED round-trips for the r11 container paths —
+    paletted ICO frames at all three depths plus the CUR hotspot
+    carry. Per document the kernel derives 16 palette indices from
+    md5(text) (the hex DIGIT VALUES this time, 0..15 — the natural
+    alphabet of a 16-color palette), paints a 4x4 RGBA image through
+    a fixed injective palette P(d) = (17d, 255-17d, 97d mod 256,
+    255), stores it as a PALETTED ICO and round-trips it. Each depth
+    gets a DIFFERENT arrangement so the columns cannot shadow each
+    other: 8-bpp the identity digit order, 4-bpp the reversal, 1-bpp
+    the parity ink (odd -> black, even -> white — at most 2 colors
+    by construction). The CUR column round-trips a 4x3 RGBA frame of
+    xor-0x3C-arranged md5 ascii bytes through the cursor container
+    and folds the decoded HOTSPOT (d1 mod 4, d2 mod 3) into the
+    checksum, so a dropped or transposed hotspot flips the hash red.
+    The DuckDB oracle computes all four position-weighted checksums
+    directly from md5(text) in SQL — any corruption in the palette
+    build, index packing (MSB-first bit order, 4-bpp nibble order),
+    color-table layout, AND-mask interplay, or the CUR directory
+    reinterpretation is a red driver row."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def wsum(bs):
+            return sum((i + 1) * b for i, b in enumerate(bs))
+
+        def pal(d):
+            return (17 * d, 255 - 17 * d, (97 * d) % 256)
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "pal8_sum": [], "pal4_sum": [],
+                "pal1_sum": [], "cur_sum": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                hx = hashlib.md5(text.encode("utf-8")).hexdigest()
+                ds = [int(c, 16) for c in hx[:16]]
+                px8 = bytes(
+                    b for d in ds for b in (*pal(d), 255)
+                )
+                px4 = bytes(
+                    b for d in reversed(ds) for b in (*pal(d), 255)
+                )
+                px1 = bytes(
+                    b
+                    for d in ds
+                    for b in ((0, 0, 0, 255) if d % 2 else
+                              (255, 255, 255, 255))
+                )
+                dec = [
+                    ico.decode_ico(
+                        ico.encode_ico([(px, 4, 4)], paletted={0: bpp})
+                    )[0]["pixels"]
+                    for px, bpp in ((px8, 8), (px4, 4), (px1, 1))
+                ]
+                vals = bytes(ord(c) for c in hx)
+                vals = vals + vals[:16]  # 48 bytes = 4x3 RGBA
+                fr = ico.decode_cur(
+                    ico.encode_cur(
+                        [(bytes(v ^ 0x3C for v in vals), 4, 3,
+                          ds[0] % 4, ds[1] % 3)]
+                    )
+                )[0]
+                out["doc_id"].append(doc_id)
+                out["pal8_sum"].append(wsum(dec[0]))
+                out["pal4_sum"].append(wsum(dec[1]))
+                out["pal1_sum"].append(wsum(dec[2]))
+                out["cur_sum"].append(
+                    wsum(fr["pixels"])
+                    + 100000 * fr["hotspot_x"]
+                    + 10000 * fr["hotspot_y"]
+                )
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(run, schema=ATTEST3_SCHEMA)
+
+
+#: d_i (1-based i in 1..16) = VALUE of md5 hex digit i; decoded RGBA
+#: byte stream for pixel i is (17d, 255-17d, 97d mod 256, 255) at
+#: positions 4i-3 .. 4i. pal8 uses d_i, pal4 the reversal d_(17-i),
+#: pal1 the parity ink (all three channels 0 if d odd else 255). cur
+#: weights ascii bytes v_j (j in 1..48, the attest2 alphabet) xor
+#: 0x3C, plus the hotspot terms 1e5*(d_1 mod 4) + 1e4*(d_2 mod 3).
+CODEC_ATTEST3_ORACLE = """
+WITH dd AS (
+  SELECT doc_id, i,
+         strpos('0123456789abcdef',
+                substring(md5(text), CAST(i AS INT), 1)) - 1 AS d
+  FROM documents, (SELECT unnest(range(1, 17)) AS i) t),
+p AS (
+  SELECT doc_id,
+         CAST(SUM((4*i - 3) * (17*d) + (4*i - 2) * (255 - 17*d)
+                + (4*i - 1) * ((97*d) % 256) + (4*i) * 255)
+              AS BIGINT) AS pal8_sum,
+         CAST(SUM((4*(17 - i) - 3) * (17*d)
+                + (4*(17 - i) - 2) * (255 - 17*d)
+                + (4*(17 - i) - 1) * ((97*d) % 256)
+                + (4*(17 - i)) * 255) AS BIGINT) AS pal4_sum,
+         CAST(SUM((12*i - 6) * (CASE WHEN d % 2 = 1 THEN 0 ELSE 255 END)
+                + (4*i) * 255) AS BIGINT) AS pal1_sum,
+         CAST(SUM(CASE WHEN i = 1 THEN 100000 * (d % 4) ELSE 0 END
+                + CASE WHEN i = 2 THEN 10000 * (d % 3) ELSE 0 END)
+              AS BIGINT) AS hot_sum
+  FROM dd GROUP BY doc_id),
+c AS (
+  SELECT doc_id,
+         CAST(SUM(j * xor(
+                ascii(substring(md5(text),
+                                CAST(((j - 1) % 32) + 1 AS INT), 1)),
+                60)) AS BIGINT) AS body_sum
+  FROM documents, (SELECT unnest(range(1, 49)) AS j) t
+  GROUP BY doc_id)
+SELECT p.doc_id, pal8_sum, pal4_sum, pal1_sum,
+       CAST(body_sum + hot_sum AS BIGINT) AS cur_sum
+FROM p JOIN c ON c.doc_id = p.doc_id"""

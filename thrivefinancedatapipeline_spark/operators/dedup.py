@@ -2655,3 +2655,149 @@ QUERIES["dedup_keep_priority"] = dedup_keep_priority
 ORACLES["dedup_keep_priority"] = KEEP_PRIORITY_ORACLE
 QUERIES["dedup_cluster_keep_priority"] = dedup_cluster_keep_priority
 ORACLES["dedup_cluster_keep_priority"] = CLUSTER_KEEP_PRIORITY_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# PREBUILT (r11-staged, NOT yet registered — tools/check_prebuilt.py).
+# ---------------------------------------------------------------------------
+
+#: rows-per-band configurations swept by dedup_minhash_band_sweep —
+#: the registered (R=4, 4 bands) operating point bracketed by the
+#: recall-heavy (2 rows -> 8 bands: more, noisier candidates) and the
+#: precision-heavy (8 rows -> 2 bands: fewer, surer candidates)
+#: partitions of the SAME K=16 signature. Same sig, different
+#: banding: the sweep isolates the knob production LSH actually
+#: tunes (collision probability s^r per band) from everything else.
+MINHASH_SWEEP_ROWS = (2, 4, 8)
+
+
+def dedup_minhash_band_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The candidate-volume / precision CURVE of MinHash-LSH banding —
+    the knn_ivfpq_probe_sweep discipline applied to the dedup
+    capstone: for each rows-per-band r in {MINHASH_SWEEP_ROWS}, band
+    the SAME K=16 signature into K//r bands, run the band-bucket
+    candidate join, verify candidates with exact Jaccard (tau = 0.8,
+    integer cross-multiplication), and emit the corpus totals: how
+    many candidate pairs the banding generated, how many survived
+    verification, and the integer-ppm precision. More rows per band
+    sharpens each band's collision test (s^r) — candidates fall,
+    precision rises, recall of true near-dups falls; the curve shows
+    what the registered r=4 point buys at the current corpus scale.
+    At 100 TB the candidate count IS the shuffle+verify cost, so this
+    is the capacity-planning curve for the dedup stage.
+
+    Scale posture: shingles and the 16-min-agg signature run ONCE
+    (checkpointed, shared by all three configs); each config adds one
+    banded self-join on uniform (band, key) keys and one bounded
+    verify; outputs are three 1-row aggregates (broadcast scalars),
+    never a pair dump."""
+    sh = _shingle_rows(_docs(spark, sf_dir)).localCheckpoint(eager=True)
+    sig = _minhash_signatures(sh).localCheckpoint(eager=True)
+    out = None
+    for r in MINHASH_SWEEP_ROWS:
+        nb = K // r
+        band_structs = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"m{b * r + j}").cast("string")
+                        for j in range(r)
+                    ],
+                ).alias("key"),
+            )
+            for b in range(nb)
+        ]
+        bands = sig.select(
+            "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+        ).select(
+            "doc_id",
+            F.col("bk.band").alias("band"),
+            F.col("bk.key").alias("key"),
+        )
+        b1 = bands.select(F.col("doc_id").alias("doc_id_1"), "band", "key")
+        b2 = bands.select(F.col("doc_id").alias("doc_id_2"), "band", "key")
+        cand = (
+            b1.join(b2, ["band", "key"])
+            .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+            .select("doc_id_1", "doc_id_2")
+            .distinct()
+        )
+        cn = cand.agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates")
+        )
+        vn = _verified_pairs(cand, sh).agg(
+            F.count(F.lit(1)).cast("long").alias("n_verified")
+        )
+        row = cn.crossJoin(F.broadcast(vn)).select(
+            F.lit(r).cast("int").alias("rows_per_band"),
+            F.lit(nb).cast("int").alias("n_bands"),
+            "n_candidates",
+            "n_verified",
+            F.expr(
+                "CAST(CASE WHEN n_candidates = 0 THEN 1000000"
+                " ELSE CAST(n_verified AS DECIMAL(38,0)) * 1000000"
+                " div n_candidates END AS BIGINT)"
+            ).alias("precision_ppm"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _minhash_band_selects(r: int) -> str:
+    return "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
+            b=b,
+            key=" || '_' || ".join(
+                f"m{b * r + j}::VARCHAR" for j in range(r)
+            ),
+        )
+        for b in range(K // r)
+    )
+
+
+def _minhash_band_sweep_oracle() -> str:
+    parts = []
+    for r in MINHASH_SWEEP_ROWS:
+        parts.append(f"""
+SELECT * FROM (
+WITH {_SHINGLE_CTES},
+hs AS (SELECT doc_id,
+              (('0x' || substring(md5(sh), 1, 15))::BIGINT % {P}) AS h
+       FROM sh),
+sig AS (SELECT doc_id, {_MIN_AGGS} FROM hs GROUP BY doc_id),
+bands AS ({_minhash_band_selects(r)}),
+cand AS (
+  SELECT DISTINCT b1.doc_id AS doc_id_1, b2.doc_id AS doc_id_2
+  FROM bands b1 JOIN bands b2
+    ON b1.band = b2.band AND b1.key = b2.key AND b1.doc_id < b2.doc_id
+),
+cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+common AS (
+  SELECT p.doc_id_1, p.doc_id_2, count(*) AS common_shingles
+  FROM cand p
+  JOIN sh s1 ON s1.doc_id = p.doc_id_1
+  JOIN sh s2 ON s2.doc_id = p.doc_id_2 AND s2.sh = s1.sh
+  GROUP BY p.doc_id_1, p.doc_id_2),
+ver AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_verified
+        FROM common
+        JOIN cnt c1 ON doc_id_1 = c1.doc_id
+        JOIN cnt c2 ON doc_id_2 = c2.doc_id
+        WHERE {JACCARD_DEN} * common_shingles
+              >= {JACCARD_NUM} * (c1.c + c2.c - common_shingles)),
+cd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand)
+SELECT CAST({r} AS INT) AS rows_per_band,
+       CAST({K // r} AS INT) AS n_bands,
+       cd.n_candidates, ver.n_verified,
+       CAST(CASE WHEN cd.n_candidates = 0 THEN 1000000
+                 ELSE CAST(ver.n_verified AS HUGEINT) * 1000000
+                      // cd.n_candidates END AS BIGINT)
+         AS precision_ppm
+FROM cd, ver)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+MINHASH_BAND_SWEEP_ORACLE = _minhash_band_sweep_oracle()

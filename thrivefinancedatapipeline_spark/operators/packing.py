@@ -595,3 +595,99 @@ QUERIES["source_token_cost_curve"] = source_token_cost_curve
 ORACLES["source_token_cost_curve"] = SOURCE_TOKEN_COST_CURVE_ORACLE
 QUERIES["source_token_cost_drift"] = source_token_cost_drift
 ORACLES["source_token_cost_drift"] = TOKEN_COST_DRIFT_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# PREBUILT (r11-staged, NOT yet registered — tools/check_prebuilt.py).
+# ---------------------------------------------------------------------------
+
+#: context-window budgets swept by pack_budget_sweep — the registered
+#: PACK_BUDGET (2048) bracketed by a 4x shorter and a 4x longer
+#: window, the question every context-length change actually asks of
+#: the data pipeline ("what does 8k context do to fill and document
+#: splitting?").
+PACK_SWEEP_BUDGETS = (512, 2_048, 8_192)
+
+
+def pack_budget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """packing_efficiency evaluated at every context-window budget in
+    {PACK_SWEEP_BUDGETS}, per language stream: pack count, token fill
+    of the allocated capacity (integer ppm), and how many documents
+    straddle a pack boundary. Longer windows raise fill and split
+    more documents (more attention-mask resets); the 3-point curve is
+    what a context-length migration reads before re-packing 100 TB.
+
+    Scale posture: the cumulative token position (`before`) does NOT
+    depend on the budget, so the ranged prefix sum — the only heavy
+    pass — runs ONCE; the sweep is a 3-way explode over an integer
+    column of an existing row, then one groupBy on <= |budgets| x
+    |langs| cells. Sweeping costs nothing but the rollup."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    cum = ranged_prefix_sum(docs, ["lang"], ["doc_id"], "n_tokens", "_cum")
+    sweep = cum.select(
+        "lang",
+        "n_tokens",
+        (F.col("_cum") - F.col("n_tokens")).alias("before"),
+        F.explode(
+            F.array(*[F.lit(b) for b in PACK_SWEEP_BUDGETS])
+        ).alias("budget"),
+    )
+    agg = sweep.groupBy("budget", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(
+            (F.col("before") % F.col("budget") + F.col("n_tokens")
+             > F.col("budget")).cast("long")
+        ).alias("n_split_docs"),
+    )
+    return agg.select(
+        F.col("budget").cast("int").alias("budget"),
+        "lang",
+        "n_docs",
+        "total_tokens",
+        F.expr(
+            "CAST((total_tokens + budget - 1) div budget AS BIGINT)"
+        ).alias("n_packs"),
+        "n_split_docs",
+        F.expr(
+            "CAST(CAST(total_tokens AS DECIMAL(38,0)) * 1000000"
+            " div (((total_tokens + budget - 1) div budget) * budget)"
+            " AS BIGINT)"
+        ).alias("fill_ppm"),
+    )
+
+
+PACK_BUDGET_SWEEP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         len(string_split({norm_sql("text")}, ' ')) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens
+           AS before
+  FROM toks
+),
+sp AS (SELECT unnest({list(PACK_SWEEP_BUDGETS)}) AS budget),
+asg AS (
+  SELECT sp.budget, lang, n_tokens,
+         CASE WHEN before % sp.budget + n_tokens > sp.budget
+              THEN 1 END AS splits
+  FROM cum, sp
+)
+SELECT CAST(budget AS INT) AS budget, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST((SUM(n_tokens) + budget - 1) // budget AS BIGINT)
+         AS n_packs,
+       CAST(COUNT(splits) AS BIGINT) AS n_split_docs,
+       CAST(CAST(SUM(n_tokens) AS HUGEINT) * 1000000
+            // (((SUM(n_tokens) + budget - 1) // budget) * budget)
+            AS BIGINT) AS fill_ppm
+FROM asg GROUP BY budget, lang"""

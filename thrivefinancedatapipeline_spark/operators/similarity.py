@@ -2137,23 +2137,7 @@ def _hybrid_lex_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare terms at every SF — the term-length lever production lexical
     retrieval pulls for the same reason (phrase terms beat bag-of-
     stopwords)."""
-    from ..functions.text import shingles_from_tokens, tokens
-
-    base = load_table(spark, sf_dir, "documents").select(
-        "doc_id", tokens(F.col("text")).alias("toks")
-    )
-    # transform + explode in ONE projection: an intermediate array
-    # column invites CollapseProject to inline tokens() into every
-    # element access of the NEXT projection's lambda — measured 18 s
-    # vs 0.7 s for this posting build at sf0.1 (the quadratic
-    # shingles_from_tokens trap, one projection removed)
-    post = base.select(
-        "doc_id",
-        F.explode(shingles_from_tokens(F.col("toks"), 2)).alias("t"),
-    )
-    nd = load_table(spark, sf_dir, "documents").agg(
-        F.count(F.lit(1)).alias("n_docs")
-    )
+    post, nd = _lex_postings(spark, sf_dir)
     w = (
         post.groupBy("t")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -2182,6 +2166,32 @@ def _hybrid_lex_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("lex_rank") <= HY_K)
         .select("query_id", "neighbor_id", "lex_rank")
     )
+
+
+def _lex_postings(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(post, nd): the distinct-bigram posting relation (doc_id, t)
+    and the broadcastable 1-row doc count — the corpus-side base the
+    lexical leg and lex_cap_sweep share."""
+    from ..functions.text import shingles_from_tokens, tokens
+
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    # transform + explode in ONE projection: an intermediate array
+    # column invites CollapseProject to inline tokens() into every
+    # element access of the NEXT projection's lambda — measured 18 s
+    # vs 0.7 s for this posting build at sf0.1 (the quadratic
+    # shingles_from_tokens trap, one projection removed)
+    post = base.select(
+        "doc_id",
+        F.explode(shingles_from_tokens(F.col("toks"), 2)).alias("t"),
+    )
+    nd = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return post, nd
 
 
 def _rrf_fuse(lex: DataFrame, vec: DataFrame) -> DataFrame:
@@ -2233,7 +2243,16 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF-PQ index probe for that leg, and the fusion is unchanged
     because RRF consumes only ranks (parity where the probe's list
     matches is pinned in tests/test_hybrid_indexed.py)."""
-    lex = _hybrid_lex_leg(spark, sf_dir)
+    return _rrf_fuse(
+        _hybrid_lex_leg(spark, sf_dir), _hybrid_exact_vec_leg(spark, sf_dir)
+    )
+
+
+def _hybrid_exact_vec_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, vec_rank): the exact broadcast-scan
+    cosine top-{HY_K} vector leg of hybrid_search_rrf — shared with
+    hybrid_probe_sweep, whose exact-hybrid reference fuses it against
+    the same checkpointed lexical leg as the swept probe fusions."""
     e = _vectors(spark, sf_dir)
     qv = e.filter(F.col("vec_id") < HY_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -2248,7 +2267,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     wv = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )
-    vec = (
+    return (
         cv.join(F.broadcast(qv))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
@@ -2258,7 +2277,6 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_rank") <= HY_K)
         .select("query_id", "neighbor_id", "vec_rank")
     )
-    return _rrf_fuse(lex, vec)
 
 
 def hybrid_search_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2882,3 +2900,244 @@ QUERIES["mmr_diversity_cost"] = mmr_diversity_cost
 ORACLES["mmr_diversity_cost"] = MMR_COST_ORACLE
 QUERIES["hybrid_fusion_coverage"] = hybrid_fusion_coverage
 ORACLES["hybrid_fusion_coverage"] = HYBRID_COVERAGE_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# PREBUILT (r11-staged, NOT yet registered — tools/check_prebuilt.py).
+# ---------------------------------------------------------------------------
+
+
+def hybrid_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cost/quality curve of the INDEXED hybrid — the
+    knn_ivfpq_probe_sweep discipline lifted to the fusion: for every
+    probe count in {PROBE_SWEEP}, fuse the IVF-PQ vector leg at that
+    probe count with the (shared, checkpointed) lexical leg and
+    count, per query, how many of the EXACT hybrid's fused top-{HY_K}
+    the swept fusion retains (integer-ppm retention). Doubling probed
+    cells roughly doubles the ANN scan cost at 100 TB, so the curve
+    is exactly the knob a hybrid deployment tunes: where retention
+    plateaus, extra probes buy nothing. Divergence can only enter
+    through ANN recall — the fusion consumes ranks (the
+    hybrid_search_rrf_indexed invariant), which keeps the whole curve
+    oracle-provable.
+
+    Scale posture: the lexical leg and the exact-hybrid reference are
+    built ONCE (bounded <= HY_QUERIES x HY_K rows, checkpointed under
+    COVERAGE_EAGER); the quantizer trains once across sweep points
+    (cached coarse/PQ tables); each sweep point re-probes only the
+    bounded query side."""
+    lex = _hybrid_lex_leg(spark, sf_dir)
+    if COVERAGE_EAGER:
+        lex = lex.localCheckpoint(eager=True)
+    ex = _rrf_fuse(lex, _hybrid_exact_vec_leg(spark, sf_dir)).select(
+        "query_id", F.col("neighbor_id").alias("ex_neighbor")
+    )
+    if COVERAGE_EAGER:
+        ex = ex.localCheckpoint(eager=True)
+    out = None
+    for np_ in PROBE_SWEEP:
+        vec = (
+            ivfpq_knn(spark, sf_dir, np_)
+            .filter(F.col("query_id") < HY_QUERIES)
+            .select(
+                "query_id", "neighbor_id",
+                F.col("rank").alias("vec_rank"),
+            )
+        )
+        fused = _rrf_fuse(lex, vec).select("query_id", "neighbor_id")
+        r = (
+            fused.join(
+                ex,
+                (fused["query_id"] == ex["query_id"])
+                & (fused["neighbor_id"] == ex["ex_neighbor"]),
+                "left",
+            )
+            .select(fused["query_id"], ex["ex_neighbor"])
+            .groupBy("query_id")
+            .agg(F.count("ex_neighbor").cast("long").alias("n_retained"))
+            .select(
+                F.lit(np_).cast("int").alias("n_probe"),
+                "query_id",
+                "n_retained",
+                F.expr(
+                    "CAST(CAST(n_retained AS DECIMAL(38,0)) * 1000000"
+                    f" div {HY_K} AS BIGINT)"
+                ).alias("retention_ppm"),
+            )
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+def _hybrid_probe_sweep_oracle() -> str:
+    legs = []
+    for np_ in PROBE_SWEEP:
+        leg = f"""SELECT query_id, neighbor_id, rank AS vec_rank
+          FROM ({_ivfpq_oracle_sql(np_)})
+          WHERE query_id < {HY_QUERIES}"""
+        legs.append(
+            f"SELECT CAST({np_} AS INT) AS n_probe, query_id,"
+            f" neighbor_id FROM ({_hybrid_rrf_oracle(leg)})"
+        )
+    fused = "\nUNION ALL\n".join(legs)
+    return f"""
+WITH ex AS (SELECT query_id, neighbor_id FROM ({HYBRID_RRF_ORACLE})),
+h AS ({fused})
+SELECT h.n_probe, h.query_id,
+       CAST(COUNT(e.neighbor_id) AS BIGINT) AS n_retained,
+       CAST(CAST(COUNT(e.neighbor_id) AS HUGEINT) * 1000000
+            // {HY_K} AS BIGINT) AS retention_ppm
+FROM h LEFT JOIN ex e
+  ON e.query_id = h.query_id AND e.neighbor_id = h.neighbor_id
+GROUP BY 1, 2"""
+
+
+HYBRID_PROBE_SWEEP_ORACLE = _hybrid_probe_sweep_oracle()
+
+
+#: stop-rule denominators swept by lex_cap_sweep — the registered
+#: LEX_DF_DENOM (20) bracketed by a 4x tighter and a 4x looser rule;
+#: the threshold is greatest(LEX_DF_CAP, n_docs div denom), so at
+#: tiny corpora all three collapse onto the absolute cap (the
+#: degeneration the sweep exists to expose is corpus-relative).
+LEX_SWEEP_DENOMS = (80, 20, 5)
+
+
+def lex_cap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Health curve of the lexical leg's DF stop rule — the telemetry
+    that would have caught the r10 unigram degeneration BEFORE it
+    shipped: for each denominator in {LEX_SWEEP_DENOMS}, how many
+    distinct bigrams stay indexable under df <= greatest(LEX_DF_CAP,
+    n_docs div denom), their total posting mass, an order-independent
+    md5 checksum of WHICH terms (bit_xor — so the driver attests the
+    set, not just its size), and how many (query, candidate) pairs
+    the leg would consider. A tightening rule that drives n_terms or
+    n_query_pairs toward zero is a dead lexical leg; the curve shows
+    where the knee sits at the current corpus scale.
+
+    Scale posture: the posting build and DF counts run ONCE (shared
+    with the registered leg via _lex_postings); the 3-point spine
+    multiplies only the per-TERM stats relation, and the candidate
+    join runs once at the LOOSEST rule — per-pair MIN shared df then
+    classifies every pair under every tighter rule for free (a pair
+    is considered under a rule iff its best shared term clears it)."""
+    from ..functions.text import md5_long
+
+    post, nd = _lex_postings(spark, sf_dir)
+    dfs = (
+        post.groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .withColumn("h", md5_long(F.col("t")))
+    )
+    if COVERAGE_EAGER:
+        dfs = dfs.localCheckpoint(eager=True)
+    spine = F.explode(
+        F.array(*[F.lit(d) for d in LEX_SWEEP_DENOMS])
+    ).alias("df_denom")
+    terms = (
+        dfs.crossJoin(F.broadcast(nd))
+        .select("df", "h", "n_docs", spine)
+        .withColumn(
+            "df_threshold",
+            F.expr(f"greatest({LEX_DF_CAP}, n_docs div df_denom)").cast(
+                "long"
+            ),
+        )
+        .filter(F.col("df") <= F.col("df_threshold"))
+        .groupBy("df_denom")
+        .agg(
+            F.min("df_threshold").alias("df_threshold"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("df").cast("long").alias("posting_mass"),
+            F.expr("bit_xor(h)").alias("terms_checksum"),
+        )
+    )
+    loose = dfs.crossJoin(F.broadcast(nd)).filter(
+        F.expr(
+            f"df <= greatest({LEX_DF_CAP},"
+            f" n_docs div {min(LEX_SWEEP_DENOMS)})"
+        )
+    ).select("t", "df")
+    qp = (
+        post.filter(F.col("doc_id") < HY_QUERIES)
+        .withColumnRenamed("doc_id", "query_id")
+        .join(loose, "t")
+    )
+    cp = post.withColumnRenamed("doc_id", "neighbor_id")
+    pairs = (
+        qp.join(cp, "t")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.min("df").alias("mdf"))
+    )
+    pair_counts = (
+        pairs.crossJoin(F.broadcast(nd))
+        .select("mdf", "n_docs", spine)
+        .filter(
+            F.expr(
+                f"mdf <= greatest({LEX_DF_CAP}, n_docs div df_denom)"
+            )
+        )
+        .groupBy("df_denom")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_query_pairs"))
+    )
+    return terms.join(pair_counts, "df_denom", "left").select(
+        F.col("df_denom").cast("int").alias("df_denom"),
+        "df_threshold",
+        "n_terms",
+        "posting_mass",
+        "terms_checksum",
+        F.coalesce(F.col("n_query_pairs"), F.lit(0).cast("long")).alias(
+            "n_query_pairs"
+        ),
+    )
+
+
+from ..functions.text import md5_long_sql as _md5_long_sql  # noqa: E402
+
+LEX_CAP_SWEEP_ORACLE = f"""
+WITH toks AS (SELECT doc_id,
+                string_split(
+                  lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                  ' ') AS tl
+         FROM documents),
+bgl AS (SELECT doc_id,
+               list_distinct([tl[i] || ' ' || tl[i + 1]
+                              for i in range(1, len(tl))]) AS bgs
+        FROM toks WHERE len(tl) >= 2),
+post AS (SELECT doc_id, unnest(bgs) AS t FROM bgl),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+dfs AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df,
+               {_md5_long_sql('t')} AS h
+        FROM post GROUP BY t),
+sp AS (SELECT unnest({list(LEX_SWEEP_DENOMS)}) AS df_denom),
+thr AS (SELECT df_denom,
+               CAST(greatest({LEX_DF_CAP}, nd.n_docs // df_denom)
+                    AS BIGINT) AS df_threshold
+        FROM sp, nd),
+terms AS (SELECT t.df_denom,
+                 MIN(t.df_threshold) AS df_threshold,
+                 CAST(COUNT(*) AS BIGINT) AS n_terms,
+                 CAST(SUM(d.df) AS BIGINT) AS posting_mass,
+                 BIT_XOR(d.h) AS terms_checksum
+          FROM thr t JOIN dfs d ON d.df <= t.df_threshold
+          GROUP BY 1),
+loose AS (SELECT t, df FROM dfs, nd
+          WHERE df <= greatest({LEX_DF_CAP},
+                               nd.n_docs // {min(LEX_SWEEP_DENOMS)})),
+pw AS (SELECT post.doc_id AS query_id, post.t, loose.df
+       FROM post JOIN loose USING (t)
+       WHERE post.doc_id < {HY_QUERIES}),
+pairs AS (SELECT q.query_id, c.doc_id AS neighbor_id,
+                 MIN(q.df) AS mdf
+          FROM pw q JOIN post c ON c.t = q.t
+                                AND c.doc_id <> q.query_id
+          GROUP BY 1, 2),
+pc AS (SELECT t.df_denom,
+              CAST(COUNT(*) AS BIGINT) AS n_query_pairs
+       FROM thr t JOIN pairs p ON p.mdf <= t.df_threshold
+       GROUP BY 1)
+SELECT CAST(terms.df_denom AS INT) AS df_denom, df_threshold, n_terms,
+       posting_mass, terms_checksum,
+       COALESCE(pc.n_query_pairs, 0) AS n_query_pairs
+FROM terms LEFT JOIN pc ON pc.df_denom = terms.df_denom"""

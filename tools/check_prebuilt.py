@@ -42,7 +42,40 @@ def _catalog():
     below. Future prebuilds stage here first: green at the default
     sf0.01, then a 2-line move of the (query, oracle) pair into the
     module dicts."""
-    return {}
+    from thrivefinancedatapipeline_spark.multimodal.binary_ops import (
+        CODEC_ATTEST3_ORACLE,
+        q_multimodal_codec_attest3,
+    )
+    from thrivefinancedatapipeline_spark.operators.dedup import (
+        MINHASH_BAND_SWEEP_ORACLE,
+        dedup_minhash_band_sweep,
+    )
+    from thrivefinancedatapipeline_spark.operators.packing import (
+        PACK_BUDGET_SWEEP_ORACLE,
+        pack_budget_sweep,
+    )
+    from thrivefinancedatapipeline_spark.operators.similarity import (
+        HYBRID_PROBE_SWEEP_ORACLE,
+        LEX_CAP_SWEEP_ORACLE,
+        hybrid_probe_sweep,
+        lex_cap_sweep,
+    )
+
+    return {
+        "multimodal_codec_attest3": (
+            q_multimodal_codec_attest3, CODEC_ATTEST3_ORACLE,
+        ),
+        "hybrid_probe_sweep": (
+            hybrid_probe_sweep, HYBRID_PROBE_SWEEP_ORACLE,
+        ),
+        "lex_cap_sweep": (lex_cap_sweep, LEX_CAP_SWEEP_ORACLE),
+        "dedup_minhash_band_sweep": (
+            dedup_minhash_band_sweep, MINHASH_BAND_SWEEP_ORACLE,
+        ),
+        "pack_budget_sweep": (
+            pack_budget_sweep, PACK_BUDGET_SWEEP_ORACLE,
+        ),
+    }
 
 
 def main() -> int:
