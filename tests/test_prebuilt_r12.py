@@ -178,3 +178,37 @@ def test_pack_budget_sweep_vs_duckdb_and_bounds(spark, sf_dir):
                 # are a subset, so packs and split docs only shrink
                 assert cur[1] <= prev[1]
                 assert cur[2] <= prev[2]
+
+
+def test_velocity_rate_sweep_vs_duckdb_and_monotonicity(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.plans.finance_queries import (
+        VEL_RATE_NUM,
+        VEL_SWEEP_RATES,
+        VELOCITY_ORACLE,
+        VELOCITY_RATE_SWEEP_ORACLE,
+        velocity_rate_sweep,
+    )
+
+    for d in _dirs(sf_dir):
+        got = sorted(
+            tuple(r) for r in velocity_rate_sweep(spark, d).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in _duck(
+                d, VELOCITY_RATE_SWEEP_ORACLE, tables=("events",)
+            )
+        )
+        assert got == want, f"velocity_rate_sweep mismatch at {d}"
+        by_rate = {r[0]: r for r in got}
+        assert set(by_rate) <= set(VEL_SWEEP_RATES)
+        # looser multipliers can only ADD flags / customers / exposure
+        present = [by_rate[r] for r in sorted(by_rate)]
+        for prev, cur in zip(present, present[1:]):
+            assert cur[1] >= prev[1]
+            assert cur[2] >= prev[2]
+            assert cur[3] >= prev[3]
+        # the sweep's registered-rate point equals the registered
+        # screen's flag count (screen and sweep can never disagree)
+        flags = _duck(d, VELOCITY_ORACLE, tables=("events",))
+        assert by_rate[VEL_RATE_NUM][1] == len(flags)

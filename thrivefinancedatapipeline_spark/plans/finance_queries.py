@@ -1633,6 +1633,18 @@ def txn_velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition+order — the scd2 shared-sort discipline); emitting
     only flagged rows keeps the result proportional to incidents,
     not to the corpus."""
+    return _velocity_windowed(spark, sf_dir).filter(
+        (VEL_RATE_NUM * F.col("n_1h") >= F.col("n_24h"))
+        & (F.col("n_24h") >= VEL_MIN_DAY)
+    )
+
+
+def _velocity_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNFILTERED windowed velocity base (trailing 1h/24h counts
+    + spent cents per transaction) — shared by the registered screen
+    (which applies the VEL_RATE_NUM burst rule) and
+    velocity_rate_sweep (which applies every rule in the sweep).
+    Both RANGE frames ride one per-customer exchange."""
     t = _txns(spark, sf_dir).select(
         "trans_id",
         "customerid",
@@ -1650,17 +1662,13 @@ def txn_velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rangeBetween(-VEL_DAY_S, 0)
     )
     spent = F.when(F.col("dc") < 0, -F.col("dc")).otherwise(F.lit(0))
-    out = t.select(
+    return t.select(
         "trans_id",
         "customerid",
         F.col("es").cast("long").alias("es"),
         F.count(F.lit(1)).over(w1).cast("long").alias("n_1h"),
         F.sum(spent).over(w1).cast("long").alias("spent_1h_cents"),
         F.count(F.lit(1)).over(wd).cast("long").alias("n_24h"),
-    )
-    return out.filter(
-        (VEL_RATE_NUM * F.col("n_1h") >= F.col("n_24h"))
-        & (F.col("n_24h") >= VEL_MIN_DAY)
     )
 
 
@@ -1689,3 +1697,81 @@ WHERE {VEL_RATE_NUM} * n_1h >= n_24h AND n_24h >= {VEL_MIN_DAY}"""
 # Round 11 registration of the r10-staged velocity screen.
 QUERIES["txn_velocity_flags"] = txn_velocity_flags
 ORACLES["txn_velocity_flags"] = VELOCITY_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# PREBUILT (r11-staged, NOT yet registered — tools/check_prebuilt.py).
+# ---------------------------------------------------------------------------
+
+#: burst-rate multipliers swept by velocity_rate_sweep — the
+#: registered VEL_RATE_NUM (12: the 1-hour rate at least TWICE the
+#: daily average) bracketed by the strict 6 (at least equal) and the
+#: loose 24 (at least 4x). rate_num * n_1h >= n_24h loosens as
+#: rate_num grows, so flag volume is provably non-decreasing.
+VEL_SWEEP_RATES = (6, 12, 24)
+
+
+def velocity_rate_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert-volume curve of the velocity screen's burst threshold —
+    the question an anti-fraud rollout actually asks ("how many
+    alerts and how much exposure does each threshold produce?"),
+    answered before touching the registered rule: for every
+    multiplier in {VEL_SWEEP_RATES}, the flag count, distinct flagged
+    customers, and the summed trailing-hour spend of flagged rows
+    (alert-weighted exposure). The windowed base does NOT depend on
+    the threshold, so the per-customer RANGE frames — the only heavy
+    pass — run ONCE; the sweep is an integer explode + one rollup on
+    <= |rates| cells (the pack_budget_sweep posture).
+
+    Looser multipliers can only ADD flags (for fixed n_1h/n_24h,
+    rate*n_1h >= n_24h relaxes as rate grows) — monotonicity
+    test-pinned alongside the two-SF oracle compare."""
+    base = _velocity_windowed(spark, sf_dir).filter(
+        F.col("n_24h") >= VEL_MIN_DAY
+    )
+    sw = base.select(
+        "customerid",
+        "n_1h",
+        "n_24h",
+        "spent_1h_cents",
+        F.explode(
+            F.array(*[F.lit(r) for r in VEL_SWEEP_RATES])
+        ).alias("rate_num"),
+    ).filter(F.col("rate_num") * F.col("n_1h") >= F.col("n_24h"))
+    return sw.groupBy("rate_num").agg(
+        F.count(F.lit(1)).cast("long").alias("n_flags"),
+        F.count_distinct("customerid").cast("long").alias("n_customers"),
+        F.sum("spent_1h_cents").cast("long").alias("flagged_spent_cents"),
+    ).select(
+        F.col("rate_num").cast("int").alias("rate_num"),
+        "n_flags",
+        "n_customers",
+        "flagged_spent_cents",
+    )
+
+
+VELOCITY_RATE_SWEEP_ORACLE = f"""WITH {TXNS_CTE},
+b AS (
+  SELECT trans_id, customerid,
+         CAST(epoch_ms(createdat) // 1000 AS BIGINT) AS es,
+         {DELTA_CENTS_SQL} AS dc
+  FROM txns),
+wnd AS (
+  SELECT trans_id, customerid,
+         CAST(COUNT(*) OVER w1 AS BIGINT) AS n_1h,
+         CAST(SUM(CASE WHEN dc < 0 THEN -dc ELSE 0 END) OVER w1
+              AS BIGINT) AS spent_1h_cents,
+         CAST(COUNT(*) OVER wd AS BIGINT) AS n_24h
+  FROM b
+  WINDOW w1 AS (PARTITION BY customerid ORDER BY es
+                RANGE BETWEEN {VEL_HOUR_S} PRECEDING AND CURRENT ROW),
+         wd AS (PARTITION BY customerid ORDER BY es
+                RANGE BETWEEN {VEL_DAY_S} PRECEDING AND CURRENT ROW)),
+sp AS (SELECT unnest({list(VEL_SWEEP_RATES)}) AS rate_num)
+SELECT CAST(sp.rate_num AS INT) AS rate_num,
+       CAST(COUNT(*) AS BIGINT) AS n_flags,
+       CAST(COUNT(DISTINCT customerid) AS BIGINT) AS n_customers,
+       CAST(SUM(spent_1h_cents) AS BIGINT) AS flagged_spent_cents
+FROM wnd, sp
+WHERE sp.rate_num * n_1h >= n_24h AND n_24h >= {VEL_MIN_DAY}
+GROUP BY sp.rate_num"""

@@ -50,6 +50,10 @@ def _catalog():
         MINHASH_BAND_SWEEP_ORACLE,
         dedup_minhash_band_sweep,
     )
+    from thrivefinancedatapipeline_spark.plans.finance_queries import (
+        VELOCITY_RATE_SWEEP_ORACLE,
+        velocity_rate_sweep,
+    )
     from thrivefinancedatapipeline_spark.operators.packing import (
         PACK_BUDGET_SWEEP_ORACLE,
         pack_budget_sweep,
@@ -74,6 +78,9 @@ def _catalog():
         ),
         "pack_budget_sweep": (
             pack_budget_sweep, PACK_BUDGET_SWEEP_ORACLE,
+        ),
+        "velocity_rate_sweep": (
+            velocity_rate_sweep, VELOCITY_RATE_SWEEP_ORACLE,
         ),
     }
 
