@@ -270,10 +270,11 @@ def test_rle8_error_surface_and_gates():
     neg[22:26] = struct.pack("<i", -4)
     with pytest.raises(ValueError):
         bmp.decode_bmp(bytes(neg))
-    # BI_BITFIELDS stays gated (RLE4 decodes for real since r10)
+    # BI_BITFIELDS decodes for real since r11 — claiming it on an
+    # 8-bpp stream is CORRUPT (the spec ties it to 16/32 bpp)
     bf = bytearray(good)
     bf[30:34] = struct.pack("<I", 3)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         bmp.decode_bmp(bytes(bf))
 
 
@@ -373,10 +374,11 @@ def test_rle4_error_surface_and_remaining_gates():
     struct.pack_into("<I", bad, 30, 2)
     with pytest.raises(ValueError):
         bmp.decode_bmp(bytes(bad))
-    # BI_BITFIELDS stays gated
+    # BI_BITFIELDS decodes for real since r11 — on a 4-bpp stream
+    # the claim is corrupt (the spec ties it to 16/32 bpp)
     bf4 = bytearray(good)
     struct.pack_into("<I", bf4, 30, 3)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         bmp.decode_bmp(bytes(bf4))
 
 
@@ -469,3 +471,120 @@ def test_bmp1_roundtrip_and_errors():
         bmp.encode_bmp_1bit(b"\x02" * (w * h), w, h)
     with pytest.raises(ValueError):
         bmp.decode_bmp(bmp.encode_bmp_1bit(bits, w, h)[:-2])
+
+
+# -------------------------------------------------------- BITFIELDS
+
+
+def test_bitfields_565_roundtrip_and_projection():
+    w, h = 7, 4
+    # replicated 5/6/5 channel values round-trip EXACTLY
+    rep = bytearray()
+    for i, b in enumerate(_pix(w * h * 3, "bf565")):
+        q = b >> 3 if i % 3 != 1 else b >> 2
+        rep.append(
+            ((q << 3) | (q >> 2)) if i % 3 != 1 else ((q << 2) | (q >> 4))
+        )
+    rep = bytes(rep)
+    d = bmp.decode_bmp(bmp.encode_bmp_bitfields(rep, w, h))
+    assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+    assert d["pixels"] == rep
+    # arbitrary input: encode+decode is an idempotent projection
+    px = _pix(w * h * 3)
+    once = bmp.decode_bmp(bmp.encode_bmp_bitfields(px, w, h))["pixels"]
+    twice = bmp.decode_bmp(bmp.encode_bmp_bitfields(once, w, h))["pixels"]
+    assert twice == once
+
+
+def test_bitfields_555_equals_bi_rgb16_and_standard32_equals_bgrx():
+    """BITFIELDS with the 555 masks and BI_RGB 16-bpp are the SAME
+    samples re-represented — decodes must be byte-identical (the
+    reorder-only rule); likewise 32-bpp BITFIELDS with the standard
+    BGRX masks vs BI_RGB 32-bpp."""
+    w, h = 6, 5
+    px = _pix(w * h * 3, "bf555")
+    a = bmp.decode_bmp(
+        bmp.encode_bmp_bitfields(px, w, h, masks=(0x7C00, 0x03E0, 0x001F))
+    )
+    b = bmp.decode_bmp(bmp.encode_bmp(px, w, h, bpp=16))
+    assert a == b
+    a32 = bmp.decode_bmp(
+        bmp.encode_bmp_bitfields(
+            px, w, h, masks=(0xFF0000, 0x00FF00, 0x0000FF), bpp=32
+        )
+    )
+    b32 = bmp.decode_bmp(bmp.encode_bmp(px, w, h, bpp=32))
+    assert a32 == b32
+
+
+def test_bitfields_exotic_masks():
+    w, h = 5, 3
+    px = _pix(w * h * 3, "bfx")
+    # 4:4:4 in 16 bpp: exact on 4-bit-replicated values
+    rep = bytes(((b >> 4) << 4) | (b >> 4) for b in px)
+    d = bmp.decode_bmp(
+        bmp.encode_bmp_bitfields(rep, w, h, masks=(0x0F00, 0x00F0, 0x000F))
+    )
+    assert d["pixels"] == rep
+    # 10:10:10 in 32 bpp: channel wider than 8 bits is EXACT on all
+    # byte values (quantize pads low bits, replicate drops them)
+    d10 = bmp.decode_bmp(
+        bmp.encode_bmp_bitfields(
+            px, w, h,
+            masks=(0x3FF00000, 0x000FFC00, 0x000003FF), bpp=32,
+        )
+    )
+    assert d10["pixels"] == px
+    # a 1-bit channel replicates to 0x00 / 0xFF
+    d1 = bmp.decode_bmp(
+        bmp.encode_bmp_bitfields(px, w, h, masks=(0x8000, 0x7FE0, 0x001F))
+    )
+    assert all(v in (0, 255) for v in d1["pixels"][0::3])
+
+
+def test_bitfields_v4_header_masks_read_from_same_offset():
+    """A V4-header writer embeds the masks at header-relative offset
+    40 — the same FILE offset a BITMAPINFOHEADER writer puts the
+    appended mask table, so one decode path serves both (pinned by
+    rewriting the same stream to a 108-byte header)."""
+    w, h = 4, 3
+    px = _pix(w * h * 3, "bfv4")
+    small = bmp.encode_bmp_bitfields(px, w, h)
+    want = bmp.decode_bmp(small)
+    raster = small[14 + 40 + 12 :]
+    masks = small[14 + 40 : 14 + 40 + 12]
+    pix_off = 14 + 108
+    header = struct.pack(
+        "<2sIHHI", b"BM", pix_off + len(raster), 0, 0, pix_off
+    )
+    info = struct.pack(
+        "<IiiHHIIiiII", 108, w, h, 1, 16, 3, len(raster), 2835, 2835, 0, 0
+    )
+    v4 = header + info + masks + b"\x00" * (108 - 40 - 12) + raster
+    assert bmp.decode_bmp(v4) == want
+
+
+def test_bitfields_error_surfaces():
+    w, h = 4, 3
+    px = _pix(w * h * 3, "bfe")
+    good = bmp.encode_bmp_bitfields(px, w, h)
+    for masks in (
+        (0, 0x07E0, 0x001F),  # zero mask
+        (0xF800, 0xFC00, 0x001F),  # overlapping
+        (0xA800, 0x07E0, 0x001F),  # non-contiguous
+        (0x1F800, 0x07E0, 0x001F),  # wider than the pixel word
+    ):
+        with pytest.raises(ValueError):
+            bmp.encode_bmp_bitfields(px, w, h, masks=masks)
+        bad = bytearray(good)
+        bad[14 + 40 : 14 + 40 + 12] = struct.pack("<III", *masks)
+        with pytest.raises(ValueError):
+            bmp.decode_bmp(bytes(bad))
+    with pytest.raises(ValueError):  # BITFIELDS ties to 16/32 bpp
+        bmp.encode_bmp_bitfields(px, w, h, bpp=24)
+    deep = bytearray(good)
+    struct.pack_into("<H", deep, 28, 24)
+    with pytest.raises(ValueError):
+        bmp.decode_bmp(bytes(deep))
+    with pytest.raises(ValueError):  # mask table cut off
+        bmp.decode_bmp(good[: 14 + 40 + 7])

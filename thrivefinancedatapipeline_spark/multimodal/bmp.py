@@ -32,8 +32,25 @@ Uncompressed 4-bpp and 1-bpp paletted rasters (r10): plain
 nibble/bit unpacking, MSB-first, 4-byte row padding — raw 4-bpp and
 RLE4 of one image decode identically (reorder-only rule).
 
-BI_BITFIELDS beyond BGRX and 2-bit depth keep an explicit
-NotImplementedError gate; corrupt streams raise ValueError.
+BI_BITFIELDS (compression=3, r11): arbitrary per-channel masks over
+16-bpp and 32-bpp words — the form real 565 screenshots and
+alpha-capable 32-bpp writers produce. Masks live at file offset
+14+40 whether the writer used BITMAPINFOHEADER (masks follow the
+header) or a V2+/V4/V5 header (masks are IN the header at relative
+offset 40) — one read serves both. Each mask must be nonzero,
+contiguous, disjoint from the others, and inside the pixel word;
+channels decode by mask+shift then MSB-first bit replication to 8
+bits (the GDI convention the 555 path already uses — in fact the
+555/BGR/BGRX fixed layouts now decode through the same mask
+machinery, so "BI_RGB 16-bpp" and "BITFIELDS with 555 masks" of one
+image are byte-for-byte the same decode path). An alpha mask (V4) is
+accepted and ignored: decode returns RGB. Encode via
+`encode_bmp_bitfields` (565 by default) quantizes v >> (8 - width),
+so decode∘encode is an idempotent projection, exact on
+replicated values — both pinned.
+
+2-bit depth keeps an explicit NotImplementedError gate; corrupt
+streams raise ValueError.
 """
 
 from __future__ import annotations
@@ -47,6 +64,33 @@ def is_bmp(data: bytes) -> bool:
 
 def _row_stride(width: int, bpp: int) -> int:
     return ((width * bpp + 31) // 32) * 4
+
+
+def _mask_layout(mask: int, bpp: int) -> tuple[int, int]:
+    """(shift, width) of a contiguous channel mask, validated."""
+    if mask == 0:
+        raise ValueError("zero BITFIELDS channel mask")
+    if mask >= (1 << bpp):
+        raise ValueError("BITFIELDS mask wider than the pixel word")
+    shift = (mask & -mask).bit_length() - 1
+    body = mask >> shift
+    if body & (body + 1):
+        raise ValueError("non-contiguous BITFIELDS mask")
+    return shift, body.bit_length()
+
+
+def _replicate(v: int, width: int) -> int:
+    """MSB-first bit replication of a width-bit value to 8 bits (the
+    GDI convention: 5-bit v -> (v << 3) | (v >> 2))."""
+    if width >= 8:
+        return v >> (width - 8)
+    out = 0
+    filled = 0
+    while filled < 8:
+        take = min(width, 8 - filled)
+        out = (out << take) | (v >> (width - take))
+        filled += take
+    return out
 
 
 def decode_bmp(data: bytes) -> dict:
@@ -67,12 +111,14 @@ def decode_bmp(data: bytes) -> dict:
     clr_used = struct.unpack_from("<I", data, 46)[0]
     if planes != 1:
         raise ValueError("bad BMP planes")
-    if compression not in (0, 1, 2):
+    if compression not in (0, 1, 2, 3):
         raise NotImplementedError(f"unsupported BMP compression {compression}")
     if compression == 1 and bpp != 8:
         raise ValueError("BI_RLE8 requires 8 bpp")
     if compression == 2 and bpp != 4:
         raise ValueError("BI_RLE4 requires 4 bpp")
+    if compression == 3 and bpp not in (16, 32):
+        raise ValueError("BI_BITFIELDS requires 16 or 32 bpp")
     if bpp not in (1, 4, 8, 16, 24, 32):
         raise NotImplementedError(f"unsupported BMP depth {bpp}")
     if w <= 0 or h_raw == 0:
@@ -101,6 +147,28 @@ def decode_bmp(data: bytes) -> dict:
         return {
             "width": w, "height": h, "channels": 3, "pixels": bytes(out),
         }
+    layouts = None
+    if bpp in (16, 32):
+        if compression == 3:
+            # masks sit at file offset 14+40 for EVERY header size:
+            # BITMAPINFOHEADER writers append them after the header,
+            # V2+/V4/V5 writers embed them at relative offset 40
+            if len(data) < 14 + 40 + 12:
+                raise ValueError("truncated BITFIELDS mask table")
+            masks = struct.unpack_from("<III", data, 14 + 40)
+        else:
+            # the fixed BI_RGB layouts ARE mask layouts: X1R5G5B5
+            # words and BGRX dwords decode through the same machinery
+            masks = (
+                (0x7C00, 0x03E0, 0x001F)
+                if bpp == 16
+                else (0xFF0000, 0x00FF00, 0x0000FF)
+            )
+        layouts = [_mask_layout(m, bpp) for m in masks]
+        if (masks[0] & masks[1]) | (masks[0] & masks[2]) | (
+            masks[1] & masks[2]
+        ):
+            raise ValueError("overlapping BITFIELDS masks")
     stride = _row_stride(w, bpp)
     if len(data) < pix_off + stride * h:
         raise ValueError("truncated BMP raster")
@@ -130,15 +198,9 @@ def decode_bmp(data: bytes) -> dict:
         elif bpp == 16:
             for x in range(w):
                 word = struct.unpack_from("<H", data, base + 2 * x)[0]
-                r5 = (word >> 10) & 31
-                g5 = (word >> 5) & 31
-                b5 = word & 31
                 out.extend(
-                    (
-                        (r5 << 3) | (r5 >> 2),
-                        (g5 << 3) | (g5 >> 2),
-                        (b5 << 3) | (b5 >> 2),
-                    )
+                    _replicate((word >> sh) & ((1 << wd) - 1), wd)
+                    for sh, wd in layouts
                 )
         elif bpp == 24:
             for x in range(w):
@@ -146,8 +208,11 @@ def decode_bmp(data: bytes) -> dict:
                 out.extend((rr, g, b))
         else:
             for x in range(w):
-                b, g, rr = data[base + 4 * x : base + 4 * x + 3]
-                out.extend((rr, g, b))
+                word = struct.unpack_from("<I", data, base + 4 * x)[0]
+                out.extend(
+                    _replicate((word >> sh) & ((1 << wd) - 1), wd)
+                    for sh, wd in layouts
+                )
     return {"width": w, "height": h, "channels": 3, "pixels": bytes(out)}
 
 
@@ -259,6 +324,54 @@ def encode_bmp(
         2835, 2835, 0, 0,
     )
     return header + info + bytes(raster)
+
+
+def encode_bmp_bitfields(
+    pixels: bytes,
+    width: int,
+    height: int,
+    masks: tuple[int, int, int] = (0xF800, 0x07E0, 0x001F),
+    bpp: int = 16,
+) -> bytes:
+    """Encode TOP-DOWN RGB pixels as a BI_BITFIELDS BMP under
+    arbitrary contiguous per-channel masks — R5G6B5 by default, the
+    layout real 16-bpp screenshots actually use. Each channel is
+    quantized v >> (8 - mask_width); decode bit-replicates back, so
+    the round trip is an idempotent projection, exact on replicated
+    values (pinned). Masks are validated exactly as the decoder
+    validates them (nonzero, contiguous, disjoint, inside the pixel
+    word) — encoder and decoder can never disagree on legality."""
+    if bpp not in (16, 32):
+        raise ValueError("BI_BITFIELDS supports 16 or 32 bpp")
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixel count does not match dimensions")
+    layouts = [_mask_layout(m, bpp) for m in masks]
+    if (masks[0] & masks[1]) | (masks[0] & masks[2]) | (
+        masks[1] & masks[2]
+    ):
+        raise ValueError("overlapping BITFIELDS masks")
+    stride = _row_stride(width, bpp)
+    word_fmt = "<H" if bpp == 16 else "<I"
+    raster = bytearray()
+    for r in range(height - 1, -1, -1):
+        row = bytearray()
+        for x in range(width):
+            i = (r * width + x) * 3
+            word = 0
+            for (sh, wd), v in zip(layouts, pixels[i : i + 3]):
+                word |= (v >> (8 - wd) if wd <= 8 else v << (wd - 8)) << sh
+            row.extend(struct.pack(word_fmt, word))
+        row.extend(b"\x00" * (stride - len(row)))
+        raster.extend(row)
+    pix_off = 14 + 40 + 12
+    header = struct.pack(
+        "<2sIHHI", b"BM", pix_off + len(raster), 0, 0, pix_off
+    )
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, bpp, 3, len(raster),
+        2835, 2835, 0, 0,
+    )
+    return header + info + struct.pack("<III", *masks) + bytes(raster)
 
 
 def _rle8_row(row: bytes) -> bytes:
