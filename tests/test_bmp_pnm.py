@@ -68,8 +68,10 @@ def test_pnm_error_surface_and_gates():
     with pytest.raises(ValueError):
         # ascii sample above maxval
         pnm.decode_pnm(b"P2\n2 1\n10\n5 11\n")
-    with pytest.raises(NotImplementedError):
-        pnm.decode_pnm(b"P7\nWIDTH 4\n")  # PAM stays gated
+    with pytest.raises(ValueError):
+        # PAM decodes for real since r11 — a header cut off before
+        # ENDHDR is CORRUPT, not a gate
+        pnm.decode_pnm(b"P7\nWIDTH 4\n")
     with pytest.raises(ValueError):
         pnm.encode_pnm(px, 5, 3, channels=1)  # wrong pixel count
 
@@ -111,7 +113,9 @@ def test_bmp_error_surface_and_gates():
     with pytest.raises(ValueError):
         bmp.decode_bmp(bytes(rle))
     deep = bytearray(good)
-    struct.pack_into("<H", deep, 28, 2)  # 2 bpp stays gated
+    # 2 bpp decodes for real since r11; 64 bpp (GDI+ half-float
+    # form) keeps the depth gate
+    struct.pack_into("<H", deep, 28, 64)
     with pytest.raises(NotImplementedError):
         bmp.decode_bmp(bytes(deep))
     with pytest.raises(ValueError):
@@ -588,3 +592,105 @@ def test_bitfields_error_surfaces():
         bmp.decode_bmp(bytes(deep))
     with pytest.raises(ValueError):  # mask table cut off
         bmp.decode_bmp(good[: 14 + 40 + 7])
+
+
+# -- 2-bpp quarter-byte rasters (r11: the Windows CE gate closed) -------
+
+
+def test_bmp2_roundtrip_and_4bpp_twin():
+    w, h = 9, 4  # 9 px -> 3 bytes of 2-bit indices + stride pad
+    idx = bytes(b & 3 for b in _pix(w * h, "b2"))
+    d = bmp.decode_bmp(bmp.encode_bmp_palette2(idx, w, h))
+    assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+    # identity 4-gray palette: v*85 as R=G=B
+    assert d["pixels"] == bytes(v for i in idx for v in (i * 85,) * 3)
+    # the same indices as a 4-bpp raster under a palette matching at
+    # the shared entries decode pixel-EQUAL (reorder-only rule);
+    # build the 4-bpp twin by scaling indices into the 17-gray curve
+    idx17 = bytes(i * 5 for i in idx)  # 0,5,10,15 -> 17*{0,5,10,15}
+    d4 = bmp.decode_bmp(bmp.encode_bmp_palette4(idx17, w, h))
+    assert d4["pixels"] == d["pixels"]
+
+
+def test_bmp2_error_surface():
+    w, h = 4, 3
+    idx = bytes(b & 3 for b in _pix(w * h, "b2e"))
+    with pytest.raises(ValueError):
+        bmp.encode_bmp_palette2(b"\x04" * (w * h), w, h)  # index > 3
+    good = bmp.encode_bmp_palette2(idx, w, h)
+    with pytest.raises(ValueError):
+        bmp.decode_bmp(good[:-3])  # truncated raster
+    with pytest.raises(ValueError):
+        bmp.decode_bmp(good[: 14 + 40 + 5])  # truncated palette
+    # an index past a SHORTENED color table is corrupt
+    bad = bytearray(good)
+    struct.pack_into("<I", bad, 46, 1)  # biClrUsed = 1
+    if any(idx):
+        with pytest.raises(ValueError):
+            bmp.decode_bmp(bytes(bad))
+
+
+# -- PAM P7 (r11: the last netpbm gate closed) --------------------------
+
+
+def test_pam_roundtrip_all_depths_and_pnm_parity():
+    w, h = 5, 4
+    for depth in (1, 2, 3, 4):
+        px = _pix(w * h * depth, f"pam{depth}")
+        d = pnm.decode_pnm(pnm.encode_pam(px, w, h, depth=depth))
+        assert (d["width"], d["height"], d["channels"]) == (w, h, depth)
+        assert d["pixels"] == px
+        assert d["tupltype"] == {
+            1: "GRAYSCALE", 2: "GRAYSCALE_ALPHA",
+            3: "RGB", 4: "RGB_ALPHA",
+        }[depth]
+    # a PAM GRAYSCALE / RGB raster holds the SAME samples as P5 / P6:
+    # decode parity is pixel-EXACT (the re-container rule)
+    for depth, ch in ((1, 1), (3, 3)):
+        px = _pix(w * h * depth, f"pamp{depth}")
+        a = pnm.decode_pnm(pnm.encode_pam(px, w, h, depth=depth))
+        b = pnm.decode_pnm(pnm.encode_pnm(px, w, h, channels=ch))
+        assert a["pixels"] == b["pixels"]
+
+
+def test_pam_16bit_comments_and_header_flexibility():
+    samples = [0, 1, 255, 256, 65535, 40000]
+    px = struct.pack(">6H", *samples)
+    d = pnm.decode_pnm(pnm.encode_pam(px, 3, 2, depth=1, maxval=65535))
+    assert d["maxval"] == 65535 and d["pixels"] == px
+    # field order is free, comment/blank lines are legal, and an
+    # unknown TUPLTYPE is allowed per spec
+    hdr = (b"P7\n# comment\nMAXVAL 255\n\nDEPTH 2\nHEIGHT 2\n"
+           b"WIDTH 2\nTUPLTYPE CUSTOM TYPE\nENDHDR\n")
+    raw = _pix(8, "pamflex")
+    d2 = pnm.decode_pnm(hdr + raw)
+    assert d2["channels"] == 2 and d2["pixels"] == raw
+    assert d2["tupltype"] == "CUSTOM TYPE"
+
+
+def test_pam_error_surface():
+    px = _pix(12, "pame")
+    good = pnm.encode_pam(px, 2, 2, depth=3)
+    with pytest.raises(ValueError):
+        pnm.decode_pnm(good[:-3])  # truncated raster
+    with pytest.raises(ValueError):
+        pnm.decode_pnm(b"P7\nWIDTH 2\nHEIGHT 2\nDEPTH 3\nMAXVAL 255\n")
+    with pytest.raises(ValueError):  # missing field
+        pnm.decode_pnm(b"P7\nWIDTH 2\nHEIGHT 2\nMAXVAL 255\nENDHDR\n")
+    with pytest.raises(ValueError):  # duplicate field
+        pnm.decode_pnm(
+            b"P7\nWIDTH 2\nWIDTH 2\nHEIGHT 1\nDEPTH 1\nMAXVAL 255\n"
+            b"ENDHDR\n" + px[:2]
+        )
+    with pytest.raises(ValueError):  # tupltype contradicts depth
+        pnm.decode_pnm(
+            b"P7\nWIDTH 2\nHEIGHT 1\nDEPTH 3\nMAXVAL 255\n"
+            b"TUPLTYPE GRAYSCALE\nENDHDR\n" + px[:6]
+        )
+    with pytest.raises(ValueError):  # unknown header keyword
+        pnm.decode_pnm(
+            b"P7\nWIDTH 2\nHEIGHT 1\nDEPTH 1\nMAXVAL 255\nBOGUS 1\n"
+            b"ENDHDR\n" + px[:2]
+        )
+    with pytest.raises(ValueError):
+        pnm.encode_pam(px, 5, 2, depth=3)  # wrong pixel count

@@ -49,8 +49,11 @@ accepted and ignored: decode returns RGB. Encode via
 so decode∘encode is an idempotent projection, exact on
 replicated values — both pinned.
 
-2-bit depth keeps an explicit NotImplementedError gate; corrupt
-streams raise ValueError.
+2-bpp quarter-byte rasters (the Windows CE form, r11) unpack four
+MSB-first 2-bit indices per byte — raw-2bpp of the same indices as
+a 4-bpp raster decodes pixel-EQUAL under matching palettes (pinned).
+Corrupt streams raise ValueError; unknown depths/compressions keep
+NotImplementedError.
 """
 
 from __future__ import annotations
@@ -119,7 +122,7 @@ def decode_bmp(data: bytes) -> dict:
         raise ValueError("BI_RLE4 requires 4 bpp")
     if compression == 3 and bpp not in (16, 32):
         raise ValueError("BI_BITFIELDS requires 16 or 32 bpp")
-    if bpp not in (1, 4, 8, 16, 24, 32):
+    if bpp not in (1, 2, 4, 8, 16, 24, 32):
         raise NotImplementedError(f"unsupported BMP depth {bpp}")
     if w <= 0 or h_raw == 0:
         raise ValueError("bad BMP dimensions")
@@ -128,7 +131,7 @@ def decode_bmp(data: bytes) -> dict:
     if compression in (1, 2) and top_down:
         raise ValueError("RLE BMP must be bottom-up")
     palette = []
-    if bpp in (1, 4, 8):
+    if bpp in (1, 2, 4, 8):
         n_colors = clr_used or (1 << bpp)
         pal_off = 14 + hdr_size
         if len(data) < pal_off + 4 * n_colors:
@@ -186,6 +189,14 @@ def decode_bmp(data: bytes) -> dict:
             for x in range(w):
                 b = data[base + (x >> 1)]
                 idx = b >> 4 if x % 2 == 0 else b & 0x0F
+                if idx >= len(palette):
+                    raise ValueError("BMP palette index out of range")
+                out.extend(palette[idx])
+        elif bpp == 2:
+            # the Windows CE quarter-byte form: four MSB-first 2-bit
+            # indices per byte
+            for x in range(w):
+                idx = (data[base + (x >> 2)] >> (6 - 2 * (x & 3))) & 3
                 if idx >= len(palette):
                     raise ValueError("BMP palette index out of range")
                 out.extend(palette[idx])
@@ -563,6 +574,36 @@ def encode_bmp_palette4(pixels: bytes, width: int, height: int) -> bytes:
     info = struct.pack(
         "<IiiHHIIiiII", 40, width, height, 1, 4, 0, len(raster),
         2835, 2835, 16, 0,
+    )
+    return header + info + bytes(pal) + bytes(raster)
+
+
+def encode_bmp_palette2(pixels: bytes, width: int, height: int) -> bytes:
+    """Uncompressed 2-bpp BMP from 0..3 indices (identity 4-gray
+    palette v*85 — matching encode_bmp_palette4's tone curve at the
+    shared indices so the raw-4bpp twin decodes pixel-EQUAL)."""
+    if len(pixels) != width * height:
+        raise ValueError("pixel count does not match dimensions")
+    if any(p > 3 for p in pixels):
+        raise ValueError("2-bpp indices must be 0..3")
+    stride = _row_stride(width, 2)
+    raster = bytearray()
+    for r in range(height - 1, -1, -1):
+        row = bytearray(stride)
+        for x in range(width):
+            row[x >> 2] |= pixels[r * width + x] << (6 - 2 * (x & 3))
+        raster.extend(row)
+    pal = bytearray()
+    for v in range(4):
+        g = v * 85
+        pal.extend((g, g, g, 0))
+    pix_off = 14 + 40 + len(pal)
+    header = struct.pack(
+        "<2sIHHI", b"BM", pix_off + len(raster), 0, 0, pix_off
+    )
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 2, 0, len(raster),
+        2835, 2835, 4, 0,
     )
     return header + info + bytes(pal) + bytes(raster)
 

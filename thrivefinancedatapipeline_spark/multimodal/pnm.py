@@ -20,8 +20,16 @@ the PBM ink convention (1 = black = 0, 0 = white = 255), so the
 ascii and packed forms of one bitmap are again a pure bit
 re-representation — decode(P1) == decode(P4) pinned pixel-EXACT.
 
-The PAM 'P7' extension keeps an explicit NotImplementedError gate;
-corrupt streams raise ValueError.
+PAM 'P7' (r11) decodes for real: the line-based keyword header
+(WIDTH/HEIGHT/DEPTH/MAXVAL each exactly once, optional TUPLTYPE
+lines concatenated, '#' comment lines, ENDHDR terminator) followed
+by a binary raster of DEPTH samples per pixel (2-byte big-endian
+when MAXVAL > 255). The known tuple types pin their depth
+(GRAYSCALE 1, GRAYSCALE_ALPHA 2, RGB 3, RGB_ALPHA 4,
+BLACKANDWHITE 1 with maxval 1); unknown types are legal per spec.
+A PAM GRAYSCALE / RGB raster holds the SAME samples as the P5 / P6
+container — decode parity pinned pixel-EXACT (the re-container
+rule). Corrupt streams raise ValueError.
 """
 
 from __future__ import annotations
@@ -67,7 +75,7 @@ def decode_pnm(data: bytes) -> dict:
     pixels as raw sample bytes in row-major order (2-byte BIG-endian
     per sample when maxval > 255 — the PNG 16-bit convention)."""
     if data[:2] == b"P7":
-        raise NotImplementedError("PAM (P7) not supported")
+        return decode_pam(data)
     if not is_pnm(data):
         raise ValueError("not a PNM stream")
     magic = data[:2]
@@ -109,6 +117,121 @@ def decode_pnm(data: bytes) -> dict:
         "channels": ch,
         "pixels": pixels,
     }
+
+
+#: TUPLTYPE -> required depth (PAM spec section "TUPLTYPE"); the
+#: BLACKANDWHITE type additionally pins maxval 1
+_PAM_DEPTHS = {
+    b"BLACKANDWHITE": 1,
+    b"GRAYSCALE": 1,
+    b"GRAYSCALE_ALPHA": 2,
+    b"RGB": 3,
+    b"RGB_ALPHA": 4,
+}
+
+
+def decode_pam(data: bytes) -> dict:
+    """PAM (P7) → the decode_pnm dict shape plus 'tupltype':
+    channels == DEPTH, pixels as raw row-major samples (2-byte
+    big-endian when MAXVAL > 255)."""
+    if data[:2] != b"P7":
+        raise ValueError("not a PAM stream")
+    fields: dict[bytes, int] = {}
+    tupltype: list[bytes] = []
+    pos = data.find(b"\n")
+    if pos < 0:
+        raise ValueError("truncated PAM header")
+    pos += 1
+    while True:
+        end = data.find(b"\n", pos)
+        if end < 0:
+            raise ValueError("PAM header missing ENDHDR")
+        line = data[pos:end].strip()
+        pos = end + 1
+        if not line or line.startswith(b"#"):
+            continue
+        if line == b"ENDHDR":
+            break
+        parts = line.split(None, 1)
+        key = parts[0]
+        if key == b"TUPLTYPE":
+            if len(parts) == 2:
+                tupltype.append(parts[1])
+            continue
+        if key not in (b"WIDTH", b"HEIGHT", b"DEPTH", b"MAXVAL"):
+            raise ValueError(f"unknown PAM header field {key!r}")
+        if key in fields:
+            raise ValueError(f"duplicate PAM header field {key!r}")
+        if len(parts) != 2 or not parts[1].isdigit():
+            raise ValueError(f"bad PAM header value for {key!r}")
+        fields[key] = int(parts[1])
+    missing = {b"WIDTH", b"HEIGHT", b"DEPTH", b"MAXVAL"} - set(fields)
+    if missing:
+        raise ValueError(f"PAM header missing {sorted(missing)}")
+    w, h = fields[b"WIDTH"], fields[b"HEIGHT"]
+    depth, maxval = fields[b"DEPTH"], fields[b"MAXVAL"]
+    if w <= 0 or h <= 0 or depth <= 0 or not (0 < maxval < 65536):
+        raise ValueError("bad PAM dimensions/depth/maxval")
+    tt = b" ".join(tupltype)
+    want = _PAM_DEPTHS.get(tt)
+    if want is not None and depth != want:
+        raise ValueError(f"PAM depth {depth} contradicts TUPLTYPE {tt!r}")
+    if tt == b"BLACKANDWHITE" and maxval != 1:
+        raise ValueError("BLACKANDWHITE PAM requires maxval 1")
+    n_samples = w * h * depth
+    wide = maxval > 255
+    need = n_samples * (2 if wide else 1)
+    raster = data[pos : pos + need]
+    if len(raster) < need:
+        raise ValueError("truncated PAM raster")
+    samples = (
+        list(struct.unpack(f">{n_samples}H", raster))
+        if wide
+        else list(raster)
+    )
+    if any(v > maxval for v in samples):
+        raise ValueError("PAM sample exceeds maxval")
+    return {
+        "width": w,
+        "height": h,
+        "maxval": maxval,
+        "channels": depth,
+        "tupltype": tt.decode("ascii", "replace"),
+        "pixels": bytes(raster[:need]),
+    }
+
+
+def encode_pam(
+    pixels: bytes,
+    width: int,
+    height: int,
+    depth: int = 3,
+    maxval: int = 255,
+    tupltype: str | None = None,
+) -> bytes:
+    """Encode raw samples as PAM (P7). tupltype defaults to the
+    standard name for the depth when one exists."""
+    samples = _samples(pixels, maxval)
+    if len(samples) != width * height * depth:
+        raise ValueError("pixel count does not match dimensions")
+    if any(v > maxval for v in samples):
+        raise ValueError("sample exceeds maxval")
+    if tupltype is None:
+        std = {1: "GRAYSCALE", 2: "GRAYSCALE_ALPHA", 3: "RGB",
+               4: "RGB_ALPHA"}
+        tupltype = std.get(depth, "")
+    hdr = (
+        f"P7\nWIDTH {width}\nHEIGHT {height}\nDEPTH {depth}\n"
+        f"MAXVAL {maxval}\n"
+    )
+    if tupltype:
+        hdr += f"TUPLTYPE {tupltype}\n"
+    hdr += "ENDHDR\n"
+    if maxval > 255:
+        raster = struct.pack(f">{len(samples)}H", *samples)
+    else:
+        raster = bytes(samples)
+    return hdr.encode() + raster
 
 
 def _samples(pixels: bytes, maxval: int) -> list[int]:
