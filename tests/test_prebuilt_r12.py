@@ -212,3 +212,25 @@ def test_velocity_rate_sweep_vs_duckdb_and_monotonicity(spark, sf_dir):
         # screen's flag count (screen and sweep can never disagree)
         flags = _duck(d, VELOCITY_ORACLE, tables=("events",))
         assert by_rate[VEL_RATE_NUM][1] == len(flags)
+
+
+def test_codec_attest4_vs_duckdb_and_arrangements(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.multimodal.binary_ops import (
+        CODEC_ATTEST4_ORACLE,
+        q_multimodal_codec_attest4,
+    )
+
+    for d in _dirs(sf_dir):
+        got = sorted(
+            tuple(r)
+            for r in q_multimodal_codec_attest4(spark, d).collect()
+        )
+        want = sorted(tuple(r) for r in _duck(d, CODEC_ATTEST4_ORACLE))
+        assert got == want, f"codec_attest4 mismatch at {d}"
+        assert all(all(v > 0 for v in r[1:]) for r in got)
+        # no two columns may shadow each other corpus-wide (distinct
+        # arrangements is the design invariant)
+        cols = list(zip(*[r[1:] for r in got]))
+        for i in range(len(cols)):
+            for j in range(i + 1, len(cols)):
+                assert cols[i] != cols[j], f"columns {i},{j} identical"

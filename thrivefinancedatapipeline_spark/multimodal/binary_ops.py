@@ -1001,3 +1001,132 @@ c AS (
 SELECT p.doc_id, pal8_sum, pal4_sum, pal1_sum,
        CAST(body_sum + hot_sum AS BIGINT) AS cur_sum
 FROM p JOIN c ON c.doc_id = p.doc_id"""
+
+
+from . import tga as _tga  # noqa: E402
+
+ATTEST4_SCHEMA = (
+    "doc_id long, tgamono_sum long, tga16_sum long, tgacm_sum long,"
+    " bf565_sum long, bmp2_sum long, pam_sum long"
+)
+
+
+def q_multimodal_codec_attest4(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-ATTESTED round-trips for the r11 gate closures — the
+    attest discipline over TGA monochrome / 16-bpp / color-mapped,
+    BMP BITFIELDS-565, 2-bpp BMP, and PAM P7. Per document: 48
+    md5-derived ascii bytes (and the 16 hex-digit values for the
+    paletted paths), each codec under a DIFFERENT deterministic
+    arrangement so no column can shadow another (mono xor 0x11,
+    16-bpp the reversal through quantize+replicate, color-mapped the
+    digit palette, 565 xor 0x69 with per-channel 5/6/5 projection,
+    2-bpp the digit%4 gray ramp, PAM an 11-byte rotation). Encode,
+    DECODE with the real decoder, emit the position-weighted checksum
+    of the DECODED bytes; the DuckDB oracle computes all six sums
+    directly from md5(text) — any corruption in the new unpack paths
+    (gray RLE, A1R5G5B5 replication, color-map origin offsets,
+    BITFIELDS mask math, quarter-byte unpacking, PAM header/raster)
+    flips the value hash red."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def wsum(bs):
+            return sum((i + 1) * b for i, b in enumerate(bs))
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "tgamono_sum": [], "tga16_sum": [],
+                "tgacm_sum": [], "bf565_sum": [], "bmp2_sum": [],
+                "pam_sum": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                hx = hashlib.md5(text.encode("utf-8")).hexdigest()
+                vals = bytes(ord(c) for c in hx)
+                vals = vals + vals[:16]  # 48 bytes
+                ds = [int(c, 16) for c in hx[:16]]
+                mono = bytes(v ^ 0x11 for v in vals)
+                dm = _tga.decode_tga(
+                    _tga.encode_tga(mono, 8, 6, channels=1, rle=True)
+                )["pixels"]
+                d16 = _tga.decode_tga(
+                    _tga.encode_tga16(bytes(reversed(vals)), 4, 4,
+                                      rle=True)
+                )["pixels"]
+                pal = [(17 * d, 255 - 17 * d, (97 * d) % 256)
+                       for d in range(16)]
+                dcm = _tga.decode_tga(
+                    _tga.encode_tga_cmap(bytes(ds), 4, 4, pal, first=2)
+                )["pixels"]
+                dbf = bmp.decode_bmp(
+                    bmp.encode_bmp_bitfields(
+                        bytes(v ^ 0x69 for v in vals), 4, 4
+                    )
+                )["pixels"]
+                db2 = bmp.decode_bmp(
+                    bmp.encode_bmp_palette2(
+                        bytes(d % 4 for d in ds), 4, 4
+                    )
+                )["pixels"]
+                rot = vals[11:] + vals[:11]
+                dpm = pnm.decode_pnm(pnm.encode_pam(rot, 4, 4, depth=3))[
+                    "pixels"
+                ]
+                out["doc_id"].append(doc_id)
+                out["tgamono_sum"].append(wsum(dm))
+                out["tga16_sum"].append(wsum(d16))
+                out["tgacm_sum"].append(wsum(dcm))
+                out["bf565_sum"].append(wsum(dbf))
+                out["bmp2_sum"].append(wsum(db2))
+                out["pam_sum"].append(wsum(dpm))
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(run, schema=ATTEST4_SCHEMA)
+
+
+#: v_j (j in 1..48) = ascii(md5 hex char ((j-1) mod 32) + 1); d_i
+#: (i in 1..16) = VALUE of hex digit i. rep5(v) = (v//8)*8+(v//8)//4,
+#: rep6(v) = (v//4)*4+(v//4)//16 (MSB-first bit replication of the
+#: quantized channel). tgamono = xor 0x11 identity; tga16 = reversal
+#: (weight 49-j) through rep5 per byte; tgacm = digit palette
+#: (17d, 255-17d, 97d mod 256) flattened RGB; bf565 = xor 0x69 with
+#: rep5/rep6/rep5 by channel position (j mod 3 = 1 -> G only when
+#: j%3==2 in 1-based flat RGB: positions 3i-2,3i-1,3i are R,G,B);
+#: bmp2 = (d mod 4)*85 as R=G=B; pam = rotate-by-11 identity.
+CODEC_ATTEST4_ORACLE = """
+WITH a AS (
+  SELECT doc_id, j,
+         ascii(substring(md5(text),
+                         CAST(((j - 1) % 32) + 1 AS INT), 1)) AS v
+  FROM documents, (SELECT unnest(range(1, 49)) AS j) t),
+dd AS (
+  SELECT doc_id, i,
+         strpos('0123456789abcdef',
+                substring(md5(text), CAST(i AS INT), 1)) - 1 AS d
+  FROM documents, (SELECT unnest(range(1, 17)) AS i) t),
+b AS (
+  SELECT doc_id,
+         CAST(SUM(j * xor(v, 17)) AS BIGINT) AS tgamono_sum,
+         CAST(SUM((49 - j) *
+                ((v // 8) * 8 + (v // 8) // 4)) AS BIGINT) AS tga16_sum,
+         CAST(SUM(CASE WHEN j % 3 = 2
+                       THEN j * ((xor(v, 105) // 4) * 4
+                                 + (xor(v, 105) // 4) // 16)
+                       ELSE j * ((xor(v, 105) // 8) * 8
+                                 + (xor(v, 105) // 8) // 4)
+                  END) AS BIGINT) AS bf565_sum,
+         CAST(SUM((CASE WHEN j >= 12 THEN j - 11 ELSE j + 37 END) * v)
+              AS BIGINT) AS pam_sum
+  FROM a GROUP BY doc_id),
+p AS (
+  SELECT doc_id,
+         CAST(SUM((3*i - 2) * (17*d) + (3*i - 1) * (255 - 17*d)
+                + (3*i) * ((97*d) % 256)) AS BIGINT) AS tgacm_sum,
+         CAST(SUM((9*i - 3) * ((d % 4) * 85)) AS BIGINT) AS bmp2_sum
+  FROM dd GROUP BY doc_id)
+SELECT b.doc_id, tgamono_sum, tga16_sum, tgacm_sum, bf565_sum,
+       bmp2_sum, pam_sum
+FROM b JOIN p ON p.doc_id = b.doc_id"""

@@ -44,7 +44,9 @@ def _catalog():
     module dicts."""
     from thrivefinancedatapipeline_spark.multimodal.binary_ops import (
         CODEC_ATTEST3_ORACLE,
+        CODEC_ATTEST4_ORACLE,
         q_multimodal_codec_attest3,
+        q_multimodal_codec_attest4,
     )
     from thrivefinancedatapipeline_spark.operators.dedup import (
         MINHASH_BAND_SWEEP_ORACLE,
@@ -68,6 +70,9 @@ def _catalog():
     return {
         "multimodal_codec_attest3": (
             q_multimodal_codec_attest3, CODEC_ATTEST3_ORACLE,
+        ),
+        "multimodal_codec_attest4": (
+            q_multimodal_codec_attest4, CODEC_ATTEST4_ORACLE,
         ),
         "hybrid_probe_sweep": (
             hybrid_probe_sweep, HYBRID_PROBE_SWEEP_ORACLE,
