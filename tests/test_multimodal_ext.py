@@ -1211,3 +1211,31 @@ def test_png_color_key_trns_roundtrip():
     )
     with pytest.raises(ValueError):
         png.decode_png(bad)
+
+
+def test_wav_24_and_32_bit_pcm_roundtrip():
+    """r11 closes the wide-PCM gate: 24-bit (studio interchange) and
+    32-bit signed samples round-trip exactly across the full range,
+    and a 16-bit sample set widened by <<8 decodes to exactly the
+    widened values (the width relation, not a resample)."""
+    from thrivefinancedatapipeline_spark.multimodal import wav
+
+    v24 = [0, 1, -1, 8_388_607, -8_388_608, 123_456, -654_321]
+    d24 = wav.decode_wav(wav.encode_wav(v24, sampwidth=3))
+    assert d24["sampwidth"] == 3 and d24["samples"] == v24
+    v32 = [0, 1, -1, 2**31 - 1, -(2**31), 987_654_321]
+    d32 = wav.decode_wav(wav.encode_wav(v32, sampwidth=4))
+    assert d32["sampwidth"] == 4 and d32["samples"] == v32
+    s16 = [0, 1, -1, 32_767, -32_768, 777]
+    widened = wav.decode_wav(
+        wav.encode_wav([v << 8 for v in s16], sampwidth=3)
+    )
+    assert widened["samples"] == [v << 8 for v in s16]
+    # truncated wide rasters stay corrupt, exotic widths stay gated
+    import pytest as _pt
+
+    good = wav.encode_wav(v24, sampwidth=3)
+    with _pt.raises(ValueError):
+        wav.decode_wav(good[:-2])
+    with _pt.raises(NotImplementedError):
+        wav.encode_wav(v24, sampwidth=5)

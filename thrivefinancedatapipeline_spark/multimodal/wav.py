@@ -39,15 +39,27 @@ def is_wav(data: bytes) -> bool:
 def encode_wav(
     samples: list[int], sample_rate: int = 16_000, sampwidth: int = 2
 ) -> bytes:
-    """Valid mono PCM WAV from integer samples (16-bit signed)."""
-    if sampwidth != 2:
-        raise NotImplementedError("only 16-bit PCM encode supported")
+    """Valid mono PCM WAV from signed integer samples — 16-bit by
+    default; 24-bit (the studio/archival interchange width, r11) and
+    32-bit packed little-endian signed."""
+    if sampwidth == 2:
+        raw = struct.pack(f"<{len(samples)}h", *samples)
+    elif sampwidth == 3:
+        raw = b"".join(
+            v.to_bytes(3, "little", signed=True) for v in samples
+        )
+    elif sampwidth == 4:
+        raw = struct.pack(f"<{len(samples)}i", *samples)
+    else:
+        raise NotImplementedError(
+            f"sampwidth={sampwidth} PCM encode not supported"
+        )
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
         w.setsampwidth(sampwidth)
         w.setframerate(sample_rate)
-        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        w.writeframes(raw)
     return buf.getvalue()
 
 
@@ -87,6 +99,18 @@ def decode_wav(data: bytes) -> dict:
         if len(raw) < n:
             raise ValueError("WAV sample data truncated")
         samples = list(raw[:n])
+    elif sw == 3:
+        # 24-bit signed little-endian (r11)
+        if len(raw) < 3 * n:
+            raise ValueError("WAV sample data truncated")
+        samples = [
+            int.from_bytes(raw[3 * i : 3 * i + 3], "little", signed=True)
+            for i in range(n)
+        ]
+    elif sw == 4:
+        if len(raw) < 4 * n:
+            raise ValueError("WAV sample data truncated")
+        samples = list(struct.unpack(f"<{n}i", raw[: 4 * n]))
     else:
         raise NotImplementedError(f"sampwidth={sw} PCM not supported")
     return {
