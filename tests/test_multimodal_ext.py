@@ -1239,3 +1239,64 @@ def test_wav_24_and_32_bit_pcm_roundtrip():
         wav.decode_wav(good[:-2])
     with _pt.raises(NotImplementedError):
         wav.encode_wav(v24, sampwidth=5)
+
+
+def test_avi_dib_frames_decode_pixel_exact():
+    """r11: uncompressed-DIB AVI streams decode through the proven
+    BMP raster path — frames come back pixel-EXACT (unlike the lossy
+    MJPEG path), with an odd width to exercise stride padding."""
+    import hashlib
+
+    from thrivefinancedatapipeline_spark.multimodal import avi
+
+    def _p(n, seed):
+        out = bytearray()
+        i = 0
+        while len(out) < n:
+            out.extend(hashlib.md5(f"{seed}{i}".encode()).digest())
+            i += 1
+        return bytes(out[:n])
+
+    w, h = 7, 4
+    frames = [_p(w * h * 3, f"dib{k}") for k in range(4)]
+    data = avi.encode_avi_dib(frames, w, h, fps=5)
+    info = avi.avi_stream_info(data)
+    assert info["handler"] == b"DIB "
+    dec = avi.decode_avi_frames(data)
+    assert [d["pixels"] for d in dec] == frames
+    assert all((d["width"], d["height"]) == (w, h) for d in dec)
+    # the container layer stays byte-transparent: stored raster
+    # chunks survive verbatim (stride * h each)
+    chunks = avi.avi_frame_chunks(data)
+    assert len(chunks) == 4 and all(len(c) == 24 * h for c in chunks)
+    # max_frames slices the stream order
+    assert [d["pixels"] for d in avi.decode_avi_frames(data, 2)] \
+        == frames[:2]
+
+
+def test_avi_dib_error_surface_and_handler_gate():
+    import hashlib
+    import struct as _s
+
+    import pytest as _pt
+
+    from thrivefinancedatapipeline_spark.multimodal import avi
+
+    px = hashlib.md5(b"e").digest() * 3  # 48 bytes = 4x4 RGB
+    data = avi.encode_avi_dib([px], 4, 4)
+    with _pt.raises(ValueError):
+        avi.encode_avi_dib([px], 5, 4)  # dim mismatch
+    with _pt.raises(ValueError):
+        avi.encode_avi_dib([px], 4, 4, fps=0)
+    # an unknown video handler is a principled gate, not a crash
+    gated = bytearray(data)
+    pos = gated.find(b"vids") + 4
+    gated[pos : pos + 4] = b"XVID"
+    with _pt.raises(NotImplementedError):
+        avi.decode_avi_frames(bytes(gated))
+    # a truncated strf is corrupt
+    cut = bytearray(data)
+    pos = cut.find(b"strf")
+    _s.pack_into("<I", cut, pos + 4, 10)
+    with _pt.raises(ValueError):
+        avi.decode_avi_frames(bytes(cut))

@@ -148,10 +148,148 @@ def avi_frame_chunks(data: bytes, max_frames: int | None = None) -> list:
 
 
 def decode_avi_frames(data: bytes, max_frames: int | None = None) -> list:
-    """Decode an MJPEG AVI into a list of frame dicts
-    ({width, height, pixels}) via the stdlib baseline JPEG decoder."""
-    from . import jpeg
+    """Decode an AVI into a list of frame dicts ({width, height,
+    pixels, ...}): MJPG streams via the stdlib baseline JPEG decoder,
+    uncompressed 'DIB ' / BI_RGB streams via the proven BMP raster
+    path (r11) — paletted and BITFIELDS DIB streams decode through
+    the same machinery."""
+    info = avi_stream_info(data)
+    chunks = avi_frame_chunks(data, max_frames)
+    handler = info["handler"]
+    if handler == b"MJPG":
+        from . import jpeg
 
-    return [
-        jpeg.decode_jpeg(f) for f in avi_frame_chunks(data, max_frames)
-    ]
+        return [jpeg.decode_jpeg(f) for f in chunks]
+    if handler in (b"DIB ", b"\x00\x00\x00\x00", b"RGB "):
+        return [_decode_dib_payload(info["strf"], f) for f in chunks]
+    raise NotImplementedError(
+        f"unsupported AVI video handler {handler!r}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Uncompressed-DIB video streams (r11): the other AVI form real capture
+# tools emit. Frame payloads are raw bottom-up BGR rasters; the strf
+# chunk IS a BITMAPINFOHEADER, so decode synthesizes a BMP file header
+# in front of (strf + frame) and reuses the PROVEN bmp.decode_bmp path
+# — paletted or BITFIELDS DIB streams decode for free through the same
+# machinery.
+# ---------------------------------------------------------------------------
+
+
+def _find_chunks(data: bytes, start: int, end: int, want: set) -> dict:
+    """First payload for each wanted fourcc, recursing into LISTs."""
+    found: dict = {}
+    pos = start
+    while pos < end and len(found) < len(want):
+        if pos + 8 > end:
+            raise ValueError("corrupt AVI container")
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body_start, body_end = pos + 8, pos + 8 + size
+        if body_end > end:
+            raise ValueError("corrupt AVI container")
+        if fourcc == b"LIST":
+            if size < 4:
+                raise ValueError("corrupt AVI container")
+            found.update(
+                _find_chunks(data, body_start + 4, body_end,
+                             want - set(found))
+            )
+        elif fourcc in want and fourcc not in found:
+            found[fourcc] = bytes(data[body_start:body_end])
+        pos = body_end + (size % 2)
+    return found
+
+
+def avi_stream_info(data: bytes) -> dict:
+    """{'handler': fourcc bytes, 'strf': BITMAPINFOHEADER(+) bytes} of
+    the first video stream."""
+    data = bytes(data)
+    if not is_avi(data):
+        raise ValueError("corrupt AVI container")
+    (riff_size,) = struct.unpack_from("<I", data, 4)
+    end = min(8 + riff_size, len(data))
+    found = _find_chunks(data, 12, end, {b"strh", b"strf"})
+    if b"strh" not in found or b"strf" not in found:
+        raise ValueError("corrupt AVI container")
+    strh = found[b"strh"]
+    if len(strh) < 8 or strh[:4] != b"vids":
+        raise ValueError("corrupt AVI container")
+    if len(found[b"strf"]) < 40:
+        raise ValueError("corrupt AVI container")
+    return {"handler": strh[4:8], "strf": found[b"strf"]}
+
+
+def encode_avi_dib(
+    rgb_frames: list, width: int, height: int, fps: int = 10
+) -> bytes:
+    """Wrap TOP-DOWN RGB frames as an uncompressed-DIB AVI ('DIB '
+    handler, BI_RGB 24-bpp bottom-up rasters in '00db' chunks) — the
+    capture-tool form. decode_avi_frames returns the frames
+    pixel-EXACT (uncompressed video is lossless, unlike the MJPEG
+    path — test-pinned)."""
+    from .bmp import _row_stride
+
+    if fps <= 0:
+        raise ValueError("fps must be positive")
+    stride = _row_stride(width, 24)
+    rasters = []
+    for px in rgb_frames:
+        if len(px) != width * height * 3:
+            raise ValueError("frame pixel count does not match dimensions")
+        raster = bytearray()
+        for r in range(height - 1, -1, -1):
+            row = bytearray()
+            for x in range(width):
+                i = (r * width + x) * 3
+                row.extend((px[i + 2], px[i + 1], px[i]))
+            row.extend(b"\x00" * (stride - len(row)))
+            raster.extend(row)
+        rasters.append(bytes(raster))
+    n = len(rasters)
+    frame_bytes = stride * height
+    avih = _chunk(
+        b"avih",
+        _AVIH.pack(
+            1_000_000 // fps, frame_bytes * fps, 0, 0x10,
+            n, 0, 1, frame_bytes, width, height, 0, 0, 0, 0,
+        ),
+    )
+    strh = _chunk(
+        b"strh",
+        _STRH_HEAD.pack(
+            b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n,
+            frame_bytes, 0xFFFFFFFF, frame_bytes,
+            0, 0, width, height,
+        ),
+    )
+    strf = _chunk(
+        b"strf",
+        _BMIH.pack(40, width, height, 1, 24, 0, frame_bytes, 0, 0, 0, 0),
+    )
+    hdrl = _list(b"hdrl", avih + _list(b"strl", strh + strf))
+    movi_items, idx_entries = [], []
+    offset = 4
+    for f in rasters:
+        movi_items.append(_chunk(b"00db", f))
+        idx_entries.append(
+            b"00db" + struct.pack("<3I", 0x10, offset, len(f))
+        )
+        offset += 8 + len(f) + (len(f) % 2)
+    movi = _list(b"movi", b"".join(movi_items))
+    idx1 = _chunk(b"idx1", b"".join(idx_entries))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_dib_payload(strf: bytes, frame: bytes) -> dict:
+    """Synthesize a BMP in front of (strf, frame) and decode through
+    the proven BMP path."""
+    from . import bmp
+
+    pix_off = 14 + len(strf)
+    header = struct.pack(
+        "<2sIHHI", b"BM", pix_off + len(frame), 0, 0, pix_off
+    )
+    return bmp.decode_bmp(header + strf + frame)
