@@ -234,3 +234,64 @@ def test_codec_attest4_vs_duckdb_and_arrangements(spark, sf_dir):
         for i in range(len(cols)):
             for j in range(i + 1, len(cols)):
                 assert cols[i] != cols[j], f"columns {i},{j} identical"
+
+
+def _simple_plan(df):
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="simple")
+    return buf.getvalue()
+
+
+def test_sweep_plans_are_one_pass(spark, sf_dir):
+    """The sweeps' scale claims as PLAN pins, not prose: the swept
+    dimension must not multiply the heavy pass. pack_budget_sweep
+    reads documents ONCE (one prefix sum serves all budgets);
+    velocity_rate_sweep reads events ONCE (one window pass serves all
+    thresholds); lex_cap_sweep's documents scans stay bounded by the
+    shared posting build + the single loose candidate join, not by
+    the number of swept rules."""
+    from thrivefinancedatapipeline_spark.operators.packing import (
+        pack_budget_sweep,
+    )
+    from thrivefinancedatapipeline_spark.plans.finance_queries import (
+        velocity_rate_sweep,
+    )
+
+    import re
+
+    plan = _simple_plan(pack_budget_sweep(spark, sf_dir))
+    # the swept dimension appears as ONE explode sitting ABOVE the
+    # corpus prefix-sum window — sweeping never re-runs the heavy
+    # pass. The ranged scan contributes a second, BOUNDED window
+    # (the per-partition offset roll-up over n_partitions rows) and
+    # checkpoints its base, so no parquet scan shows in this plan
+    # (the documented localCheckpoint lineage rule).
+    assert plan.count("Generate explode") == 1
+    assert len(re.findall(r"\+- Window ", plan)) == 2
+    assert plan.index("Generate explode") < plan.index("+- Window ")
+    plan = _simple_plan(velocity_rate_sweep(spark, sf_dir))
+    # ONE events scan, ONE window serving both RANGE frames, the
+    # rate explode above it, and only the window + rollup exchanges
+    assert plan.count("Scan parquet") == 1
+    assert len(re.findall(r"\+- Window ", plan)) == 1
+    assert plan.count("Generate explode") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.index("Generate explode") < plan.index("+- Window ")
+    from thrivefinancedatapipeline_spark.operators import similarity
+
+    similarity.COVERAGE_EAGER = False  # plan-only: no eager checkpoint
+    try:
+        plan = _simple_plan(similarity.lex_cap_sweep(spark, sf_dir))
+    finally:
+        similarity.COVERAGE_EAGER = True
+    # posting build (docs scan) appears for: the term stats, the
+    # loose term filter, the two posting sides of the single
+    # candidate join, plus count-only n_docs scans that read ZERO
+    # columns (ReadSchema: struct<>) — NOT once more per swept rule
+    # (3 rules share them all; the eager path also checkpoints the
+    # DF stats, collapsing the first two)
+    assert plan.count("Scan parquet") <= 7
