@@ -295,3 +295,66 @@ def test_sweep_plans_are_one_pass(spark, sf_dir):
     # (3 rules share them all; the eager path also checkpoints the
     # DF stats, collapsing the first two)
     assert plan.count("Scan parquet") <= 7
+
+
+def test_quota_denom_sweep_vs_duckdb_and_nesting(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from thrivefinancedatapipeline_spark.operators.sampling import (
+        QUOTA_DENOM,
+        QUOTA_DENOM_SWEEP_ORACLE,
+        QUOTA_SAMPLER_ORACLE,
+        QUOTA_SWEEP_DENOMS,
+        quota_denom_sweep,
+    )
+
+    for d in _dirs(sf_dir):
+        got = sorted(
+            tuple(r) for r in quota_denom_sweep(spark, d).collect()
+        )
+        want = sorted(
+            tuple(r) for r in _duck(d, QUOTA_DENOM_SWEEP_ORACLE)
+        )
+        assert got == want, f"quota_denom_sweep mismatch at {d}"
+        by_dn = {r[0]: r for r in got}
+        assert set(by_dn) == set(QUOTA_SWEEP_DENOMS)
+        # growing the budget (smaller denominator) only EXTENDS each
+        # source's fixed-order selected prefix: docs/tokens/quota/
+        # capped sources all non-decreasing
+        ordered = [by_dn[dn] for dn in sorted(QUOTA_SWEEP_DENOMS,
+                                              reverse=True)]
+        for prev, cur in zip(ordered, ordered[1:]):
+            assert cur[1] >= prev[1]  # n_docs_selected
+            assert cur[2] >= prev[2]  # sel_tokens
+            assert cur[3] >= prev[3]  # total_quota
+            assert cur[4] >= prev[4]  # n_sources_capped
+        # the full-corpus point still does NOT ship everything: the
+        # fair share has no redistribution (the quota_select
+        # contract), so only sources at or under the average are
+        # capped by their own size — pinned against a direct
+        # recompute of the capped-source count
+        full = by_dn[1]
+        n_capped = int(
+            _duck(
+                d,
+                """WITH s AS (SELECT source,
+                         SUM(len(string_split(lower(trim(
+                           regexp_replace(text, '\\s+', ' ', 'g'))),
+                           ' '))) AS st
+                       FROM documents GROUP BY 1),
+                t AS (SELECT SUM(st) AS tt, COUNT(*) AS ns FROM s)
+                SELECT COUNT(*) FROM s, t
+                WHERE s.st <= t.tt // t.ns""",
+            )[0][0]
+        )
+        assert full[4] == n_capped
+        assert full[5] <= 1_100_000  # bounded one-doc overshoot
+        # the registered-denominator point agrees with the registered
+        # sampler's own rollup (sweep and sampler can never disagree)
+        reg = _duck(d, QUOTA_SAMPLER_ORACLE)
+        assert by_dn[QUOTA_DENOM][1] == sum(r[1] for r in reg)
+        assert by_dn[QUOTA_DENOM][2] == sum(r[2] for r in reg)
+        ck = 0
+        for r in reg:
+            ck ^= int(r[6])
+        assert by_dn[QUOTA_DENOM][6] == ck

@@ -625,3 +625,145 @@ FROM sel GROUP BY 1"""
 # Round 11 registration of the r10-staged quota sampler.
 QUERIES["source_quota_sampler"] = source_quota_sampler
 ORACLES["source_quota_sampler"] = QUOTA_SAMPLER_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# PREBUILT (r11-staged, NOT yet registered — tools/check_prebuilt.py).
+# ---------------------------------------------------------------------------
+
+#: assembly-budget denominators swept by quota_denom_sweep — the
+#: registered QUOTA_DENOM (2: ship half the corpus) bracketed by a
+#: quarter-budget and the full corpus. Selection order per source is
+#: the FIXED namespaced hash, so a bigger budget only EXTENDS each
+#: source's selected prefix: the swept selections provably nest.
+QUOTA_SWEEP_DENOMS = (4, 2, 1)
+
+
+def quota_denom_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What changes when the training budget doubles — the assembly
+    question quota_select answers at ONE budget, swept across
+    total//4, total//2 (the registered point) and the full corpus:
+    per denominator, documents and tokens shipped, how many sources
+    their own size caps (quota == src_tokens: the budget stops
+    binding them), the aggregate fill of the allocated quota
+    (integer ppm; >1e6 only by the bounded one-doc-per-source
+    overshoot), and the bit_xor membership checksum so the driver
+    attests WHICH documents each budget ships.
+
+    Scale posture: token counts and the per-source hash-ordered
+    cumulative sum — the only corpus passes — are budget-INDEPENDENT
+    and run ONCE; the sweep is an integer explode over the cum rows
+    joined to a broadcast per-source quota table, then one rollup on
+    <= |denoms| cells. Because selection is a greedy prefix in a
+    fixed per-source order, growing the budget only extends each
+    prefix — selections NEST (pinned), which is what makes budget
+    increases SAFE replays rather than reshuffles at 100 TB."""
+    from ..functions.text import tokens
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("nt"),
+        md5_long(
+            F.concat(F.lit(QUOTA_NS), F.col("doc_id").cast("string"))
+        ).alias("h"),
+    )
+    tot = docs.agg(
+        F.sum("nt").alias("total_tokens"),
+        F.count_distinct("source").alias("n_sources"),
+    )
+    src = docs.groupBy("source").agg(F.sum("nt").alias("src_tokens"))
+    spine = F.explode(
+        F.array(*[F.lit(d) for d in QUOTA_SWEEP_DENOMS])
+    ).alias("quota_denom")
+    quotas = (
+        src.crossJoin(F.broadcast(tot))
+        .select("source", "src_tokens", "total_tokens", "n_sources", spine)
+        .withColumn(
+            "quota_tokens",
+            F.expr(
+                "least(src_tokens,"
+                " (total_tokens div quota_denom) div n_sources)"
+            ),
+        )
+    )
+    qagg = quotas.groupBy("quota_denom").agg(
+        F.sum("quota_tokens").alias("total_quota"),
+        F.sum(
+            (F.col("quota_tokens") == F.col("src_tokens")).cast("long")
+        ).alias("n_sources_capped"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = docs.withColumn("cum", F.sum("nt").over(w))
+    sel = (
+        cum.select("source", "nt", "h", "cum", spine)
+        .join(
+            F.broadcast(
+                quotas.select("quota_denom", "source", "quota_tokens")
+            ),
+            ["quota_denom", "source"],
+        )
+        .filter(F.col("cum") - F.col("nt") < F.col("quota_tokens"))
+        .groupBy("quota_denom")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_selected"),
+            F.sum("nt").cast("long").alias("sel_tokens"),
+            F.expr("bit_xor(h)").alias("sel_checksum"),
+        )
+    )
+    return sel.join(F.broadcast(qagg), "quota_denom").select(
+        F.col("quota_denom").cast("int").alias("quota_denom"),
+        "n_docs_selected",
+        "sel_tokens",
+        F.col("total_quota").cast("long").alias("total_quota"),
+        F.col("n_sources_capped").cast("long").alias("n_sources_capped"),
+        F.expr(
+            "CAST(CAST(sel_tokens AS DECIMAL(38,0)) * 1000000"
+            " div total_quota AS BIGINT)"
+        ).alias("fill_ppm"),
+        "sel_checksum",
+    )
+
+
+QUOTA_DENOM_SWEEP_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len({_tokens_sql("text")}) AS BIGINT) AS nt,
+         {md5_long_sql("'" + QUOTA_NS + "' || CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents),
+tot AS (SELECT SUM(nt) AS total_tokens,
+               COUNT(DISTINCT source) AS n_sources FROM d),
+sp AS (SELECT unnest({list(QUOTA_SWEEP_DENOMS)}) AS quota_denom),
+q AS (SELECT sp.quota_denom, source, SUM(nt) AS src_tokens,
+             LEAST(SUM(nt), (tot.total_tokens // sp.quota_denom)
+                            // tot.n_sources) AS quota_tokens
+      FROM d, tot, sp
+      GROUP BY sp.quota_denom, source, tot.total_tokens, tot.n_sources),
+qa AS (SELECT quota_denom,
+              SUM(quota_tokens) AS total_quota,
+              COUNT(CASE WHEN quota_tokens = src_tokens THEN 1 END)
+                AS n_sources_capped
+       FROM q GROUP BY 1),
+c AS (SELECT doc_id, source, nt, h,
+             SUM(nt) OVER (PARTITION BY source ORDER BY h, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d),
+sel AS (SELECT q.quota_denom,
+               CAST(COUNT(*) AS BIGINT) AS n_docs_selected,
+               CAST(SUM(c.nt) AS BIGINT) AS sel_tokens,
+               BIT_XOR(c.h) AS sel_checksum
+        FROM c JOIN q ON q.source = c.source
+        WHERE c.cum - c.nt < q.quota_tokens
+        GROUP BY 1)
+SELECT CAST(sel.quota_denom AS INT) AS quota_denom,
+       n_docs_selected, sel_tokens,
+       CAST(qa.total_quota AS BIGINT) AS total_quota,
+       CAST(qa.n_sources_capped AS BIGINT) AS n_sources_capped,
+       CAST(CAST(sel_tokens AS HUGEINT) * 1000000 // qa.total_quota
+            AS BIGINT) AS fill_ppm,
+       sel_checksum
+FROM sel JOIN qa ON qa.quota_denom = sel.quota_denom"""

@@ -56,6 +56,10 @@ def _catalog():
         VELOCITY_RATE_SWEEP_ORACLE,
         velocity_rate_sweep,
     )
+    from thrivefinancedatapipeline_spark.operators.sampling import (
+        QUOTA_DENOM_SWEEP_ORACLE,
+        quota_denom_sweep,
+    )
     from thrivefinancedatapipeline_spark.operators.packing import (
         PACK_BUDGET_SWEEP_ORACLE,
         pack_budget_sweep,
@@ -86,6 +90,9 @@ def _catalog():
         ),
         "velocity_rate_sweep": (
             velocity_rate_sweep, VELOCITY_RATE_SWEEP_ORACLE,
+        ),
+        "quota_denom_sweep": (
+            quota_denom_sweep, QUOTA_DENOM_SWEEP_ORACLE,
         ),
     }
 
