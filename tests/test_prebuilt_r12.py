@@ -358,3 +358,48 @@ def test_quota_denom_sweep_vs_duckdb_and_nesting(spark, sf_dir):
         for r in reg:
             ck ^= int(r[6])
         assert by_dn[QUOTA_DENOM][6] == ck
+
+
+def test_shingle_cap_sweep_vs_duckdb_and_nesting(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.operators.dedup import (
+        MAX_SHINGLE_DF,
+        SHINGLE_CAP_SWEEP,
+        SHINGLE_CAP_SWEEP_ORACLE,
+        dedup_shingle_cap_sweep,
+    )
+    from thrivefinancedatapipeline_spark.operators.dedup import (
+        ORACLES as _DEDUP_ORACLES,
+    )
+
+    for d in _dirs(sf_dir):
+        got = sorted(
+            tuple(r)
+            for r in dedup_shingle_cap_sweep(spark, d).collect()
+        )
+        want = sorted(
+            tuple(r) for r in _duck(d, SHINGLE_CAP_SWEEP_ORACLE)
+        )
+        assert got == want, f"shingle_cap_sweep mismatch at {d}"
+        by_cell = {(r[0], r[1]): r for r in got}
+        assert set(by_cell) <= {
+            (k, c) for k in (0, 1) for c in SHINGLE_CAP_SWEEP
+        }
+        for row in by_cell.values():
+            assert 0 <= row[3] <= row[2]  # verified <= candidates
+        for keep in (0, 1):
+            caps = sorted(c for k, c in by_cell if k == keep)
+            # loosening the cap only ADDS candidates/verified
+            for pc, cc in zip(caps, caps[1:]):
+                assert by_cell[(keep, cc)][2] >= by_cell[(keep, pc)][2]
+                assert by_cell[(keep, cc)][3] >= by_cell[(keep, pc)][3]
+        # the hatch only ADDS candidates/verified at every cap (a
+        # rank-kept row relaxes eff to 0, never tightens)
+        for c in SHINGLE_CAP_SWEEP:
+            if (0, c) in by_cell and (1, c) in by_cell:
+                assert by_cell[(1, c)][2] >= by_cell[(0, c)][2]
+                assert by_cell[(1, c)][3] >= by_cell[(0, c)][3]
+        # the registered cell (hatch ON, cap 64) verifies exactly the
+        # registered dedup_ngram_jaccard pair set (sweep and operator
+        # can never disagree)
+        reg = _duck(d, _DEDUP_ORACLES["dedup_ngram_jaccard"])
+        assert by_cell[(1, MAX_SHINGLE_DF)][3] == len(reg)

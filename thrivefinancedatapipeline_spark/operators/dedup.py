@@ -2801,3 +2801,194 @@ FROM cd, ver)""")
 
 
 MINHASH_BAND_SWEEP_ORACLE = _minhash_band_sweep_oracle()
+
+
+#: (rare_keep, DF cap) grid swept by dedup_shingle_cap_sweep — the
+#: registered cap (64) plus two tighter points chosen where the
+#: knee actually lives: the pair-level MIN shared DF spans 2-7 at
+#: sf0.01 and 2-25 at sf0.1 (measured), so caps above ~32 are all
+#: equivalent on this corpus (the first draft swept 32/64/128 and
+#: got a perfectly flat line — itself informative, but a flat pin
+#: can't catch cap-logic regressions). 4 and 16 sit inside the
+#: mass; 64 anchors the registered point.
+SHINGLE_CAP_SWEEP = (4, 16, 64)
+
+
+def dedup_shingle_cap_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The candidate-volume / precision GRID of the inverted-index
+    guards — the last dedup knobs without a curve: for every
+    (rare_keep, cap) in {{0,1}} x {SHINGLE_CAP_SWEEP}, how many
+    candidate pairs the guarded index generates, how many pass the
+    exact-Jaccard verify, and integer-ppm precision. rare_keep=1 is
+    the registered escape hatch (each doc's RARE_KEEP_PER_DOC rarest
+    shingles index unconditionally); rare_keep=0 shows what the DF
+    cap does ALONE — the axis where the knee lives — and the
+    hatch-minus-no-hatch verified delta is exactly the recall the
+    hatch rescues. A hot shingle shared by d docs costs O(d^2)
+    candidate pairs, so this grid is the blow-up/recall trade the
+    cap's own docstring argues — now measured, not argued.
+
+    Scale posture: shingles, DF counts, rarity ranks, ONE loose
+    candidate join, and ONE exact-Jaccard verify (full uncapped
+    sets — cap-independent flag) serve all six cells: per pair,
+    mdf_hatch = MIN over shared shingles of GREATEST(eff1, eff2)
+    (rank-kept rows count 0) classifies the hatch rules and
+    mdf_raw = MIN(df) the no-hatch rules; the grid is an explode
+    over the bounded labeled-pair relation."""
+    sh = _shingle_rows(_docs(spark, sf_dir)).localCheckpoint(eager=True)
+    from pyspark.sql import Window
+
+    dfs = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("doc_id").orderBy("df", "sh")
+    eff = (
+        sh.join(dfs, "sh")
+        .withColumn("rk", F.row_number().over(wdoc))
+        .withColumn(
+            "eff",
+            F.when(F.col("rk") <= RARE_KEEP_PER_DOC, F.lit(0)).otherwise(
+                F.col("df")
+            ),
+        )
+        .filter(F.col("eff") <= max(SHINGLE_CAP_SWEEP))
+        .select("doc_id", "sh", "eff", "df")
+    )
+    e1 = eff.select(
+        F.col("doc_id").alias("doc_id_1"), "sh",
+        F.col("eff").alias("eff1"), F.col("df").alias("df1"),
+    )
+    e2 = eff.select(
+        F.col("doc_id").alias("doc_id_2"), "sh",
+        F.col("eff").alias("eff2"),
+    )
+    pairs = (
+        e1.join(e2, "sh")
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(
+            F.min(F.greatest("eff1", "eff2")).alias("mdf_hatch"),
+            F.min("df1").alias("mdf_raw"),
+        )
+    )
+    arrs = sh.groupBy("doc_id").agg(
+        F.collect_list("sh").alias("shs"), F.count("*").alias("c")
+    )
+    a1 = arrs.select(
+        F.col("doc_id").alias("doc_id_1"),
+        F.col("shs").alias("shs1"),
+        F.col("c").alias("c1"),
+    )
+    a2 = arrs.select(
+        F.col("doc_id").alias("doc_id_2"),
+        F.col("shs").alias("shs2"),
+        F.col("c").alias("c2"),
+    )
+    common = F.size(F.array_intersect("shs1", "shs2")).cast("long")
+    labeled = (
+        pairs.join(a1, "doc_id_1")
+        .join(a2, "doc_id_2")
+        .withColumn("cs", common)
+        .withColumn(
+            "ok",
+            (
+                JACCARD_DEN * F.col("cs")
+                >= JACCARD_NUM * (F.col("c1") + F.col("c2") - F.col("cs"))
+            ).cast("long"),
+        )
+        .select("mdf_hatch", "mdf_raw", "ok")
+    )
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("rare_keep"), F.lit(c).alias("cap")
+                )
+                for k in (1, 0)
+                for c in SHINGLE_CAP_SWEEP
+            ]
+        )
+    ).alias("cell")
+    return (
+        labeled.select("mdf_hatch", "mdf_raw", "ok", cells)
+        .select(
+            F.col("cell.rare_keep").alias("rare_keep"),
+            F.col("cell.cap").alias("shingle_cap"),
+            "mdf_hatch",
+            "mdf_raw",
+            "ok",
+        )
+        .filter(
+            ((F.col("rare_keep") == 1)
+             & (F.col("mdf_hatch") <= F.col("shingle_cap")))
+            | ((F.col("rare_keep") == 0)
+               & (F.col("mdf_raw") <= F.col("shingle_cap")))
+        )
+        .groupBy("rare_keep", "shingle_cap")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum("ok").cast("long").alias("n_verified"),
+        )
+        .select(
+            F.col("rare_keep").cast("int").alias("rare_keep"),
+            F.col("shingle_cap").cast("int").alias("shingle_cap"),
+            "n_candidates",
+            "n_verified",
+            F.expr(
+                "CAST(CASE WHEN n_candidates = 0 THEN 1000000"
+                " ELSE CAST(n_verified AS DECIMAL(38,0)) * 1000000"
+                " div n_candidates END AS BIGINT)"
+            ).alias("precision_ppm"),
+        )
+    )
+
+
+_SCS_CELLS = ", ".join(
+    f"({k}, {c})" for k in (1, 0) for c in SHINGLE_CAP_SWEEP
+)
+
+SHINGLE_CAP_SWEEP_ORACLE = f"""
+WITH {_SHINGLE_CTES},
+dfs AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+ranked AS (
+  SELECT s.doc_id, s.sh, d.df,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                ORDER BY d.df, s.sh) <= {RARE_KEEP_PER_DOC}
+              THEN 0 ELSE d.df END AS eff
+  FROM sh s JOIN dfs d USING (sh)),
+e AS (SELECT doc_id, sh, eff, df FROM ranked
+      WHERE eff <= {max(SHINGLE_CAP_SWEEP)}),
+pairs AS (
+  SELECT e1.doc_id AS doc_id_1, e2.doc_id AS doc_id_2,
+         MIN(GREATEST(e1.eff, e2.eff)) AS mdf_hatch,
+         MIN(e1.df) AS mdf_raw
+  FROM e e1 JOIN e e2 ON e2.sh = e1.sh AND e1.doc_id < e2.doc_id
+  GROUP BY 1, 2),
+cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+cm AS (
+  SELECT p.doc_id_1, p.doc_id_2, count(*) AS cs
+  FROM pairs p
+  JOIN sh s1 ON s1.doc_id = p.doc_id_1
+  JOIN sh s2 ON s2.doc_id = p.doc_id_2 AND s2.sh = s1.sh
+  GROUP BY 1, 2),
+lab AS (
+  SELECT p.mdf_hatch, p.mdf_raw,
+         CASE WHEN {JACCARD_DEN} * cm.cs
+              >= {JACCARD_NUM} * (c1.c + c2.c - cm.cs)
+              THEN 1 ELSE 0 END AS ok
+  FROM pairs p
+  JOIN cm ON cm.doc_id_1 = p.doc_id_1 AND cm.doc_id_2 = p.doc_id_2
+  JOIN cnt c1 ON p.doc_id_1 = c1.doc_id
+  JOIN cnt c2 ON p.doc_id_2 = c2.doc_id),
+sp AS (SELECT * FROM (VALUES {_SCS_CELLS}) t(rare_keep, shingle_cap))
+SELECT CAST(sp.rare_keep AS INT) AS rare_keep,
+       CAST(sp.shingle_cap AS INT) AS shingle_cap,
+       CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(SUM(ok) AS BIGINT) AS n_verified,
+       CAST(CASE WHEN COUNT(*) = 0 THEN 1000000
+                 ELSE CAST(SUM(ok) AS HUGEINT) * 1000000 // COUNT(*)
+            END AS BIGINT) AS precision_ppm
+FROM lab, sp
+WHERE (sp.rare_keep = 1 AND lab.mdf_hatch <= sp.shingle_cap)
+   OR (sp.rare_keep = 0 AND lab.mdf_raw <= sp.shingle_cap)
+GROUP BY 1, 2"""

@@ -50,7 +50,9 @@ def _catalog():
     )
     from thrivefinancedatapipeline_spark.operators.dedup import (
         MINHASH_BAND_SWEEP_ORACLE,
+        SHINGLE_CAP_SWEEP_ORACLE,
         dedup_minhash_band_sweep,
+        dedup_shingle_cap_sweep,
     )
     from thrivefinancedatapipeline_spark.plans.finance_queries import (
         VELOCITY_RATE_SWEEP_ORACLE,
@@ -93,6 +95,9 @@ def _catalog():
         ),
         "quota_denom_sweep": (
             quota_denom_sweep, QUOTA_DENOM_SWEEP_ORACLE,
+        ),
+        "dedup_shingle_cap_sweep": (
+            dedup_shingle_cap_sweep, SHINGLE_CAP_SWEEP_ORACLE,
         ),
     }
 
