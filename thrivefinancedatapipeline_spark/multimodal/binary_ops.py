@@ -1130,3 +1130,8 @@ p AS (
 SELECT b.doc_id, tgamono_sum, tga16_sum, tgacm_sum, bf565_sum,
        bmp2_sum, pam_sum
 FROM b JOIN p ON p.doc_id = b.doc_id"""
+
+QUERIES["multimodal_codec_attest3"] = q_multimodal_codec_attest3
+ORACLES["multimodal_codec_attest3"] = CODEC_ATTEST3_ORACLE
+QUERIES["multimodal_codec_attest4"] = q_multimodal_codec_attest4
+ORACLES["multimodal_codec_attest4"] = CODEC_ATTEST4_ORACLE

@@ -2992,3 +2992,8 @@ FROM lab, sp
 WHERE (sp.rare_keep = 1 AND lab.mdf_hatch <= sp.shingle_cap)
    OR (sp.rare_keep = 0 AND lab.mdf_raw <= sp.shingle_cap)
 GROUP BY 1, 2"""
+
+QUERIES["dedup_minhash_band_sweep"] = dedup_minhash_band_sweep
+ORACLES["dedup_minhash_band_sweep"] = MINHASH_BAND_SWEEP_ORACLE
+QUERIES["dedup_shingle_cap_sweep"] = dedup_shingle_cap_sweep
+ORACLES["dedup_shingle_cap_sweep"] = SHINGLE_CAP_SWEEP_ORACLE

@@ -691,3 +691,6 @@ SELECT CAST(budget AS INT) AS budget, lang,
             // (((SUM(n_tokens) + budget - 1) // budget) * budget)
             AS BIGINT) AS fill_ppm
 FROM asg GROUP BY budget, lang"""
+
+QUERIES["pack_budget_sweep"] = pack_budget_sweep
+ORACLES["pack_budget_sweep"] = PACK_BUDGET_SWEEP_ORACLE

@@ -767,3 +767,6 @@ SELECT CAST(sel.quota_denom AS INT) AS quota_denom,
             AS BIGINT) AS fill_ppm,
        sel_checksum
 FROM sel JOIN qa ON qa.quota_denom = sel.quota_denom"""
+
+QUERIES["quota_denom_sweep"] = quota_denom_sweep
+ORACLES["quota_denom_sweep"] = QUOTA_DENOM_SWEEP_ORACLE

@@ -3141,3 +3141,8 @@ SELECT CAST(terms.df_denom AS INT) AS df_denom, df_threshold, n_terms,
        posting_mass, terms_checksum,
        COALESCE(pc.n_query_pairs, 0) AS n_query_pairs
 FROM terms LEFT JOIN pc ON pc.df_denom = terms.df_denom"""
+
+QUERIES["hybrid_probe_sweep"] = hybrid_probe_sweep
+ORACLES["hybrid_probe_sweep"] = HYBRID_PROBE_SWEEP_ORACLE
+QUERIES["lex_cap_sweep"] = lex_cap_sweep
+ORACLES["lex_cap_sweep"] = LEX_CAP_SWEEP_ORACLE

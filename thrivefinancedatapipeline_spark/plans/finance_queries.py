@@ -1775,3 +1775,6 @@ SELECT CAST(sp.rate_num AS INT) AS rate_num,
 FROM wnd, sp
 WHERE sp.rate_num * n_1h >= n_24h AND n_24h >= {VEL_MIN_DAY}
 GROUP BY sp.rate_num"""
+
+QUERIES["velocity_rate_sweep"] = velocity_rate_sweep
+ORACLES["velocity_rate_sweep"] = VELOCITY_RATE_SWEEP_ORACLE

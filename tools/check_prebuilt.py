@@ -34,72 +34,15 @@ def _catalog():
     Round 6 drained the 29-operator backlog; round 8 registered the
     six operators round 7 had staged here; round 9 registered round
     8's six; round 10 registered round 9's eleven; round 11 registered
-    round 10's ten (hybrid_search_rrf_indexed, source_quota_sampler,
-    contrastive_negatives, multimodal_codec_attest2,
-    knn_mmr_diversified, dedup_keep_priority, txn_velocity_flags,
-    dedup_cluster_keep_priority, mmr_diversity_cost,
-    hybrid_fusion_coverage) and stages prebuilds for the r12 window
-    below. Future prebuilds stage here first: green at the default
-    sf0.01, then a 2-line move of the (query, oracle) pair into the
-    module dicts."""
-    from thrivefinancedatapipeline_spark.multimodal.binary_ops import (
-        CODEC_ATTEST3_ORACLE,
-        CODEC_ATTEST4_ORACLE,
-        q_multimodal_codec_attest3,
-        q_multimodal_codec_attest4,
-    )
-    from thrivefinancedatapipeline_spark.operators.dedup import (
-        MINHASH_BAND_SWEEP_ORACLE,
-        SHINGLE_CAP_SWEEP_ORACLE,
-        dedup_minhash_band_sweep,
-        dedup_shingle_cap_sweep,
-    )
-    from thrivefinancedatapipeline_spark.plans.finance_queries import (
-        VELOCITY_RATE_SWEEP_ORACLE,
-        velocity_rate_sweep,
-    )
-    from thrivefinancedatapipeline_spark.operators.sampling import (
-        QUOTA_DENOM_SWEEP_ORACLE,
-        quota_denom_sweep,
-    )
-    from thrivefinancedatapipeline_spark.operators.packing import (
-        PACK_BUDGET_SWEEP_ORACLE,
-        pack_budget_sweep,
-    )
-    from thrivefinancedatapipeline_spark.operators.similarity import (
-        HYBRID_PROBE_SWEEP_ORACLE,
-        LEX_CAP_SWEEP_ORACLE,
-        hybrid_probe_sweep,
-        lex_cap_sweep,
-    )
-
-    return {
-        "multimodal_codec_attest3": (
-            q_multimodal_codec_attest3, CODEC_ATTEST3_ORACLE,
-        ),
-        "multimodal_codec_attest4": (
-            q_multimodal_codec_attest4, CODEC_ATTEST4_ORACLE,
-        ),
-        "hybrid_probe_sweep": (
-            hybrid_probe_sweep, HYBRID_PROBE_SWEEP_ORACLE,
-        ),
-        "lex_cap_sweep": (lex_cap_sweep, LEX_CAP_SWEEP_ORACLE),
-        "dedup_minhash_band_sweep": (
-            dedup_minhash_band_sweep, MINHASH_BAND_SWEEP_ORACLE,
-        ),
-        "pack_budget_sweep": (
-            pack_budget_sweep, PACK_BUDGET_SWEEP_ORACLE,
-        ),
-        "velocity_rate_sweep": (
-            velocity_rate_sweep, VELOCITY_RATE_SWEEP_ORACLE,
-        ),
-        "quota_denom_sweep": (
-            quota_denom_sweep, QUOTA_DENOM_SWEEP_ORACLE,
-        ),
-        "dedup_shingle_cap_sweep": (
-            dedup_shingle_cap_sweep, SHINGLE_CAP_SWEEP_ORACLE,
-        ),
-    }
+    round 10's ten; round 12 registered round 11's nine (the knob-sweep
+    telemetry family: hybrid_probe_sweep, lex_cap_sweep,
+    dedup_minhash_band_sweep, dedup_shingle_cap_sweep,
+    pack_budget_sweep, velocity_rate_sweep, quota_denom_sweep,
+    multimodal_codec_attest3, multimodal_codec_attest4) and stages
+    prebuilds for the r13 window below. Future prebuilds stage here
+    first: green at the default sf0.01, then a 2-line move of the
+    (query, oracle) pair into the module dicts."""
+    return {}
 
 
 def main() -> int:
