@@ -692,5 +692,13 @@ def test_pam_error_surface():
             b"P7\nWIDTH 2\nHEIGHT 1\nDEPTH 1\nMAXVAL 255\nBOGUS 1\n"
             b"ENDHDR\n" + px[:2]
         )
+    with pytest.raises(ValueError):  # magic is 'P7' ALONE on its line
+        pnm.decode_pnm(
+            b"P7FOO\nWIDTH 2\nHEIGHT 1\nDEPTH 1\nMAXVAL 255\n"
+            b"ENDHDR\n" + px[:2]
+        )
+    # ...but trailing whitespace after the token stays tolerated
+    spaced = b"P7 \n" + good.split(b"\n", 1)[1]
+    assert pnm.decode_pnm(spaced)["pixels"] == pnm.decode_pnm(good)["pixels"]
     with pytest.raises(ValueError):
         pnm.encode_pam(px, 5, 2, depth=3)  # wrong pixel count

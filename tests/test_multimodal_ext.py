@@ -1300,3 +1300,81 @@ def test_avi_dib_error_surface_and_handler_gate():
     _s.pack_into("<I", cut, pos + 4, 10)
     with _pt.raises(ValueError):
         avi.decode_avi_frames(bytes(cut))
+
+
+def test_avi_audio_first_stream_resolution():
+    """A valid AVI whose FIRST stream is audio ('auds') resolves its
+    VIDEO stream (r11 ADVICE: the old scan took the first strh/strf in
+    document order and rejected audio-first files as corrupt); an AVI
+    with well-formed streams but no video raises the distinct
+    'no video stream' ValueError, not 'corrupt'."""
+    import hashlib
+    import struct as _s
+
+    import pytest as _pt
+
+    from thrivefinancedatapipeline_spark.multimodal import avi
+
+    w, h = 4, 4
+    px = hashlib.md5(b"af").digest() * 3  # 48 bytes = 4x4 RGB
+    data = avi.encode_avi_dib([px], w, h, fps=5)
+
+    strh_a = avi._chunk(
+        b"strh",
+        avi._STRH_HEAD.pack(
+            b"auds", b"\x00\x00\x00\x00", 0, 0, 0, 0,
+            1, 16_000, 0, 100, 0, 0xFFFFFFFF, 2, 0, 0, 0, 0,
+        ),
+    )
+    strf_a = avi._chunk(
+        b"strf", _s.pack("<2H2I2H", 1, 1, 16_000, 32_000, 2, 16)
+    )
+    strl_a = avi._list(b"strl", strh_a + strf_a)
+
+    # splice the audio strl BEFORE the video strl inside hdrl
+    assert data[12:16] == b"LIST"
+    (hsz,) = _s.unpack_from("<I", data, 16)
+    hdrl_end = 20 + hsz
+    inner = data[24:hdrl_end]  # after 'hdrl': avih + strl(vids)
+    (asz,) = _s.unpack_from("<I", inner, 4)
+    avih_len = 8 + asz + (asz % 2)
+    avih, vids_strl = inner[:avih_len], inner[avih_len:]
+    new_hdrl = avi._list(b"hdrl", avih + strl_a + vids_strl)
+    body = b"AVI " + new_hdrl + data[hdrl_end + (hsz % 2):]
+    audio_first = b"RIFF" + _s.pack("<I", len(body)) + body
+
+    info = avi.avi_stream_info(audio_first)
+    assert info["handler"] == b"DIB "
+    dec = avi.decode_avi_frames(audio_first)
+    assert [d["pixels"] for d in dec] == [px]
+    assert (dec[0]["width"], dec[0]["height"]) == (w, h)
+
+    # audio-ONLY: well-formed container, no vids stream at all
+    hdrl_audio = avi._list(b"hdrl", avih + strl_a)
+    movi = avi._list(b"movi", b"")
+    body2 = b"AVI " + hdrl_audio + movi
+    audio_only = b"RIFF" + _s.pack("<I", len(body2)) + body2
+    with _pt.raises(ValueError, match="no video stream"):
+        avi.avi_stream_info(audio_only)
+
+
+def test_encode_wav_out_of_range_uniform_valueerror():
+    """Out-of-range samples raise ValueError at EVERY width (r11
+    ADVICE: 24-bit leaked OverflowError while 16/32-bit leaked
+    struct.error — one contract for the same misuse), and the exact
+    boundary values still round-trip at every width."""
+    import pytest
+
+    from thrivefinancedatapipeline_spark.multimodal import wav
+
+    for sw, bad in (
+        (2, 1 << 15), (3, 1 << 23), (4, 1 << 31),
+        (2, -(1 << 15) - 1), (3, -(1 << 23) - 1), (4, -(1 << 31) - 1),
+    ):
+        with pytest.raises(ValueError, match="out of range"):
+            wav.encode_wav([0, bad], sampwidth=sw)
+    for sw in (2, 3, 4):
+        lo, hi = -(1 << (8 * sw - 1)), (1 << (8 * sw - 1)) - 1
+        dec = wav.decode_wav(wav.encode_wav([lo, 0, hi], sampwidth=sw))
+        assert dec["samples"] == [lo, 0, hi]
+        assert dec["sampwidth"] == sw

@@ -202,23 +202,63 @@ def _find_chunks(data: bytes, start: int, end: int, want: set) -> dict:
     return found
 
 
+def _stream_lists(data: bytes, start: int, end: int) -> list:
+    """(strh, strf) payload pairs — one per strl LIST, in document
+    order, recursing through wrapper LISTs (hdrl wraps the strls).
+    Pairing strh with the strf of the SAME strl is what lets
+    audio-first AVIs resolve their video stream correctly."""
+    pairs: list = []
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("corrupt AVI container")
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body_start, body_end = pos + 8, pos + 8 + size
+        if body_end > end:
+            raise ValueError("corrupt AVI container")
+        if fourcc == b"LIST":
+            if size < 4:
+                raise ValueError("corrupt AVI container")
+            if data[body_start : body_start + 4] == b"strl":
+                found = _find_chunks(
+                    data, body_start + 4, body_end, {b"strh", b"strf"}
+                )
+                pairs.append((found.get(b"strh"), found.get(b"strf")))
+            else:
+                pairs.extend(
+                    _stream_lists(data, body_start + 4, body_end)
+                )
+        pos = body_end + (size % 2)
+    return pairs
+
+
 def avi_stream_info(data: bytes) -> dict:
     """{'handler': fourcc bytes, 'strf': BITMAPINFOHEADER(+) bytes} of
-    the first video stream."""
+    the first VIDEO ('vids') stream — strls are scanned in order and
+    each strh is paired with its own strl's strf, so a valid AVI whose
+    first stream is audio resolves to the video stream instead of
+    being rejected as corrupt (r11 ADVICE). An AVI with well-formed
+    streams but no video raises ValueError('no video stream in AVI');
+    structural damage keeps the 'corrupt AVI container' surface."""
     data = bytes(data)
     if not is_avi(data):
         raise ValueError("corrupt AVI container")
     (riff_size,) = struct.unpack_from("<I", data, 4)
     end = min(8 + riff_size, len(data))
-    found = _find_chunks(data, 12, end, {b"strh", b"strf"})
-    if b"strh" not in found or b"strf" not in found:
-        raise ValueError("corrupt AVI container")
-    strh = found[b"strh"]
-    if len(strh) < 8 or strh[:4] != b"vids":
-        raise ValueError("corrupt AVI container")
-    if len(found[b"strf"]) < 40:
-        raise ValueError("corrupt AVI container")
-    return {"handler": strh[4:8], "strf": found[b"strf"]}
+    saw_stream = False
+    for strh, strf in _stream_lists(data, 12, end):
+        if strh is None or len(strh) < 8:
+            raise ValueError("corrupt AVI container")
+        saw_stream = True
+        if strh[:4] != b"vids":
+            continue
+        if strf is None or len(strf) < 40:
+            raise ValueError("corrupt AVI container")
+        return {"handler": strh[4:8], "strf": strf}
+    if saw_stream:
+        raise ValueError("no video stream in AVI")
+    raise ValueError("corrupt AVI container")
 
 
 def encode_avi_dib(

@@ -141,6 +141,10 @@ def decode_pam(data: bytes) -> dict:
     pos = data.find(b"\n")
     if pos < 0:
         raise ValueError("truncated PAM header")
+    # the spec magic is 'P7' ALONE on its line — 'P7FOO' is not a PAM
+    # stream (r11 ADVICE: only data[:2] was checked before)
+    if data[2:pos].strip():
+        raise ValueError("not a PAM stream")
     pos += 1
     while True:
         end = data.find(b"\n", pos)

@@ -42,18 +42,27 @@ def encode_wav(
     """Valid mono PCM WAV from signed integer samples — 16-bit by
     default; 24-bit (the studio/archival interchange width, r11) and
     32-bit packed little-endian signed."""
+    if sampwidth not in (2, 3, 4):
+        raise NotImplementedError(
+            f"sampwidth={sampwidth} PCM encode not supported"
+        )
+    # one error surface for out-of-range samples across all widths
+    # (r11 ADVICE: struct.error at 16/32-bit vs OverflowError at
+    # 24-bit was an inconsistent contract for the same misuse)
+    lo, hi = -(1 << (8 * sampwidth - 1)), (1 << (8 * sampwidth - 1)) - 1
+    for v in samples:
+        if not (lo <= v <= hi):
+            raise ValueError(
+                f"sample {v} out of range for {8 * sampwidth}-bit PCM"
+            )
     if sampwidth == 2:
         raw = struct.pack(f"<{len(samples)}h", *samples)
     elif sampwidth == 3:
         raw = b"".join(
             v.to_bytes(3, "little", signed=True) for v in samples
         )
-    elif sampwidth == 4:
-        raw = struct.pack(f"<{len(samples)}i", *samples)
     else:
-        raise NotImplementedError(
-            f"sampwidth={sampwidth} PCM encode not supported"
-        )
+        raw = struct.pack(f"<{len(samples)}i", *samples)
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
