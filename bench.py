@@ -201,7 +201,14 @@ def main() -> None:
         except (IndexError, ValueError) as exc:
             print(f"# bad --round/BENCH_ROUND ignored: {exc}",
                   file=sys.stderr)
-        if n <= 0:
+        if n > 0:
+            local = os.path.join(repo, f"BENCH_LOCAL_r{n:02d}.json")
+        else:
+            # No explicit round: this is a post-hoc run (e.g. the
+            # driver's own bench after CORRECTNESS_r{N} lands). Name
+            # it post_r{N} so it can never pre-claim the NEXT round's
+            # BENCH_LOCAL_r{N+1} artifact — the r11 driver run did
+            # exactly that (one unambiguous artifact per round+runner).
             rounds = [
                 int(m.group(1))
                 for f in glob.glob(
@@ -209,8 +216,10 @@ def main() -> None:
                 )
                 if (m := re.search(r"CORRECTNESS_r0*(\d+)\.json$", f))
             ]
-            n = (max(rounds) if rounds else 0) + 1
-        local = os.path.join(repo, f"BENCH_LOCAL_r{n:02d}.json")
+            latest = max(rounds) if rounds else 0
+            local = os.path.join(
+                repo, f"BENCH_LOCAL_post_r{latest:02d}.json"
+            )
         with open(local, "w") as fh:
             json.dump(out, fh, indent=1)
             fh.write("\n")
