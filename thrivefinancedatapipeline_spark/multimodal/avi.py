@@ -262,13 +262,21 @@ def avi_stream_info(data: bytes) -> dict:
 
 
 def encode_avi_dib(
-    rgb_frames: list, width: int, height: int, fps: int = 10
+    rgb_frames: list, width: int, height: int, fps: int = 10,
+    audio_first: bool = False,
 ) -> bytes:
     """Wrap TOP-DOWN RGB frames as an uncompressed-DIB AVI ('DIB '
     handler, BI_RGB 24-bpp bottom-up rasters in '00db' chunks) — the
     capture-tool form. decode_avi_frames returns the frames
     pixel-EXACT (uncompressed video is lossless, unlike the MJPEG
-    path — test-pinned)."""
+    path — test-pinned).
+
+    ``audio_first=True`` declares a (silent, sample-less) PCM audio
+    stream in a strl LIST BEFORE the video strl — the stream order
+    many capture tools emit, and the form the old first-strh scan
+    rejected as corrupt (r11 ADVICE); the reader must resolve the
+    video stream by strl, which multimodal_codec_attest5 pins under
+    the driver oracle."""
     from .bmp import _row_stride
 
     if fps <= 0:
@@ -289,11 +297,12 @@ def encode_avi_dib(
         rasters.append(bytes(raster))
     n = len(rasters)
     frame_bytes = stride * height
+    n_streams = 2 if audio_first else 1
     avih = _chunk(
         b"avih",
         _AVIH.pack(
             1_000_000 // fps, frame_bytes * fps, 0, 0x10,
-            n, 0, 1, frame_bytes, width, height, 0, 0, 0, 0,
+            n, 0, n_streams, frame_bytes, width, height, 0, 0, 0, 0,
         ),
     )
     strh = _chunk(
@@ -308,7 +317,21 @@ def encode_avi_dib(
         b"strf",
         _BMIH.pack(40, width, height, 1, 24, 0, frame_bytes, 0, 0, 0, 0),
     )
-    hdrl = _list(b"hdrl", avih + _list(b"strl", strh + strf))
+    strls = _list(b"strl", strh + strf)
+    if audio_first:
+        strh_a = _chunk(
+            b"strh",
+            _STRH_HEAD.pack(
+                b"auds", b"\x00\x00\x00\x00", 0, 0, 0, 0,
+                1, 16_000, 0, 0, 0, 0xFFFFFFFF, 2, 0, 0, 0, 0,
+            ),
+        )
+        # WAVEFORMATEX: PCM (tag 1), mono, 16 kHz, 16-bit
+        strf_a = _chunk(
+            b"strf", struct.pack("<2H2I2H", 1, 1, 16_000, 32_000, 2, 16)
+        )
+        strls = _list(b"strl", strh_a + strf_a) + strls
+    hdrl = _list(b"hdrl", avih + strls)
     movi_items, idx_entries = [], []
     offset = 4
     for f in rasters:

@@ -1135,3 +1135,88 @@ QUERIES["multimodal_codec_attest3"] = q_multimodal_codec_attest3
 ORACLES["multimodal_codec_attest3"] = CODEC_ATTEST3_ORACLE
 QUERIES["multimodal_codec_attest4"] = q_multimodal_codec_attest4
 ORACLES["multimodal_codec_attest4"] = CODEC_ATTEST4_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# PREBUILT (r12-staged for r13 — tools/check_prebuilt.py).
+# multimodal_codec_attest5: the attest discipline over the r12 codec
+# work — audio-first AVI stream resolution + wide-PCM WAV widths.
+# ---------------------------------------------------------------------------
+
+ATTEST5_SCHEMA = "doc_id long, avi_sum long, pcm24_sum long, pcm32_sum long"
+
+
+def q_multimodal_codec_attest5(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-ATTESTED round-trips for the r12 codec closures. Per
+    document, from md5(text): (a) a 4x4 RGB frame of xor-0x5A ascii
+    bytes stored in an AUDIO-FIRST uncompressed-DIB AVI (a silent PCM
+    strl precedes the vids strl — the stream order the old
+    first-strh scan rejected as corrupt; decode must resolve the
+    video stream BY strl to return any pixels at all), (b) 32
+    24-bit PCM samples s_j = (v_j-60)*65536 + 17*v_j — every sample
+    EXCEEDS int16 range, so a width-confusing decode cannot stay
+    green — and (c) 32 32-bit PCM samples s_j = (v_j-60)*2^24 + v_j,
+    every sample exceeding the 24-bit range likewise. Encode, decode
+    with the real codecs, emit position-weighted checksums of the
+    DECODED values; the DuckDB oracle computes all three directly
+    from md5(text) in SQL."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def wsum(bs):
+            return sum((i + 1) * b for i, b in enumerate(bs))
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "avi_sum": [], "pcm24_sum": [],
+                "pcm32_sum": [],
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                hx = hashlib.md5(text.encode("utf-8")).hexdigest()
+                vals = bytes(ord(c) for c in hx)
+                vals = vals + vals[:16]  # 48 bytes = 4x4 RGB
+                px = bytes(v ^ 0x5A for v in vals)
+                frame = avi.decode_avi_frames(
+                    avi.encode_avi_dib([px], 4, 4, fps=5,
+                                       audio_first=True)
+                )[0]["pixels"]
+                s24 = [(v - 60) * 65536 + 17 * v for v in vals[:32]]
+                d24 = wav.decode_wav(
+                    wav.encode_wav(s24, sampwidth=3)
+                )["samples"]
+                s32 = [(v - 60) * 16_777_216 + v for v in vals[:32]]
+                d32 = wav.decode_wav(
+                    wav.encode_wav(s32, sampwidth=4)
+                )["samples"]
+                out["doc_id"].append(doc_id)
+                out["avi_sum"].append(wsum(frame))
+                out["pcm24_sum"].append(wsum(d24))
+                out["pcm32_sum"].append(wsum(d32))
+            yield pd.DataFrame(out)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(run, schema=ATTEST5_SCHEMA)
+
+
+#: v_j (j in 1..48) = ascii(md5 hex char ((j-1) mod 32) + 1).
+#: avi_sum  = sum j * (v_j xor 0x5A)              over j in 1..48
+#: pcm24_sum = sum j * ((v_j-60)*65536 + 17*v_j)  over j in 1..32
+#: pcm32_sum = sum j * ((v_j-60)*2^24 + v_j)      over j in 1..32
+CODEC_ATTEST5_ORACLE = """
+WITH v AS (
+  SELECT doc_id, j,
+         ascii(substring(md5(text),
+                         CAST(((j - 1) % 32) + 1 AS INT), 1)) AS v
+  FROM documents, (SELECT unnest(range(1, 49)) AS j) t)
+SELECT doc_id,
+       CAST(SUM(j * xor(v, 90)) AS BIGINT) AS avi_sum,
+       CAST(SUM(CASE WHEN j <= 32
+                     THEN j * ((v - 60) * 65536 + 17 * v)
+                     ELSE 0 END) AS BIGINT) AS pcm24_sum,
+       CAST(SUM(CASE WHEN j <= 32
+                     THEN j * ((v - 60) * 16777216 + v)
+                     ELSE 0 END) AS BIGINT) AS pcm32_sum
+FROM v GROUP BY doc_id"""

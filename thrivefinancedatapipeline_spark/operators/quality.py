@@ -524,3 +524,279 @@ CURATION_FUNNEL_ORACLE = _curation_funnel_oracle()
 
 QUERIES["source_curation_funnel"] = source_curation_funnel
 ORACLES["source_curation_funnel"] = CURATION_FUNNEL_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# PREBUILT (r12-staged for r13 — tools/check_prebuilt.py).
+# corpus_pipeline_attest: the fused END-TO-END pipeline attest — every
+# funnel stage run_corpus_pipeline composes, as ONE oracled relation.
+# ---------------------------------------------------------------------------
+
+#: funnel stage names in pipeline order (shared by query + oracle)
+PIPELINE_STAGES = (
+    "documents",
+    "decontaminated",
+    "deduplicated",
+    "quality_gated",
+    "chunks",
+    "unique_chunks",
+    "packed",
+)
+
+_CPA_NS = "cpa:"  # checksum namespace (disjoint from other hash uses)
+
+
+def corpus_pipeline_attest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per corpus-pipeline funnel stage — count, token sum and
+    an order-independent md5 membership checksum — so the ENTIRE
+    run_corpus_pipeline composition (decontaminate -> near-dup
+    canonical filter -> quality gate -> chunk -> chunk-dedup -> pack)
+    is attested by a single driver-oracled relation: the oracle nests
+    the registered corpus_clean / dedup_keep_canonical /
+    quality_gate_by_lang / corpus_chunk oracles and replays the
+    chunk-dedup + packing tail over the SURVIVOR set, which no
+    registered query covered end-to-end (the doc-level funnel stops at
+    the gate; corpus_chunk/pack_chunks run over the unfiltered
+    corpus). The checksums attest WHICH documents / chunks / pack
+    assignments each stage emits, not just how many.
+
+    Scale shape (sweep-family pattern): the three keep-set plans are
+    evaluated ONCE into a narrow labeled relation (doc_id + flags —
+    no text) and checkpointed; the chunk fan-out runs once over the
+    survivor semi-join (dropped docs are never tokenized, same as the
+    pipeline itself) and is checkpointed narrow (no token arrays);
+    every stage row is then a one-pass rollup of those two relations.
+    The pack assignment reuses ranged_prefix_sum — no per-language
+    single-reducer window. Stage identity with run_corpus_pipeline's
+    driver-side report is test-pinned, so the pipeline and the attest
+    cannot drift."""
+    from ..functions.text import md5_long, tokens
+    from .dedup import q_dedup_keep_canonical
+    from .packing import pack_assignments
+    from .textops import QUERIES as _TEXT_QUERIES
+    from .textops import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens(F.col("text"))).cast("long").alias("nt"),
+        md5_long(
+            F.concat(F.lit(_CPA_NS), F.col("doc_id").cast("string"))
+        ).alias("h"),
+    )
+    clean = _TEXT_QUERIES["corpus_clean"](spark, sf_dir).select(
+        "doc_id"
+    ).withColumn("c", F.lit(1))
+    canon = q_dedup_keep_canonical(spark, sf_dir).select(
+        "doc_id"
+    ).withColumn("k", F.lit(1))
+    gate = q_quality_gate_by_lang(spark, sf_dir).select(
+        "doc_id"
+    ).withColumn("g", F.lit(1))
+    lab = (
+        base.join(clean, "doc_id", "left")
+        .join(canon, "doc_id", "left")
+        .join(gate, "doc_id", "left")
+        .select(
+            "doc_id", "lang", "nt", "h",
+            (F.col("c") == 1).alias("fc"),
+            ((F.col("c") == 1) & (F.col("k") == 1)).alias("fk"),
+            (
+                (F.col("c") == 1) & (F.col("k") == 1) & (F.col("g") == 1)
+            ).alias("fg"),
+        )
+        .localCheckpoint(eager=True)  # keep-sets computed exactly once
+    )
+
+    def _doc_stage(ord_: int, name: str, flag) -> DataFrame:
+        src = lab.filter(flag) if flag is not None else lab
+        return src.agg(
+            F.lit(ord_).cast("int").alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.coalesce(F.sum("nt"), F.lit(0)).cast("long").alias(
+                "n_tokens"
+            ),
+            F.coalesce(F.expr("bit_xor(h)"), F.lit(0)).alias(
+                "set_checksum"
+            ),
+        )
+
+    surv = lab.filter("fg").select("doc_id", "lang")
+    ch = (
+        chunk_documents(docs.join(surv.select("doc_id"), "doc_id", "semi"))
+        .join(surv, "doc_id")
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "lang",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "chunk_hash",
+            md5_long(
+                F.concat(
+                    F.lit(_CPA_NS),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("chunk_idx").cast("string"),
+                )
+            ).alias("h"),
+        )
+        .localCheckpoint(eager=True)  # chunk fan-out computed once
+    )
+
+    def _chunk_stage(ord_: int, name: str, src: DataFrame) -> DataFrame:
+        return src.agg(
+            F.lit(ord_).cast("int").alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias(
+                "n_tokens"
+            ),
+            F.coalesce(F.expr("bit_xor(h)"), F.lit(0)).alias(
+                "set_checksum"
+            ),
+        )
+
+    wdup = Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_idx")
+    uniq = (
+        ch.withColumn("_rn", F.row_number().over(wdup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    packed = pack_assignments(
+        uniq.select("lang", "doc_id", "chunk_idx", "n_tokens"),
+        ["lang"], ["doc_id", "chunk_idx"], "n_tokens",
+    ).withColumn(
+        "hp",
+        md5_long(
+            F.concat(
+                F.lit(_CPA_NS),
+                F.col("lang"),
+                F.lit(":"),
+                F.col("pack_id").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("chunk_idx").cast("string"),
+            )
+        ),
+    )
+    pack_stage = packed.agg(
+        F.lit(7).cast("int").alias("stage_ord"),
+        F.lit("packed").alias("stage"),
+        F.count_distinct(
+            F.concat_ws(":", "lang", "pack_id")
+        ).cast("long").alias("n_rows"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias(
+            "n_tokens"
+        ),
+        F.coalesce(F.expr("bit_xor(hp)"), F.lit(0)).alias(
+            "set_checksum"
+        ),
+    )
+    return (
+        _doc_stage(1, "documents", None)
+        .unionAll(_doc_stage(2, "decontaminated", F.col("fc")))
+        .unionAll(_doc_stage(3, "deduplicated", F.col("fk")))
+        .unionAll(_doc_stage(4, "quality_gated", F.col("fg")))
+        .unionAll(_chunk_stage(5, "chunks", ch))
+        .unionAll(_chunk_stage(6, "unique_chunks", uniq))
+        .unionAll(pack_stage)
+    )
+
+
+def _pipeline_attest_oracle() -> str:
+    from ..functions.text import md5_long_sql, norm_sql
+    from .dedup import ORACLES as _DEDUP_ORACLES
+    from .packing import PACK_BUDGET
+    from .textops import ORACLES as _TEXT_ORACLES
+
+    clean = _TEXT_ORACLES["corpus_clean"]
+    canon = _DEDUP_ORACLES["dedup_keep_canonical"]
+    gate = ORACLES["quality_gate_by_lang"]
+    chunk = _TEXT_ORACLES["corpus_chunk"]
+    h_doc = md5_long_sql(f"'{_CPA_NS}' || CAST(doc_id AS VARCHAR)")
+    h_chunk = md5_long_sql(
+        f"'{_CPA_NS}' || CAST(ca.doc_id AS VARCHAR) || ':'"
+        " || CAST(ca.chunk_idx AS VARCHAR)"
+    )
+    h_pack = md5_long_sql(
+        f"'{_CPA_NS}' || lang || ':' || CAST(pack_id AS VARCHAR) || ':'"
+        " || CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_idx AS VARCHAR)"
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split({norm_sql("text")}, ' ')) AS BIGINT)
+           AS nt,
+         {h_doc} AS h
+  FROM documents),
+cset AS (SELECT DISTINCT doc_id FROM ({clean}) x),
+kset AS (SELECT DISTINCT doc_id FROM ({canon}) x),
+gset AS (SELECT DISTINCT doc_id FROM ({gate}) x),
+lab AS (
+  SELECT t.*,
+         (cset.doc_id IS NOT NULL) AS fc,
+         (cset.doc_id IS NOT NULL AND kset.doc_id IS NOT NULL) AS fk,
+         (cset.doc_id IS NOT NULL AND kset.doc_id IS NOT NULL
+          AND gset.doc_id IS NOT NULL) AS fg
+  FROM t
+  LEFT JOIN cset ON cset.doc_id = t.doc_id
+  LEFT JOIN kset ON kset.doc_id = t.doc_id
+  LEFT JOIN gset ON gset.doc_id = t.doc_id),
+ch AS (
+  SELECT ca.doc_id, ca.chunk_idx, lab.lang,
+         CAST(ca.n_tokens AS BIGINT) AS n_tokens, ca.chunk_hash,
+         {h_chunk} AS h
+  FROM ({chunk}) ca JOIN lab ON lab.doc_id = ca.doc_id AND lab.fg),
+uniq AS (
+  SELECT * FROM (
+    SELECT ch.*, ROW_NUMBER() OVER (PARTITION BY chunk_hash
+                   ORDER BY doc_id, chunk_idx) AS rn
+    FROM ch) z
+  WHERE rn = 1),
+packed AS (
+  SELECT lang, doc_id, chunk_idx, n_tokens,
+         (SUM(n_tokens) OVER (PARTITION BY lang
+                              ORDER BY doc_id, chunk_idx
+                              ROWS UNBOUNDED PRECEDING) - n_tokens)
+           // {PACK_BUDGET} AS pack_id
+  FROM uniq)
+SELECT CAST(1 AS INT) AS stage_ord, 'documents' AS stage,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(nt), 0) AS BIGINT) AS n_tokens,
+       COALESCE(BIT_XOR(h), 0) AS set_checksum
+FROM lab
+UNION ALL
+SELECT CAST(2 AS INT), 'decontaminated', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(nt), 0) AS BIGINT), COALESCE(BIT_XOR(h), 0)
+FROM lab WHERE fc
+UNION ALL
+SELECT CAST(3 AS INT), 'deduplicated', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(nt), 0) AS BIGINT), COALESCE(BIT_XOR(h), 0)
+FROM lab WHERE fk
+UNION ALL
+SELECT CAST(4 AS INT), 'quality_gated', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(nt), 0) AS BIGINT), COALESCE(BIT_XOR(h), 0)
+FROM lab WHERE fg
+UNION ALL
+SELECT CAST(5 AS INT), 'chunks', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT),
+       COALESCE(BIT_XOR(h), 0)
+FROM ch
+UNION ALL
+SELECT CAST(6 AS INT), 'unique_chunks', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT),
+       COALESCE(BIT_XOR(h), 0)
+FROM uniq
+UNION ALL
+SELECT CAST(7 AS INT), 'packed',
+       CAST(COUNT(DISTINCT lang || ':' || CAST(pack_id AS VARCHAR))
+            AS BIGINT),
+       CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT),
+       COALESCE(BIT_XOR({h_pack}), 0)
+FROM packed"""
+
+
+PIPELINE_ATTEST_ORACLE = _pipeline_attest_oracle()

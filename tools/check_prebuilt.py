@@ -42,7 +42,23 @@ def _catalog():
     prebuilds for the r13 window below. Future prebuilds stage here
     first: green at the default sf0.01, then a 2-line move of the
     (query, oracle) pair into the module dicts."""
-    return {}
+    from thrivefinancedatapipeline_spark.multimodal.binary_ops import (
+        CODEC_ATTEST5_ORACLE,
+        q_multimodal_codec_attest5,
+    )
+    from thrivefinancedatapipeline_spark.operators.quality import (
+        PIPELINE_ATTEST_ORACLE,
+        corpus_pipeline_attest,
+    )
+
+    return {
+        "corpus_pipeline_attest": (
+            corpus_pipeline_attest, PIPELINE_ATTEST_ORACLE,
+        ),
+        "multimodal_codec_attest5": (
+            q_multimodal_codec_attest5, CODEC_ATTEST5_ORACLE,
+        ),
+    }
 
 
 def main() -> int:
