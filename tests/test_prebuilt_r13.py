@@ -141,3 +141,84 @@ def test_avi_audio_first_encoder_is_pixel_identical():
     assert avi.avi_stream_info(afirst)["handler"] == b"DIB "
     # container transparency holds in both forms
     assert avi.avi_frame_chunks(plain) == avi.avi_frame_chunks(afirst)
+
+
+def test_dedup_cosine_tau_sweep_vs_duckdb_nesting_identity(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.operators.dedup import (
+        COSINE_TAU_SWEEP,
+        COSINE_TAU_SWEEP_ORACLE,
+        COSINE_TAU,
+        dedup_cosine_tau_sweep,
+        q_dedup_embedding_lsh,
+    )
+
+    for d in _dirs(sf_dir):
+        got = sorted(
+            tuple(r) for r in dedup_cosine_tau_sweep(spark, d).collect()
+        )
+        want = sorted(
+            tuple(r) for r in _duck(d, COSINE_TAU_SWEEP_ORACLE)
+        )
+        assert got == want, f"dedup_cosine_tau_sweep mismatch at {d}"
+        # every swept cell present — a pair-killing threshold emits
+        # its zero row instead of vanishing (degeneration detector)
+        assert [r[0] for r in got] == sorted(COSINE_TAU_SWEEP)
+        # one shared candidate denominator; pair counts NEST as the
+        # threshold tightens (same scored relation, tighter filter)
+        assert len({r[1] for r in got}) == 1
+        counts = [r[2] for r in got]
+        assert counts == sorted(counts, reverse=True)
+        assert all(r[3] == r[2] * 1_000_000 // r[1] for r in got)
+        # the registered point: pair count identical to the shipped
+        # operator's output through the REGISTERED plan
+        reg = q_dedup_embedding_lsh(spark, d).count()
+        at_tau = {r[0]: r[2] for r in got}[int(COSINE_TAU * 1_000_000)]
+        assert at_tau == reg, f"sweep disagrees with registered op at {d}"
+
+
+def test_quality_gate_margin_sweep_vs_duckdb_nesting_identity(spark, sf_dir):
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from thrivefinancedatapipeline_spark.operators.quality import (
+        GATE_KEEP_SWEEP,
+        GATE_MARGIN_SWEEP_ORACLE,
+        q_quality_gate_by_lang,
+        quality_gate_margin_sweep,
+    )
+
+    for d in _dirs(sf_dir):
+        got = sorted(
+            tuple(r)
+            for r in quality_gate_margin_sweep(spark, d).collect()
+        )
+        want = sorted(
+            tuple(r) for r in _duck(d, GATE_MARGIN_SWEEP_ORACLE)
+        )
+        assert got == want, f"quality_gate_margin_sweep mismatch at {d}"
+        # per-lang doc counts and chars NEST as the gate relaxes
+        # (rank order fixed, keep threshold monotone)
+        per_lang = defaultdict(dict)
+        for keep_ppm, lang, n_docs, chars_kept, _cs in got:
+            per_lang[lang][keep_ppm] = (n_docs, chars_kept)
+        assert per_lang, "sweep emitted nothing"
+        for lang, by_ppm in per_lang.items():
+            pps = sorted(by_ppm)
+            assert pps == sorted(GATE_KEEP_SWEEP), f"{lang} missing cells"
+            docs = [by_ppm[p][0] for p in pps]
+            chars = [by_ppm[p][1] for p in pps]
+            assert docs == sorted(docs), f"{lang} doc counts not monotone"
+            assert chars == sorted(chars), f"{lang} chars not monotone"
+        # the registered median gate == the 500000 cells per lang
+        reg = dict(
+            (r["lang"], r["cnt"])
+            for r in q_quality_gate_by_lang(spark, d)
+            .groupBy("lang")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        )
+        mid = {
+            lang: by_ppm[500_000][0] for lang, by_ppm in per_lang.items()
+        }
+        assert mid == reg, f"sweep disagrees with registered gate at {d}"

@@ -769,12 +769,11 @@ def q_dedup_embedding_cosine(
     )
 
 
-def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The LSH scale path for embedding near-dup: candidate pairs
-    collide in >=1 of the L hyperplane hash tables (similarity.PLANES
-    — same deterministic construction), then exact cosine >= tau
-    verifies. At 100 TB the (table, bucket) join replaces the
-    quadratic crossJoin; recall rises with L."""
+def _emb_lsh_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id_1, vec_id_2, cos) for every LSH candidate pair — the
+    shared heavy pass of q_dedup_embedding_lsh and the τ sweep: the
+    (table, bucket) collision join plus ONE exact-cosine verify; the
+    threshold is applied by the caller."""
     from ..functions.vector import as_double_vec, cosine, norm
     from .similarity import _bucketed
 
@@ -801,9 +800,24 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(a1, "vec_id_1")
         .join(a2, "vec_id_2")
-        .withColumn(
-            "cos", cosine(F.col("v1"), F.col("v2"), F.col("n1"), F.col("n2"))
+        .select(
+            "vec_id_1",
+            "vec_id_2",
+            cosine(
+                F.col("v1"), F.col("v2"), F.col("n1"), F.col("n2")
+            ).alias("cos"),
         )
+    )
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH scale path for embedding near-dup: candidate pairs
+    collide in >=1 of the L hyperplane hash tables (similarity.PLANES
+    — same deterministic construction), then exact cosine >= tau
+    verifies. At 100 TB the (table, bucket) join replaces the
+    quadratic crossJoin; recall rises with L."""
+    return (
+        _emb_lsh_scored(spark, sf_dir)
         .filter(F.col("cos") >= COSINE_TAU)
         .select("vec_id_1", "vec_id_2")
     )
@@ -2997,3 +3011,126 @@ QUERIES["dedup_minhash_band_sweep"] = dedup_minhash_band_sweep
 ORACLES["dedup_minhash_band_sweep"] = MINHASH_BAND_SWEEP_ORACLE
 QUERIES["dedup_shingle_cap_sweep"] = dedup_shingle_cap_sweep
 ORACLES["dedup_shingle_cap_sweep"] = SHINGLE_CAP_SWEEP_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# PREBUILT (r12-staged for r13 — tools/check_prebuilt.py).
+# dedup_cosine_tau_sweep: the semantic-dedup threshold curve.
+# ---------------------------------------------------------------------------
+
+#: cosine thresholds swept (ppm) — the registered COSINE_TAU (0.45)
+#: sits in the middle, so the curve prices moving the knob either way
+COSINE_TAU_SWEEP = (400_000, 450_000, 500_000)
+
+_CTS_NS = "cts:"  # membership-checksum namespace
+
+
+def dedup_cosine_tau_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the embedding near-dup τ knob costs and yields: for each
+    swept cosine threshold, the pair count the LSH+verify pipeline
+    would emit, its yield against the τ-independent candidate volume
+    (the LSH capacity denominator), and a membership checksum of the
+    passing pairs — so the driver attests WHICH pairs each threshold
+    keeps, not just how many. Pair sets provably NEST as τ rises
+    (same scored relation, tighter filter — pinned in tests), and the
+    τ=COSINE_TAU row is identity-pinned to the registered
+    dedup_embedding_lsh, so the telemetry can never disagree with the
+    shipped operator.
+
+    Scale shape (sweep-family): the heavy pass — bucket collision
+    join + ONE exact-cosine verify over candidates — runs once and is
+    checkpointed; the swept constants explode per candidate row
+    (|sweep| small integers, no data growth beyond 3x candidates) and
+    roll up to |sweep| cells. The comparison is done at double
+    precision from the SAME integer ppm literal in both engines
+    (tau_ppm / 1e6 — one IEEE division, no decimal drift)."""
+    scored = (
+        _emb_lsh_scored(spark, sf_dir)
+        .withColumn(
+            "h",
+            md5_long(
+                F.concat(
+                    F.lit(_CTS_NS),
+                    F.col("vec_id_1").cast("string"),
+                    F.lit(":"),
+                    F.col("vec_id_2").cast("string"),
+                )
+            ),
+        )
+        .localCheckpoint(eager=True)  # heavy pass exactly once
+    )
+    taus = F.array(*[F.lit(t).cast("int") for t in COSINE_TAU_SWEEP])
+    # explicit spine: a threshold that kills EVERY pair must still
+    # emit its zero row — an absent cell reads as "not measured", a
+    # zero cell is the degeneration detector (the lex_cap_sweep
+    # lesson)
+    spine = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    ).withColumn("tau_ppm", F.explode(taus))
+    grouped = (
+        scored.withColumn("tau_ppm", F.explode(taus))
+        .filter(F.col("cos") >= F.col("tau_ppm") / F.lit(1_000_000.0))
+        .groupBy("tau_ppm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.expr("bit_xor(h)").alias("pairs_checksum"),
+        )
+    )
+    return spine.join(grouped, "tau_ppm", "left").select(
+        "tau_ppm",
+        "n_candidates",
+        F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias(
+            "n_pairs"
+        ),
+        F.expr(
+            "CAST(CAST(COALESCE(n_pairs, 0) AS DECIMAL(38,0)) * 1000000"
+            " div n_candidates AS BIGINT)"
+        ).alias("yield_ppm"),
+        F.coalesce(F.col("pairs_checksum"), F.lit(0)).alias(
+            "pairs_checksum"
+        ),
+    )
+
+
+def _cosine_tau_sweep_oracle() -> str:
+    from ..functions.text import md5_long_sql
+    from .similarity import BANDS_SQL
+
+    cells = ", ".join(f"({t})" for t in COSINE_TAU_SWEEP)
+    h = md5_long_sql(
+        f"'{_CTS_NS}' || CAST(vec_id_1 AS VARCHAR) || ':'"
+        " || CAST(vec_id_2 AS VARCHAR)"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+bands AS ({BANDS_SQL}),
+cand AS (
+  SELECT DISTINCT b1.vec_id AS vec_id_1, b2.vec_id AS vec_id_2
+  FROM bands b1 JOIN bands b2
+    ON b1.table_id = b2.table_id AND b1.bucket = b2.bucket
+   AND b1.vec_id < b2.vec_id),
+scored AS (
+  SELECT vec_id_1, vec_id_2,
+         list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos,
+         {h} AS h
+  FROM cand
+  JOIN n a ON a.vec_id = vec_id_1
+  JOIN n b ON b.vec_id = vec_id_2),
+tot AS (SELECT COUNT(*) AS n_candidates FROM scored),
+sp AS (SELECT * FROM (VALUES {cells}) t(tau_ppm)),
+agg AS (
+  SELECT sp.tau_ppm, COUNT(*) AS n_pairs, BIT_XOR(h) AS cs
+  FROM scored, sp
+  WHERE cos >= sp.tau_ppm / 1000000.0
+  GROUP BY sp.tau_ppm)
+SELECT CAST(sp.tau_ppm AS INT) AS tau_ppm,
+       CAST(tot.n_candidates AS BIGINT) AS n_candidates,
+       CAST(COALESCE(agg.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(CAST(COALESCE(agg.n_pairs, 0) AS HUGEINT) * 1000000
+            // tot.n_candidates AS BIGINT) AS yield_ppm,
+       COALESCE(agg.cs, 0) AS pairs_checksum
+FROM sp CROSS JOIN tot LEFT JOIN agg ON agg.tau_ppm = sp.tau_ppm"""
+
+
+COSINE_TAU_SWEEP_ORACLE = _cosine_tau_sweep_oracle()

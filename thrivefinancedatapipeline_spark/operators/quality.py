@@ -800,3 +800,99 @@ FROM packed"""
 
 
 PIPELINE_ATTEST_ORACLE = _pipeline_attest_oracle()
+
+
+# ---------------------------------------------------------------------------
+# PREBUILT (r12-staged for r13 — tools/check_prebuilt.py).
+# quality_gate_margin_sweep: the per-language strictness curve.
+# ---------------------------------------------------------------------------
+
+#: keep-fractions swept (ppm of each language's rank order) — the
+#: registered median gate (500000) sits in the middle of the curve
+GATE_KEEP_SWEEP = (250_000, 500_000, 750_000)
+
+_QGS_NS = "qgs:"  # membership-checksum namespace
+
+
+def quality_gate_margin_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """What each notch of quality-gate strictness costs, per
+    language: for every swept keep-fraction, the documents and
+    characters that survive the per-language rank gate, plus a
+    membership checksum — the curve a 100 TB curation run reads
+    before tightening (or relaxing) the gate, stratified so a
+    low-resource language's cliff is visible instead of averaged
+    away. The decision stays in integer rank space (keep iff
+    1e6 * rank <= keep_ppm * stratum_size — the same formulation as
+    the registered gate, never a float percentile), so survivor sets
+    provably NEST as keep_ppm grows (rank order fixed, threshold
+    monotone — pinned in tests) and the keep_ppm=500000 stratum
+    totals are identity-pinned to the registered quality_gate_by_lang.
+
+    Scale shape (sweep-family): the rank + stratum-size windows run
+    ONCE over one shuffle on lang; the swept constants explode per
+    document row and roll up to |sweep| x |langs| cells."""
+    from pyspark.sql import Window
+
+    from ..functions.text import md5_long
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    wn = Window.partitionBy("lang")
+    ranked = docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.row_number().over(w).cast("long").alias("r"),
+        F.count(F.lit(1)).over(wn).cast("long").alias("n"),
+        md5_long(
+            F.concat(F.lit(_QGS_NS), F.col("doc_id").cast("string"))
+        ).alias("h"),
+    )
+    swept = ranked.withColumn(
+        "keep_ppm",
+        F.explode(
+            F.array(*[F.lit(p).cast("int") for p in GATE_KEEP_SWEEP])
+        ),
+    ).filter(
+        F.lit(1_000_000).cast("long") * F.col("r")
+        <= F.col("keep_ppm").cast("long") * F.col("n")
+    )
+    return swept.groupBy("keep_ppm", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars_kept"),
+        F.coalesce(F.expr("bit_xor(h)"), F.lit(0)).alias(
+            "sel_checksum"
+        ),
+    )
+
+
+def _gate_margin_sweep_oracle() -> str:
+    from ..functions.text import md5_long_sql
+
+    cells = ", ".join(f"({p})" for p in GATE_KEEP_SWEEP)
+    h = md5_long_sql(f"'{_QGS_NS}' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH b AS (
+  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                ORDER BY n_chars DESC, doc_id) AS BIGINT) AS r,
+         CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n,
+         {h} AS h
+  FROM documents),
+sp AS (SELECT * FROM (VALUES {cells}) t(keep_ppm))
+SELECT CAST(sp.keep_ppm AS INT) AS keep_ppm, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
+       COALESCE(BIT_XOR(h), 0) AS sel_checksum
+FROM b, sp
+WHERE 1000000 * r <= sp.keep_ppm * n
+GROUP BY sp.keep_ppm, lang"""
+
+
+GATE_MARGIN_SWEEP_ORACLE = _gate_margin_sweep_oracle()

@@ -46,9 +46,15 @@ def _catalog():
         CODEC_ATTEST5_ORACLE,
         q_multimodal_codec_attest5,
     )
+    from thrivefinancedatapipeline_spark.operators.dedup import (
+        COSINE_TAU_SWEEP_ORACLE,
+        dedup_cosine_tau_sweep,
+    )
     from thrivefinancedatapipeline_spark.operators.quality import (
+        GATE_MARGIN_SWEEP_ORACLE,
         PIPELINE_ATTEST_ORACLE,
         corpus_pipeline_attest,
+        quality_gate_margin_sweep,
     )
 
     return {
@@ -57,6 +63,12 @@ def _catalog():
         ),
         "multimodal_codec_attest5": (
             q_multimodal_codec_attest5, CODEC_ATTEST5_ORACLE,
+        ),
+        "dedup_cosine_tau_sweep": (
+            dedup_cosine_tau_sweep, COSINE_TAU_SWEEP_ORACLE,
+        ),
+        "quality_gate_margin_sweep": (
+            quality_gate_margin_sweep, GATE_MARGIN_SWEEP_ORACLE,
         ),
     }
 
