@@ -222,3 +222,68 @@ def test_quality_gate_margin_sweep_vs_duckdb_nesting_identity(spark, sf_dir):
             lang: by_ppm[500_000][0] for lang, by_ppm in per_lang.items()
         }
         assert mid == reg, f"sweep disagrees with registered gate at {d}"
+
+
+def test_corpus_pipeline_attest_prod_vs_duckdb_and_shape(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.operators.quality import (
+        PIPELINE_ATTEST_PROD_ORACLE,
+        PIPELINE_PROD_STAGES,
+        corpus_pipeline_attest_prod,
+    )
+
+    for d in _dirs(sf_dir):
+        got = sorted(
+            tuple(r)
+            for r in corpus_pipeline_attest_prod(spark, d).collect()
+        )
+        want = sorted(
+            tuple(r) for r in _duck(d, PIPELINE_ATTEST_PROD_ORACLE)
+        )
+        assert got == want, f"corpus_pipeline_attest_prod mismatch at {d}"
+        by_ord = {r[0]: r for r in got}
+        assert [by_ord[i][1] for i in range(1, 9)] == list(
+            PIPELINE_PROD_STAGES
+        )
+        # the doc funnel (now incl. the quota stage) strictly filters
+        doc_counts = [by_ord[i][2] for i in range(1, 6)]
+        assert doc_counts == sorted(doc_counts, reverse=True)
+        assert doc_counts[-1] > 0, "quota stage emptied the corpus"
+        # quota never selects beyond the gate survivors' tokens
+        assert by_ord[5][3] <= by_ord[4][3]
+        # packing re-labels the unique chunks: token totals identical
+        assert by_ord[7][3] == by_ord[8][3]
+        assert all(by_ord[i][4] != 0 for i in range(1, 9))
+
+
+def test_corpus_pipeline_attest_prod_matches_pipeline_report(
+    spark, sf_dir
+):
+    """Identity with run_corpus_pipeline under BOTH production flags
+    (token_budget_quota=True, dedup='priority')."""
+    from thrivefinancedatapipeline_spark.operators.quality import (
+        corpus_pipeline_attest_prod,
+    )
+    from thrivefinancedatapipeline_spark.pipeline import (
+        run_corpus_pipeline,
+    )
+
+    report = run_corpus_pipeline(
+        spark, sf_dir, token_budget_quota=True, dedup="priority"
+    )
+    by_ord = {
+        r["stage_ord"]: r
+        for r in (
+            x.asDict()
+            for x in corpus_pipeline_attest_prod(spark, sf_dir).collect()
+        )
+    }
+    assert by_ord[1]["n_rows"] == report["n_documents"]
+    assert by_ord[2]["n_rows"] == report["n_after_decontaminate"]
+    assert by_ord[3]["n_rows"] == report["n_after_dedup"]
+    assert by_ord[4]["n_rows"] == report["n_after_quality_gate"]
+    assert by_ord[5]["n_rows"] == report["n_after_quota"]
+    assert by_ord[5]["n_tokens"] == report["quota_tokens_selected"]
+    assert by_ord[6]["n_rows"] == report["n_chunks"]
+    assert by_ord[7]["n_rows"] == report["n_unique_chunks"]
+    assert by_ord[8]["n_rows"] == report["n_packs"]
+    assert by_ord[8]["n_tokens"] == report["total_tokens"]

@@ -896,3 +896,316 @@ GROUP BY sp.keep_ppm, lang"""
 
 
 GATE_MARGIN_SWEEP_ORACLE = _gate_margin_sweep_oracle()
+
+
+# ---------------------------------------------------------------------------
+# PREBUILT (r12-staged for r13 — tools/check_prebuilt.py).
+# corpus_pipeline_attest_prod: the PRODUCTION-posture pipeline attest.
+# ---------------------------------------------------------------------------
+
+#: funnel stages of run_corpus_pipeline(token_budget_quota=True,
+#: dedup="priority") — the production configuration
+PIPELINE_PROD_STAGES = (
+    "documents",
+    "decontaminated",
+    "dedup_priority",
+    "quality_gated",
+    "quota_selected",
+    "chunks",
+    "unique_chunks",
+    "packed",
+)
+
+_CPP_NS = "cpp:"  # checksum namespace (disjoint from the default attest)
+
+
+def corpus_pipeline_attest_prod(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """corpus_pipeline_attest for the PRODUCTION pipeline posture —
+    run_corpus_pipeline(token_budget_quota=True, dedup='priority'):
+    trust-ranked survivor selection instead of min-id, plus the
+    fair-share token-budget quota stage over the gate survivors. One
+    row per stage (count, token sum, membership checksum); the oracle
+    nests the registered corpus_clean / dedup_keep_priority /
+    quality_gate_by_lang / corpus_chunk oracles and replays the
+    quota + chunk-dedup + packing tail over the survivor set. Together
+    with corpus_pipeline_attest this closes oracle coverage of every
+    pipeline configuration. Stage identity with the pipeline's own
+    report (both flags on) is test-pinned.
+
+    Scale shape: identical to corpus_pipeline_attest (keep-sets once
+    into a narrow checkpointed label relation, chunk fan-out once over
+    the final survivor semi-join), plus the quota pass: one token
+    scan over gate survivors, a broadcast quota rollup, one window
+    partitioned by source — the registered quota_select's own plan."""
+    from ..functions.text import md5_long, tokens
+    from .dedup import dedup_keep_priority
+    from .packing import pack_assignments
+    from .sampling import quota_select
+    from .textops import QUERIES as _TEXT_QUERIES
+    from .textops import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens(F.col("text"))).cast("long").alias("nt"),
+        md5_long(
+            F.concat(F.lit(_CPP_NS), F.col("doc_id").cast("string"))
+        ).alias("h"),
+    )
+    clean = _TEXT_QUERIES["corpus_clean"](spark, sf_dir).select(
+        "doc_id"
+    ).withColumn("c", F.lit(1))
+    canon = dedup_keep_priority(spark, sf_dir).select(
+        "doc_id"
+    ).withColumn("k", F.lit(1))
+    gate = q_quality_gate_by_lang(spark, sf_dir).select(
+        "doc_id"
+    ).withColumn("g", F.lit(1))
+    lab = (
+        base.join(clean, "doc_id", "left")
+        .join(canon, "doc_id", "left")
+        .join(gate, "doc_id", "left")
+        .select(
+            "doc_id", "lang", "nt", "h",
+            (F.col("c") == 1).alias("fc"),
+            ((F.col("c") == 1) & (F.col("k") == 1)).alias("fk"),
+            (
+                (F.col("c") == 1) & (F.col("k") == 1) & (F.col("g") == 1)
+            ).alias("fg"),
+        )
+        .localCheckpoint(eager=True)  # keep-sets computed exactly once
+    )
+    gated_ids = lab.filter("fg").select("doc_id")
+    sel_ids = (
+        quota_select(
+            docs.join(gated_ids, "doc_id", "semi").select(
+                "doc_id", "source", "text"
+            )
+        )
+        .select("doc_id")
+        .localCheckpoint(eager=True)  # quota membership exactly once
+    )
+    lab = lab.join(
+        sel_ids.withColumn("q", F.lit(1)), "doc_id", "left"
+    ).select(
+        "doc_id", "lang", "nt", "h", "fc", "fk", "fg",
+        (F.col("fg") & (F.col("q") == 1)).alias("fq"),
+    )
+
+    def _doc_stage(ord_: int, name: str, flag) -> DataFrame:
+        src = lab.filter(flag) if flag is not None else lab
+        return src.agg(
+            F.lit(ord_).cast("int").alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.coalesce(F.sum("nt"), F.lit(0)).cast("long").alias(
+                "n_tokens"
+            ),
+            F.coalesce(F.expr("bit_xor(h)"), F.lit(0)).alias(
+                "set_checksum"
+            ),
+        )
+
+    surv = lab.filter("fq").select("doc_id", "lang")
+    ch = (
+        chunk_documents(docs.join(surv.select("doc_id"), "doc_id", "semi"))
+        .join(surv, "doc_id")
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "lang",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "chunk_hash",
+            md5_long(
+                F.concat(
+                    F.lit(_CPP_NS),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("chunk_idx").cast("string"),
+                )
+            ).alias("h"),
+        )
+        .localCheckpoint(eager=True)  # chunk fan-out computed once
+    )
+
+    def _chunk_stage(ord_: int, name: str, src: DataFrame) -> DataFrame:
+        return src.agg(
+            F.lit(ord_).cast("int").alias("stage_ord"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias(
+                "n_tokens"
+            ),
+            F.coalesce(F.expr("bit_xor(h)"), F.lit(0)).alias(
+                "set_checksum"
+            ),
+        )
+
+    wdup = Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_idx")
+    uniq = (
+        ch.withColumn("_rn", F.row_number().over(wdup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    packed = pack_assignments(
+        uniq.select("lang", "doc_id", "chunk_idx", "n_tokens"),
+        ["lang"], ["doc_id", "chunk_idx"], "n_tokens",
+    ).withColumn(
+        "hp",
+        md5_long(
+            F.concat(
+                F.lit(_CPP_NS),
+                F.col("lang"),
+                F.lit(":"),
+                F.col("pack_id").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("chunk_idx").cast("string"),
+            )
+        ),
+    )
+    pack_stage = packed.agg(
+        F.lit(8).cast("int").alias("stage_ord"),
+        F.lit("packed").alias("stage"),
+        F.count_distinct(
+            F.concat_ws(":", "lang", "pack_id")
+        ).cast("long").alias("n_rows"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias(
+            "n_tokens"
+        ),
+        F.coalesce(F.expr("bit_xor(hp)"), F.lit(0)).alias(
+            "set_checksum"
+        ),
+    )
+    return (
+        _doc_stage(1, "documents", None)
+        .unionAll(_doc_stage(2, "decontaminated", F.col("fc")))
+        .unionAll(_doc_stage(3, "dedup_priority", F.col("fk")))
+        .unionAll(_doc_stage(4, "quality_gated", F.col("fg")))
+        .unionAll(_doc_stage(5, "quota_selected", F.col("fq")))
+        .unionAll(_chunk_stage(6, "chunks", ch))
+        .unionAll(_chunk_stage(7, "unique_chunks", uniq))
+        .unionAll(pack_stage)
+    )
+
+
+def _pipeline_attest_prod_oracle() -> str:
+    from ..functions.text import md5_long_sql, norm_sql
+    from .dedup import KEEP_PRIORITY_ORACLE
+    from .packing import PACK_BUDGET
+    from .sampling import QUOTA_DENOM, QUOTA_NS
+    from .textops import ORACLES as _TEXT_ORACLES
+
+    clean = _TEXT_ORACLES["corpus_clean"]
+    gate = ORACLES["quality_gate_by_lang"]
+    chunk = _TEXT_ORACLES["corpus_chunk"]
+    h_doc = md5_long_sql(f"'{_CPP_NS}' || CAST(doc_id AS VARCHAR)")
+    h_q = md5_long_sql(f"'{QUOTA_NS}' || CAST(doc_id AS VARCHAR)")
+    h_chunk = md5_long_sql(
+        f"'{_CPP_NS}' || CAST(ca.doc_id AS VARCHAR) || ':'"
+        " || CAST(ca.chunk_idx AS VARCHAR)"
+    )
+    h_pack = md5_long_sql(
+        f"'{_CPP_NS}' || lang || ':' || CAST(pack_id AS VARCHAR) || ':'"
+        " || CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_idx AS VARCHAR)"
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, source,
+         CAST(len(string_split({norm_sql("text")}, ' ')) AS BIGINT)
+           AS nt,
+         {h_doc} AS h
+  FROM documents),
+cset AS (SELECT DISTINCT doc_id FROM ({clean}) x),
+kset AS (SELECT DISTINCT doc_id FROM ({KEEP_PRIORITY_ORACLE}) x),
+gset AS (SELECT DISTINCT doc_id FROM ({gate}) x),
+lab AS (
+  SELECT t.*,
+         (cset.doc_id IS NOT NULL) AS fc,
+         (cset.doc_id IS NOT NULL AND kset.doc_id IS NOT NULL) AS fk,
+         (cset.doc_id IS NOT NULL AND kset.doc_id IS NOT NULL
+          AND gset.doc_id IS NOT NULL) AS fg
+  FROM t
+  LEFT JOIN cset ON cset.doc_id = t.doc_id
+  LEFT JOIN kset ON kset.doc_id = t.doc_id
+  LEFT JOIN gset ON gset.doc_id = t.doc_id),
+qsrc AS (SELECT doc_id, source, nt, {h_q} AS qh FROM lab WHERE fg),
+qtot AS (SELECT SUM(nt) AS total_tokens,
+                COUNT(DISTINCT source) AS n_sources FROM qsrc),
+qq AS (SELECT source,
+              LEAST(SUM(nt), (qtot.total_tokens // {QUOTA_DENOM})
+                             // qtot.n_sources) AS quota_tokens
+       FROM qsrc, qtot GROUP BY source, qtot.total_tokens,
+                                qtot.n_sources),
+qc AS (SELECT doc_id, source, nt, qh,
+              SUM(nt) OVER (PARTITION BY source ORDER BY qh, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+       FROM qsrc),
+qsel AS (SELECT qc.doc_id FROM qc JOIN qq USING (source)
+         WHERE qc.cum - qc.nt < qq.quota_tokens),
+lab2 AS (
+  SELECT lab.*, (lab.fg AND qsel.doc_id IS NOT NULL) AS fq
+  FROM lab LEFT JOIN qsel ON qsel.doc_id = lab.doc_id),
+ch AS (
+  SELECT ca.doc_id, ca.chunk_idx, lab2.lang,
+         CAST(ca.n_tokens AS BIGINT) AS n_tokens, ca.chunk_hash,
+         {h_chunk} AS h
+  FROM ({chunk}) ca JOIN lab2 ON lab2.doc_id = ca.doc_id AND lab2.fq),
+uniq AS (
+  SELECT * FROM (
+    SELECT ch.*, ROW_NUMBER() OVER (PARTITION BY chunk_hash
+                   ORDER BY doc_id, chunk_idx) AS rn
+    FROM ch) z
+  WHERE rn = 1),
+packed AS (
+  SELECT lang, doc_id, chunk_idx, n_tokens,
+         (SUM(n_tokens) OVER (PARTITION BY lang
+                              ORDER BY doc_id, chunk_idx
+                              ROWS UNBOUNDED PRECEDING) - n_tokens)
+           // {PACK_BUDGET} AS pack_id
+  FROM uniq)
+SELECT CAST(1 AS INT) AS stage_ord, 'documents' AS stage,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(nt), 0) AS BIGINT) AS n_tokens,
+       COALESCE(BIT_XOR(h), 0) AS set_checksum
+FROM lab2
+UNION ALL
+SELECT CAST(2 AS INT), 'decontaminated', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(nt), 0) AS BIGINT), COALESCE(BIT_XOR(h), 0)
+FROM lab2 WHERE fc
+UNION ALL
+SELECT CAST(3 AS INT), 'dedup_priority', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(nt), 0) AS BIGINT), COALESCE(BIT_XOR(h), 0)
+FROM lab2 WHERE fk
+UNION ALL
+SELECT CAST(4 AS INT), 'quality_gated', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(nt), 0) AS BIGINT), COALESCE(BIT_XOR(h), 0)
+FROM lab2 WHERE fg
+UNION ALL
+SELECT CAST(5 AS INT), 'quota_selected', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(nt), 0) AS BIGINT), COALESCE(BIT_XOR(h), 0)
+FROM lab2 WHERE fq
+UNION ALL
+SELECT CAST(6 AS INT), 'chunks', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT),
+       COALESCE(BIT_XOR(h), 0)
+FROM ch
+UNION ALL
+SELECT CAST(7 AS INT), 'unique_chunks', CAST(COUNT(*) AS BIGINT),
+       CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT),
+       COALESCE(BIT_XOR(h), 0)
+FROM uniq
+UNION ALL
+SELECT CAST(8 AS INT), 'packed',
+       CAST(COUNT(DISTINCT lang || ':' || CAST(pack_id AS VARCHAR))
+            AS BIGINT),
+       CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT),
+       COALESCE(BIT_XOR({h_pack}), 0)
+FROM packed"""
+
+
+PIPELINE_ATTEST_PROD_ORACLE = _pipeline_attest_prod_oracle()

@@ -53,13 +53,18 @@ def _catalog():
     from thrivefinancedatapipeline_spark.operators.quality import (
         GATE_MARGIN_SWEEP_ORACLE,
         PIPELINE_ATTEST_ORACLE,
+        PIPELINE_ATTEST_PROD_ORACLE,
         corpus_pipeline_attest,
+        corpus_pipeline_attest_prod,
         quality_gate_margin_sweep,
     )
 
     return {
         "corpus_pipeline_attest": (
             corpus_pipeline_attest, PIPELINE_ATTEST_ORACLE,
+        ),
+        "corpus_pipeline_attest_prod": (
+            corpus_pipeline_attest_prod, PIPELINE_ATTEST_PROD_ORACLE,
         ),
         "multimodal_codec_attest5": (
             q_multimodal_codec_attest5, CODEC_ATTEST5_ORACLE,
