@@ -287,3 +287,73 @@ def test_corpus_pipeline_attest_prod_matches_pipeline_report(
     assert by_ord[7]["n_rows"] == report["n_unique_chunks"]
     assert by_ord[8]["n_rows"] == report["n_packs"]
     assert by_ord[8]["n_tokens"] == report["total_tokens"]
+
+
+def test_decontam_threshold_sweep_vs_duckdb_nesting_identity(spark, sf_dir):
+    from thrivefinancedatapipeline_spark.operators.textops import (
+        DECON_SWEEP_ORACLE,
+        DECON_THRESHOLD_SWEEP,
+        decontam_threshold_sweep,
+        q_corpus_decontaminate,
+    )
+
+    for d in _dirs(sf_dir):
+        got = sorted(
+            tuple(r)
+            for r in decontam_threshold_sweep(spark, d).collect()
+        )
+        want = sorted(tuple(r) for r in _duck(d, DECON_SWEEP_ORACLE))
+        assert got == want, f"decontam_threshold_sweep mismatch at {d}"
+        assert [r[0] for r in got] == sorted(DECON_THRESHOLD_SWEEP)
+        # one shared overlap denominator; flagged sets NEST as the
+        # threshold rises (same counts, tighter filter)
+        assert len({r[1] for r in got}) == 1
+        flags = [r[2] for r in got]
+        toks = [r[3] for r in got]
+        assert flags == sorted(flags, reverse=True)
+        assert toks == sorted(toks, reverse=True)
+        # the m=1 row IS the registered rule: every overlapping doc
+        reg = q_corpus_decontaminate(spark, d).count()
+        assert flags[0] == reg == got[0][1]
+
+
+def test_repeat_cap_sweep_vs_duckdb_monotone_identity(spark, sf_dir):
+    from collections import defaultdict
+
+    from thrivefinancedatapipeline_spark.operators.textops import (
+        REPEAT_CAP_PPM,
+        REPEAT_CAP_SWEEP,
+        REPEAT_CAP_SWEEP_ORACLE,
+        q_corpus_repeat_factors,
+        repeat_cap_sweep,
+    )
+
+    assert REPEAT_CAP_PPM in REPEAT_CAP_SWEEP
+    for d in _dirs(sf_dir):
+        got = sorted(
+            tuple(r) for r in repeat_cap_sweep(spark, d).collect()
+        )
+        want = sorted(
+            tuple(r) for r in _duck(d, REPEAT_CAP_SWEEP_ORACLE)
+        )
+        assert got == want, f"repeat_cap_sweep mismatch at {d}"
+        per_lang = defaultdict(dict)
+        for cap, lang, _nd, ntok, rep, eff in got:
+            per_lang[lang][cap] = (rep, eff, ntok)
+            assert rep <= cap  # the cap binds
+            assert eff == ntok * rep // 1_000_000
+        for lang, by_cap in per_lang.items():
+            caps = sorted(by_cap)
+            assert caps == sorted(REPEAT_CAP_SWEEP)
+            reps = [by_cap[c][0] for c in caps]
+            assert reps == sorted(reps), f"{lang} repeat not monotone"
+        # the registered cap's rows == corpus_repeat_factors verbatim
+        reg = {
+            r["lang"]: r["repeat_ppm"]
+            for r in q_corpus_repeat_factors(spark, d).collect()
+        }
+        mid = {
+            lang: by_cap[REPEAT_CAP_PPM][0]
+            for lang, by_cap in per_lang.items()
+        }
+        assert mid == reg, f"sweep disagrees with registered op at {d}"

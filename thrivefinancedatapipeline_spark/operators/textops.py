@@ -2474,3 +2474,210 @@ def probe_chunk_band_index(
         "shingles_1",
         "shingles_2",
     )
+
+
+# ---------------------------------------------------------------------------
+# PREBUILT (r12-staged for r13 — tools/check_prebuilt.py).
+# decontam_threshold_sweep + repeat_cap_sweep: the hygiene and
+# epoch-policy knobs, each costed from one pass.
+# ---------------------------------------------------------------------------
+
+#: minimum overlapping-shingle counts swept — the registered
+#: decontamination rule (ANY overlap, threshold 1) is the strictest
+DECON_THRESHOLD_SWEEP = (1, 2, 4)
+
+_DTS_NS = "dts:"  # membership-checksum namespace
+
+
+def decontam_threshold_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """What the decontamination strictness knob costs: for each swept
+    minimum-overlap threshold (flag a document only if it shares >= m
+    shingles with the benchmark set), the documents and tokens the
+    rule would REMOVE, plus a membership checksum of the flagged set —
+    the trade every training-data report debates (exact-match vs
+    >=k-overlap blocklists). Flagged sets provably NEST as the
+    threshold rises (same overlap counts, tighter filter — pinned),
+    and the m=1 row is identity-pinned to the registered
+    corpus_decontaminate relation, so the telemetry cannot disagree
+    with the shipped rule.
+
+    Scale shape (sweep-family): the overlap counts are the registered
+    operator's own plan (broadcast benchmark probe, one per-doc
+    count), computed ONCE and joined to per-doc token counts — a
+    relation bounded by the CONTAMINATED doc count, not the corpus;
+    the swept constants explode per flagged row and roll up to
+    |sweep| cells through an explicit spine (a threshold that flags
+    nothing emits its zero row)."""
+    from ..functions.text import md5_long
+
+    overlaps = q_corpus_decontaminate(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("nt"),
+    )
+    base = (
+        overlaps.join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "n_contaminated_shingles",
+            "nt",
+            md5_long(
+                F.concat(F.lit(_DTS_NS), F.col("doc_id").cast("string"))
+            ).alias("h"),
+        )
+        .localCheckpoint(eager=True)  # overlap pass exactly once
+    )
+    ms = F.array(
+        *[F.lit(m).cast("int") for m in DECON_THRESHOLD_SWEEP]
+    )
+    spine = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlapping")
+    ).withColumn("min_overlap", F.explode(ms))
+    grouped = (
+        base.withColumn("min_overlap", F.explode(ms))
+        .filter(F.col("n_contaminated_shingles") >= F.col("min_overlap"))
+        .groupBy("min_overlap")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_flagged"),
+            F.sum("nt").cast("long").alias("tokens_flagged"),
+            F.expr("bit_xor(h)").alias("flagged_checksum"),
+        )
+    )
+    return spine.join(grouped, "min_overlap", "left").select(
+        "min_overlap",
+        "n_overlapping",
+        F.coalesce(F.col("n_flagged"), F.lit(0)).cast("long").alias(
+            "n_flagged"
+        ),
+        F.coalesce(F.col("tokens_flagged"), F.lit(0)).cast("long").alias(
+            "tokens_flagged"
+        ),
+        F.coalesce(F.col("flagged_checksum"), F.lit(0)).alias(
+            "flagged_checksum"
+        ),
+    )
+
+
+def _decontam_sweep_oracle() -> str:
+    from ..functions.text import md5_long_sql
+
+    cells = ", ".join(f"({m})" for m in DECON_THRESHOLD_SWEEP)
+    h = md5_long_sql(f"'{_DTS_NS}' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH ov AS ({_decontaminate_oracle()}),
+base AS (
+  SELECT ov.doc_id, ov.n_contaminated_shingles,
+         CAST(len({_TOKS}) AS BIGINT) AS nt, {h} AS h
+  FROM ov JOIN documents USING (doc_id)),
+tot AS (SELECT COUNT(*) AS n_overlapping FROM base),
+sp AS (SELECT * FROM (VALUES {cells}) t(min_overlap)),
+agg AS (
+  SELECT sp.min_overlap, COUNT(*) AS n_flagged,
+         SUM(nt) AS tokens_flagged, BIT_XOR(h) AS cs
+  FROM base, sp
+  WHERE base.n_contaminated_shingles >= sp.min_overlap
+  GROUP BY sp.min_overlap)
+SELECT CAST(sp.min_overlap AS INT) AS min_overlap,
+       CAST(tot.n_overlapping AS BIGINT) AS n_overlapping,
+       CAST(COALESCE(agg.n_flagged, 0) AS BIGINT) AS n_flagged,
+       CAST(COALESCE(agg.tokens_flagged, 0) AS BIGINT)
+         AS tokens_flagged,
+       COALESCE(agg.cs, 0) AS flagged_checksum
+FROM sp CROSS JOIN tot
+LEFT JOIN agg ON agg.min_overlap = sp.min_overlap"""
+
+
+DECON_SWEEP_ORACLE = _decontam_sweep_oracle()
+
+
+#: epoch caps swept (ppm; 1e6 = one epoch) — the registered
+#: REPEAT_CAP_PPM (4 epochs) sits in the middle
+REPEAT_CAP_SWEEP = (2_000_000, 4_000_000, 8_000_000)
+
+
+def repeat_cap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the 'don't repeat small data forever' cap costs per
+    language: for each swept epoch cap, the share-equalizing repeat
+    factor each language would get and the EFFECTIVE tokens it then
+    contributes (n_tokens * repeat_ppm div 1e6) — the table a mixture
+    designer reads before moving the cap. repeat_ppm is provably
+    monotone in the cap (min(cap, equalizer) — pinned), and the
+    cap=REPEAT_CAP_PPM rows are identity-pinned to the registered
+    corpus_repeat_factors.
+
+    Scale shape: ONE corpus token scan into the |langs|-row
+    aggregate (the registered operator's own plan); the swept caps
+    are pure arithmetic over that bounded relation — no second pass,
+    no spine needed (every language emits a row per cap)."""
+    from ..functions.windows import bounded_spec
+
+    docs = _docs(spark, sf_dir)
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text"))).cast("long")).alias(
+            "n_tokens"
+        ),
+    )
+    w = bounded_spec(agg)  # |langs| rows by construction
+    base = agg.withColumn(
+        "total_tokens", F.sum("n_tokens").over(w)
+    ).withColumn("n_langs", F.count(F.lit(1)).over(w))
+    return (
+        base.withColumn(
+            "cap_ppm",
+            F.explode(
+                F.array(
+                    *[F.lit(c).cast("int") for c in REPEAT_CAP_SWEEP]
+                )
+            ),
+        )
+        .select(
+            "cap_ppm",
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.least(
+                F.col("cap_ppm").cast("decimal(38,0)"),
+                F.expr(
+                    f"CAST(total_tokens AS DECIMAL(38,0)) * {PPM} "
+                    f"div (n_langs * n_tokens)"
+                ),
+            ).cast("long").alias("repeat_ppm"),
+        )
+        .withColumn(
+            "effective_tokens",
+            F.expr(
+                f"CAST(CAST(n_tokens AS DECIMAL(38,0)) * repeat_ppm"
+                f" div {PPM} AS BIGINT)"
+            ),
+        )
+    )
+
+
+def _repeat_cap_sweep_oracle() -> str:
+    cells = ", ".join(f"({c})" for c in REPEAT_CAP_SWEEP)
+    return f"""
+WITH agg AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang),
+t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             COUNT(*) AS n_langs FROM agg),
+sp AS (SELECT * FROM (VALUES {cells}) s(cap_ppm)),
+r AS (
+  SELECT sp.cap_ppm, agg.lang, agg.n_docs, agg.n_tokens,
+         CAST(LEAST(CAST(sp.cap_ppm AS HUGEINT),
+                    CAST(t.total_tokens AS HUGEINT) * {PPM}
+                    // (t.n_langs * agg.n_tokens)) AS BIGINT)
+           AS repeat_ppm
+  FROM agg, t, sp)
+SELECT CAST(cap_ppm AS INT) AS cap_ppm, lang, n_docs, n_tokens,
+       repeat_ppm,
+       CAST(CAST(n_tokens AS HUGEINT) * repeat_ppm // {PPM} AS BIGINT)
+         AS effective_tokens
+FROM r"""
+
+
+REPEAT_CAP_SWEEP_ORACLE = _repeat_cap_sweep_oracle()

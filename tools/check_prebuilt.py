@@ -50,6 +50,12 @@ def _catalog():
         COSINE_TAU_SWEEP_ORACLE,
         dedup_cosine_tau_sweep,
     )
+    from thrivefinancedatapipeline_spark.operators.textops import (
+        DECON_SWEEP_ORACLE,
+        REPEAT_CAP_SWEEP_ORACLE,
+        decontam_threshold_sweep,
+        repeat_cap_sweep,
+    )
     from thrivefinancedatapipeline_spark.operators.quality import (
         GATE_MARGIN_SWEEP_ORACLE,
         PIPELINE_ATTEST_ORACLE,
@@ -75,6 +81,10 @@ def _catalog():
         "quality_gate_margin_sweep": (
             quality_gate_margin_sweep, GATE_MARGIN_SWEEP_ORACLE,
         ),
+        "decontam_threshold_sweep": (
+            decontam_threshold_sweep, DECON_SWEEP_ORACLE,
+        ),
+        "repeat_cap_sweep": (repeat_cap_sweep, REPEAT_CAP_SWEEP_ORACLE),
     }
 
 
