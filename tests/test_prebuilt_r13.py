@@ -357,3 +357,36 @@ def test_repeat_cap_sweep_vs_duckdb_monotone_identity(spark, sf_dir):
             for lang, by_cap in per_lang.items()
         }
         assert mid == reg, f"sweep disagrees with registered op at {d}"
+
+
+def test_dedup_simhash_radius_sweep_vs_duckdb_nesting_identity(
+    spark, sf_dir
+):
+    from thrivefinancedatapipeline_spark.operators.dedup import (
+        SIM_BANDS,
+        SIM_HAM_MAX,
+        SIM_RADIUS_SWEEP,
+        SIMHASH_RADIUS_SWEEP_ORACLE,
+        dedup_simhash_radius_sweep,
+        q_dedup_simhash_pairs,
+    )
+
+    # every swept radius stays inside the banding exactness guarantee
+    assert max(SIM_RADIUS_SWEEP) == SIM_HAM_MAX == SIM_BANDS - 1
+    for d in _dirs(sf_dir):
+        got = sorted(
+            tuple(r)
+            for r in dedup_simhash_radius_sweep(spark, d).collect()
+        )
+        want = sorted(
+            tuple(r) for r in _duck(d, SIMHASH_RADIUS_SWEEP_ORACLE)
+        )
+        assert got == want, f"dedup_simhash_radius_sweep mismatch at {d}"
+        assert [r[0] for r in got] == sorted(SIM_RADIUS_SWEEP)
+        # pair counts NEST as the radius widens; the widest cell IS
+        # the registered relation (count == the shared denominator)
+        counts = [r[2] for r in got]
+        assert counts == sorted(counts)
+        assert len({r[1] for r in got}) == 1
+        reg = q_dedup_simhash_pairs(spark, d).count()
+        assert counts[-1] == reg == got[0][1]

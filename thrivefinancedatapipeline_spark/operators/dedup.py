@@ -3134,3 +3134,98 @@ FROM sp CROSS JOIN tot LEFT JOIN agg ON agg.tau_ppm = sp.tau_ppm"""
 
 
 COSINE_TAU_SWEEP_ORACLE = _cosine_tau_sweep_oracle()
+
+
+# ---------------------------------------------------------------------------
+# PREBUILT (r12-staged for r13 — tools/check_prebuilt.py).
+# dedup_simhash_radius_sweep: the hamming-radius curve.
+# ---------------------------------------------------------------------------
+
+#: hamming radii swept — the registered SIM_HAM_MAX (3, the largest
+#: radius the 4x15-bit banding makes EXACT) is the widest point; a
+#: radius beyond SIM_BANDS-1 would break the pigeonhole recall
+#: guarantee, so the sweep deliberately stops at the exactness edge
+SIM_RADIUS_SWEEP = (1, 2, 3)
+
+_SRS_NS = "srs:"  # membership-checksum namespace
+
+
+def dedup_simhash_radius_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """What tightening the simhash hamming radius buys: pair count
+    and membership checksum at radii 1/2/3, from the REGISTERED
+    q_dedup_simhash_pairs relation computed once (it already carries
+    the exact hamming distance per pair — the sweep is a filter over
+    a checkpointed, near-dup-sized relation, not a new corpus pass).
+    Pair sets provably NEST as the radius tightens, the widest cell
+    is identity-pinned to the registered operator, and every swept
+    radius stays within the banding's exactness guarantee
+    (<= SIM_BANDS - 1), so each cell is a complete answer, not a
+    recall-limited estimate."""
+    pairs = (
+        q_dedup_simhash_pairs(spark, sf_dir)
+        .withColumn(
+            "h",
+            md5_long(
+                F.concat(
+                    F.lit(_SRS_NS),
+                    F.col("doc_id_1").cast("string"),
+                    F.lit(":"),
+                    F.col("doc_id_2").cast("string"),
+                )
+            ),
+        )
+        .localCheckpoint(eager=True)  # banded join exactly once
+    )
+    radii = F.array(*[F.lit(r).cast("int") for r in SIM_RADIUS_SWEEP])
+    spine = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs_widest")
+    ).withColumn("ham_max", F.explode(radii))
+    grouped = (
+        pairs.withColumn("ham_max", F.explode(radii))
+        .filter(F.col("hamming") <= F.col("ham_max"))
+        .groupBy("ham_max")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.expr("bit_xor(h)").alias("pairs_checksum"),
+        )
+    )
+    return spine.join(grouped, "ham_max", "left").select(
+        "ham_max",
+        "n_pairs_widest",
+        F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias(
+            "n_pairs"
+        ),
+        F.coalesce(F.col("pairs_checksum"), F.lit(0)).alias(
+            "pairs_checksum"
+        ),
+    )
+
+
+def _simhash_radius_sweep_oracle() -> str:
+    from ..functions.text import md5_long_sql
+
+    cells = ", ".join(f"({r})" for r in SIM_RADIUS_SWEEP)
+    h = md5_long_sql(
+        f"'{_SRS_NS}' || CAST(doc_id_1 AS VARCHAR) || ':'"
+        " || CAST(doc_id_2 AS VARCHAR)"
+    )
+    base = ORACLES["dedup_simhash_pairs"]
+    return f"""
+WITH pairs AS ({base}),
+ph AS (SELECT doc_id_1, doc_id_2, hamming, {h} AS h FROM pairs),
+tot AS (SELECT COUNT(*) AS n_pairs_widest FROM ph),
+sp AS (SELECT * FROM (VALUES {cells}) t(ham_max)),
+agg AS (
+  SELECT sp.ham_max, COUNT(*) AS n_pairs, BIT_XOR(h) AS cs
+  FROM ph, sp WHERE ph.hamming <= sp.ham_max
+  GROUP BY sp.ham_max)
+SELECT CAST(sp.ham_max AS INT) AS ham_max,
+       CAST(tot.n_pairs_widest AS BIGINT) AS n_pairs_widest,
+       CAST(COALESCE(agg.n_pairs, 0) AS BIGINT) AS n_pairs,
+       COALESCE(agg.cs, 0) AS pairs_checksum
+FROM sp CROSS JOIN tot LEFT JOIN agg ON agg.ham_max = sp.ham_max"""
+
+
+SIMHASH_RADIUS_SWEEP_ORACLE = _simhash_radius_sweep_oracle()

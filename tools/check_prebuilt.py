@@ -48,7 +48,9 @@ def _catalog():
     )
     from thrivefinancedatapipeline_spark.operators.dedup import (
         COSINE_TAU_SWEEP_ORACLE,
+        SIMHASH_RADIUS_SWEEP_ORACLE,
         dedup_cosine_tau_sweep,
+        dedup_simhash_radius_sweep,
     )
     from thrivefinancedatapipeline_spark.operators.textops import (
         DECON_SWEEP_ORACLE,
@@ -85,6 +87,9 @@ def _catalog():
             decontam_threshold_sweep, DECON_SWEEP_ORACLE,
         ),
         "repeat_cap_sweep": (repeat_cap_sweep, REPEAT_CAP_SWEEP_ORACLE),
+        "dedup_simhash_radius_sweep": (
+            dedup_simhash_radius_sweep, SIMHASH_RADIUS_SWEEP_ORACLE,
+        ),
     }
 
 
