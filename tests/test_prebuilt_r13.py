@@ -390,3 +390,53 @@ def test_dedup_simhash_radius_sweep_vs_duckdb_nesting_identity(
         assert len({r[1] for r in got}) == 1
         reg = q_dedup_simhash_pairs(spark, d).count()
         assert counts[-1] == reg == got[0][1]
+
+
+def test_corpus_chunk_size_sweep_vs_duckdb_and_real_chunker(spark, sf_dir):
+    """The analytic grid must agree with DuckDB AND, at the
+    registered config, with the REAL chunker's own aggregate — the
+    closed-form is verified by the operator it predicts."""
+    from pyspark.sql import functions as F
+
+    from thrivefinancedatapipeline_spark.operators.textops import (
+        CHUNK_SIZE_GRID,
+        CHUNK_SIZE_SWEEP_ORACLE,
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        corpus_chunk_size_sweep,
+        q_corpus_chunk,
+    )
+
+    assert (CHUNK_TOKENS, CHUNK_STRIDE) in CHUNK_SIZE_GRID
+    for d in _dirs(sf_dir):
+        got = sorted(
+            tuple(r) for r in corpus_chunk_size_sweep(spark, d).collect()
+        )
+        want = sorted(
+            tuple(r) for r in _duck(d, CHUNK_SIZE_SWEEP_ORACLE)
+        )
+        assert got == want, f"corpus_chunk_size_sweep mismatch at {d}"
+        assert [(r[0], r[1]) for r in got] == sorted(CHUNK_SIZE_GRID)
+        # smaller windows emit MORE chunks; overhead >= 1e6 (overlap
+        # only adds tokens) and grows as the window shrinks (same
+        # 8-token overlap amortized over fewer tokens)
+        by_ct = {r[0]: r for r in got}
+        cts = sorted(by_ct)
+        chunks = [by_ct[c][2] for c in cts]
+        over = [by_ct[c][4] for c in cts]
+        assert chunks == sorted(chunks, reverse=True)
+        assert all(o >= 1_000_000 for o in over)
+        assert over == sorted(over, reverse=True)
+        # identity with the REAL chunker at the registered config
+        real = (
+            q_corpus_chunk(spark, d)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("n_tokens").cast("long")).alias("tok"),
+            )
+            .collect()[0]
+        )
+        cell = by_ct[CHUNK_TOKENS]
+        assert cell[1] == CHUNK_STRIDE
+        assert cell[2] == real["n"], f"chunk count formula wrong at {d}"
+        assert cell[3] == real["tok"], f"token formula wrong at {d}"

@@ -2681,3 +2681,136 @@ FROM r"""
 
 
 REPEAT_CAP_SWEEP_ORACLE = _repeat_cap_sweep_oracle()
+
+
+#: (chunk_tokens, stride) grid swept — the registered
+#: (CHUNK_TOKENS, CHUNK_STRIDE) = (64, 56) sits in the middle; all
+#: three keep the same 8-token overlap so the curve isolates the
+#: WINDOW-SIZE decision
+CHUNK_SIZE_GRID = ((32, 24), (64, 56), (128, 120))
+
+_CSS_NS = "css:"  # distribution-checksum namespace
+
+
+def corpus_chunk_size_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """What a context-window migration costs BEFORE re-chunking
+    anything: chunk counts, emitted-token totals, and the overlap
+    overhead for each (chunk_tokens, stride) config, computed
+    ANALYTICALLY from one token-length scan — no per-config fan-out.
+    The chunker's keep rule (s = 0 or s + T - S < L over stride
+    multiples) closes to exact integer arithmetic: positive kept
+    starts n_pos = (L - T + S - 1) div S when L > T else 0, every
+    chunk before the last is provably full (j+1 kept ⇒ jS + T < L),
+    so emitted tokens = n_pos*T + least(T, L - n_pos*S). All operands
+    stay non-negative inside the CASE, so Spark's truncating div and
+    DuckDB's flooring // agree. The registered grid cell is
+    identity-pinned against the REAL chunker's aggregate (the formula
+    is verified by the operator it predicts), and a per-doc
+    distribution checksum (bit_xor over md5('css:'||doc||':'||k))
+    attests the whole chunk-count histogram, not just totals.
+
+    Scale shape: ONE corpus scan to per-doc token lengths; the grid
+    explodes |grid| small structs per doc and rolls up to |grid|
+    cells — the cheapest sweep in the family (no heavy pass at
+    all)."""
+    from ..functions.text import md5_long
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("L"),
+    )
+    grid = F.array(
+        *[
+            F.struct(
+                F.lit(t).cast("int").alias("ct"),
+                F.lit(s).cast("int").alias("cs"),
+            )
+            for t, s in CHUNK_SIZE_GRID
+        ]
+    )
+    e = (
+        docs.withColumn("cfg", F.explode(grid))
+        .select(
+            "doc_id",
+            "L",
+            F.col("cfg.ct").alias("chunk_tokens"),
+            F.col("cfg.cs").alias("stride"),
+        )
+        .withColumn(
+            "n_pos",
+            F.expr(
+                "CASE WHEN L > chunk_tokens THEN"
+                " (L - chunk_tokens + stride - 1) div stride"
+                " ELSE CAST(0 AS BIGINT) END"
+            ),
+        )
+        .withColumn("k", F.col("n_pos") + 1)
+        .withColumn(
+            "tok",
+            F.expr(
+                "n_pos * chunk_tokens"
+                " + least(CAST(chunk_tokens AS BIGINT),"
+                "         L - n_pos * stride)"
+            ),
+        )
+    )
+    agg = e.groupBy("chunk_tokens", "stride").agg(
+        F.sum("k").cast("long").alias("n_chunks"),
+        F.sum("tok").cast("long").alias("chunk_token_total"),
+        F.sum("L").cast("long").alias("corpus_tokens"),
+        F.expr(
+            f"bit_xor(CAST(conv(substring(md5(concat('{_CSS_NS}',"
+            " cast(doc_id as string), ':', cast(k as string)))"
+            ", 1, 15), 16, 10) AS BIGINT))"
+        ).alias("dist_checksum"),
+    )
+    return agg.select(
+        "chunk_tokens",
+        "stride",
+        "n_chunks",
+        "chunk_token_total",
+        F.expr(
+            "CAST(CAST(chunk_token_total AS DECIMAL(38,0)) * 1000000"
+            " div corpus_tokens AS BIGINT)"
+        ).alias("overhead_ppm"),
+        "dist_checksum",
+    )
+
+
+def _chunk_size_sweep_oracle() -> str:
+    from ..functions.text import md5_long_sql
+
+    cells = ", ".join(f"({t}, {s})" for t, s in CHUNK_SIZE_GRID)
+    h = md5_long_sql(
+        f"'{_CSS_NS}' || CAST(doc_id AS VARCHAR) || ':'"
+        " || CAST(k AS VARCHAR)"
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS L FROM documents),
+sp AS (SELECT * FROM (VALUES {cells}) t(chunk_tokens, stride)),
+e AS (
+  SELECT doc_id, L, chunk_tokens, stride,
+         CASE WHEN L > chunk_tokens
+              THEN (L - chunk_tokens + stride - 1) // stride
+              ELSE 0 END AS n_pos
+  FROM d, sp),
+k AS (
+  SELECT doc_id, L, chunk_tokens, stride, n_pos, n_pos + 1 AS k,
+         n_pos * chunk_tokens
+           + LEAST(CAST(chunk_tokens AS BIGINT), L - n_pos * stride)
+           AS tok
+  FROM e)
+SELECT CAST(chunk_tokens AS INT) AS chunk_tokens,
+       CAST(stride AS INT) AS stride,
+       CAST(SUM(k) AS BIGINT) AS n_chunks,
+       CAST(SUM(tok) AS BIGINT) AS chunk_token_total,
+       CAST(CAST(SUM(tok) AS HUGEINT) * 1000000 // SUM(L) AS BIGINT)
+         AS overhead_ppm,
+       BIT_XOR({h}) AS dist_checksum
+FROM k GROUP BY 1, 2"""
+
+
+CHUNK_SIZE_SWEEP_ORACLE = _chunk_size_sweep_oracle()

@@ -53,8 +53,10 @@ def _catalog():
         dedup_simhash_radius_sweep,
     )
     from thrivefinancedatapipeline_spark.operators.textops import (
+        CHUNK_SIZE_SWEEP_ORACLE,
         DECON_SWEEP_ORACLE,
         REPEAT_CAP_SWEEP_ORACLE,
+        corpus_chunk_size_sweep,
         decontam_threshold_sweep,
         repeat_cap_sweep,
     )
@@ -89,6 +91,9 @@ def _catalog():
         "repeat_cap_sweep": (repeat_cap_sweep, REPEAT_CAP_SWEEP_ORACLE),
         "dedup_simhash_radius_sweep": (
             dedup_simhash_radius_sweep, SIMHASH_RADIUS_SWEEP_ORACLE,
+        ),
+        "corpus_chunk_size_sweep": (
+            corpus_chunk_size_sweep, CHUNK_SIZE_SWEEP_ORACLE,
         ),
     }
 
