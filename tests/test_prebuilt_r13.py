@@ -440,3 +440,67 @@ def test_corpus_chunk_size_sweep_vs_duckdb_and_real_chunker(spark, sf_dir):
         assert cell[1] == CHUNK_STRIDE
         assert cell[2] == real["n"], f"chunk count formula wrong at {d}"
         assert cell[3] == real["tok"], f"token formula wrong at {d}"
+
+
+def _simple_plan(df):
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="simple")
+    return buf.getvalue()
+
+
+def test_r13_sweep_plans_are_one_pass(spark, sf_dir):
+    """The r13 sweeps' scale claims as PLAN pins: the swept dimension
+    never multiplies the heavy pass. Checkpointed sweeps (cosine-tau,
+    simhash-radius, decontam) show ZERO parquet scans (lineage
+    severed — the documented localCheckpoint rule) and exactly two
+    explodes (spine + grouped over the SAME materialized relation);
+    the scan-based sweeps read their table ONCE with one explode."""
+    import re
+
+    from thrivefinancedatapipeline_spark.operators.dedup import (
+        dedup_cosine_tau_sweep,
+        dedup_simhash_radius_sweep,
+    )
+    from thrivefinancedatapipeline_spark.operators.quality import (
+        quality_gate_margin_sweep,
+    )
+    from thrivefinancedatapipeline_spark.operators.textops import (
+        corpus_chunk_size_sweep,
+        decontam_threshold_sweep,
+        repeat_cap_sweep,
+    )
+
+    # pure arithmetic over one scan: no window, no second pass
+    p = _simple_plan(corpus_chunk_size_sweep(spark, sf_dir))
+    assert p.count("Scan parquet") == 1
+    assert p.count("Generate explode") == 1
+    assert len(re.findall(r"\+- Window ", p)) == 0
+
+    # one scan into the bounded per-lang aggregate; the two windows
+    # are the |langs|-row total/count, never a data-dimension window
+    p = _simple_plan(repeat_cap_sweep(spark, sf_dir))
+    assert p.count("Scan parquet") == 1
+    assert p.count("Generate explode") == 1
+    assert len(re.findall(r"\+- Window ", p)) == 2
+
+    # ONE lang shuffle serves both rank and size windows AND the
+    # rollup (the explode preserves the partitioning columns)
+    p = _simple_plan(quality_gate_margin_sweep(spark, sf_dir))
+    assert p.count("Scan parquet") == 1
+    assert p.count("Generate explode") == 1
+    assert len(re.findall(r"\+- Window ", p)) == 2
+    assert p.count("Exchange hashpartitioning") == 1
+
+    # checkpointed heavy pass: zero scans, spine + grouped explodes
+    for fn in (
+        dedup_cosine_tau_sweep,
+        dedup_simhash_radius_sweep,
+        decontam_threshold_sweep,
+    ):
+        p = _simple_plan(fn(spark, sf_dir))
+        assert p.count("Scan parquet") == 0, fn.__name__
+        assert p.count("Generate explode") == 2, fn.__name__
