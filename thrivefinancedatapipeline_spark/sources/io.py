@@ -209,3 +209,74 @@ def write_zordered_parquet(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Raw-file ingestion for the multimodal stack: Spark's built-in
+    `binaryFile` source over a directory tree — (path,
+    modificationTime, length, content) per file — normalized to the
+    (doc_id, path, length, payload) shape the decode kernels consume
+    (doc_id = deterministic md5 prefix of the RELATIVE-ish path tail,
+    stable across mounts). This is how image/audio/video bytes enter
+    at 100 TB: the source lists files in parallel, never reads
+    payloads for pruned files, and `max_bytes` pushes a LENGTH
+    predicate into the listing (pathGlobFilter prunes by name) so a
+    stray multi-GB file cannot OOM an executor batch.
+
+    No decode happens here — feed the payload column to the
+    multimodal kernels (decode gates stay armed)."""
+    from pyspark.sql import functions as F
+
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    df = r.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= max_bytes)
+    return df.select(
+        F.conv(
+            F.substring(
+                F.md5(F.reverse(F.split(F.col("path"), "/"))[0]), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("doc_id"),
+        F.col("path"),
+        F.col("length").cast("long").alias("length"),
+        F.col("content").alias("payload"),
+    )
+
+
+def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Raw-text corpus ingestion: one document per FILE via the
+    built-in text source's `wholetext` mode — (doc_id, path, text),
+    doc_id the same deterministic path-tail hash as
+    read_binary_files so a mixed-media corpus keys consistently.
+    For line-delimited corpora (one doc per line) use the plain
+    `spark.read.text` path instead; wholetext is the right unit when
+    documents ARE files (the common raw-crawl drop layout)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.text(path, wholetext=True).withColumn(
+        "path", F.input_file_name()
+    )
+    return df.select(
+        F.conv(
+            F.substring(
+                F.md5(F.reverse(F.split(F.col("path"), "/"))[0]), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("doc_id"),
+        "path",
+        F.col("value").alias("text"),
+    )
