@@ -325,3 +325,88 @@ def test_stream_hour_cells_match_batch(spark, staged_events):
         assert all(0 <= h <= 23 for _, h in stream_cells)
     finally:
         shutil.rmtree(chk, ignore_errors=True)
+
+
+def test_stream_jsonl_corpus_drain_matches_batch_reader(spark):
+    """Streaming-twin drain parity for JSONL corpus drops: documents
+    landing across two drops drain to exactly the batch json reader's
+    relation (same ids, same text), and a drop appended AFTER the
+    first drain arrives exactly once in the second — set semantics,
+    order-insensitive by design (FileStreamSource orders by mtime, so
+    the test stamps distinct mtimes per drop)."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from thrivefinancedatapipeline_spark.streaming.balance_stream import (
+        CORPUS_JSONL_SCHEMA,
+        stream_jsonl_corpus,
+    )
+
+    src = tempfile.mkdtemp(prefix="jsonlstream_")
+    chk = tempfile.mkdtemp(prefix="jsonlchk_")
+    out = tempfile.mkdtemp(prefix="jsonlout_")
+    try:
+        def drop(name, docs, mtime):
+            p = os.path.join(src, name)
+            with open(p, "w") as f:
+                for d in docs:
+                    f.write(json.dumps(d) + "\n")
+            os.utime(p, (mtime, mtime))
+
+        batch1 = [
+            {"doc_id": 1, "lang": "en", "source": "web",
+             "text": "alpha doc"},
+            {"doc_id": 2, "lang": "de", "source": "web",
+             "text": "beta doc\nwith embedded newline"},
+        ]
+        drop("drop0.jsonl", batch1, 1_700_000_000)
+
+        def drain():
+            # parquet sink: the memory sink cannot RECOVER from a
+            # checkpoint, so a second availableNow drain would refuse
+            # to start — exactly-once across drains needs the
+            # file-commit sink
+            q = (
+                stream_jsonl_corpus(spark, src)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", chk)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return {
+                r["doc_id"]: (r["lang"], r["source"], r["text"])
+                for r in spark.read.schema(CORPUS_JSONL_SCHEMA)
+                .parquet(out)
+                .collect()
+            }
+
+        def batch_read():
+            return {
+                r["doc_id"]: (r["lang"], r["source"], r["text"])
+                for r in spark.read.schema(CORPUS_JSONL_SCHEMA)
+                .json(src)
+                .collect()
+            }
+
+        got = drain()
+        assert got == batch_read() and len(got) == 2
+        # embedded newlines survive (JSONL carries boundaries in-band
+        # — exactly why the streaming twin is JSONL, not wholetext)
+        assert "\n" in got[2][2]
+
+        drop(
+            "drop1.jsonl",
+            [{"doc_id": 3, "lang": "en", "source": "books",
+              "text": "gamma doc"}],
+            1_700_000_100,
+        )
+        got2 = drain()
+        assert got2 == batch_read() and len(got2) == 3
+    finally:
+        for d in (src, chk, out):
+            shutil.rmtree(d, ignore_errors=True)

@@ -145,3 +145,32 @@ def run_to_completion(stream_df: DataFrame, checkpoint: str, name: str) -> DataF
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+#: pinned schema for streaming corpus drops — streaming reads can't
+#: infer, and a corpus stream without explicit ids can't dedup
+CORPUS_JSONL_SCHEMA = (
+    "doc_id long, lang string, source string, text string"
+)
+
+
+def stream_jsonl_corpus(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 16
+) -> DataFrame:
+    """Continuous corpus ingestion: JSONL drop files (one document
+    per line, explicit doc_id — the standard crawl-delivery format)
+    land in source_dir and stream through with a PINNED schema.
+    Whole-file text ingestion stays batch-only
+    (sources.io.read_text_corpus): the streaming text source
+    silently IGNORES the wholetext option and line-splits
+    (measured — a 2-line file became 2 rows), so a wholetext
+    streaming twin would corrupt documents; JSONL carries document
+    boundaries in-band instead. FileStreamSource orders files by
+    modification time (same-mtime ties can reorder across
+    micro-batches — order-insensitive consumers only).
+    maxFilesPerTrigger bounds per-batch FILE count, not bytes."""
+    return (
+        spark.readStream.schema(CORPUS_JSONL_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
