@@ -184,7 +184,9 @@ def test_binary_file_source_feeds_the_decode_stack(spark):
     to a directory enter through the built-in binaryFile source and
     decode through the REAL codec kernels with the gates armed —
     payloads survive ingestion byte-exact, pruning never reads pruned
-    payloads, and doc_ids are deterministic path-tail hashes."""
+    payloads, and doc_ids are deterministic CONTENT hashes (same
+    bytes under two names collapse to one id — the dedup-friendly
+    convention; path-tail ids would collide across shard dirs)."""
     import hashlib
     import os
     import tempfile
@@ -229,10 +231,25 @@ def test_binary_file_source_feeds_the_decode_stack(spark):
             for r in read_binary_files(spark, d).collect()
         }
         assert all(again[n] == rows[n]["doc_id"] for n in rows)
+        # byte-identical content under a DIFFERENT name shares the id
+        # (content-hash convention); a subdir copy with the SAME
+        # basename gets listed recursively and collapses too
+        os.makedirs(os.path.join(d, "sub"), exist_ok=True)
+        with open(os.path.join(d, "sub", "a0.wav"), "wb") as f:
+            f.write(samples["a0.wav"][0])
+        all_rows = read_binary_files(spark, d).collect()
+        dups = [
+            r for r in all_rows
+            if bytes(r["payload"]) == samples["a0.wav"][0]
+        ]
+        # recursive lookup really listed the subdir copy...
+        assert len(dups) == 2 and len(all_rows) == 5
+        # ...and both share the one content id
+        assert {r["doc_id"] for r in dups} == {rows["a0.wav"]["doc_id"]}
 
         # glob + max_bytes prune by name and length at the source
         only_wav = read_binary_files(spark, d, glob="*.wav")
-        assert only_wav.count() == 3
+        assert only_wav.count() == 4  # 3 top-level + the subdir copy
         small = read_binary_files(
             spark, d, max_bytes=len(bdata) - 1
         )
@@ -247,8 +264,8 @@ def test_binary_file_source_feeds_the_decode_stack(spark):
 
 def test_text_corpus_wholetext_one_doc_per_file(spark):
     """wholetext ingestion: each file IS a document (the raw-crawl
-    drop layout), newlines preserved, doc_ids shared with the binary
-    source's path-tail convention."""
+    drop layout), newlines preserved, doc_ids the same content-hash convention as
+    the binary source."""
     import os
     import tempfile
 

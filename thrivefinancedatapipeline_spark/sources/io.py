@@ -220,32 +220,35 @@ def read_binary_files(
     """Raw-file ingestion for the multimodal stack: Spark's built-in
     `binaryFile` source over a directory tree — (path,
     modificationTime, length, content) per file — normalized to the
-    (doc_id, path, length, payload) shape the decode kernels consume
-    (doc_id = deterministic md5 prefix of the RELATIVE-ish path tail,
-    stable across mounts). This is how image/audio/video bytes enter
-    at 100 TB: the source lists files in parallel, never reads
-    payloads for pruned files, and `max_bytes` pushes a LENGTH
-    predicate into the listing (pathGlobFilter prunes by name) so a
-    stray multi-GB file cannot OOM an executor batch.
+    (doc_id, path, length, payload) shape the decode kernels consume.
+    doc_id is the md5 prefix of the CONTENT, not the path: path-tail
+    ids collide on the ubiquitous shard-name layout (a/part-0000,
+    b/part-0000) and full-path ids break when the corpus moves
+    mounts; a content id is stable everywhere and two equal ids mean
+    byte-identical files — exactly the collapse a corpus keyed for
+    dedup wants. This is how image/audio/video bytes enter at 100 TB:
+    the source lists files in parallel, never reads payloads for
+    pruned files, and `max_bytes` pushes a LENGTH predicate into the
+    listing (pathGlobFilter prunes by name) so a stray multi-GB file
+    cannot OOM an executor batch.
 
     No decode happens here — feed the payload column to the
     multimodal kernels (decode gates stay armed)."""
     from pyspark.sql import functions as F
 
-    r = spark.read.format("binaryFile")
+    # corpus drops arrive as directory TREES (by crawl date/shard);
+    # recursive lookup lists them all — and deliberately disables
+    # partition-column inference, which raw drops don't carry
+    r = spark.read.format("binaryFile").option(
+        "recursiveFileLookup", "true"
+    )
     if glob:
         r = r.option("pathGlobFilter", glob)
     df = r.load(path)
     if max_bytes is not None:
         df = df.filter(F.col("length") <= max_bytes)
     return df.select(
-        F.conv(
-            F.substring(
-                F.md5(F.reverse(F.split(F.col("path"), "/"))[0]), 1, 15
-            ),
-            16,
-            10,
-        )
+        F.conv(F.substring(F.md5(F.col("content")), 1, 15), 16, 10)
         .cast("long")
         .alias("doc_id"),
         F.col("path"),
@@ -257,24 +260,23 @@ def read_binary_files(
 def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
     """Raw-text corpus ingestion: one document per FILE via the
     built-in text source's `wholetext` mode — (doc_id, path, text),
-    doc_id the same deterministic path-tail hash as
-    read_binary_files so a mixed-media corpus keys consistently.
-    For line-delimited corpora (one doc per line) use the plain
-    `spark.read.text` path instead; wholetext is the right unit when
-    documents ARE files (the common raw-crawl drop layout)."""
+    doc_id the same CONTENT-hash convention as read_binary_files
+    (path-tail ids collide across shard directories; content ids are
+    mount-stable and collapse byte-identical drops). For
+    line-delimited corpora use stream_jsonl_corpus / spark.read.json
+    with explicit ids instead; wholetext is the right unit when
+    documents ARE files (the common raw-crawl drop layout). An EMPTY
+    file yields no record (the text source emits rows from content,
+    not listings)."""
     from pyspark.sql import functions as F
 
-    df = spark.read.text(path, wholetext=True).withColumn(
-        "path", F.input_file_name()
+    df = (
+        spark.read.option("recursiveFileLookup", "true")
+        .text(path, wholetext=True)
+        .withColumn("path", F.input_file_name())
     )
     return df.select(
-        F.conv(
-            F.substring(
-                F.md5(F.reverse(F.split(F.col("path"), "/"))[0]), 1, 15
-            ),
-            16,
-            10,
-        )
+        F.conv(F.substring(F.md5(F.col("value")), 1, 15), 16, 10)
         .cast("long")
         .alias("doc_id"),
         "path",
