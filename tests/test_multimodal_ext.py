@@ -1378,3 +1378,72 @@ def test_encode_wav_out_of_range_uniform_valueerror():
         dec = wav.decode_wav(wav.encode_wav([lo, 0, hi], sampwidth=sw))
         assert dec["samples"] == [lo, 0, hi]
         assert dec["sampwidth"] == sw
+
+
+def test_avi_stream_resolution_any_stream_order_property():
+    """Fuzz the r12 strl-scan fix: an AVI with up to 4 streams in ANY
+    order (audio/video mixed) must resolve the FIRST video stream —
+    never reject a valid container, never pick an audio strf."""
+    import struct as _s
+
+    import pytest as _pt
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from thrivefinancedatapipeline_spark.multimodal import avi
+
+    def _strl(kind, tag):
+        if kind == "vids":
+            strh = avi._chunk(
+                b"strh",
+                avi._STRH_HEAD.pack(
+                    b"vids", tag, 0, 0, 0, 0, 1, 10, 0, 1,
+                    0, 0xFFFFFFFF, 0, 0, 0, 4, 4,
+                ),
+            )
+            strf = avi._chunk(
+                b"strf",
+                avi._BMIH.pack(40, 4, 4, 1, 24, 0, 48, 0, 0, 0, 0),
+            )
+        else:
+            strh = avi._chunk(
+                b"strh",
+                avi._STRH_HEAD.pack(
+                    b"auds", b"\x00\x00\x00\x00", 0, 0, 0, 0,
+                    1, 16_000, 0, 0, 0, 0xFFFFFFFF, 2, 0, 0, 0, 0,
+                ),
+            )
+            strf = avi._chunk(
+                b"strf",
+                _s.pack("<2H2I2H", 1, 1, 16_000, 32_000, 2, 16),
+            )
+        return avi._list(b"strl", strh + strf)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.sampled_from(["auds", "vids"]),
+                    min_size=1, max_size=4))
+    def check(kinds):
+        # distinct vids handler tags so we can verify WHICH vids won
+        tags = iter([b"DIB ", b"MJPG", b"RGB ", b"\x00\x00\x00\x00"])
+        strls, want = [], None
+        for k in kinds:
+            t = next(tags) if k == "vids" else None
+            if k == "vids" and want is None:
+                want = t
+            strls.append(_strl(k, t))
+        avih = avi._chunk(b"avih", avi._AVIH.pack(
+            100_000, 0, 0, 0x10, 0, 0, len(kinds), 0, 4, 4, 0, 0, 0, 0,
+        ))
+        hdrl = avi._list(b"hdrl", avih + b"".join(strls))
+        movi = avi._list(b"movi", b"")
+        body = b"AVI " + hdrl + movi
+        data = b"RIFF" + _s.pack("<I", len(body)) + body
+        if want is None:
+            with _pt.raises(ValueError, match="no video stream"):
+                avi.avi_stream_info(data)
+        else:
+            info = avi.avi_stream_info(data)
+            assert info["handler"] == want
+            assert len(info["strf"]) >= 40
+
+    check()

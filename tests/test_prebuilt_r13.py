@@ -504,3 +504,37 @@ def test_r13_sweep_plans_are_one_pass(spark, sf_dir):
         p = _simple_plan(fn(spark, sf_dir))
         assert p.count("Scan parquet") == 0, fn.__name__
         assert p.count("Generate explode") == 2, fn.__name__
+
+
+def test_chunk_size_formula_matches_brute_force_keep_rule():
+    """The closed form under corpus_chunk_size_sweep, fuzzed over
+    arbitrary (L, T, S) — the two-SF pins only exercise the swept
+    grid; this explores the edges (L == T, L < S, S == T, L = 1):
+    brute-force the chunker's own keep rule (s = 0 or s + T - S < L
+    over stride multiples s <= L-1) and slice lengths, and the
+    formula must agree exactly on both count and token total."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=400, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=300),
+        st.integers(min_value=1, max_value=128),
+        st.data(),
+    )
+    def check(L, T, data):
+        S = data.draw(st.integers(min_value=1, max_value=T))
+        starts = [
+            s
+            for s in range(0, L, S)
+            if s == 0 or s + (T - S) < L
+        ]
+        brute_k = len(starts)
+        brute_tok = sum(min(T, L - s) for s in starts)
+        n_pos = (L - T + S - 1) // S if L > T else 0
+        k = n_pos + 1
+        tok = n_pos * T + min(T, L - n_pos * S)
+        assert k == brute_k, (L, T, S)
+        assert tok == brute_tok, (L, T, S)
+
+    check()
