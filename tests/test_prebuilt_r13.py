@@ -488,12 +488,15 @@ def test_r13_sweep_plans_are_one_pass(spark, sf_dir):
     assert len(re.findall(r"\+- Window ", p)) == 2
 
     # ONE lang shuffle serves both rank and size windows AND the
-    # rollup (the explode preserves the partitioning columns)
+    # rollup (the explode preserves the partitioning columns); the
+    # zero-cell spine costs one extra lang-only pruned scan and joins
+    # by BROADCAST, never a sort-merge shuffle
     p = _simple_plan(quality_gate_margin_sweep(spark, sf_dir))
-    assert p.count("Scan parquet") == 1
-    assert p.count("Generate explode") == 1
+    assert p.count("Scan parquet") == 2
+    assert p.count("Generate explode") == 2
     assert len(re.findall(r"\+- Window ", p)) == 2
-    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("SortMergeJoin") == 0
+    assert p.count("BroadcastExchange") == 1
 
     # checkpointed heavy pass: zero scans, spine + grouped explodes
     for fn in (

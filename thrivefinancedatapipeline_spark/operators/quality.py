@@ -854,19 +854,39 @@ def quality_gate_margin_sweep(
             F.concat(F.lit(_QGS_NS), F.col("doc_id").cast("string"))
         ).alias("h"),
     )
-    swept = ranked.withColumn(
-        "keep_ppm",
-        F.explode(
-            F.array(*[F.lit(p).cast("int") for p in GATE_KEEP_SWEEP])
-        ),
-    ).filter(
-        F.lit(1_000_000).cast("long") * F.col("r")
-        <= F.col("keep_ppm").cast("long") * F.col("n")
+    pps = F.array(*[F.lit(p).cast("int") for p in GATE_KEEP_SWEEP])
+    # explicit (lang x keep_ppm) spine: a stratum too small to pass
+    # anybody at a strict fraction (a 1-doc language at 25%) must
+    # emit its ZERO row, not vanish — the same degeneration-detector
+    # rule as the tau sweep (absent reads as "not measured")
+    spine = (
+        ranked.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select("lang", F.explode(pps).alias("keep_ppm"))
     )
-    return swept.groupBy("keep_ppm", "lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("n_chars").cast("long").alias("chars_kept"),
-        F.coalesce(F.expr("bit_xor(h)"), F.lit(0)).alias(
+    grouped = (
+        ranked.withColumn("keep_ppm", F.explode(pps))
+        .filter(
+            F.lit(1_000_000).cast("long") * F.col("r")
+            <= F.col("keep_ppm").cast("long") * F.col("n")
+        )
+        .groupBy("keep_ppm", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars_kept"),
+            F.expr("bit_xor(h)").alias("sel_checksum"),
+        )
+    )
+    return spine.join(grouped, ["keep_ppm", "lang"], "left").select(
+        "keep_ppm",
+        "lang",
+        F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias(
+            "n_docs"
+        ),
+        F.coalesce(F.col("chars_kept"), F.lit(0)).cast("long").alias(
+            "chars_kept"
+        ),
+        F.coalesce(F.col("sel_checksum"), F.lit(0)).alias(
             "sel_checksum"
         ),
     )
@@ -885,14 +905,21 @@ WITH b AS (
          CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n,
          {h} AS h
   FROM documents),
-sp AS (SELECT * FROM (VALUES {cells}) t(keep_ppm))
-SELECT CAST(sp.keep_ppm AS INT) AS keep_ppm, lang,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
-       COALESCE(BIT_XOR(h), 0) AS sel_checksum
-FROM b, sp
-WHERE 1000000 * r <= sp.keep_ppm * n
-GROUP BY sp.keep_ppm, lang"""
+sp AS (SELECT * FROM (VALUES {cells}) t(keep_ppm)),
+spine AS (SELECT DISTINCT lang, sp.keep_ppm FROM b, sp),
+agg AS (
+  SELECT sp.keep_ppm, lang,
+         COUNT(*) AS n_docs, SUM(n_chars) AS chars_kept,
+         BIT_XOR(h) AS cs
+  FROM b, sp
+  WHERE 1000000 * r <= sp.keep_ppm * n
+  GROUP BY sp.keep_ppm, lang)
+SELECT CAST(spine.keep_ppm AS INT) AS keep_ppm, spine.lang,
+       CAST(COALESCE(agg.n_docs, 0) AS BIGINT) AS n_docs,
+       CAST(COALESCE(agg.chars_kept, 0) AS BIGINT) AS chars_kept,
+       COALESCE(agg.cs, 0) AS sel_checksum
+FROM spine LEFT JOIN agg
+  ON agg.keep_ppm = spine.keep_ppm AND agg.lang = spine.lang"""
 
 
 GATE_MARGIN_SWEEP_ORACLE = _gate_margin_sweep_oracle()
