@@ -1447,3 +1447,55 @@ def test_avi_stream_resolution_any_stream_order_property():
             assert len(info["strf"]) >= 40
 
     check()
+
+
+def test_avi_nested_list_bomb_keeps_valueerror_contract():
+    """A crafted AVI with ~1000 nested wrapper LISTs (~12 KB of input)
+    must raise the documented ValueError('corrupt AVI container'), not
+    RecursionError (r12 ADVICE: the recursive walk broke the error
+    contract the decode gates rely on for untrusted raw-crawl bytes) —
+    while LEGITIMATE nesting inside the bound still resolves streams."""
+    import struct as _s
+
+    import pytest as _pt
+
+    from thrivefinancedatapipeline_spark.multimodal import avi
+
+    # depth bomb: LIST(wrap0 LIST(wrap1 ... )) 1000 deep
+    inner = b""
+    for _ in range(1000):
+        inner = avi._list(b"wrp0", inner)
+    body = b"AVI " + avi._list(b"hdrl", inner)
+    bomb = b"RIFF" + _s.pack("<I", len(body)) + body
+    with _pt.raises(ValueError, match="corrupt AVI container"):
+        avi.avi_stream_info(bomb)
+
+    # _find_chunks shares the bound: a strl whose strh hides under a
+    # 1000-deep LIST chain is rejected the same way
+    deep = b""
+    for _ in range(1000):
+        deep = avi._list(b"wrp1", deep)
+    strl_bomb = avi._list(b"strl", deep)
+    body2 = b"AVI " + avi._list(b"hdrl", strl_bomb)
+    bomb2 = b"RIFF" + _s.pack("<I", len(body2)) + body2
+    with _pt.raises(ValueError, match="corrupt AVI container"):
+        avi.avi_stream_info(bomb2)
+
+    # legitimate shallow extra wrapping still resolves: wrap the whole
+    # hdrl contents in 3 cosmetic LIST levels (inside _MAX_LIST_DEPTH)
+    import hashlib
+
+    px = hashlib.md5(b"deep").digest() * 3  # 4x4 RGB
+    data = avi.encode_avi_dib([px], 4, 4, fps=5)
+    (hsz,) = _s.unpack_from("<I", data, 16)
+    hdrl_end = 20 + hsz
+    inner_hdrl = data[24:hdrl_end]  # avih + strl(vids)
+    wrapped = inner_hdrl
+    for _ in range(3):
+        wrapped = avi._list(b"wrpx", wrapped)
+    new_hdrl = avi._list(b"hdrl", wrapped)
+    body3 = b"AVI " + new_hdrl + data[hdrl_end + (hsz % 2):]
+    shallow = b"RIFF" + _s.pack("<I", len(body3)) + body3
+    info = avi.avi_stream_info(shallow)
+    assert info["handler"] == b"DIB "
+    assert [d["pixels"] for d in avi.decode_avi_frames(shallow)] == [px]

@@ -226,6 +226,11 @@ def test_binary_file_source_feeds_the_decode_stack(spark):
         ] == px
         ids = [r["doc_id"] for r in rows.values()]
         assert len(set(ids)) == 4
+        # the id is the FULL 128-bit md5 hex of the content — a
+        # truncated-long id is birthday-likely to collide near the
+        # ~1.5B-doc design point (two distinct files collapsing)
+        for name, (data, _) in samples.items():
+            assert rows[name]["doc_id"] == hashlib.md5(data).hexdigest()
         again = {
             os.path.basename(r["path"]): r["doc_id"]
             for r in read_binary_files(spark, d).collect()
@@ -293,8 +298,14 @@ def test_text_corpus_wholetext_one_doc_per_file(spark):
             for r in read_text_corpus(spark, d).collect()
         }
         assert set(rows) == set(docs)
+        import hashlib
+
         for name, text in docs.items():
             assert rows[name]["text"] == text
+            # full 128-bit md5 hex of the text — the key convention
+            assert rows[name]["doc_id"] == hashlib.md5(
+                text.encode()
+            ).hexdigest()
         assert len({r["doc_id"] for r in rows.values()}) == 3
     finally:
         import shutil

@@ -177,8 +177,19 @@ def decode_avi_frames(data: bytes, max_frames: int | None = None) -> list:
 # ---------------------------------------------------------------------------
 
 
-def _find_chunks(data: bytes, start: int, end: int, want: set) -> dict:
+#: LIST nesting bound for untrusted bytes: real AVIs nest 2-3 deep
+#: (RIFF > hdrl > strl); a crafted file with ~1000 nested LISTs (~12 KB
+#: of input) must keep the ValueError('corrupt AVI container') contract
+#: the decode gates rely on, not escape as a RecursionError
+_MAX_LIST_DEPTH = 16
+
+
+def _find_chunks(
+    data: bytes, start: int, end: int, want: set, depth: int = 0
+) -> dict:
     """First payload for each wanted fourcc, recursing into LISTs."""
+    if depth > _MAX_LIST_DEPTH:
+        raise ValueError("corrupt AVI container")
     found: dict = {}
     pos = start
     while pos < end and len(found) < len(want):
@@ -194,7 +205,7 @@ def _find_chunks(data: bytes, start: int, end: int, want: set) -> dict:
                 raise ValueError("corrupt AVI container")
             found.update(
                 _find_chunks(data, body_start + 4, body_end,
-                             want - set(found))
+                             want - set(found), depth + 1)
             )
         elif fourcc in want and fourcc not in found:
             found[fourcc] = bytes(data[body_start:body_end])
@@ -204,32 +215,49 @@ def _find_chunks(data: bytes, start: int, end: int, want: set) -> dict:
 
 def _stream_lists(data: bytes, start: int, end: int) -> list:
     """(strh, strf) payload pairs — one per strl LIST, in document
-    order, recursing through wrapper LISTs (hdrl wraps the strls).
-    Pairing strh with the strf of the SAME strl is what lets
-    audio-first AVIs resolve their video stream correctly."""
+    order, walking through wrapper LISTs (hdrl wraps the strls) with
+    an EXPLICIT stack so a crafted deeply-nested LIST chain raises the
+    documented ValueError instead of RecursionError. Pairing strh with
+    the strf of the SAME strl is what lets audio-first AVIs resolve
+    their video stream correctly."""
     pairs: list = []
-    pos = start
-    while pos < end:
-        if pos + 8 > end:
+    # (pos, end, depth) work items; wrapper LISTs push their body as a
+    # NEW item ahead of the parent's remainder, preserving doc order
+    stack = [(start, end, 0)]
+    while stack:
+        pos, seg_end, depth = stack.pop()
+        if depth > _MAX_LIST_DEPTH:
             raise ValueError("corrupt AVI container")
-        fourcc = data[pos : pos + 4]
-        (size,) = struct.unpack_from("<I", data, pos + 4)
-        body_start, body_end = pos + 8, pos + 8 + size
-        if body_end > end:
-            raise ValueError("corrupt AVI container")
-        if fourcc == b"LIST":
-            if size < 4:
+        while pos < seg_end:
+            if pos + 8 > seg_end:
                 raise ValueError("corrupt AVI container")
-            if data[body_start : body_start + 4] == b"strl":
-                found = _find_chunks(
-                    data, body_start + 4, body_end, {b"strh", b"strf"}
-                )
-                pairs.append((found.get(b"strh"), found.get(b"strf")))
-            else:
-                pairs.extend(
-                    _stream_lists(data, body_start + 4, body_end)
-                )
-        pos = body_end + (size % 2)
+            fourcc = data[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", data, pos + 4)
+            body_start, body_end = pos + 8, pos + 8 + size
+            if body_end > seg_end:
+                raise ValueError("corrupt AVI container")
+            if fourcc == b"LIST":
+                if size < 4:
+                    raise ValueError("corrupt AVI container")
+                if data[body_start : body_start + 4] == b"strl":
+                    found = _find_chunks(
+                        data, body_start + 4, body_end,
+                        {b"strh", b"strf"},
+                    )
+                    pairs.append(
+                        (found.get(b"strh"), found.get(b"strf"))
+                    )
+                else:
+                    # descend: parent remainder resumes after the body
+                    stack.append(
+                        (body_end + (size % 2), seg_end, depth)
+                    )
+                    pos, seg_end = body_start + 4, body_end
+                    depth += 1
+                    if depth > _MAX_LIST_DEPTH:
+                        raise ValueError("corrupt AVI container")
+                    continue
+            pos = body_end + (size % 2)
     return pairs
 
 

@@ -3082,9 +3082,12 @@ def dedup_cosine_tau_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias(
             "n_pairs"
         ),
+        # a corpus whose LSH emits ZERO candidates must yield 0, not a
+        # DIVIDE_BY_ZERO under ANSI (the band-sweep family's guard)
         F.expr(
-            "CAST(CAST(COALESCE(n_pairs, 0) AS DECIMAL(38,0)) * 1000000"
-            " div n_candidates AS BIGINT)"
+            "CASE WHEN n_candidates = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE CAST(CAST(COALESCE(n_pairs, 0) AS DECIMAL(38,0))"
+            " * 1000000 div n_candidates AS BIGINT) END"
         ).alias("yield_ppm"),
         F.coalesce(F.col("pairs_checksum"), F.lit(0)).alias(
             "pairs_checksum"
@@ -3127,8 +3130,9 @@ agg AS (
 SELECT CAST(sp.tau_ppm AS INT) AS tau_ppm,
        CAST(tot.n_candidates AS BIGINT) AS n_candidates,
        CAST(COALESCE(agg.n_pairs, 0) AS BIGINT) AS n_pairs,
-       CAST(CAST(COALESCE(agg.n_pairs, 0) AS HUGEINT) * 1000000
-            // tot.n_candidates AS BIGINT) AS yield_ppm,
+       CAST(CASE WHEN tot.n_candidates = 0 THEN 0
+            ELSE CAST(COALESCE(agg.n_pairs, 0) AS HUGEINT) * 1000000
+                 // tot.n_candidates END AS BIGINT) AS yield_ppm,
        COALESCE(agg.cs, 0) AS pairs_checksum
 FROM sp CROSS JOIN tot LEFT JOIN agg ON agg.tau_ppm = sp.tau_ppm"""
 

@@ -860,8 +860,8 @@ def quality_gate_margin_sweep(
     # emit its ZERO row, not vanish — the same degeneration-detector
     # rule as the tau sweep (absent reads as "not measured")
     spine = (
-        ranked.groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("_n"))
+        ranked.select("lang")
+        .distinct()
         .select("lang", F.explode(pps).alias("keep_ppm"))
     )
     grouped = (

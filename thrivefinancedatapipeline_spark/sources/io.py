@@ -221,12 +221,17 @@ def read_binary_files(
     `binaryFile` source over a directory tree — (path,
     modificationTime, length, content) per file — normalized to the
     (doc_id, path, length, payload) shape the decode kernels consume.
-    doc_id is the md5 prefix of the CONTENT, not the path: path-tail
-    ids collide on the ubiquitous shard-name layout (a/part-0000,
-    b/part-0000) and full-path ids break when the corpus moves
-    mounts; a content id is stable everywhere and two equal ids mean
-    byte-identical files — exactly the collapse a corpus keyed for
-    dedup wants. This is how image/audio/video bytes enter at 100 TB:
+    doc_id is the FULL 128-bit md5 of the CONTENT (32-char hex), not
+    the path: path-tail ids collide on the ubiquitous shard-name
+    layout (a/part-0000, b/part-0000) and full-path ids break when
+    the corpus moves mounts; a content id is stable everywhere and
+    two equal ids mean byte-identical files — exactly the collapse a
+    corpus keyed for dedup wants. The id keeps all 128 bits because
+    the corpus design point is ~1.5B documents at 100 TB, where a
+    60-bit prefix is already birthday-likely to collide (two DISTINCT
+    files silently collapsing to one id, one dropped as a duplicate
+    downstream); truncated md5 longs stay fine for CHECKSUMS, never
+    for keys. This is how image/audio/video bytes enter at 100 TB:
     the source lists files in parallel, never reads payloads for
     pruned files, and `max_bytes` pushes a LENGTH predicate into the
     listing (pathGlobFilter prunes by name) so a stray multi-GB file
@@ -248,9 +253,7 @@ def read_binary_files(
     if max_bytes is not None:
         df = df.filter(F.col("length") <= max_bytes)
     return df.select(
-        F.conv(F.substring(F.md5(F.col("content")), 1, 15), 16, 10)
-        .cast("long")
-        .alias("doc_id"),
+        F.md5(F.col("content")).alias("doc_id"),
         F.col("path"),
         F.col("length").cast("long").alias("length"),
         F.col("content").alias("payload"),
@@ -260,9 +263,11 @@ def read_binary_files(
 def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
     """Raw-text corpus ingestion: one document per FILE via the
     built-in text source's `wholetext` mode — (doc_id, path, text),
-    doc_id the same CONTENT-hash convention as read_binary_files
-    (path-tail ids collide across shard directories; content ids are
-    mount-stable and collapse byte-identical drops). For
+    doc_id the same CONTENT-hash convention as read_binary_files —
+    the full 128-bit md5 hex of the text (path-tail ids collide
+    across shard directories; content ids are mount-stable and
+    collapse byte-identical drops; a truncated-long id is
+    birthday-likely to collide near the ~1.5B-doc design point). For
     line-delimited corpora use stream_jsonl_corpus / spark.read.json
     with explicit ids instead; wholetext is the right unit when
     documents ARE files (the common raw-crawl drop layout). An EMPTY
@@ -276,9 +281,7 @@ def read_text_corpus(spark: SparkSession, path: str) -> DataFrame:
         .withColumn("path", F.input_file_name())
     )
     return df.select(
-        F.conv(F.substring(F.md5(F.col("value")), 1, 15), 16, 10)
-        .cast("long")
-        .alias("doc_id"),
+        F.md5(F.col("value")).alias("doc_id"),
         "path",
         F.col("value").alias("text"),
     )
