@@ -541,3 +541,40 @@ def test_chunk_size_formula_matches_brute_force_keep_rule():
         assert tok == brute_tok, (L, T, S)
 
     check()
+
+
+def test_r13_nine_promoted_to_registered_catalog():
+    """Round 13 registered the nine r12-staged prebuilds: all in the
+    module QUERIES/ORACLES dicts (aggregated by the registry) and NO
+    LONGER in the prebuilt staging catalog (drained, the r6 state)."""
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    import check_prebuilt
+
+    from thrivefinancedatapipeline_spark.registry import (
+        all_oracles,
+        all_queries,
+    )
+
+    nine = {
+        "corpus_pipeline_attest",
+        "corpus_pipeline_attest_prod",
+        "multimodal_codec_attest5",
+        "dedup_cosine_tau_sweep",
+        "quality_gate_margin_sweep",
+        "decontam_threshold_sweep",
+        "repeat_cap_sweep",
+        "dedup_simhash_radius_sweep",
+        "corpus_chunk_size_sweep",
+    }
+    staged = set(check_prebuilt._catalog())
+    assert staged & nine == set()
+    qs, os_ = all_queries(), all_oracles()
+    assert nine <= set(qs) and nine <= set(os_)

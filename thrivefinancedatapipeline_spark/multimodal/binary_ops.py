@@ -1138,7 +1138,7 @@ ORACLES["multimodal_codec_attest4"] = CODEC_ATTEST4_ORACLE
 
 
 # ---------------------------------------------------------------------------
-# PREBUILT (r12-staged for r13 — tools/check_prebuilt.py).
+# REGISTERED r13 (staged r12 via tools/check_prebuilt.py).
 # multimodal_codec_attest5: the attest discipline over the r12 codec
 # work — audio-first AVI stream resolution + wide-PCM WAV widths.
 # ---------------------------------------------------------------------------
@@ -1220,3 +1220,7 @@ SELECT doc_id,
                      THEN j * ((v - 60) * 16777216 + v)
                      ELSE 0 END) AS BIGINT) AS pcm32_sum
 FROM v GROUP BY doc_id"""
+
+# registered r13 (staged r12 via tools/check_prebuilt.py)
+QUERIES["multimodal_codec_attest5"] = q_multimodal_codec_attest5
+ORACLES["multimodal_codec_attest5"] = CODEC_ATTEST5_ORACLE

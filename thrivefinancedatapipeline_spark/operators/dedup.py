@@ -3014,7 +3014,7 @@ ORACLES["dedup_shingle_cap_sweep"] = SHINGLE_CAP_SWEEP_ORACLE
 
 
 # ---------------------------------------------------------------------------
-# PREBUILT (r12-staged for r13 — tools/check_prebuilt.py).
+# REGISTERED r13 (staged r12 via tools/check_prebuilt.py).
 # dedup_cosine_tau_sweep: the semantic-dedup threshold curve.
 # ---------------------------------------------------------------------------
 
@@ -3141,7 +3141,7 @@ COSINE_TAU_SWEEP_ORACLE = _cosine_tau_sweep_oracle()
 
 
 # ---------------------------------------------------------------------------
-# PREBUILT (r12-staged for r13 — tools/check_prebuilt.py).
+# REGISTERED r13 (staged r12 via tools/check_prebuilt.py).
 # dedup_simhash_radius_sweep: the hamming-radius curve.
 # ---------------------------------------------------------------------------
 
@@ -3233,3 +3233,9 @@ FROM sp CROSS JOIN tot LEFT JOIN agg ON agg.ham_max = sp.ham_max"""
 
 
 SIMHASH_RADIUS_SWEEP_ORACLE = _simhash_radius_sweep_oracle()
+
+# registered r13 (staged r12 via tools/check_prebuilt.py)
+QUERIES["dedup_cosine_tau_sweep"] = dedup_cosine_tau_sweep
+ORACLES["dedup_cosine_tau_sweep"] = COSINE_TAU_SWEEP_ORACLE
+QUERIES["dedup_simhash_radius_sweep"] = dedup_simhash_radius_sweep
+ORACLES["dedup_simhash_radius_sweep"] = SIMHASH_RADIUS_SWEEP_ORACLE

@@ -527,7 +527,7 @@ ORACLES["source_curation_funnel"] = CURATION_FUNNEL_ORACLE
 
 
 # ---------------------------------------------------------------------------
-# PREBUILT (r12-staged for r13 — tools/check_prebuilt.py).
+# REGISTERED r13 (staged r12 via tools/check_prebuilt.py).
 # corpus_pipeline_attest: the fused END-TO-END pipeline attest — every
 # funnel stage run_corpus_pipeline composes, as ONE oracled relation.
 # ---------------------------------------------------------------------------
@@ -803,7 +803,7 @@ PIPELINE_ATTEST_ORACLE = _pipeline_attest_oracle()
 
 
 # ---------------------------------------------------------------------------
-# PREBUILT (r12-staged for r13 — tools/check_prebuilt.py).
+# REGISTERED r13 (staged r12 via tools/check_prebuilt.py).
 # quality_gate_margin_sweep: the per-language strictness curve.
 # ---------------------------------------------------------------------------
 
@@ -926,7 +926,7 @@ GATE_MARGIN_SWEEP_ORACLE = _gate_margin_sweep_oracle()
 
 
 # ---------------------------------------------------------------------------
-# PREBUILT (r12-staged for r13 — tools/check_prebuilt.py).
+# REGISTERED r13 (staged r12 via tools/check_prebuilt.py).
 # corpus_pipeline_attest_prod: the PRODUCTION-posture pipeline attest.
 # ---------------------------------------------------------------------------
 
@@ -1236,3 +1236,11 @@ FROM packed"""
 
 
 PIPELINE_ATTEST_PROD_ORACLE = _pipeline_attest_prod_oracle()
+
+# registered r13 (staged r12 via tools/check_prebuilt.py)
+QUERIES["corpus_pipeline_attest"] = corpus_pipeline_attest
+ORACLES["corpus_pipeline_attest"] = PIPELINE_ATTEST_ORACLE
+QUERIES["corpus_pipeline_attest_prod"] = corpus_pipeline_attest_prod
+ORACLES["corpus_pipeline_attest_prod"] = PIPELINE_ATTEST_PROD_ORACLE
+QUERIES["quality_gate_margin_sweep"] = quality_gate_margin_sweep
+ORACLES["quality_gate_margin_sweep"] = GATE_MARGIN_SWEEP_ORACLE

@@ -2477,7 +2477,7 @@ def probe_chunk_band_index(
 
 
 # ---------------------------------------------------------------------------
-# PREBUILT (r12-staged for r13 — tools/check_prebuilt.py).
+# REGISTERED r13 (staged r12 via tools/check_prebuilt.py).
 # decontam_threshold_sweep + repeat_cap_sweep: the hygiene and
 # epoch-policy knobs, each costed from one pass.
 # ---------------------------------------------------------------------------
@@ -2814,3 +2814,11 @@ FROM k GROUP BY 1, 2"""
 
 
 CHUNK_SIZE_SWEEP_ORACLE = _chunk_size_sweep_oracle()
+
+# registered r13 (staged r12 via tools/check_prebuilt.py)
+QUERIES["decontam_threshold_sweep"] = decontam_threshold_sweep
+ORACLES["decontam_threshold_sweep"] = DECON_SWEEP_ORACLE
+QUERIES["repeat_cap_sweep"] = repeat_cap_sweep
+ORACLES["repeat_cap_sweep"] = REPEAT_CAP_SWEEP_ORACLE
+QUERIES["corpus_chunk_size_sweep"] = corpus_chunk_size_sweep
+ORACLES["corpus_chunk_size_sweep"] = CHUNK_SIZE_SWEEP_ORACLE

@@ -34,68 +34,17 @@ def _catalog():
     Round 6 drained the 29-operator backlog; round 8 registered the
     six operators round 7 had staged here; round 9 registered round
     8's six; round 10 registered round 9's eleven; round 11 registered
-    round 10's ten; round 12 registered round 11's nine (the knob-sweep
-    telemetry family: hybrid_probe_sweep, lex_cap_sweep,
-    dedup_minhash_band_sweep, dedup_shingle_cap_sweep,
-    pack_budget_sweep, velocity_rate_sweep, quota_denom_sweep,
-    multimodal_codec_attest3, multimodal_codec_attest4) and stages
-    prebuilds for the r13 window below. Future prebuilds stage here
-    first: green at the default sf0.01, then a 2-line move of the
-    (query, oracle) pair into the module dicts."""
-    from thrivefinancedatapipeline_spark.multimodal.binary_ops import (
-        CODEC_ATTEST5_ORACLE,
-        q_multimodal_codec_attest5,
-    )
-    from thrivefinancedatapipeline_spark.operators.dedup import (
-        COSINE_TAU_SWEEP_ORACLE,
-        SIMHASH_RADIUS_SWEEP_ORACLE,
-        dedup_cosine_tau_sweep,
-        dedup_simhash_radius_sweep,
-    )
-    from thrivefinancedatapipeline_spark.operators.textops import (
-        CHUNK_SIZE_SWEEP_ORACLE,
-        DECON_SWEEP_ORACLE,
-        REPEAT_CAP_SWEEP_ORACLE,
-        corpus_chunk_size_sweep,
-        decontam_threshold_sweep,
-        repeat_cap_sweep,
-    )
-    from thrivefinancedatapipeline_spark.operators.quality import (
-        GATE_MARGIN_SWEEP_ORACLE,
-        PIPELINE_ATTEST_ORACLE,
-        PIPELINE_ATTEST_PROD_ORACLE,
-        corpus_pipeline_attest,
-        corpus_pipeline_attest_prod,
-        quality_gate_margin_sweep,
-    )
-
-    return {
-        "corpus_pipeline_attest": (
-            corpus_pipeline_attest, PIPELINE_ATTEST_ORACLE,
-        ),
-        "corpus_pipeline_attest_prod": (
-            corpus_pipeline_attest_prod, PIPELINE_ATTEST_PROD_ORACLE,
-        ),
-        "multimodal_codec_attest5": (
-            q_multimodal_codec_attest5, CODEC_ATTEST5_ORACLE,
-        ),
-        "dedup_cosine_tau_sweep": (
-            dedup_cosine_tau_sweep, COSINE_TAU_SWEEP_ORACLE,
-        ),
-        "quality_gate_margin_sweep": (
-            quality_gate_margin_sweep, GATE_MARGIN_SWEEP_ORACLE,
-        ),
-        "decontam_threshold_sweep": (
-            decontam_threshold_sweep, DECON_SWEEP_ORACLE,
-        ),
-        "repeat_cap_sweep": (repeat_cap_sweep, REPEAT_CAP_SWEEP_ORACLE),
-        "dedup_simhash_radius_sweep": (
-            dedup_simhash_radius_sweep, SIMHASH_RADIUS_SWEEP_ORACLE,
-        ),
-        "corpus_chunk_size_sweep": (
-            corpus_chunk_size_sweep, CHUNK_SIZE_SWEEP_ORACLE,
-        ),
-    }
+    round 10's ten; round 12 registered round 11's nine; round 13
+    registered round 12's nine (the end-to-end pipeline attests +
+    sweep family: corpus_pipeline_attest, corpus_pipeline_attest_prod,
+    multimodal_codec_attest5, dedup_cosine_tau_sweep,
+    quality_gate_margin_sweep, decontam_threshold_sweep,
+    repeat_cap_sweep, dedup_simhash_radius_sweep,
+    corpus_chunk_size_sweep) and stages prebuilds for the r14 window
+    below. Future prebuilds stage here first: green at the default
+    sf0.01, then a 2-line move of the (query, oracle) pair into the
+    module dicts."""
+    return {}
 
 
 def main() -> int:
