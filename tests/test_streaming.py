@@ -410,3 +410,141 @@ def test_stream_jsonl_corpus_drain_matches_batch_reader(spark):
     finally:
         for d in (src, chk, out):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_corpus_funnel_stream_decontam_and_cross_drop_dedup(spark):
+    """Streaming corpus-funnel twin: documents landing across two
+    drops are decontaminated against a STATIC blocklist and
+    exact-deduped with CROSS-DROP state — a byte-identical document
+    arriving in drop 2 is suppressed by state RECOVERED from the
+    checkpoint (the assertion plain batch tests cannot make), a
+    benchmark-id doc and a blocklist-overlapping doc are dropped by
+    the same clean rule as batch q_corpus_clean, and the drained sink
+    equals a batch recompute with the same definitions (set
+    semantics on content hashes — dropDuplicates keeps an arbitrary
+    first row per hash, so doc ids are not a contract)."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from thrivefinancedatapipeline_spark.functions.text import (
+        md5_long,
+        shingles_from_tokens,
+        tokens,
+    )
+    from thrivefinancedatapipeline_spark.streaming.balance_stream import (
+        corpus_funnel_stream,
+    )
+
+    src = tempfile.mkdtemp(prefix="funnelsrc_")
+    chk = tempfile.mkdtemp(prefix="funnelchk_")
+    out = tempfile.mkdtemp(prefix="funnelout_")
+    try:
+        bench_texts = ["held out eval question one", "secret eval two plus"]
+        blocklist = (
+            spark.createDataFrame([(t,) for t in bench_texts], "text string")
+            .select(tokens(F.col("text")).alias("toks"))
+            .select(F.explode(shingles_from_tokens(F.col("toks"))).alias("sh"))
+            .distinct()
+        )
+
+        def drop(name, docs, mtime):
+            p = os.path.join(src, name)
+            with open(p, "w") as f:
+                for d in docs:
+                    f.write(json.dumps(d) + "\n")
+            os.utime(p, (mtime, mtime))
+
+        def drain():
+            q = (
+                corpus_funnel_stream(spark, src, blocklist)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", chk)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return {
+                r["content_hash"]
+                for r in spark.read.parquet(out).collect()
+            }
+
+        def batch_hashes():
+            docs = spark.read.schema(
+                "doc_id long, lang string, source string, text string"
+            ).json(src)
+            shingled = docs.select(
+                "doc_id",
+                md5_long(F.col("text")).alias("content_hash"),
+                tokens(F.col("text")).alias("toks"),
+            ).select(
+                "doc_id",
+                "content_hash",
+                shingles_from_tokens(F.col("toks")).alias("shs"),
+            )
+            bl = blocklist.agg(
+                F.collect_set("sh").alias("bl_shingles")
+            )
+            return {
+                r["content_hash"]
+                for r in shingled.crossJoin(F.broadcast(bl))
+                .filter(
+                    (F.col("doc_id") % 97 != 0)
+                    & ~F.arrays_overlap(
+                        F.col("shs"), F.col("bl_shingles")
+                    )
+                )
+                .select("content_hash")
+                .distinct()
+                .collect()
+            }
+
+        drop(
+            "d0.jsonl",
+            [
+                {"doc_id": 1, "lang": "en", "source": "web",
+                 "text": "alpha doc body here"},
+                {"doc_id": 2, "lang": "de", "source": "web",
+                 "text": "beta doc body here"},
+                # in-batch duplicate of doc 1 (same bytes)
+                {"doc_id": 3, "lang": "en", "source": "crawl",
+                 "text": "alpha doc body here"},
+            ],
+            1_700_000_000,
+        )
+        got1 = drain()
+        assert got1 == batch_hashes() and len(got1) == 2
+
+        drop(
+            "d1.jsonl",
+            [
+                # cross-drop duplicate: suppressed by RECOVERED state
+                {"doc_id": 4, "lang": "en", "source": "books",
+                 "text": "beta doc body here"},
+                # benchmark id (97 % 97 == 0): decontam drops it
+                {"doc_id": 97, "lang": "en", "source": "web",
+                 "text": "totally novel benchmark carrier"},
+                # shares the 3-gram 'held out eval' with the blocklist
+                {"doc_id": 5, "lang": "en", "source": "web",
+                 "text": "contains held out eval overlap words"},
+                # genuinely new and clean
+                {"doc_id": 6, "lang": "fr", "source": "books",
+                 "text": "gamma fresh clean doc"},
+            ],
+            1_700_000_100,
+        )
+        got2 = drain()
+        assert got2 == batch_hashes() and len(got2) == 3
+        # the new survivor is exactly the gamma doc's hash
+        gamma = spark.range(1).select(
+            md5_long(F.lit("gamma fresh clean doc")).alias("h")
+        ).collect()[0]["h"]
+        assert got2 - got1 == {gamma}
+    finally:
+        for d in (src, chk, out):
+            shutil.rmtree(d, ignore_errors=True)

@@ -1224,3 +1224,121 @@ FROM v GROUP BY doc_id"""
 # registered r13 (staged r12 via tools/check_prebuilt.py)
 QUERIES["multimodal_codec_attest5"] = q_multimodal_codec_attest5
 ORACLES["multimodal_codec_attest5"] = CODEC_ATTEST5_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# PREBUILT (r13-staged for r14 — tools/check_prebuilt.py).
+# ingestion_codec_attest: the attest discipline over the raw-file
+# ingestion source — md5-derived PCM encoded to REAL files on disk,
+# ingested back through read_binary_files, decoded, and checksummed
+# against an oracle computed straight from md5(text) in SQL. This is
+# the ingestion-to-checksum end-to-end the r12 verdict asked for: it
+# proves the binaryFile listing, payload byte-integrity, the content
+# -hash doc_id convention, AND the codec kernel in ONE oracled pass.
+# ---------------------------------------------------------------------------
+
+INGEST_ATTEST_SCHEMA = (
+    "doc_id long, n_bytes long, pcm_sum long, id_ok int"
+)
+
+
+def q_ingestion_codec_attest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """End-to-end raw-ingestion attest. Per document, from md5(text):
+    32 16-bit PCM samples s_j = (v_j - 60) * 257 are encoded with the
+    real WAV codec and WRITTEN TO DISK as <doc_id>.wav in a private
+    temp corpus; the files then re-enter through read_binary_files
+    (the production ingestion source — recursive listing, glob
+    pruning, binary payloads) and are decoded back. The output
+    attests, per original document: the payload byte length the
+    source reported (108 = 44-byte canonical WAV header + 64 sample
+    bytes), the position-weighted checksum of the DECODED samples,
+    and id_ok — whether the source's content-hash doc_id equals
+    md5(payload) recomputed over the ingested bytes (the full
+    128-bit convention from the r12 hardening). The DuckDB oracle
+    computes every column directly from md5(text) in SQL, so a break
+    ANYWHERE in write → list → read → id → decode goes red.
+
+    Scale shape: the write pass is mapInPandas (distributed,
+    idempotent per task retry — same name, same bytes), forced once
+    via a 1-row aggregate; the local temp dir stands in for the
+    shared filesystem (S3/HDFS) a cluster deployment points the same
+    two calls at. No driver-side per-doc loop anywhere."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.io import read_binary_files
+
+    d = tempfile.mkdtemp(prefix="tfdp-ingest-wav-")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                hx = hashlib.md5(text.encode("utf-8")).hexdigest()
+                s16 = [(ord(c) - 60) * 257 for c in hx]
+                data = wav.encode_wav(s16, sample_rate=8_000)
+                with open(os.path.join(d, f"{doc_id}.wav"), "wb") as f:
+                    f.write(data)
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    # force the write pass exactly once (bounded 1-row collect)
+    docs.mapInPandas(write, schema="n long").agg(F.sum("n")).collect()
+
+    ing = read_binary_files(spark, d, glob="*.wav").select(
+        F.regexp_extract("path", "([0-9]+)[.]wav$", 1)
+        .cast("long")
+        .alias("orig_id"),
+        F.col("length").alias("n_bytes"),
+        (F.md5(F.col("payload")) == F.col("doc_id"))
+        .cast("int")
+        .alias("id_ok"),
+        "payload",
+    )
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_bytes": [], "pcm_sum": [], "id_ok": [],
+            }
+            for oid, nb, ok, payload in zip(
+                pdf["orig_id"], pdf["n_bytes"], pdf["id_ok"],
+                pdf["payload"],
+            ):
+                samples = wav.decode_wav(bytes(payload))["samples"]
+                out["doc_id"].append(oid)
+                out["n_bytes"].append(nb)
+                out["pcm_sum"].append(
+                    sum((i + 1) * s for i, s in enumerate(samples))
+                )
+                out["id_ok"].append(ok)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "n_bytes": pd.Series(out["n_bytes"], dtype="int64"),
+                    "pcm_sum": pd.Series(out["pcm_sum"], dtype="int64"),
+                    "id_ok": pd.Series(out["id_ok"], dtype="int32"),
+                }
+            )
+
+    return ing.mapInPandas(dec, schema=INGEST_ATTEST_SCHEMA)
+
+
+#: v_j (j in 1..32) = ascii(md5 hex char j); s_j = (v_j - 60) * 257.
+#: n_bytes = 44 (canonical WAV header) + 2 * 32; pcm_sum = sum j * s_j.
+INGEST_ATTEST_ORACLE = """
+WITH v AS (
+  SELECT doc_id, j,
+         ascii(substring(md5(text), CAST(j AS INT), 1)) AS v
+  FROM documents, (SELECT unnest(range(1, 33)) AS j) t)
+SELECT doc_id,
+       CAST(108 AS BIGINT) AS n_bytes,
+       CAST(SUM(j * ((v - 60) * 257)) AS BIGINT) AS pcm_sum,
+       CAST(1 AS INT) AS id_ok
+FROM v GROUP BY doc_id"""

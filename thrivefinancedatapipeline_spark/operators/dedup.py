@@ -3239,3 +3239,218 @@ QUERIES["dedup_cosine_tau_sweep"] = dedup_cosine_tau_sweep
 ORACLES["dedup_cosine_tau_sweep"] = COSINE_TAU_SWEEP_ORACLE
 QUERIES["dedup_simhash_radius_sweep"] = dedup_simhash_radius_sweep
 ORACLES["dedup_simhash_radius_sweep"] = SIMHASH_RADIUS_SWEEP_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# PREBUILT (r13-staged for r14 — tools/check_prebuilt.py).
+# dedup_minhash_perm_sweep: signature width vs estimator accuracy.
+# ---------------------------------------------------------------------------
+
+#: signature widths swept — PREFIXES of the same K=16 permutation set
+#: (a narrower signature uses nested evidence: its matches are a
+#: subset of the wider signature's per-perm comparisons), with the
+#: registered width K as the anchor point. At 100 TB the signature
+#: width IS the per-document index footprint (8 bytes/perm), so this
+#: curve prices storage against near-dup estimator accuracy.
+PERM_SWEEP = (4, 8, 16)
+
+_MPS_NS = "mps:"  # membership-checksum namespace
+
+
+def dedup_minhash_perm_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """What MinHash signature width buys: for each swept permutation
+    count n (a PREFIX of the registered K=16 signature), the mean and
+    max absolute error of the n-perm Jaccard estimate against the
+    EXACT shingle Jaccard, measured over the registered banding's
+    candidate pairs (the only pairs a production dedup ever scores).
+    The n=16 row prices the shipped configuration; 4 and 8 show what
+    halving the per-doc index footprint (8 bytes/perm) costs in
+    estimator error. A membership checksum of the (n-independent)
+    candidate relation rides every row, so the driver attests WHICH
+    pairs the curve was measured on.
+
+    Scale shape (sweep-family): shingles and the 16-min-agg signature
+    run ONCE (checkpointed); the candidate join runs ONCE at the
+    registered banding; the swept widths are pure column arithmetic
+    over the bounded candidate relation (|sweep| structs exploded per
+    pair), rolling up to |sweep| rows. Exact integer ppm throughout —
+    estimates and exact shares use the same floor-div, so both
+    engines agree bit-for-bit."""
+    sh = _shingle_rows(_docs(spark, sf_dir)).localCheckpoint(eager=True)
+    sig = _minhash_signatures(sh).localCheckpoint(eager=True)
+    bands = _minhash_bands(sig)
+    b1 = bands.select(F.col("doc_id").alias("doc_id_1"), "band", "key")
+    b2 = bands.select(F.col("doc_id").alias("doc_id_2"), "band", "key")
+    cand = (
+        b1.join(b2, ["band", "key"])
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .select("doc_id_1", "doc_id_2")
+        .distinct()
+    )
+    arrs = sh.groupBy("doc_id").agg(
+        F.collect_list("sh").alias("shs"), F.count("*").alias("c")
+    )
+    sig1 = sig.select(
+        F.col("doc_id").alias("doc_id_1"),
+        *[F.col(f"m{j}").alias(f"a{j}") for j in range(K)],
+    )
+    sig2 = sig.select(
+        F.col("doc_id").alias("doc_id_2"),
+        *[F.col(f"m{j}").alias(f"b{j}") for j in range(K)],
+    )
+    a1 = arrs.select(
+        F.col("doc_id").alias("doc_id_1"),
+        F.col("shs").alias("shs1"),
+        F.col("c").alias("c1"),
+    )
+    a2 = arrs.select(
+        F.col("doc_id").alias("doc_id_2"),
+        F.col("shs").alias("shs2"),
+        F.col("c").alias("c2"),
+    )
+    # exact Jaccard in integer ppm; denominator >= max(c1, c2) >= 1 by
+    # construction (every banded doc has >= 1 shingle)
+    scored = (
+        cand.join(sig1, "doc_id_1")
+        .join(sig2, "doc_id_2")
+        .join(a1, "doc_id_1")
+        .join(a2, "doc_id_2")
+        .withColumn(
+            "common",
+            F.size(F.array_intersect("shs1", "shs2")).cast("long"),
+        )
+        .withColumn(
+            "exact_ppm",
+            F.expr(
+                "CAST(CAST(common AS DECIMAL(38,0)) * 1000000"
+                " div (c1 + c2 - common) AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "h",
+            md5_long(
+                F.concat(
+                    F.lit(_MPS_NS),
+                    F.col("doc_id_1").cast("string"),
+                    F.lit(":"),
+                    F.col("doc_id_2").cast("string"),
+                )
+            ),
+        )
+    )
+    ests = F.array(
+        *[
+            F.struct(
+                F.lit(n).cast("int").alias("n_perms"),
+                F.expr(
+                    "CAST(("
+                    + " + ".join(
+                        f"IF(a{j} = b{j}, 1, 0)" for j in range(n)
+                    )
+                    + f") * CAST(1000000 AS BIGINT) div {n} AS BIGINT)"
+                ).alias("est_ppm"),
+            )
+            for n in PERM_SWEEP
+        ]
+    )
+    rows = scored.select(
+        "exact_ppm", "h", F.explode(ests).alias("s")
+    ).select(
+        F.col("s.n_perms").alias("n_perms"),
+        F.abs(F.col("s.est_ppm") - F.col("exact_ppm")).alias("err"),
+        "h",
+    )
+    grouped = rows.groupBy("n_perms").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("err").cast("long").alias("sum_err"),
+        F.max("err").cast("long").alias("max_abs_err_ppm"),
+        F.expr("bit_xor(h)").alias("pairs_checksum"),
+    )
+    # explicit spine: a corpus whose banding yields ZERO candidates
+    # must emit three zero rows, not vanish (and the mean's division
+    # is guarded — the cosine-tau-sweep lesson)
+    widths = F.array(*[F.lit(n).cast("int") for n in PERM_SWEEP])
+    spine = (
+        scored.agg(F.count(F.lit(1)).cast("long").alias("_t"))
+        .select(F.explode(widths).alias("n_perms"))
+    )
+    return spine.join(grouped, "n_perms", "left").select(
+        "n_perms",
+        F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias(
+            "n_pairs"
+        ),
+        F.expr(
+            "CASE WHEN COALESCE(n_pairs, 0) = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE CAST(CAST(sum_err AS DECIMAL(38,0))"
+            " div n_pairs AS BIGINT) END"
+        ).alias("mean_abs_err_ppm"),
+        F.coalesce(F.col("max_abs_err_ppm"), F.lit(0)).cast("long")
+        .alias("max_abs_err_ppm"),
+        F.coalesce(F.col("pairs_checksum"), F.lit(0)).alias(
+            "pairs_checksum"
+        ),
+    )
+
+
+def _minhash_perm_sweep_oracle() -> str:
+    from ..functions.text import md5_long_sql
+
+    h = md5_long_sql(
+        f"'{_MPS_NS}' || CAST(p.doc_id_1 AS VARCHAR) || ':'"
+        " || CAST(p.doc_id_2 AS VARCHAR)"
+    )
+    parts = []
+    for n in PERM_SWEEP:
+        matches = " + ".join(
+            f"(CASE WHEN g1.m{j} = g2.m{j} THEN 1 ELSE 0 END)"
+            for j in range(n)
+        )
+        parts.append(f"""
+SELECT * FROM (
+WITH {_SHINGLE_CTES},
+hs AS (SELECT doc_id,
+              (('0x' || substring(md5(sh), 1, 15))::BIGINT % {P}) AS h
+       FROM sh),
+sig AS (SELECT doc_id, {_MIN_AGGS} FROM hs GROUP BY doc_id),
+bands AS ({_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT b1.doc_id AS doc_id_1, b2.doc_id AS doc_id_2
+  FROM bands b1 JOIN bands b2
+    ON b1.band = b2.band AND b1.key = b2.key AND b1.doc_id < b2.doc_id
+),
+cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+com AS (
+  SELECT p.doc_id_1, p.doc_id_2, count(*) AS common
+  FROM cand p
+  JOIN sh s1 ON s1.doc_id = p.doc_id_1
+  JOIN sh s2 ON s2.doc_id = p.doc_id_2 AND s2.sh = s1.sh
+  GROUP BY 1, 2),
+scored AS (
+  SELECT CAST(CAST(COALESCE(com.common, 0) AS HUGEINT) * 1000000
+              // (c1.c + c2.c - COALESCE(com.common, 0)) AS BIGINT)
+           AS exact_ppm,
+         CAST(({matches}) * CAST(1000000 AS HUGEINT) // {n} AS BIGINT)
+           AS est_ppm,
+         {h} AS h
+  FROM cand p
+  JOIN sig g1 ON g1.doc_id = p.doc_id_1
+  JOIN sig g2 ON g2.doc_id = p.doc_id_2
+  JOIN cnt c1 ON c1.doc_id = p.doc_id_1
+  JOIN cnt c2 ON c2.doc_id = p.doc_id_2
+  LEFT JOIN com ON com.doc_id_1 = p.doc_id_1
+               AND com.doc_id_2 = p.doc_id_2)
+SELECT CAST({n} AS INT) AS n_perms,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(CASE WHEN COUNT(*) = 0 THEN 0
+                 ELSE CAST(SUM(ABS(est_ppm - exact_ppm)) AS HUGEINT)
+                      // COUNT(*) END AS BIGINT) AS mean_abs_err_ppm,
+       CAST(COALESCE(MAX(ABS(est_ppm - exact_ppm)), 0) AS BIGINT)
+         AS max_abs_err_ppm,
+       COALESCE(BIT_XOR(h), 0) AS pairs_checksum
+FROM scored)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+MINHASH_PERM_SWEEP_ORACLE = _minhash_perm_sweep_oracle()

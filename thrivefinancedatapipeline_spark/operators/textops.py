@@ -2822,3 +2822,188 @@ QUERIES["repeat_cap_sweep"] = repeat_cap_sweep
 ORACLES["repeat_cap_sweep"] = REPEAT_CAP_SWEEP_ORACLE
 QUERIES["corpus_chunk_size_sweep"] = corpus_chunk_size_sweep
 ORACLES["corpus_chunk_size_sweep"] = CHUNK_SIZE_SWEEP_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# PREBUILT (r13-staged for r14 — tools/check_prebuilt.py).
+# mixture_temperature_sweep: the temperature knob on mixture weights.
+# ---------------------------------------------------------------------------
+
+#: sampling temperatures swept — weight_i ∝ share_i^(1/T). T=1 is the
+#: registered proportional mixture (identity-pinned to
+#: corpus_mixture_weights); T=2 and T=4 progressively flatten the
+#: distribution toward uniform, the standard low-resource-upsampling
+#: move (mT5/XLM-R sample with alpha = 1/T in {0.5, 0.25}).
+MIXTURE_TEMP_SWEEP = (1, 2, 4)
+
+
+def mixture_temperature_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """What sampling temperature does to the training mixture: for
+    each swept T, every (lang, source) cell's weight in ppm under
+    weight ∝ n_tokens^(1/T). The whole sweep stays in EXACT integer
+    space so both engines agree bit-for-bit: the T-th-root is the
+    iterated floor-isqrt (T=1 → n_tokens, T=2 → isqrt, T=4 →
+    isqrt∘isqrt — floor(sqrt(floor(sqrt(x)))) IS floor(x^(1/4))), and
+    floor(sqrt(BIGINT)) is engine-stable because IEEE-754 sqrt is
+    correctly rounded and token counts stay far below 2^52 (the
+    double-precision exactness bound; at 2^52 tokens ~ a 4-exabyte
+    corpus). The T=1 rows are identity-pinned to the registered
+    corpus_mixture_weights.share_ppm.
+
+    Scale shape (sweep-family): ONE corpus pass builds the
+    |langs|x|sources| aggregate; the swept temperatures explode over
+    that bounded relation and each temperature's total rides a window
+    partitioned by the sweep key (3 x |cells| rows, never the data)."""
+    docs = _docs(spark, sf_dir)
+    agg = docs.groupBy("lang", "source").agg(
+        F.sum(F.size(tokens(F.col("text"))).cast("long")).alias(
+            "n_tokens"
+        ),
+    )
+    temps = F.array(*[F.lit(t).cast("int") for t in MIXTURE_TEMP_SWEEP])
+    per = agg.withColumn("t_temp", F.explode(temps)).withColumn(
+        "w_raw",
+        F.expr(
+            "CASE t_temp WHEN 1 THEN n_tokens"
+            " WHEN 2 THEN CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)))"
+            "             AS BIGINT)"
+            " ELSE CAST(FLOOR(SQRT(FLOOR(SQRT(CAST(n_tokens"
+            "             AS DOUBLE))))) AS BIGINT) END"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("t_temp")
+    return (
+        per.withColumn("total_w", F.sum("w_raw").over(w))
+        .select(
+            "t_temp",
+            "lang",
+            "source",
+            "n_tokens",
+            F.expr(
+                "CASE WHEN total_w = 0 THEN CAST(0 AS BIGINT)"
+                " ELSE CAST(CAST(w_raw AS DECIMAL(38,0)) * 1000000"
+                " div total_w AS BIGINT) END"
+            ).alias("weight_ppm"),
+        )
+    )
+
+
+def _mixture_temp_sweep_oracle() -> str:
+    cells = ", ".join(f"({t})" for t in MIXTURE_TEMP_SWEEP)
+    return f"""
+WITH agg AS (
+  SELECT lang, source,
+         CAST(SUM(len(string_split(lower(trim(regexp_replace(text,
+              '\\s+', ' ', 'g'))), ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang, source),
+sp AS (SELECT * FROM (VALUES {cells}) t(t_temp)),
+per AS (
+  SELECT sp.t_temp, lang, source, n_tokens,
+         CASE sp.t_temp WHEN 1 THEN n_tokens
+              WHEN 2 THEN CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)))
+                          AS BIGINT)
+              ELSE CAST(FLOOR(SQRT(FLOOR(SQRT(CAST(n_tokens
+                          AS DOUBLE))))) AS BIGINT) END AS w_raw
+  FROM agg, sp),
+tot AS (SELECT t_temp, CAST(SUM(w_raw) AS BIGINT) AS total_w
+        FROM per GROUP BY t_temp)
+SELECT CAST(per.t_temp AS INT) AS t_temp, lang, source, n_tokens,
+       CAST(CASE WHEN tot.total_w = 0 THEN 0
+                 ELSE CAST(per.w_raw AS HUGEINT) * 1000000
+                      // tot.total_w END AS BIGINT) AS weight_ppm
+FROM per JOIN tot ON tot.t_temp = per.t_temp"""
+
+
+MIXTURE_TEMP_SWEEP_ORACLE = _mixture_temp_sweep_oracle()
+
+
+# ---------------------------------------------------------------------------
+# PREBUILT (r13-staged for r14 — tools/check_prebuilt.py).
+# ingestion_text_attest: the same end-to-end discipline over the
+# wholetext corpus source — documents written to REAL files under TWO
+# shard directories, ingested back through read_text_corpus, and
+# attested by content group: the recursive listing found every copy,
+# the round trip is byte-exact, and the content-hash ids collapse
+# exactly the way grouping the ORIGINAL table by text says they must.
+# ---------------------------------------------------------------------------
+
+
+def q_ingestion_text_attest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """End-to-end wholetext-ingestion attest. Every non-empty document
+    is written verbatim to <doc_id>.txt under BOTH shard dirs a/ and
+    b/ (the crawl-drop layout whose path-tail collisions motivated
+    content-hash ids in the first place); the corpus re-enters through
+    read_text_corpus (recursive wholetext, one doc per file,
+    content-md5 doc_id) and is grouped BY that content id. Per content
+    group the output attests: rep_doc_id (the smallest original
+    doc_id whose text landed in the group — parsed back from the file
+    paths), n_files (2x the number of original documents sharing the
+    text: both shard copies of every one were listed), and a 60-bit
+    md5 checksum of the ROUND-TRIPPED text. The DuckDB oracle computes
+    the same relation straight from the documents table with GROUP BY
+    text — so a byte-mangled round trip, a missed file, or a
+    content-id that failed to collapse duplicates all go red. Empty
+    documents are excluded on both sides (wholetext emits no record
+    for zero-byte files — the documented source semantics).
+
+    Scale shape: the write pass is mapInPandas (distributed,
+    idempotent); the read is the production source; the group-by is
+    on the content id. The temp dir stands in for shared storage."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..functions.text import md5_long
+    from ..sources.io import read_text_corpus
+
+    d = tempfile.mkdtemp(prefix="tfdp-ingest-txt-")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    for sub in ("a", "b"):
+        os.makedirs(os.path.join(d, sub), exist_ok=True)
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .filter(F.length("text") > 0)
+    )
+
+    def write(batches):
+        for pdf in batches:
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for sub in ("a", "b"):
+                    p = os.path.join(d, sub, f"{doc_id}.txt")
+                    with open(p, "w", encoding="utf-8") as f:
+                        f.write(text)
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    import pandas as pd  # noqa: F811 — kernel-local, matches module use
+
+    docs.mapInPandas(write, schema="n long").agg(F.sum("n")).collect()
+
+    ing = read_text_corpus(spark, d)
+    return (
+        ing.groupBy("doc_id")
+        .agg(
+            F.min(
+                F.regexp_extract("path", "([0-9]+)[.]txt$", 1).cast(
+                    "long"
+                )
+            ).alias("rep_doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.min(md5_long(F.col("text"))).alias("text_checksum"),
+        )
+        .select("rep_doc_id", "n_files", "text_checksum")
+    )
+
+
+INGEST_TEXT_ATTEST_ORACLE = """
+SELECT CAST(MIN(doc_id) AS BIGINT) AS rep_doc_id,
+       CAST(2 * COUNT(*) AS BIGINT) AS n_files,
+       ('0x' || substring(md5(text), 1, 15))::BIGINT AS text_checksum
+FROM documents WHERE length(text) > 0 GROUP BY text"""

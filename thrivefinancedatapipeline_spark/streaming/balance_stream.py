@@ -174,3 +174,65 @@ def stream_jsonl_corpus(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .json(source_dir)
     )
+
+
+def corpus_funnel_stream(
+    spark: SparkSession,
+    source_dir: str,
+    blocklist: DataFrame,
+    bench_doc_mod: int = 97,
+) -> DataFrame:
+    """Streaming head of the corpus curation funnel: JSONL drops
+    stream in (stream_jsonl_corpus), each document is decontaminated
+    against a STATIC benchmark shingle blocklist (the eval set is
+    known before collection starts — the production posture; passed
+    as a 1-column 'sh' DataFrame and collapsed to one broadcast array
+    row, since stream-static cross joins are rejected but a dummy-key
+    equi join is not), and survivors are exact-deduped on the 60-bit
+    content hash with CROSS-DROP state: dropDuplicates keeps its seen
+    set in the checkpoint, so a byte-identical document arriving in a
+    LATER drop is suppressed exactly like an in-batch duplicate.
+
+    Same clean rule as the batch q_corpus_clean: non-benchmark id AND
+    zero distinct-shingle overlap with the blocklist (arrays_overlap
+    on an empty shingle array is false, matching the batch treatment
+    of sub-3-token documents). State note: plain dropDuplicates state
+    grows with the corpus; a production deployment with bounded
+    arrival lateness swaps in dropDuplicatesWithinWatermark — same
+    plan shape, bounded store.
+
+    Returns the streaming DataFrame of funnel survivors
+    (doc_id, lang, source, content_hash); drive it with an
+    append-mode file sink + availableNow drains (the memory sink
+    cannot recover checkpoints across drains)."""
+    from ..functions.text import md5_long, shingles_from_tokens, tokens
+
+    bl = (
+        blocklist.agg(
+            F.collect_set("sh").alias("bl_shingles")
+        ).withColumn("_k", F.lit(1))
+    )
+    stream = stream_jsonl_corpus(spark, source_dir)
+    shingled = stream.select(
+        "doc_id",
+        "lang",
+        "source",
+        md5_long(F.col("text")).alias("content_hash"),
+        tokens(F.col("text")).alias("toks"),
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        "content_hash",
+        shingles_from_tokens(F.col("toks")).alias("shs"),
+        F.lit(1).alias("_k"),
+    )
+    clean = (
+        shingled.join(F.broadcast(bl), "_k")
+        .filter(
+            (F.col("doc_id") % bench_doc_mod != 0)
+            & ~F.arrays_overlap(F.col("shs"), F.col("bl_shingles"))
+        )
+        .select("doc_id", "lang", "source", "content_hash")
+    )
+    return clean.dropDuplicates(["content_hash"])

@@ -44,7 +44,35 @@ def _catalog():
     below. Future prebuilds stage here first: green at the default
     sf0.01, then a 2-line move of the (query, oracle) pair into the
     module dicts."""
-    return {}
+    from thrivefinancedatapipeline_spark.multimodal.binary_ops import (
+        INGEST_ATTEST_ORACLE,
+        q_ingestion_codec_attest,
+    )
+    from thrivefinancedatapipeline_spark.operators.dedup import (
+        MINHASH_PERM_SWEEP_ORACLE,
+        dedup_minhash_perm_sweep,
+    )
+    from thrivefinancedatapipeline_spark.operators.textops import (
+        INGEST_TEXT_ATTEST_ORACLE,
+        MIXTURE_TEMP_SWEEP_ORACLE,
+        mixture_temperature_sweep,
+        q_ingestion_text_attest,
+    )
+
+    return {
+        "ingestion_codec_attest": (
+            q_ingestion_codec_attest, INGEST_ATTEST_ORACLE,
+        ),
+        "ingestion_text_attest": (
+            q_ingestion_text_attest, INGEST_TEXT_ATTEST_ORACLE,
+        ),
+        "dedup_minhash_perm_sweep": (
+            dedup_minhash_perm_sweep, MINHASH_PERM_SWEEP_ORACLE,
+        ),
+        "mixture_temperature_sweep": (
+            mixture_temperature_sweep, MIXTURE_TEMP_SWEEP_ORACLE,
+        ),
+    }
 
 
 def main() -> int:
