@@ -247,3 +247,20 @@ def test_mixture_temperature_sweep_vs_duckdb_identity(spark, sf_dir):
             sdf[sdf.t_temp == 4].weight_ppm.max()
             <= sdf[sdf.t_temp == 1].weight_ppm.max()
         )
+
+
+def test_ingestion_stream_attest_vs_duckdb_end_to_end(spark, sf_dir):
+    """export as JSONL -> REAL streaming source -> availableNow drain
+    -> sink == SQL from the original table: every document rides the
+    streaming path exactly once with (lang, source) intact and
+    byte-exact text (md5 checksum parity); doc ids unique in the
+    drained sink (exactly-once, no re-emission within one drain)."""
+    from thrivefinancedatapipeline_spark.operators.textops import (
+        INGEST_STREAM_ATTEST_ORACLE,
+        q_ingestion_stream_attest,
+    )
+
+    for d in _dirs(sf_dir):
+        sdf = _match(spark, q_ingestion_stream_attest,
+                     INGEST_STREAM_ATTEST_ORACLE, d)
+        assert sdf.doc_id.is_unique

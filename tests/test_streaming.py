@@ -548,3 +548,107 @@ def test_corpus_funnel_stream_decontam_and_cross_drop_dedup(spark):
     finally:
         for d in (src, chk, out):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_corpus_funnel_stream_watermarked_dedup_bounded_state(spark):
+    """The bounded-state production variant: dedup_within switches the
+    funnel to dropDuplicatesWithinWatermark over ingest time. Within
+    the lateness bound the semantics match the unbounded form — an
+    in-batch duplicate AND a cross-drop duplicate arriving seconds
+    later are both suppressed (drains run well inside a 30-minute
+    watermark) — and the streaming plan actually carries the
+    watermarked dedup operator (asserted on the physical plan, so a
+    silent fallback to the unbounded form cannot stay green)."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from thrivefinancedatapipeline_spark.functions.text import (
+        md5_long,
+        shingles_from_tokens,
+        tokens,
+    )
+    from thrivefinancedatapipeline_spark.streaming.balance_stream import (
+        corpus_funnel_stream,
+    )
+
+    src = tempfile.mkdtemp(prefix="wfunnelsrc_")
+    chk = tempfile.mkdtemp(prefix="wfunnelchk_")
+    out = tempfile.mkdtemp(prefix="wfunnelout_")
+    try:
+        blocklist = (
+            spark.createDataFrame(
+                [("held out eval question one",)], "text string"
+            )
+            .select(tokens(F.col("text")).alias("toks"))
+            .select(
+                F.explode(shingles_from_tokens(F.col("toks"))).alias("sh")
+            )
+            .distinct()
+        )
+        stream = corpus_funnel_stream(
+            spark, src, blocklist, dedup_within="30 minutes"
+        )
+        # the bounded-state operator is IN the plan (not the unbounded
+        # dropDuplicates): check the logical string form
+        plan = stream._jdf.queryExecution().logical().toString()
+        assert "WithinWatermark" in plan
+
+        def drop(name, docs, mtime):
+            p = os.path.join(src, name)
+            with open(p, "w") as f:
+                for d in docs:
+                    f.write(json.dumps(d) + "\n")
+            os.utime(p, (mtime, mtime))
+
+        def drain():
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", chk)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return {
+                r["content_hash"]
+                for r in spark.read.parquet(out).collect()
+            }
+
+        drop(
+            "d0.jsonl",
+            [
+                {"doc_id": 1, "lang": "en", "source": "web",
+                 "text": "alpha doc body here"},
+                {"doc_id": 2, "lang": "en", "source": "crawl",
+                 "text": "alpha doc body here"},  # in-batch dup
+            ],
+            1_700_000_000,
+        )
+        got1 = drain()
+        assert len(got1) == 1
+
+        drop(
+            "d1.jsonl",
+            [
+                # cross-drop dup, seconds later — well inside the bound
+                {"doc_id": 3, "lang": "de", "source": "books",
+                 "text": "alpha doc body here"},
+                {"doc_id": 4, "lang": "fr", "source": "books",
+                 "text": "gamma fresh clean doc"},
+            ],
+            1_700_000_100,
+        )
+        got2 = drain()
+        assert len(got2) == 2
+        gamma = spark.range(1).select(
+            md5_long(F.lit("gamma fresh clean doc")).alias("h")
+        ).collect()[0]["h"]
+        assert got2 - got1 == {gamma}
+    finally:
+        for d in (src, chk, out):
+            shutil.rmtree(d, ignore_errors=True)

@@ -3007,3 +3007,86 @@ SELECT CAST(MIN(doc_id) AS BIGINT) AS rep_doc_id,
        CAST(2 * COUNT(*) AS BIGINT) AS n_files,
        ('0x' || substring(md5(text), 1, 15))::BIGINT AS text_checksum
 FROM documents WHERE length(text) > 0 GROUP BY text"""
+
+
+# ---------------------------------------------------------------------------
+# PREBUILT (r13-staged for r14 — tools/check_prebuilt.py).
+# ingestion_stream_attest: the end-to-end oracle over the LAST
+# ingestion path without one — the STREAMING JSONL source. Documents
+# are exported as real JSONL drop files, re-ingested through
+# stream_jsonl_corpus + an availableNow drain into a file sink (the
+# production drive pattern), and attested per document against SQL
+# computed straight from the original table.
+# ---------------------------------------------------------------------------
+
+
+def q_ingestion_stream_attest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """End-to-end streaming-ingestion attest. The documents table is
+    written as JSONL drop files (Spark's json writer — one record per
+    line, newlines escaped in-band: the crawl-delivery format the
+    streaming source is built for), then re-enters through the REAL
+    streaming path: stream_jsonl_corpus with its pinned schema,
+    drained exactly-once into a parquet sink with an availableNow
+    trigger (the memory sink cannot recover checkpoints — the
+    established drive pattern). The drained sink is attested per
+    document: (lang, source) rode the stream intact and a 60-bit md5
+    checksum of the STREAMED text equals md5 of the original computed
+    by DuckDB — so a schema drift, a line-splitting regression (the
+    wholetext footgun this source exists to avoid), a dropped or
+    duplicated record, or any text mangling through the JSON round
+    trip goes red.
+
+    Scale shape: export, drain, and re-read are all distributed; the
+    drain state is a fresh per-call checkpoint (deterministic — the
+    attest re-streams everything, availableNow bounds it). The temp
+    dirs stand in for the shared landing/sink storage of a cluster."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..functions.text import md5_long
+    from ..streaming.balance_stream import (
+        CORPUS_JSONL_SCHEMA,
+        stream_jsonl_corpus,
+    )
+
+    dirs = {
+        k: tempfile.mkdtemp(prefix=f"tfdp-ingest-jsonl-{k}-")
+        for k in ("src", "chk", "out")
+    }
+    for d in dirs.values():
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", "source", "text")
+        .write.mode("overwrite")
+        .json(dirs["src"])
+    )
+    q = (
+        stream_jsonl_corpus(spark, dirs["src"])
+        .writeStream.format("parquet")
+        .option("path", dirs["out"])
+        .option("checkpointLocation", dirs["chk"])
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.schema(CORPUS_JSONL_SCHEMA)
+        .parquet(dirs["out"])
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            md5_long(F.col("text")).alias("text_checksum"),
+        )
+    )
+
+
+INGEST_STREAM_ATTEST_ORACLE = """
+SELECT doc_id, lang, source,
+       ('0x' || substring(md5(text), 1, 15))::BIGINT AS text_checksum
+FROM documents"""

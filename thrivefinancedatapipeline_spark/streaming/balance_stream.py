@@ -181,6 +181,7 @@ def corpus_funnel_stream(
     source_dir: str,
     blocklist: DataFrame,
     bench_doc_mod: int = 97,
+    dedup_within: str | None = None,
 ) -> DataFrame:
     """Streaming head of the corpus curation funnel: JSONL drops
     stream in (stream_jsonl_corpus), each document is decontaminated
@@ -197,9 +198,13 @@ def corpus_funnel_stream(
     zero distinct-shingle overlap with the blocklist (arrays_overlap
     on an empty shingle array is false, matching the batch treatment
     of sub-3-token documents). State note: plain dropDuplicates state
-    grows with the corpus; a production deployment with bounded
-    arrival lateness swaps in dropDuplicatesWithinWatermark — same
-    plan shape, bounded store.
+    grows with the corpus; `dedup_within` (a watermark delay string,
+    e.g. '10 minutes') switches to dropDuplicatesWithinWatermark over
+    an ingest-time column — the production posture when duplicate
+    arrivals are lateness-bounded: the seen-set is EVICTED past the
+    watermark, so state is bounded by arrival rate x delay instead of
+    corpus size, and a duplicate arriving later than the bound is the
+    accepted (documented) re-emission trade.
 
     Returns the streaming DataFrame of funnel survivors
     (doc_id, lang, source, content_hash); drive it with an
@@ -235,4 +240,13 @@ def corpus_funnel_stream(
         )
         .select("doc_id", "lang", "source", "content_hash")
     )
-    return clean.dropDuplicates(["content_hash"])
+    if dedup_within is None:
+        return clean.dropDuplicates(["content_hash"])
+    # ingest time, not event time: corpus drops carry no timestamp,
+    # and the dedup window is about ARRIVAL lateness by definition
+    return (
+        clean.withColumn("ingest_ts", F.current_timestamp())
+        .withWatermark("ingest_ts", dedup_within)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+        .drop("ingest_ts")
+    )

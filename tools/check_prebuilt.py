@@ -53,9 +53,11 @@ def _catalog():
         dedup_minhash_perm_sweep,
     )
     from thrivefinancedatapipeline_spark.operators.textops import (
+        INGEST_STREAM_ATTEST_ORACLE,
         INGEST_TEXT_ATTEST_ORACLE,
         MIXTURE_TEMP_SWEEP_ORACLE,
         mixture_temperature_sweep,
+        q_ingestion_stream_attest,
         q_ingestion_text_attest,
     )
 
@@ -65,6 +67,9 @@ def _catalog():
         ),
         "ingestion_text_attest": (
             q_ingestion_text_attest, INGEST_TEXT_ATTEST_ORACLE,
+        ),
+        "ingestion_stream_attest": (
+            q_ingestion_stream_attest, INGEST_STREAM_ATTEST_ORACLE,
         ),
         "dedup_minhash_perm_sweep": (
             dedup_minhash_perm_sweep, MINHASH_PERM_SWEEP_ORACLE,
