@@ -264,3 +264,77 @@ def test_ingestion_stream_attest_vs_duckdb_end_to_end(spark, sf_dir):
         sdf = _match(spark, q_ingestion_stream_attest,
                      INGEST_STREAM_ATTEST_ORACLE, d)
         assert sdf.doc_id.is_unique
+
+
+def _simple_plan(df):
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="simple")
+    return buf.getvalue()
+
+
+def test_r14_sweep_plans_are_one_pass(spark, sf_dir):
+    """The r14 sweeps' scale claims as PLAN pins (the r13 discipline):
+    the swept dimension never multiplies the heavy pass."""
+    import re
+
+    from thrivefinancedatapipeline_spark.operators.dedup import (
+        dedup_minhash_perm_sweep,
+    )
+    from thrivefinancedatapipeline_spark.operators.textops import (
+        mixture_temperature_sweep,
+    )
+
+    # checkpointed scored relation: zero scans (lineage severed),
+    # exactly two explodes — the estimate structs + the spine — and
+    # the band/sig/array join subtree appears NOWHERE (it ran once at
+    # checkpoint time; without the checkpoint it was duplicated under
+    # the spine: 6 explodes, measured)
+    p = _simple_plan(dedup_minhash_perm_sweep(spark, sf_dir))
+    assert p.count("Scan parquet") == 0
+    assert p.count("Generate explode") == 2
+
+    # one column-pruned scan into the bounded (lang, source)
+    # aggregate (partial agg map-side), one explode of the swept
+    # temps over that aggregate, one window partitioned by the sweep
+    # key — never a data-dimension window
+    p = _simple_plan(mixture_temperature_sweep(spark, sf_dir))
+    assert p.count("Scan parquet") == 1
+    assert p.count("Generate explode") == 1
+    assert len(re.findall(r"\+- Window ", p)) == 1
+    assert "partial_sum" in p  # map-side combine reached the scan
+
+
+def test_floor_sqrt_engine_exactness_property():
+    """The engine-stability claim under mixture_temperature_sweep,
+    fuzzed: floor(sqrt(x)) computed through an IEEE double (what both
+    Spark and DuckDB evaluate) equals the exact integer sqrt for
+    x across the full claimed range — including the adversarial
+    neighborhoods k^2-1 / k^2 / k^2+1 where a misrounded sqrt would
+    flip the floor, and the iterated form equals the exact 4th
+    root."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def via_double(x):
+        return math.floor(math.sqrt(x))
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(min_value=0, max_value=1 << 52))
+    def check(x):
+        assert via_double(x) == math.isqrt(x)
+        assert via_double(via_double(x)) == math.isqrt(math.isqrt(x))
+
+    check()
+
+    # adversarial boundaries: every k^2 +/- 1 for k spanning token
+    # magnitudes up to the 2^26 edge of the claimed bound
+    for k in [1, 2, 3, 255, 256, 65_535, 65_536, (1 << 26) - 1, 1 << 26]:
+        for x in (k * k - 1, k * k, k * k + 1):
+            if x >= 0:
+                assert via_double(x) == math.isqrt(x)

@@ -3339,6 +3339,12 @@ def dedup_minhash_perm_sweep(
                 )
             ),
         )
+        # the heavy pass (band join + sig/array joins + exact verify)
+        # runs exactly ONCE: spine and grouped both read this bounded
+        # materialized relation (the cosine-tau-sweep rule — without
+        # it the candidate join subtree is duplicated under the spine)
+        .drop("shs1", "shs2")
+        .localCheckpoint(eager=True)
     )
     ests = F.array(
         *[
