@@ -8,6 +8,7 @@ DuckDB oracle. Usage:  python tools/check_correctness.py [name ...]
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 
 import duckdb
@@ -15,7 +16,9 @@ import pandas as pd
 
 sys.path.insert(0, ".")
 
-SF_DIR = "/root/testdata/sf0.01"
+#: the driver checks at sf0.01; override for off-nominal sweeps
+#: (sf0.001 exercises empty/degenerate cells, sf0.1 the scale shapes)
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
