@@ -652,3 +652,102 @@ def test_corpus_funnel_stream_watermarked_dedup_bounded_state(spark):
     finally:
         for d in (src, chk, out):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_corpus_funnel_stream_watermark_eviction_reemits_late_dup(spark):
+    """The documented re-emission TRADE of the bounded-state variant,
+    proven by behavior (not plan shape): with dedup_within='1 second'
+    a duplicate arriving AFTER the watermark has advanced past the
+    original's ingest time is RE-EMITTED — the seen-set entry was
+    evicted, which is exactly what bounds the state. Three drains:
+    (1) alpha emits and seeds state; (2) an unrelated doc several wall
+    seconds later advances the watermark past alpha's ingest time,
+    evicting its entry; (3) a byte-identical alpha arrives and emits
+    AGAIN (two alpha rows in the sink). The in-bound suppression tests
+    above pin the other side of the trade; together they pin the
+    semantics, not just the operator's presence in the plan."""
+    import json
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from thrivefinancedatapipeline_spark.functions.text import (
+        md5_long,
+        shingles_from_tokens,
+        tokens,
+    )
+    from thrivefinancedatapipeline_spark.streaming.balance_stream import (
+        corpus_funnel_stream,
+    )
+
+    src = tempfile.mkdtemp(prefix="efunnelsrc_")
+    chk = tempfile.mkdtemp(prefix="efunnelchk_")
+    out = tempfile.mkdtemp(prefix="efunnelout_")
+    try:
+        blocklist = (
+            spark.createDataFrame(
+                [("held out eval question one",)], "text string"
+            )
+            .select(tokens(F.col("text")).alias("toks"))
+            .select(
+                F.explode(shingles_from_tokens(F.col("toks"))).alias("sh")
+            )
+            .distinct()
+        )
+        stream = corpus_funnel_stream(
+            spark, src, blocklist, dedup_within="1 second"
+        )
+
+        def drop(name, docs):
+            p = os.path.join(src, name)
+            with open(p, "w") as f:
+                for d in docs:
+                    f.write(json.dumps(d) + "\n")
+
+        def drain():
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", chk)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return [
+                r["content_hash"]
+                for r in spark.read.parquet(out).collect()
+            ]
+
+        alpha = spark.range(1).select(
+            md5_long(F.lit("alpha doc body here")).alias("h")
+        ).collect()[0]["h"]
+
+        drop("d0.jsonl", [
+            {"doc_id": 1, "lang": "en", "source": "web",
+             "text": "alpha doc body here"},
+        ])
+        assert drain().count(alpha) == 1
+
+        # wall sleep >> delay: the next batch's ingest_ts advances the
+        # committed watermark PAST alpha's entry, evicting it
+        time.sleep(5)
+        drop("d1.jsonl", [
+            {"doc_id": 2, "lang": "fr", "source": "books",
+             "text": "beta fresh clean doc"},
+        ])
+        assert drain().count(alpha) == 1
+
+        time.sleep(5)
+        drop("d2.jsonl", [
+            {"doc_id": 3, "lang": "de", "source": "crawl",
+             "text": "alpha doc body here"},  # late duplicate
+        ])
+        # evicted state cannot suppress it: alpha appears TWICE
+        assert drain().count(alpha) == 2
+    finally:
+        for d in (src, chk, out):
+            shutil.rmtree(d, ignore_errors=True)

@@ -1260,21 +1260,34 @@ def q_ingestion_codec_attest(
     computes every column directly from md5(text) in SQL, so a break
     ANYWHERE in write → list → read → id → decode goes red.
 
+    The attested set is the deterministic ~INGEST_SAMPLE_TARGET-doc
+    md5 hash-sample shared with ingestion_text_attest (bounds the
+    per-doc file writes — the r13 scale probe's only linear term; the
+    oracle applies the identical integer predicate, so it stays exact
+    over the sampled set).
+
     Scale shape: the write pass is mapInPandas (distributed,
-    idempotent per task retry — same name, same bytes), forced once
-    via a 1-row aggregate; the local temp dir stands in for the
-    shared filesystem (S3/HDFS) a cluster deployment points the same
-    two calls at. No driver-side per-doc loop anywhere."""
+    idempotent per task retry — same name, same bytes) over the
+    BOUNDED sample, forced once via a 1-row aggregate; the local temp
+    dir stands in for the shared filesystem (S3/HDFS) a cluster
+    deployment points the same two calls at, and is removed EAGERLY
+    once the result is checkpointed. No driver-side per-doc loop
+    anywhere."""
     import atexit
     import os
     import shutil
     import tempfile
 
+    from ..operators.textops import _ingest_sample_thr, ingest_sample_hash
     from ..sources.io import read_binary_files
 
     d = tempfile.mkdtemp(prefix="tfdp-ingest-wav-")
     atexit.register(shutil.rmtree, d, ignore_errors=True)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = load_table(spark, sf_dir, "documents")
+    thr = _ingest_sample_thr(base.count())
+    docs = base.select("doc_id", "text").filter(
+        ingest_sample_hash(F.col("doc_id")) <= F.lit(thr)
+    )
 
     def write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -1327,18 +1340,31 @@ def q_ingestion_codec_attest(
                 }
             )
 
-    return ing.mapInPandas(dec, schema=INGEST_ATTEST_SCHEMA)
+    out = ing.mapInPandas(dec, schema=INGEST_ATTEST_SCHEMA)
+    # materialize BEFORE the temp corpus vanishes; also frees the dir
+    # eagerly instead of at interpreter exit (ADVICE r13)
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(d, ignore_errors=True)
+    return out
 
 
 #: v_j (j in 1..32) = ascii(md5 hex char j); s_j = (v_j - 60) * 257.
 #: n_bytes = 44 (canonical WAV header) + 2 * 32; pcm_sum = sum j * s_j.
-INGEST_ATTEST_ORACLE = """
+#: Sampled to the shared deterministic hash-sample (textops twin).
+def _ingest_attest_oracle() -> str:
+    from ..operators.textops import INGEST_SAMPLE_SQL
+
+    return f"""
 WITH v AS (
   SELECT doc_id, j,
          ascii(substring(md5(text), CAST(j AS INT), 1)) AS v
-  FROM documents, (SELECT unnest(range(1, 33)) AS j) t)
+  FROM documents, (SELECT unnest(range(1, 33)) AS j) t
+  WHERE {INGEST_SAMPLE_SQL})
 SELECT doc_id,
        CAST(108 AS BIGINT) AS n_bytes,
        CAST(SUM(j * ((v - 60) * 257)) AS BIGINT) AS pcm_sum,
        CAST(1 AS INT) AS id_ok
 FROM v GROUP BY doc_id"""
+
+
+INGEST_ATTEST_ORACLE = _ingest_attest_oracle()

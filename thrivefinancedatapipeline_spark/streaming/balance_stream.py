@@ -189,10 +189,16 @@ def corpus_funnel_stream(
     known before collection starts — the production posture; passed
     as a 1-column 'sh' DataFrame and collapsed to one broadcast array
     row, since stream-static cross joins are rejected but a dummy-key
-    equi join is not), and survivors are exact-deduped on the 60-bit
-    content hash with CROSS-DROP state: dropDuplicates keeps its seen
+    equi join is not), and survivors are exact-deduped on the FULL
+    128-bit md5 content hex (the q_dedup_exact key convention —
+    truncated md5 longs stay fine for CHECKSUMS, never for keys: a
+    60-bit key is birthday-likely to collide near the ~1.5B-doc
+    design point and a colliding distinct document would be silently
+    dropped) with CROSS-DROP state: dropDuplicates keeps its seen
     set in the checkpoint, so a byte-identical document arriving in a
-    LATER drop is suppressed exactly like an in-batch duplicate.
+    LATER drop is suppressed exactly like an in-batch duplicate. The
+    emitted content_hash column stays the 60-bit md5_long CHECKSUM
+    (downstream join/telemetry convention).
 
     Same clean rule as the batch q_corpus_clean: non-benchmark id AND
     zero distinct-shingle overlap with the blocklist (arrays_overlap
@@ -222,12 +228,14 @@ def corpus_funnel_stream(
         "doc_id",
         "lang",
         "source",
+        F.md5(F.col("text")).alias("content_key"),
         md5_long(F.col("text")).alias("content_hash"),
         tokens(F.col("text")).alias("toks"),
     ).select(
         "doc_id",
         "lang",
         "source",
+        "content_key",
         "content_hash",
         shingles_from_tokens(F.col("toks")).alias("shs"),
         F.lit(1).alias("_k"),
@@ -238,15 +246,15 @@ def corpus_funnel_stream(
             (F.col("doc_id") % bench_doc_mod != 0)
             & ~F.arrays_overlap(F.col("shs"), F.col("bl_shingles"))
         )
-        .select("doc_id", "lang", "source", "content_hash")
+        .select("doc_id", "lang", "source", "content_key", "content_hash")
     )
     if dedup_within is None:
-        return clean.dropDuplicates(["content_hash"])
+        return clean.dropDuplicates(["content_key"]).drop("content_key")
     # ingest time, not event time: corpus drops carry no timestamp,
     # and the dedup window is about ARRIVAL lateness by definition
     return (
         clean.withColumn("ingest_ts", F.current_timestamp())
         .withWatermark("ingest_ts", dedup_within)
-        .dropDuplicatesWithinWatermark(["content_hash"])
-        .drop("ingest_ts")
+        .dropDuplicatesWithinWatermark(["content_key"])
+        .drop("ingest_ts", "content_key")
     )
