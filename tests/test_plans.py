@@ -459,3 +459,35 @@ def test_ivfpq_prunes_via_cell_equijoin(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_ann_family_final_adaptive_plan_shape(spark, sf_dir):
+    """The r13->r14 ANN bench-drift watch, settled as a PIN: the three
+    drifting queries' FINAL adaptive plans (isFinalPlan=true, the
+    runtime truth AQE actually executed) contain zero sort-merge
+    joins, zero cartesian products, and no more data-movement shuffles
+    than the recorded PLANPROBE_r14 shape (4 / 2 / 2 hash exchanges at
+    sf0.1) — so a future wall-time move on these queries with this
+    test green is runner state by construction, and a plan regression
+    (broadcast lost to SMJ, a new shuffle) fails loudly here instead
+    of surfacing as unexplained bench drift."""
+    from thrivefinancedatapipeline_spark.operators import similarity
+
+    budgets = {
+        "knn_ivfpq": (similarity.ivfpq_knn, 4),
+        "ivf_knn": (similarity.q_ivf_knn, 2),
+        "knn_bruteforce_cosine": (similarity.q_knn_bruteforce_cosine, 2),
+    }
+    for name, (fn, max_shuffles) in budgets.items():
+        df = fn(spark, sf_dir)
+        df.collect()
+        p = explain(df, mode="simple")
+        assert "isFinalPlan=true" in p, name
+        assert "SortMergeJoin" not in p, name
+        assert "CartesianProduct" not in p, name
+        moved = (
+            p.count("Exchange hashpartitioning")
+            + p.count("Exchange SinglePartition")
+            + p.count("Exchange rangepartitioning")
+        )
+        assert moved <= max_shuffles, (name, moved)

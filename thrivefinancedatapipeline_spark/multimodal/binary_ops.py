@@ -1368,3 +1368,5 @@ FROM v GROUP BY doc_id"""
 
 
 INGEST_ATTEST_ORACLE = _ingest_attest_oracle()
+QUERIES["ingestion_codec_attest"] = q_ingestion_codec_attest
+ORACLES["ingestion_codec_attest"] = INGEST_ATTEST_ORACLE

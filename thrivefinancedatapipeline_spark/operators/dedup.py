@@ -3460,3 +3460,5 @@ FROM scored)""")
 
 
 MINHASH_PERM_SWEEP_ORACLE = _minhash_perm_sweep_oracle()
+QUERIES["dedup_minhash_perm_sweep"] = dedup_minhash_perm_sweep
+ORACLES["dedup_minhash_perm_sweep"] = MINHASH_PERM_SWEEP_ORACLE

@@ -2919,6 +2919,8 @@ FROM per JOIN tot ON tot.t_temp = per.t_temp"""
 
 
 MIXTURE_TEMP_SWEEP_ORACLE = _mixture_temp_sweep_oracle()
+QUERIES["mixture_temperature_sweep"] = mixture_temperature_sweep
+ORACLES["mixture_temperature_sweep"] = MIXTURE_TEMP_SWEEP_ORACLE
 
 
 # ---------------------------------------------------------------------------
@@ -3061,6 +3063,8 @@ SELECT CAST(MIN(doc_id) AS BIGINT) AS rep_doc_id,
        ('0x' || substring(md5(text), 1, 15))::BIGINT AS text_checksum
 FROM documents WHERE length(text) > 0 AND {INGEST_SAMPLE_SQL}
 GROUP BY text"""
+QUERIES["ingestion_text_attest"] = q_ingestion_text_attest
+ORACLES["ingestion_text_attest"] = INGEST_TEXT_ATTEST_ORACLE
 
 
 # ---------------------------------------------------------------------------
@@ -3150,3 +3154,5 @@ INGEST_STREAM_ATTEST_ORACLE = """
 SELECT doc_id, lang, source,
        ('0x' || substring(md5(text), 1, 15))::BIGINT AS text_checksum
 FROM documents"""
+QUERIES["ingestion_stream_attest"] = q_ingestion_stream_attest
+ORACLES["ingestion_stream_attest"] = INGEST_STREAM_ATTEST_ORACLE

@@ -1,0 +1,97 @@
+"""Settle the r13 ANN bench-drift watch with EVIDENCE (VERDICT r13
+item 2): capture the FINAL adaptive plans (isFinalPlan=true) of the
+three drifting queries — knn_ivfpq, ivf_knn, knn_bruteforce_cosine —
+at sf0.1, count their exchanges / scans / join strategies, and record
+solo timings, so "unchanged code, moving wall-time" can be attributed
+to runner state (identical plans) or bisected (changed plans).
+
+    python tools/ann_plan_probe.py            # writes PLANPROBE_r14.json
+    BENCH_ROUND=15 python tools/ann_plan_probe.py
+
+The artifact records, per query:
+  - plan feature counts from the post-execution adaptive plan
+    (explain mode="simple" — formatted prints every node twice)
+  - n timed runs after one untimed warmup (codegen absorption), with
+    the min/median/max and the one-trim-per-side mean the bench-spread
+    rule prescribes at 5+ samples
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+ROUND = os.environ.get("BENCH_ROUND", "14")
+NAMES = ["knn_ivfpq", "ivf_knn", "knn_bruteforce_cosine"]
+RUNS = 5
+
+FEATURES = [
+    "Exchange hashpartitioning",
+    "Exchange SinglePartition",
+    "Exchange rangepartitioning",
+    "BroadcastExchange",
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "Scan parquet",
+    "ReusedExchange",
+    "CartesianProduct",
+]
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="simple")
+    return buf.getvalue()
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+
+    from thrivefinancedatapipeline_spark.session import get_spark
+
+    spark = get_spark("ann-plan-probe")
+    qs = entrymod.queries()
+    out: dict[str, dict] = {"sf_dir": SF_DIR, "queries": {}}
+    for name in NAMES:
+        # untimed warmup absorbs Janino/codegen first-run compilation
+        df = qs[name](spark, SF_DIR)
+        df.collect()
+        plan = _plan(df)
+        counts = {f: plan.count(f) for f in FEATURES}
+        counts["isFinalPlan"] = "isFinalPlan=true" in plan
+        times = []
+        for _ in range(RUNS):
+            df = qs[name](spark, SF_DIR)
+            t0 = time.perf_counter()
+            df.collect()
+            times.append(round(time.perf_counter() - t0, 3))
+            spark.catalog.clearCache()
+        trimmed = sorted(times)[1:-1]
+        out["queries"][name] = {
+            "plan_counts": counts,
+            "runs_sec": times,
+            "min": min(times),
+            "median": statistics.median(times),
+            "max": max(times),
+            "trimmed_mean": round(sum(trimmed) / len(trimmed), 3),
+        }
+        print(name, json.dumps(out["queries"][name]["plan_counts"]),
+              "times", times)
+    path = f"PLANPROBE_r{ROUND}.json"
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote", path)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -35,49 +35,15 @@ def _catalog():
     six operators round 7 had staged here; round 9 registered round
     8's six; round 10 registered round 9's eleven; round 11 registered
     round 10's ten; round 12 registered round 11's nine; round 13
-    registered round 12's nine (the end-to-end pipeline attests +
-    sweep family: corpus_pipeline_attest, corpus_pipeline_attest_prod,
-    multimodal_codec_attest5, dedup_cosine_tau_sweep,
-    quality_gate_margin_sweep, decontam_threshold_sweep,
-    repeat_cap_sweep, dedup_simhash_radius_sweep,
-    corpus_chunk_size_sweep) and stages prebuilds for the r14 window
-    below. Future prebuilds stage here first: green at the default
-    sf0.01, then a 2-line move of the (query, oracle) pair into the
-    module dicts."""
-    from thrivefinancedatapipeline_spark.multimodal.binary_ops import (
-        INGEST_ATTEST_ORACLE,
-        q_ingestion_codec_attest,
-    )
-    from thrivefinancedatapipeline_spark.operators.dedup import (
-        MINHASH_PERM_SWEEP_ORACLE,
-        dedup_minhash_perm_sweep,
-    )
-    from thrivefinancedatapipeline_spark.operators.textops import (
-        INGEST_STREAM_ATTEST_ORACLE,
-        INGEST_TEXT_ATTEST_ORACLE,
-        MIXTURE_TEMP_SWEEP_ORACLE,
-        mixture_temperature_sweep,
-        q_ingestion_stream_attest,
-        q_ingestion_text_attest,
-    )
-
-    return {
-        "ingestion_codec_attest": (
-            q_ingestion_codec_attest, INGEST_ATTEST_ORACLE,
-        ),
-        "ingestion_text_attest": (
-            q_ingestion_text_attest, INGEST_TEXT_ATTEST_ORACLE,
-        ),
-        "ingestion_stream_attest": (
-            q_ingestion_stream_attest, INGEST_STREAM_ATTEST_ORACLE,
-        ),
-        "dedup_minhash_perm_sweep": (
-            dedup_minhash_perm_sweep, MINHASH_PERM_SWEEP_ORACLE,
-        ),
-        "mixture_temperature_sweep": (
-            mixture_temperature_sweep, MIXTURE_TEMP_SWEEP_ORACLE,
-        ),
-    }
+    registered round 12's nine and staged five for r14; round 14
+    registered round 13's five (the ingestion-source attest trio
+    ingestion_codec_attest / ingestion_text_attest /
+    ingestion_stream_attest plus dedup_minhash_perm_sweep and
+    mixture_temperature_sweep) and stages prebuilds for the r15
+    window below. Future prebuilds stage here first: green at the
+    default sf0.01, then a 2-line move of the (query, oracle) pair
+    into the module dicts."""
+    return {}
 
 
 def main() -> int:
