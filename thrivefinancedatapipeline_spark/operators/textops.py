@@ -3156,3 +3156,124 @@ SELECT doc_id, lang, source,
 FROM documents"""
 QUERIES["ingestion_stream_attest"] = q_ingestion_stream_attest
 ORACLES["ingestion_stream_attest"] = INGEST_STREAM_ATTEST_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# PREBUILT (r14-staged for r15 — tools/check_prebuilt.py).
+# corpus_funnel_stream_attest: the ingestion_stream_attest discipline
+# applied to the STREAMING HEAD of the curation funnel end-to-end —
+# the r13 verdict's named r15 candidate.
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_funnel_stream_attest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """End-to-end attest of the streaming corpus funnel
+    (streaming.balance_stream.corpus_funnel_stream): the documents
+    table is exported as JSONL drop files (repartitioned past
+    maxFilesPerTrigger so the drain spans MULTIPLE micro-batches —
+    the dedup state must work across batches, not just within one),
+    the benchmark shingle blocklist is built from the table itself
+    with the registered corpus_decontaminate convention
+    (doc_id % BENCH_DOC_MOD == 0 docs are the stand-in eval set),
+    the funnel streams the drops through decontamination + full-md5
+    exact dedup, and an availableNow drain lands survivors in a
+    parquet sink. The sink is attested per 60-bit content checksum:
+    n_variants counts the emitted rows sharing that checksum (one
+    per distinct FULL 128-bit content group — so a dedup key that
+    silently truncated would collapse colliding groups and go red
+    against the oracle's COUNT(DISTINCT md5(text))). The DuckDB
+    oracle recomputes the whole funnel in SQL: shingles, benchmark
+    blocklist, the contaminated set, the clean rule (non-benchmark id
+    AND zero shingle overlap — sub-3-token docs shingle to empty and
+    pass, the registered corpus_clean treatment), then groups clean
+    texts by checksum. A lost drop file, a decontamination miss, a
+    duplicate that leaked through state recovered across batches, or
+    an over-dropped survivor all go red.
+
+    Scale shape: export, streaming probe (broadcast blocklist),
+    dedup state, and drain are all distributed; the drain state is a
+    fresh per-call checkpoint (availableNow bounds it). Temp dirs
+    stand in for shared landing/sink storage and are freed eagerly
+    once the result is checkpointed."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..functions.text import md5_long
+    from ..streaming.balance_stream import corpus_funnel_stream
+
+    dirs = {
+        k: tempfile.mkdtemp(prefix=f"tfdp-funnel-{k}-")
+        for k in ("src", "chk", "out")
+    }
+    for d in dirs.values():
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    docs = _docs(spark, sf_dir)
+    (
+        docs.select("doc_id", "lang", "source", "text")
+        # 32 drop files > maxFilesPerTrigger=16: the drain runs >= 2
+        # micro-batches, so cross-batch dedup state is exercised
+        .repartition(32)
+        .write.mode("overwrite")
+        .json(dirs["src"])
+    )
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    blocklist = (
+        toks.filter(F.col("doc_id") % BENCH_DOC_MOD == 0)
+        .select(
+            F.explode(shingles_from_tokens(F.col("toks"))).alias("sh")
+        )
+        .distinct()
+    )
+    q = (
+        corpus_funnel_stream(
+            spark, dirs["src"], blocklist, bench_doc_mod=BENCH_DOC_MOD
+        )
+        .writeStream.format("parquet")
+        .option("path", dirs["out"])
+        .option("checkpointLocation", dirs["chk"])
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = (
+        spark.read.schema(
+            "doc_id long, lang string, source string, content_hash long"
+        )
+        .parquet(dirs["out"])
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_variants"))
+        # materialize, then free the landing/checkpoint/sink dirs
+        # eagerly instead of at interpreter exit
+        .localCheckpoint(eager=True)
+    )
+    for d in dirs.values():
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+def _funnel_stream_attest_oracle() -> str:
+    # shingle CTEs owned by dedup — the same normalization + 3-gram
+    # construction corpus_decontaminate's oracle builds from
+    from .dedup import _SHINGLE_CTES
+
+    return f"""
+WITH {_SHINGLE_CTES},
+bench AS (
+  SELECT DISTINCT sh FROM sh WHERE doc_id % {BENCH_DOC_MOD} = 0),
+contaminated AS (
+  SELECT DISTINCT s.doc_id FROM sh s JOIN bench b USING (sh)
+  WHERE s.doc_id % {BENCH_DOC_MOD} <> 0),
+clean AS (
+  SELECT text FROM documents
+  WHERE doc_id % {BENCH_DOC_MOD} <> 0
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated))
+SELECT {md5_long_sql('text')} AS content_hash,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_variants
+FROM clean GROUP BY 1"""
+
+
+FUNNEL_STREAM_ATTEST_ORACLE = _funnel_stream_attest_oracle()

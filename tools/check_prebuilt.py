@@ -43,7 +43,16 @@ def _catalog():
     window below. Future prebuilds stage here first: green at the
     default sf0.01, then a 2-line move of the (query, oracle) pair
     into the module dicts."""
-    return {}
+    from thrivefinancedatapipeline_spark.operators.textops import (
+        FUNNEL_STREAM_ATTEST_ORACLE,
+        q_corpus_funnel_stream_attest,
+    )
+
+    return {
+        "corpus_funnel_stream_attest": (
+            q_corpus_funnel_stream_attest, FUNNEL_STREAM_ATTEST_ORACLE,
+        ),
+    }
 
 
 def main() -> int:
