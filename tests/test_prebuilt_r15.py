@@ -99,3 +99,93 @@ def test_corpus_funnel_stream_attest_identity_to_corpus_clean(
         .collect()
     }
     assert got == want
+
+
+def test_corpus_perplexity_buckets_vs_duckdb_two_sf(spark, sf_dir):
+    """Spark == DuckDB at two SFs, plus the definition invariants:
+    buckets are 1..3 per language, ntile sizes differ by <= 1 within a
+    language, bucket score ranges are non-overlapping in order (ties
+    may touch at the boundary, never cross), and every score is
+    non-negative (bits = ilog2(N) - ilog2(n) >= 0 by construction)."""
+    from thrivefinancedatapipeline_spark.operators.textops import (
+        PERPLEXITY_BUCKETS_ORACLE,
+        q_corpus_perplexity_buckets,
+    )
+
+    for d in _dirs(sf_dir):
+        sdf = _match(spark, q_corpus_perplexity_buckets,
+                     PERPLEXITY_BUCKETS_ORACLE, d)
+        assert set(sdf.bucket) <= {1, 2, 3}
+        assert (sdf.min_avg_bits_ppm >= 0).all()
+        assert (sdf.max_avg_bits_ppm >= sdf.min_avg_bits_ppm).all()
+        for lang, g in sdf.groupby("lang"):
+            sizes = g.n_docs.tolist()
+            assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+            g = g.sort_values("bucket")
+            for (_, lo), (_, hi) in zip(g.iterrows(), g.iloc[1:].iterrows()):
+                assert lo.max_avg_bits_ppm <= hi.min_avg_bits_ppm
+
+
+def test_corpus_perplexity_buckets_exact_python_recompute(spark, sf_dir):
+    """Implementation-independent semantics pin: a plain-Python
+    recompute of the whole chain (normalize -> bigrams -> corpus
+    counts -> integer bits via int.bit_length -> per-language ntile
+    by (avg_bits_ppm, doc_id)) reproduces every output cell at
+    sf0.001."""
+    import re
+    from collections import Counter
+
+    import duckdb as _duck
+
+    from thrivefinancedatapipeline_spark.operators.textops import (
+        q_corpus_perplexity_buckets,
+    )
+
+    rows = _duck.connect().execute(
+        f"SELECT doc_id, text, lang FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+
+    def toks(t):
+        return re.sub(r"\s+", " ", t).strip().lower().split(" ")
+
+    per_doc = []
+    corpus = Counter()
+    for doc_id, text, lang in rows:
+        bgs = ["%s %s" % p for p in zip(toks(text), toks(text)[1:])]
+        corpus.update(bgs)
+        per_doc.append((doc_id, lang, bgs))
+    lbits = sum(corpus.values()).bit_length() - 1
+    scored = {}
+    for doc_id, lang, bgs in per_doc:
+        if not bgs:
+            continue
+        bits = sum(lbits - (corpus[b].bit_length() - 1) for b in bgs)
+        scored.setdefault(lang, []).append(
+            (bits * 1_000_000 // len(bgs), doc_id, bits)
+        )
+    want = {}
+    for lang, docs in scored.items():
+        docs.sort()
+        q, r = divmod(len(docs), 3)
+        start = 0
+        for b in range(1, 4):
+            size = q + (1 if b <= r else 0)
+            chunk = docs[start:start + size]
+            start += size
+            if not chunk:
+                continue
+            want[(lang, b)] = (
+                len(chunk),
+                sum(c[2] for c in chunk),
+                min(c[0] for c in chunk),
+                max(c[0] for c in chunk),
+            )
+    got = {
+        (r["lang"], r["bucket"]): (
+            r["n_docs"], r["total_bits"],
+            r["min_avg_bits_ppm"], r["max_avg_bits_ppm"],
+        )
+        for r in q_corpus_perplexity_buckets(spark, sf_dir).collect()
+    }
+    assert got == want

@@ -3277,3 +3277,137 @@ FROM clean GROUP BY 1"""
 
 
 FUNNEL_STREAM_ATTEST_ORACLE = _funnel_stream_attest_oracle()
+
+
+# ---------------------------------------------------------------------------
+# PREBUILT (r14-staged for r15 — tools/check_prebuilt.py).
+# corpus_perplexity_buckets: CCNet-style head/middle/tail perplexity
+# bucketing, made oracle-exact by an INTEGER floor-log2.
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_perplexity_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    each document by the bits an order-1 (bigram) corpus LM spends on
+    it, then split each language's scored docs into HEAD / MIDDLE /
+    TAIL
+    thirds — the published recipe keeps head+middle and drops or
+    down-weights the tail. corpus_bigram_familiarity is the log-FREE
+    count average (rare transitions barely move it); this operator is
+    the log-WEIGHTED complement, where one never-seen-elsewhere
+    transition costs as many bits as thousands of common ones.
+
+    Exactness: the per-bigram cost is the INTEGER
+    bits(bg) = ilog2(N_total) - ilog2(n_corpus(bg)), with
+    ilog2(x) = length(bin(x)) - 1 — Spark's bin() and DuckDB's bin()
+    both render the minimal binary string, so floor-log2 is
+    bit-identical in both engines and no floating log ever enters a
+    hashed column. Buckets are rank tertiles per language
+    (ntile(3) ordered by avg_bits_ppm with doc_id tiebreak — standard
+    SQL ntile distributes remainders to the first buckets in both
+    engines). Docs with zero bigrams (< 2 tokens) carry no LM
+    evidence and are excluded from bucketing, same rule both sides.
+
+    Scale shape: identical to the proven corpus_bigram_familiarity
+    chain — one bounded bigram explode, ONE map-side-combinable count
+    shuffle over the bigram vocabulary, a 1-row broadcast grand
+    total, one join back, one per-doc rollup; then the tertile window
+    runs over doc-level SCORES (rows = documents, not tokens) and the
+    final rollup emits <= 3 rows per language. At 100 TB the window
+    input is the doc-score relation — the cheap end of the pipeline."""
+    docs = _docs(spark, sf_dir)
+    tk = docs.select(
+        "doc_id", "lang", tokens(F.col("text")).alias("toks")
+    )
+    bg = tk.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            # Spark sequence(1, 0) would run DESCENDING — guard the
+            # single-token case with an explicit empty array
+            F.expr(
+                "CASE WHEN size(toks) >= 2 THEN"
+                " transform(sequence(1, size(toks) - 1),"
+                " i -> concat(element_at(toks, i), ' ',"
+                " element_at(toks, i + 1)))"
+                " ELSE array() END"
+            )
+        ).alias("bg"),
+    )
+    counts = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("n_corpus"))
+    total = counts.agg(
+        F.expr(
+            "CAST(length(bin(CAST(sum(n_corpus) AS BIGINT))) - 1"
+            " AS BIGINT)"
+        ).alias("lbits")
+    )
+    perdoc = (
+        bg.join(counts, "bg")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(F.expr("length(bin(n_corpus)) - 1")).alias("fam_bits"),
+        )
+    )
+    scored = perdoc.join(F.broadcast(total)).select(
+        "doc_id",
+        "lang",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.expr("n_bigrams * lbits - fam_bits").cast("long").alias(
+            "bits_sum"
+        ),
+        F.expr(
+            "CAST(CAST(n_bigrams * lbits - fam_bits AS DECIMAL(38,0))"
+            " * 1000000 div n_bigrams AS BIGINT)"
+        ).alias("avg_bits_ppm"),
+    )
+    bucketed = scored.select(
+        "lang",
+        "bits_sum",
+        "avg_bits_ppm",
+        F.ntile(3)
+        .over(
+            Window.partitionBy("lang").orderBy("avg_bits_ppm", "doc_id")
+        )
+        .cast("long")
+        .alias("bucket"),
+    )
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("bits_sum").cast("long").alias("total_bits"),
+        F.min("avg_bits_ppm").cast("long").alias("min_avg_bits_ppm"),
+        F.max("avg_bits_ppm").cast("long").alias("max_avg_bits_ppm"),
+    )
+
+
+PERPLEXITY_BUCKETS_ORACLE = f"""
+WITH tk AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+bg AS (SELECT doc_id, lang, toks[i] || ' ' || toks[i + 1] AS bg
+       FROM tk, unnest(range(1, greatest(len(toks), 1))) AS u(i)),
+counts AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS n_corpus
+           FROM bg GROUP BY bg),
+tot AS (SELECT CAST(length(bin(CAST(SUM(n_corpus) AS BIGINT))) - 1
+               AS BIGINT) AS lbits FROM counts),
+perdoc AS (SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                  CAST(SUM(length(bin(n_corpus)) - 1) AS BIGINT)
+                    AS fam_bits
+           FROM bg JOIN counts USING (bg) GROUP BY doc_id, lang),
+scored AS (SELECT doc_id, lang, n_bigrams,
+                  n_bigrams * lbits - fam_bits AS bits_sum,
+                  CAST(CAST(n_bigrams * lbits - fam_bits AS HUGEINT)
+                       * 1000000 // n_bigrams AS BIGINT)
+                    AS avg_bits_ppm
+           FROM perdoc, tot),
+bucketed AS (SELECT lang, bits_sum, avg_bits_ppm,
+                    ntile(3) OVER (PARTITION BY lang
+                                   ORDER BY avg_bits_ppm, doc_id)
+                      AS bucket
+             FROM scored)
+SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(bits_sum) AS BIGINT) AS total_bits,
+       CAST(MIN(avg_bits_ppm) AS BIGINT) AS min_avg_bits_ppm,
+       CAST(MAX(avg_bits_ppm) AS BIGINT) AS max_avg_bits_ppm
+FROM bucketed GROUP BY lang, bucket"""

@@ -45,12 +45,17 @@ def _catalog():
     into the module dicts."""
     from thrivefinancedatapipeline_spark.operators.textops import (
         FUNNEL_STREAM_ATTEST_ORACLE,
+        PERPLEXITY_BUCKETS_ORACLE,
         q_corpus_funnel_stream_attest,
+        q_corpus_perplexity_buckets,
     )
 
     return {
         "corpus_funnel_stream_attest": (
             q_corpus_funnel_stream_attest, FUNNEL_STREAM_ATTEST_ORACLE,
+        ),
+        "corpus_perplexity_buckets": (
+            q_corpus_perplexity_buckets, PERPLEXITY_BUCKETS_ORACLE,
         ),
     }
 

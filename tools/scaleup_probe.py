@@ -1,0 +1,204 @@
+"""Scale-UP probe: extend the measured scaling curve BEYOND sf0.1 by
+deriving an M-times corpus from sf0.1 and timing the heavy LLM-data
+family on it.
+
+The existing tools/scale_probe.py measures sf0.001 -> sf0.1 (100x) —
+a range where fixed per-job overhead still dominates, so sub-linear
+ratios are expected. This probe pushes the top of the curve another
+decade-plus (default M=32: 160k documents / 64k vectors) so any
+quadratic term that hides under the JVM floor at sf0.1 has room to
+show itself. Run it after touching any operator in PROBE_QUERIES.
+
+Derivation is DETERMINISTIC (no rand(), the repo-wide rule):
+- documents: each row replicated M times; replica k keeps the source/
+  lang mix but gets a distinct doc_id (id * M + k) and a HALF-SPLICED
+  text — the first half of doc i's tokens followed by the back half
+  of a deterministic partner doc's tokens plus one unique md5 marker
+  word. Half-splicing matters: a simple suffix-append would leave all
+  M replicas of a doc mutual NEAR-DUPS (Jaccard ~0.9), inflating the
+  LSH pair volume QUADRATICALLY in M — a data artifact, not a plan
+  property, that would poison the timing signal (and trip the 1M-edge
+  driver-CC budget). Spliced replicas share ~1/3 Jaccard with their
+  parents (below the dedup thresholds), so the derived corpus's
+  near-dup RATE tracks the base corpus while its SIZE scales M-fold
+  with a realistic shared token head.
+- embeddings: replica k gets vec_id * M + k and a deterministic small
+  perturbation on dimension (k mod dim) — distinct vectors, same
+  cluster geometry, so IVF/PQ cell balance is preserved.
+- every other table is copied as-is (the probed queries read only
+  documents/embeddings; the copies keep load_tables working).
+
+Usage:
+    python tools/scaleup_probe.py [M] [query ...]
+
+Prints one JSON object; wall ratios are per M-times data. A healthy
+plan reads well under M (sub-linear); ~M is linear; >> M is the
+quadratic smell this tool exists to catch.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+BASE = "/root/testdata/sf0.1"
+
+#: heavy LLM-data family — the operators whose 100 TB posture the
+#: scale-up curve is evidence for (document + embedding readers only,
+#: so the derived corpus semantics stay clean).
+PROBE_QUERIES = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_containment",
+    "dedup_clusters_star",
+    "knn_bruteforce_cosine",
+    "ivf_knn",
+    "knn_ivfpq",
+    "text_tfidf_top_terms",
+    "corpus_bigram_familiarity",
+    "pack_sequences",
+]
+
+
+def build_scaled_dir(spark, out_dir: str, m: int) -> None:
+    """Materialize the derived M-times corpus under out_dir."""
+    from pyspark.sql import functions as F
+
+    from thrivefinancedatapipeline_spark.datamodel import TABLES, load_table
+
+    for name in TABLES:
+        if name in ("documents", "embeddings"):
+            continue
+        shutil.copy(f"{BASE}/{name}.parquet", f"{out_dir}/{name}.parquet")
+
+    docs = load_table(spark, BASE, "documents")
+    n_docs = docs.count()
+    # doc_ids are contiguous 0..n-1 in the driver's testdata (asserted
+    # below), so the partner position is plain modular arithmetic — no
+    # global window needed for the derivation
+    assert docs.agg(
+        (F.max("doc_id") == n_docs - 1) & (F.min("doc_id") == 0)
+    ).first()[0], "doc_ids not contiguous; derivation needs a rank"
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.split(F.col("text"), " ").alias("toks"),
+        F.col("doc_id").alias("pos"),
+    ).localCheckpoint(eager=True)
+    partners = base.select(
+        F.col("pos").alias("ppos"), F.col("toks").alias("ptoks")
+    )
+    reps = base.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("k")
+    ).withColumn("ppos", F.expr(f"pmod(pos + k * 7919, {n_docs})"))
+    spliced = reps.join(partners, "ppos").select(
+        (F.col("doc_id") * m + F.col("k")).alias("doc_id"),
+        F.when(F.col("k") == 0, F.array_join("toks", " "))
+        .otherwise(
+            F.concat(
+                F.array_join(
+                    F.expr(
+                        "slice(toks, 1, greatest(size(toks) div 2, 1))"
+                    ),
+                    " ",
+                ),
+                F.lit(" "),
+                F.array_join(
+                    F.expr(
+                        "slice(ptoks, size(ptoks) div 2 + 1,"
+                        " size(ptoks) - size(ptoks) div 2)"
+                    ),
+                    " ",
+                ),
+                F.lit(" r"),
+                F.substring(
+                    F.md5(F.concat_ws("|", "doc_id", "k")), 1, 6
+                ),
+            )
+        )
+        .alias("text"),
+        "lang",
+        "source",
+    )
+    scaled_docs = spliced.withColumn(
+        "n_chars", F.length("text").cast("long")
+    ).select("doc_id", "text", "lang", "source", "n_chars")
+    scaled_docs.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+
+    emb = load_table(spark, BASE, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    scaled_emb = (
+        emb.select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("k")
+        )
+        .select(
+            (F.col("vec_id") * m + F.col("k")).alias("vec_id"),
+            F.expr(
+                "transform(embedding, (x, i) -> CAST(x +"
+                f" CASE WHEN i = pmod(k, {dim})"
+                " THEN (pmod(k, 7) + 1) / 1000.0 ELSE 0.0 END"
+                " AS FLOAT))"
+            ).alias("embedding"),
+            "label",
+        )
+    )
+    scaled_emb.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
+
+
+def main() -> None:
+    from thrivefinancedatapipeline_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    argv = sys.argv[1:]
+    m = int(argv[0]) if argv and argv[0].isdigit() else 32
+    names = [a for a in argv if not a.isdigit()] or PROBE_QUERIES
+
+    spark = get_spark("scaleup-probe")
+    qs = entrymod.queries()
+    unknown = sorted(set(names) - set(qs))
+    if unknown:
+        print(f"ERROR: unknown queries: {unknown}")
+        raise SystemExit(2)
+
+    out_dir = tempfile.mkdtemp(prefix="scaleup_sf_")
+    t0 = time.perf_counter()
+    build_scaled_dir(spark, out_dir, m)
+    build_s = round(time.perf_counter() - t0, 1)
+
+    def force(df):
+        df.write.mode("overwrite").format("noop").save()
+
+    result: dict = {"m": m, "build_s": build_s, "queries": {}}
+    try:
+        for name in names:
+            per: dict[str, float] = {}
+            for label, d in (("sf0.1", BASE), (f"x{m}", out_dir)):
+                force(qs[name](spark, d))  # untimed warmup (codegen)
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                force(qs[name](spark, d))
+                per[label] = round(time.perf_counter() - t0, 3)
+                spark.catalog.clearCache()
+            per["ratio"] = round(per[f"x{m}"] / max(per["sf0.1"], 1e-9), 2)
+            per["ratio_per_mx"] = round(per["ratio"] / m, 3)
+            result["queries"][name] = per
+            print(f"  {name:30s} {per}", file=sys.stderr)
+        print(json.dumps(result))
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
