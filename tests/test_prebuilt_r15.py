@@ -189,3 +189,76 @@ def test_corpus_perplexity_buckets_exact_python_recompute(spark, sf_dir):
         for r in q_corpus_perplexity_buckets(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_dedup_simhash_wide_pairs_vs_duckdb_two_sf(spark, sf_dir):
+    """Spark == DuckDB at two SFs for the 120-bit wide simhash pairs
+    (the r14 scale-up probe's candidate-volume fix), plus shape
+    invariants: canonical pair order and hamming <= 3."""
+    from thrivefinancedatapipeline_spark.operators.dedup import (
+        SIMHASH_WIDE_PAIRS_ORACLE,
+        q_dedup_simhash_wide_pairs,
+    )
+
+    for d in _dirs(sf_dir):
+        sdf = _match(spark, q_dedup_simhash_wide_pairs,
+                     SIMHASH_WIDE_PAIRS_ORACLE, d)
+        if len(sdf):
+            assert (sdf.doc_id_1 < sdf.doc_id_2).all()
+            assert sdf.hamming.between(0, 3).all()
+
+
+def test_dedup_simhash_wide_pairs_exact_python_recompute(spark, sf_dir):
+    """Implementation-independent semantics pin at sf0.001: a plain
+    Python recompute of the 120-bit fingerprint (disjoint md5 slices,
+    majority bits) and a BRUTE-FORCE all-pairs hamming scan — so the
+    banding's complete-recall guarantee (<= 3 flips leave >= 1 of 4
+    30-bit bands intact) is checked against an implementation with no
+    banding at all."""
+    import hashlib
+    import re as _re
+
+    import duckdb as _duck
+
+    from thrivefinancedatapipeline_spark.operators.dedup import (
+        q_dedup_simhash_wide_pairs,
+    )
+
+    rows = _duck.connect().execute(
+        f"SELECT doc_id, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+
+    def fingerprint(text):
+        toks = list(dict.fromkeys(
+            _re.sub(r"\s+", " ", text).strip().lower().split(" ")
+        ))
+        lo_counts = [0] * 60
+        hi_counts = [0] * 60
+        for t in toks:
+            hx = hashlib.md5(t.encode()).hexdigest()
+            h, h2 = int(hx[:15], 16), int(hx[15:30], 16)
+            for i in range(60):
+                lo_counts[i] += (h >> i) & 1
+                hi_counts[i] += (h2 >> i) & 1
+        n = len(toks)
+        lo = sum(1 << i for i in range(60) if 2 * lo_counts[i] > n)
+        hi = sum(1 << i for i in range(60) if 2 * hi_counts[i] > n)
+        return lo, hi
+
+    fps = {doc_id: fingerprint(text) for doc_id, text in rows}
+    want = set()
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ham = (
+                bin(fps[a][0] ^ fps[b][0]).count("1")
+                + bin(fps[a][1] ^ fps[b][1]).count("1")
+            )
+            if ham <= 3:
+                want.add((a, b, ham))
+    got = {
+        (r["doc_id_1"], r["doc_id_2"], r["hamming"])
+        for r in q_dedup_simhash_wide_pairs(spark, sf_dir).collect()
+    }
+    assert got == want

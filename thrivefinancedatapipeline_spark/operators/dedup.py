@@ -24,6 +24,8 @@ share), so every operator here has a bit-exact DuckDB oracle.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -3462,3 +3464,183 @@ FROM scored)""")
 MINHASH_PERM_SWEEP_ORACLE = _minhash_perm_sweep_oracle()
 QUERIES["dedup_minhash_perm_sweep"] = dedup_minhash_perm_sweep
 ORACLES["dedup_minhash_perm_sweep"] = MINHASH_PERM_SWEEP_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# PREBUILT (r14-staged for r15 — tools/check_prebuilt.py).
+# dedup_simhash_wide_pairs: the measured scale fix for the 60-bit
+# banding's random-collision quadratic.
+# ---------------------------------------------------------------------------
+
+#: wide fingerprint: two 60-bit halves from DISJOINT md5 slices
+#: (chars 1-15 and 16-30 — the namespaced-slice discipline; reusing
+#: one slice for both halves would correlate their bits and void the
+#: collision math), banded as 4 x 30 bits.
+WIDE_BAND_BITS = 30
+WIDE_BAND_MASK = (1 << WIDE_BAND_BITS) - 1
+
+_SIM_PACK_HS2 = re.sub(r"\bhs\b", "hs2", _SIM_PACK)
+
+
+def _simhash_wide_df(docs: DataFrame) -> DataFrame:
+    toks = F.array_distinct(tokens(F.col("text")))
+    hs_lo = F.transform(toks, md5_long)
+    hs_hi = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 16, 15), 16, 10).cast(
+            "long"
+        ),
+    )
+    return docs.select(
+        "doc_id", hs_lo.alias("hs"), hs_hi.alias("hs2")
+    ).select(
+        "doc_id",
+        F.expr(f"CAST({_SIM_PACK} AS BIGINT)").alias("sim_lo"),
+        F.expr(f"CAST({_SIM_PACK_HS2} AS BIGINT)").alias("sim_hi"),
+    )
+
+
+def _wide_band_expr(side: str, b: int) -> str:
+    src = f"{'lo' if b < 2 else 'hi'}{side}"
+    return f"(sim_{src} >> {(b % 2) * WIDE_BAND_BITS}) & {WIDE_BAND_MASK}"
+
+
+def q_dedup_simhash_wide_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairs with simhash hamming distance <= 3 over a 120-BIT
+    fingerprint, banded 4 x 30 bits — the corpus-size-driven widening
+    of the registered 60-bit q_dedup_simhash_pairs. Same complete-
+    recall pigeonhole (<= 3 flipped bits leave >= 1 of 4 bands
+    intact), but each band's RANDOM collision rate drops from
+    n^2/2^15 to n^2/2^30: the r14 scale-up probe measured the 15-bit
+    bands' candidate volume quadratically dominating the simhash
+    pair stage at 500k derived docs (~30M candidate rows), which is
+    exactly the regime a 100 TB corpus lives in — fingerprint WIDTH,
+    not band count, is the knob that scales (at 1.5B docs, 30-bit
+    bands expect ~2k random collisions per band where 15-bit bands
+    expect ~70M PER PAIR OF DOCS sharing each bucket... i.e. the
+    join explodes). The 120-bit space is a stricter similarity (3
+    flips of 120 vs 3 of 60), so this is a NEW operator, not a
+    replacement: near-exact template duplicates still collide, while
+    the 60-bit op's moderate-edit recall band narrows.
+
+    Fingerprint halves use DISJOINT md5 slices per token (chars 1-15
+    / 16-30) — one slice reused twice would correlate the halves'
+    bits (the ivf init-cell lesson). First-matching-band emission
+    keeps the pair set exact with no distinct() shuffle (the
+    registered 60-bit op's measured win at this candidate density).
+
+    Scale shape: one single-pass double fold per doc (two 60-bit
+    accumulators over one token-hash traversal each), one 4-row band
+    explode, one equi-join on (band, key), bounded hamming verify on
+    two packed BIGINTs."""
+    sim = _simhash_wide_df(_docs(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
+    bands = sim.select(
+        "doc_id",
+        "sim_lo",
+        "sim_hi",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"(sim_{'lo' if b < 2 else 'hi'} >> "
+                            f"{(b % 2) * WIDE_BAND_BITS}) & {WIDE_BAND_MASK}"
+                        ).alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "doc_id",
+        "sim_lo",
+        "sim_hi",
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+    )
+    b1 = bands.select(
+        F.col("doc_id").alias("doc_id_1"),
+        F.col("sim_lo").alias("sim_lo1"),
+        F.col("sim_hi").alias("sim_hi1"),
+        "band",
+        "key",
+    )
+    b2 = bands.select(
+        F.col("doc_id").alias("doc_id_2"),
+        F.col("sim_lo").alias("sim_lo2"),
+        F.col("sim_hi").alias("sim_hi2"),
+        "band",
+        "key",
+    )
+    earlier_band_match = F.expr(
+        " OR ".join(
+            f"(band > {j} AND ({_wide_band_expr('1', j)}) = "
+            f"({_wide_band_expr('2', j)}))"
+            for j in range(3)
+        )
+    )
+    return (
+        b1.join(b2, ["band", "key"])
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .filter(~earlier_band_match)
+        .withColumn(
+            "hamming",
+            (
+                F.bit_count(F.col("sim_lo1").bitwiseXOR(F.col("sim_lo2")))
+                + F.bit_count(
+                    F.col("sim_hi1").bitwiseXOR(F.col("sim_hi2"))
+                )
+            ).cast("int"),
+        )
+        .filter(F.col("hamming") <= SIM_HAM_MAX)
+        .select("doc_id_1", "doc_id_2", "hamming")
+    )
+
+
+_SIM_BIT_AGGS_HI = ",\n       ".join(
+    f"SUM(CASE WHEN (h2 >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS t{i}"
+    for i in range(SIMHASH_BITS)
+)
+_SIM_COMPOSE_HI = " + ".join(
+    f"(CASE WHEN t{i} > 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(SIMHASH_BITS)
+)
+_WIDE_BAND_SELECTS = "\nUNION ALL\n".join(
+    f"SELECT doc_id, sim_lo, sim_hi, {b} AS band, "
+    f"(sim_{'lo' if b < 2 else 'hi'} >> {(b % 2) * WIDE_BAND_BITS})"
+    f" & {WIDE_BAND_MASK} AS key FROM sim"
+    for b in range(4)
+)
+
+SIMHASH_WIDE_PAIRS_ORACLE = f"""
+WITH docs AS (SELECT doc_id, string_split({_NORM}, ' ') AS toks
+              FROM documents),
+tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS t FROM docs),
+hs AS (SELECT doc_id,
+              ('0x' || substring(md5(t), 1, 15))::BIGINT AS h,
+              ('0x' || substring(md5(t), 16, 15))::BIGINT AS h2
+       FROM tok),
+sums AS (SELECT doc_id, {_SIM_BIT_AGGS},
+       {_SIM_BIT_AGGS_HI}
+         FROM hs GROUP BY doc_id),
+sim AS (SELECT doc_id, CAST({_SIM_COMPOSE} AS BIGINT) AS sim_lo,
+               CAST({_SIM_COMPOSE_HI} AS BIGINT) AS sim_hi FROM sums),
+bands AS ({_WIDE_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT b1.doc_id AS doc_id_1, b2.doc_id AS doc_id_2,
+         b1.sim_lo AS lo1, b1.sim_hi AS hi1,
+         b2.sim_lo AS lo2, b2.sim_hi AS hi2
+  FROM bands b1 JOIN bands b2
+    ON b1.band = b2.band AND b1.key = b2.key AND b1.doc_id < b2.doc_id
+)
+SELECT doc_id_1, doc_id_2,
+       CAST(bit_count(xor(lo1, lo2)) + bit_count(xor(hi1, hi2))
+            AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(lo1, lo2)) + bit_count(xor(hi1, hi2))
+      <= {SIM_HAM_MAX}"""

@@ -43,6 +43,10 @@ def _catalog():
     window below. Future prebuilds stage here first: green at the
     default sf0.01, then a 2-line move of the (query, oracle) pair
     into the module dicts."""
+    from thrivefinancedatapipeline_spark.operators.dedup import (
+        SIMHASH_WIDE_PAIRS_ORACLE,
+        q_dedup_simhash_wide_pairs,
+    )
     from thrivefinancedatapipeline_spark.operators.textops import (
         FUNNEL_STREAM_ATTEST_ORACLE,
         PERPLEXITY_BUCKETS_ORACLE,
@@ -56,6 +60,9 @@ def _catalog():
         ),
         "corpus_perplexity_buckets": (
             q_corpus_perplexity_buckets, PERPLEXITY_BUCKETS_ORACLE,
+        ),
+        "dedup_simhash_wide_pairs": (
+            q_dedup_simhash_wide_pairs, SIMHASH_WIDE_PAIRS_ORACLE,
         ),
     }
 

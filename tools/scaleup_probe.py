@@ -28,6 +28,16 @@ Derivation is DETERMINISTIC (no rand(), the repo-wide rule):
 - every other table is copied as-is (the probed queries read only
   documents/embeddings; the copies keep load_tables working).
 
+Caveat for pair-finding operators (measured, M=100 — see
+SCALEUP100_r14.json): with n base docs and n*M derived docs built
+from n halves, each half is necessarily reused ~M times, so the
+density of moderately-similar (J~1/3) pairs grows linearly with M
+and LSH candidate volume grows ~M^2 — a data-construction stress
+bound, not a plan property. Volume-scaling ops (agg, join, window,
+encode, top-k) are unaffected. Interpret dedup_* ratios at large M
+against the band-sweep candidate counts, which track the s^r
+collision model exactly.
+
 Usage:
     python tools/scaleup_probe.py [M] [query ...]
 
