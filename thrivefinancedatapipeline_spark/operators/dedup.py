@@ -3534,7 +3534,11 @@ def q_dedup_simhash_wide_pairs(
     Scale shape: one single-pass double fold per doc (two 60-bit
     accumulators over one token-hash traversal each), one 4-row band
     explode, one equi-join on (band, key), bounded hamming verify on
-    two packed BIGINTs."""
+    two packed BIGINTs. Tried and rejected: ONE fold over
+    zip_with(hs, hs2, named_struct(...)) with a 120-wide accumulator
+    — measured 1.54 s vs 1.45 s for the two-fold form at sf0.1
+    (identical output); the per-element struct access costs more
+    than the saved traversal dispatch."""
     sim = _simhash_wide_df(_docs(spark, sf_dir)).localCheckpoint(
         eager=True
     )
