@@ -262,3 +262,54 @@ def test_dedup_simhash_wide_pairs_exact_python_recompute(spark, sf_dir):
         for r in q_dedup_simhash_wide_pairs(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_simhash_wide_fingerprint_edge_cases(spark):
+    """Degenerate-text pin for the wide fingerprint helper on a
+    synthetic frame: empty text, single token, repeated token,
+    whitespace runs and mixed case all reproduce the exact Python
+    fingerprint (disjoint md5 slices, majority bits) — the cells the
+    parquet corpora may not cover densely."""
+    import hashlib
+    import re as _re
+
+    from thrivefinancedatapipeline_spark.operators.dedup import (
+        _simhash_wide_df,
+    )
+
+    texts = [
+        "",
+        " ",
+        "one",
+        "one one one",
+        "  Mixed   CASE    and\truns ",
+        "a b c d e f g h i j",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+    def fingerprint(text):
+        toks = list(dict.fromkeys(
+            _re.sub(r"\s+", " ", text).strip().lower().split(" ")
+        ))
+        lo = hi = 0
+        n = len(toks)
+        for i in range(60):
+            lc = hc = 0
+            for t in toks:
+                hx = hashlib.md5(t.encode()).hexdigest()
+                lc += (int(hx[:15], 16) >> i) & 1
+                hc += (int(hx[15:30], 16) >> i) & 1
+            if 2 * lc > n:
+                lo |= 1 << i
+            if 2 * hc > n:
+                hi |= 1 << i
+        return lo, hi
+
+    got = {
+        r["doc_id"]: (r["sim_lo"], r["sim_hi"])
+        for r in _simhash_wide_df(docs).collect()
+    }
+    want = {i: fingerprint(t) for i, t in enumerate(texts)}
+    assert got == want
