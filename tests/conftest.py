@@ -32,7 +32,7 @@ SLOW_FILES = {
     "test_prebuilt_r12.py",     # 58 s — two-SF sweep compares
     "test_prebuilt_r13.py",     # 43 s — end-to-end attest + funnel run
     "test_prebuilt_r14.py",     # 34 s — ingestion attests + exact recompute
-    "test_prebuilt_r15.py",     # 25 s — two-SF streaming-funnel drains
+    "test_prebuilt_r15.py",     # ~90 s — funnel drains + brute-force/exact recomputes
     "test_pipeline_orchestration.py",  # 112 s — three full funnel runs
 }
 
