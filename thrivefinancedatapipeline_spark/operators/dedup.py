@@ -3467,9 +3467,8 @@ ORACLES["dedup_minhash_perm_sweep"] = MINHASH_PERM_SWEEP_ORACLE
 
 
 # ---------------------------------------------------------------------------
-# PREBUILT (r14-staged for r15 — tools/check_prebuilt.py).
-# dedup_simhash_wide_pairs: the measured scale fix for the 60-bit
-# banding's random-collision quadratic.
+# dedup_simhash_wide_pairs (r14-staged, REGISTERED r15): the measured
+# scale fix for the 60-bit banding's random-collision quadratic.
 # ---------------------------------------------------------------------------
 
 #: wide fingerprint: two 60-bit halves from DISJOINT md5 slices
@@ -3648,3 +3647,5 @@ SELECT doc_id_1, doc_id_2,
 FROM cand
 WHERE bit_count(xor(lo1, lo2)) + bit_count(xor(hi1, hi2))
       <= {SIM_HAM_MAX}"""
+QUERIES["dedup_simhash_wide_pairs"] = q_dedup_simhash_wide_pairs
+ORACLES["dedup_simhash_wide_pairs"] = SIMHASH_WIDE_PAIRS_ORACLE

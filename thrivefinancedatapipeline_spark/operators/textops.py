@@ -3159,10 +3159,10 @@ ORACLES["ingestion_stream_attest"] = INGEST_STREAM_ATTEST_ORACLE
 
 
 # ---------------------------------------------------------------------------
-# PREBUILT (r14-staged for r15 — tools/check_prebuilt.py).
-# corpus_funnel_stream_attest: the ingestion_stream_attest discipline
-# applied to the STREAMING HEAD of the curation funnel end-to-end —
-# the r13 verdict's named r15 candidate.
+# corpus_funnel_stream_attest (r14-staged, REGISTERED r15): the
+# ingestion_stream_attest discipline applied to the STREAMING HEAD of
+# the curation funnel end-to-end — the r13 verdict's named r15
+# candidate.
 # ---------------------------------------------------------------------------
 
 
@@ -3277,12 +3277,14 @@ FROM clean GROUP BY 1"""
 
 
 FUNNEL_STREAM_ATTEST_ORACLE = _funnel_stream_attest_oracle()
+QUERIES["corpus_funnel_stream_attest"] = q_corpus_funnel_stream_attest
+ORACLES["corpus_funnel_stream_attest"] = FUNNEL_STREAM_ATTEST_ORACLE
 
 
 # ---------------------------------------------------------------------------
-# PREBUILT (r14-staged for r15 — tools/check_prebuilt.py).
-# corpus_perplexity_buckets: CCNet-style head/middle/tail perplexity
-# bucketing, made oracle-exact by an INTEGER floor-log2.
+# corpus_perplexity_buckets (r14-staged, REGISTERED r15): CCNet-style
+# head/middle/tail perplexity bucketing, made oracle-exact by an
+# INTEGER floor-log2.
 # ---------------------------------------------------------------------------
 
 
@@ -3411,3 +3413,5 @@ SELECT lang, CAST(bucket AS BIGINT) AS bucket,
        CAST(MIN(avg_bits_ppm) AS BIGINT) AS min_avg_bits_ppm,
        CAST(MAX(avg_bits_ppm) AS BIGINT) AS max_avg_bits_ppm
 FROM bucketed GROUP BY lang, bucket"""
+QUERIES["corpus_perplexity_buckets"] = q_corpus_perplexity_buckets
+ORACLES["corpus_perplexity_buckets"] = PERPLEXITY_BUCKETS_ORACLE

@@ -39,32 +39,13 @@ def _catalog():
     registered round 13's five (the ingestion-source attest trio
     ingestion_codec_attest / ingestion_text_attest /
     ingestion_stream_attest plus dedup_minhash_perm_sweep and
-    mixture_temperature_sweep) and stages prebuilds for the r15
-    window below. Future prebuilds stage here first: green at the
-    default sf0.01, then a 2-line move of the (query, oracle) pair
-    into the module dicts."""
-    from thrivefinancedatapipeline_spark.operators.dedup import (
-        SIMHASH_WIDE_PAIRS_ORACLE,
-        q_dedup_simhash_wide_pairs,
-    )
-    from thrivefinancedatapipeline_spark.operators.textops import (
-        FUNNEL_STREAM_ATTEST_ORACLE,
-        PERPLEXITY_BUCKETS_ORACLE,
-        q_corpus_funnel_stream_attest,
-        q_corpus_perplexity_buckets,
-    )
-
-    return {
-        "corpus_funnel_stream_attest": (
-            q_corpus_funnel_stream_attest, FUNNEL_STREAM_ATTEST_ORACLE,
-        ),
-        "corpus_perplexity_buckets": (
-            q_corpus_perplexity_buckets, PERPLEXITY_BUCKETS_ORACLE,
-        ),
-        "dedup_simhash_wide_pairs": (
-            q_dedup_simhash_wide_pairs, SIMHASH_WIDE_PAIRS_ORACLE,
-        ),
-    }
+    mixture_temperature_sweep); round 15 registered round 14's three
+    (corpus_funnel_stream_attest, corpus_perplexity_buckets,
+    dedup_simhash_wide_pairs) and stages prebuilds for the r16 window
+    below. Future prebuilds stage here first: green at the default
+    sf0.01, then a 2-line move of the (query, oracle) pair into the
+    module dicts."""
+    return {}
 
 
 def main() -> int:
