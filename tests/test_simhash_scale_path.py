@@ -1,0 +1,287 @@
+"""The simhash graph consumers' explicit scale path (r15): every
+consumer of the 60-bit pair relation takes ``pairs_fn`` and can ride
+the 120-bit q_dedup_simhash_wide_pairs — the measured fix for the
+15-bit bands' n^2/2^15 random-candidate quadratic (SCALEUP100_r14).
+
+Pins here are IDENTITY pins: consumer(pairs_fn=wide) must equal an
+implementation-independent Python recompute FROM the wide pair
+relation (union-find, integer pagerank, wedge counting), at two SFs.
+That proves the kwarg is actually wired through — a consumer that
+silently kept the 60-bit default would diverge wherever the two pair
+relations differ, which test_wide_and_narrow_relations_differ shows
+they do at sf0.01."""
+
+import os
+
+import pytest
+
+from thrivefinancedatapipeline_spark.operators.dedup import (
+    PR_DAMP_DEN,
+    PR_DAMP_NUM,
+    PR_ITERS,
+    PR_TOTAL,
+    dedup_cluster_keep_priority,
+    dedup_cluster_size_histogram,
+    q_dedup_clusters,
+    q_dedup_clusters_star,
+    q_dedup_graph_stats,
+    q_dedup_pagerank,
+    q_dedup_simhash_pairs,
+    q_dedup_simhash_wide_pairs,
+)
+
+SF001 = "/root/testdata/sf0.01"
+
+_CACHE: dict = {}
+
+
+def _dirs(sf_dir):
+    return [d for d in (sf_dir, SF001) if os.path.isdir(d)]
+
+
+def _wide_pairs(spark, d):
+    if d not in _CACHE:
+        pairs = {
+            (r["doc_id_1"], r["doc_id_2"])
+            for r in q_dedup_simhash_wide_pairs(spark, d).collect()
+        }
+        import duckdb
+
+        ids = [
+            r[0]
+            for r in duckdb.connect()
+            .execute(
+                f"SELECT doc_id FROM "
+                f"read_parquet('{d}/documents.parquet') ORDER BY doc_id"
+            )
+            .fetchall()
+        ]
+        _CACHE[d] = (pairs, ids)
+    return _CACHE[d]
+
+
+def _union_find(ids, pairs):
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in ids}
+
+
+def test_wide_and_narrow_relations_differ(spark):
+    """Non-vacuity: the 120-bit and 60-bit pair sets genuinely differ
+    at sf0.01 (3 flips of 120 is stricter than 3 of 60), so the
+    identity pins below would catch a consumer that ignored its
+    pairs_fn."""
+    wide, _ = _wide_pairs(spark, SF001)
+    narrow = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in q_dedup_simhash_pairs(spark, SF001).collect()
+    }
+    assert wide != narrow
+    # the wide relation is a near-subset in practice: docs that agree
+    # on 117 of 120 majority bits agree on ~all token sets; require
+    # real overlap so the two relations describe the same phenomenon
+    assert wide & narrow
+
+
+def test_clusters_wide_identity_both_engines(spark, sf_dir):
+    """Both CC engines, fed the wide relation, reproduce a plain
+    union-find over the collected wide pairs — at two SFs."""
+    for d in _dirs(sf_dir):
+        pairs, ids = _wide_pairs(spark, d)
+        want = _union_find(ids, pairs)
+        for fn in (q_dedup_clusters, q_dedup_clusters_star):
+            got = {
+                r["doc_id"]: r["cluster_id"]
+                for r in fn(
+                    spark, d, pairs_fn=q_dedup_simhash_wide_pairs
+                ).collect()
+            }
+            assert got == want, fn.__name__
+
+
+def test_graph_stats_wide_identity(spark, sf_dir):
+    """Edges / wedges / triangles over the wide relation equal a
+    Python recompute with the same degree-ordered orientation."""
+    for d in _dirs(sf_dir):
+        pairs, ids = _wide_pairs(spark, d)
+        adj: dict = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        deg = {u: len(vs) for u, vs in adj.items()}
+        out: dict = {}
+        directed = set()
+        for a, b in pairs:
+            u, v = (a, b) if (deg[a], a) < (deg[b], b) else (b, a)
+            out.setdefault(u, []).append(v)
+            directed.add((u, v))
+        n_wedges = sum(len(vs) * (len(vs) - 1) // 2 for vs in out.values())
+        n_triangles = 0
+        for u, vs in out.items():
+            svs = sorted(vs, key=lambda x: (deg[x], x))
+            for i, a in enumerate(svs):
+                for b in svs[i + 1:]:
+                    if (a, b) in directed:
+                        n_triangles += 1
+        row = q_dedup_graph_stats(
+            spark, d, pairs_fn=q_dedup_simhash_wide_pairs
+        ).collect()[0]
+        assert (
+            row["n_edges"],
+            row["n_wedges"],
+            row["n_triangles"],
+        ) == (len(pairs), n_wedges, n_triangles)
+
+
+def test_pagerank_wide_identity(spark, sf_dir):
+    """Exact-integer pagerank over the wide relation equals the same
+    fixed-K integer recursion in plain Python."""
+    for d in _dirs(sf_dir):
+        pairs, ids = _wide_pairs(spark, d)
+        deg: dict = {}
+        nbrs: dict = {}
+        for a, b in pairs:
+            nbrs.setdefault(a, []).append(b)
+            nbrs.setdefault(b, []).append(a)
+        deg = {u: len(vs) for u, vs in nbrs.items()}
+        n = len(ids)
+        init = PR_TOTAL // n
+        base = ((PR_DAMP_DEN - PR_DAMP_NUM) * init) // PR_DAMP_DEN
+        mass = {i: init for i in ids}
+        for _ in range(PR_ITERS):
+            insum = {i: 0 for i in ids}
+            for u, vs in nbrs.items():
+                c = mass[u] // deg[u]
+                for v in vs:
+                    insum[v] += c
+            mass = {
+                i: base + (PR_DAMP_NUM * insum[i]) // PR_DAMP_DEN
+                for i in ids
+            }
+        got = {
+            r["doc_id"]: (r["degree"], r["mass_scaled"])
+            for r in q_dedup_pagerank(
+                spark, d, pairs_fn=q_dedup_simhash_wide_pairs
+            ).collect()
+        }
+        want = {i: (deg.get(i, 0), mass[i]) for i in ids}
+        assert got == want
+
+
+def test_cluster_rollups_ride_wide_pairs(spark, sf_dir):
+    """The two rollup consumers forward pairs_fn through
+    q_dedup_clusters: histogram and survivor selection recomputed from
+    the union-find labels match cell-for-cell."""
+    import duckdb
+
+    for d in _dirs(sf_dir):
+        pairs, ids = _wide_pairs(spark, d)
+        labels = _union_find(ids, pairs)
+        sizes: dict = {}
+        for _, c in labels.items():
+            sizes[c] = sizes.get(c, 0) + 1
+
+        def bucket(n):
+            return (
+                "1" if n == 1 else "2" if n == 2
+                else "3-4" if n <= 4 else "5-8" if n <= 8 else "9+"
+            )
+
+        want_hist: dict = {}
+        for c, n in sizes.items():
+            b = bucket(n)
+            cur = want_hist.get(b)
+            if cur is None:
+                want_hist[b] = [1, n, n, n]
+            else:
+                cur[0] += 1
+                cur[1] += n
+                cur[2] = min(cur[2], n)
+                cur[3] = max(cur[3], n)
+        got_hist = {
+            r["size_bucket"]: [
+                r["n_clusters"], r["n_docs"], r["min_size"], r["max_size"]
+            ]
+            for r in dedup_cluster_size_histogram(
+                spark, d, pairs_fn=q_dedup_simhash_wide_pairs
+            ).collect()
+        }
+        assert got_hist == want_hist
+
+        rows = duckdb.connect().execute(
+            f"SELECT doc_id, lang, source, length(text) FROM "
+            f"read_parquet('{d}/documents.parquet')"
+        ).fetchall()
+        by_cluster: dict = {}
+        for doc_id, lang, source, n_chars in rows:
+            # _SRC_PRIO: CAST(substring(source, 4) AS BIGINT)
+            prio = int(source[3:])
+            by_cluster.setdefault(labels[doc_id], []).append(
+                (prio, n_chars, doc_id, lang, source)
+            )
+        want_keep = {}
+        for c, members in by_cluster.items():
+            prio, _, doc_id, lang, source = min(members)
+            want_keep[c] = (doc_id, lang, source, len(members))
+        got_keep = {
+            r["cluster_id"]: (
+                r["doc_id"], r["lang"], r["source"], r["n_members"]
+            )
+            for r in dedup_cluster_keep_priority(
+                spark, d, pairs_fn=q_dedup_simhash_wide_pairs
+            ).collect()
+        }
+        assert got_keep == want_keep
+
+
+def test_registered_defaults_unchanged(spark, sf_dir):
+    """The kwarg's DEFAULT is still the registered 60-bit relation:
+    q_dedup_clusters() with no pairs_fn equals union-find over the
+    60-bit pairs (the driver-proven semantics did not move)."""
+    d = sf_dir
+    import duckdb
+
+    narrow = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in q_dedup_simhash_pairs(spark, d).collect()
+    }
+    ids = [
+        r[0]
+        for r in duckdb.connect()
+        .execute(
+            f"SELECT doc_id FROM read_parquet('{d}/documents.parquet')"
+        )
+        .fetchall()
+    ]
+    want = _union_find(ids, narrow)
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in q_dedup_clusters(spark, d).collect()
+    }
+    assert got == want
+
+
+def test_threshold_constant_matches_band_math():
+    """SIMHASH_WIDE_THRESHOLD_DOCS is the documented knee: at n = 2^16
+    the 15-bit bands' expected random candidates n^2/2/2^15 pass n
+    itself (super-linear from here), while 30-bit bands stay below n
+    until n = 2^31."""
+    from thrivefinancedatapipeline_spark.operators.dedup import (
+        SIM_BAND_BITS,
+        SIMHASH_WIDE_THRESHOLD_DOCS,
+        WIDE_BAND_BITS,
+    )
+
+    n = SIMHASH_WIDE_THRESHOLD_DOCS
+    assert n * n // 2 // (1 << SIM_BAND_BITS) >= n // 2
+    assert n * n // 2 // (1 << WIDE_BAND_BITS) < n

@@ -24,8 +24,6 @@ share), so every operator here has a bit-exact DuckDB oracle.
 
 from __future__ import annotations
 
-import re
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -296,16 +294,33 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: interpreted folds over the same array per row — measured 3.9 s vs
 #: 1.5 s at sf0.1 for identical output. Majority test `2*count >
 #: n_tokens` ≡ the ±1-sum-positive rule.
-_SIM_COUNTS = (
-    f"aggregate(hs, array_repeat(0, {SIMHASH_BITS}), (acc, h) -> "
-    f"zip_with(acc, transform(sequence(0, {SIMHASH_BITS - 1}), "
-    f"i -> CAST((h >> i) & 1 AS INT)), (a, b) -> a + b))"
-)
-_SIM_PACK = (
-    f"aggregate(zip_with({_SIM_COUNTS}, sequence(0, {SIMHASH_BITS - 1}), "
-    f"(c, i) -> IF(2 * c > size(hs), CAST(1 AS BIGINT) << i, "
-    f"CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, b) -> a | b)"
-)
+def _sim_counts(col: str) -> str:
+    return (
+        f"aggregate({col}, array_repeat(0, {SIMHASH_BITS}), (acc, h) -> "
+        f"zip_with(acc, transform(sequence(0, {SIMHASH_BITS - 1}), "
+        f"i -> CAST((h >> i) & 1 AS INT)), (a, b) -> a + b))"
+    )
+
+
+def _sim_pack(col: str) -> str:
+    """Majority-bit pack over the token-hash array column ``col``.
+
+    A function, not a word-substituted string: the wide fingerprint's
+    second half builds the same expression over ``hs2``, and deriving
+    it by regex from a fixed ``hs`` literal would silently change
+    semantics if an identifier named ``hs`` ever entered the
+    expression (ADVICE r14). ``col`` must not collide with the lambda
+    variables (acc, h, c, i, a, b)."""
+    return (
+        f"aggregate(zip_with({_sim_counts(col)}, "
+        f"sequence(0, {SIMHASH_BITS - 1}), "
+        f"(c, i) -> IF(2 * c > size({col}), CAST(1 AS BIGINT) << i, "
+        f"CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, b) -> a | b)"
+    )
+
+
+_SIM_COUNTS = _sim_counts("hs")
+_SIM_PACK = _sim_pack("hs")
 
 
 def _simhash_df(docs: DataFrame) -> DataFrame:
@@ -676,26 +691,49 @@ def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
     return labels
 
 
-def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: Corpus size above which the 60-bit pair relation must not feed the
+#: graph consumers. Each 15-bit band admits ~n^2/2/2^15 RANDOM
+#: candidate collisions, so the candidate volume passes linear-in-n
+#: right around n = 2^16 docs and is quadratic beyond it — measured:
+#: 334M candidates / 105 s at 500k docs, where the 120-bit relation
+#: (q_dedup_simhash_wide_pairs, 4 x 30-bit bands) stayed near-linear
+#: at 1.5M / 14 s (SCALEUP100_r14.json). The swap is an EXPLICIT
+#: caller decision, never automatic: hamming <= 3 of 120 bits is a
+#: stricter similarity than <= 3 of 60, so the cluster relation
+#: genuinely changes (near-exact template duplicates survive; the
+#: moderate-edit recall band narrows).
+SIMHASH_WIDE_THRESHOLD_DOCS = 1 << 16
+
+
+def q_dedup_clusters(
+    spark: SparkSession, sf_dir: str, *, pairs_fn=None
+) -> DataFrame:
     """Connected components over the simhash near-dup graph: every doc
     labeled with the min doc_id reachable through hamming<=3 pairs —
     the canonicalization step a dedup pipeline runs after pair finding.
-    Oracle: DuckDB recursive CTE enumerating reachability."""
+    Oracle: DuckDB recursive CTE enumerating reachability.
+
+    ``pairs_fn`` selects the pair relation (default: the registered
+    60-bit q_dedup_simhash_pairs). Above SIMHASH_WIDE_THRESHOLD_DOCS
+    callers must pass q_dedup_simhash_wide_pairs — the 60-bit banding
+    goes quadratic in random candidates there (see the constant)."""
     return connected_components(
         _docs(spark, sf_dir).select("doc_id"),
-        q_dedup_simhash_pairs(spark, sf_dir),
+        (pairs_fn or q_dedup_simhash_pairs)(spark, sf_dir),
     )
 
 
-def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_clusters_star(
+    spark: SparkSession, sf_dir: str, *, pairs_fn=None
+) -> DataFrame:
     """Same clustering as dedup_clusters, computed by the alternating
     large-star/small-star algorithm instead of min-label propagation —
     the O(log n)-round engine for diameter-unbounded graphs, kept
     under the identical reachability oracle so both CC engines are
-    driver-verified."""
+    driver-verified. ``pairs_fn`` as in q_dedup_clusters."""
     return connected_components_star(
         _docs(spark, sf_dir).select("doc_id"),
-        q_dedup_simhash_pairs(spark, sf_dir),
+        (pairs_fn or q_dedup_simhash_pairs)(spark, sf_dir),
         pairs_canonical=True,
     )
 
@@ -825,7 +863,9 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_graph_stats(
+    spark: SparkSession, sf_dir: str, *, pairs_fn=None
+) -> DataFrame:
     """Structure metrics of the simhash near-dup graph — edges,
     wedges, triangles — the density diagnostics that tell a dedup
     pipeline whether its clusters are tight cliques (true duplicates)
@@ -837,9 +877,12 @@ def q_dedup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     them against the directed edge set. Orientation bounds every
     node's out-degree by O(sqrt(|E|)), so the wedge join cannot blow
     up on a hub the way naive a<b orientation does — the property
-    that matters when one boilerplate doc has 10^6 near-dups."""
+    that matters when one boilerplate doc has 10^6 near-dups.
+
+    ``pairs_fn`` as in q_dedup_clusters: pass
+    q_dedup_simhash_wide_pairs above SIMHASH_WIDE_THRESHOLD_DOCS."""
     pairs = (
-        q_dedup_simhash_pairs(spark, sf_dir)
+        (pairs_fn or q_dedup_simhash_pairs)(spark, sf_dir)
         .select("doc_id_1", "doc_id_2")
         .localCheckpoint(eager=True)
     )
@@ -910,7 +953,9 @@ PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
 PR_ITERS = 3
 
 
-def q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_pagerank(
+    spark: SparkSession, sf_dir: str, *, pairs_fn=None
+) -> DataFrame:
     """Damped PageRank-style centrality over the simhash near-dup
     graph — the graph-analytics companion to the CC queries: which
     documents sit at the center of boilerplate clusters (a centrality-
@@ -930,9 +975,12 @@ def q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classic two-shuffle join-aggregate (edges⋈mass on u, groupBy
     v) over a mass table of one row per doc. Rounds are FIXED (K=3),
     not run to convergence — the unrolled DuckDB oracle mirrors the
-    exact same K."""
+    exact same K.
+
+    ``pairs_fn`` as in q_dedup_clusters: pass
+    q_dedup_simhash_wide_pairs above SIMHASH_WIDE_THRESHOLD_DOCS."""
     docs = _docs(spark, sf_dir).select("doc_id")
-    pairs = q_dedup_simhash_pairs(spark, sf_dir)
+    pairs = (pairs_fn or q_dedup_simhash_pairs)(spark, sf_dir)
     sym = pairs.select(
         F.col("doc_id_1").alias("u"), F.col("doc_id_2").alias("v")
     ).unionAll(
@@ -2099,14 +2147,18 @@ FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
 GROUP BY 1, 2"""
 
 
-def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_cluster_size_histogram(
+    spark: SparkSession, sf_dir: str, *, pairs_fn=None
+) -> DataFrame:
     """Near-dup community structure at a glance: connected-component
     cluster sizes bucketed (1 / 2 / 3-4 / 5-8 / 9+) with cluster and
     document totals per bucket — singletons are unique docs, the 9+
     tail is template/boilerplate mass worth a human look (the k-core
     question, answered cheaply). Composes the proven CC labeling
-    (q_dedup_clusters) with two tiny rollups. Registered in round 6 (staged through check_prebuilt first)."""
-    labels = q_dedup_clusters(spark, sf_dir)
+    (q_dedup_clusters) with two tiny rollups. Registered in round 6
+    (staged through check_prebuilt first). ``pairs_fn`` forwards to
+    q_dedup_clusters (the 100 TB path rides the 120-bit relation)."""
+    labels = q_dedup_clusters(spark, sf_dir, pairs_fn=pairs_fn)
     sizes = labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -2608,7 +2660,7 @@ SELECT doc_id, lang, source, n_copies FROM r WHERE rn = 1"""
 
 
 def dedup_cluster_keep_priority(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, *, pairs_fn=None
 ) -> DataFrame:
     """Trust-ranked survivors over NEAR-dup clusters — keep_priority
     lifted from exact-hash groups to the connected-component
@@ -2621,8 +2673,9 @@ def dedup_cluster_keep_priority(
 
     Scale: the proven CC engine produces (doc_id, cluster_id); one
     broadcast-free equi-join attaches doc attributes; one window per
-    cluster picks the survivor."""
-    cc = q_dedup_clusters(spark, sf_dir)
+    cluster picks the survivor. ``pairs_fn`` forwards to
+    q_dedup_clusters (the 100 TB path rides the 120-bit relation)."""
+    cc = q_dedup_clusters(spark, sf_dir, pairs_fn=pairs_fn)
     attrs = _docs(spark, sf_dir).select(
         "doc_id",
         "lang",
@@ -3478,7 +3531,7 @@ ORACLES["dedup_minhash_perm_sweep"] = MINHASH_PERM_SWEEP_ORACLE
 WIDE_BAND_BITS = 30
 WIDE_BAND_MASK = (1 << WIDE_BAND_BITS) - 1
 
-_SIM_PACK_HS2 = re.sub(r"\bhs\b", "hs2", _SIM_PACK)
+_SIM_PACK_HS2 = _sim_pack("hs2")
 
 
 def _simhash_wide_df(docs: DataFrame) -> DataFrame:
