@@ -27,6 +27,9 @@ Derivation is DETERMINISTIC (no rand(), the repo-wide rule):
   cluster geometry, so IVF/PQ cell balance is preserved.
 - every other table is copied as-is (the probed queries read only
   documents/embeddings; the copies keep load_tables working).
+- the derived dir uses the sf-dir single-file layout ({d}/{t}.parquet
+  is a FILE, rewritten by a streaming DuckDB COPY), so it is a valid
+  SPARK_GRAFT_SF_DIR target for the DuckDB-side tooling too.
 
 Caveat for pair-finding operators (measured, M=100 — see
 SCALEUP100_r14.json): with n base docs and n*M derived docs built
@@ -74,6 +77,25 @@ PROBE_QUERIES = [
     "corpus_bigram_familiarity",
     "pack_sequences",
 ]
+
+
+def _singlefile(stage_dir: str, dest_file: str) -> None:
+    """Rewrite a Spark multi-part parquet directory as ONE parquet
+    file, so the derived dir matches the sf-dir layout everywhere
+    ({d}/{t}.parquet is a FILE) and is a valid SPARK_GRAFT_SF_DIR
+    target for the DuckDB-side tooling (ADVICE r14). DuckDB streams
+    the copy — no driver-memory proportionality."""
+    import duckdb
+
+    # small row groups: a single file is only as parallel as its row
+    # groups (first probe run at default 122880-row groups read the
+    # whole derived corpus in <= 2 tasks and inflated every x32 wall
+    # ~8x — a layout artifact, not a plan property)
+    duckdb.connect().execute(
+        f"COPY (SELECT * FROM parquet_scan('{stage_dir}/*.parquet')) "
+        f"TO '{dest_file}' (FORMAT PARQUET, ROW_GROUP_SIZE 5000)"
+    )
+    shutil.rmtree(stage_dir, ignore_errors=True)
 
 
 def build_scaled_dir(spark, out_dir: str, m: int) -> None:
@@ -141,7 +163,10 @@ def build_scaled_dir(spark, out_dir: str, m: int) -> None:
         "n_chars", F.length("text").cast("long")
     ).select("doc_id", "text", "lang", "source", "n_chars")
     scaled_docs.repartition(32).write.mode("overwrite").parquet(
-        f"{out_dir}/documents.parquet"
+        f"{out_dir}/documents.parquet.stage"
+    )
+    _singlefile(
+        f"{out_dir}/documents.parquet.stage", f"{out_dir}/documents.parquet"
     )
 
     emb = load_table(spark, BASE, "embeddings")
@@ -162,8 +187,32 @@ def build_scaled_dir(spark, out_dir: str, m: int) -> None:
         )
     )
     scaled_emb.repartition(32).write.mode("overwrite").parquet(
-        f"{out_dir}/embeddings.parquet"
+        f"{out_dir}/embeddings.parquet.stage"
     )
+    _singlefile(
+        f"{out_dir}/embeddings.parquet.stage", f"{out_dir}/embeddings.parquet"
+    )
+
+
+def _extra_probes() -> dict:
+    """Non-registered probe targets: the graph consumers RIDING the
+    registered 120-bit relation via pairs_fn (their registered default
+    stays 60-bit — quadratic past SIMHASH_WIDE_THRESHOLD_DOCS, which
+    is exactly why the wide path must be the one measured here)."""
+    from thrivefinancedatapipeline_spark.operators.dedup import (
+        q_dedup_clusters_star,
+        q_dedup_pagerank,
+        q_dedup_simhash_wide_pairs,
+    )
+
+    return {
+        "dedup_clusters_star_wide": lambda spark, d: q_dedup_clusters_star(
+            spark, d, pairs_fn=q_dedup_simhash_wide_pairs
+        ),
+        "dedup_pagerank_wide": lambda spark, d: q_dedup_pagerank(
+            spark, d, pairs_fn=q_dedup_simhash_wide_pairs
+        ),
+    }
 
 
 def main() -> None:
@@ -176,7 +225,12 @@ def main() -> None:
     names = [a for a in argv if not a.isdigit()] or PROBE_QUERIES
 
     spark = get_spark("scaleup-probe")
-    qs = entrymod.queries()
+    # the derived tables are SINGLE parquet files (sf-dir layout
+    # parity); split them down to row-group granularity so the scan
+    # parallelism matches what any real multi-file table gets — at
+    # 100 TB nothing is one 128 MB split
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(2 * 1024 * 1024))
+    qs = {**entrymod.queries(), **_extra_probes()}
     unknown = sorted(set(names) - set(qs))
     if unknown:
         print(f"ERROR: unknown queries: {unknown}")
