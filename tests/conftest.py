@@ -34,6 +34,7 @@ SLOW_FILES = {
     "test_prebuilt_r14.py",     # 34 s — ingestion attests + exact recompute
     "test_prebuilt_r15.py",     # ~90 s — funnel drains + brute-force/exact recomputes
     "test_simhash_scale_path.py",  # ~150 s — wide-pair identity pins, 12 graph runs x 2 SFs
+    "test_prebuilt_r16.py",     # ~30 s — two-SF sweep/pair compares + nesting pins
     "test_pipeline_orchestration.py",  # 112 s — three full funnel runs
 }
 

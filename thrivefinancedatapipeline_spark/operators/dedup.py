@@ -238,25 +238,33 @@ def _minhash_signatures(sh: DataFrame) -> DataFrame:
     return hs.groupBy("doc_id").agg(*aggs)
 
 
-def _minhash_bands(sig: DataFrame) -> DataFrame:
-    """(doc_id, band, key) rows from a minhash-signature frame — the
-    shared banding used by the LSH query, the incremental probe, and
-    the materialized corpus band index (all three MUST band
-    identically or probes silently miss collisions)."""
+def _minhash_bands_r(sig: DataFrame, r: int) -> DataFrame:
+    """(doc_id, band, key) rows banding the K-wide signature at r rows
+    per band (K // r bands) — the generalized form behind the
+    registered r=4 banding, the band sweep's swept configs, and the
+    staged r=8 scale point."""
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
             F.concat_ws(
-                "_", *[F.col(f"m{b * R + r}").cast("string") for r in range(R)]
+                "_", *[F.col(f"m{b * r + j}").cast("string") for j in range(r)]
             ).alias("key"),
         )
-        for b in range(NB)
+        for b in range(K // r)
     ]
     return sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bk")
     ).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+
+
+def _minhash_bands(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, key) rows from a minhash-signature frame — the
+    shared banding used by the LSH query, the incremental probe, and
+    the materialized corpus band index (all three MUST band
+    identically or probes silently miss collisions)."""
+    return _minhash_bands_r(sig, R)
 
 
 def minhash_bands_for(docs: DataFrame) -> DataFrame:
@@ -2767,26 +2775,7 @@ def dedup_minhash_band_sweep(
     out = None
     for r in MINHASH_SWEEP_ROWS:
         nb = K // r
-        band_structs = [
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "_",
-                    *[
-                        F.col(f"m{b * r + j}").cast("string")
-                        for j in range(r)
-                    ],
-                ).alias("key"),
-            )
-            for b in range(nb)
-        ]
-        bands = sig.select(
-            "doc_id", F.explode(F.array(*band_structs)).alias("bk")
-        ).select(
-            "doc_id",
-            F.col("bk.band").alias("band"),
-            F.col("bk.key").alias("key"),
-        )
+        bands = _minhash_bands_r(sig, r)
         b1 = bands.select(F.col("doc_id").alias("doc_id_1"), "band", "key")
         b2 = bands.select(F.col("doc_id").alias("doc_id_2"), "band", "key")
         cand = (
@@ -3209,34 +3198,23 @@ SIM_RADIUS_SWEEP = (1, 2, 3)
 _SRS_NS = "srs:"  # membership-checksum namespace
 
 
-def dedup_simhash_radius_sweep(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """What tightening the simhash hamming radius buys: pair count
-    and membership checksum at radii 1/2/3, from the REGISTERED
-    q_dedup_simhash_pairs relation computed once (it already carries
-    the exact hamming distance per pair — the sweep is a filter over
-    a checkpointed, near-dup-sized relation, not a new corpus pass).
-    Pair sets provably NEST as the radius tightens, the widest cell
-    is identity-pinned to the registered operator, and every swept
-    radius stays within the banding's exactness guarantee
-    (<= SIM_BANDS - 1), so each cell is a complete answer, not a
-    recall-limited estimate."""
-    pairs = (
-        q_dedup_simhash_pairs(spark, sf_dir)
-        .withColumn(
-            "h",
-            md5_long(
-                F.concat(
-                    F.lit(_SRS_NS),
-                    F.col("doc_id_1").cast("string"),
-                    F.lit(":"),
-                    F.col("doc_id_2").cast("string"),
-                )
-            ),
-        )
-        .localCheckpoint(eager=True)  # banded join exactly once
-    )
+def _radius_sweep_frame(pairs_src: DataFrame, ns: str) -> DataFrame:
+    """The hamming-radius curve over any (doc_id_1, doc_id_2, hamming)
+    pair relation: pair count and namespaced membership checksum per
+    swept radius. Shared by the registered 60-bit sweep and the staged
+    120-bit twin — the sweep is a filter over a checkpointed,
+    near-dup-sized relation, not a new corpus pass."""
+    pairs = pairs_src.withColumn(
+        "h",
+        md5_long(
+            F.concat(
+                F.lit(ns),
+                F.col("doc_id_1").cast("string"),
+                F.lit(":"),
+                F.col("doc_id_2").cast("string"),
+            )
+        ),
+    ).localCheckpoint(eager=True)  # banded join exactly once
     radii = F.array(*[F.lit(r).cast("int") for r in SIM_RADIUS_SWEEP])
     spine = pairs.agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs_widest")
@@ -3262,15 +3240,31 @@ def dedup_simhash_radius_sweep(
     )
 
 
-def _simhash_radius_sweep_oracle() -> str:
+def dedup_simhash_radius_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """What tightening the simhash hamming radius buys: pair count
+    and membership checksum at radii 1/2/3, from the REGISTERED
+    q_dedup_simhash_pairs relation computed once (it already carries
+    the exact hamming distance per pair).
+    Pair sets provably NEST as the radius tightens, the widest cell
+    is identity-pinned to the registered operator, and every swept
+    radius stays within the banding's exactness guarantee
+    (<= SIM_BANDS - 1), so each cell is a complete answer, not a
+    recall-limited estimate."""
+    return _radius_sweep_frame(
+        q_dedup_simhash_pairs(spark, sf_dir), _SRS_NS
+    )
+
+
+def _radius_sweep_oracle_sql(base: str, ns: str) -> str:
     from ..functions.text import md5_long_sql
 
     cells = ", ".join(f"({r})" for r in SIM_RADIUS_SWEEP)
     h = md5_long_sql(
-        f"'{_SRS_NS}' || CAST(doc_id_1 AS VARCHAR) || ':'"
+        f"'{ns}' || CAST(doc_id_1 AS VARCHAR) || ':'"
         " || CAST(doc_id_2 AS VARCHAR)"
     )
-    base = ORACLES["dedup_simhash_pairs"]
     return f"""
 WITH pairs AS ({base}),
 ph AS (SELECT doc_id_1, doc_id_2, hamming, {h} AS h FROM pairs),
@@ -3287,7 +3281,9 @@ SELECT CAST(sp.ham_max AS INT) AS ham_max,
 FROM sp CROSS JOIN tot LEFT JOIN agg ON agg.ham_max = sp.ham_max"""
 
 
-SIMHASH_RADIUS_SWEEP_ORACLE = _simhash_radius_sweep_oracle()
+SIMHASH_RADIUS_SWEEP_ORACLE = _radius_sweep_oracle_sql(
+    ORACLES["dedup_simhash_pairs"], _SRS_NS
+)
 
 # registered r13 (staged r12 via tools/check_prebuilt.py)
 QUERIES["dedup_cosine_tau_sweep"] = dedup_cosine_tau_sweep
@@ -3702,3 +3698,96 @@ WHERE bit_count(xor(lo1, lo2)) + bit_count(xor(hi1, hi2))
       <= {SIM_HAM_MAX}"""
 QUERIES["dedup_simhash_wide_pairs"] = q_dedup_simhash_wide_pairs
 ORACLES["dedup_simhash_wide_pairs"] = SIMHASH_WIDE_PAIRS_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# PREBUILT (r15-staged for r16 — tools/check_prebuilt.py).
+# dedup_simhash_wide_radius_sweep: the hamming-radius curve over the
+# REGISTERED 120-bit relation — the r14 verdict's named r16 candidate,
+# mirroring dedup_simhash_radius_sweep now that the wide op is the
+# documented scale path for the graph consumers.
+# ---------------------------------------------------------------------------
+
+_SRSW_NS = "srsw:"  # membership-checksum namespace (disjoint from srs:)
+
+
+def dedup_simhash_wide_radius_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """What tightening the hamming radius buys on the 120-BIT wide
+    fingerprint: pair count and membership checksum at radii 1/2/3
+    from the registered q_dedup_simhash_wide_pairs relation computed
+    once. The capacity instrument for the wide scale path: above
+    SIMHASH_WIDE_THRESHOLD_DOCS the graph consumers ride the wide
+    relation, so ITS radius curve — not the 60-bit one — prices their
+    pair volume. Radii stay within the 4x30-bit banding's pigeonhole
+    exactness (<= 3 flips leave >= 1 band intact), and the widest
+    cell is identity-pinned to the registered wide operator. Same
+    shared sweep frame as the registered 60-bit sweep; only the pair
+    source and checksum namespace differ."""
+    return _radius_sweep_frame(
+        q_dedup_simhash_wide_pairs(spark, sf_dir), _SRSW_NS
+    )
+
+
+SIMHASH_WIDE_RADIUS_SWEEP_ORACLE = _radius_sweep_oracle_sql(
+    SIMHASH_WIDE_PAIRS_ORACLE, _SRSW_NS
+)
+
+
+# ---------------------------------------------------------------------------
+# PREBUILT (r15-staged for r16 — tools/check_prebuilt.py).
+# dedup_minhash_lsh_r8: the rows-per-band=8 pair finder — minhash's
+# fingerprint-width knob, priced by the registered band sweep and
+# measured at x100 (SCALEUP100_r14: candidates 4.2M at r=4 vs 170k at
+# r=8 on 500k derived docs).
+# ---------------------------------------------------------------------------
+
+#: rows per band for the staged scale point: 2 bands x 8 rows from
+#: the SAME K=16 signature. Each band's collision probability drops
+#: from s^4 to s^8 — candidate volume collapses (measured 25x at
+#: x100) while banding recall narrows to very-high-Jaccard pairs
+#: (>= 1 of 2 bands intact). The verify filter is unchanged, so the
+#: emitted pairs are a SUBSET of the registered r=4 op's (banding at
+#: r=8 implies both constituent r=4 bands match — candidates nest).
+MINHASH_R8_ROWS = 8
+
+
+def q_dedup_minhash_lsh_r8(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash-LSH candidates at 2 bands x 8 rows, exact-verified —
+    the candidate-volume scale point the registered band sweep prices:
+    at corpus sizes where the r=4 banding's candidate join dominates
+    the dedup stage (measured 4.2M candidates at 500k docs), r=8
+    holds candidates near-linear at the cost of recall on moderately
+    similar pairs (s^8 vs s^4 per band). Same signature, shingles,
+    and Jaccard verification as q_dedup_minhash_lsh; only the banding
+    differs, so the output is provably a subset of the registered
+    op's."""
+    sh = _shingle_rows(_docs(spark, sf_dir)).localCheckpoint(eager=True)
+    bands = _minhash_bands_r(_minhash_signatures(sh), MINHASH_R8_ROWS)
+    b1 = bands.select(F.col("doc_id").alias("doc_id_1"), "band", "key")
+    b2 = bands.select(F.col("doc_id").alias("doc_id_2"), "band", "key")
+    cand = (
+        b1.join(b2, ["band", "key"])
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .select("doc_id_1", "doc_id_2")
+        .distinct()
+    )
+    return _verified_pairs(cand, sh)
+
+
+MINHASH_LSH_R8_ORACLE = f"""
+WITH {_SHINGLE_CTES},
+hs AS (SELECT doc_id,
+              (('0x' || substring(md5(sh), 1, 15))::BIGINT % {P}) AS h
+       FROM sh),
+sig AS (SELECT doc_id, {_MIN_AGGS} FROM hs GROUP BY doc_id),
+bands AS ({_minhash_band_selects(MINHASH_R8_ROWS)}),
+cand AS (
+  SELECT DISTINCT b1.doc_id AS doc_id_1, b2.doc_id AS doc_id_2
+  FROM bands b1 JOIN bands b2
+    ON b1.band = b2.band AND b1.key = b2.key AND b1.doc_id < b2.doc_id
+),
+{_VERIFY_SQL}"""

@@ -45,7 +45,22 @@ def _catalog():
     below. Future prebuilds stage here first: green at the default
     sf0.01, then a 2-line move of the (query, oracle) pair into the
     module dicts."""
-    return {}
+    from thrivefinancedatapipeline_spark.operators.dedup import (
+        MINHASH_LSH_R8_ORACLE,
+        SIMHASH_WIDE_RADIUS_SWEEP_ORACLE,
+        dedup_simhash_wide_radius_sweep,
+        q_dedup_minhash_lsh_r8,
+    )
+
+    return {
+        "dedup_simhash_wide_radius_sweep": (
+            dedup_simhash_wide_radius_sweep,
+            SIMHASH_WIDE_RADIUS_SWEEP_ORACLE,
+        ),
+        "dedup_minhash_lsh_r8": (
+            q_dedup_minhash_lsh_r8, MINHASH_LSH_R8_ORACLE,
+        ),
+    }
 
 
 def main() -> int:
