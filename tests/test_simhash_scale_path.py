@@ -271,6 +271,31 @@ def test_registered_defaults_unchanged(spark, sf_dir):
     assert got == want
 
 
+def test_narrow_pairs_guard_refuses_above_threshold(spark, sf_dir, monkeypatch):
+    """The 60-bit pair path REFUSES corpora above the wide threshold
+    (the EXACT_COSINE_MAX_ROWS discipline): the quadratic path is
+    unreachable by accident, unguarded=True forces it, and the
+    consumers' default path inherits the refusal with the pointer to
+    the wide relation."""
+    import pytest
+
+    from thrivefinancedatapipeline_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "SIMHASH_WIDE_THRESHOLD_DOCS", 10)
+    with pytest.raises(ValueError, match="wide_pairs"):
+        dedup.q_dedup_simhash_pairs(spark, sf_dir)
+    with pytest.raises(ValueError, match="pairs_fn"):
+        dedup.q_dedup_clusters(spark, sf_dir).collect()
+    # explicit overrides still work: forced quadratic path and the
+    # documented wide path are both callable above the threshold
+    assert dedup.q_dedup_simhash_pairs(
+        spark, sf_dir, unguarded=True
+    ).columns == ["doc_id_1", "doc_id_2", "hamming"]
+    assert dedup.q_dedup_simhash_wide_pairs(spark, sf_dir).columns == [
+        "doc_id_1", "doc_id_2", "hamming"
+    ]
+
+
 def test_threshold_constant_matches_band_math():
     """SIMHASH_WIDE_THRESHOLD_DOCS is the documented knee: at n = 2^16
     the 15-bit bands' expected random candidates n^2/2/2^15 pass n

@@ -344,15 +344,50 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _simhash_df(_docs(spark, sf_dir))
 
 
-def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: Corpus size above which the 60-bit pair relation must not feed the
+#: graph consumers. Each 15-bit band admits ~n^2/2/2^15 RANDOM
+#: candidate collisions, so the candidate volume passes linear-in-n
+#: right around n = 2^16 docs and is quadratic beyond it — measured:
+#: 334M candidates / 105 s at 500k docs, where the 120-bit relation
+#: (q_dedup_simhash_wide_pairs, 4 x 30-bit bands) stayed near-linear
+#: at 1.5M / 14 s (SCALEUP100_r14.json). The swap is an EXPLICIT
+#: caller decision, never automatic: hamming <= 3 of 120 bits is a
+#: stricter similarity than <= 3 of 60, so the cluster relation
+#: genuinely changes (near-exact template duplicates survive; the
+#: moderate-edit recall band narrows).
+SIMHASH_WIDE_THRESHOLD_DOCS = 1 << 16
+
+
+def q_dedup_simhash_pairs(
+    spark: SparkSession, sf_dir: str, *, unguarded: bool = False
+) -> DataFrame:
     """Pairs with simhash hamming distance <= 3. 4x15-bit banding makes
     this exact (any pair within hamming 3 shares >= 1 intact band).
+
+    Guarded like the exact-cosine path: refuses corpora above
+    SIMHASH_WIDE_THRESHOLD_DOCS (where the 15-bit bands' random
+    candidate term goes quadratic — see the constant) unless
+    ``unguarded=True`` is passed explicitly, pointing the caller to
+    q_dedup_simhash_wide_pairs instead. The count() is a parquet
+    metadata-only job, so the guard costs no scan.
 
     The simhash relation is materialized (localCheckpoint) BEFORE the
     band explode: Catalyst collapses projections through Generate, so
     a lazy simhash column is re-evaluated once per band row per join
     side — 8 evaluations of a fold that is ~40% of the whole query's
     work (measured 25 s vs 5 s at sf0.1)."""
+    if not unguarded:
+        n = _docs(spark, sf_dir).count()
+        if n > SIMHASH_WIDE_THRESHOLD_DOCS:
+            raise ValueError(
+                f"dedup_simhash_pairs bands 4x15 bits and the corpus "
+                f"has {n} docs (> {SIMHASH_WIDE_THRESHOLD_DOCS}): the "
+                f"random band-collision term n^2/2^15 is super-linear "
+                f"here (measured 334M candidates at 500k docs). Use "
+                f"q_dedup_simhash_wide_pairs (4x30-bit bands, same "
+                f"radius) — the graph consumers take pairs_fn — or "
+                f"pass unguarded=True to force the quadratic path."
+            )
     sim = _simhash_df(_docs(spark, sf_dir)).localCheckpoint(eager=True)
     bands = sim.select(
         "doc_id",
@@ -697,20 +732,6 @@ def connected_components(nodes: DataFrame, pairs: DataFrame) -> DataFrame:
         )
     edges.unpersist()
     return labels
-
-
-#: Corpus size above which the 60-bit pair relation must not feed the
-#: graph consumers. Each 15-bit band admits ~n^2/2/2^15 RANDOM
-#: candidate collisions, so the candidate volume passes linear-in-n
-#: right around n = 2^16 docs and is quadratic beyond it — measured:
-#: 334M candidates / 105 s at 500k docs, where the 120-bit relation
-#: (q_dedup_simhash_wide_pairs, 4 x 30-bit bands) stayed near-linear
-#: at 1.5M / 14 s (SCALEUP100_r14.json). The swap is an EXPLICIT
-#: caller decision, never automatic: hamming <= 3 of 120 bits is a
-#: stricter similarity than <= 3 of 60, so the cluster relation
-#: genuinely changes (near-exact template duplicates survive; the
-#: moderate-edit recall band narrows).
-SIMHASH_WIDE_THRESHOLD_DOCS = 1 << 16
 
 
 def q_dedup_clusters(

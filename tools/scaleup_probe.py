@@ -69,7 +69,10 @@ PROBE_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_containment",
-    "dedup_clusters_star",
+    # the graph consumer rides the wide relation here (its 60-bit
+    # default is guarded off above SIMHASH_WIDE_THRESHOLD_DOCS = 2^16
+    # docs, and every derived corpus this probe builds is above it)
+    "dedup_clusters_star_wide",
     "knn_bruteforce_cosine",
     "ivf_knn",
     "knn_ivfpq",
