@@ -3722,11 +3722,11 @@ ORACLES["dedup_simhash_wide_pairs"] = SIMHASH_WIDE_PAIRS_ORACLE
 
 
 # ---------------------------------------------------------------------------
-# PREBUILT (r15-staged for r16 — tools/check_prebuilt.py).
-# dedup_simhash_wide_radius_sweep: the hamming-radius curve over the
-# REGISTERED 120-bit relation — the r14 verdict's named r16 candidate,
-# mirroring dedup_simhash_radius_sweep now that the wide op is the
-# documented scale path for the graph consumers.
+# dedup_simhash_wide_radius_sweep (REGISTERED r16; staged r15): the
+# hamming-radius curve over the REGISTERED 120-bit relation — the r14
+# verdict's named r16 candidate, mirroring dedup_simhash_radius_sweep
+# now that the wide op is the documented scale path for the graph
+# consumers.
 # ---------------------------------------------------------------------------
 
 _SRSW_NS = "srsw:"  # membership-checksum namespace (disjoint from srs:)
@@ -3754,11 +3754,13 @@ def dedup_simhash_wide_radius_sweep(
 SIMHASH_WIDE_RADIUS_SWEEP_ORACLE = _radius_sweep_oracle_sql(
     SIMHASH_WIDE_PAIRS_ORACLE, _SRSW_NS
 )
+QUERIES["dedup_simhash_wide_radius_sweep"] = dedup_simhash_wide_radius_sweep
+ORACLES["dedup_simhash_wide_radius_sweep"] = SIMHASH_WIDE_RADIUS_SWEEP_ORACLE
 
 
 # ---------------------------------------------------------------------------
-# PREBUILT (r15-staged for r16 — tools/check_prebuilt.py).
-# dedup_minhash_lsh_r8: the rows-per-band=8 pair finder — minhash's
+# dedup_minhash_lsh_r8 (REGISTERED r16; staged r15): the
+# rows-per-band=8 pair finder — minhash's
 # fingerprint-width knob, priced by the registered band sweep and
 # measured at x100 (SCALEUP100_r14: candidates 4.2M at r=4 vs 170k at
 # r=8 on 500k derived docs).
@@ -3812,3 +3814,5 @@ cand AS (
     ON b1.band = b2.band AND b1.key = b2.key AND b1.doc_id < b2.doc_id
 ),
 {_VERIFY_SQL}"""
+QUERIES["dedup_minhash_lsh_r8"] = q_dedup_minhash_lsh_r8
+ORACLES["dedup_minhash_lsh_r8"] = MINHASH_LSH_R8_ORACLE

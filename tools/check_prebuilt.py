@@ -41,26 +41,12 @@ def _catalog():
     ingestion_stream_attest plus dedup_minhash_perm_sweep and
     mixture_temperature_sweep); round 15 registered round 14's three
     (corpus_funnel_stream_attest, corpus_perplexity_buckets,
-    dedup_simhash_wide_pairs) and stages prebuilds for the r16 window
-    below. Future prebuilds stage here first: green at the default
-    sf0.01, then a 2-line move of the (query, oracle) pair into the
-    module dicts."""
-    from thrivefinancedatapipeline_spark.operators.dedup import (
-        MINHASH_LSH_R8_ORACLE,
-        SIMHASH_WIDE_RADIUS_SWEEP_ORACLE,
-        dedup_simhash_wide_radius_sweep,
-        q_dedup_minhash_lsh_r8,
-    )
-
-    return {
-        "dedup_simhash_wide_radius_sweep": (
-            dedup_simhash_wide_radius_sweep,
-            SIMHASH_WIDE_RADIUS_SWEEP_ORACLE,
-        ),
-        "dedup_minhash_lsh_r8": (
-            q_dedup_minhash_lsh_r8, MINHASH_LSH_R8_ORACLE,
-        ),
-    }
+    dedup_simhash_wide_pairs) and staged two for r16; round 16
+    registered round 15's two (dedup_simhash_wide_radius_sweep,
+    dedup_minhash_lsh_r8) — the catalog is currently EMPTY. Future
+    prebuilds stage here first: green at the default sf0.01, then a
+    2-line move of the (query, oracle) pair into the module dicts."""
+    return {}
 
 
 def main() -> int:
