@@ -244,6 +244,43 @@ def test_cluster_rollups_ride_wide_pairs(spark, sf_dir):
         assert got_keep == want_keep
 
 
+def test_kcore_wide_identity(spark, sf_dir):
+    """kcore_decompose(pairs_fn=wide) equals an exact driver-side
+    peeling recompute from the wide pair relation — the r16 fix for
+    the one graph consumer the r15 pairs_fn wiring missed (it
+    hard-called the guarded 60-bit finder and would raise above
+    SIMHASH_WIDE_THRESHOLD_DOCS instead of riding the wide
+    relation)."""
+    from thrivefinancedatapipeline_spark.operators.dedup import (
+        KCORE_K,
+        kcore_decompose,
+    )
+
+    for d in _dirs(sf_dir):
+        pairs, _ = _wide_pairs(spark, d)
+        adj: dict = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        alive = set(adj)
+        while True:
+            drop = {v for v in alive if len(adj[v] & alive) < KCORE_K}
+            if not drop:
+                break
+            alive -= drop
+        want = {v: len(adj[v] & alive) for v in alive}
+        got = {
+            r["doc_id"]: r["core_deg"]
+            for r in kcore_decompose(
+                spark, d, pairs_fn=q_dedup_simhash_wide_pairs
+            ).collect()
+        }
+        assert got == want
+        # non-vacuity at the base SF: the wide graph has a k-core
+        if d == SF001:
+            assert want
+
+
 def test_registered_defaults_unchanged(spark, sf_dir):
     """The kwarg's DEFAULT is still the registered 60-bit relation:
     q_dedup_clusters() with no pairs_fn equals union-find over the

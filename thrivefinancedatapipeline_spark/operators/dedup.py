@@ -242,7 +242,9 @@ def _minhash_bands_r(sig: DataFrame, r: int) -> DataFrame:
     """(doc_id, band, key) rows banding the K-wide signature at r rows
     per band (K // r bands) — the generalized form behind the
     registered r=4 banding, the band sweep's swept configs, and the
-    staged r=8 scale point."""
+    r=8 scale point. A non-divisor r would silently drop the trailing
+    K % r permutations from the signature — fail loudly instead."""
+    assert K % r == 0, f"rows-per-band {r} must divide K={K}"
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -357,6 +359,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: moderate-edit recall band narrows).
 SIMHASH_WIDE_THRESHOLD_DOCS = 1 << 16
 
+#: per-sf_dir doc counts for the guard below — the count() is a
+#: parquet metadata-only job, but the six registered graph consumers
+#: each pay it once per call at bench time; the corpora under an
+#: sf_dir are static for a session, so one count per path suffices.
+_GUARD_COUNT_CACHE: dict = {}
+
 
 def q_dedup_simhash_pairs(
     spark: SparkSession, sf_dir: str, *, unguarded: bool = False
@@ -377,7 +385,10 @@ def q_dedup_simhash_pairs(
     side — 8 evaluations of a fold that is ~40% of the whole query's
     work (measured 25 s vs 5 s at sf0.1)."""
     if not unguarded:
-        n = _docs(spark, sf_dir).count()
+        n = _GUARD_COUNT_CACHE.get(sf_dir)
+        if n is None:
+            n = _docs(spark, sf_dir).count()
+            _GUARD_COUNT_CACHE[sf_dir] = n
         if n > SIMHASH_WIDE_THRESHOLD_DOCS:
             raise ValueError(
                 f"dedup_simhash_pairs bands 4x15 bits and the corpus "
@@ -1833,7 +1844,7 @@ KCORE_MAX_ROUNDS = 30
 
 
 def kcore_decompose(
-    spark: SparkSession, sf_dir: str, k: int = KCORE_K
+    spark: SparkSession, sf_dir: str, k: int = KCORE_K, *, pairs_fn=None
 ) -> DataFrame:
     """k-core of the simhash near-dup graph: the MAXIMAL subgraph in
     which every vertex keeps >= k neighbors — the standard "dense
@@ -1856,9 +1867,14 @@ def kcore_decompose(
 
     Output: (doc_id, core_deg) for every vertex in the k-core, where
     core_deg is its final within-core degree (>= k by construction,
-    asserted in test)."""
+    asserted in test).
+
+    ``pairs_fn`` as in q_dedup_clusters: pass
+    q_dedup_simhash_wide_pairs above SIMHASH_WIDE_THRESHOLD_DOCS to
+    ride the near-linear 120-bit relation (default: the registered
+    60-bit pair finder, which raises above the threshold)."""
     pairs = (
-        q_dedup_simhash_pairs(spark, sf_dir)
+        (pairs_fn or q_dedup_simhash_pairs)(spark, sf_dir)
         .select("doc_id_1", "doc_id_2")
     )
     edges = _sym_edges(pairs).localCheckpoint(eager=True)
@@ -2827,6 +2843,9 @@ def dedup_minhash_band_sweep(
 
 
 def _minhash_band_selects(r: int) -> str:
+    # mirror of _minhash_bands_r's divisor guard: the oracle must band
+    # exactly like the Spark side or drop the same trailing perms
+    assert K % r == 0, f"rows-per-band {r} must divide K={K}"
     return "\nUNION ALL\n".join(
         "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
             b=b,
@@ -3262,7 +3281,7 @@ def _radius_sweep_frame(pairs_src: DataFrame, ns: str) -> DataFrame:
 
 
 def dedup_simhash_radius_sweep(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, *, pairs_fn=None
 ) -> DataFrame:
     """What tightening the simhash hamming radius buys: pair count
     and membership checksum at radii 1/2/3, from the REGISTERED
@@ -3272,9 +3291,16 @@ def dedup_simhash_radius_sweep(
     is identity-pinned to the registered operator, and every swept
     radius stays within the banding's exactness guarantee
     (<= SIM_BANDS - 1), so each cell is a complete answer, not a
-    recall-limited estimate."""
+    recall-limited estimate.
+
+    ``pairs_fn`` as in q_dedup_clusters: above
+    SIMHASH_WIDE_THRESHOLD_DOCS the default 60-bit relation raises —
+    pass q_dedup_simhash_wide_pairs to sweep the wide relation
+    through this API (the registered
+    dedup_simhash_wide_radius_sweep is the same curve under its own
+    checksum namespace)."""
     return _radius_sweep_frame(
-        q_dedup_simhash_pairs(spark, sf_dir), _SRS_NS
+        (pairs_fn or q_dedup_simhash_pairs)(spark, sf_dir), _SRS_NS
     )
 
 
