@@ -281,6 +281,51 @@ def test_kcore_wide_identity(spark, sf_dir):
             assert want
 
 
+def test_radius_sweep_pairs_fn_wiring(spark):
+    """dedup_simhash_radius_sweep(pairs_fn=wide) sweeps the WIDE
+    relation: per-radius pair counts equal the registered wide sweep's
+    (only the checksum namespace differs), and differ from the 60-bit
+    default's — so the r16 kwarg is provably wired through, not
+    ignored."""
+    from thrivefinancedatapipeline_spark.operators.dedup import (
+        dedup_simhash_radius_sweep,
+        dedup_simhash_wide_radius_sweep,
+    )
+
+    def counts(df):
+        return {
+            r["ham_max"]: (r["n_pairs"], r["n_pairs_widest"])
+            for r in df.collect()
+        }
+
+    wide_via_kwarg = counts(
+        dedup_simhash_radius_sweep(
+            spark, SF001, pairs_fn=q_dedup_simhash_wide_pairs
+        )
+    )
+    wide_registered = counts(dedup_simhash_wide_radius_sweep(spark, SF001))
+    narrow_default = counts(dedup_simhash_radius_sweep(spark, SF001))
+    assert wide_via_kwarg == wide_registered
+    assert wide_via_kwarg != narrow_default
+
+
+def test_minhash_band_divisor_guard():
+    """A rows-per-band that does not divide K=16 fails loudly on BOTH
+    the Spark banding and the oracle banding (r16 ADVICE fix) instead
+    of silently dropping trailing permutations."""
+    import pytest as _pytest
+
+    from thrivefinancedatapipeline_spark.operators.dedup import (
+        _minhash_band_selects,
+        _minhash_bands_r,
+    )
+
+    with _pytest.raises(AssertionError, match="divide"):
+        _minhash_bands_r(None, 3)
+    with _pytest.raises(AssertionError, match="divide"):
+        _minhash_band_selects(3)
+
+
 def test_registered_defaults_unchanged(spark, sf_dir):
     """The kwarg's DEFAULT is still the registered 60-bit relation:
     q_dedup_clusters() with no pairs_fn equals union-find over the
