@@ -20,6 +20,11 @@ reads next to BENCH_r{N}.json).
 
 Usage:
     python tools/scaleup_gate.py [--round N] [M]      # default M=32
+    python tools/scaleup_gate.py 320 --timing a,b --parity a,b
+                                  # subset overrides for extreme-M
+                                  # volume-only runs (pair-finding ops
+                                  # go density-quadratic by data
+                                  # construction at large M)
 
 Graph consumers are excluded from the parity subset by design: their
 registered default is the guarded 60-bit relation (sub-threshold
@@ -91,9 +96,19 @@ def main() -> None:
 
     argv = sys.argv[1:]
     rnd = None
+    timing_names = TIMING_QUERIES
+    parity_names = PARITY_QUERIES
     if "--round" in argv:
         i = argv.index("--round")
         rnd = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    if "--timing" in argv:
+        i = argv.index("--timing")
+        timing_names = [s for s in argv[i + 1].split(",") if s]
+        argv = argv[:i] + argv[i + 2:]
+    if "--parity" in argv:
+        i = argv.index("--parity")
+        parity_names = [s for s in argv[i + 1].split(",") if s]
         argv = argv[:i] + argv[i + 2:]
     m = int(argv[0]) if argv else 32
 
@@ -107,7 +122,7 @@ def main() -> None:
     qs = {**entrymod.queries(), **_extra_probes()}
     oracles = entrymod.oracle_sql()
     unknown = sorted(
-        (set(TIMING_QUERIES) | set(PARITY_QUERIES)) - set(qs)
+        (set(timing_names) | set(parity_names)) - set(qs)
     )
     if unknown:  # green-by-vacuity guard (the check_prebuilt rule)
         print(f"ERROR: unknown queries: {unknown}")
@@ -126,7 +141,7 @@ def main() -> None:
             df.write.mode("overwrite").format("noop").save()
 
         timing: dict = {}
-        for name in TIMING_QUERIES:
+        for name in timing_names:
             per: dict[str, float] = {}
             for label, d in (("sf0.1", BASE), (f"x{m}", out_dir)):
                 force(qs[name](spark, d))  # untimed warmup (codegen)
@@ -150,7 +165,7 @@ def main() -> None:
         greens: list[str] = []
         fails: list[dict] = []
         t_par = time.perf_counter()
-        for name in PARITY_QUERIES:
+        for name in parity_names:
             t_q = time.perf_counter()
             try:
                 sdf = qs[name](spark, out_dir).toPandas()
