@@ -208,11 +208,20 @@ def _extra_probes() -> dict:
         q_dedup_simhash_wide_pairs,
     )
 
+    from thrivefinancedatapipeline_spark.operators.dedup import (
+        kcore_decompose,
+    )
+
     return {
         "dedup_clusters_star_wide": lambda spark, d: q_dedup_clusters_star(
             spark, d, pairs_fn=q_dedup_simhash_wide_pairs
         ),
         "dedup_pagerank_wide": lambda spark, d: q_dedup_pagerank(
+            spark, d, pairs_fn=q_dedup_simhash_wide_pairs
+        ),
+        # the r16-wired seventh consumer: iterative peeling over the
+        # wide relation (its 60-bit default raises above threshold)
+        "kcore_decompose_wide": lambda spark, d: kcore_decompose(
             spark, d, pairs_fn=q_dedup_simhash_wide_pairs
         ),
     }
