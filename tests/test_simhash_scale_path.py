@@ -309,10 +309,36 @@ def test_radius_sweep_pairs_fn_wiring(spark):
     assert wide_via_kwarg != narrow_default
 
 
+def test_guard_count_cache_key_tracks_rewrites(tmp_path):
+    """The 60-bit guard's doc-count cache is keyed on (realpath,
+    mtime, size) of documents.parquet, not the raw path string (r17
+    ADVICE fix): a corpus rewritten in place must get a fresh count,
+    not a stale guard verdict."""
+    import os
+
+    from thrivefinancedatapipeline_spark.operators.dedup import (
+        _guard_cache_key,
+    )
+
+    p = tmp_path / "documents.parquet"
+    p.write_bytes(b"v1")
+    k1 = _guard_cache_key(str(tmp_path))
+    # same content, same mtime -> same key (cache hit)
+    assert _guard_cache_key(str(tmp_path)) == k1
+    # rewrite in place (different size + mtime) -> different key
+    p.write_bytes(b"v2-longer")
+    os.utime(p, ns=(k1[1] + 1, k1[1] + 1))
+    assert _guard_cache_key(str(tmp_path)) != k1
+    # a missing corpus still yields a stable, non-crashing key
+    missing = _guard_cache_key(str(tmp_path / "nope"))
+    assert missing[1] is None and missing[2] is None
+
+
 def test_minhash_band_divisor_guard():
     """A rows-per-band that does not divide K=16 fails loudly on BOTH
     the Spark banding and the oracle banding (r16 ADVICE fix) instead
-    of silently dropping trailing permutations."""
+    of silently dropping trailing permutations. ValueError, not
+    AssertionError (r17 ADVICE fix): python -O strips asserts."""
     import pytest as _pytest
 
     from thrivefinancedatapipeline_spark.operators.dedup import (
@@ -320,9 +346,9 @@ def test_minhash_band_divisor_guard():
         _minhash_bands_r,
     )
 
-    with _pytest.raises(AssertionError, match="divide"):
+    with _pytest.raises(ValueError, match="divide"):
         _minhash_bands_r(None, 3)
-    with _pytest.raises(AssertionError, match="divide"):
+    with _pytest.raises(ValueError, match="divide"):
         _minhash_band_selects(3)
 
 

@@ -243,8 +243,11 @@ def _minhash_bands_r(sig: DataFrame, r: int) -> DataFrame:
     per band (K // r bands) — the generalized form behind the
     registered r=4 banding, the band sweep's swept configs, and the
     r=8 scale point. A non-divisor r would silently drop the trailing
-    K % r permutations from the signature — fail loudly instead."""
-    assert K % r == 0, f"rows-per-band {r} must divide K={K}"
+    K % r permutations from the signature — fail loudly instead.
+    ValueError, not assert: ``python -O`` strips asserts, silently
+    restoring the exact failure mode this guard exists to prevent."""
+    if K % r != 0:
+        raise ValueError(f"rows-per-band {r} must divide K={K}")
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -361,9 +364,31 @@ SIMHASH_WIDE_THRESHOLD_DOCS = 1 << 16
 
 #: per-sf_dir doc counts for the guard below — the count() is a
 #: parquet metadata-only job, but the six registered graph consumers
-#: each pay it once per call at bench time; the corpora under an
-#: sf_dir are static for a session, so one count per path suffices.
+#: each pay it once per call at bench time. Keyed on (realpath,
+#: mtime_ns, size) of documents.parquet — NOT the raw path string —
+#: so a corpus rewritten in place at the same path gets a fresh
+#: count instead of a stale guard verdict (r17 ADVICE fix).
 _GUARD_COUNT_CACHE: dict = {}
+
+
+def _guard_cache_key(sf_dir: str):
+    import os as _os
+
+    p = _os.path.realpath(_os.path.join(sf_dir, "documents.parquet"))
+    try:
+        st = _os.stat(p)
+        return (p, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (p, None, None)
+
+
+def _guarded_doc_count(spark: SparkSession, sf_dir: str) -> int:
+    key = _guard_cache_key(sf_dir)
+    n = _GUARD_COUNT_CACHE.get(key)
+    if n is None:
+        n = _docs(spark, sf_dir).count()
+        _GUARD_COUNT_CACHE[key] = n
+    return n
 
 
 def q_dedup_simhash_pairs(
@@ -385,10 +410,7 @@ def q_dedup_simhash_pairs(
     side — 8 evaluations of a fold that is ~40% of the whole query's
     work (measured 25 s vs 5 s at sf0.1)."""
     if not unguarded:
-        n = _GUARD_COUNT_CACHE.get(sf_dir)
-        if n is None:
-            n = _docs(spark, sf_dir).count()
-            _GUARD_COUNT_CACHE[sf_dir] = n
+        n = _guarded_doc_count(spark, sf_dir)
         if n > SIMHASH_WIDE_THRESHOLD_DOCS:
             raise ValueError(
                 f"dedup_simhash_pairs bands 4x15 bits and the corpus "
@@ -2845,7 +2867,9 @@ def dedup_minhash_band_sweep(
 def _minhash_band_selects(r: int) -> str:
     # mirror of _minhash_bands_r's divisor guard: the oracle must band
     # exactly like the Spark side or drop the same trailing perms
-    assert K % r == 0, f"rows-per-band {r} must divide K={K}"
+    # (ValueError, not assert — survives python -O)
+    if K % r != 0:
+        raise ValueError(f"rows-per-band {r} must divide K={K}")
     return "\nUNION ALL\n".join(
         "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
             b=b,

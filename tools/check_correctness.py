@@ -44,6 +44,26 @@ def frame_hash(df: pd.DataFrame) -> str:
     return hashlib.md5("\n".join(rows).encode()).hexdigest()
 
 
+def compare_frames(sdf: pd.DataFrame, odf: pd.DataFrame) -> list:
+    """The driver's t2 compare: row count + column set + value hash.
+
+    Single source of truth for this tool, check_prebuilt, and
+    scaleup_gate (they used to carry hand-rolled copies that drifted
+    in when the hash check was skipped). The hash is only skipped when
+    the column sets differ — rows can't be aligned for hashing then.
+    """
+    problems = []
+    if len(sdf) != len(odf):
+        problems.append(f"rows {len(sdf)} vs {len(odf)}")
+    if sorted(sdf.columns) != sorted(odf.columns):
+        problems.append(
+            f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}"
+        )
+    elif frame_hash(sdf) != frame_hash(odf):
+        problems.append("value-hash mismatch")
+    return problems
+
+
 def main() -> int:
     import __spark_entry__ as e
     from thrivefinancedatapipeline_spark.session import get_spark
@@ -98,13 +118,7 @@ def main() -> int:
             print(f"FAIL {name}: oracle error: {exc}")
             failures += 1
             continue
-        problems = []
-        if len(sdf) != len(odf):
-            problems.append(f"rows {len(sdf)} vs {len(odf)}")
-        if sorted(sdf.columns) != sorted(odf.columns):
-            problems.append(f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}")
-        elif frame_hash(sdf) != frame_hash(odf):
-            problems.append("value-hash mismatch")
+        problems = compare_frames(sdf, odf)
         if problems:
             failures += 1
             print(f"FAIL {name}: {'; '.join(problems)}")

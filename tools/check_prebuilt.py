@@ -22,7 +22,7 @@ import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from check_correctness import TABLES, frame_hash  # noqa: E402
+from check_correctness import TABLES, compare_frames  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
@@ -85,15 +85,7 @@ def main() -> int:
             print(f"FAIL {name}: {exc}")
             failures += 1
             continue
-        problems = []
-        if len(sdf) != len(odf):
-            problems.append(f"rows {len(sdf)} vs {len(odf)}")
-        if sorted(sdf.columns) != sorted(odf.columns):
-            problems.append(
-                f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}"
-            )
-        elif frame_hash(sdf) != frame_hash(odf):
-            problems.append("value-hash mismatch")
+        problems = compare_frames(sdf, odf)
         if problems:
             failures += 1
             print(f"FAIL {name}: {'; '.join(problems)}")

@@ -26,11 +26,17 @@ Usage:
                                   # go density-quadratic by data
                                   # construction at large M)
 
-Graph consumers are excluded from the parity subset by design: their
-registered default is the guarded 60-bit relation (sub-threshold
+Graph consumers are excluded from the DuckDB parity subset by design:
+their registered default is the guarded 60-bit relation (sub-threshold
 path), and a 37M-pair recursive CTE at x32 would stress DuckDB, not
-the engine. Their xM evidence is the timing section's *_wide rides
-plus the identity pins in tests/test_simhash_scale_path.py.
+the engine. Instead (r16 verdict item 5) they get their own VALUE
+parity section: the wide pair relation is computed once at xM, the
+distributed clusters_star + kcore consumers ride it via pairs_fn, and
+each is checksum-compared against a bounded exact driver-side
+recompute (min-label union-find / degree peel) from the same collected
+edge list — one checksum-equality line per consumer in the artifact.
+Skip with --no-graph (extreme-M volume-only runs, where derived pair
+density is a stress bound, not a plan property).
 
 Pair-density caveat (scaleup_probe docstring): derived halves are
 reused ~M times, so pair-finding ratios at large M are stress bounds,
@@ -50,7 +56,7 @@ import time
 sys.path.insert(0, ".")
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from check_correctness import TABLES, frame_hash  # noqa: E402
+from check_correctness import TABLES, compare_frames  # noqa: E402
 from scaleup_probe import BASE, _extra_probes, build_scaled_dir  # noqa: E402
 
 #: timing targets — every registered wide/scale operator plus the two
@@ -87,6 +93,104 @@ PARITY_QUERIES = [
 ]
 
 
+def _graph_consumer_parity(spark, xm_dir: str) -> dict:
+    """Value parity for the wide-relation graph consumers at xM
+    (r16 verdict item 5): distributed clusters_star and kcore vs
+    bounded exact Python recomputes over the SAME wide pair relation.
+
+    The wide pairs are computed ONCE and localCheckpointed; both
+    distributed consumers ride the pinned relation via pairs_fn, and
+    the exact recomputes (min-label union-find; degree-peel to the
+    k-core fixpoint) run on the collected edge list — bounded like a
+    broadcast threshold (254k edges at x32, 1.5M at x100; Arrow
+    transfer, driver-side ints). Each consumer emits one
+    checksum-equality verdict: md5 over sorted "id|label" lines,
+    computed identically from both sides."""
+    import hashlib
+
+    from thrivefinancedatapipeline_spark.operators.dedup import (
+        KCORE_K,
+        kcore_decompose,
+        q_dedup_clusters_star,
+        q_dedup_simhash_wide_pairs,
+    )
+
+    wide = q_dedup_simhash_wide_pairs(spark, xm_dir).localCheckpoint(
+        eager=True
+    )
+    pdf = wide.select("doc_id_1", "doc_id_2").toPandas()
+    edges = list(zip(pdf["doc_id_1"].tolist(), pdf["doc_id_2"].tolist()))
+
+    def checksum(mapping: dict) -> str:
+        lines = sorted(f"{k}|{v}" for k, v in mapping.items())
+        return hashlib.md5("\n".join(lines).encode()).hexdigest()
+
+    out: dict = {"wide_pairs": len(edges)}
+
+    # --- clusters_star vs exact min-label union-find over all docs ---
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    doc_ids = (
+        spark.read.parquet(os.path.join(xm_dir, "documents.parquet"))
+        .select("doc_id")
+        .toPandas()["doc_id"]
+        .tolist()
+    )
+    exact_cc = {d: find(d) for d in doc_ids}
+    got_cc = q_dedup_clusters_star(
+        spark, xm_dir, pairs_fn=lambda s, d: wide
+    ).toPandas()
+    spark_cc = dict(
+        zip(got_cc["doc_id"].tolist(), got_cc["cluster_id"].tolist())
+    )
+    cs_e, cs_s = checksum(exact_cc), checksum(spark_cc)
+    out["clusters_star"] = {
+        "n_docs": len(doc_ids),
+        "checksum_exact": cs_e,
+        "checksum_spark": cs_s,
+        "match": cs_e == cs_s,
+    }
+
+    # --- kcore vs exact degree peel to the unique k-core fixpoint ---
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    while True:
+        drop = {v for v in alive if len(adj[v] & alive) < KCORE_K}
+        if not drop:
+            break
+        alive -= drop
+    exact_core = {v: len(adj[v] & alive) for v in alive}
+    got_kc = kcore_decompose(
+        spark, xm_dir, pairs_fn=lambda s, d: wide
+    ).toPandas()
+    spark_core = dict(
+        zip(got_kc["doc_id"].tolist(), got_kc["core_deg"].tolist())
+    )
+    cs_e, cs_s = checksum(exact_core), checksum(spark_core)
+    out["kcore"] = {
+        "core_size": len(exact_core),
+        "checksum_exact": cs_e,
+        "checksum_spark": cs_s,
+        "match": cs_e == cs_s,
+    }
+    return out
+
+
 def main() -> None:
     import duckdb
 
@@ -98,6 +202,10 @@ def main() -> None:
     rnd = None
     timing_names = TIMING_QUERIES
     parity_names = PARITY_QUERIES
+    run_graph = True
+    if "--no-graph" in argv:
+        run_graph = False
+        argv.remove("--no-graph")
     if "--round" in argv:
         i = argv.index("--round")
         rnd = int(argv[i + 1])
@@ -105,10 +213,18 @@ def main() -> None:
     if "--timing" in argv:
         i = argv.index("--timing")
         timing_names = [s for s in argv[i + 1].split(",") if s]
+        if not timing_names:
+            # empty subset would exit 0 having run nothing —
+            # green-by-vacuity, forbidden for subset tools
+            print("ERROR: --timing parsed to an empty query list")
+            raise SystemExit(2)
         argv = argv[:i] + argv[i + 2:]
     if "--parity" in argv:
         i = argv.index("--parity")
         parity_names = [s for s in argv[i + 1].split(",") if s]
+        if not parity_names:
+            print("ERROR: --parity parsed to an empty query list")
+            raise SystemExit(2)
         argv = argv[:i] + argv[i + 2:]
     m = int(argv[0]) if argv else 32
 
@@ -174,13 +290,7 @@ def main() -> None:
                 fails.append({"query": name, "error": str(exc)[:300]})
                 print(f"  FAIL {name}: {exc}", file=sys.stderr)
                 continue
-            problems = []
-            if len(sdf) != len(odf):
-                problems.append(f"rows {len(sdf)} vs {len(odf)}")
-            if sorted(sdf.columns) != sorted(odf.columns):
-                problems.append("column set")
-            elif not problems and frame_hash(sdf) != frame_hash(odf):
-                problems.append("value-hash mismatch")
+            problems = compare_frames(sdf, odf)
             if problems:
                 fails.append({"query": name, "error": "; ".join(problems)})
                 print(f"  FAIL {name}: {problems}", file=sys.stderr)
@@ -202,6 +312,17 @@ def main() -> None:
             "failed": fails,
             "wall_s": round(time.perf_counter() - t_par, 1),
         }
+        graph_fails = 0
+        if run_graph:
+            t_g = time.perf_counter()
+            gp = _graph_consumer_parity(spark, out_dir)
+            gp["wall_s"] = round(time.perf_counter() - t_g, 1)
+            result["graph_consumer_parity"] = gp
+            for name in ("clusters_star", "kcore"):
+                verdict = "ok  " if gp[name]["match"] else "FAIL"
+                print(f"  {verdict} graph {name}: {gp[name]}",
+                      file=sys.stderr)
+                graph_fails += 0 if gp[name]["match"] else 1
         print(json.dumps(result))
         if rnd is not None:
             path = os.path.join(
@@ -211,7 +332,7 @@ def main() -> None:
             with open(path, "w") as f:
                 json.dump(result, f, indent=1)
             print(f"wrote {path}", file=sys.stderr)
-        if fails:
+        if fails or graph_fails:
             raise SystemExit(1)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
