@@ -110,8 +110,13 @@ def _graph_consumer_parity(spark, xm_dir: str) -> dict:
 
     from thrivefinancedatapipeline_spark.operators.dedup import (
         KCORE_K,
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_ITERS,
+        PR_TOTAL,
         kcore_decompose,
         q_dedup_clusters_star,
+        q_dedup_pagerank,
         q_dedup_simhash_wide_pairs,
     )
 
@@ -184,6 +189,44 @@ def _graph_consumer_parity(spark, xm_dir: str) -> dict:
     cs_e, cs_s = checksum(exact_core), checksum(spark_core)
     out["kcore"] = {
         "core_size": len(exact_core),
+        "checksum_exact": cs_e,
+        "checksum_spark": cs_s,
+        "match": cs_e == cs_s,
+    }
+
+    # --- pagerank vs exact integer power iteration (the operator's
+    # published formulation is all positive integer floor-divisions,
+    # so a Python mirror reproduces it bit-for-bit) ---
+    deg: dict = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    n = len(doc_ids)
+    mass0 = PR_TOTAL // n
+    base = ((PR_DAMP_DEN - PR_DAMP_NUM) * mass0) // PR_DAMP_DEN
+    mass = {d: mass0 for d in doc_ids}
+    for _ in range(PR_ITERS):
+        insum: dict = {}
+        for a, b in edges:
+            insum[b] = insum.get(b, 0) + mass[a] // deg[a]
+            insum[a] = insum.get(a, 0) + mass[b] // deg[b]
+        mass = {
+            d: base + (PR_DAMP_NUM * insum.get(d, 0)) // PR_DAMP_DEN
+            for d in doc_ids
+        }
+    exact_pr = {
+        d: f"{deg.get(d, 0)}:{mass[d]}" for d in doc_ids
+    }
+    got_pr = q_dedup_pagerank(
+        spark, xm_dir, pairs_fn=lambda s, d: wide
+    ).toPandas()
+    spark_pr = {
+        r.doc_id: f"{r.degree}:{r.mass_scaled}"
+        for r in got_pr.itertuples(index=False)
+    }
+    cs_e, cs_s = checksum(exact_pr), checksum(spark_pr)
+    out["pagerank"] = {
+        "n_docs": len(exact_pr),
         "checksum_exact": cs_e,
         "checksum_spark": cs_s,
         "match": cs_e == cs_s,
@@ -318,7 +361,7 @@ def main() -> None:
             gp = _graph_consumer_parity(spark, out_dir)
             gp["wall_s"] = round(time.perf_counter() - t_g, 1)
             result["graph_consumer_parity"] = gp
-            for name in ("clusters_star", "kcore"):
+            for name in ("clusters_star", "kcore", "pagerank"):
                 verdict = "ok  " if gp[name]["match"] else "FAIL"
                 print(f"  {verdict} graph {name}: {gp[name]}",
                       file=sys.stderr)
