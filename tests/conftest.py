@@ -36,6 +36,7 @@ SLOW_FILES = {
     "test_simhash_scale_path.py",  # ~150 s — wide-pair identity pins, 12 graph runs x 2 SFs
     "test_prebuilt_r16.py",     # ~30 s — two-SF sweep/pair compares + nesting pins
     "test_pipeline_orchestration.py",  # 112 s — three full funnel runs
+    "test_scaleup_gate_parity.py",  # ~60 s — 3 graph consumers + recomputes
 }
 
 
