@@ -316,6 +316,12 @@ def main() -> None:
         result["timing"] = timing
 
         con = duckdb.connect()
+        # extreme-M oracles (r=4 banding at 1.6M docs ≈ 43M candidate
+        # pairs) OOM-kill the in-process DuckDB without a cap: bound
+        # it and let joins SPILL instead (measured: 77 GB RSS kill at
+        # x320 before this)
+        con.execute("SET memory_limit='40GB'")
+        con.execute(f"SET temp_directory='{out_dir}/duckspill'")
         for t in TABLES:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM "
