@@ -49,3 +49,16 @@ def test_gate_subset_guards():
         )
         assert p.returncode == 2, (args, p.stdout, p.stderr)
         assert "empty query list" in p.stdout
+    # a typo'd name must exit 2 from the registry alone — the guard
+    # runs BEFORE get_spark(), so no SparkSession spin-up (r17 ADVICE)
+    p = subprocess.run(
+        [sys.executable, "tools/scaleup_gate.py", "2",
+         "--parity", "dedup_exact,no_such_query"],
+        cwd=repo,
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert p.returncode == 2, (p.stdout, p.stderr)
+    assert "unknown queries" in p.stdout
+    assert "no_such_query" in p.stdout

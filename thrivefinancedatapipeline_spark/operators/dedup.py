@@ -1482,13 +1482,23 @@ shl AS (SELECT doc_id,
 sh AS (SELECT doc_id, unnest(shs) AS sh FROM shl)
 """.strip()
 
+# The verify leg dictionary-encodes shingles to DENSE integer ids
+# (row_number over distinct — exact, collision-free) before the
+# candidate probe: the cand x shingle intermediate is ~sum(c1) rows
+# (2.2B at the x320 gate), and carrying a ~16-char gram string
+# through that join spilled ~130 GB (over the 73 GB disk) where the
+# 3-int row form stays within spill budget. Output is value-identical
+# — ids only mediate the equality the strings would have decided.
 _VERIFY_SQL = f"""
-cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+sdict AS (SELECT sh, row_number() OVER (ORDER BY sh) AS sid
+          FROM (SELECT DISTINCT sh FROM sh) u),
+shi AS (SELECT s.doc_id, d.sid FROM sh s JOIN sdict d USING (sh)),
+cnt AS (SELECT doc_id, count(*) AS c FROM shi GROUP BY doc_id),
 common AS (
   SELECT p.doc_id_1, p.doc_id_2, count(*) AS common_shingles
   FROM cand p
-  JOIN sh s1 ON s1.doc_id = p.doc_id_1
-  JOIN sh s2 ON s2.doc_id = p.doc_id_2 AND s2.sh = s1.sh
+  JOIN shi s1 ON s1.doc_id = p.doc_id_1
+  JOIN shi s2 ON s2.doc_id = p.doc_id_2 AND s2.sid = s1.sid
   GROUP BY p.doc_id_1, p.doc_id_2
 )
 SELECT doc_id_1, doc_id_2, common_shingles,
@@ -2013,12 +2023,15 @@ cand AS (
   FROM bands b1 JOIN bands b2
     ON b1.band = b2.band AND b1.key = b2.key AND b1.doc_id < b2.doc_id
 ),
-cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+sdict AS (SELECT sh, row_number() OVER (ORDER BY sh) AS sid
+          FROM (SELECT DISTINCT sh FROM sh) u),
+shi AS (SELECT s.doc_id, d.sid FROM sh s JOIN sdict d USING (sh)),
+cnt AS (SELECT doc_id, count(*) AS c FROM shi GROUP BY doc_id),
 common AS (
   SELECT p.doc_id_1, p.doc_id_2, count(*) AS common_shingles
   FROM cand p
-  JOIN sh s1 ON s1.doc_id = p.doc_id_1
-  JOIN sh s2 ON s2.doc_id = p.doc_id_2 AND s2.sh = s1.sh
+  JOIN shi s1 ON s1.doc_id = p.doc_id_1
+  JOIN shi s2 ON s2.doc_id = p.doc_id_2 AND s2.sid = s1.sid
   GROUP BY p.doc_id_1, p.doc_id_2
 )
 SELECT doc_id_1, doc_id_2, common_shingles,

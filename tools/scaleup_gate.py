@@ -93,6 +93,17 @@ PARITY_QUERIES = [
 ]
 
 
+#: ceiling on the wide-pair relation the driver-side exact recomputes
+#: will collect (mirrors dedup.DRIVER_CC_MAX_EDGES' role): the
+#: recomputes are O(rounds * E) pure Python after an Arrow transfer,
+#: and derived pair density grows ~M^2 — above this, record a skip
+#: instead of OOMing the driver hours into a timing run. x320 measured
+#: 12.56M pairs and completed comfortably; 24M is ~2x that headroom.
+GRAPH_PARITY_MAX_EDGES = int(
+    os.environ.get("SPARK_GRAFT_GRAPH_PARITY_MAX_EDGES", 24_000_000)
+)
+
+
 def _graph_consumer_parity(spark, xm_dir: str) -> dict:
     """Value parity for the wide-relation graph consumers at xM
     (r16 verdict item 5): distributed clusters_star and kcore vs
@@ -123,6 +134,16 @@ def _graph_consumer_parity(spark, xm_dir: str) -> dict:
     wide = q_dedup_simhash_wide_pairs(spark, xm_dir).localCheckpoint(
         eager=True
     )
+    n_wide = wide.count()
+    if n_wide > GRAPH_PARITY_MAX_EDGES:
+        return {
+            "wide_pairs": n_wide,
+            "skipped": (
+                f"wide-pair relation exceeds the driver recompute "
+                f"ceiling ({n_wide} > {GRAPH_PARITY_MAX_EDGES}); "
+                f"raise SPARK_GRAFT_GRAPH_PARITY_MAX_EDGES to force"
+            ),
+        }
     pdf = wide.select("doc_id_1", "doc_id_2").toPandas()
     edges = list(zip(pdf["doc_id_1"].tolist(), pdf["doc_id_2"].tolist()))
 
@@ -271,21 +292,24 @@ def main() -> None:
         argv = argv[:i] + argv[i + 2:]
     m = int(argv[0]) if argv else 32
 
+    # validate names BEFORE paying the SparkSession spin-up: only the
+    # query registry is needed for the green-by-vacuity guard
+    # (check_prebuilt rule; r17 ADVICE)
+    qs = {**entrymod.queries(), **_extra_probes()}
+    oracles = entrymod.oracle_sql()
+    unknown = sorted(
+        (set(timing_names) | set(parity_names)) - set(qs)
+    )
+    if unknown:
+        print(f"ERROR: unknown queries: {unknown}")
+        raise SystemExit(2)
+
     # private warehouse: hermetic against concurrent pytest/sweeps
     wh = tempfile.mkdtemp(prefix="tfdp-wh-gate-")
     spark = get_spark("scaleup-gate", warehouse_dir=wh)
     # single-file derived tables are only as parallel as their row
     # groups — split to row-group granularity (the r15 layout lesson)
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(2 * 1024 * 1024))
-
-    qs = {**entrymod.queries(), **_extra_probes()}
-    oracles = entrymod.oracle_sql()
-    unknown = sorted(
-        (set(timing_names) | set(parity_names)) - set(qs)
-    )
-    if unknown:  # green-by-vacuity guard (the check_prebuilt rule)
-        print(f"ERROR: unknown queries: {unknown}")
-        raise SystemExit(2)
 
     out_dir = tempfile.mkdtemp(prefix="scaleup_gate_sf_")
     result: dict = {"m": m}
@@ -319,8 +343,16 @@ def main() -> None:
         # extreme-M oracles (r=4 banding at 1.6M docs ≈ 43M candidate
         # pairs) OOM-kill the in-process DuckDB without a cap: bound
         # it and let joins SPILL instead (measured: 77 GB RSS kill at
-        # x320 before this)
-        con.execute("SET memory_limit='40GB'")
+        # x320 before this). Cap at half of physical RAM so a smaller
+        # host still gets the protection (r17 ADVICE); override via
+        # SPARK_GRAFT_DUCK_MEM (e.g. '24GB').
+        duck_mem = os.environ.get("SPARK_GRAFT_DUCK_MEM")
+        if not duck_mem:
+            total_gb = (
+                os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+            ) // (1 << 30)
+            duck_mem = f"{max(4, min(40, total_gb // 2))}GB"
+        con.execute(f"SET memory_limit='{duck_mem}'")
         con.execute(f"SET temp_directory='{out_dir}/duckspill'")
         for t in TABLES:
             con.execute(
@@ -364,10 +396,22 @@ def main() -> None:
         graph_fails = 0
         if run_graph:
             t_g = time.perf_counter()
-            gp = _graph_consumer_parity(spark, out_dir)
+            # a mid-section crash (driver OOM, Arrow failure) must not
+            # discard the completed timing + parity results above:
+            # record it in the artifact and exit non-zero (r17 ADVICE)
+            try:
+                gp = _graph_consumer_parity(spark, out_dir)
+            except Exception as exc:  # noqa: BLE001
+                gp = {"error": str(exc)[:500]}
+                graph_fails = 1
+                print(f"  FAIL graph section: {exc}", file=sys.stderr)
             gp["wall_s"] = round(time.perf_counter() - t_g, 1)
             result["graph_consumer_parity"] = gp
+            if "skipped" in gp:  # documented bound, not a failure
+                print(f"  skip graph: {gp['skipped']}", file=sys.stderr)
             for name in ("clusters_star", "kcore", "pagerank"):
+                if name not in gp:
+                    continue
                 verdict = "ok  " if gp[name]["match"] else "FAIL"
                 print(f"  {verdict} graph {name}: {gp[name]}",
                       file=sys.stderr)
