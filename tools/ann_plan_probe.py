@@ -5,6 +5,11 @@ at sf0.1, count their exchanges / scans / join strategies, and record
 solo timings, so "unchanged code, moving wall-time" can be attributed
 to runner state (identical plans) or bisected (changed plans).
 
+r18 (VERDICT r17 item 5) widens the pinned set to the three heaviest
+dedup queries — dedup_minhash_lsh, dedup_containment,
+dedup_simhash_wide_pairs — so the dedup family carries the same
+byte-identical-plan attribution evidence the ANN trio has.
+
     python tools/ann_plan_probe.py            # writes PLANPROBE_r14.json
     BENCH_ROUND=15 python tools/ann_plan_probe.py
 
@@ -30,7 +35,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 ROUND = os.environ.get("BENCH_ROUND", "14")
-NAMES = ["knn_ivfpq", "ivf_knn", "knn_bruteforce_cosine"]
+NAMES = [
+    "knn_ivfpq",
+    "ivf_knn",
+    "knn_bruteforce_cosine",
+    "dedup_minhash_lsh",
+    "dedup_containment",
+    "dedup_simhash_wide_pairs",
+]
 RUNS = 5
 
 FEATURES = [
