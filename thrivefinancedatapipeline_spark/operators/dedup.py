@@ -1479,8 +1479,12 @@ shl AS (SELECT doc_id,
                list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
                               for i in range(1, len(toks) - 1)]) AS shs
         FROM docs WHERE len(toks) >= 3),
-sh AS (SELECT doc_id, unnest(shs) AS sh FROM shl)
+sh AS MATERIALIZED (SELECT doc_id, unnest(shs) AS sh FROM shl)
 """.strip()
+# ^ MATERIALIZED: every consumer references sh 2-4 times, and DuckDB
+# inlines plain CTEs per reference — at the x320 gate the re-evaluated
+# shingle pipeline turned a 15 s verify into a 5-minute timeout
+# (measured at x32: sh+shi materialized 11.8 s vs >300 s inlined).
 
 # The verify leg dictionary-encodes shingles to DENSE integer ids
 # (row_number over distinct — exact, collision-free) before the
@@ -1492,7 +1496,8 @@ sh AS (SELECT doc_id, unnest(shs) AS sh FROM shl)
 _VERIFY_SQL = f"""
 sdict AS (SELECT sh, row_number() OVER (ORDER BY sh) AS sid
           FROM (SELECT DISTINCT sh FROM sh) u),
-shi AS (SELECT s.doc_id, d.sid FROM sh s JOIN sdict d USING (sh)),
+shi AS MATERIALIZED (SELECT s.doc_id, d.sid
+                     FROM sh s JOIN sdict d USING (sh)),
 cnt AS (SELECT doc_id, count(*) AS c FROM shi GROUP BY doc_id),
 common AS (
   SELECT p.doc_id_1, p.doc_id_2, count(*) AS common_shingles
@@ -2025,7 +2030,8 @@ cand AS (
 ),
 sdict AS (SELECT sh, row_number() OVER (ORDER BY sh) AS sid
           FROM (SELECT DISTINCT sh FROM sh) u),
-shi AS (SELECT s.doc_id, d.sid FROM sh s JOIN sdict d USING (sh)),
+shi AS MATERIALIZED (SELECT s.doc_id, d.sid
+                     FROM sh s JOIN sdict d USING (sh)),
 cnt AS (SELECT doc_id, count(*) AS c FROM shi GROUP BY doc_id),
 common AS (
   SELECT p.doc_id_1, p.doc_id_2, count(*) AS common_shingles
