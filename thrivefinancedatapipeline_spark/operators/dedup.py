@@ -1487,32 +1487,38 @@ sh AS MATERIALIZED (SELECT doc_id, unnest(shs) AS sh FROM shl)
 # (measured at x32: sh+shi materialized 11.8 s vs >300 s inlined).
 
 # The verify leg dictionary-encodes shingles to DENSE integer ids
-# (row_number over distinct — exact, collision-free) before the
-# candidate probe: the cand x shingle intermediate is ~sum(c1) rows
-# (2.2B at the x320 gate), and carrying a ~16-char gram string
-# through that join spilled ~130 GB (over the 73 GB disk) where the
-# 3-int row form stays within spill budget. Output is value-identical
-# — ids only mediate the equality the strings would have decided.
+# (row_number over distinct — exact, collision-free), then carries
+# each doc's ids as ONE sorted int list and intersects per candidate
+# pair. The earlier row-form verify (cand x shingle-row join + 43M-
+# group aggregate) let DuckDB pick the exploded ~2.2B-row
+# intermediate as a hash-join BUILD side at the x320 gate and spill
+# past the disk (measured: 65 GB exhausted). In list form both joins
+# build on the doc-level `sets` relation (~1.6M rows x ~600 B at
+# x320) and the 43M-pair probe STREAMS — nothing large is ever
+# materialized. Output is value-identical: ids only mediate the
+# equality the gram strings would have decided, and the lists are
+# distinct by construction so len(list_intersect(..)) is exactly the
+# shared-gram count.
 _VERIFY_SQL = f"""
 sdict AS (SELECT sh, row_number() OVER (ORDER BY sh) AS sid
           FROM (SELECT DISTINCT sh FROM sh) u),
-shi AS MATERIALIZED (SELECT s.doc_id, d.sid
-                     FROM sh s JOIN sdict d USING (sh)),
-cnt AS (SELECT doc_id, count(*) AS c FROM shi GROUP BY doc_id),
+sets AS MATERIALIZED (
+  SELECT s.doc_id, list_sort(list(d.sid)) AS sids, count(*) AS c
+  FROM sh s JOIN sdict d USING (sh)
+  GROUP BY s.doc_id),
 common AS (
-  SELECT p.doc_id_1, p.doc_id_2, count(*) AS common_shingles
+  SELECT p.doc_id_1, p.doc_id_2,
+         len(list_intersect(a.sids, b.sids)) AS common_shingles,
+         a.c AS c1, b.c AS c2
   FROM cand p
-  JOIN shi s1 ON s1.doc_id = p.doc_id_1
-  JOIN shi s2 ON s2.doc_id = p.doc_id_2 AND s2.sid = s1.sid
-  GROUP BY p.doc_id_1, p.doc_id_2
+  JOIN sets a ON a.doc_id = p.doc_id_1
+  JOIN sets b ON b.doc_id = p.doc_id_2
 )
 SELECT doc_id_1, doc_id_2, common_shingles,
-       c1.c AS shingles_1, c2.c AS shingles_2
+       c1 AS shingles_1, c2 AS shingles_2
 FROM common
-JOIN cnt c1 ON doc_id_1 = c1.doc_id
-JOIN cnt c2 ON doc_id_2 = c2.doc_id
 WHERE {JACCARD_DEN} * common_shingles
-      >= {JACCARD_NUM} * (c1.c + c2.c - common_shingles)
+      >= {JACCARD_NUM} * (c1 + c2 - common_shingles)
 """.strip()
 
 _MIN_AGGS = ",\n       ".join(
@@ -2030,27 +2036,27 @@ cand AS (
 ),
 sdict AS (SELECT sh, row_number() OVER (ORDER BY sh) AS sid
           FROM (SELECT DISTINCT sh FROM sh) u),
-shi AS MATERIALIZED (SELECT s.doc_id, d.sid
-                     FROM sh s JOIN sdict d USING (sh)),
-cnt AS (SELECT doc_id, count(*) AS c FROM shi GROUP BY doc_id),
+sets AS MATERIALIZED (
+  SELECT s.doc_id, list_sort(list(d.sid)) AS sids, count(*) AS c
+  FROM sh s JOIN sdict d USING (sh)
+  GROUP BY s.doc_id),
 common AS (
-  SELECT p.doc_id_1, p.doc_id_2, count(*) AS common_shingles
+  SELECT p.doc_id_1, p.doc_id_2,
+         len(list_intersect(a.sids, b.sids)) AS common_shingles,
+         a.c AS c1, b.c AS c2
   FROM cand p
-  JOIN shi s1 ON s1.doc_id = p.doc_id_1
-  JOIN shi s2 ON s2.doc_id = p.doc_id_2 AND s2.sid = s1.sid
-  GROUP BY p.doc_id_1, p.doc_id_2
+  JOIN sets a ON a.doc_id = p.doc_id_1
+  JOIN sets b ON b.doc_id = p.doc_id_2
 )
 SELECT doc_id_1, doc_id_2, common_shingles,
-       c1.c AS shingles_1, c2.c AS shingles_2,
-       CAST(common_shingles * 1000000 // c1.c AS BIGINT)
+       c1 AS shingles_1, c2 AS shingles_2,
+       CAST(common_shingles * 1000000 // c1 AS BIGINT)
          AS contain_1_ppm,
-       CAST(common_shingles * 1000000 // c2.c AS BIGINT)
+       CAST(common_shingles * 1000000 // c2 AS BIGINT)
          AS contain_2_ppm
 FROM common
-JOIN cnt c1 ON doc_id_1 = c1.doc_id
-JOIN cnt c2 ON doc_id_2 = c2.doc_id
 WHERE {CONTAIN_DEN} * common_shingles
-      >= {CONTAIN_NUM} * least(c1.c, c2.c)"""
+      >= {CONTAIN_NUM} * least(c1, c2)"""
 
 
 AUDIT_MOD = 8  # content-key residue classes kept in the audit sample
