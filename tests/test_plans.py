@@ -491,3 +491,33 @@ def test_ann_family_final_adaptive_plan_shape(spark, sf_dir):
             + p.count("Exchange rangepartitioning")
         )
         assert moved <= max_shuffles, (name, moved)
+
+
+def test_dedup_family_final_adaptive_plan_shape(spark, sf_dir):
+    """The r18 widening of the plan-attribution pin set (VERDICT r17
+    item 5): the three heaviest dedup queries' FINAL adaptive plans
+    contain zero sort-merge joins, zero cartesian products, and no
+    more data-movement shuffles than the PLANPROBE_r18 shape (7 / 7 /
+    0 hash exchanges — identical at sf0.001 and sf0.1, verified both).
+    The checkpointed-shingle base severs scan lineage, so exchange and
+    join-strategy counts are the pin, not scans."""
+    from thrivefinancedatapipeline_spark.operators import dedup
+
+    budgets = {
+        "dedup_minhash_lsh": (dedup.q_dedup_minhash_lsh, 7),
+        "dedup_containment": (dedup.dedup_containment, 7),
+        "dedup_simhash_wide_pairs": (dedup.q_dedup_simhash_wide_pairs, 0),
+    }
+    for name, (fn, max_shuffles) in budgets.items():
+        df = fn(spark, sf_dir)
+        df.collect()
+        p = explain(df, mode="simple")
+        assert "isFinalPlan=true" in p, name
+        assert "SortMergeJoin" not in p, name
+        assert "CartesianProduct" not in p, name
+        moved = (
+            p.count("Exchange hashpartitioning")
+            + p.count("Exchange SinglePartition")
+            + p.count("Exchange rangepartitioning")
+        )
+        assert moved <= max_shuffles, (name, moved)
