@@ -76,6 +76,39 @@ def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _host_sample() -> dict:
+    """Cheap host-pressure snapshot (PSI totals, loadavg, steal ticks)
+    so an elevated bench window is attributed by MEASUREMENT instead of
+    per-query-ratio inference (r17/r18 both lost hours to transient
+    24-33 s oscillation on identical code with ps/free/uptime clean).
+    PSI totals are cumulative microseconds of stall; per-query deltas
+    land in the artifact next to the timings."""
+    out: dict = {}
+    try:
+        with open("/proc/loadavg") as fh:
+            out["load1"] = float(fh.read().split()[0])
+    except (OSError, ValueError, IndexError):
+        pass
+    for res in ("cpu", "io"):
+        try:
+            with open(f"/proc/pressure/{res}") as fh:
+                for line in fh:
+                    kind, *kv = line.split()
+                    tot = dict(p.split("=") for p in kv).get("total")
+                    if kind == "some" and tot is not None:
+                        out[f"psi_{res}_some_us"] = int(tot)
+        except (OSError, ValueError):
+            pass
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()  # aggregate cpu line
+            if parts and parts[0] == "cpu" and len(parts) > 8:
+                out["steal_ticks"] = int(parts[8])
+    except (OSError, ValueError):
+        pass
+    return out
+
+
 def main() -> None:
     from thrivefinancedatapipeline_spark.session import get_spark
 
@@ -96,6 +129,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     runs_used: dict[str, int] = {}
+    host: dict[str, dict] = {}
     for name in HEADLINE:
         # One UNTIMED warmup first: the r4 data showed 20/31 queries
         # with spread > 30% of median, dominated by the first run's
@@ -111,6 +145,7 @@ def main() -> None:
         # inflates later ones (events_funnel measured 1.33 s late in a
         # bench run vs 1.06 s in a fresh JVM)
         spark._jvm.System.gc()
+        h0 = _host_sample()
         runs = []
 
         def timed_run() -> None:
@@ -150,6 +185,13 @@ def main() -> None:
         timings[name] = round(runs[len(runs) // 2], 3)
         spreads[name] = round(spread_of(runs), 3)
         runs_used[name] = len(runs)
+        h1 = _host_sample()
+        hq = {"load1": h1.get("load1")}
+        for k in ("psi_cpu_some_us", "psi_io_some_us", "steal_ticks"):
+            if k in h0 and k in h1:
+                hq[k.replace("_us", "_d_us").replace(
+                    "_ticks", "_d_ticks")] = h1[k] - h0[k]
+        host[name] = hq
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -167,6 +209,11 @@ def main() -> None:
         "warmup_runs": 1,
         "aggregation": "median",
         "sf": sf_val,
+        # per-query host-pressure deltas (PSI stall us, steal ticks,
+        # load1 at query end): attribution evidence for elevated-wall
+        # windows — appended last so the lead fields stay
+        # truncation-safe
+        "host": host,
     }
     print(json.dumps(out))
     # The driver's BENCH_r0N.json capture has truncated the LINE START

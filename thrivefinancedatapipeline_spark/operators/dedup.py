@@ -280,22 +280,97 @@ def minhash_bands_for(docs: DataFrame) -> DataFrame:
     return _minhash_bands(_minhash_signatures(_shingle_rows(docs)))
 
 
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidates (4 bands x 4 rows), exact-verified.
-    localCheckpoint over persist for the shared shingle relation: same
-    compute-once materialization, no pinned cache after the result is
-    released (see q_dedup_ngram_jaccard)."""
-    sh = _shingle_rows(_docs(spark, sf_dir)).localCheckpoint(eager=True)
-    bands = _minhash_bands(_minhash_signatures(sh))
-    b1 = bands.select(F.col("doc_id").alias("doc_id_1"), "band", "key")
-    b2 = bands.select(F.col("doc_id").alias("doc_id_2"), "band", "key")
+def _minhash_per_doc(sh: DataFrame) -> DataFrame:
+    """ONE groupBy(doc_id) computing the minhash signature AND the
+    verify-side shingle array/count together (r19, guide §2.4): the
+    old shape aggregated the exploded shingle relation twice (16
+    min-aggs for signatures, collect_list for verify) behind a
+    localCheckpoint of the raw (doc_id, shingle-string) rows. Merging
+    the two aggregations removes one full shuffle of the shingle
+    relation and the fat checkpoint of its exploded form — the
+    checkpoint now holds one row per DOC (signature + shingle set),
+    computed in a single pass. Candidate generation and verify both
+    read this relation. Output-identical (signatures and arrays are
+    unchanged; collect_list order was already join-irrelevant)."""
+    h = md5_long(F.col("sh")) % P
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(A[j]) * h + F.lit(B[j])) % P).alias(f"m{j}")
+            for j in range(K)
+        ],
+        F.collect_list("sh").alias("shs"),
+        F.count("*").alias("c"),
+    )
+
+
+def _minhash_bands_packed(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, k0, k1) banding with EXACT integer keys: each
+    band's 4 mins pack pairwise as m*P + m' (injective — every m < P),
+    so the band self-join compares two BIGINTs instead of a ~40-char
+    concat string (r19, guide §2.3 narrower shuffle keys: ~16 bytes
+    vs ~40+ per band row at every corpus scale). Identical candidate
+    set by construction — (band, k0, k1) equality <=> the 4-min tuple
+    equality <=> the string-key equality the persisted-index paths
+    still use (their on-disk key format is unchanged)."""
+    structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            (F.col(f"m{b * R}") * P + F.col(f"m{b * R + 1}")).alias("k0"),
+            (F.col(f"m{b * R + 2}") * P + F.col(f"m{b * R + 3}")).alias("k1"),
+        )
+        for b in range(NB)
+    ]
+    return sig.select(
+        "doc_id", F.explode(F.array(*structs)).alias("bk")
+    ).select("doc_id", "bk.band", "bk.k0", "bk.k1")
+
+
+def _banded_verified(per_doc: DataFrame) -> tuple:
+    """(candidate pairs, a1, a2) from the merged per-doc relation —
+    the shared candidate+verify scaffolding of q_dedup_minhash_lsh and
+    dedup_containment (one banding serves both measures)."""
+    bands = _minhash_bands_packed(per_doc)
+    b1 = bands.select(F.col("doc_id").alias("doc_id_1"), "band", "k0", "k1")
+    b2 = bands.select(F.col("doc_id").alias("doc_id_2"), "band", "k0", "k1")
     cand = (
-        b1.join(b2, ["band", "key"])
+        b1.join(b2, ["band", "k0", "k1"])
         .filter(F.col("doc_id_1") < F.col("doc_id_2"))
         .select("doc_id_1", "doc_id_2")
         .distinct()
     )
-    return _verified_pairs(cand, sh)
+    a1 = per_doc.select(
+        F.col("doc_id").alias("doc_id_1"), F.col("shs").alias("shs1"),
+        F.col("c").alias("shingles_1"),
+    )
+    a2 = per_doc.select(
+        F.col("doc_id").alias("doc_id_2"), F.col("shs").alias("shs2"),
+        F.col("c").alias("shingles_2"),
+    )
+    return cand, a1, a2
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates (4 bands x 4 rows), exact-verified.
+    Single merged per-doc aggregation + packed integer band keys (see
+    _minhash_per_doc / _minhash_bands_packed); localCheckpoint over
+    persist for the shared per-doc relation: same compute-once
+    materialization, no pinned cache after the result is released
+    (see q_dedup_ngram_jaccard)."""
+    sh = _shingle_rows(_docs(spark, sf_dir))
+    per_doc = _minhash_per_doc(sh).localCheckpoint(eager=True)
+    cand, a1, a2 = _banded_verified(per_doc)
+    common = F.size(F.array_intersect(F.col("shs1"), F.col("shs2"))).cast("long")
+    return (
+        cand.join(a1, "doc_id_1")
+        .join(a2, "doc_id_2")
+        .withColumn("common_shingles", common)
+        .filter(
+            JACCARD_DEN * F.col("common_shingles")
+            >= JACCARD_NUM
+            * (F.col("shingles_1") + F.col("shingles_2") - F.col("common_shingles"))
+        )
+        .select("doc_id_1", "doc_id_2", "common_shingles", "shingles_1", "shingles_2")
+    )
 
 
 #: SINGLE-pass simhash: one aggregate over the token-hash array with a
@@ -308,10 +383,15 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: 1.5 s at sf0.1 for identical output. Majority test `2*count >
 #: n_tokens` ≡ the ±1-sum-positive rule.
 def _sim_counts(col: str) -> str:
+    # r19: the per-token accumulator step is transform-with-index over
+    # acc — ONE array op per token instead of the old three
+    # (sequence + transform + zip_with allocated two scratch arrays per
+    # token before combining). Interpreted-HOF cost is per array op:
+    # measured 0.80 s → 0.62 s for the simhash projection at sf0.1,
+    # bit-identical output (guide §1 measure-first; §4 "per-task work").
     return (
         f"aggregate({col}, array_repeat(0, {SIMHASH_BITS}), (acc, h) -> "
-        f"zip_with(acc, transform(sequence(0, {SIMHASH_BITS - 1}), "
-        f"i -> CAST((h >> i) & 1 AS INT)), (a, b) -> a + b))"
+        f"transform(acc, (a, i) -> a + CAST((h >> i) & 1 AS INT)))"
     )
 
 
@@ -325,8 +405,7 @@ def _sim_pack(col: str) -> str:
     expression (ADVICE r14). ``col`` must not collide with the lambda
     variables (acc, h, c, i, a, b)."""
     return (
-        f"aggregate(zip_with({_sim_counts(col)}, "
-        f"sequence(0, {SIMHASH_BITS - 1}), "
+        f"aggregate(transform({_sim_counts(col)}, "
         f"(c, i) -> IF(2 * c > size({col}), CAST(1 AS BIGINT) << i, "
         f"CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, b) -> a | b)"
     )
@@ -1971,27 +2050,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     DF-capped jaccard index); verify swaps the Jaccard filter for
     integer containment on both directions, emitting per-side
     containment ppm so the consumer sees WHICH side is swallowed."""
-    sh = _shingle_rows(_docs(spark, sf_dir)).localCheckpoint(eager=True)
-    bands = _minhash_bands(_minhash_signatures(sh))
-    b1 = bands.select(F.col("doc_id").alias("doc_id_1"), "band", "key")
-    b2 = bands.select(F.col("doc_id").alias("doc_id_2"), "band", "key")
-    cand = (
-        b1.join(b2, ["band", "key"])
-        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
-        .select("doc_id_1", "doc_id_2")
-        .distinct()
-    )
-    arrs = sh.groupBy("doc_id").agg(
-        F.collect_list("sh").alias("shs"), F.count("*").alias("c")
-    )
-    a1 = arrs.select(
-        F.col("doc_id").alias("doc_id_1"), F.col("shs").alias("shs1"),
-        F.col("c").alias("shingles_1"),
-    )
-    a2 = arrs.select(
-        F.col("doc_id").alias("doc_id_2"), F.col("shs").alias("shs2"),
-        F.col("c").alias("shingles_2"),
-    )
+    sh = _shingle_rows(_docs(spark, sf_dir))
+    per_doc = _minhash_per_doc(sh).localCheckpoint(eager=True)
+    cand, a1, a2 = _banded_verified(per_doc)
     common = F.size(
         F.array_intersect(F.col("shs1"), F.col("shs2"))
     ).cast("long")

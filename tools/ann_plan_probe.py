@@ -65,6 +65,35 @@ def _plan(df) -> str:
     return buf.getvalue()
 
 
+def _host_sample() -> dict:
+    """Host-pressure snapshot (see bench.py:_host_sample) — per-query
+    deltas attribute elevated-wall windows by measurement."""
+    out: dict = {}
+    try:
+        with open("/proc/loadavg") as fh:
+            out["load1"] = float(fh.read().split()[0])
+    except (OSError, ValueError, IndexError):
+        pass
+    for res in ("cpu", "io"):
+        try:
+            with open(f"/proc/pressure/{res}") as fh:
+                for line in fh:
+                    kind, *kv = line.split()
+                    tot = dict(p.split("=") for p in kv).get("total")
+                    if kind == "some" and tot is not None:
+                        out[f"psi_{res}_some_us"] = int(tot)
+        except (OSError, ValueError):
+            pass
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+            if parts and parts[0] == "cpu" and len(parts) > 8:
+                out["steal_ticks"] = int(parts[8])
+    except (OSError, ValueError):
+        pass
+    return out
+
+
 def main() -> int:
     import __spark_entry__ as entrymod
 
@@ -81,15 +110,23 @@ def main() -> int:
         counts = {f: plan.count(f) for f in FEATURES}
         counts["isFinalPlan"] = "isFinalPlan=true" in plan
         times = []
+        h0 = _host_sample()
         for _ in range(RUNS):
             df = qs[name](spark, SF_DIR)
             t0 = time.perf_counter()
             df.collect()
             times.append(round(time.perf_counter() - t0, 3))
             spark.catalog.clearCache()
+        h1 = _host_sample()
+        hq = {"load1": h1.get("load1")}
+        for k in ("psi_cpu_some_us", "psi_io_some_us", "steal_ticks"):
+            if k in h0 and k in h1:
+                hq[k.replace("_us", "_d_us").replace(
+                    "_ticks", "_d_ticks")] = h1[k] - h0[k]
         trimmed = sorted(times)[1:-1]
         out["queries"][name] = {
             "plan_counts": counts,
+            "host": hq,
             "runs_sec": times,
             "min": min(times),
             "median": statistics.median(times),
