@@ -19,6 +19,11 @@ from __future__ import annotations
 
 import hashlib
 
+# module-level so the pandas-UDF kernels' type hints (string
+# annotations under `from __future__ import annotations`) resolve in
+# this module's globals at decoration time
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -376,27 +381,27 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     N_PROBE nearest cells and exact-ranks only those candidates — the
     100 TB shape for billion-vector search.
 
-    Cell assignment and probing are per-row PROJECTIONS against the
-    literal trained centroids (array_min / array_sort over a 64-term
-    integer distance array — no shuffle, no per-vector window). Only
-    the candidate join and the final top-k window shuffle, both on the
-    pruned candidate set. Recomputing the vector relation beats
-    caching — wide array columns cost more to materialize columnar
-    than to re-scan (measured, not assumed)."""
+    Cell assignment and probing are per-batch vectorized kernels
+    against the trained centroids (exact int64 numpy inside a pandas
+    UDF — no shuffle, no per-vector window; see the r19 kernel section
+    above for the measured interpreted-HOF → numpy win and the
+    bit-identical tie-break argument). Only the candidate join and the
+    final top-k window shuffle, both on the pruned candidate set.
+    Recomputing the vector relation beats caching — wide array columns
+    cost more to materialize columnar than to re-scan (measured, not
+    assumed)."""
     iv = _int_vecs(spark, sf_dir)
     cents = _trained_centroids_cached(spark, sf_dir, iv)
-    structs = _cell_structs(cents)
     asg = iv.select(
         F.col("vec_id").alias("neighbor_id"),
-        F.array_min(structs).getField("cell").alias("cell"),
+        pd_assign_cells(cents)("xi").alias("cell"),
     )
     probe = (
         iv.filter(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
-            F.explode(F.slice(F.array_sort(structs), 1, N_PROBE)).alias("pc"),
+            F.explode(pd_probe_cells(cents, N_PROBE)("xi")).alias("cell"),
         )
-        .select("query_id", F.col("pc.cell").alias("cell"))
     )
     e = _vectors(spark, sf_dir)
     qv = e.filter(F.col("vec_id") < N_QUERIES).select(
@@ -816,6 +821,215 @@ def _pq_lut_expr(books: list, col: str = "xi"):
     return F.expr("array(" + ",".join(entries) + ")")
 
 
+# ---------------------------------------------------------------------------
+# r19 vectorized exact-integer kernels (guide §4.2): the quantizer
+# replay math (coarse assign, probe ranking, PQ encode, ADC LUT) moves
+# from per-row interpreted HOF folds to whole-batch numpy int64 inside
+# pandas UDFs. Two measured costs disappear: (1) the interpreted
+# lambda evaluation (~1600 array ops per row — HOFs never enter
+# whole-stage codegen), and (2) the driver-side parse/analysis of the
+# multi-KB literal expression trees on every query construction
+# (~1.0 s of knn_ivfpq's wall at sf0.1 was F.expr parsing). Arithmetic
+# is UNCHANGED: same int64 sums/products (||x||² - 2x·c + ||c||² is
+# exact and overflow-free at |x| < 2^21 per coordinate), same
+# first-min tie-breaks (np.argmin returns the first minimum and every
+# centroid list is sorted by cell, so ties resolve toward the lowest
+# cell/flat index exactly like the (d, cell) struct-min), same
+# lexsort-by-(d, cell) probe order as slice(array_sort(...)).
+# knn_ivfpq measured 3.23 s → 1.32 s at sf0.1, output bit-identical
+# (tests/test_ann_kernels_r19.py pins kernel == expression parity).
+# The expression builders above remain the executable reference
+# implementations those parity tests compare against.
+# ---------------------------------------------------------------------------
+
+
+def _np_stack(s):
+    return np.array(s.tolist(), dtype=np.int64)
+
+
+def _coarse_np(coarse):
+    return (
+        np.array([c for c, _ in coarse], dtype=np.int64),
+        np.array([cv for _, cv in coarse], dtype=np.int64),
+    )
+
+
+def _np_d2(X, C):
+    """Exact int64 squared-L2 matrix: ||x||² - 2x·c + ||c||² equals
+    Σ(x-c)² term-for-term in integer arithmetic (no rounding), and
+    every term fits int64 at micro-scaled coordinates."""
+    return (
+        (X * X).sum(axis=1, dtype="int64")[:, None]
+        - 2 * (X @ C.T)
+        + (C * C).sum(axis=1, dtype="int64")[None, :]
+    )
+
+
+def _books_np(books):
+    """[(flat_offset, centroid_matrix)] per subspace — flat 1-based
+    code/LUT indexing identical to _pq_encode_expr/_pq_lut_expr."""
+    out, off = [], 0
+    for book in books:
+        out.append((off, np.array([cv for _, cv in book], dtype=np.int64)))
+        off += len(book)
+    return out
+
+
+def pd_assign_cells(coarse, with_d2: bool = False):
+    """pandas UDF: xi -> nearest coarse cell (int), or
+    struct<cell, d2> when the caller also needs the distance
+    (coreset). First-min ties toward the lowest cell."""
+    cells, C = _coarse_np(coarse)
+    if not with_d2:
+
+        @F.pandas_udf("int")
+        def k(xi: pd.Series) -> pd.Series:
+            X = _np_stack(xi)
+            return pd.Series(
+                cells[np.argmin(_np_d2(X, C), axis=1)].astype("int32")
+            )
+
+        return k
+
+    @F.pandas_udf("cell int, d2 bigint")
+    def k2(xi: pd.Series) -> pd.DataFrame:
+        X = _np_stack(xi)
+        d2 = _np_d2(X, C)
+        idx = np.argmin(d2, axis=1)
+        return pd.DataFrame(
+            {
+                "cell": cells[idx].astype("int32"),
+                "d2": d2[np.arange(len(idx)), idx],
+            }
+        )
+
+    return k2
+
+
+def pd_probe_cells(coarse, n_probe: int):
+    """pandas UDF: xi -> the n_probe nearest cells ordered by
+    (d2 asc, cell asc) — the probe list slice(array_sort(structs))
+    produced."""
+    cells, C = _coarse_np(coarse)
+
+    @F.pandas_udf("array<int>")
+    def k(xi: pd.Series) -> pd.Series:
+        X = _np_stack(xi)
+        d2 = _np_d2(X, C)
+        out = []
+        for r in range(X.shape[0]):
+            order = np.lexsort((cells, d2[r]))[:n_probe]
+            out.append([int(c) for c in cells[order]])
+        return pd.Series(out)
+
+    return k
+
+
+def pd_pq_encode(books):
+    """pandas UDF: integer vector -> PQ codes (flat 1-based indices),
+    one argmin per subspace — _pq_encode_expr's exact twin."""
+    books_np = _books_np(books)
+
+    @F.pandas_udf("array<int>")
+    def k(col: pd.Series) -> pd.Series:
+        X = _np_stack(col)
+        codes = np.empty((X.shape[0], len(books_np)), dtype=np.int32)
+        for m, (off, B) in enumerate(books_np):
+            sub = X[:, m * PQ_SUB : (m + 1) * PQ_SUB]
+            codes[:, m] = off + np.argmin(_np_d2(sub, B), axis=1) + 1
+        return pd.Series(list(codes))
+
+    return k
+
+
+def pd_pq_lut(books):
+    """pandas UDF: query vector (raw or residual) -> flat ADC lookup
+    table — _pq_lut_expr's exact twin."""
+    books_np = _books_np(books)
+
+    @F.pandas_udf("array<bigint>")
+    def k(col: pd.Series) -> pd.Series:
+        X = _np_stack(col)
+        lut = np.concatenate(
+            [
+                _np_d2(X[:, m * PQ_SUB : (m + 1) * PQ_SUB], B)
+                for m, (_off, B) in enumerate(books_np)
+            ],
+            axis=1,
+        )
+        return pd.Series(list(lut))
+
+    return k
+
+
+def pd_ivfpq_encode(coarse, books):
+    """pandas UDF: xi -> struct<cell, codes>: coarse assign, exact
+    integer residual, residual PQ encode — one boundary crossing for
+    the whole encode pass."""
+    cells, C = _coarse_np(coarse)
+    books_np = _books_np(books)
+
+    @F.pandas_udf("cell int, codes array<int>")
+    def k(xi: pd.Series) -> pd.DataFrame:
+        X = _np_stack(xi)
+        idx = np.argmin(_np_d2(X, C), axis=1)
+        R = X - C[idx]
+        codes = np.empty((X.shape[0], len(books_np)), dtype=np.int32)
+        for m, (off, B) in enumerate(books_np):
+            sub = R[:, m * PQ_SUB : (m + 1) * PQ_SUB]
+            codes[:, m] = off + np.argmin(_np_d2(sub, B), axis=1) + 1
+        return pd.DataFrame(
+            {"cell": cells[idx].astype("int32"), "codes": list(codes)}
+        )
+
+    return k
+
+
+def pd_ivfpq_probes(coarse, books, n_probe: int):
+    """pandas UDF: query xi -> array of (probed cell, per-cell
+    residual ADC LUT) ordered by (d2, cell) — the query side of the
+    IVFADC scan in one crossing; callers explode."""
+    cells, C = _coarse_np(coarse)
+    books_np = _books_np(books)
+
+    @F.pandas_udf("array<struct<cell:int, lut:array<bigint>>>")
+    def k(xi: pd.Series) -> pd.Series:
+        X = _np_stack(xi)
+        d2 = _np_d2(X, C)
+        out = []
+        for r in range(X.shape[0]):
+            order = np.lexsort((cells, d2[r]))[:n_probe]
+            Q = X[r][None, :] - C[order]
+            luts = np.concatenate(
+                [
+                    _np_d2(Q[:, m * PQ_SUB : (m + 1) * PQ_SUB], B)
+                    for m, (_off, B) in enumerate(books_np)
+                ],
+                axis=1,
+            )
+            out.append(
+                [
+                    {
+                        "cell": int(cells[order[j]]),
+                        "lut": [int(v) for v in luts[j]],
+                    }
+                    for j in range(len(order))
+                ]
+            )
+        return pd.Series(out)
+
+    return k
+
+
+#: unrolled ADC distance: 8 static element_at terms instead of an
+#: interpreted aggregate() fold per candidate pair (CLAUDE.md rule:
+#: unroll small expressions, fold big literal tables — this is 8
+#: terms, fully codegen-able)
+_ADC_EXPR = " + ".join(
+    f"element_at(lut, element_at(codes, {j + 1}))" for j in range(PQ_M)
+)
+
+
 def pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ/ADC two-stage kNN — (query_id, neighbor_id, rank).
 
@@ -838,14 +1052,13 @@ def pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = _pq_codebooks_cached(sf_dir, iv)
     codes = iv.select(
         F.col("vec_id").alias("neighbor_id"),
-        _pq_encode_expr(books).alias("codes"),
+        pd_pq_encode(books)("xi").alias("codes"),
     )
     qlut = iv.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), _pq_lut_expr(books).alias("lut")
+        F.col("vec_id").alias("query_id"),
+        pd_pq_lut(books)("xi").alias("lut"),
     )
-    adc = F.expr(
-        "aggregate(codes, 0L, (acc, i) -> acc + element_at(lut, i))"
-    )
+    adc = F.expr(_ADC_EXPR)
     wp = Window.partitionBy("query_id").orderBy(
         F.col("adc_d2").asc(), F.col("neighbor_id")
     )
@@ -1082,20 +1295,13 @@ def _ivfpq_encode(iv: DataFrame, coarse: list, books: list) -> DataFrame:
     PQ encode against a GIVEN quantizer (no training) — shared by the
     in-query ivfpq_knn, the index build, and the encode-only append
     path."""
-    structs = _cell_structs(coarse)
-    cmap = _coarse_map_expr(coarse)
-    enc = iv.select(
-        F.col("vec_id").alias("neighbor_id"),
-        "xi",
-        F.array_min(structs).getField("cell").alias("cell"),
-    ).withColumn(
-        "res",
-        F.expr(f"zip_with(xi, element_at({cmap}, cell), "
-               "(x, c) -> x - c)"),
-    )
-    return enc.select(
-        "neighbor_id", "cell",
-        _pq_encode_expr(books, col="res").alias("codes"),
+    k = pd_ivfpq_encode(coarse, books)
+    return iv.select(
+        F.col("vec_id").alias("neighbor_id"), k("xi").alias("e")
+    ).select(
+        "neighbor_id",
+        F.col("e.cell").alias("cell"),
+        F.col("e.codes").alias("codes"),
     )
 
 
@@ -1104,28 +1310,15 @@ def _ivfpq_probes(
 ) -> DataFrame:
     """(query_id, cell, lut): each query exploded to its n_probe
     nearest cells with the per-cell residual ADC lookup table."""
-    structs = _cell_structs(coarse)
-    cmap = _coarse_map_expr(coarse)
+    k = pd_ivfpq_probes(coarse, books, n_probe)
     return (
         iv.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), k("xi").alias("ps"))
+        .select("query_id", F.explode("ps").alias("p"))
         .select(
-            F.col("vec_id").alias("query_id"),
-            "xi",
-            F.explode(
-                F.slice(F.array_sort(structs), 1, n_probe)
-            ).alias("pc"),
-        )
-        .select(
-            "query_id", "xi", F.col("pc.cell").alias("cell")
-        )
-        .withColumn(
-            "qres",
-            F.expr(f"zip_with(xi, element_at({cmap}, cell), "
-                   "(x, c) -> x - c)"),
-        )
-        .select(
-            "query_id", "cell",
-            _pq_lut_expr(books, col="qres").alias("lut"),
+            "query_id",
+            F.col("p.cell").alias("cell"),
+            F.col("p.lut").alias("lut"),
         )
     )
 
@@ -1137,9 +1330,7 @@ def _ivfpq_rank(
     relation (inline-computed or read from the persisted index —
     output is identical either way, which is what the index parity
     test pins)."""
-    adc = F.expr(
-        "aggregate(codes, 0L, (acc, i) -> acc + element_at(lut, i))"
-    )
+    adc = F.expr(_ADC_EXPR)
     wp = Window.partitionBy("query_id").orderBy(
         F.col("adc_d2").asc(), F.col("neighbor_id")
     )
@@ -1416,11 +1607,11 @@ def coreset_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     KM_K cells. No window over the corpus, no join at all."""
     iv = _int_vecs(spark, sf_dir)
     cents = _trained_centroids_cached(spark, sf_dir, iv)
-    sel = F.array_min(_cell_structs(cents))
-    asg = iv.select(
+    k = pd_assign_cells(cents, with_d2=True)
+    asg = iv.select("vec_id", k("xi").alias("a")).select(
         "vec_id",
-        sel.getField("cell").alias("cell"),
-        sel.getField("d").alias("d2"),
+        F.col("a.cell").alias("cell"),
+        F.col("a.d2").alias("d2"),
     )
     return (
         asg.groupBy("cell")
@@ -2001,25 +2192,33 @@ def ivfpq_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     iv = _int_vecs(spark, sf_dir)
     coarse = _trained_centroids_cached(spark, sf_dir, iv)
     books = _ivfpq_books_cached(sf_dir, iv, coarse)
-    structs = _cell_structs(coarse)
-    cmap = _coarse_map_expr(coarse)
-    enc = iv.select(
-        "vec_id",
-        "xi",
-        F.array_min(structs).getField("cell").alias("cell"),
-    ).withColumn(
-        "res",
-        F.expr(
-            f"zip_with(xi, element_at({cmap}, cell), (x, c) -> x - c)"
-        ),
-    )
-    per_vec = enc.select(
-        "cell",
-        _pq_min_dist_expr(books, "res").alias("sq_err"),
-        F.expr(
-            "aggregate(transform(res, x -> x * x), 0L,"
-            " (acc, e) -> acc + e)"
-        ).alias("energy"),
+    cells, C = _coarse_np(coarse)
+    books_np = _books_np(books)
+
+    # r19 vectorized kernel (see the kernel section): coarse assign +
+    # residual + per-subspace MIN distance + residual energy in one
+    # batch — same exact int64 math as the literal-fold form
+    @F.pandas_udf("cell int, sq_err bigint, energy bigint")
+    def k(xi: pd.Series) -> pd.DataFrame:
+        X = _np_stack(xi)
+        idx = np.argmin(_np_d2(X, C), axis=1)
+        R = X - C[idx]
+        sq = np.zeros(X.shape[0], dtype=np.int64)
+        for m, (_off, B) in enumerate(books_np):
+            sub = R[:, m * PQ_SUB : (m + 1) * PQ_SUB]
+            sq += _np_d2(sub, B).min(axis=1)
+        return pd.DataFrame(
+            {
+                "cell": cells[idx].astype("int32"),
+                "sq_err": sq,
+                "energy": (R * R).sum(axis=1, dtype="int64"),
+            }
+        )
+
+    per_vec = iv.select(k("xi").alias("a")).select(
+        F.col("a.cell").alias("cell"),
+        F.col("a.sq_err").alias("sq_err"),
+        F.col("a.energy").alias("energy"),
     )
     agg = per_vec.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_vecs"),
