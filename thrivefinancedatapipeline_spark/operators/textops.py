@@ -228,9 +228,14 @@ def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(tokens(F.col("text"))).alias("token")
     )
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df_ = tok.groupBy("token").agg(
-        F.count_distinct("doc_id").alias("df")
-    )
+    # r19 (guide §2.3 aggregate-before-shuffle): document frequency
+    # from the per-(doc, token) aggregate — tf already holds exactly
+    # one row per (doc, token), so count(*) per token IS
+    # count_distinct(doc_id) over the raw token stream, computed
+    # without re-tokenizing the corpus or shuffling the exploded
+    # token relation a second time (one Generate in the plan instead
+    # of two, and the df exchange carries ~doc-count× fewer rows).
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     tfidf = F.round(
         F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
     )

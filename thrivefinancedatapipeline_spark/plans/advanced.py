@@ -142,26 +142,29 @@ def q_range_join_touch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("purchase_ts"),
         hour(F.col("ts")).alias("bucket"),
     )
+    # r19 (guide §2.4/§3): LEFT-join the touches with the range
+    # predicate in the join condition and count matches per purchase
+    # in ONE aggregation — zero rows still yield their group (the
+    # null row counts as 0), so the old inner-join + count + second
+    # LEFT join back to the purchase spine (which planned as a
+    # SortMergeJoin) disappears. One join + one groupBy instead of
+    # two joins + one groupBy; output identical.
     matched = (
-        purchases.join(touches, ["user_id", "bucket"])
-        .filter(
-            (F.col("touch_ts") < F.col("purchase_ts"))
+        purchases.join(
+            touches,
+            (purchases["user_id"] == touches["user_id"])
+            & (purchases["bucket"] == touches["bucket"])
+            & (F.col("touch_ts") < F.col("purchase_ts"))
             & (
                 F.col("touch_ts")
                 >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")
-            )
+            ),
+            "left",
         )
         .groupBy("purchase_id")
-        .agg(F.count("*").alias("touches_1h"))
+        .agg(F.count("touch_ts").alias("touches_1h"))
     )
-    return (
-        purchases.select("purchase_id")
-        .join(matched, "purchase_id", "left")
-        .select(
-            "purchase_id",
-            F.coalesce(F.col("touches_1h"), F.lit(0)).alias("touches_1h"),
-        )
-    )
+    return matched.select("purchase_id", "touches_1h")
 
 
 def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

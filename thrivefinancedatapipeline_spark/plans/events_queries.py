@@ -200,32 +200,53 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (conditional min-timestamps — no self-joins), then a count rollup.
     """
     ev = load_table(spark, sf_dir, "events")
-    per_user = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+    # r19 single-pass form (guide §2.4): the old shape joined three
+    # per-user aggregates back together — 6 events scans, 5 joins and
+    # 6 exchanges for what is one ordered pass per user. Running
+    # "stage reached at-or-before this row" minima over a RANGE frame
+    # (peers included, so a click at the signup's exact timestamp
+    # still qualifies — the `>=` tie semantics of the join form) turn
+    # the chain into two stacked windows sharing one user_id exchange:
+    #   sig_so_far   = min signup ts over rows with ts <= current ts
+    #   click_so_far = min ts of clicks with sig_so_far set (a click
+    #                  qualifies iff SOME signup is at-or-before it,
+    #                  i.e. iff min-signup-ts <= its ts)
+    #   a purchase qualifies iff click_so_far is set at its row
+    # then one per-user aggregate and the count rollup. 1 scan, 1
+    # window exchange, 0 joins — output identical (oracle-proven).
+    w = Window.partitionBy("user_id").orderBy("ts").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("ts").alias("t_click")
+    sig_so_far = F.min(
+        F.when(F.col("event_type") == "signup", F.col("ts"))
+    ).over(w)
+    staged = ev.select(
+        "user_id", "ts", "event_type", sig_so_far.alias("t_sig")
     )
-    first_click = (
-        clicks.join(per_user, "user_id")
-        .filter(F.col("t_click") >= F.col("t_signup"))
-        .groupBy("user_id")
-        .agg(F.min("t_click").alias("t_first_click"))
+    click_so_far = F.min(
+        F.when(
+            (F.col("event_type") == "click") & F.col("t_sig").isNotNull(),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.select(
+        "user_id", "ts", "event_type", "t_sig",
+        click_so_far.alias("t_clk"),
     )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("ts").alias("t_buy")
+    per_user = staged.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).alias("t_signup"),
+        F.min(F.col("t_clk")).alias("t_first_click"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & F.col("t_clk").isNotNull(),
+                F.col("ts"),
+            )
+        ).alias("t_first_buy"),
     )
-    first_buy = (
-        purchases.join(first_click, "user_id")
-        .filter(F.col("t_buy") >= F.col("t_first_click"))
-        .groupBy("user_id")
-        .agg(F.min("t_buy").alias("t_first_buy"))
-    )
-    stages = (
-        per_user.join(first_click, "user_id", "left")
-        .join(first_buy, "user_id", "left")
-    )
-    return stages.agg(
+    return per_user.agg(
         F.count(F.col("t_signup")).alias("n_signup"),
         F.count(F.col("t_first_click")).alias("n_click_after_signup"),
         F.count(F.col("t_first_buy")).alias("n_purchase_after_click"),
