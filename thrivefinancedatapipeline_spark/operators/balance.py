@@ -24,22 +24,42 @@ def balance_history(matched: DataFrame) -> DataFrame:
 
     Input: fifo_match() output (redeemid unused here — kept lazy so
     Catalyst prunes it; callers may pass the raw transaction table).
-    """
-    w = (
-        Window.partitionBy("customerid")
-        .orderBy("createdat", "trans_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = lambda t: F.sum(  # noqa: E731
-        F.when(F.col("tctype") == t, F.abs(F.col("amount"))).otherwise(0.0)
-    ).over(w)
 
-    return matched.select(
+    r19: columns are renamed to the output header BEFORE the window,
+    so the window's hash partitioning is carried by `customer_id`
+    itself. With the rename below the window (the old shape), every
+    downstream per-customer aggregate re-shuffled: the alias was
+    created under the exchange, and above the window only the renamed
+    attribute survives — Spark can no longer prove
+    hashpartitioning(customerid) covers customer_id (the
+    balance_scd2 aliasing lesson applied one level down). Measured:
+    current_balances / balance_asof drop from 2 exchanges to 1;
+    window sums are bit-identical (same partition, same order, same
+    values, same fold order).
+    """
+    t = matched.select(
         F.col("customerid").alias("customer_id"),
         F.col("createdat").alias("transaction_date"),
         F.col("trans_id").alias("transaction_id"),
         F.col("tctype").alias("transaction_type"),
         F.col("amount").alias("transaction_amount"),
+    )
+    w = (
+        Window.partitionBy("customer_id")
+        .orderBy("transaction_date", "transaction_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = lambda ty: F.sum(  # noqa: E731
+        F.when(F.col("transaction_type") == ty,
+               F.abs(F.col("transaction_amount"))).otherwise(0.0)
+    ).over(w)
+
+    return t.select(
+        "customer_id",
+        "transaction_date",
+        "transaction_id",
+        "transaction_type",
+        "transaction_amount",
         cum("earned").alias("cumulative_earned"),
         cum("spent").alias("cumulative_spent"),
         cum("expired").alias("cumulative_expired"),
