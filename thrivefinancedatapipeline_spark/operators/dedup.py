@@ -638,10 +638,9 @@ def connected_components_star(
     skips one full-edge-set canonicalization shuffle.
     Returns (doc_id, cluster_id)."""
 
-    def _driver_finish(e: DataFrame) -> DataFrame:
+    def _driver_finish(pdf) -> DataFrame:
         from pyspark.sql.types import StructField, StructType
 
-        pdf = e.toPandas()  # Arrow batch transfer, not row collect
         labels = _union_find_labels(
             zip(pdf["a"].tolist(), pdf["b"].tolist())
         )
@@ -660,19 +659,32 @@ def connected_components_star(
             F.coalesce(F.col("root"), F.col("doc_id")).alias("cluster_id"),
         )
     if pairs_canonical:
-        edges = pairs.select(
+        edges_lazy = pairs.select(
             F.col("doc_id_2").alias("a"), F.col("doc_id_1").alias("b")
-        ).localCheckpoint(eager=True)
+        )
     else:
-        edges = (
+        edges_lazy = (
             pairs.select(
                 F.greatest("doc_id_1", "doc_id_2").alias("a"),
                 F.least("doc_id_1", "doc_id_2").alias("b"),
             )
             .filter(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint(eager=True)
         )
+    # r19 fast path (guide §1.2/§2.4 — fewer jobs on the common tail):
+    # when the WHOLE edge set fits the driver budget, one bounded
+    # limit(budget+1) collect replaces the old
+    # checkpoint-materialize → checksum → toPandas sequence (three
+    # jobs → one). The limit is the same hard bound the checksum
+    # decision enforced: if budget+1 rows come back the graph is too
+    # big, the probe is discarded (it cost a truncated scan —
+    # CollectLimit stops early), and the distributed loop below runs
+    # exactly as before, checkpoint + checksum discipline intact.
+    if 0 < driver_finish_max_edges:
+        probe = edges_lazy.limit(driver_finish_max_edges + 1).toPandas()
+        if len(probe) <= driver_finish_max_edges:
+            return _driver_finish(probe)
+    edges = edges_lazy.localCheckpoint(eager=True)
 
     def _checksum(e: DataFrame):
         # set-identity of the (distinct) edge set: count + XOR of row
@@ -685,8 +697,6 @@ def connected_components_star(
         ).collect()[0]
 
     prev = _checksum(edges)
-    if 0 < driver_finish_max_edges and prev["n"] <= driver_finish_max_edges:
-        return _driver_finish(edges)
     for _ in range(MAX_STAR_ROUNDS):
         # large-star over the symmetric view: for node u with
         # m = min(N(u) ∪ {u}), every neighbor v > u re-attaches to m.
@@ -728,7 +738,7 @@ def connected_components_star(
             break
         prev = cur
         if 0 < driver_finish_max_edges and cur["n"] <= driver_finish_max_edges:
-            return _driver_finish(edges)
+            return _driver_finish(edges.toPandas())
     star = edges.select(
         F.col("a").alias("doc_id"), F.col("b").alias("root")
     )
