@@ -875,6 +875,16 @@ def _books_np(books):
     return out
 
 
+#: Kernels are returned NON-DETERMINISTIC (they are pure — this is an
+#: optimizer fence, guide §4.4): join-key null-safety filters otherwise
+#: get pushed below the ArrowEvalPython node and the whole batch kernel
+#: is evaluated TWICE per corpus row (measured: ivf_knn planned 3
+#: ArrowEvalPython nodes for 2 kernel calls; 2 after the fence, output
+#: identical).
+def _nd(k):
+    return k.asNondeterministic()
+
+
 def pd_assign_cells(coarse, with_d2: bool = False):
     """pandas UDF: xi -> nearest coarse cell (int), or
     struct<cell, d2> when the caller also needs the distance
@@ -889,7 +899,7 @@ def pd_assign_cells(coarse, with_d2: bool = False):
                 cells[np.argmin(_np_d2(X, C), axis=1)].astype("int32")
             )
 
-        return k
+        return _nd(k)
 
     @F.pandas_udf("cell int, d2 bigint")
     def k2(xi: pd.Series) -> pd.DataFrame:
@@ -903,7 +913,7 @@ def pd_assign_cells(coarse, with_d2: bool = False):
             }
         )
 
-    return k2
+    return _nd(k2)
 
 
 def pd_probe_cells(coarse, n_probe: int):
@@ -922,7 +932,7 @@ def pd_probe_cells(coarse, n_probe: int):
             out.append([int(c) for c in cells[order]])
         return pd.Series(out)
 
-    return k
+    return _nd(k)
 
 
 def pd_pq_encode(books):
@@ -939,7 +949,7 @@ def pd_pq_encode(books):
             codes[:, m] = off + np.argmin(_np_d2(sub, B), axis=1) + 1
         return pd.Series(list(codes))
 
-    return k
+    return _nd(k)
 
 
 def pd_pq_lut(books):
@@ -959,7 +969,7 @@ def pd_pq_lut(books):
         )
         return pd.Series(list(lut))
 
-    return k
+    return _nd(k)
 
 
 def pd_ivfpq_encode(coarse, books):
@@ -982,7 +992,7 @@ def pd_ivfpq_encode(coarse, books):
             {"cell": cells[idx].astype("int32"), "codes": list(codes)}
         )
 
-    return k
+    return _nd(k)
 
 
 def pd_ivfpq_probes(coarse, books, n_probe: int):
@@ -1018,7 +1028,7 @@ def pd_ivfpq_probes(coarse, books, n_probe: int):
             )
         return pd.Series(out)
 
-    return k
+    return _nd(k)
 
 
 #: unrolled ADC distance: 8 static element_at terms instead of an
@@ -2215,7 +2225,7 @@ def ivfpq_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    per_vec = iv.select(k("xi").alias("a")).select(
+    per_vec = iv.select(_nd(k)("xi").alias("a")).select(
         F.col("a.cell").alias("cell"),
         F.col("a.sq_err").alias("sq_err"),
         F.col("a.energy").alias("energy"),
