@@ -37,6 +37,7 @@ SLOW_FILES = {
     "test_prebuilt_r16.py",     # ~30 s — two-SF sweep/pair compares + nesting pins
     "test_pipeline_orchestration.py",  # 112 s — three full funnel runs
     "test_scaleup_gate_parity.py",  # ~60 s — 3 graph consumers + recomputes
+    "test_ann_kernels_r19.py",  # ~36 s — kernel==expression parity compares
 }
 
 
