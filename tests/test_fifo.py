@@ -178,3 +178,34 @@ def test_formulations_agree(spark, sf_dir):
     a = set(map(tuple, fifo_match(txns).collect()))
     b = set(map(tuple, fifo_match_rank_join(txns).collect()))
     assert a == b
+
+
+def test_arrow_formulation_agrees(spark, sf_dir):
+    """The measured-but-not-adopted mapInArrow kernel (r20 A/B) must
+    stay output-identical to fifo_match — on the real corpus AND on a
+    string-keyed scenario with timestamp ties."""
+    from thrivefinancedatapipeline_spark.datamodel import load_table
+    from thrivefinancedatapipeline_spark.operators.fifo import (
+        fifo_match_arrow,
+    )
+    from thrivefinancedatapipeline_spark.sources.ingest import (
+        transactions_from_events,
+    )
+
+    txns = transactions_from_events(load_table(spark, sf_dir, "events"))
+    a = set(map(tuple, fifo_match(txns).collect()))
+    b = set(map(tuple, fifo_match_arrow(txns).collect()))
+    assert a == b
+
+    rows = [
+        txn("E002", "earned", "2024-01-01", "C1", 10.0),
+        txn("E001", "earned", "2024-01-01", "C1", 10.0),  # tie: id order
+        txn("S001", "spent", "2024-01-02", "C1", -10.0),
+        txn("S002", "expired", "2024-01-02", "C1", -10.0),
+        txn("E003", "earned", "2024-01-01", "C2", 5.0),
+        txn("S003", "spent", "2024-01-03", "C3", -5.0),
+    ]
+    df = spark.createDataFrame(rows, schema=SCHEMA)
+    a = set(map(tuple, fifo_match(df).collect()))
+    b = set(map(tuple, fifo_match_arrow(df).collect()))
+    assert a == b

@@ -24,6 +24,7 @@ share), so every operator here has a bit-exact DuckDB oracle.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -208,15 +209,31 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingle_rows(_docs(spark, sf_dir)).localCheckpoint(eager=True)
     dfs = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     wdoc = Window.partitionBy("doc_id").orderBy("df", "sh")
-    idx = (
+    # r20 (guide §2.3/§2.4, the minhash merged-aggregation lesson —
+    # VERDICT r19 item 5): the per-doc verify arrays used to be a
+    # SEPARATE groupBy(doc_id) shuffle of the raw shingle relation
+    # inside _verified_pairs. The DF-cap window already hash-partitions
+    # the joined (sh, df) relation by doc_id, so a groupBy(doc_id)
+    # stacked on the window output needs NO new exchange — one pass
+    # yields the capped index shingles (collect_list skips the
+    # when()-nulled hot ones) AND the full verify array/count. The
+    # checkpoint then holds ONE row per doc instead of re-running the
+    # join+window subtree once per self-join side downstream.
+    keep = (F.col("df") <= MAX_SHINGLE_DF) | (
+        F.col("rk") <= RARE_KEEP_PER_DOC
+    )
+    per_doc = (
         sh.join(dfs, "sh")
         .withColumn("rk", F.row_number().over(wdoc))
-        .filter(
-            (F.col("df") <= MAX_SHINGLE_DF)
-            | (F.col("rk") <= RARE_KEEP_PER_DOC)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.when(keep, F.col("sh"))).alias("idx_shs"),
+            F.collect_list("sh").alias("shs"),
+            F.count(F.lit(1)).alias("c"),
         )
-        .select("doc_id", "sh")
+        .localCheckpoint(eager=True)
     )
+    idx = per_doc.select("doc_id", F.explode("idx_shs").alias("sh"))
     s1 = idx.select(F.col("doc_id").alias("doc_id_1"), "sh")
     s2 = idx.select(F.col("doc_id").alias("doc_id_2"), "sh")
     pairs = (
@@ -225,7 +242,35 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id_1", "doc_id_2")
         .distinct()
     )
-    return _verified_pairs(pairs, sh)
+    a1 = per_doc.select(
+        F.col("doc_id").alias("doc_id_1"), F.col("shs").alias("shs1"),
+        F.col("c").alias("shingles_1"),
+    )
+    a2 = per_doc.select(
+        F.col("doc_id").alias("doc_id_2"), F.col("shs").alias("shs2"),
+        F.col("c").alias("shingles_2"),
+    )
+    common = F.size(
+        F.array_intersect(F.col("shs1"), F.col("shs2"))
+    ).cast("long")
+    return (
+        pairs.join(a1, "doc_id_1")
+        .join(a2, "doc_id_2")
+        .withColumn("common_shingles", common)
+        .filter(
+            JACCARD_DEN * F.col("common_shingles")
+            >= JACCARD_NUM
+            * (
+                F.col("shingles_1")
+                + F.col("shingles_2")
+                - F.col("common_shingles")
+            )
+        )
+        .select(
+            "doc_id_1", "doc_id_2", "common_shingles",
+            "shingles_1", "shingles_2",
+        )
+    )
 
 
 def _minhash_signatures(sh: DataFrame) -> DataFrame:
@@ -415,11 +460,95 @@ _SIM_COUNTS = _sim_counts("hs")
 _SIM_PACK = _sim_pack("hs")
 
 
+# ---------------------------------------------------------------------------
+# r20 (guide §4.2, the r19 ANN-kernel pattern applied to simhash): the
+# per-token simhash fold moves from an interpreted HOF fold (HOFs never
+# enter whole-stage codegen; cost is per array op per element) to a
+# whole-batch numpy int64 pandas UDF. Arithmetic is UNCHANGED — bit
+# counts, the majority test and the bit-OR pack are exact integer ops;
+# the expression builders above stay as the executable reference the
+# parity tests (tests/test_dedup_kernels_r20.py) compare against.
+# Measured (interleaved noop fragments, sf0.1): fold 0.62 s -> kernel
+# 0.31 s on the simhash projection (hash-only floor 0.26 s — the fold
+# itself dropped ~7x). The kernel is returned NON-DETERMINISTIC (pure —
+# an optimizer fence, guide §4.4) so filters are never pushed below the
+# ArrowEvalPython node and the batch kernel never evaluates twice.
+#
+# Tried and REVERTED (r20): the same treatment for minhash — a
+# zero-shuffle per-doc form (shingle arrays + interpreted md5
+# transform + numpy K-min kernel) replacing explode + groupBy. 11-13 s
+# vs 1.2 s at sf0.1: the expensive element op is the md5 HASH, which
+# explode keeps in whole-stage codegen but an array transform()
+# evaluates interpreted per element (~10x). The r13 lesson holds even
+# with a vectorized fold: the shuffle is the cheap part.
+# ---------------------------------------------------------------------------
+
+_SIM_PACK_KERNEL = None
+
+
+def pd_simhash_pack():
+    """pandas UDF: distinct-token-hash array -> packed majority
+    simhash — `_sim_pack()`'s exact numpy twin. Bit counting is one
+    unpackbits over the little-endian int64 view (every md5_long value
+    is < 2^60, nonneg) + one segmented add.reduceat; majority test
+    `2*count > n_tokens` and the bit-OR pack are the same integer ops
+    the SQL fold runs. Empty array -> 0, NULL -> NULL (aggregate()
+    semantics)."""
+    global _SIM_PACK_KERNEL
+    if _SIM_PACK_KERNEL is not None:
+        return _SIM_PACK_KERNEL
+
+    @F.pandas_udf("bigint")
+    def k(hs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        n = len(hs)
+        out = np.zeros(n, dtype=np.int64)
+        null = np.zeros(n, dtype=bool)
+        keep_i: list = []
+        keep_a: list = []
+        for i, a in enumerate(hs.tolist()):
+            if a is None:
+                null[i] = True
+            elif len(a):
+                keep_i.append(i)
+                keep_a.append(np.asarray(a, dtype=np.int64))
+        if keep_a:
+            lens = np.fromiter(
+                (len(a) for a in keep_a), dtype=np.int64,
+                count=len(keep_a),
+            )
+            flat = np.concatenate(keep_a)
+            bits = np.unpackbits(
+                flat.view(np.uint8).reshape(-1, 8),
+                axis=1,
+                bitorder="little",
+            )[:, :SIMHASH_BITS]
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            counts = np.add.reduceat(
+                bits, starts, axis=0, dtype=np.int64
+            )
+            maj = (2 * counts) > lens[:, None]
+            shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
+            out[np.asarray(keep_i, dtype=np.int64)] = (
+                maj.astype(np.int64) << shifts
+            ).sum(axis=1)
+        if null.any():
+            res = pd.Series(out).astype("object")
+            res[null] = None
+            return res
+        return pd.Series(out)
+
+    _SIM_PACK_KERNEL = k.asNondeterministic()
+    return _SIM_PACK_KERNEL
+
+
 def _simhash_df(docs: DataFrame) -> DataFrame:
     toks = F.array_distinct(tokens(F.col("text")))
     hs = F.transform(toks, md5_long)
     return docs.select("doc_id", hs.alias("hs")).select(
-        "doc_id", F.expr(f"CAST({_SIM_PACK} AS BIGINT)").alias("simhash")
+        "doc_id", pd_simhash_pack()(F.col("hs")).alias("simhash")
     )
 
 
@@ -680,11 +809,29 @@ def connected_components_star(
     # big, the probe is discarded (it cost a truncated scan —
     # CollectLimit stops early), and the distributed loop below runs
     # exactly as before, checkpoint + checksum discipline intact.
+    # r20 (ADVICE): persist around the probe — limit() cannot stop
+    # early through the distinct shuffle / pair-finding pipeline, so
+    # WITHOUT the persist an overflowing probe (edge set > budget) ran
+    # the entire upstream computation twice (once discarded, once for
+    # the checkpoint). Persist keeps the fast path at one job (the
+    # probe itself materializes the blocks) and makes the overflow
+    # path's checkpoint read back cached partitions instead of
+    # recomputing; edges are two BIGINTs/row, so the cache write is
+    # noise. Unpersist is unconditional — _driver_finish consumes the
+    # collected pandas probe, never edges_lazy.
     if 0 < driver_finish_max_edges:
-        probe = edges_lazy.limit(driver_finish_max_edges + 1).toPandas()
-        if len(probe) <= driver_finish_max_edges:
-            return _driver_finish(probe)
-    edges = edges_lazy.localCheckpoint(eager=True)
+        edges_lazy = edges_lazy.persist()
+        try:
+            probe = edges_lazy.limit(
+                driver_finish_max_edges + 1
+            ).toPandas()
+            if len(probe) <= driver_finish_max_edges:
+                return _driver_finish(probe)
+            edges = edges_lazy.localCheckpoint(eager=True)
+        finally:
+            edges_lazy.unpersist()
+    else:
+        edges = edges_lazy.localCheckpoint(eager=True)
 
     def _checksum(e: DataFrame):
         # set-identity of the (distinct) edge set: count + XOR of row
@@ -3706,12 +3853,15 @@ def _simhash_wide_df(docs: DataFrame) -> DataFrame:
             "long"
         ),
     )
+    # both packs ride ONE ArrowEvalPython node (independent pandas
+    # UDFs at the same projection level are batched together), so the
+    # wide fingerprint still pays a single Python crossing per row.
     return docs.select(
         "doc_id", hs_lo.alias("hs"), hs_hi.alias("hs2")
     ).select(
         "doc_id",
-        F.expr(f"CAST({_SIM_PACK} AS BIGINT)").alias("sim_lo"),
-        F.expr(f"CAST({_SIM_PACK_HS2} AS BIGINT)").alias("sim_hi"),
+        pd_simhash_pack()(F.col("hs")).alias("sim_lo"),
+        pd_simhash_pack()(F.col("hs2")).alias("sim_hi"),
     )
 
 

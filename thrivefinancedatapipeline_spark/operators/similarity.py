@@ -1833,6 +1833,18 @@ def load_ivfpq_quantizer(spark: SparkSession) -> tuple[list, list]:
         [(cell, cv) for _i, cell, cv in sorted(by_m[m])]
         for m in sorted(by_m)
     ]
+    # Contract (r20): the persisted codes are arrays of exactly
+    # len(books) entries, and every reader (_ADC_EXPR unrolls PQ_M
+    # element_at terms) assumes that width == the CURRENT PQ_M. A
+    # stale index from a different PQ_M would otherwise surface as an
+    # ANSI INVALID_ARRAY_INDEX (or a silently-truncated sum) deep in
+    # execution — fail loudly at load instead.
+    if len(books) != PQ_M:
+        raise ValueError(
+            f"persisted IVF-PQ index has {len(books)} subspace "
+            f"codebooks but this build uses PQ_M={PQ_M} — rebuild the "
+            "index (build_ivfpq_index / `ann-index build`)"
+        )
     return coarse, books
 
 

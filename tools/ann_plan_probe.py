@@ -65,33 +65,9 @@ def _plan(df) -> str:
     return buf.getvalue()
 
 
-def _host_sample() -> dict:
-    """Host-pressure snapshot (see bench.py:_host_sample) — per-query
-    deltas attribute elevated-wall windows by measurement."""
-    out: dict = {}
-    try:
-        with open("/proc/loadavg") as fh:
-            out["load1"] = float(fh.read().split()[0])
-    except (OSError, ValueError, IndexError):
-        pass
-    for res in ("cpu", "io"):
-        try:
-            with open(f"/proc/pressure/{res}") as fh:
-                for line in fh:
-                    kind, *kv = line.split()
-                    tot = dict(p.split("=") for p in kv).get("total")
-                    if kind == "some" and tot is not None:
-                        out[f"psi_{res}_some_us"] = int(tot)
-        except (OSError, ValueError):
-            pass
-    try:
-        with open("/proc/stat") as fh:
-            parts = fh.readline().split()
-            if parts and parts[0] == "cpu" and len(parts) > 8:
-                out["steal_ticks"] = int(parts[8])
-    except (OSError, ValueError):
-        pass
-    return out
+# Shared with the bench (r20, ADVICE: the two verbatim copies would
+# drift): the repo root is already on sys.path above.
+from bench import _host_sample  # noqa: E402
 
 
 def main() -> int:
