@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..datamodel import load_table
-from ..plans.events_queries import SESSION_GAP_MIN, sessionize
+from ..plans.events_queries import SESSION_GAP_MIN
 
 #: 1-hour buckets — the engine's event sessions run minutes-to-hours.
 BUCKET_US = 3_600 * 1_000_000
@@ -91,9 +91,47 @@ def q_session_error_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream: non-error activity sessions (held open for the 30-min
     session gap past their last event, else every sparse session is a
     degenerate point and nothing can overlap) vs error-burst
-    sessions."""
+    sessions.
+
+    r20 (guide §2.4): ONE sessionization over the composite key
+    (user_id, is_err) replaces the two filtered sessionize() calls —
+    sessions within a (user, is_err) group equal sessionizing that
+    filtered stream (same rows, same (ts, event_id) order, same lag
+    gaps), so the outputs are identical while the plan drops from two
+    events scans + two window exchanges to one of each. The tiny
+    session relation is checkpointed once and both join sides read it.
+    Measured 0.93x at sf0.1, output-identical at sf0.01/sf0.1."""
     ev = load_table(spark, sf_dir, "events")
-    act = sessionize(ev.filter(F.col("event_type") != "error")).select(
+    from pyspark.sql import Window
+
+    tagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("event_type") == "error").alias("is_err"),
+    )
+    w = Window.partitionBy("user_id", "is_err").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(
+        F.unix_micros(F.col("ts"))
+    ).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > SESSION_GAP_MIN * 60 * 1_000_000), 1
+    ).otherwise(0)
+    sess = (
+        tagged.withColumn(
+            "session_idx",
+            F.sum(new_session).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "is_err", "session_idx")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    act = sess.filter(~F.col("is_err")).select(
         "user_id",
         F.col("session_start").alias("start"),
         (
@@ -101,7 +139,7 @@ def q_session_error_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.expr(f"INTERVAL {SESSION_GAP_MIN} MINUTES")
         ).alias("end"),
     )
-    err = sessionize(ev.filter(F.col("event_type") == "error")).select(
+    err = sess.filter(F.col("is_err")).select(
         "user_id",
         F.col("session_start").alias("start"),
         F.col("session_end").alias("end"),
