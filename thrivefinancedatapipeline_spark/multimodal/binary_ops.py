@@ -333,9 +333,15 @@ def wav_payloads(docs: DataFrame) -> DataFrame:
                 {"doc_id": pdf["doc_id"].values, "payload": payloads}
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return _spread(docs.select("doc_id", "text")).mapInPandas(
         run, schema="doc_id long, payload binary"
     )
+
+
+# Python-codec kernels must never run single-threaded because the
+# input was one row group (guide §2.5; measured r20: frame_sample
+# 18 s → 2.1 s at sf0.1, output identical) — see functions/layout.py.
+from ..functions.layout import ensure_min_parallelism as _spread
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -400,7 +406,7 @@ def png_payloads(docs: DataFrame) -> DataFrame:
                 {"doc_id": pdf["doc_id"].values, "payload": payloads}
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return _spread(docs.select("doc_id", "text")).mapInPandas(
         run, schema="doc_id long, payload binary"
     )
 
@@ -433,7 +439,7 @@ def gif_payloads(docs: DataFrame) -> DataFrame:
                 {"doc_id": pdf["doc_id"].values, "payload": payloads}
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return _spread(docs.select("doc_id", "text")).mapInPandas(
         run, schema="doc_id long, payload binary"
     )
 
@@ -459,7 +465,7 @@ def gif_animation_payloads(docs: DataFrame, n_frames: int = 6) -> DataFrame:
                 {"doc_id": pdf["doc_id"].values, "payload": payloads}
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return _spread(docs.select("doc_id", "text")).mapInPandas(
         run, schema="doc_id long, payload binary"
     )
 
@@ -556,7 +562,7 @@ def avi_payloads(
                 {"doc_id": pdf["doc_id"].values, "payload": payloads}
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return _spread(docs.select("doc_id", "text")).mapInPandas(
         run, schema="doc_id long, payload binary"
     )
 
@@ -617,7 +623,7 @@ def jpeg_payloads(docs: DataFrame, quality: int = 90) -> DataFrame:
                 {"doc_id": pdf["doc_id"].values, "payload": payloads}
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return _spread(docs.select("doc_id", "text")).mapInPandas(
         run, schema="doc_id long, payload binary"
     )
 
@@ -671,7 +677,7 @@ def q_multimodal_codec_attest(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return docs.mapInPandas(run, schema=ATTEST_SCHEMA)
+    return _spread(docs).mapInPandas(run, schema=ATTEST_SCHEMA)
 
 
 QUERIES = {
@@ -738,7 +744,7 @@ def jpeg_color_payloads(docs: DataFrame, quality: int = 90) -> DataFrame:
                 {"doc_id": pdf["doc_id"].values, "payload": payloads}
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return _spread(docs.select("doc_id", "text")).mapInPandas(
         run, schema="doc_id long, payload binary"
     )
 
@@ -836,7 +842,7 @@ def q_multimodal_codec_attest2(
             yield pd.DataFrame(out)
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return docs.mapInPandas(run, schema=ATTEST2_SCHEMA)
+    return _spread(docs).mapInPandas(run, schema=ATTEST2_SCHEMA)
 
 
 #: v_i (1-based i in 1..48) = ascii(md5 hex digit ((i-1) mod 32) + 1);
@@ -960,7 +966,7 @@ def q_multimodal_codec_attest3(
             yield pd.DataFrame(out)
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return docs.mapInPandas(run, schema=ATTEST3_SCHEMA)
+    return _spread(docs).mapInPandas(run, schema=ATTEST3_SCHEMA)
 
 
 #: d_i (1-based i in 1..16) = VALUE of md5 hex digit i; decoded RGBA
@@ -1084,7 +1090,7 @@ def q_multimodal_codec_attest4(
             yield pd.DataFrame(out)
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return docs.mapInPandas(run, schema=ATTEST4_SCHEMA)
+    return _spread(docs).mapInPandas(run, schema=ATTEST4_SCHEMA)
 
 
 #: v_j (j in 1..48) = ascii(md5 hex char ((j-1) mod 32) + 1); d_i
@@ -1198,7 +1204,7 @@ def q_multimodal_codec_attest5(
             yield pd.DataFrame(out)
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return docs.mapInPandas(run, schema=ATTEST5_SCHEMA)
+    return _spread(docs).mapInPandas(run, schema=ATTEST5_SCHEMA)
 
 
 #: v_j (j in 1..48) = ascii(md5 hex char ((j-1) mod 32) + 1).
@@ -1302,7 +1308,7 @@ def q_ingestion_codec_attest(
             yield pd.DataFrame({"n": [len(pdf)]})
 
     # force the write pass exactly once (bounded 1-row collect)
-    docs.mapInPandas(write, schema="n long").agg(F.sum("n")).collect()
+    _spread(docs).mapInPandas(write, schema="n long").agg(F.sum("n")).collect()
 
     ing = read_binary_files(spark, d, glob="*.wav").select(
         F.regexp_extract("path", "([0-9]+)[.]wav$", 1)

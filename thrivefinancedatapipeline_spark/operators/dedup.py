@@ -1087,10 +1087,20 @@ def q_dedup_embedding_cosine(
                 f"q_dedup_embedding_lsh for scale, or pass exact=True "
                 f"to force the quadratic path."
             )
+    from ..functions.layout import ensure_min_parallelism
+
     v = as_double_vec(F.col("embedding"))
     e = emb.select("vec_id", v.alias("v"), norm(v).alias("nrm"))
-    e1 = e.select(
-        F.col("vec_id").alias("vec_id_1"), F.col("v").alias("v1"), F.col("nrm").alias("n1")
+    # r20 (guide §2.5): the crossJoin STREAMS the left side, so a
+    # single-row-group scan pins the whole O(n^2) interpreted-fold
+    # pass to one task — spread it before the fan-out (measured
+    # 11-21 s → 1.15 s at sf0.1, output identical; no-op on any
+    # already-parallel layout).
+    e1 = ensure_min_parallelism(
+        e.select(
+            F.col("vec_id").alias("vec_id_1"), F.col("v").alias("v1"),
+            F.col("nrm").alias("n1"),
+        )
     )
     e2 = e.select(
         F.col("vec_id").alias("vec_id_2"), F.col("v").alias("v2"), F.col("nrm").alias("n2")

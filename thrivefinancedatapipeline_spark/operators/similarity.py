@@ -62,15 +62,26 @@ def _dot(a, b):
 
 
 def q_knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-k: rank for each query vector (vec_id < N)."""
+    """Exact cosine top-k: rank for each query vector (vec_id < N).
+
+    r20 (guide §2.5): the broadcast-query crossJoin STREAMS the corpus
+    side, so a single-row-group embeddings scan pins the whole
+    queries x corpus interpreted-dot pass to one task —
+    ensure_min_parallelism spreads it (no-op on any already-parallel
+    layout; round-robin exchanges are not partitioning claims, so the
+    plan pins on hash/single/range exchanges are untouched)."""
+    from ..functions.layout import ensure_min_parallelism
+
     e = _vectors(spark, sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
     )
-    c = e.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"),
-        F.col("nrm").alias("cn"),
+    c = ensure_min_parallelism(
+        e.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
     )
     cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     w = Window.partitionBy("query_id").orderBy(
@@ -481,10 +492,16 @@ def q_knn_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pn").alias("qn"), F.col("v").alias("qfull"),
         F.col("nrm").alias("qfn"),
     )
-    c = p.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("pv").alias("cv"),
-        F.col("pn").alias("cn"), F.col("v").alias("cfull"),
-        F.col("nrm").alias("cfn"),
+    from ..functions.layout import ensure_min_parallelism
+
+    # r20 (§2.5): spread the streamed corpus side of the broadcast
+    # crossJoin — see q_knn_bruteforce_cosine.
+    c = ensure_min_parallelism(
+        p.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("pv").alias("cv"),
+            F.col("pn").alias("cn"), F.col("v").alias("cfull"),
+            F.col("nrm").alias("cfn"),
+        )
     )
     pcos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     fcos = _dot(F.col("qfull"), F.col("cfull")) / (
@@ -1060,6 +1077,10 @@ def pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     iv = _int_vecs(spark, sf_dir)
     books = _pq_codebooks_cached(sf_dir, iv)
+    # r20: ensure_min_parallelism on the codes side was tried and
+    # REVERTED (measured 0.99 -> 1.16 s at sf0.1): the ADC fold is 8
+    # codegen lookups per pair — too cheap to out-earn the repartition
+    # of the xi arrays, unlike the interpreted-dot crossJoins.
     codes = iv.select(
         F.col("vec_id").alias("neighbor_id"),
         pd_pq_encode(books)("xi").alias("codes"),
